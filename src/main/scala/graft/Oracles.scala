@@ -1,0 +1,211 @@
+package graft
+
+/** DuckDB oracle SQL for [[Queries]] — same table names, same column aliases,
+  * same operation order. Conventions for cross-engine hash-equality:
+  *   - integer aggregates CAST to BIGINT (DuckDB sums ints to HUGEINT);
+  *   - row_number CAST to INT (Spark's is IntegerType);
+  *   - no string→int casts anywhere (PG errors / DuckDB rounds / Spark ANSI
+  *     truncates — SURVEY §2.8 F9): regex-guard + ::DOUBLE + explicit floor;
+  *   - doubles only combined per-row in the same order as the Spark side;
+  *   - DuckDB regexp_replace needs the explicit 'g' flag (Spark is global
+  *     by default).
+  */
+object Oracles {
+
+  val parity: Map[String, String] = Map(
+    "q01_scan_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
+        |  l_extendedprice * (1.0 - l_discount) AS revenue, l_returnflag
+        |FROM lineitem
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1996-12-31 23:59:59'
+        |  AND l_quantity > 45""".stripMargin,
+
+    "q02_sentinel_cleaning" ->
+      """SELECT o_orderkey,
+        |  COALESCE(NULLIF(o_orderpriority, '5-LOW'), 'Not specified') AS priority_clean,
+        |  CASE WHEN o_orderstatus = 'O' THEN 'Open'
+        |       WHEN o_orderstatus = 'F' THEN 'Finished'
+        |       WHEN o_orderstatus = 'P' THEN 'Pending'
+        |       ELSE 'Unknown' END AS status_desc,
+        |  CASE WHEN o_totalprice > 200000 THEN 'High'
+        |       WHEN o_totalprice > 100000 THEN 'Medium'
+        |       ELSE 'Low' END AS value_band,
+        |  CASE WHEN (CASE WHEN o_orderkey % 3 = 0 THEN 't'
+        |                  WHEN o_orderkey % 3 = 1 THEN 'f' END) = 't' THEN 'Yes'
+        |       WHEN (CASE WHEN o_orderkey % 3 = 0 THEN 't'
+        |                  WHEN o_orderkey % 3 = 1 THEN 'f' END) = 'f' THEN 'No'
+        |       ELSE 'Unknown' END AS has_dmc
+        |FROM orders""".stripMargin,
+
+    "q03_null_in_list_recode" ->
+      """SELECT phase,
+        |  CASE WHEN phase IN ('1-URGENT', '2-HIGH') THEN 'High'
+        |       WHEN phase IN ('4-NOT SPECIFIED', NULL) THEN 'Not applicable'
+        |       ELSE 'Other' END AS recode,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM (SELECT NULLIF(o_orderpriority, '3-MEDIUM') AS phase FROM orders)
+        |GROUP BY phase, recode""".stripMargin,
+
+    "q04_ilike_any_categorize" ->
+      """SELECT CASE
+        |    WHEN lower(p_name) LIKE '%red%' OR lower(p_name) LIKE '%hot%' THEN 'Warm'
+        |    WHEN lower(p_name) LIKE '%blue%' OR lower(p_name) LIKE '%cold%' OR lower(p_name) LIKE '%small%' THEN 'Cool'
+        |    WHEN lower(p_name) LIKE '%gizmo%' OR lower(p_name) LIKE '%widget%' OR lower(p_name) LIKE '%gear%' THEN 'Mechanical'
+        |    WHEN lower(p_name) LIKE '%bolt%' OR lower(p_name) LIKE '%ring%' OR lower(p_name) LIKE '%rod%' THEN 'Hardware'
+        |    ELSE 'Other' END AS category,
+        |  CAST(count(*) AS BIGINT) AS n_parts
+        |FROM part
+        |WHERE NOT (lower(p_name) LIKE '%anvil%')
+        |GROUP BY category""".stripMargin,
+
+    "q05_duration_parse" ->
+      """WITH synth AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN NULL
+        |         ELSE CAST(o_orderkey % 40 AS VARCHAR) || ' ' ||
+        |              (CASE WHEN o_orderkey % 5 = 0 THEN 'Days'
+        |                    WHEN o_orderkey % 5 = 1 THEN 'Weeks'
+        |                    WHEN o_orderkey % 5 = 2 THEN 'Months'
+        |                    WHEN o_orderkey % 5 = 3 THEN 'Years'
+        |                    ELSE '' END) END AS target_duration
+        |  FROM orders),
+        |parsed AS (
+        |  SELECT o_orderkey, target_duration,
+        |    CAST(FLOOR(
+        |      (CASE WHEN regexp_matches(regexp_replace(target_duration, '[^0-9.]', '', 'g'), '^[0-9]+(\.[0-9]+)?$')
+        |            THEN CAST(regexp_replace(target_duration, '[^0-9.]', '', 'g') AS DOUBLE) END) *
+        |      (CASE WHEN lower(target_duration) LIKE '%year%' THEN 365.0
+        |            WHEN lower(target_duration) LIKE '%month%' THEN 30.0
+        |            WHEN lower(target_duration) LIKE '%week%' THEN 7.0
+        |            ELSE 1.0 END)) AS INT) AS d
+        |  FROM synth)
+        |SELECT o_orderkey, target_duration,
+        |  CASE WHEN d > 10950 THEN 10950 ELSE d END AS duration_days,
+        |  CASE WHEN d IS NULL THEN 'Not specified'
+        |       WHEN d > 10950 THEN 'Capped'
+        |       ELSE 'Original' END AS duration_flag
+        |FROM parsed""".stripMargin,
+
+    "q06_mapping_join_coalesce" ->
+      """WITH mapping AS (
+        |  SELECT raw_brand, 'BRAND_' || trim(raw_brand) AS clean_brand
+        |  FROM (SELECT DISTINCT p_brand AS raw_brand FROM part)
+        |  WHERE right(raw_brand, 1) IN ('0', '2', '4', '6', '8'))
+        |SELECT COALESCE(m.clean_brand, p.p_brand) AS enriched_brand,
+        |  CAST(count(*) AS BIGINT) AS n_parts
+        |FROM part p
+        |LEFT JOIN mapping m ON lower(trim(p.p_brand)) = lower(trim(m.raw_brand))
+        |GROUP BY enriched_brand""".stripMargin,
+
+    "q07_date_dim" ->
+      """SELECT CAST(strftime(full_date, '%Y%m%d') AS INT) AS date_key,
+        |  full_date,
+        |  CAST(year(full_date) AS INT) AS year,
+        |  CAST(quarter(full_date) AS INT) AS quarter,
+        |  CAST(month(full_date) AS INT) AS month,
+        |  monthname(full_date) AS month_name,
+        |  CAST(day(full_date) AS INT) AS day_of_month,
+        |  dayname(full_date) AS day_name,
+        |  CAST(weekofyear(full_date) AS INT) AS week_of_year,
+        |  CAST(dayofweek(full_date) AS INT) AS day_of_week,
+        |  dayofweek(full_date) IN (0, 6) AS is_weekend
+        |FROM (SELECT CAST(unnest(generate_series(DATE '1995-01-01', DATE '2001-12-31', INTERVAL 1 DAY)) AS DATE) AS full_date)""".stripMargin,
+
+    "q08_surrogate_dim" ->
+      """SELECT segment, CAST(row_number() OVER (ORDER BY segment) AS INT) AS segment_key
+        |FROM (SELECT DISTINCT c_mktsegment AS segment FROM customer)""".stripMargin,
+
+    "q09_bridge_join" ->
+      """WITH dim AS (
+        |  SELECT p_brand, CAST(row_number() OVER (ORDER BY p_brand) AS INT) AS brand_key
+        |  FROM (SELECT DISTINCT p_brand FROM part))
+        |SELECT p.p_partkey, dim.brand_key FROM part p JOIN dim ON p.p_brand = dim.p_brand""".stripMargin,
+
+    "q10_fact_star_join" ->
+      """WITH dd AS (
+        |  SELECT CAST(strftime(full_date, '%Y%m%d') AS INT) AS date_key, full_date
+        |  FROM (SELECT CAST(unnest(generate_series(DATE '1995-01-01', DATE '1999-12-31', INTERVAL 1 DAY)) AS DATE) AS full_date))
+        |SELECT o.o_orderkey, c.c_nationkey,
+        |  COALESCE(dd.date_key, 0) AS order_date_key, o.o_totalprice
+        |FROM orders o
+        |LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |LEFT JOIN dd ON CAST(o.o_orderdate AS DATE) = dd.full_date""".stripMargin,
+
+    "q11_conditional_agg" ->
+      """SELECT o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS total,
+        |  CAST(count(o_custkey) AS BIGINT) AS nonnull_cust,
+        |  CAST(sum(CASE WHEN o_orderdate BETWEEN TIMESTAMP '1997-01-01 00:00:00' AND TIMESTAMP '1998-01-01 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS recent,
+        |  CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1996-01-01 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS older,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS finished
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q12_min_case_priority" ->
+      """SELECT l_orderkey,
+        |  CAST(min(CASE WHEN l_returnflag = 'R' THEN 1
+        |                WHEN l_returnflag = 'A' THEN 2
+        |                ELSE 3 END) AS INT) AS best_priority
+        |FROM lineitem GROUP BY l_orderkey""".stripMargin,
+
+    "q13_count_distinct" ->
+      """SELECT c_mktsegment,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+        |  CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "q14_percentile_cap" ->
+      """SELECT l_returnflag, min(l_quantity) AS qty_cap
+        |FROM (SELECT l_returnflag, l_quantity,
+        |        cume_dist() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS cd
+        |      FROM lineitem WHERE l_quantity IS NOT NULL)
+        |WHERE cd >= 0.997 GROUP BY l_returnflag""".stripMargin,
+
+    "q15_having_dup_audit" ->
+      """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders GROUP BY o_custkey HAVING count(*) > 1""".stripMargin,
+
+    "q16_topk" ->
+      """SELECT l_partkey, sum(l_quantity) AS total_qty
+        |FROM lineitem GROUP BY l_partkey
+        |ORDER BY total_qty DESC, l_partkey LIMIT 100""".stripMargin,
+
+    "q17_opportunity_score" ->
+      """WITH trial_priority AS (
+        |  SELECT l_orderkey,
+        |    min(CASE WHEN l_returnflag = 'R' THEN 1 WHEN l_returnflag = 'A' THEN 2 ELSE 3 END) AS best_priority
+        |  FROM lineitem GROUP BY l_orderkey),
+        |relevant AS (
+        |  SELECT o.o_orderkey, o.o_custkey, o.o_orderdate
+        |  FROM orders o LEFT JOIN trial_priority tp ON o.o_orderkey = tp.l_orderkey
+        |  WHERE COALESCE(tp.best_priority, 99) <= 2 AND o.o_orderstatus = 'F'),
+        |fanout AS (
+        |  SELECT r.o_orderkey, r.o_custkey, r.o_orderdate, l.l_quantity, p.p_name
+        |  FROM relevant r
+        |  JOIN lineitem l ON r.o_orderkey = l.l_orderkey
+        |  JOIN part p ON l.l_partkey = p.p_partkey),
+        |metrics AS (
+        |  SELECT p_name,
+        |    CAST(count(*) AS BIGINT) AS total_trials,
+        |    CAST(sum(CASE WHEN l_quantity >= 30 THEN 1 ELSE 0 END) AS BIGINT) AS late_phase_count,
+        |    CAST(sum(CASE WHEN o_orderdate BETWEEN TIMESTAMP '1997-01-01 00:00:00' AND TIMESTAMP '1998-08-01 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS recent_trials,
+        |    CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1996-01-01 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS older_trials
+        |  FROM fanout GROUP BY p_name),
+        |sponsors AS (
+        |  SELECT f.p_name AS sp_name, CAST(count(DISTINCT c.c_custkey) AS BIGINT) AS industry_sponsors
+        |  FROM fanout f JOIN customer c ON f.o_custkey = c.c_custkey AND c.c_mktsegment = 'BUILDING'
+        |  GROUP BY f.p_name),
+        |scored AS (
+        |  SELECT m.p_name, m.total_trials, m.late_phase_count, m.recent_trials, m.older_trials,
+        |    CAST(COALESCE(s.industry_sponsors, 0) AS BIGINT) AS industry_sponsors,
+        |    ROUND(0.4 * (CAST(m.late_phase_count AS DOUBLE) / CAST(m.total_trials AS DOUBLE))
+        |        + 0.3 * (CAST(m.recent_trials AS DOUBLE) / CAST(m.total_trials AS DOUBLE))
+        |        + 0.2 * (1.0 / (1.0 + CAST(COALESCE(s.industry_sponsors, 0) AS DOUBLE)))
+        |        + 0.1 * (CAST(m.recent_trials AS DOUBLE) / (CAST(m.older_trials AS DOUBLE) + 1.0)), 6) AS opportunity_score
+        |  FROM metrics m LEFT JOIN sponsors s ON m.p_name = s.sp_name
+        |  WHERE m.total_trials > 10 AND NOT (lower(m.p_name) LIKE '%old%'))
+        |SELECT p_name, total_trials, late_phase_count, recent_trials, older_trials,
+        |  industry_sponsors, opportunity_score,
+        |  CAST(row_number() OVER (ORDER BY opportunity_score DESC, p_name) AS INT) AS opportunity_rank
+        |FROM scored""".stripMargin)
+}

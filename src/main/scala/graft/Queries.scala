@@ -1,0 +1,215 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops._
+
+/** Parity queries — one per operator cluster of SURVEY §2, run over the
+  * testdata tables (SURVEY §7.4). Every query here has a mirrored DuckDB
+  * oracle in [[Oracles]]; column names and the exact order of arithmetic
+  * operations are kept identical on both sides so results hash-match
+  * bit-for-bit (ints/decimals aggregated exactly; doubles only combined in
+  * deterministic per-row operation order).
+  */
+object Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+
+  /** S1-S5/P1/P2/P5/P6: scan → filter (timestamp between, numeric compare) →
+    * projection with per-row arithmetic. Filters/pruning reach the parquet
+    * scan (PushedFilters in explain). */
+  def q01ScanFilterProject(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(
+        col("l_shipdate").between(
+          to_timestamp(lit("1996-01-01 00:00:00")),
+          to_timestamp(lit("1996-12-31 23:59:59"))) && col("l_quantity") > 45)
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_quantity"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        col("l_returnflag"))
+
+  /** P3/P9/F1 + t/f recode: silver.studies-style sentinel cleaning
+    * (aact_silver_layer.sql:109-193,238-283). */
+  def q02SentinelCleaning(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val tf = when(col("o_orderkey") % 3 === 0, lit("t"))
+      .when(col("o_orderkey") % 3 === 1, lit("f"))
+    o.select(
+      col("o_orderkey"),
+      Cleaning.fillSentinel(nullif(col("o_orderpriority"), lit("5-LOW")), "Not specified")
+        .as("priority_clean"),
+      when(col("o_orderstatus") === "O", lit("Open"))
+        .when(col("o_orderstatus") === "F", lit("Finished"))
+        .when(col("o_orderstatus") === "P", lit("Pending"))
+        .otherwise(lit("Unknown")).as("status_desc"),
+      when(col("o_totalprice") > 200000, lit("High"))
+        .when(col("o_totalprice") > 100000, lit("Medium"))
+        .otherwise(lit("Low")).as("value_band"),
+      Cleaning.boolTfToYesNo(tf).as("has_dmc"))
+  }
+
+  /** P4 incl. the NULL-in-IN-list quirk (aact_silver_layer.sql:155-159:
+    * `phase IN ('NA', NULL)` never matches NULL → falls to ELSE). */
+  def q03NullInListRecode(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .withColumn("phase", nullif(col("o_orderpriority"), lit("3-MEDIUM")))
+      .withColumn("recode",
+        when(col("phase").isin("1-URGENT", "2-HIGH"), lit("High"))
+          .when(col("phase").isin("4-NOT SPECIFIED"), lit("Not applicable"))
+          .otherwise(lit("Other")))
+      .groupBy(col("phase"), col("recode"))
+      .agg(count(lit(1)).as("n"))
+
+  /** P7/P8: ordered ILIKE-ANY categorizer + NOT ILIKE filter
+    * (aact_silver_layer.sql:454-500 therapeutic_area). */
+  def q04IlikeAnyCategorize(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .filter(!Categorize.ilike(col("p_name"), "%anvil%"))
+      .withColumn("category", Categorize.categorize(
+        col("p_name"),
+        Seq(
+          Seq("%red%", "%hot%") -> "Warm",
+          Seq("%blue%", "%cold%", "%small%") -> "Cool",
+          Seq("%gizmo%", "%widget%", "%gear%") -> "Mechanical",
+          Seq("%bolt%", "%ring%", "%rod%") -> "Hardware"),
+        default = "Other"))
+      .groupBy(col("category"))
+      .agg(count(lit(1)).as("n_parts"))
+
+  /** F7-F9/F16: duration free-text parse, unit conversion, cap + flag
+    * (aact_silver_layer.sql:366-406). Duration strings synthesized
+    * deterministically from o_orderkey (identically in the oracle). */
+  def q05DurationParse(s: SparkSession, dir: String): DataFrame = {
+    val unit = when(col("o_orderkey") % 5 === 0, lit("Days"))
+      .when(col("o_orderkey") % 5 === 1, lit("Weeks"))
+      .when(col("o_orderkey") % 5 === 2, lit("Months"))
+      .when(col("o_orderkey") % 5 === 3, lit("Years"))
+      .otherwise(lit(""))
+    val txt = when(col("o_orderkey") % 7 === 0, lit(null).cast("string"))
+      .otherwise(concat((col("o_orderkey") % 40).cast("string"), lit(" "), unit))
+    t(s, dir, "orders")
+      .withColumn("target_duration", txt)
+      .select(
+        col("o_orderkey"), col("target_duration"),
+        Duration.durationDaysCapped(col("target_duration")).as("duration_days"),
+        Duration.durationFlag(col("target_duration")).as("duration_flag"))
+  }
+
+  /** J1/J2/F1-F3: broadcast mapping enrichment with computed join key +
+    * COALESCE fallback (aact_silver_layer.sql:417-430,515-530). */
+  def q06MappingJoinCoalesce(s: SparkSession, dir: String): DataFrame = {
+    val part = t(s, dir, "part")
+    val mapping = part
+      .select(col("p_brand").as("raw_brand")).distinct()
+      .filter(expr("right(raw_brand, 1)").isin("0", "2", "4", "6", "8"))
+      .withColumn("clean_brand", concat(lit("BRAND_"), trim(col("raw_brand"))))
+    part
+      .join(broadcast(mapping),
+        lower(trim(col("p_brand"))) === lower(trim(col("raw_brand"))), "left")
+      .withColumn("enriched_brand", coalesce(col("clean_brand"), col("p_brand")))
+      .groupBy(col("enriched_brand"))
+      .agg(count(lit(1)).as("n_parts"))
+  }
+
+  /** S7/F12-F14: generated date dimension (aact_gold_layer.sql:92-125). */
+  def q07DateDim(s: SparkSession, dir: String): DataFrame =
+    DateDim.dateDim(s, "1995-01-01", "2001-12-31")
+
+  /** W1/A6: distinct + global row_number surrogate keying
+    * (aact_gold_layer.sql:63-80 dim_sponsors). */
+  def q08SurrogateDim(s: SparkSession, dir: String): DataFrame =
+    SurrogateKeys.rowNumberKey(
+      t(s, dir, "customer").select(col("c_mktsegment").as("segment")).distinct(),
+      "segment_key", Seq("segment"))
+
+  /** J4: bridge build — entity rows inner-joined to a keyed dim
+    * (aact_gold_layer.sql:215-222). */
+  def q09BridgeJoin(s: SparkSession, dir: String): DataFrame = {
+    val part = t(s, dir, "part")
+    val dim = SurrogateKeys.rowNumberKey(
+      part.select(col("p_brand")).distinct(), "brand_key", Seq("p_brand"))
+    part.join(broadcast(dim), Seq("p_brand")).select(col("p_partkey"), col("brand_key"))
+  }
+
+  /** J3: fact build — multi-way left join to dims with COALESCE(date_key, 0)
+    * null-key defaulting (aact_gold_layer.sql:182-204). The date dim stops at
+    * 1999 so 2000-2001 orders exercise the 0-default path. */
+  def q10FactStarJoin(s: SparkSession, dir: String): DataFrame = {
+    val dd = DateDim.dateDim(s, "1995-01-01", "1999-12-31")
+      .select(col("date_key"), col("full_date"))
+    t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"), "left")
+      .join(broadcast(dd), col("o_orderdate").cast("date") === col("full_date"), "left")
+      .select(
+        col("o_orderkey"), col("c_nationkey"),
+        coalesce(col("date_key"), lit(0)).as("order_date_key"),
+        col("o_totalprice"))
+  }
+
+  /** A1-A3/P5: hash agg with conditional SUM(CASE) date-window metrics
+    * (aact_gold_layer.sql:296-307). */
+  def q11ConditionalAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("total"),
+        count(col("o_custkey")).as("nonnull_cust"),
+        sum(when(col("o_orderdate").between(
+          to_timestamp(lit("1997-01-01 00:00:00")),
+          to_timestamp(lit("1998-01-01 00:00:00"))), 1).otherwise(0)).as("recent"),
+        sum(when(col("o_orderdate") < to_timestamp(lit("1996-01-01 00:00:00")), 1)
+          .otherwise(0)).as("older"),
+        sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("finished"))
+
+  /** A4: per-key MIN(CASE) best-of recode (aact_gold_layer.sql:264-275). */
+  def q12MinCasePriority(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(min(
+        when(col("l_returnflag") === "R", 1)
+          .when(col("l_returnflag") === "A", 2)
+          .otherwise(3)).as("best_priority"))
+
+  /** A5: exact COUNT(DISTINCT) per group over a join
+    * (aact_gold_layer.sql:311-325). */
+  def q13CountDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        countDistinct(col("o_custkey")).as("n_customers"),
+        count(lit(1)).as("n_orders"))
+
+  /** A7/A8/W2-adjacent: PERCENTILE_DISC(0.997) per group via cume_dist
+    * (aact_silver_layer.sql:926-928 enrollment-cap derivation). */
+  def q14PercentileCap(s: SparkSession, dir: String): DataFrame =
+    Percentiles.percentileDisc(
+      t(s, dir, "lineitem"), "l_quantity", 0.997, Seq("l_returnflag"), "qty_cap")
+
+  /** A9/A10: HAVING-style duplicate audit (aact_silver_layer.sql:2059-2064). */
+  def q15HavingDupAudit(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") > 1)
+
+  /** O1: top-k — ORDER BY DESC LIMIT n planned as TakeOrderedAndProject
+    * (aact_silver_layer.sql:504-509). Deterministic tiebreak on key. */
+  def q16TopK(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("l_quantity")).as("total_qty"))
+      .orderBy(col("total_qty").desc, col("l_partkey"))
+      .limit(100)
+
+  /** Flagship: opportunity_rank structural clone (aact_gold_layer.sql:260-349,
+    * SURVEY §7.3) — J5/J6, A3-A5, F1/F16, P7, W1. */
+  def q17OpportunityScore(s: SparkSession, dir: String): DataFrame =
+    Opportunity.opportunityRank(
+      t(s, dir, "orders"), t(s, dir, "lineitem"),
+      t(s, dir, "part"), t(s, dir, "customer"))
+}

@@ -1,13 +1,42 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` maps operator-inventory keys (SURVEY §2 / §7.4) to Spark
+  * implementations; `oracleSql` carries the mirrored DuckDB SQL the driver
+  * hash-compares against at sf0.01. Keys without oracle SQL get the weaker
+  * rows-only check (non-SQL-expressible ops, e.g. hash-dependent sketches).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Queries.q17OpportunityScore(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_scan_filter_project" -> (Queries.q01ScanFilterProject(_, _)),
+    "q02_sentinel_cleaning" -> (Queries.q02SentinelCleaning(_, _)),
+    "q03_null_in_list_recode" -> (Queries.q03NullInListRecode(_, _)),
+    "q04_ilike_any_categorize" -> (Queries.q04IlikeAnyCategorize(_, _)),
+    "q05_duration_parse" -> (Queries.q05DurationParse(_, _)),
+    "q06_mapping_join_coalesce" -> (Queries.q06MappingJoinCoalesce(_, _)),
+    "q07_date_dim" -> (Queries.q07DateDim(_, _)),
+    "q08_surrogate_dim" -> (Queries.q08SurrogateDim(_, _)),
+    "q09_bridge_join" -> (Queries.q09BridgeJoin(_, _)),
+    "q10_fact_star_join" -> (Queries.q10FactStarJoin(_, _)),
+    "q11_conditional_agg" -> (Queries.q11ConditionalAgg(_, _)),
+    "q12_min_case_priority" -> (Queries.q12MinCasePriority(_, _)),
+    "q13_count_distinct" -> (Queries.q13CountDistinct(_, _)),
+    "q14_percentile_cap" -> (Queries.q14PercentileCap(_, _)),
+    "q15_having_dup_audit" -> (Queries.q15HavingDupAudit(_, _)),
+    "q16_topk" -> (Queries.q16TopK(_, _)),
+    "q17_opportunity_score" -> (Queries.q17OpportunityScore(_, _)),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Oracles.parity
 }

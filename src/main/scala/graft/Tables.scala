@@ -1,0 +1,19 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated testdata tables (TESTDATA.md).
+  *
+  * Mirrors the reference's bronze ingest role (`aact_bronze_layer.sql:93-99`):
+  * a typed scan of raw files. Here the raw files are already Parquet, so the
+  * schema travels with the data and the scan is vectorized + column-pruned by
+  * Spark automatically (the 100 TB-scale version of `COPY ... FORMAT csv`).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+}
