@@ -77,10 +77,10 @@ object Oracles {
         |      (CASE WHEN lower(target_duration) LIKE '%year%' THEN 365.0
         |            WHEN lower(target_duration) LIKE '%month%' THEN 30.0
         |            WHEN lower(target_duration) LIKE '%week%' THEN 7.0
-        |            ELSE 1.0 END)) AS INT) AS d
+        |            ELSE 1.0 END)) AS BIGINT) AS d
         |  FROM synth)
         |SELECT o_orderkey, target_duration,
-        |  CASE WHEN d > 10950 THEN 10950 ELSE d END AS duration_days,
+        |  CAST(CASE WHEN d > 10950 THEN 10950 ELSE d END AS INT) AS duration_days,
         |  CASE WHEN d IS NULL THEN 'Not specified'
         |       WHEN d > 10950 THEN 'Capped'
         |       ELSE 'Original' END AS duration_flag
@@ -155,18 +155,15 @@ object Oracles {
         |GROUP BY c_mktsegment""".stripMargin,
 
     "q14_percentile_cap" ->
-      """SELECT l_returnflag, min(l_quantity) AS qty_cap
-        |FROM (SELECT l_returnflag, l_quantity,
-        |        cume_dist() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS cd
-        |      FROM lineitem WHERE l_quantity IS NOT NULL)
-        |WHERE cd >= 0.997 GROUP BY l_returnflag""".stripMargin,
+      """SELECT l_returnflag, quantile_disc(l_quantity, 0.997) AS qty_cap
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "q15_having_dup_audit" ->
       """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
         |FROM orders GROUP BY o_custkey HAVING count(*) > 1""".stripMargin,
 
     "q16_topk" ->
-      """SELECT l_partkey, sum(l_quantity) AS total_qty
+      """SELECT l_partkey, CAST(sum(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS total_qty
         |FROM lineitem GROUP BY l_partkey
         |ORDER BY total_qty DESC, l_partkey LIMIT 100""".stripMargin,
 

@@ -184,8 +184,9 @@ object Queries {
         countDistinct(col("o_custkey")).as("n_customers"),
         count(lit(1)).as("n_orders"))
 
-  /** A7/A8/W2-adjacent: PERCENTILE_DISC(0.997) per group via cume_dist
-    * (aact_silver_layer.sql:926-928 enrollment-cap derivation). */
+  /** A7/A8: PERCENTILE_DISC(0.997) per group via the scale-safe two-pass
+    * histogram order statistic (aact_silver_layer.sql:926-928 enrollment-cap
+    * derivation); oracle is DuckDB's independent native quantile_disc. */
   def q14PercentileCap(s: SparkSession, dir: String): DataFrame =
     Percentiles.percentileDisc(
       t(s, dir, "lineitem"), "l_quantity", 0.997, Seq("l_returnflag"), "qty_cap")
@@ -198,11 +199,13 @@ object Queries {
       .filter(col("n_orders") > 1)
 
   /** O1: top-k — ORDER BY DESC LIMIT n planned as TakeOrderedAndProject
-    * (aact_silver_layer.sql:504-509). Deterministic tiebreak on key. */
+    * (aact_silver_layer.sql:504-509). Deterministic tiebreak on key.
+    * l_quantity is DOUBLE: summed as exact decimal (partition-order-
+    * independent), surfaced as double — hash-stable on both engines. */
   def q16TopK(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy(col("l_partkey"))
-      .agg(sum(col("l_quantity")).as("total_qty"))
+      .agg(sum(col("l_quantity").cast("decimal(20,4)")).cast("double").as("total_qty"))
       .orderBy(col("total_qty").desc, col("l_partkey"))
       .limit(100)
 

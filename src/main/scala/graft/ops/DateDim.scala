@@ -20,7 +20,9 @@ object DateDim {
 
   def dateDim(spark: SparkSession, start: String, end: String): DataFrame =
     spark
-      .sql(s"SELECT explode(sequence(to_date('$start'), to_date('$end'), interval 1 day)) AS full_date")
+      .range(1)
+      .select(explode(sequence(
+        to_date(lit(start)), to_date(lit(end)), expr("INTERVAL 1 DAY"))).as("full_date"))
       .select(
         date_format(col("full_date"), "yyyyMMdd").cast("int").as("date_key"),
         col("full_date"),

@@ -32,14 +32,19 @@ object Duration {
       .when(lower(c).like("%week%"), lit(7.0))
       .otherwise(lit(1.0))
 
-  /** Parsed duration in whole days (uncapped); null when unparseable. */
+  /** Parsed duration in whole days (uncapped); null when unparseable.
+    * LongType on purpose: `floor(double)` is a LONG in Spark, and keeping it
+    * long until after the cap means a free-text "99999999999 Years" cannot
+    * overflow INT (which would throw under Spark 4's ANSI default — one bad
+    * row killing a 100 TB job). */
   def durationDays(c: Column): Column =
-    floor(numericPart(c) * unitMultiplier(c)).cast("int")
+    floor(numericPart(c) * unitMultiplier(c))
 
-  /** Capped duration (`aact_silver_layer.sql:380-381`). */
+  /** Capped duration (`aact_silver_layer.sql:380-381`); INT cast only after
+    * the cap bounds the value. */
   def durationDaysCapped(c: Column, capDays: Int = CapDays): Column = {
     val d = durationDays(c)
-    when(d > capDays, lit(capDays)).otherwise(d)
+    when(d > capDays, lit(capDays)).otherwise(d).cast("int")
   }
 
   /** Provenance flag (`aact_silver_layer.sql:394-406`). */

@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * star schema (SURVEY §7.3 mapping: orders=trials, lineitem=interventions,
   * part=conditions, customer=sponsors).
   *
-  * Four-stage shape preserved exactly:
+  * Reference dataflow (4 CTEs):
   *   trial_priority    := GroupBy(orderkey) min(CASE returnflag)       (:264-275)
   *   relevant_trials   := Filter(coalesce(bp,99)<=2 AND status='F')
   *                          (orders LEFT JOIN trial_priority)          (:278-290)
@@ -17,23 +17,30 @@ import org.apache.spark.sql.functions._
   *   condition_sponsors:= GroupBy(name) count(DISTINCT sponsor)        (:311-325)
   *   final             := weighted score over metrics ⟕ sponsors       (:328-349)
   *
-  * Pre-aggregation BEFORE the final join is semantic, not stylistic —
-  * aggregating after the 3-way join would double-count the M:N fan-out
-  * (SURVEY §4.1). Scale notes: the priority aggregate is per-order (large) →
-  * sort-merge join under AQE; the two per-condition aggregates are small →
-  * the final join broadcasts; `relevant` is used by both aggregations, and
-  * Catalyst would recompute the subtree, so callers running the full pipeline
-  * should `.cache()` it (Bench does; a one-shot query need not).
+  * We fuse condition_metrics and condition_sponsors into ONE aggregation:
+  * the sponsor count is `COUNT(DISTINCT sponsor) FILTER (industry)`, which a
+  * left join to the pre-filtered sponsor dim followed by
+  * `countDistinct(c_custkey)` computes exactly (nulls never count, so
+  * no-industry groups get 0 — same as the reference's COALESCE(...,0) on the
+  * left join). Semantically identical, and it halves the plan: the reference
+  * shape made Catalyst execute the whole relevant⋈items⋈part subtree TWICE
+  * (once per aggregate) — at 100 TB that is two full fact scans instead of
+  * one, plus an extra shuffle for the metrics⟕sponsors join.
+  *
+  * Pre-aggregation BEFORE joining the per-condition results back to anything
+  * wider remains semantic, not stylistic — aggregating after a further
+  * fan-out join would double-count (SURVEY §4.1).
   */
 object Opportunity {
 
   /** @param excludePattern NOT-ILIKE exclusion over the condition name,
     *                       mirroring `name NOT ILIKE '%healthy%'`
-    *                       (aact_gold_layer.sql:349). */
+    *                       (aact_gold_layer.sql:349). Matched
+    *                       case-insensitively on BOTH sides, so
+    *                       '%Healthy%' and '%healthy%' behave identically. */
   def opportunityRank(orders: DataFrame, lineitem: DataFrame,
                       part: DataFrame, customer: DataFrame,
-                      excludePattern: String = "%old%",
-                      cacheRelevant: Boolean = false): DataFrame = {
+                      excludePattern: String = "%old%"): DataFrame = {
     // trial_priority — aact_gold_layer.sql:264-275 (A4 min-CASE best-of).
     // Columns pruned/renamed per branch: lineitem feeds both this aggregate
     // and the fan-out below, and distinct attribute sets keep the two reads
@@ -47,11 +54,10 @@ object Opportunity {
           .otherwise(3)).as("best_priority"))
 
     // relevant_trials — aact_gold_layer.sql:278-290 (J5 left join + fallback filter)
-    val relevant0 = orders
+    val relevant = orders
       .join(priority, col("o_orderkey") === col("tp_orderkey"), "left")
       .filter(coalesce(col("best_priority"), lit(99)) <= 2 && col("o_orderstatus") === "F")
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
-    val relevant = if (cacheRelevant) relevant0.cache() else relevant0
 
     // M:N fan-out trials ⋈ conditions — aact_gold_layer.sql:302-305 (J6)
     val items = lineitem.select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
@@ -60,8 +66,17 @@ object Opportunity {
       .join(part.select(col("p_partkey"), col("p_name")),
         col("l_partkey") === col("p_partkey"))
 
-    // condition_metrics — aact_gold_layer.sql:293-308 (A1-A3)
-    val metrics = fanout
+    // Industry-sponsor lookup: pre-filtered, single unique-key column, so the
+    // left join below is row-preserving (c_custkey is unique) and broadcast.
+    val industry = customer
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+
+    // condition_metrics + condition_sponsors fused — aact_gold_layer.sql:
+    // 293-325 (A1-A3 + A5) in one shuffle; countDistinct ignores the nulls
+    // the left join leaves for non-industry rows.
+    val joined = fanout
+      .join(broadcast(industry), col("o_custkey") === col("c_custkey"), "left")
       .groupBy(col("p_name"))
       .agg(
         count(lit(1)).as("total_trials"),
@@ -70,21 +85,9 @@ object Opportunity {
           to_timestamp(lit("1997-01-01 00:00:00")),
           to_timestamp(lit("1998-08-01 00:00:00"))), 1).otherwise(0)).as("recent_trials"),
         sum(when(col("o_orderdate") < to_timestamp(lit("1996-01-01 00:00:00")), 1)
-          .otherwise(0)).as("older_trials"))
-
-    // condition_sponsors — aact_gold_layer.sql:311-325 (A5 exact count-distinct)
-    val sponsors = fanout
-      .join(customer.filter(col("c_mktsegment") === "BUILDING"),
-        col("o_custkey") === col("c_custkey"))
-      .groupBy(col("p_name").as("sp_name"))
-      .agg(countDistinct(col("c_custkey")).as("industry_sponsors"))
-
-    // final weighted score — aact_gold_layer.sql:328-349 (F16; int→double only
-    // at the end, identical operation order to the DuckDB oracle)
-    val joined = metrics
-      .join(sponsors, col("p_name") === col("sp_name"), "left")
-      .withColumn("industry_sponsors", coalesce(col("industry_sponsors"), lit(0L)))
-      .filter(col("total_trials") > 10 && !lower(col("p_name")).like(excludePattern))
+          .otherwise(0)).as("older_trials"),
+        countDistinct(col("c_custkey")).as("industry_sponsors"))
+      .filter(col("total_trials") > 10 && !Categorize.ilike(col("p_name"), excludePattern))
 
     val relevance = col("late_phase_count").cast("double") / col("total_trials").cast("double")
     val density = col("recent_trials").cast("double") / col("total_trials").cast("double")
