@@ -204,5 +204,106 @@ object Oracles {
         |SELECT p_name, total_trials, late_phase_count, recent_trials, older_trials,
         |  industry_sponsors, opportunity_score,
         |  CAST(row_number() OVER (ORDER BY opportunity_score DESC, p_name) AS INT) AS opportunity_rank
-        |FROM scored""".stripMargin)
+        |FROM scored""".stripMargin,
+
+    // ==== LLM-data-pipeline extension. q19/q22/q25 are intentionally absent
+    // (xxhash64-based LSH — not SQL-portable; driver rows-only check). ====
+
+    "q18_exact_dedup" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash
+        |  FROM documents)
+        |SELECT doc_id, content_hash,
+        |  min(doc_id) OVER (PARTITION BY content_hash) AS canonical_id,
+        |  CAST(count(*) OVER (PARTITION BY content_hash) AS BIGINT) AS n_copies,
+        |  doc_id = min(doc_id) OVER (PARTITION BY content_hash) AS is_canonical
+        |FROM h""".stripMargin,
+
+    "q20_text_stats" ->
+      """WITH w AS (
+        |  SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS wds
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(wds) AS INT) AS word_count,
+        |  CAST(length(text) AS INT) AS char_count,
+        |  CAST(list_sum(list_transform(wds, t -> CAST(length(t) AS BIGINT))) AS DOUBLE)
+        |    / CAST(len(wds) AS DOUBLE) AS avg_word_len,
+        |  CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
+        |    / CAST(length(text) AS DOUBLE) AS punct_ratio,
+        |  CAST(len(list_filter(wds, t -> t IN ('the','a','of','and','to','is','in'))) AS DOUBLE)
+        |    / CAST(len(wds) AS DOUBLE) AS stopword_ratio,
+        |  CAST(COALESCE(list_sum(list_transform(
+        |      regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'),
+        |      t -> CAST(ceil(length(t) / 4.0) AS BIGINT))), 0) AS BIGINT) AS token_estimate,
+        |  0.4 * least(1.0, CAST(len(wds) AS DOUBLE) / 100.0)
+        |    + 0.3 * (1.0 - (CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
+        |                      / CAST(length(text) AS DOUBLE)))
+        |    + 0.3 * least(1.0, (CAST(len(list_filter(wds, t -> t IN ('the','a','of','and','to','is','in'))) AS DOUBLE)
+        |                          / CAST(len(wds) AS DOUBLE)) * 5.0) AS quality_score
+        |FROM w""".stripMargin,
+
+    "q21_ngram_jaccard" ->
+      """WITH wrds AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+        |  FROM wrds, LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i)),
+        |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS m FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS intersection
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, ca.m AS size_a, cb.m AS size_b, intersection,
+        |  CAST(intersection AS DOUBLE) / CAST(ca.m + cb.m - intersection AS DOUBLE) AS jaccard
+        |FROM inter
+        |JOIN cnt ca ON doc_a = ca.doc_id
+        |JOIN cnt cb ON doc_b = cb.doc_id
+        |WHERE CAST(intersection AS DOUBLE) / CAST(ca.m + cb.m - intersection AS DOUBLE) >= 0.5""".stripMargin,
+
+    "q23_lang_id" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS wds
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(wds, t -> t IN ('the','a','of','and','is'))) AS s_en,
+        |    len(list_filter(wds, t -> t IN ('el','la','de','que','y'))) AS s_es,
+        |    len(list_filter(wds, t -> t IN ('der','die','und','ist','das'))) AS s_de,
+        |    len(list_filter(wds, t -> t IN ('le','les','et','est','des'))) AS s_fr
+        |  FROM w)
+        |SELECT lang,
+        |  CASE WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+        |       WHEN s_es > 0 AND s_es >= s_de AND s_es >= s_fr THEN 'es'
+        |       WHEN s_de > 0 AND s_de >= s_fr THEN 'de'
+        |       WHEN s_fr > 0 THEN 'fr'
+        |       ELSE 'und' END AS predicted_lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs
+        |FROM s GROUP BY lang, predicted_lang""".stripMargin,
+
+    "q24_ann_cosine_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |c AS (SELECT vec_id AS cand_id, embedding::DOUBLE[] AS cv FROM embeddings),
+        |s AS (
+        |  SELECT query_id, cand_id,
+        |    list_dot_product(qv, cv)
+        |      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+        |  FROM c, q WHERE query_id != cand_id),
+        |r AS (
+        |  SELECT query_id, cand_id, cosine,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS INT) AS rank
+        |  FROM s)
+        |SELECT query_id, cand_id, cosine, rank FROM r WHERE rank <= 5""".stripMargin,
+
+    "q26_doc_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(norm) AS content_hash,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(norm, ''), ch -> CAST(unicode(ch) AS BIGINT))),
+        |    (acc, c) -> (acc * 31 + c) % 1000000007) AS rolling_hash
+        |FROM (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+        |      FROM documents)""".stripMargin)
 }

@@ -215,4 +215,69 @@ object Queries {
     Opportunity.opportunityRank(
       t(s, dir, "orders"), t(s, dir, "lineitem"),
       t(s, dir, "part"), t(s, dir, "customer"))
+
+  // ====== LLM-data-pipeline extension (SURVEY §7.5; BASELINE north star) ====
+
+  /** Exact dedup: content-hash window over normalized text. */
+  def q18ExactDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactDedup(t(s, dir, "documents"), "doc_id", "text")
+
+  /** MinHash-LSH near-dup: banded candidates + exact-Jaccard verification.
+    * Rows-only check: signatures are xxhash64-based (not SQL-portable), and
+    * LSH recall < 1 means the pair set is hash-dependent. */
+  def q19MinhashNeardup(s: SparkSession, dir: String): DataFrame =
+    Dedup.minHashNearDupPairs(t(s, dir, "documents"), "doc_id", "text",
+      n = 3, k = 16, rowsPerBand = 2, minJaccard = 0.5)
+
+  /** Text analysis: token/char counts, punctuation & stopword ratios,
+    * BPE-ish token estimate, composite quality score. */
+  def q20TextStats(s: SparkSession, dir: String): DataFrame = {
+    val c = col("text")
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      TextStats.wordCount(c).as("word_count"),
+      TextStats.charCount(c).as("char_count"),
+      TextStats.avgWordLen(c).as("avg_word_len"),
+      TextStats.punctRatio(c).as("punct_ratio"),
+      TextStats.stopwordRatio(c).as("stopword_ratio"),
+      TextStats.tokenEstimate(c).as("token_estimate"),
+      TextStats.qualityScore(c).as("quality_score"))
+  }
+
+  /** Exact word-3-gram Jaccard near-dup pairs — the oracle-checkable ground
+    * truth the MinHash path approximates. */
+  def q21NgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+      n = 3, minJaccard = 0.5)
+
+  /** SimHash near-dup: 64-bit shingle fingerprint, 16-bit-chunk banding,
+    * Hamming verify. Rows-only (xxhash64-based). */
+  def q22SimhashNeardup(s: SparkSession, dir: String): DataFrame =
+    Dedup.simHashNearDupPairs(t(s, dir, "documents"), "doc_id", "text",
+      maxHamming = 3)
+
+  /** Language-ID heuristic vs the labeled lang column — confusion matrix. */
+  def q23LangId(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("predicted_lang", TextStats.langId(col("text")))
+      .groupBy(col("lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+
+  /** Brute-force cosine top-5 for every 50th vector as query. */
+  def q24AnnCosineTopk(s: SparkSession, dir: String): DataFrame =
+    Similarity.bruteForceTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+      col("vec_id") % 50 === 0, k = 5)
+
+  /** Hyperplane-LSH approximate top-5 (bucketed candidates, never N²).
+    * Rows-only (xxhash64-derived hyperplanes; approximate recall). */
+  def q25AnnLshTopk(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+      col("vec_id") % 50 === 0, k = 5, tables = 4, bits = 8)
+
+  /** Document fingerprints: md5 content hash + Rabin-Karp rolling hash. */
+  def q26DocFingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      TextStats.contentHash(col("text")).as("content_hash"),
+      TextStats.rollingHash(col("text")).as("rolling_hash"))
 }

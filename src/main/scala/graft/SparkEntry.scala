@@ -34,6 +34,16 @@ object SparkEntry {
     "q15_having_dup_audit" -> (Queries.q15HavingDupAudit(_, _)),
     "q16_topk" -> (Queries.q16TopK(_, _)),
     "q17_opportunity_score" -> (Queries.q17OpportunityScore(_, _)),
+    // LLM-data-pipeline extension (q19/q22/q25 rows-only: LSH, no oracle SQL)
+    "q18_exact_dedup" -> (Queries.q18ExactDedup(_, _)),
+    "q19_minhash_neardup" -> (Queries.q19MinhashNeardup(_, _)),
+    "q20_text_stats" -> (Queries.q20TextStats(_, _)),
+    "q21_ngram_jaccard" -> (Queries.q21NgramJaccard(_, _)),
+    "q22_simhash_neardup" -> (Queries.q22SimhashNeardup(_, _)),
+    "q23_lang_id" -> (Queries.q23LangId(_, _)),
+    "q24_ann_cosine_topk" -> (Queries.q24AnnCosineTopk(_, _)),
+    "q25_ann_lsh_topk" -> (Queries.q25AnnLshTopk(_, _)),
+    "q26_doc_fingerprint" -> (Queries.q26DocFingerprint(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search for the LLM-data-pipeline extension (SURVEY
+  * §7.5) over the `embeddings` table (`Array[Float]` column).
+  *
+  * Dot products are built from `zip_with` + `aggregate` higher-order
+  * functions — strict left-fold in DOUBLE, so any engine folding
+  * left-to-right (the DuckDB oracle does) reproduces the doubles
+  * bit-for-bit. No UDFs.
+  *
+  * Two search paths:
+  *  - [[bruteForceTopK]]: exact cosine top-k; O(|queries| × N) — the
+  *    correctness baseline, fine when queries are few (broadcast) and the
+  *    candidate scan is partition-parallel.
+  *  - [[lshTopK]]: random-hyperplane LSH — candidates share a signature
+  *    bucket in at least one of L tables, so the cosine is only computed
+  *    for bucket-mates. The hyperplanes are derived from xxhash64(dim, bit,
+  *    table) signs: deterministic, no RNG state, no model object to ship.
+  */
+object Similarity {
+
+  /** Left-fold double dot product of two float-array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Cosine similarity: dot/(|a|·|b|), fixed operation order. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Exact top-k by cosine for each query vector (queries broadcast; rank
+    * window partitions by query → parallel across queries). */
+  def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
+                     queryPred: Column, k: Int): DataFrame = {
+    val queries = emb.filter(queryPred)
+      .select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+    val cands = emb.select(col(idCol).as("cand_id"), col(vecCol).as("_cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    cands
+      .crossJoin(broadcast(queries))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cosine", cosine(col("_qv"), col("_cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("cosine"), col("rank"))
+  }
+
+  /** (id, table_idx, sig) — `tables` independent `bits`-bit random-
+    * hyperplane signatures per vector, all computed in ONE aggregation over
+    * the posexploded vector (tables×bits conditional sums, then bit-packed).
+    * Hyperplane component for (dim pos, bit j, table t) is ±1 by the parity
+    * of xxhash64(t, pos, j). */
+  def lshSignatures(emb: DataFrame, idCol: String, vecCol: String,
+                    tables: Int, bits: Int): DataFrame = {
+    val pe = emb.select(col(idCol), posexplode(col(vecCol)).as(Seq("pos", "val")))
+    val sums = for (t <- 0 until tables; j <- 0 until bits) yield
+      sum(col("val").cast("double") *
+        when(pmod(xxhash64(lit(t), col("pos"), lit(j)), lit(2)) === 0, lit(1.0))
+          .otherwise(lit(-1.0))).as(s"p_${t}_$j")
+    val sigCols = (0 until tables).map { t =>
+      struct(lit(t).as("table_idx"),
+        (0 until bits)
+          .map(j => when(col(s"p_${t}_$j") > 0, lit(1 << j)).otherwise(lit(0)))
+          .reduce(_ bitwiseOR _).as("sig"))
+    }
+    pe.groupBy(col(idCol)).agg(sums.head, sums.tail: _*)
+      .select(col(idCol), explode(array(sigCols: _*)).as("ts"))
+      .select(col(idCol), col("ts.table_idx"), col("ts.sig"))
+  }
+
+  /** Approximate top-k: candidates = vectors sharing any (table, sig)
+    * bucket with the query, then exact cosine + rank over candidates only.
+    * Recall rises with L tables; cost is bounded by bucket occupancy, not N².
+    */
+  def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
+              queryPred: Column, k: Int, tables: Int, bits: Int): DataFrame = {
+    val sigs = lshSignatures(emb, idCol, vecCol, tables, bits)
+    val qsigs = emb.filter(queryPred).select(col(idCol).as("query_id"))
+      .join(sigs.withColumnRenamed(idCol, "query_id"), Seq("query_id"))
+    val pairs = qsigs
+      .join(sigs.withColumnRenamed(idCol, "cand_id"), Seq("table_idx", "sig"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"))
+      .distinct()
+
+    val qv = emb.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+    val cv = emb.select(col(idCol).as("cand_id"), col(vecCol).as("_cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    pairs
+      .join(qv, Seq("query_id"))
+      .join(cv, Seq("cand_id"))
+      .withColumn("cosine", cosine(col("_qv"), col("_cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("cosine"), col("rank"))
+  }
+}

@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text analysis combinators for the LLM-data-pipeline extension (SURVEY
+  * §7.5; BASELINE.json north star) — language-ID, quality scoring, token
+  * counting, fingerprinting over the `documents` table.
+  *
+  * Everything is pure `Column` composition (split/transform/aggregate/filter
+  * higher-order functions — all codegen-friendly builtins, zero UDFs), so at
+  * 100 TB these are narrow, shuffle-free map stages that stay inside
+  * whole-stage codegen and vectorized parquet scans.
+  */
+object TextStats {
+
+  /** Canonical text form for hashing/dedup: lowercase, trimmed, runs of
+    * whitespace collapsed to single spaces. */
+  def normalize(c: Column): Column =
+    lower(trim(regexp_replace(c, "\\s+", " ")))
+
+  /** Whitespace tokenization (trim first so boundary whitespace doesn't
+    * produce empty tokens). */
+  def words(c: Column): Column =
+    split(trim(c), "\\s+")
+
+  def wordCount(c: Column): Column = size(words(c))
+
+  def charCount(c: Column): Column = length(c)
+
+  /** Mean token length = sum(token lengths) / token count. */
+  def avgWordLen(c: Column): Column = {
+    val w = words(c)
+    val totalLen = aggregate(
+      transform(w, t => length(t).cast("long")), lit(0L), (acc, v) => acc + v)
+    totalLen.cast("double") / size(w).cast("double")
+  }
+
+  /** Fraction of characters that are ASCII punctuation. */
+  def punctRatio(c: Column): Column =
+    length(regexp_replace(c, "[^\\p{Punct}]", "")).cast("double") /
+      length(c).cast("double")
+
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "is", "in")
+
+  /** Fraction of tokens that are stopwords — a standard fluency signal in
+    * LLM corpus quality filters. */
+  def stopwordRatio(c: Column): Column = {
+    val w = words(c)
+    size(filter(w, t => t.isin(Stopwords: _*))).cast("double") /
+      size(w).cast("double")
+  }
+
+  /** BPE-ish token-count estimate: lex into word / digit / punct runs, each
+    * run contributing ceil(len/4) tokens (≈4 chars per BPE token). */
+  def tokenEstimate(c: Column): Column =
+    aggregate(
+      transform(
+        regexp_extract_all(c, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)),
+        t => ceil(length(t) / lit(4.0))),
+      lit(0L), (acc, v) => acc + v)
+
+  /** Composite document-quality score in [0,1]: length signal, punctuation
+    * penalty, stopword fluency — the shape of a pre-training quality filter.
+    * Arithmetic order is fixed (left-to-right) for cross-engine equality. */
+  def qualityScore(c: Column): Column = {
+    val lenScore = least(lit(1.0), wordCount(c).cast("double") / lit(100.0))
+    val fluency = least(lit(1.0), stopwordRatio(c) * lit(5.0))
+    lit(0.4) * lenScore + lit(0.3) * (lit(1.0) - punctRatio(c)) + lit(0.3) * fluency
+  }
+
+  /** Stopword-marker lists per language for the n-gram-free language-ID
+    * heuristic. Priority order breaks ties (first wins). */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "de" -> Seq("der", "die", "und", "ist", "das"),
+    "fr" -> Seq("le", "les", "et", "est", "des"))
+
+  /** Marker-hit count for one language. */
+  def langScore(c: Column, markers: Seq[String]): Column =
+    size(filter(words(c), t => t.isin(markers: _*)))
+
+  /** Heuristic language-ID: argmax of marker-hit counts, ties broken by
+    * [[LangMarkers]] order, no hits at all → 'und'. */
+  def langId(c: Column): Column = {
+    val scores = LangMarkers.map { case (lang, m) => lang -> langScore(c, m) }
+    val branches = scores.zipWithIndex.map { case ((lang, s), i) =>
+      val laterScores = scores.drop(i + 1).map(_._2)
+      val beatsLater = laterScores.foldLeft(s > 0) { (acc, o) => acc && s >= o }
+      (beatsLater, lang)
+    }
+    branches.tail
+      .foldLeft(when(branches.head._1, lit(branches.head._2))) {
+        case (acc, (cond, lang)) => acc.when(cond, lit(lang))
+      }
+      .otherwise(lit("und"))
+  }
+
+  /** Content fingerprint: md5 of the normalized text (engine-portable). */
+  def contentHash(c: Column): Column = md5(normalize(c))
+
+  /** Polynomial rolling hash over the normalized text's characters:
+    * acc = (acc*31 + codepoint) mod 1e9+7 — the classic Rabin-Karp
+    * fingerprint, left-folded so any engine reproduces it exactly. */
+  def rollingHash(c: Column): Column =
+    aggregate(
+      transform(split(normalize(c), ""), ch => ascii(ch).cast("long")),
+      lit(0L),
+      (acc, code) => (acc * lit(31L) + code) % lit(1000000007L))
+}
