@@ -305,5 +305,12 @@ object Oracles {
         |      list_transform(string_split(norm, ''), ch -> CAST(unicode(ch) AS BIGINT))),
         |    (acc, c) -> (acc * 31 + c) % 1000000007) AS rolling_hash
         |FROM (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
-        |      FROM documents)""".stripMargin)
+        |      FROM documents)""".stripMargin,
+
+    "q27_csv_roundtrip" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal,
+        |  CASE WHEN s_suppkey % 7 = 0 THEN NULL
+        |       WHEN s_suppkey % 7 = 1 THEN ''
+        |       ELSE 'note for ' || s_name END AS s_note
+        |FROM supplier""".stripMargin)
 }

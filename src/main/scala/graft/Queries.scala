@@ -280,4 +280,21 @@ object Queries {
       col("doc_id"),
       TextStats.contentHash(col("text")).as("content_hash"),
       TextStats.rollingHash(col("text")).as("rolling_hash"))
+
+  /** S1-S5: pipe-CSV bronze ingest round-trip with PG COPY null semantics —
+    * write supplier (with injected NULL vs empty-string rows) as |-delimited
+    * CSV, read it back through the explicit StructType; the oracle computes
+    * the same frame from the original parquet, so the round-trip must be
+    * lossless INCLUDING the null/'' distinction and double precision. */
+  def q27CsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val sfTag = dir.replaceAll(".*/", "")
+    val path = s"/root/repo/target/csv_roundtrip/$sfTag/supplier"
+    val schema = graft.schema.Schemas.supplier.add("s_note", org.apache.spark.sql.types.StringType)
+    val df = t(s, dir, "supplier").withColumn("s_note",
+      when(col("s_suppkey") % 7 === 0, lit(null).cast("string"))
+        .when(col("s_suppkey") % 7 === 1, lit(""))
+        .otherwise(concat(lit("note for "), col("s_name"))))
+    graft.sources.Csv.write(df, path)
+    graft.sources.Csv.read(s, path, schema)
+  }
 }

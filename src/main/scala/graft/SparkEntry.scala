@@ -44,6 +44,7 @@ object SparkEntry {
     "q24_ann_cosine_topk" -> (Queries.q24AnnCosineTopk(_, _)),
     "q25_ann_lsh_topk" -> (Queries.q25AnnLshTopk(_, _)),
     "q26_doc_fingerprint" -> (Queries.q26DocFingerprint(_, _)),
+    "q27_csv_roundtrip" -> (Queries.q27CsvRoundtrip(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
