@@ -312,5 +312,82 @@ object Oracles {
         |  CASE WHEN s_suppkey % 7 = 0 THEN NULL
         |       WHEN s_suppkey % 7 = 1 THEN ''
         |       ELSE 'note for ' || s_name END AS s_note
-        |FROM supplier""".stripMargin)
+        |FROM supplier""".stripMargin,
+
+    "q28_star_pipeline" ->
+      """WITH dim_segment AS (
+        |  SELECT c_mktsegment,
+        |    CAST(row_number() OVER (ORDER BY c_mktsegment) AS INT) AS segment_key
+        |  FROM (SELECT DISTINCT c_mktsegment FROM customer)),
+        |dim_date AS (
+        |  SELECT CAST(strftime(full_date, '%Y%m%d') AS INT) AS date_key, full_date
+        |  FROM (SELECT CAST(unnest(generate_series(DATE '1995-01-01', DATE '1997-12-31', INTERVAL 1 DAY)) AS DATE) AS full_date)),
+        |silver_orders AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderstatus = 'O' THEN 'Open'
+        |         WHEN o_orderstatus = 'F' THEN 'Finished'
+        |         WHEN o_orderstatus = 'P' THEN 'Pending'
+        |         ELSE 'Unknown' END AS o_orderstatus,
+        |    o_totalprice,
+        |    CASE WHEN CAST(o_orderdate AS DATE) IS NULL OR CAST(o_orderdate AS DATE) > DATE '1998-08-01'
+        |         THEN DATE '1998-08-01' ELSE CAST(o_orderdate AS DATE) END AS o_orderdate
+        |  FROM orders)
+        |SELECT o.o_orderkey,
+        |  COALESCE(ds.segment_key, 0) AS segment_key,
+        |  COALESCE(dd.date_key, 0) AS order_date_key,
+        |  o.o_totalprice AS total_price,
+        |  o.o_orderstatus AS order_status
+        |FROM silver_orders o
+        |LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |LEFT JOIN dim_segment ds ON c.c_mktsegment = ds.c_mktsegment
+        |LEFT JOIN dim_date dd ON o.o_orderdate = dd.full_date""".stripMargin,
+
+    "q29_string_clean" ->
+      """SELECT c_custkey,
+        |  replace(c_name, 'Customer#', 'CUST_') AS cust_code,
+        |  c_mktsegment || ', ' || c_name AS org_name,
+        |  CASE WHEN strpos(c_mktsegment || ', ' || c_name, ',') > 0
+        |       THEN substring(c_mktsegment || ', ' || c_name, 1,
+        |                      strpos(c_mktsegment || ', ' || c_name, ',') - 1)
+        |       ELSE c_mktsegment || ', ' || c_name END AS name_before_comma,
+        |  CAST(strpos(c_mktsegment || ', ' || c_name, ',') AS INT) AS comma_pos
+        |FROM customer""".stripMargin,
+
+    "q30_impute_cap" ->
+      """WITH synth AS (
+        |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od,
+        |    CASE WHEN o_orderkey % 11 = 0 THEN NULL ELSE o_totalprice END AS price
+        |  FROM orders)
+        |SELECT o_orderkey,
+        |  CASE WHEN od IS NULL OR od > DATE '1997-06-01'
+        |       THEN DATE '1997-06-01' ELSE od END AS order_date_clean,
+        |  CASE WHEN od IS NULL OR od > DATE '1997-06-01'
+        |       THEN 'Imputed' ELSE 'Actual' END AS order_date_type,
+        |  CASE WHEN price IS NULL THEN 0
+        |       WHEN price > 200000.0 THEN 200000.0
+        |       ELSE price END AS price_capped,
+        |  CASE WHEN price IS NULL THEN 'Missing'
+        |       WHEN price > 200000.0 THEN 'Capped'
+        |       ELSE 'Original' END AS price_flag
+        |FROM synth""".stripMargin,
+
+    "q31_minmax_avg" ->
+      """SELECT l_returnflag,
+        |  min(l_quantity) AS min_qty,
+        |  max(l_quantity) AS max_qty,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE)
+        |    / CAST(count(l_quantity) AS DOUBLE) AS avg_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q32_dup_audit_window" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey,
+        |  CAST(row_number() OVER (PARTITION BY l_orderkey
+        |                          ORDER BY l_linenumber, l_partkey) AS INT) AS line_pos
+        |FROM lineitem
+        |QUALIFY line_pos >= 5""".stripMargin,
+
+    "q33_dense_key_scale" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(row_number() OVER (ORDER BY c_custkey) AS BIGINT) AS customer_key
+        |FROM customer""".stripMargin)
 }

@@ -297,4 +297,79 @@ object Queries {
     graft.sources.Csv.write(df, path)
     graft.sources.Csv.read(s, path, schema)
   }
+
+  /** S5/J3/W1/A6/P9/F1 composed: the silver→gold medallion dataflow as one
+    * plan — cleaned orders joined to surrogate-keyed segment dim and date
+    * dim with 0-defaulted keys (aact_silver_layer.sql:13-408 →
+    * aact_gold_layer.sql:25-204 chain). */
+  def q28StarPipeline(s: SparkSession, dir: String): DataFrame = {
+    val customer = t(s, dir, "customer")
+    val dimSegment = Star.dim(customer, "c_mktsegment", "segment_key")
+    val dimDate = DateDim.dateDim(s, "1995-01-01", "1997-12-31")
+    val silverOrders = graft.pipeline.Silver.cleanOrders(t(s, dir, "orders"))
+      .withColumnRenamed("order_date", "o_orderdate")
+      .withColumnRenamed("status_desc", "o_orderstatus")
+    Star.factOrders(silverOrders, customer, dimSegment, dimDate)
+  }
+
+  /** F4-F6: literal REPLACE + STRPOS/SUBSTRING take-before-comma
+    * (aact_silver_layer.sql:345,446-448). */
+  def q29StringClean(s: SparkSession, dir: String): DataFrame = {
+    val org = concat(col("c_mktsegment"), lit(", "), col("c_name"))
+    t(s, dir, "customer").select(
+      col("c_custkey"),
+      replace(col("c_name"), lit("Customer#"), lit("CUST_")).as("cust_code"),
+      org.as("org_name"),
+      when(locate(",", org) > 0, substring(org, lit(1), locate(",", org) - 1))
+        .otherwise(org).as("name_before_comma"),
+      locate(",", org).as("comma_pos"))
+  }
+
+  /** F11 + caps: as-of-parameterized future-date imputation with provenance
+    * flag (aact_silver_layer.sql:47-59) and outlier cap + flag (:162-165),
+    * null rows synthesized to exercise the Missing branch. */
+  def q30ImputeCap(s: SparkSession, dir: String): DataFrame = {
+    val asOf = to_date(lit("1997-06-01"))
+    val od = col("o_orderdate").cast("date")
+    val price = when(col("o_orderkey") % 11 === 0, lit(null).cast("double"))
+      .otherwise(col("o_totalprice"))
+    t(s, dir, "orders").select(
+      col("o_orderkey"),
+      Cleaning.imputeFutureDate(od, asOf, asOf).as("order_date_clean"),
+      Cleaning.imputeFlag(od, asOf).as("order_date_type"),
+      Cleaning.capped(price, lit(200000.0)).as("price_capped"),
+      Cleaning.cappedFlag(price, lit(200000.0)).as("price_flag"))
+  }
+
+  /** A7: MIN/MAX/AVG outlier scan (aact_silver_layer.sql:923-924). AVG is
+    * computed as exact-decimal sum over count so the double is
+    * partition-order independent. */
+  def q31MinMaxAvg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        (sum(col("l_quantity").cast("decimal(20,4)")).cast("double") /
+          count(col("l_quantity")).cast("double")).as("avg_qty"))
+
+  /** W2: partitioned ROW_NUMBER duplicate/fan-out audit
+    * (aact_silver_layer.sql:588-590): line positions within each order,
+    * surfacing orders with unusually many lines. */
+  def q32DupAuditWindow(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber"), col("l_partkey"))
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+      .withColumn("line_pos", row_number().over(w))
+      .filter(col("line_pos") >= 5)
+  }
+
+  /** W1 scale path: dense sequential surrogate keys via the distributed
+    * two-phase [[SurrogateKeys.denseRankKey]] — same 1..N result as a global
+    * ROW_NUMBER, no single-task window. */
+  def q33DenseKeyScale(s: SparkSession, dir: String): DataFrame =
+    SurrogateKeys.denseRankKey(
+      t(s, dir, "customer").select(col("c_custkey"), col("c_name")),
+      "customer_key", Seq("c_custkey"))
 }

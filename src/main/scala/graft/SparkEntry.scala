@@ -45,6 +45,12 @@ object SparkEntry {
     "q25_ann_lsh_topk" -> (Queries.q25AnnLshTopk(_, _)),
     "q26_doc_fingerprint" -> (Queries.q26DocFingerprint(_, _)),
     "q27_csv_roundtrip" -> (Queries.q27CsvRoundtrip(_, _)),
+    "q28_star_pipeline" -> (Queries.q28StarPipeline(_, _)),
+    "q29_string_clean" -> (Queries.q29StringClean(_, _)),
+    "q30_impute_cap" -> (Queries.q30ImputeCap(_, _)),
+    "q31_minmax_avg" -> (Queries.q31MinMaxAvg(_, _)),
+    "q32_dup_audit_window" -> (Queries.q32DupAuditWindow(_, _)),
+    "q33_dense_key_scale" -> (Queries.q33DenseKeyScale(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -15,5 +15,16 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") events(spark, dir) else
+      spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet carries TIMESTAMP(NANOS), which Spark's reader rejects;
+    * read nanos as long and truncate to microseconds (Spark's native
+    * timestamp precision — same floor DuckDB applies when casting). */
+  private def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+  }
 }

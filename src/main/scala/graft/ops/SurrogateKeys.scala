@@ -1,20 +1,18 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Surrogate-key generation — `aact_gold_layer.sql:27,66,138,161`:
   * `ROW_NUMBER() OVER (ORDER BY k)` keys every dimension.
   *
   * Scale note (SURVEY §2.5 W1): a global un-partitioned window collapses to a
   * single task. That is fine for dimensions (small after `distinct`), and
-  * [[rowNumberKey]] reproduces the reference exactly. For fact-scale keying at
-  * 100 TB use [[zipWithIndexKey]]: sort once, then per-partition offsets via
-  * `zipWithIndex` — dense, deterministic, fully distributed (what
-  * `monotonically_increasing_id` is NOT: its ids are neither dense nor
-  * aligned with the sort order).
+  * [[rowNumberKey]] reproduces the reference exactly. For fact-scale keying
+  * at 100 TB use [[denseRankKey]] — same dense 1..N result, fully
+  * distributed, no RDD round-trip out of Tungsten (and unlike
+  * `monotonically_increasing_id`, dense AND aligned with the sort order).
   */
 object SurrogateKeys {
 
@@ -22,12 +20,37 @@ object SurrogateKeys {
   def rowNumberKey(df: DataFrame, keyCol: String, orderCols: Seq[String]): DataFrame =
     df.withColumn(keyCol, row_number().over(Window.orderBy(orderCols.map(col): _*)))
 
-  /** Scale-safe dense sequential keying: total-order sort (range-partitioned
-    * exchange) + per-partition index with partition-size offsets. */
-  def zipWithIndexKey(df: DataFrame, keyCol: String, orderCols: Seq[String]): DataFrame = {
-    val sorted = df.orderBy(orderCols.map(col): _*)
-    val outSchema = StructType(sorted.schema.fields :+ StructField(keyCol, LongType, nullable = false))
-    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ (i + 1L)) }
-    sorted.sparkSession.createDataFrame(rdd, outSchema)
+  /** Scale-safe dense sequential keying, DataFrame-native two-phase:
+    *
+    *   1. range-repartition on the order columns (the same exchange a global
+    *      sort needs — but no global window after it);
+    *   2. per-partition `row_number` (window PARTITIONed by
+    *      `spark_partition_id` → one parallel task per partition);
+    *   3. add each partition's starting offset = running sum of partition
+    *      counts — a broadcast-joined frame of numPartitions rows.
+    *
+    * Global key = offset + local row number: dense, 1..N, ordered by
+    * `orderCols` (which must be a total order for determinism — include a
+    * unique tiebreaker). Every stage is Catalyst-planned and codegen'd.
+    */
+  def denseRankKey(df: DataFrame, keyCol: String, orderCols: Seq[String]): DataFrame = {
+    val ranged = df
+      .repartitionByRange(orderCols.map(col): _*)
+      .withColumn("_pid", spark_partition_id())
+    val offsets = ranged
+      .groupBy(col("_pid")).agg(count(lit(1)).as("_cnt"))
+      .withColumn("_offset",
+        coalesce(
+          sum(col("_cnt")).over(
+            Window.orderBy(col("_pid"))
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("_pid"), col("_offset"))
+    val w = Window.partitionBy(col("_pid")).orderBy(orderCols.map(col): _*)
+    ranged
+      .withColumn("_rn", row_number().over(w))
+      .join(broadcast(offsets), Seq("_pid"))
+      .withColumn(keyCol, col("_offset") + col("_rn"))
+      .drop("_pid", "_rn", "_offset")
   }
 }
