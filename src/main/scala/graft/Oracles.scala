@@ -389,5 +389,35 @@ object Oracles {
     "q33_dense_key_scale" ->
       """SELECT c_custkey, c_name,
         |  CAST(row_number() OVER (ORDER BY c_custkey) AS BIGINT) AS customer_key
-        |FROM customer""".stripMargin)
+        |FROM customer""".stripMargin,
+
+    "q34_event_window_agg" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+        |  date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR AS window_end,
+        |  event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(CAST(floor(value * 1000) AS DOUBLE) AS DECIMAL(20,6))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q35_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS ts_sec
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN ts_sec - lag(ts_sec) OVER w > 1800 THEN 1 ELSE 0 END AS brk
+        |  FROM x
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |seq AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS UNBOUNDED PRECEDING) + 1 AS BIGINT) AS session_seq
+        |  FROM flagged)
+        |SELECT user_id, session_seq,
+        |  min(ts) AS session_start,
+        |  max(ts) AS session_end,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM seq GROUP BY user_id, session_seq""".stripMargin)
 }

@@ -372,4 +372,33 @@ object Queries {
     SurrogateKeys.denseRankKey(
       t(s, dir, "customer").select(col("c_custkey"), col("c_name")),
       "customer_key", Seq("c_custkey"))
+
+  /** Streaming extension, batch-checkable half: tumbling 1h window metrics
+    * over events — the EXACT transform the readStream path runs (the
+    * streaming variant only adds the watermark). Raw double values are
+    * floored to millis first: floor is rounding-rule unambiguous across
+    * engines, and the transform's exact-decimal sum is then integral →
+    * partition/arrival-order independent. */
+  def q34EventWindowAgg(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStream.windowedCounts(
+      t(s, dir, "events")
+        .withColumn("value", floor(col("value") * 1000).cast("double")))
+
+  /** Streaming extension, sessionization (batch formulation — the
+    * differential oracle for the flatMapGroupsWithState path): 30-minute
+    * gap sessions per user. */
+  def q35Sessionize(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStream.sessionize(t(s, dir, "events"), gapSeconds = 1800)
+
+  /** Multimodal plumbing (rows-only: decode/features are the documented
+    * deterministic stubs): binary assets → decode + features + video frame
+    * sampling. */
+  def q36Multimodal(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extract(
+      Multimodal.syntheticAssets(t(s, dir, "documents"), "doc_id", "text"))
+      .select(col("asset_id"), col("media_type"),
+        col("decoded.n_bytes").as("n_bytes"),
+        col("decoded.checksum").as("checksum"),
+        size(col("features")).as("n_features"),
+        col("frame_ms"))
 }

@@ -20,11 +20,13 @@ object Tables {
 
   /** events.parquet carries TIMESTAMP(NANOS), which Spark's reader rejects;
     * read nanos as long and truncate to microseconds (Spark's native
-    * timestamp precision — same floor DuckDB applies when casting). */
+    * timestamp precision — same floor DuckDB applies when casting).
+    * NB: integer `div`, not `/` — Column./ is DOUBLE division, and epoch
+    * nanos (~1.7e15) lose their low digits in a double. */
   private def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 }

@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing for the LLM-data-pipeline extension: treat
+  * image/audio/video as opaque BINARY payloads with typed metadata, and
+  * run decode / feature-extraction / frame-sampling as distributed
+  * column transforms.
+  *
+  * STUB BOUNDARY: this container ships no image/audio codecs, so
+  * [[decodeStub]] and [[featureStub]] are clearly-marked DETERMINISTIC
+  * FAKES (hash-derived) standing in for a real decoder. Everything around
+  * them — the asset schema, binary payload handling, batch shape, frame
+  * sampling, partition parallelism — is real and tested; swapping the stub
+  * for a real codec is a drop-in replacement of these two functions (as a
+  * vectorized batch UDF or a native Expression).
+  */
+object Multimodal {
+
+  /** Synthesize an asset table from documents: opaque binary payload +
+    * typed metadata — the shape a real ingest (S3 object listing + bytes)
+    * would land. */
+  def syntheticAssets(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol).as("asset_id"),
+      when(col(idCol) % 3 === 0, lit("image"))
+        .when(col(idCol) % 3 === 1, lit("audio"))
+        .otherwise(lit("video")).as("media_type"),
+      to_binary(col(textCol), lit("utf-8")).as("payload"),
+      struct(
+        length(to_binary(col(textCol), lit("utf-8"))).as("n_bytes"),
+        (col(idCol) % 1000 * 40 + 1000).as("duration_ms")).as("meta"))
+
+  /** FAKE decode: format sniff + checksum from the payload bytes.
+    * Deterministic stand-in for image decode / audio demux. */
+  def decodeStub(payload: Column, mediaType: Column): Column =
+    struct(
+      mediaType.as("format"),
+      length(payload).as("n_bytes"),
+      md5(payload).as("checksum"))
+
+  /** FAKE feature extraction: `dims` pseudo-features in [0,1) derived from
+    * xxhash64(payload, dim index) — deterministic stand-in for an embedding
+    * model, with the real output shape (Array[Float]). */
+  def featureStub(payload: Column, dims: Int): Column =
+    transform(sequence(lit(0), lit(dims - 1)),
+      i => (pmod(xxhash64(payload, i), lit(1000L)).cast("double") / lit(1000.0))
+        .cast("float"))
+
+  /** REAL frame-sampling plumbing: offsets 0, everyMs, 2·everyMs … within
+    * the asset duration — explode to one row per sampled frame. */
+  def frameOffsets(durationMs: Column, everyMs: Int): Column =
+    sequence(lit(0L), durationMs.cast("long") - 1, lit(everyMs.toLong))
+
+  /** Full pipeline over an asset table: decode + features + per-frame rows
+    * for video assets. */
+  def extract(assets: DataFrame, dims: Int = 8, frameEveryMs: Int = 5000): DataFrame =
+    assets
+      .withColumn("decoded", decodeStub(col("payload"), col("media_type")))
+      .withColumn("features", featureStub(col("payload"), dims))
+      .withColumn("frame_ms",
+        explode_outer(
+          when(col("media_type") === "video",
+            frameOffsets(col("meta.duration_ms"), frameEveryMs))
+            .otherwise(array().cast("array<bigint>"))))
+}

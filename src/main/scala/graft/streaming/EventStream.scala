@@ -1,0 +1,53 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Streaming extension (SURVEY §2.9/§7.5 — beyond the batch-only
+  * reference): incremental processing over the `events` table.
+  *
+  * The transforms are written once against a plain DataFrame, so the SAME
+  * function runs in batch (`spark.read` → oracle-checkable) and streaming
+  * (`spark.readStream` → `writeStream`) — Structured Streaming's core
+  * contract. The streaming entry points only add the watermark.
+  */
+object EventStream {
+
+  /** Tumbling-window per-type metrics. In streaming this is an incremental
+    * stateful aggregation; with the 1h watermark state is bounded and late
+    * events beyond it are dropped. Value sums go through exact decimal so
+    * results are partition/arrival-order independent. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(20,6)")).cast("double").as("total_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  /** Watermarked streaming variant of [[windowedCounts]]. */
+  def windowedCountsStream(events: DataFrame): DataFrame =
+    windowedCounts(events.withWatermark("ts", "1 hour"))
+
+  /** Batch sessionization: a session break is a gap > `gapSeconds` between
+    * a user's consecutive events; session id = running count of breaks.
+    * Window partitioned by user → parallel across users (the classic
+    * lag+cumsum formulation any SQL engine reproduces). */
+  def sessionize(events: DataFrame, gapSeconds: Long): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val tsSec = col("ts").cast("long")
+    val newSession =
+      when(tsSec - lag(tsSec, 1).over(byUser) > gapSeconds, 1).otherwise(0)
+    events
+      .withColumn("session_seq", sum(newSession).over(byUser) + 1)
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+  }
+}
