@@ -1,0 +1,107 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.api.java.Optional
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+
+import graft.SparkSpec
+
+class StreamingSpec extends SparkSpec {
+
+  private def ev(id: Long, t: String, user: Long = 1L): Event =
+    Event(id, Timestamp.valueOf(t), user, "click", 1.0)
+
+  // ---------------------------------------------------- windowed aggregation
+
+  test("windowedCountsStream: same results as the batch transform once the watermark closes windows") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    val firstBatch = Seq(
+      ev(1, "2024-01-01 00:10:00"), ev(2, "2024-01-01 00:20:00"),
+      ev(3, "2024-01-01 01:10:00"))
+
+    val ms = MemoryStream[Event]
+    val q = EventStream.windowedCountsStream(ms.toDF())
+      .writeStream.format("memory").queryName("wc").outputMode("append").start()
+    try {
+      ms.addData(firstBatch: _*)
+      q.processAllAvailable()
+      // push the watermark far past the first two windows
+      ms.addData(ev(99, "2024-01-01 12:00:00"))
+      q.processAllAvailable()
+
+      val streamed = spark.table("wc")
+        .select("window_start", "event_type", "n_events", "total_value")
+        .collect().map(_.toSeq).toSet
+      val batch = EventStream.windowedCounts(firstBatch.toDF())
+        .select("window_start", "event_type", "n_events", "total_value")
+        .collect().map(_.toSeq).toSet
+      batch.subsetOf(streamed) shouldBe true
+      streamed.size shouldBe batch.size // the hour-12 window is still open
+    } finally q.stop()
+  }
+
+  // ------------------------------------------------------------ sessionize
+
+  test("batch sessionize: gap splits sessions, bounds and counts correct") {
+    import spark.implicits._
+    val events = Seq(
+      ev(1, "2024-01-01 00:00:00"), ev(2, "2024-01-01 00:10:00"),
+      ev(3, "2024-01-01 02:00:00"),                       // > 30 min gap → new session
+      ev(4, "2024-01-01 00:05:00", user = 2L))
+    val out = EventStream.sessionize(events.toDF(), 1800)
+      .orderBy("user_id", "session_seq").collect()
+    out.length shouldBe 3
+    out(0).getLong(4) shouldBe 2 // user 1 session 1: events 1,2
+    out(1).getLong(4) shouldBe 1 // user 1 session 2: event 3
+    out(2).getLong(0) shouldBe 2L
+  }
+
+  test("Sessionize.updateUser: gap closes a session in-batch") {
+    val state = TestGroupState.create[SessionAcc](
+      Optional.empty[SessionAcc](), GroupStateTimeout.EventTimeTimeout,
+      1000L, Optional.of(java.lang.Long.valueOf(0L)), false)
+    val out = Sessionize.updateUser(1800 * 1000L)(
+      1L,
+      Iterator(ev(1, "2024-01-01 00:00:00"), ev(2, "2024-01-01 00:10:00"),
+        ev(3, "2024-01-01 02:00:00")),
+      state).toSeq
+    out.length shouldBe 1
+    out.head.n_events shouldBe 2
+    out.head.session_end shouldBe Timestamp.valueOf("2024-01-01 00:10:00")
+    state.get.n shouldBe 1 // event 3 stays open in state
+  }
+
+  test("Sessionize.updateUser: event-time timeout flushes the open session") {
+    val open = SessionAcc(0L, 600000L, 3L)
+    val state = TestGroupState.create[SessionAcc](
+      Optional.of(open), GroupStateTimeout.EventTimeTimeout,
+      1000L, Optional.of(java.lang.Long.valueOf(10000000L)), true)
+    val out = Sessionize.updateUser(1800 * 1000L)(1L, Iterator.empty, state).toSeq
+    out.length shouldBe 1
+    out.head.n_events shouldBe 3
+    state.exists shouldBe false
+  }
+
+  test("Sessionize end-to-end over MemoryStream emits gap-closed sessions") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[Event]
+    val q = Sessionize(ms.toDS(), gapSeconds = 1800, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    try {
+      ms.addData(ev(1, "2024-01-01 00:00:00"), ev(2, "2024-01-01 00:10:00"))
+      q.processAllAvailable()
+      ms.addData(ev(3, "2024-01-01 06:00:00")) // gap-close session 1, advance watermark
+      q.processAllAvailable()
+      ms.addData(ev(4, "2024-01-01 23:00:00")) // timeout-flush session 2
+      q.processAllAvailable()
+      val sessions = spark.table("sess").orderBy("session_start").collect()
+      sessions.length should be >= 1
+      sessions(0).getLong(3) shouldBe 2 // first session: events 1+2
+    } finally q.stop()
+  }
+}
