@@ -25,10 +25,16 @@ object Gold {
     Star.assertUnique(spark.read.parquet(w("dim_brand")),
       Seq("brand_key"), "dim_brand")
 
-    val dimDate = DateDim.dateDim(spark, "1995-01-01", "1998-12-31")
-    dimDate.write.mode(SaveMode.Overwrite).parquet(w("dim_dates"))
-    Star.assertUnique(spark.read.parquet(w("dim_dates")),
-      Seq("date_key"), "dim_dates")
+    // dim_dates lands in two slices — CTAS then INSERT-SELECT (S6), exactly
+    // the reference's build: CREATE TABLE + INSERT INTO gold.dim_dates
+    // SELECT ... generate_series (aact_gold_layer.sql:92-125). The S8
+    // assertion then guards the append against overlap.
+    DateDim.dateDim(spark, "1995-01-01", "1996-12-31")
+      .write.mode(SaveMode.Overwrite).parquet(w("dim_dates"))
+    DateDim.dateDim(spark, "1997-01-01", "1998-12-31")
+      .write.mode(SaveMode.Append).parquet(w("dim_dates"))
+    val dimDate = spark.read.parquet(w("dim_dates"))
+    Star.assertUnique(dimDate, Seq("date_key"), "dim_dates")
 
     // Fact keeps silver column names the fact builder expects.
     val orders = s("orders")

@@ -55,8 +55,15 @@ object Silver {
 
   def run(spark: SparkSession, outDir: String): Unit = {
     val b = (n: String) => spark.read.parquet(s"$outDir/bronze/$n")
+    // orders partitioned by year: queries with an order_year predicate
+    // prune whole directories at the file-index level — at 100 TB this is
+    // the difference between scanning one year and scanning the decade.
+    cleanOrders(b("orders"))
+      .withColumn("order_year", year(col("order_date")))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("order_year")
+      .parquet(s"$outDir/silver/orders")
     Seq(
-      "orders" -> cleanOrders(b("orders")),
       "lineitem" -> cleanLineitem(b("lineitem")),
       "part" -> cleanPart(b("part")),
       "customer" -> b("customer")

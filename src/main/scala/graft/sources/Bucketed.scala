@@ -1,0 +1,41 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Bucketed table sink/source — the co-located-join path for 100 TB fact↔
+  * fact joins (SURVEY §4: "bucketing for co-located joins").
+  *
+  * A table hash-bucketed AND sorted on its join keys lets Spark plan a
+  * sort-merge join with NO Exchange and NO Sort on that side: the bucket
+  * layout IS the shuffle, paid once at write time and amortized over every
+  * subsequent join/aggregation on those keys. For a fact table joined on
+  * the same key by many downstream queries this removes the dominant
+  * shuffle entirely.
+  *
+  * Bucketed tables must go through the catalog (`saveAsTable`) — a plain
+  * parquet path write silently drops the bucket spec.
+  */
+object Bucketed {
+
+  def write(df: DataFrame, table: String, bucketCols: Seq[String],
+            numBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    // Idempotent rebuild (S4): drop the catalog entry AND any orphaned
+    // location a previous JVM left behind (the in-memory catalog forgets
+    // tables across sessions but their directories survive).
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(loc, true)
+    df.write
+      .mode(SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(table)
+  }
+
+  def read(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
+}

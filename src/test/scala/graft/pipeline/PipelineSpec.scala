@@ -19,4 +19,20 @@ class PipelineSpec extends SparkSpec {
     val silverOrders = spark.read.parquet(s"$out/silver/orders")
     silverOrders.columns should contain allOf ("status_desc", "order_date_type")
   }
+
+  test("silver orders are year-partitioned and a year predicate prunes at the file index") {
+    import org.apache.spark.sql.functions.col
+    val out = "/root/repo/target/pipeline_spec"
+    val pruned = spark.read.parquet(s"$out/silver/orders")
+      .filter(col("order_year") === 1995)
+    val plan = pruned.queryExecution.executedPlan.toString
+    plan should include("PartitionFilters")
+    plan should include("order_year")
+    pruned.count() should be > 0L
+  }
+
+  test("gold dim_dates built as CTAS + append (S6) stays gap- and overlap-free") {
+    val dd = spark.read.parquet("/root/repo/target/pipeline_spec/gold/dim_dates")
+    dd.count() shouldBe (365 + 366 + 365 + 365).toLong // 1995..1998
+  }
 }
