@@ -1,0 +1,24 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extension registering graft's native functions — install with
+  * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`
+  * (or `withExtensions`); afterwards the functions resolve by name through
+  * `call_function` / SQL. The public, supported way to ship custom
+  * Catalyst expressions — no private Spark API touched.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftExtensions.floatDot)
+}
+
+object GraftExtensions {
+  val floatDot: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier("graft_float_dot"),
+    new ExpressionInfo(classOf[FloatDot].getName, null, "graft_float_dot",
+      "graft_float_dot(a, b) - left-fold double dot product of two float arrays", ""),
+    (children: Seq[Expression]) => FloatDot(children.head, children(1)))
+}

@@ -23,8 +23,17 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Left-fold double dot product of two float-array columns. */
+  /** Left-fold double dot product of two float-array columns, via the
+    * native codegen'd [[graft.functions.FloatDot]] expression. Requires
+    * `graft.functions.GraftExtensions` installed on the session (all graft
+    * entry points do); [[dotHof]] is the extension-free equivalent. */
   def dot(a: Column, b: Column): Column =
+    call_function("graft_float_dot", a, b)
+
+  /** Builtin-only dot product (zip_with+aggregate fold) — identical values
+    * to [[dot]], usable without session extensions, but CodegenFallback
+    * (interpreted per element) so keep it off O(N×Q) hot loops. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
