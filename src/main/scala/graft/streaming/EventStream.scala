@@ -33,6 +33,17 @@ object EventStream {
   def windowedCountsStream(events: DataFrame): DataFrame =
     windowedCounts(events.withWatermark("ts", "1 hour"))
 
+  /** Streaming exact dedup — the incremental form of
+    * [[graft.ops.Dedup.exactDedup]]: keeps one row per key among events
+    * whose event times fall inside the watermark delay, with state expiring
+    * as the watermark advances (bounded memory — the batch content-hash
+    * window needs no state bound because it sees all data at once). */
+  def streamingDedup(events: DataFrame, keyCols: Seq[String],
+                     watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Batch sessionization: a session break is a gap > `gapSeconds` between
     * a user's consecutive events; session id = running count of breaks.
     * Window partitioned by user → parallel across users (the classic

@@ -44,6 +44,21 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingDedup keeps one row per key within the watermark") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[Event]
+    val q = EventStream.streamingDedup(ms.toDF(), Seq("event_id"), "30 minutes")
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      ms.addData(ev(1, "2024-01-01 00:00:00"), ev(1, "2024-01-01 00:05:00"),
+        ev(2, "2024-01-01 00:06:00"))
+      q.processAllAvailable()
+      spark.table("dedup").select("event_id").collect()
+        .map(_.getLong(0)).sorted shouldBe Array(1L, 2L)
+    } finally q.stop()
+  }
+
   // ------------------------------------------------------------ sessionize
 
   test("batch sessionize: gap splits sessions, bounds and counts correct") {
