@@ -419,5 +419,9 @@ object Oracles {
         |  min(ts) AS session_start,
         |  max(ts) AS session_end,
         |  CAST(count(*) AS BIGINT) AS n_events
-        |FROM seq GROUP BY user_id, session_seq""".stripMargin)
+        |FROM seq GROUP BY user_id, session_seq""".stripMargin,
+
+    "q37_percentile_continuous" ->
+      """SELECT l_returnflag, quantile_disc(l_extendedprice, 0.5) AS price_median
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin)
 }

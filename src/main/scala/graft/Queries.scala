@@ -401,4 +401,11 @@ object Queries {
         col("decoded.checksum").as("checksum"),
         size(col("features")).as("n_features"),
         col("frame_ms"))
+
+  /** A8 scale path for CONTINUOUS measures: exact median of
+    * l_extendedprice (virtually no repeats — the histogram path would
+    * degenerate) via the sketch-bracketed three-pass order statistic. */
+  def q37PercentileContinuous(s: SparkSession, dir: String): DataFrame =
+    Percentiles.percentileDiscContinuous(
+      t(s, dir, "lineitem"), "l_extendedprice", 0.5, Seq("l_returnflag"), "price_median")
 }

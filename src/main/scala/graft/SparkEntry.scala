@@ -55,6 +55,7 @@ object SparkEntry {
     "q34_event_window_agg" -> (Queries.q34EventWindowAgg(_, _)),
     "q35_sessionize" -> (Queries.q35Sessionize(_, _)),
     "q36_multimodal" -> (Queries.q36Multimodal(_, _)),
+    "q37_percentile_continuous" -> (Queries.q37PercentileContinuous(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -64,4 +64,60 @@ object Percentiles {
 
     picked.unionByName(emptyGroups)
   }
+
+  /** Exact PERCENTILE_DISC for CONTINUOUS measures (~no repeated values,
+    * where [[percentileDisc]]'s histogram degenerates to the full data).
+    *
+    * Three bounded passes, no per-group full sort:
+    *   1. per group: non-null count n + approx_percentile sketch bounds at
+    *      p±eps — a single partial-aggregating shuffle;
+    *   2. exact rank of the lower bound: count of values < lo (broadcast
+    *      the tiny per-group bounds back over the data);
+    *   3. the answer is the (k - rank_lo)-th smallest value INSIDE the
+    *      [lo, hi] bracket (≈ 2·eps·n rows per group, not n) — a window
+    *      over the small bracket only, k = ceil(p·n).
+    *
+    * `eps` must exceed the sketch's rank error (accuracy is set so it
+    * does); if the bracket still misses the answer the group is emitted
+    * with a null — callers can assert or fall back to the exact path.
+    */
+  def percentileDiscContinuous(df: DataFrame, valueCol: String, p: Double,
+                               partitionCols: Seq[String], outCol: String,
+                               eps: Double = 0.01): DataFrame = {
+    require(eps > 0 && eps < 0.5, s"eps=$eps out of (0, 0.5)")
+    val grp = partitionCols.map(col)
+    val accuracy = math.max(100, math.ceil(2.0 / eps).toInt) // rank err ≤ n/accuracy < eps·n
+    val pLo = math.max(0.0, p - eps)
+    val pHi = math.min(1.0, p + eps)
+
+    // Pass 1: count + sketch bracket per group.
+    val bounds = df
+      .groupBy(grp: _*)
+      .agg(
+        count(col(valueCol)).as("_n"),
+        percentile_approx(col(valueCol), lit(pLo), lit(accuracy)).as("_lo"),
+        percentile_approx(col(valueCol), lit(pHi), lit(accuracy)).as("_hi"))
+
+    // Pass 2: exact rank of the bracket floor.
+    val withBounds = df
+      .filter(col(valueCol).isNotNull)
+      .join(broadcast(bounds), partitionCols)
+    val ranks = withBounds
+      .groupBy(grp: _*)
+      .agg(sum(when(col(valueCol) < col("_lo"), 1L).otherwise(0L)).as("_below"))
+
+    // Pass 3: k-th order statistic inside the bracket only.
+    val w = Window.partitionBy(grp: _*).orderBy(col(valueCol))
+    val picked = withBounds
+      .filter(col(valueCol) >= col("_lo") && col(valueCol) <= col("_hi"))
+      .withColumn("_rn", row_number().over(w))
+      .join(broadcast(ranks), partitionCols)
+      .filter(col("_below") + col("_rn") === ceil(lit(p) * col("_n")).cast("long"))
+      .groupBy(grp: _*)
+      .agg(min(col(valueCol)).as(outCol))
+
+    // Keep every group (all-null groups and any bracket miss → null).
+    bounds.select(grp: _*).join(picked, partitionCols, "left")
+      .select(grp :+ col(outCol): _*)
+  }
 }

@@ -37,4 +37,27 @@ class PercentilesSpec extends SparkSpec {
     val rows = Seq(Row("a", 1), Row("a", null), Row("a", 3))
     run(0.5, rows)("a") shouldBe Some(1)
   }
+
+  test("continuous path agrees with the histogram path on unique doubles") {
+    val rng = new scala.util.Random(7)
+    val rows = (1 to 500).map(i =>
+      Row(if (i % 3 == 0) "x" else "y", rng.nextDouble() * 1000)) :+ Row("z", null)
+    val d = df("g STRING, v DOUBLE", rows)
+    for (p <- Seq(0.25, 0.5, 0.9, 0.997)) {
+      val exact = Percentiles.percentileDisc(d, "v", p, Seq("g"), "c")
+        .collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+      val cont = Percentiles.percentileDiscContinuous(d, "v", p, Seq("g"), "c")
+        .collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+      cont shouldBe exact
+      cont("z") shouldBe None // all-null group kept as null
+    }
+  }
+
+  test("continuous path handles duplicates at the bracket boundary") {
+    val rows = (Seq.fill(40)(5.0) ++ Seq.fill(40)(7.0) ++ Seq(1.0, 9.0)).map(v => Row("a", v))
+    val out = Percentiles.percentileDiscContinuous(
+      df("g STRING, v DOUBLE", rows), "v", 0.5, Seq("g"), "c")
+      .collect().head
+    out.getDouble(1) shouldBe 5.0 // rank 41 of 82 → still in the 5.0 run
+  }
 }
