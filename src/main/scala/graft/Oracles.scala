@@ -423,5 +423,27 @@ object Oracles {
 
     "q37_percentile_continuous" ->
       """SELECT l_returnflag, quantile_disc(l_extendedprice, 0.5) AS price_median
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin)
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q38_categorize_full" ->
+      """WITH named AS (
+        |  SELECT lower(p_name || ' / ' || p_type ||
+        |    (CASE WHEN p_partkey % 97 = 0 THEN ' o''brien grade' ELSE '' END)) AS nm
+        |  FROM part)
+        |SELECT CASE
+        |    WHEN nm LIKE '%o''brien%' THEN 'Eponymous'
+        |    WHEN nm LIKE '%anodized%' OR nm LIKE '%burnished%' THEN 'Treated Metal'
+        |    WHEN nm LIKE '%polished%' OR nm LIKE '%brushed%' THEN 'Finished Metal'
+        |    WHEN nm LIKE '%promo%' OR nm LIKE '%economy%' THEN 'Value Line'
+        |    WHEN nm LIKE '%standard%' OR nm LIKE '%medium%' THEN 'Standard Line'
+        |    WHEN nm LIKE '%small%' OR nm LIKE '%mini%' THEN 'Compact'
+        |    WHEN nm LIKE '%large%' OR nm LIKE '%jumbo%' THEN 'Oversize'
+        |    WHEN nm LIKE '%red%' OR nm LIKE '%rose%' OR nm LIKE '%salmon%' THEN 'Warm Color'
+        |    WHEN nm LIKE '%blue%' OR nm LIKE '%navy%' OR nm LIKE '%turquoise%' THEN 'Cool Color'
+        |    WHEN nm LIKE '%green%' OR nm LIKE '%olive%' OR nm LIKE '%forest%' THEN 'Natural Color'
+        |    WHEN nm LIKE '%steel%' OR nm LIKE '%copper%' OR nm LIKE '%brass%' THEN 'Metallic'
+        |    WHEN nm LIKE '%tin%' OR nm LIKE '%nickel%' THEN 'Alloy'
+        |    ELSE 'Other' END AS area,
+        |  CAST(count(*) AS BIGINT) AS n_parts
+        |FROM named GROUP BY area""".stripMargin)
 }

@@ -408,4 +408,32 @@ object Queries {
   def q37PercentileContinuous(s: SparkSession, dir: String): DataFrame =
     Percentiles.percentileDiscContinuous(
       t(s, dir, "lineitem"), "l_extendedprice", 0.5, Seq("l_returnflag"), "price_median")
+
+  /** P8 at reference width: a 12-branch ordered categorizer — the
+    * therapeutic_area shape (aact_silver_layer.sql:454-500, 12 branches,
+    * first-match-wins, incl. the embedded-quote pattern quirk of
+    * `%crohn''s disease%` at :476) — over part names + types. */
+  def q38CategorizeFull(s: SparkSession, dir: String): DataFrame = {
+    val name = concat(col("p_name"), lit(" / "), col("p_type"),
+      when(col("p_partkey") % 97 === 0, lit(" o'brien grade")).otherwise(lit("")))
+    t(s, dir, "part")
+      .withColumn("area", Categorize.categorize(
+        name,
+        Seq(
+          Seq("%o'brien%") -> "Eponymous",
+          Seq("%anodized%", "%burnished%") -> "Treated Metal",
+          Seq("%polished%", "%brushed%") -> "Finished Metal",
+          Seq("%promo%", "%economy%") -> "Value Line",
+          Seq("%standard%", "%medium%") -> "Standard Line",
+          Seq("%small%", "%mini%") -> "Compact",
+          Seq("%large%", "%jumbo%") -> "Oversize",
+          Seq("%red%", "%rose%", "%salmon%") -> "Warm Color",
+          Seq("%blue%", "%navy%", "%turquoise%") -> "Cool Color",
+          Seq("%green%", "%olive%", "%forest%") -> "Natural Color",
+          Seq("%steel%", "%copper%", "%brass%") -> "Metallic",
+          Seq("%tin%", "%nickel%") -> "Alloy"),
+        default = "Other"))
+      .groupBy(col("area"))
+      .agg(count(lit(1)).as("n_parts"))
+  }
 }

@@ -56,6 +56,7 @@ object SparkEntry {
     "q35_sessionize" -> (Queries.q35Sessionize(_, _)),
     "q36_multimodal" -> (Queries.q36Multimodal(_, _)),
     "q37_percentile_continuous" -> (Queries.q37PercentileContinuous(_, _)),
+    "q38_categorize_full" -> (Queries.q38CategorizeFull(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
