@@ -1,0 +1,53 @@
+package graft
+
+/** Plan-shape regression tests: the scale properties this engine claims
+  * (pushdown, pruning, broadcast, true top-k, no stray fan-out recompute)
+  * asserted against the actual physical plans, so a refactor that silently
+  * degrades a plan fails CI rather than a 100 TB run.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def plan(q: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): String =
+    q(spark, dir).queryExecution.executedPlan.toString
+
+  test("q01: filters and column pruning reach the parquet scan") {
+    val p = plan(Queries.q01ScanFilterProject)
+    p should include("PushedFilters: [IsNotNull(l_shipdate)")
+    p should not include "l_suppkey" // pruned column must not be read
+  }
+
+  test("q16: top-k plans as TakeOrderedAndProject, not a full sort") {
+    plan(Queries.q16TopK) should include("TakeOrderedAndProject")
+  }
+
+  test("q17: single-pass — each base table is scanned at most twice, dims broadcast") {
+    val p = plan(Queries.q17OpportunityScore)
+    // lineitem legitimately feeds two branches (priority agg + fan-out);
+    // the old double-aggregation shape scanned it four times.
+    p.split("\n").count(_.contains("lineitem.parquet")) should be <= 2
+    p.split("\n").count(_.contains("orders.parquet")) shouldBe 1
+    p.split("\n").count(_.contains("part.parquet")) shouldBe 1
+    p should include("BroadcastHashJoin")
+  }
+
+  test("q28: all three dims broadcast into the fact build") {
+    plan(Queries.q28StarPipeline).split("\n")
+      .count(_.contains("BroadcastHashJoin")) should be >= 3
+  }
+
+  test("q12/q11: aggregations are partial+final hash aggregates (map-side combine)") {
+    val p = plan(Queries.q12MinCasePriority)
+    p should include("partial_min")
+    plan(Queries.q11ConditionalAgg) should include("partial_sum")
+  }
+
+  test("no query plan contains a CollectLimit-to-driver loop or cartesian product") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val p = fn(spark, dir).queryExecution.executedPlan.toString
+      withClue(s"$name: ") {
+        p should not include "CartesianProduct"
+      }
+    }
+  }
+}
