@@ -425,6 +425,27 @@ object Oracles {
       """SELECT l_returnflag, quantile_disc(l_extendedprice, 0.5) AS price_median
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
+    "q39_quality_filter" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS wds
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CAST(len(wds) AS INT) AS word_count,
+        |    CAST(list_sum(list_transform(wds, t -> CAST(length(t) AS BIGINT))) AS DOUBLE)
+        |      / CAST(len(wds) AS DOUBLE) AS avg_word_len,
+        |    CAST(len(list_filter(wds, t -> t IN ('the','a','of','and','to','is','in'))) AS DOUBLE)
+        |      / CAST(len(wds) AS DOUBLE) AS stopword_ratio,
+        |    CASE WHEN len(wds) < 3 THEN 0.0
+        |         ELSE 1.0 - CAST(len(list_distinct(
+        |                [array_to_string(wds[i:i+2], ' ') FOR i IN generate_series(1, len(wds) - 2)]
+        |              )) AS DOUBLE) / CAST(len(wds) - 2 AS DOUBLE) END AS repetition_ratio
+        |  FROM w)
+        |SELECT doc_id, word_count, avg_word_len, stopword_ratio, repetition_ratio,
+        |  (word_count BETWEEN 10 AND 1000) AND (avg_word_len BETWEEN 2.0 AND 12.0)
+        |    AND stopword_ratio > 0.0 AND repetition_ratio < 0.3 AS keep
+        |FROM s""".stripMargin,
+
     "q38_categorize_full" ->
       """WITH named AS (
         |  SELECT lower(p_name || ' / ' || p_type ||

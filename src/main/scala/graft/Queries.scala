@@ -436,4 +436,23 @@ object Queries {
       .groupBy(col("area"))
       .agg(count(lit(1)).as("n_parts"))
   }
+
+  /** Pretraining-corpus quality filter, Gopher-style: per-doc signals
+    * (length, mean word length, stopword presence, n-gram repetition) and
+    * the composite keep/drop verdict. */
+  def q39QualityFilter(s: SparkSession, dir: String): DataFrame = {
+    val c = col("text")
+    val wc = TextStats.wordCount(c)
+    val awl = TextStats.avgWordLen(c)
+    val stop = TextStats.stopwordRatio(c)
+    val rep = TextStats.repetitionRatio(c, 3)
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      wc.as("word_count"),
+      awl.as("avg_word_len"),
+      stop.as("stopword_ratio"),
+      rep.as("repetition_ratio"),
+      (wc.between(10, 1000) && awl.between(2.0, 12.0) &&
+        stop > 0.0 && rep < 0.3).as("keep"))
+  }
 }

@@ -57,6 +57,7 @@ object SparkEntry {
     "q36_multimodal" -> (Queries.q36Multimodal(_, _)),
     "q37_percentile_continuous" -> (Queries.q37PercentileContinuous(_, _)),
     "q38_categorize_full" -> (Queries.q38CategorizeFull(_, _)),
+    "q39_quality_filter" -> (Queries.q39QualityFilter(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

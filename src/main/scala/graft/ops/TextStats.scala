@@ -97,6 +97,16 @@ object TextStats {
       .otherwise(lit("und"))
   }
 
+  /** Fraction of repeated word n-grams in the document — the Gopher-style
+    * within-document repetition signal (high ⇒ boilerplate/looping text).
+    * 0 for documents too short to have an n-gram. */
+  def repetitionRatio(c: Column, n: Int = 3): Column = {
+    val sh = Dedup.shingleArray(words(c), n)
+    when(size(sh) === 0, lit(0.0))
+      .otherwise(lit(1.0) -
+        size(array_distinct(sh)).cast("double") / size(sh).cast("double"))
+  }
+
   /** Content fingerprint: md5 of the normalized text (engine-portable). */
   def contentHash(c: Column): Column = md5(normalize(c))
 

@@ -49,6 +49,15 @@ class TextStatsSpec extends SparkSpec {
       .select(TextStats.rollingHash(col("t")))) shouldBe Seq(96354L)
   }
 
+  test("repetitionRatio: 0 for short/unique text, high for looping text") {
+    val d = strDf("t", Seq(
+      "ab",                       // too short for a 3-gram → 0
+      "one two three four five",  // all 3-grams unique → 0
+      "spam spam spam spam spam spam")) // one distinct 3-gram of 4 → 0.75
+    collectCol[Double](d.select(TextStats.repetitionRatio(col("t")))) shouldBe
+      Seq(0.0, 0.0, 0.75)
+  }
+
   test("contentHash is normalization-invariant") {
     val out = collectCol[String](strDf("t", Seq("A  b", "a b"))
       .select(TextStats.contentHash(col("t"))))
