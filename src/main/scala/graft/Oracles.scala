@@ -446,6 +446,35 @@ object Oracles {
         |    AND stopword_ratio > 0.0 AND repetition_ratio < 0.3 AS keep
         |FROM s""".stripMargin,
 
+    "q40_neardup_clusters" ->
+      """WITH RECURSIVE
+        |wrds AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+        |  FROM wrds, LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i)),
+        |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS m FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS i
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN cnt ca ON doc_a = ca.doc_id
+        |  JOIN cnt cb ON doc_b = cb.doc_id
+        |  WHERE CAST(i AS DOUBLE) / CAST(ca.m + cb.m - i AS DOUBLE) >= 0.5),
+        |edges AS (
+        |  SELECT doc_a AS u, doc_b AS v FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u),
+        |labels AS (SELECT u, min(v) AS mv FROM reach GROUP BY u)
+        |SELECT d.doc_id,
+        |  CAST(LEAST(d.doc_id, COALESCE(l.mv, d.doc_id)) AS BIGINT) AS cluster_id
+        |FROM documents d LEFT JOIN labels l ON d.doc_id = l.u""".stripMargin,
+
     "q38_categorize_full" ->
       """WITH named AS (
         |  SELECT lower(p_name || ' / ' || p_type ||

@@ -455,4 +455,12 @@ object Queries {
       (wc.between(10, 1000) && awl.between(2.0, 12.0) &&
         stop > 0.0 && rep < 0.3).as("keep"))
   }
+
+  /** Near-dup CLUSTERS (not just pairs): connected components over the
+    * exact-Jaccard near-dup graph — cluster_id = smallest transitively
+    * reachable doc id; the canonical-document assignment step of a
+    * corpus-scale dedup pipeline. */
+  def q40NeardupClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.nearDupClusters(t(s, dir, "documents"), "doc_id", "text",
+      n = 3, minJaccard = 0.5)
 }

@@ -58,6 +58,7 @@ object SparkEntry {
     "q37_percentile_continuous" -> (Queries.q37PercentileContinuous(_, _)),
     "q38_categorize_full" -> (Queries.q38CategorizeFull(_, _)),
     "q39_quality_filter" -> (Queries.q39QualityFilter(_, _)),
+    "q40_neardup_clusters" -> (Queries.q40NeardupClusters(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

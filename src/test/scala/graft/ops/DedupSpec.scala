@@ -52,6 +52,19 @@ class DedupSpec extends SparkSpec {
     mh should contain((1L, 5L)) // identical text → identical signatures, always caught
   }
 
+  test("nearDupClusters: transitive closure groups chains pairs cannot") {
+    // 1 ~ 3 (one-word edit) and 1 ~ 5 (identical) — cluster {1,3,5} under
+    // canonical 1 even though 3 ~ 5 may also pair; 2 and 4 depend on their
+    // own pairings.
+    val clusters = Dedup.nearDupClusters(docs, "id", "text", 3, 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    clusters(1L) shouldBe 1L
+    clusters(3L) shouldBe 1L
+    clusters(5L) shouldBe 1L
+    clusters(4L) shouldBe 4L // no near-dups → own cluster
+    clusters.size shouldBe 5 // every doc assigned
+  }
+
   test("simHash: identical docs get identical fingerprints, pairs found at distance 0") {
     val fps = Dedup.simHash(docs, "id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
