@@ -475,6 +475,16 @@ object Oracles {
         |  CAST(LEAST(d.doc_id, COALESCE(l.mv, d.doc_id)) AS BIGINT) AS cluster_id
         |FROM documents d LEFT JOIN labels l ON d.doc_id = l.u""".stripMargin,
 
+    "q41_embedding_neardup" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings WHERE vec_id % 5 = 0)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.45""".stripMargin,
+
     "q38_categorize_full" ->
       """WITH named AS (
         |  SELECT lower(p_name || ' / ' || p_type ||

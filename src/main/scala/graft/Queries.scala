@@ -439,21 +439,34 @@ object Queries {
 
   /** Pretraining-corpus quality filter, Gopher-style: per-doc signals
     * (length, mean word length, stopword presence, n-gram repetition) and
-    * the composite keep/drop verdict. */
+    * the composite keep/drop verdict.
+    *
+    * Repetition comes from the codegen'd shingle-set DISTINCT count joined
+    * back (total 3-grams = word_count - 2), NOT the pure-Column
+    * [[TextStats.repetitionRatio]] — that form evaluates its interpreted
+    * HOF array three times per row and measured ~20× slower here. */
   def q39QualityFilter(s: SparkSession, dir: String): DataFrame = {
     val c = col("text")
-    val wc = TextStats.wordCount(c)
-    val awl = TextStats.avgWordLen(c)
-    val stop = TextStats.stopwordRatio(c)
-    val rep = TextStats.repetitionRatio(c, 3)
-    t(s, dir, "documents").select(
+    val base = t(s, dir, "documents").select(
       col("doc_id"),
-      wc.as("word_count"),
-      awl.as("avg_word_len"),
-      stop.as("stopword_ratio"),
-      rep.as("repetition_ratio"),
-      (wc.between(10, 1000) && awl.between(2.0, 12.0) &&
-        stop > 0.0 && rep < 0.3).as("keep"))
+      TextStats.wordCount(c).as("word_count"),
+      TextStats.avgWordLen(c).as("avg_word_len"),
+      TextStats.stopwordRatio(c).as("stopword_ratio"))
+    val distinctSh = Dedup.shingleSet(t(s, dir, "documents"), "doc_id", "text", 3)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("_d"))
+    base
+      .join(distinctSh, Seq("doc_id"), "left")
+      .withColumn("repetition_ratio",
+        when(col("word_count") < 3, lit(0.0))
+          .otherwise(lit(1.0) - coalesce(col("_d"), lit(0L)).cast("double") /
+            (col("word_count") - 2).cast("double")))
+      .select(
+        col("doc_id"), col("word_count"), col("avg_word_len"),
+        col("stopword_ratio"), col("repetition_ratio"),
+        (col("word_count").between(10, 1000) &&
+          col("avg_word_len").between(2.0, 12.0) &&
+          col("stopword_ratio") > 0.0 &&
+          col("repetition_ratio") < 0.3).as("keep"))
   }
 
   /** Near-dup CLUSTERS (not just pairs): connected components over the
@@ -463,4 +476,13 @@ object Queries {
   def q40NeardupClusters(s: SparkSession, dir: String): DataFrame =
     Dedup.nearDupClusters(t(s, dir, "documents"), "doc_id", "text",
       n = 3, minJaccard = 0.5)
+
+  /** Embedding-cosine near-dup pairs over a deterministic 20% sample
+    * (exact pairwise formulation is O(N²) — the sample keeps both sides of
+    * the differential check honest at every sf; the corpus-scale candidate
+    * generator is the LSH bucket path of q25). */
+  def q41EmbeddingNeardup(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDupPairs(
+      t(s, dir, "embeddings").filter(col("vec_id") % 5 === 0),
+      "vec_id", "embedding", minCosine = 0.45)
 }

@@ -59,6 +59,7 @@ object SparkEntry {
     "q38_categorize_full" -> (Queries.q38CategorizeFull(_, _)),
     "q39_quality_filter" -> (Queries.q39QualityFilter(_, _)),
     "q40_neardup_clusters" -> (Queries.q40NeardupClusters(_, _)),
+    "q41_embedding_neardup" -> (Queries.q41EmbeddingNeardup(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

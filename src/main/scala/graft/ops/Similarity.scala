@@ -42,6 +42,24 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
+  /** Embedding-cosine near-dup PAIRS (id_a < id_b, cosine >= minCosine) —
+    * the semantic-dedup counterpart of the n-gram Jaccard pairs. This is
+    * the exact formulation over the given frame: O(N²/2) — sample or
+    * pre-bucket (e.g. [[lshSignatures]] buckets as the candidate
+    * generator) before calling it at corpus scale. */
+  def cosineNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                         minCosine: Double): DataFrame = {
+    val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("_va"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("_na"))
+    val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("_vb"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("_nb"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", dot(col("_va"), col("_vb")) / (col("_na") * col("_nb")))
+      .filter(col("cosine") >= minCosine)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
   /** Exact top-k by cosine for each query vector (queries broadcast; rank
     * window partitions by query → parallel across queries). Norms are
     * precomputed once per SIDE, not once per pair — the aggregate() fold is

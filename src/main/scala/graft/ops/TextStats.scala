@@ -99,7 +99,12 @@ object TextStats {
 
   /** Fraction of repeated word n-grams in the document — the Gopher-style
     * within-document repetition signal (high ⇒ boilerplate/looping text).
-    * 0 for documents too short to have an n-gram. */
+    * 0 for documents too short to have an n-gram.
+    *
+    * Convenience form for small/ad-hoc frames: the shingle array is an
+    * interpreted HOF evaluated per reference — on corpus scans compute the
+    * same ratio from [[Dedup.shingleSet]] distinct counts instead (see
+    * q39 in [[graft.Queries]]). */
   def repetitionRatio(c: Column, n: Int = 3): Column = {
     val sh = Dedup.shingleArray(words(c), n)
     when(size(sh) === 0, lit(0.0))
