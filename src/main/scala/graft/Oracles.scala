@@ -485,6 +485,27 @@ object Oracles {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.45""".stripMargin,
 
+    "q42_region_rollup" ->
+      """SELECT r_name, CAST(year(o_orderdate) AS INT) AS order_year,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, order_year""".stripMargin,
+
+    "q43_json_extract" ->
+      """SELECT event_type,
+        |  CAST(count(k) AS BIGINT) AS n_with_k,
+        |  CAST(sum(k) AS BIGINT) AS sum_k,
+        |  CAST(min(k) AS INT) AS min_k,
+        |  CAST(max(k) AS INT) AS max_k
+        |FROM (SELECT event_type,
+        |        CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |      FROM events)
+        |GROUP BY event_type""".stripMargin,
+
     "q38_categorize_full" ->
       """WITH named AS (
         |  SELECT lower(p_name || ' / ' || p_type ||

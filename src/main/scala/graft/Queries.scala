@@ -485,4 +485,30 @@ object Queries {
     Similarity.cosineNearDupPairs(
       t(s, dir, "embeddings").filter(col("vec_id") % 5 === 0),
       "vec_id", "embedding", minCosine = 0.45)
+
+  /** J3 at full star depth: geographic rollup through the two-hop
+    * customer→nation→region dimension chain (both dim hops broadcast) —
+    * revenue per region per order year. */
+  def q42RegionRollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), year(col("o_orderdate")).as("order_year"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(20,4)")).cast("double").as("revenue"))
+
+  /** Semi-structured props: JSON field extraction over the events payload
+    * (the engine's path for the typed-metadata-in-JSON pattern every event
+    * pipeline carries), aggregated per event type. */
+  def q43JsonExtract(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("prop_k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(col("prop_k")).as("n_with_k"),
+        sum(col("prop_k").cast("long")).as("sum_k"),
+        min(col("prop_k")).as("min_k"),
+        max(col("prop_k")).as("max_k"))
 }

@@ -60,6 +60,8 @@ object SparkEntry {
     "q39_quality_filter" -> (Queries.q39QualityFilter(_, _)),
     "q40_neardup_clusters" -> (Queries.q40NeardupClusters(_, _)),
     "q41_embedding_neardup" -> (Queries.q41EmbeddingNeardup(_, _)),
+    "q42_region_rollup" -> (Queries.q42RegionRollup(_, _)),
+    "q43_json_extract" -> (Queries.q43JsonExtract(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
