@@ -246,9 +246,12 @@ object Oracles {
     "q21_ngram_jaccard" ->
       """WITH wrds AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
-        |sh AS (
+        |sh0 AS (
         |  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
         |  FROM wrds, LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i)),
+        |sh AS (
+        |  SELECT doc_id, shingle FROM sh0
+        |  QUALIFY count(*) OVER (PARTITION BY shingle) <= 200),
         |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS m FROM sh GROUP BY doc_id),
         |inter AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS intersection
@@ -450,9 +453,12 @@ object Oracles {
       """WITH RECURSIVE
         |wrds AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
-        |sh AS (
+        |sh0 AS (
         |  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
         |  FROM wrds, LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i)),
+        |sh AS (
+        |  SELECT doc_id, shingle FROM sh0
+        |  QUALIFY count(*) OVER (PARTITION BY shingle) <= 200),
         |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS m FROM sh GROUP BY doc_id),
         |inter AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS i

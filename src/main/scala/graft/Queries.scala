@@ -227,7 +227,8 @@ object Queries {
     * LSH recall < 1 means the pair set is hash-dependent. */
   def q19MinhashNeardup(s: SparkSession, dir: String): DataFrame =
     Dedup.minHashNearDupPairs(t(s, dir, "documents"), "doc_id", "text",
-      n = 3, k = 16, rowsPerBand = 2, minJaccard = 0.5)
+      n = 3, k = 16, rowsPerBand = 2, minJaccard = 0.5,
+      maxShingleDf = MaxShingleDf)
 
   /** Text analysis: token/char counts, punctuation & stopword ratios,
     * BPE-ish token estimate, composite quality score. */
@@ -244,11 +245,18 @@ object Queries {
       TextStats.qualityScore(c).as("quality_score"))
   }
 
+  /** Shingle document-frequency cap used by every shingle-join dedup query
+    * (q19/q21/q40) — drops corpus-boilerplate n-grams before the self-join
+    * so no single shingle can contribute O(df²) candidate pairs. Mirrored
+    * verbatim in the DuckDB oracles, so the capped semantics stay fully
+    * hash-checked. */
+  val MaxShingleDf = 200
+
   /** Exact word-3-gram Jaccard near-dup pairs — the oracle-checkable ground
     * truth the MinHash path approximates. */
   def q21NgramJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-      n = 3, minJaccard = 0.5)
+      n = 3, minJaccard = 0.5, maxShingleDf = MaxShingleDf)
 
   /** SimHash near-dup: 64-bit shingle fingerprint, 16-bit-chunk banding,
     * Hamming verify. Rows-only (xxhash64-based). */
@@ -288,7 +296,7 @@ object Queries {
     * lossless INCLUDING the null/'' distinction and double precision. */
   def q27CsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val sfTag = dir.replaceAll(".*/", "")
-    val path = s"/root/repo/target/csv_roundtrip/$sfTag/supplier"
+    val path = s"${Tables.scratchDir(s)}/csv_roundtrip/$sfTag/supplier"
     val schema = graft.schema.Schemas.supplier.add("s_note", org.apache.spark.sql.types.StringType)
     val df = t(s, dir, "supplier").withColumn("s_note",
       when(col("s_suppkey") % 7 === 0, lit(null).cast("string"))
@@ -475,7 +483,7 @@ object Queries {
     * corpus-scale dedup pipeline. */
   def q40NeardupClusters(s: SparkSession, dir: String): DataFrame =
     Dedup.nearDupClusters(t(s, dir, "documents"), "doc_id", "text",
-      n = 3, minJaccard = 0.5)
+      n = 3, minJaccard = 0.5, maxShingleDf = MaxShingleDf)
 
   /** Embedding-cosine near-dup pairs over a deterministic 20% sample
     * (exact pairwise formulation is O(N²) — the sample keeps both sides of

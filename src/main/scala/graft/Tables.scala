@@ -14,6 +14,14 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Scratch directory for queries with a write side (CSV round-trip, CTAS
+    * sinks): `spark.graft.scratchDir` when set, else a subdir of the JVM
+    * temp dir — never an absolute repo path, so any checkout/driver layout
+    * works. */
+  def scratchDir(spark: SparkSession): String =
+    spark.conf.getOption("spark.graft.scratchDir")
+      .getOrElse(s"${System.getProperty("java.io.tmpdir")}/graft-scratch")
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") events(spark, dir) else
       spark.read.parquet(s"$dir/$name.parquet")

@@ -109,6 +109,11 @@ object Similarity {
   /** Approximate top-k: candidates = vectors sharing any (table, sig)
     * bucket with the query, then exact cosine + rank over candidates only.
     * Recall rises with L tables; cost is bounded by bucket occupancy, not N².
+    *
+    * CACHING CONTRACT: the signature frame is persisted (it feeds both
+    * sides of the bucket join) and stays cached after the caller's first
+    * action; release executor storage with `spark.catalog.clearCache()`
+    * (what Bench/Verify do) when done with the result.
     */
   def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
               queryPred: Column, k: Int, tables: Int, bits: Int): DataFrame = {

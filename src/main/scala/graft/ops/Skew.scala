@@ -15,12 +15,24 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Join types for which salting preserves the unsalted-join result: the
+    * small side is replicated once per salt value, so any join type that
+    * emits UNMATCHED small-side rows (right/full) would emit each of them
+    * `salt` times instead of once. */
+  private val SaltableJoinTypes =
+    Set("inner", "left", "leftouter", "leftsemi", "leftanti")
+
   /** Equi-join `large ⋈ small` on `key`, salted `salt` ways. Result equals
     * the unsalted join (verified by tests); row→salt assignment just has to
-    * spread rows, not be reproducible across runs. */
+    * spread rows, not be reproducible across runs.
+    *
+    * Only inner/left/left_semi/left_anti are accepted: for right/full joins
+    * the replicated small side would surface unmatched rows `salt` times. */
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
                  salt: Int, joinType: String = "inner"): DataFrame = {
     require(salt > 1, "salt must be > 1")
+    require(SaltableJoinTypes(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin is only result-preserving for inner/left/left_semi/left_anti; got '$joinType'")
     val salted = large.withColumn("_salt",
       pmod(monotonically_increasing_id(), lit(salt.toLong)).cast("int"))
     val replicated = small.withColumn("_salt",

@@ -68,7 +68,14 @@ object Sessionize {
     }
     open.foreach { acc =>
       state.update(acc)
-      state.setTimeoutTimestamp(acc.lastMs + gapMs)
+      // flatMapGroupsWithState does NOT drop late rows itself, so a very
+      // late event can put acc.lastMs + gapMs BEHIND the current watermark —
+      // and setTimeoutTimestamp throws on a timestamp <= watermark, killing
+      // the query. Clamp to watermark + 1ms: the session then times out on
+      // the next trigger, which is the correct semantics for a session that
+      // (by watermark time) is already over.
+      state.setTimeoutTimestamp(
+        math.max(acc.lastMs + gapMs, state.getCurrentWatermarkMs() + 1))
     }
     closed.result().iterator
   }

@@ -65,6 +65,57 @@ class DedupSpec extends SparkSpec {
     clusters.size shouldBe 5 // every doc assigned
   }
 
+  test("capShingleDf kills the O(df²) blowup from one corpus-common shingle") {
+    // Adversarial corpus: 1000 docs that all share one boilerplate 3-gram
+    // but have unique tails. Uncapped, the shingle self-join emits
+    // 1000·999/2 candidate rows from that single shingle; capped, zero.
+    val rows = (0 until 1000).map(i =>
+      Row(i.toLong, s"common boiler plate tail$i unique$i only$i"))
+    val adv = df("id BIGINT, text STRING", rows)
+    val sh = Dedup.shingleSet(adv, "id", "text", 3)
+
+    def selfJoinRows(s: org.apache.spark.sql.DataFrame): Long =
+      s.select(col("id").as("a"), col("shingle"))
+        .join(s.select(col("id").as("b"), col("shingle")), Seq("shingle"))
+        .filter(col("a") < col("b")).count()
+
+    selfJoinRows(sh) shouldBe 1000L * 999 / 2 // the uncapped quadratic trap
+    val capped = Dedup.capShingleDf(sh, 100)
+    capped.groupBy("shingle").count().filter(col("count") > 100).count() shouldBe 0
+    selfJoinRows(capped) shouldBe 0
+    // and the full pair query completes without the blowup
+    Dedup.ngramJaccardPairs(adv, "id", "text", 3, 0.5, maxShingleDf = 100)
+      .count() shouldBe 0
+  }
+
+  test("DF cap leaves recall on the testdata corpus unchanged") {
+    val docs001 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def pairs(cap: Int) =
+      Dedup.ngramJaccardPairs(docs001, "doc_id", "text", 3, 0.5, maxShingleDf = cap)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs(graft.Queries.MaxShingleDf) shouldBe pairs(0)
+  }
+
+  test("nearDupClusters converges on a 50-node chain (pointer jumping + checkpointing)") {
+    // doc_i = "x_i x_{i+1} x_{i+2}": with 2-gram shingles, adjacent docs
+    // share 1 of 3 shingles (Jaccard 1/3), non-adjacent share none — a pure
+    // 50-node chain with graph diameter 49. Plain min-propagation needs ~49
+    // rounds; pointer jumping must converge within the default 20 (≈ log₂),
+    // and the run crosses the localCheckpoint boundary at round 5.
+    val chain = df("id BIGINT, text STRING",
+      (0 until 50).map(i => Row(i.toLong, s"x$i x${i + 1} x${i + 2}")))
+    val labels = Dedup.nearDupClusters(chain, "id", "text", 2, 0.3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    labels.size shouldBe 50
+    labels.values.toSet shouldBe Set(0L) // one component, min-id canonical
+  }
+
+  test("simHashNearDupPairs rejects maxHamming > 3 (recall guarantee would break)") {
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.simHashNearDupPairs(docs, "id", "text", maxHamming = 4)
+  }
+
   test("simHash: identical docs get identical fingerprints, pairs found at distance 0") {
     val fps = Dedup.simHash(docs, "id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

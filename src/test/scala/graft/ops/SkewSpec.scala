@@ -29,6 +29,15 @@ class SkewSpec extends SparkSpec {
     salted shouldBe plain
   }
 
+  test("saltedJoin rejects right/full joins (unmatched small rows would fan out ×salt)") {
+    an[IllegalArgumentException] should be thrownBy
+      Skew.saltedJoin(large, small, "k", salt = 4, joinType = "right")
+    an[IllegalArgumentException] should be thrownBy
+      Skew.saltedJoin(large, small, "k", salt = 4, joinType = "full_outer")
+    noException should be thrownBy
+      Skew.saltedJoin(large, small, "k", salt = 4, joinType = "left_semi")
+  }
+
   private object RowOrd extends Ordering[Seq[Any]] {
     def compare(a: Seq[Any], b: Seq[Any]): Int =
       a.mkString("|").compareTo(b.mkString("|"))

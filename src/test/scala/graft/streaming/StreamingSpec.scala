@@ -101,6 +101,18 @@ class StreamingSpec extends SparkSpec {
     state.exists shouldBe false
   }
 
+  test("Sessionize.updateUser: very late event does not schedule a timeout behind the watermark") {
+    // Watermark at 10,000,000 ms; a single event at 1,000 ms means
+    // lastMs + gap = 1,801,000 < watermark — an unclamped
+    // setTimeoutTimestamp would throw and kill the streaming query.
+    val state = TestGroupState.create[SessionAcc](
+      Optional.empty[SessionAcc](), GroupStateTimeout.EventTimeTimeout,
+      1000L, Optional.of(java.lang.Long.valueOf(10000000L)), false)
+    noException should be thrownBy Sessionize.updateUser(1800 * 1000L)(
+      1L, Iterator(Event(1L, new Timestamp(1000L), 1L, "click", 1.0)), state)
+    state.getTimeoutTimestampMs.get() should be > 10000000L
+  }
+
   test("Sessionize end-to-end over MemoryStream emits gap-closed sessions") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
