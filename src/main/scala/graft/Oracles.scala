@@ -207,7 +207,32 @@ object Oracles {
         |FROM scored""".stripMargin,
 
     // ==== LLM-data-pipeline extension. q19/q22/q25 are intentionally absent
-    // (xxhash64-based LSH — not SQL-portable; driver rows-only check). ====
+    // (xxhash64-based LSH — not SQL-portable; driver rows-only check;
+    // recall is quantified against the exact ground truths in RecallSpec). ====
+
+    // q36's exported columns are all deterministic (byte length, md5, the
+    // frame-offset arithmetic, the constant feature width) — only the
+    // xxhash-derived feature VALUES are non-portable, and they are not in
+    // the output. explode_outer's null-row-for-empty-array semantics is the
+    // UNION ALL of the non-video branch.
+    "q36_multimodal" ->
+      """WITH assets AS (
+        |  SELECT doc_id AS asset_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |         WHEN doc_id % 3 = 1 THEN 'audio'
+        |         ELSE 'video' END AS media_type,
+        |    CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
+        |    md5(text) AS checksum,
+        |    doc_id % 1000 * 40 + 1000 AS duration_ms
+        |  FROM documents)
+        |SELECT asset_id, media_type, n_bytes, checksum,
+        |  CAST(8 AS INT) AS n_features, CAST(NULL AS BIGINT) AS frame_ms
+        |FROM assets WHERE media_type <> 'video'
+        |UNION ALL
+        |SELECT asset_id, media_type, n_bytes, checksum,
+        |  CAST(8 AS INT) AS n_features,
+        |  CAST(unnest(generate_series(0, CAST(duration_ms AS BIGINT) - 1, 5000)) AS BIGINT) AS frame_ms
+        |FROM assets WHERE media_type = 'video'""".stripMargin,
 
     "q18_exact_dedup" ->
       """WITH h AS (

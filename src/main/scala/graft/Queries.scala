@@ -398,9 +398,11 @@ object Queries {
   def q35Sessionize(s: SparkSession, dir: String): DataFrame =
     graft.streaming.EventStream.sessionize(t(s, dir, "events"), gapSeconds = 1800)
 
-  /** Multimodal plumbing (rows-only: decode/features are the documented
-    * deterministic stubs): binary assets → decode + features + video frame
-    * sampling. */
+  /** Multimodal plumbing: binary assets → decode + features + video frame
+    * sampling. decode/features are the documented deterministic stubs, but
+    * every EXPORTED column (byte length, md5 checksum, feature width,
+    * frame offsets) is deterministic → fully DuckDB-oracle-checked; only
+    * the unexported xxhash-derived feature values are non-portable. */
   def q36Multimodal(s: SparkSession, dir: String): DataFrame =
     Multimodal.extract(
       Multimodal.syntheticAssets(t(s, dir, "documents"), "doc_id", "text"))

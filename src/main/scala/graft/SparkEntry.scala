@@ -51,7 +51,7 @@ object SparkEntry {
     "q31_minmax_avg" -> (Queries.q31MinMaxAvg(_, _)),
     "q32_dup_audit_window" -> (Queries.q32DupAuditWindow(_, _)),
     "q33_dense_key_scale" -> (Queries.q33DenseKeyScale(_, _)),
-    // Streaming + multimodal extension (q36 rows-only: stubbed decode)
+    // Streaming + multimodal extension
     "q34_event_window_agg" -> (Queries.q34EventWindowAgg(_, _)),
     "q35_sessionize" -> (Queries.q35Sessionize(_, _)),
     "q36_multimodal" -> (Queries.q36Multimodal(_, _)),

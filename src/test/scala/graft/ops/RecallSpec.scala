@@ -1,0 +1,133 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Measured recall/precision for the three LSH paths (q19 MinHash, q22
+  * SimHash, q25 ANN-LSH) against the oracle-checked EXACT ground truths
+  * already in the suite (q21 n-gram Jaccard, q24 brute-force top-k) — the
+  * driver can only rows-check the hash-dependent sketches, so this is
+  * where their correctness is quantified rather than asserted.
+  *
+  * Thresholds are derived from the banding math, not tuned to the data:
+  *  - MinHash, b bands of r rows: P(pair with true Jaccard s is caught)
+  *    = 1 − (1 − s^r)^b. Expected recall over a pair set = mean of that
+  *    per-pair probability at each pair's TRUE (oracle-checked) Jaccard.
+  *  - SimHash, 4×16-bit chunk banding at maxHamming ≤ 3: pigeonhole makes
+  *    candidate generation EXACT, so the assertion is set equality, not a
+  *    bound.
+  *  - Hyperplane LSH, L tables of `bits` bits: P(pair with cosine c shares
+  *    a signature in one table) = (1 − θ/π)^bits with θ = arccos(c);
+  *    P(candidate) = 1 − (1 − p)^L. Expected recall = mean over the exact
+  *    top-k pairs at their TRUE cosines.
+  *
+  * Measured recall must be within SLACK of the math's expectation (finite
+  * pair sets bounce around the mean) — a regression in hashing, banding or
+  * bucket joins shows up as a collapse well past that band.
+  */
+class RecallSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.01"
+  private val docs = spark.read.parquet(s"$dir/documents.parquet")
+  private val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+  private val Slack = 0.15
+
+  test("q19 MinHash recall matches the banding math against exact Jaccard pairs") {
+    val (k, r, minJ) = (16, 2, 0.5)
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, minJ,
+        maxShingleDf = graft.Queries.MaxShingleDf)
+      .select(col("doc_a"), col("doc_b"), col("jaccard")).collect()
+      .map(row => (row.getLong(0), row.getLong(1)) -> row.getDouble(2)).toMap
+    val mh = Dedup.minHashNearDupPairs(docs, "doc_id", "text", 3, k, r, minJ,
+        maxShingleDf = graft.Queries.MaxShingleDf)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(row => (row.getLong(0), row.getLong(1))).toSet
+    spark.catalog.clearCache()
+
+    exact should not be empty
+    // Precision is 1.0 by construction: candidates are verified with the
+    // exact Jaccard before emission.
+    mh.subsetOf(exact.keySet) shouldBe true
+
+    val expectedRecall = exact.values
+      .map(s => 1.0 - math.pow(1.0 - math.pow(s, r), k.toDouble / r)).sum / exact.size
+    val measuredRecall = mh.count(exact.keySet).toDouble / exact.size
+    info(f"minhash recall: measured $measuredRecall%.3f, banding-math expectation $expectedRecall%.3f over ${exact.size} exact pairs")
+    measuredRecall should be >= (expectedRecall - Slack)
+  }
+
+  test("q22 SimHash banding is exact at maxHamming <= 3 (pigeonhole): equals brute force") {
+    val fp = Dedup.simHash(docs, "doc_id", "text").persist()
+    val bruteForce = fp.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
+      .crossJoin(fp.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b")))
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= 3)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(row => (row.getLong(0), row.getLong(1))).toSet
+    val banded = Dedup.simHashNearDupPairs(docs, "doc_id", "text", maxHamming = 3)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(row => (row.getLong(0), row.getLong(1))).toSet
+    spark.catalog.clearCache()
+
+    banded shouldBe bruteForce
+    info(s"simhash: ${banded.size} pairs, banding == brute force (recall 1.0, precision 1.0)")
+  }
+
+  test("q25 ANN-LSH top-k recall matches the hyperplane math against exact top-k") {
+    val (kTop, tables, bits) = (5, 4, 8)
+    val pred = col("vec_id") % 50 === 0
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", pred, kTop)
+      .select(col("query_id"), col("cand_id"), col("cosine")).collect()
+      .map(row => (row.getLong(0), row.getLong(1)) -> row.getDouble(2)).toMap
+    val lsh = Similarity.lshTopK(emb, "vec_id", "embedding", pred, kTop, tables, bits)
+      .select(col("query_id"), col("cand_id")).collect()
+      .map(row => (row.getLong(0), row.getLong(1))).toSet
+    spark.catalog.clearCache()
+
+    exact should not be empty
+    val expectedRecall = exact.values.map { c =>
+      val theta = math.acos(math.max(-1.0, math.min(1.0, c)))
+      val pTable = math.pow(1.0 - theta / math.Pi, bits)
+      1.0 - math.pow(1.0 - pTable, tables)
+    }.sum / exact.size
+    val measuredRecall = lsh.count(exact.keySet).toDouble / exact.size
+    info(f"ann-lsh recall: measured $measuredRecall%.3f, hyperplane-math expectation $expectedRecall%.3f over ${exact.size} exact top-$kTop pairs")
+    measuredRecall should be >= (expectedRecall - Slack)
+    // NB: the testdata embeddings are near-random (top-5 cosines ≈ 0.35),
+    // where ANY hyperplane LSH has low recall BY THE MATH — the planted
+    // test below shows the recall the operator delivers when neighbors are
+    // actually near, which is the ANN dedup use case.
+  }
+
+  test("ANN-LSH finds planted near-duplicates (cosine ≈ 0.99) with high recall") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rnd = new scala.util.Random(42) // fixed seed — deterministic test
+    val dims = 16
+    val rows = (0 until 200).flatMap { i =>
+      val base = Array.fill(dims)(rnd.nextGaussian().toFloat)
+      val near = base.map(x => x + 0.05f * rnd.nextGaussian().toFloat)
+      Seq(Row(i.toLong, base.toSeq), Row((1000 + i).toLong, near.toSeq))
+    }
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val planted = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4), schema)
+
+    // Each planted query's true nearest neighbor is its base vector; at
+    // cosine ≈ 0.99 the hyperplane math gives per-table p ≈ 0.69 and
+    // 4-table recall ≈ 0.99.
+    val top1 = Similarity.lshTopK(planted, "vec_id", "embedding",
+        col("vec_id") >= 1000, k = 1, tables = 4, bits = 8)
+      .filter(col("rank") === 1)
+      .select(col("query_id"), col("cand_id")).collect()
+      .map(row => row.getLong(0) -> row.getLong(1)).toMap
+    spark.catalog.clearCache()
+
+    val hits = (0 until 200).count(i => top1.get(1000L + i).contains(i.toLong))
+    info(f"planted-pair recall: ${hits / 200.0}%.3f (${hits}/200)")
+    hits / 200.0 should be >= 0.85
+  }
+}
