@@ -537,6 +537,203 @@ object Oracles {
         |      FROM events)
         |GROUP BY event_type""".stripMargin,
 
+    // Full-reference-width silver: the same 58-column projection as
+    // Silver.fullWidthOrders, expression for expression, same operation
+    // order in every double computation.
+    "q44_full_width_silver" ->
+      """WITH synth AS (
+        |  SELECT o_orderkey AS k, o_custkey, o_orderstatus, o_totalprice, o_orderpriority,
+        |    CAST(o_orderdate AS DATE) AS od,
+        |    CASE WHEN o_orderkey % 13 = 0 THEN NULL
+        |         ELSE CAST(FLOOR(o_totalprice / 100.0) AS INT) END AS enroll_raw,
+        |    CASE WHEN o_orderkey % 4 = 0 THEN NULL ELSE CAST(o_orderkey % 4 AS INT) END AS arms,
+        |    CASE WHEN o_orderkey % 6 = 0 THEN CAST(o_orderkey % 7 AS INT) ELSE NULL END AS n_groups,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN 't' WHEN o_orderkey % 3 = 1 THEN 'f' END AS tf_dmc,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN 't' WHEN o_orderkey % 5 = 2 THEN 'f' END AS tf_fda,
+        |    CASE WHEN o_orderkey % 4 = 0 THEN 't' WHEN o_orderkey % 4 = 1 THEN 'f' END AS tf_exp,
+        |    CASE WHEN o_orderkey % 10 = 0 THEN NULL
+        |         ELSE CAST(o_orderdate AS DATE) + CAST(o_orderkey % 200 AS INT) END AS compl_raw,
+        |    CASE WHEN o_orderkey % 9 = 0 THEN NULL
+        |         ELSE CAST(o_orderdate AS DATE) + 30 END AS verif_raw,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN NULL
+        |         ELSE CAST(o_orderkey % 40 AS VARCHAR) || ' ' ||
+        |              (CASE WHEN o_orderkey % 5 = 0 THEN 'Days'
+        |                    WHEN o_orderkey % 5 = 1 THEN 'Weeks'
+        |                    WHEN o_orderkey % 5 = 2 THEN 'Months'
+        |                    WHEN o_orderkey % 5 = 3 THEN 'Years'
+        |                    ELSE '' END) END AS dur_txt,
+        |    CASE WHEN o_orderkey % 17 = 1 THEN 'terminated due to slow recruitment and safety concerns'
+        |         WHEN o_orderkey % 17 = 2 THEN 'funding was withdrawn by the sponsor'
+        |         WHEN o_orderkey % 17 = 3 THEN 'serious adverse events observed'
+        |         WHEN o_orderkey % 17 = 4 THEN 'futility declared for the primary endpoint'
+        |         WHEN o_orderkey % 17 = 5 THEN 'strategic reprioritization of the portfolio'
+        |         WHEN o_orderkey % 17 = 6 THEN 'principal investigator left the institution'
+        |         WHEN o_orderkey % 17 = 7 THEN 'study completed ahead of schedule'
+        |         WHEN o_orderkey % 17 = 8 THEN 'covid-19 pandemic restrictions'
+        |         WHEN o_orderkey % 17 = 9 THEN 'regulatory review imposed by the fda'
+        |         WHEN o_orderkey % 17 = 10 THEN 'drug supply shortage at sites'
+        |         WHEN o_orderkey % 17 = 11 THEN 'ethics committee raised objections'
+        |         WHEN o_orderkey % 17 = 12 THEN 'sponsor elected to discontinue the study'
+        |         WHEN o_orderkey % 17 = 13 THEN 'interim analysis scheduled review'
+        |         WHEN o_orderkey % 17 = 14 THEN 'dsmb recommended closure'
+        |         WHEN o_orderkey % 17 = 15 THEN 'study placed on administrative hold'
+        |         WHEN o_orderkey % 17 = 16 THEN 'site agreement withdrawn' END AS ws,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN NULL
+        |         ELSE 'ACR' || CAST(o_orderkey % 100 AS VARCHAR) END AS acronym,
+        |    CASE WHEN o_orderkey % 8 = 0 THEN NULL
+        |         ELSE 'Trial of ' || o_orderpriority END AS raw_title,
+        |    CASE WHEN o_orderkey % 11 = 0 THEN NULL ELSE o_totalprice END AS price_raw,
+        |    o_orderpriority || ', ' || o_orderstatus AS org_nm,
+        |    NULLIF(o_orderpriority, '3-MEDIUM') AS phase,
+        |    CASE WHEN o_orderkey % 2 = 0 THEN 'INTERVENTIONAL' ELSE 'OBSERVATIONAL' END AS study_type
+        |  FROM orders),
+        |c AS (
+        |  SELECT *,
+        |    CASE WHEN od IS NULL OR od > DATE '1998-08-01' THEN DATE '1998-08-01' ELSE od END AS od_clean,
+        |    CASE WHEN enroll_raw IS NULL THEN 0 WHEN enroll_raw > 2000 THEN 2000 ELSE enroll_raw END AS enroll_capped,
+        |    CAST(COALESCE(arms, n_groups, 0) AS INT) AS arms_count,
+        |    CASE WHEN price_raw IS NULL THEN 0 WHEN price_raw > 200000.0 THEN 200000.0 ELSE price_raw END AS price_capped,
+        |    CAST(FLOOR(
+        |      (CASE WHEN regexp_matches(regexp_replace(dur_txt, '[^0-9.]', '', 'g'), '^[0-9]+(\.[0-9]+)?$')
+        |            THEN CAST(regexp_replace(dur_txt, '[^0-9.]', '', 'g') AS DOUBLE) END) *
+        |      (CASE WHEN lower(dur_txt) LIKE '%year%' THEN 365.0
+        |            WHEN lower(dur_txt) LIKE '%month%' THEN 30.0
+        |            WHEN lower(dur_txt) LIKE '%week%' THEN 7.0
+        |            ELSE 1.0 END)) AS BIGINT) AS dur_d
+        |  FROM synth)
+        |SELECT k AS o_orderkey, o_custkey,
+        |  CASE WHEN o_orderstatus = 'O' THEN 'Open'
+        |       WHEN o_orderstatus = 'F' THEN 'Finished'
+        |       WHEN o_orderstatus = 'P' THEN 'Pending'
+        |       ELSE 'Unknown' END AS status_desc,
+        |  COALESCE(NULLIF(o_orderpriority, '5-LOW'), 'Not specified') AS priority_clean,
+        |  phase,
+        |  CASE WHEN phase IN ('1-URGENT', '2-HIGH') THEN 'High'
+        |       WHEN phase IN ('4-NOT SPECIFIED') THEN 'Not applicable'
+        |       ELSE 'Other' END AS phase_recode,
+        |  CASE WHEN o_totalprice > 200000 THEN 'High'
+        |       WHEN o_totalprice > 100000 THEN 'Medium'
+        |       ELSE 'Low' END AS value_band,
+        |  enroll_raw AS enrollment,
+        |  enroll_capped AS enrollment_capped,
+        |  CASE WHEN enroll_raw IS NULL THEN 'Missing'
+        |       WHEN enroll_raw > 2000 THEN 'Capped'
+        |       ELSE 'Original' END AS enrollment_flag,
+        |  arms_count,
+        |  CASE WHEN tf_dmc = 't' THEN 'Yes' WHEN tf_dmc = 'f' THEN 'No' ELSE 'Unknown' END AS has_dmc,
+        |  CASE WHEN tf_fda = 't' THEN 'Yes' WHEN tf_fda = 'f' THEN 'No' ELSE 'Unknown' END AS is_fda_regulated,
+        |  CASE WHEN tf_exp = 't' THEN 'Yes' WHEN tf_exp = 'f' THEN 'No' ELSE 'Unknown' END AS expanded_access,
+        |  od_clean AS order_date_clean,
+        |  CASE WHEN od IS NULL OR od > DATE '1998-08-01' THEN 'Imputed' ELSE 'Actual' END AS order_date_type,
+        |  CASE WHEN compl_raw IS NULL OR compl_raw > DATE '1998-08-01' THEN DATE '1998-08-01' ELSE compl_raw END AS completion_date_clean,
+        |  CASE WHEN compl_raw IS NULL OR compl_raw > DATE '1998-08-01' THEN 'Imputed' ELSE 'Actual' END AS completion_date_type,
+        |  CASE WHEN verif_raw IS NULL OR verif_raw > DATE '1998-08-01' THEN DATE '1998-08-01' ELSE verif_raw END AS verification_date_clean,
+        |  CASE WHEN verif_raw IS NULL OR verif_raw > DATE '1998-08-01' THEN 'Imputed' ELSE 'Actual' END AS verification_date_type,
+        |  dur_txt AS target_duration,
+        |  CAST(CASE WHEN dur_d > 10950 THEN 10950 ELSE dur_d END AS INT) AS duration_days,
+        |  CASE WHEN dur_d IS NULL THEN 'Not specified'
+        |       WHEN dur_d > 10950 THEN 'Capped'
+        |       ELSE 'Original' END AS duration_flag,
+        |  CASE WHEN dur_txt IS NULL THEN NULL
+        |       ELSE split_part(dur_txt, ' ', 1) END AS duration_first_token,
+        |  ws AS why_stopped,
+        |  CASE WHEN ws IS NULL THEN 'Not Stopped'
+        |       ELSE CASE
+        |    WHEN lower(ws) LIKE '%recruit%' OR lower(ws) LIKE '%enroll%' THEN 'Recruitment Issues'
+        |    WHEN lower(ws) LIKE '%funding%' OR lower(ws) LIKE '%budget%' THEN 'Funding Issues'
+        |    WHEN lower(ws) LIKE '%adverse%' OR lower(ws) LIKE '%safety%' OR lower(ws) LIKE '%toxicity%' THEN 'Safety Concerns'
+        |    WHEN lower(ws) LIKE '%efficacy%' OR lower(ws) LIKE '%futility%' THEN 'Efficacy Issues'
+        |    WHEN lower(ws) LIKE '%business%' OR lower(ws) LIKE '%strategic%' THEN 'Business Decision'
+        |    WHEN lower(ws) LIKE '%investigator%' THEN 'PI Departure'
+        |    WHEN lower(ws) LIKE '%completed%' THEN 'Completed Early'
+        |    WHEN lower(ws) LIKE '%covid%' OR lower(ws) LIKE '%pandemic%' THEN 'COVID-19'
+        |    WHEN lower(ws) LIKE '%regulatory%' OR lower(ws) LIKE '%fda%' THEN 'Regulatory Hold'
+        |    WHEN lower(ws) LIKE '%supply%' OR lower(ws) LIKE '%shortage%' THEN 'Supply Issues'
+        |    WHEN lower(ws) LIKE '%ethics%' OR lower(ws) LIKE '%irb%' THEN 'Ethics Committee'
+        |    WHEN lower(ws) LIKE '%sponsor%' THEN 'Sponsor Decision'
+        |    WHEN lower(ws) LIKE '%interim%' THEN 'Interim Analysis'
+        |    WHEN lower(ws) LIKE '%dsmb%' OR lower(ws) LIKE '%monitoring%' THEN 'DSMB Decision'
+        |    WHEN lower(ws) LIKE '%hold%' THEN 'On Hold'
+        |    WHEN lower(ws) LIKE '%withdrawn%' OR lower(ws) LIKE '%withdrew%' THEN 'Withdrawn'
+        |    ELSE 'Other' END END AS why_stopped_category,
+        |  CAST(year(od_clean) AS INT) AS order_year,
+        |  CAST(quarter(od_clean) AS INT) AS order_quarter,
+        |  CAST(month(od_clean) AS INT) AS order_month,
+        |  monthname(od_clean) AS order_month_name,
+        |  dayname(od_clean) AS order_day_name,
+        |  CAST(dayofweek(od_clean) AS INT) AS order_dow,
+        |  dayofweek(od_clean) IN (0, 6) AS is_weekend,
+        |  CAST(weekofyear(od_clean) AS INT) AS week_of_year,
+        |  CAST(strftime(od_clean, '%Y%m%d') AS INT) AS date_key,
+        |  CAST(date_trunc('month', od_clean) AS DATE) AS month_start,
+        |  CAST(date_diff('day', DATE '1995-01-01', od_clean) AS INT) AS days_from_epoch,
+        |  'Q' || CAST(quarter(od_clean) AS VARCHAR) || '-' || CAST(year(od_clean) AS VARCHAR) AS quarter_label,
+        |  COALESCE(acronym, '[No Acronym defined]') AS acronym_clean,
+        |  COALESCE(raw_title, '[Not Defined]') AS title_clean,
+        |  lower(trim(COALESCE(raw_title, 'untitled'))) AS brief_title_lower,
+        |  COALESCE(NULLIF(o_orderstatus, 'P'), 'Unknown') AS source_name,
+        |  replace('CLASS_' || o_orderstatus, '_', ' ') AS source_class,
+        |  org_nm AS org_name,
+        |  CASE WHEN strpos(org_nm, ',') > 0
+        |       THEN substring(org_nm, 1, strpos(org_nm, ',') - 1)
+        |       ELSE org_nm END AS org_before_comma,
+        |  CAST(strpos(org_nm, ',') AS INT) AS comma_pos,
+        |  lower(trim('  Sponsor ' || CAST(k % 50 AS VARCHAR) || '  ')) AS lead_sponsor_clean,
+        |  study_type,
+        |  study_type = 'INTERVENTIONAL' AS is_interventional,
+        |  price_capped,
+        |  CASE WHEN price_raw IS NULL THEN 'Missing'
+        |       WHEN price_raw > 200000.0 THEN 'Capped'
+        |       ELSE 'Original' END AS price_flag,
+        |  o_totalprice / CAST(enroll_capped + 1 AS DOUBLE) AS price_per_enroll,
+        |  ROUND(0.4 * least(1.0, CAST(enroll_capped AS DOUBLE) / 1000.0)
+        |      + 0.3 * (price_capped / 200000.0)
+        |      + 0.2 * (1.0 / (1.0 + CAST(arms_count AS DOUBLE)))
+        |      + 0.1 * (CASE WHEN od_clean >= DATE '1997-01-01' THEN 1.0 ELSE 0.0 END), 6) AS weighted_score,
+        |  CAST(k % 10 AS DOUBLE) / (CAST(k % 7 AS DOUBLE) + 1.0) AS momentum_ratio,
+        |  CAST(CASE WHEN o_orderpriority = '1-URGENT' THEN 1
+        |            WHEN o_orderpriority = '2-HIGH' THEN 2
+        |            WHEN o_orderpriority = '3-MEDIUM' THEN 3
+        |            WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 4
+        |            WHEN o_orderpriority = '5-LOW' THEN 5
+        |            ELSE 0 END AS INT) AS priority_rank,
+        |  od_clean >= DATE '1997-01-01' AS is_recent,
+        |  o_orderstatus = 'F' AS status_is_final,
+        |  'NCT' || lpad(CAST(k AS VARCHAR), 9, '0') AS nct_like_id
+        |FROM c""".stripMargin,
+
+    "q45_dim_dates_append" ->
+      """SELECT CAST(strftime(full_date, '%Y%m%d') AS INT) AS date_key,
+        |  full_date,
+        |  CAST(year(full_date) AS INT) AS year,
+        |  CAST(quarter(full_date) AS INT) AS quarter,
+        |  CAST(month(full_date) AS INT) AS month,
+        |  monthname(full_date) AS month_name,
+        |  CAST(day(full_date) AS INT) AS day_of_month,
+        |  dayname(full_date) AS day_name,
+        |  CAST(weekofyear(full_date) AS INT) AS week_of_year,
+        |  CAST(dayofweek(full_date) AS INT) AS day_of_week,
+        |  dayofweek(full_date) IN (0, 6) AS is_weekend
+        |FROM (SELECT CAST(unnest(generate_series(DATE '1995-01-01', DATE '1996-12-31', INTERVAL 1 DAY)) AS DATE) AS full_date
+        |      UNION ALL
+        |      SELECT CAST(unnest(generate_series(DATE '1997-01-01', DATE '1998-12-31', INTERVAL 1 DAY)) AS DATE))""".stripMargin,
+
+    "q46_bucketed_join" ->
+      """SELECT o_orderkey,
+        |  max(o_totalprice) AS total_price,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(20,6))) AS DOUBLE) AS revenue,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS total_qty
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderkey""".stripMargin,
+
+    "q47_salted_join" ->
+      """SELECT p_brand,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS total_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand""".stripMargin,
+
     "q38_categorize_full" ->
       """WITH named AS (
         |  SELECT lower(p_name || ' / ' || p_type ||

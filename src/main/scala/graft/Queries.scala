@@ -509,6 +509,73 @@ object Queries {
         count(lit(1)).as("n_orders"),
         sum(col("o_totalprice").cast("decimal(20,4)")).cast("double").as("revenue"))
 
+  /** Silver at FULL reference width: the ~58-column cleaned projection of
+    * `aact_silver_layer.sql:14-362` in one narrow map stage, including the
+    * 16-branch why_stopped categorizer (`:195-210`). PlanSpec asserts the
+    * whole 60-expression projection stays inside whole-stage codegen with
+    * zero shuffles. */
+  def q44FullWidthSilver(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Silver.fullWidthOrders(t(s, dir, "orders"))
+
+  /** S6 (INSERT-SELECT append sink) + S8 (post-write uniqueness assertion)
+    * surfaced as a driver-checked query: dim_dates built in two slices —
+    * CTAS overwrite then append, exactly `aact_gold_layer.sql:92-125`'s
+    * CREATE TABLE + INSERT INTO — read back and S8-verified; the oracle is
+    * the UNION ALL of the two generated ranges. */
+  def q45DimDatesAppend(s: SparkSession, dir: String): DataFrame = {
+    val sfTag = dir.replaceAll(".*/", "")
+    val path = s"${Tables.scratchDir(s)}/dim_dates_append/$sfTag"
+    DateDim.dateDim(s, "1995-01-01", "1996-12-31")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+    DateDim.dateDim(s, "1997-01-01", "1998-12-31")
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(path)
+    val dim = s.read.parquet(path)
+    Star.assertUnique(dim, Seq("date_key"), "dim_dates_append")
+    dim
+  }
+
+  /** Bucketed co-located join — the 100 TB fact↔fact path: both sides
+    * hash-bucketed AND sorted on the join key at write time, so the join
+    * AND the same-key aggregation afterwards plan with ZERO Exchange (the
+    * bucket layout is the shuffle, paid once, amortized over every
+    * downstream query on that key). PlanSpec asserts no Exchange of any
+    * kind in the physical plan. */
+  def q46BucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val sfTag = dir.replaceAll(".*/", "").replace(".", "_")
+    val ordersTbl = s"graft_bkt_orders_$sfTag"
+    val lineitemTbl = s"graft_bkt_lineitem_$sfTag"
+    graft.sources.Bucketed.write(
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice")),
+      ordersTbl, Seq("o_orderkey"), numBuckets = 8)
+    graft.sources.Bucketed.write(
+      t(s, dir, "lineitem").select(col("l_orderkey").as("o_orderkey"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+      lineitemTbl, Seq("o_orderkey"), numBuckets = 8)
+    graft.sources.Bucketed.read(s, ordersTbl).hint("merge")
+      .join(graft.sources.Bucketed.read(s, lineitemTbl), Seq("o_orderkey"))
+      .groupBy(col("o_orderkey"))
+      .agg(
+        max(col("o_totalprice")).as("total_price"),
+        count(lit(1)).as("n_lines"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(20,6)")).cast("double").as("revenue"),
+        sum(col("l_quantity").cast("decimal(20,4)")).cast("double").as("total_qty"))
+  }
+
+  /** Salted skew join surfaced as a driver-checked query: the hot-key
+    * mitigation ([[Skew.saltedJoin]] — large side salted, small side
+    * replicated per salt) must return EXACTLY the plain join's rows; the
+    * oracle is that plain join. */
+  def q47SaltedJoin(s: SparkSession, dir: String): DataFrame =
+    Skew.saltedJoin(
+      t(s, dir, "lineitem").select(col("l_partkey").as("p_partkey"), col("l_quantity")),
+      t(s, dir, "part").select(col("p_partkey"), col("p_brand")),
+      "p_partkey", salt = 4, joinType = "inner")
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(col("l_quantity").cast("decimal(20,4)")).cast("double").as("total_qty"))
+
   /** Semi-structured props: JSON field extraction over the events payload
     * (the engine's path for the typed-metadata-in-JSON pattern every event
     * pipeline carries), aggregated per event type. */

@@ -62,6 +62,10 @@ object SparkEntry {
     "q41_embedding_neardup" -> (Queries.q41EmbeddingNeardup(_, _)),
     "q42_region_rollup" -> (Queries.q42RegionRollup(_, _)),
     "q43_json_extract" -> (Queries.q43JsonExtract(_, _)),
+    "q44_full_width_silver" -> (Queries.q44FullWidthSilver(_, _)),
+    "q45_dim_dates_append" -> (Queries.q45DimDatesAppend(_, _)),
+    "q46_bucketed_join" -> (Queries.q46BucketedJoin(_, _)),
+    "q47_salted_join" -> (Queries.q47SaltedJoin(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

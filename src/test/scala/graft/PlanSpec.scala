@@ -42,6 +42,20 @@ class PlanSpec extends SparkSpec {
     plan(Queries.q11ConditionalAgg) should include("partial_sum")
   }
 
+  test("q44: the 58-column silver projection is one codegen'd map stage — no shuffle") {
+    val p = plan(Queries.q44FullWidthSilver)
+    p should not include "Exchange"   // narrow map: Scan → Project only
+    // the whole 60-expression projection must not fall back to interpreted
+    // evaluation: toString marks codegen membership with a "*(stage)"
+    // prefix — Project and the scan's ColumnarToRow must share ONE span
+    p should include("*(1) Project")
+    p should include("*(1) ColumnarToRow")
+  }
+
+  test("q46: bucketed join + same-key agg plan with ZERO Exchange of any kind") {
+    plan(Queries.q46BucketedJoin) should not include "Exchange"
+  }
+
   test("no query plan contains a CollectLimit-to-driver loop or cartesian product") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = fn(spark, dir).queryExecution.executedPlan.toString
