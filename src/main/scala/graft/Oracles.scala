@@ -734,6 +734,89 @@ object Oracles {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand""".stripMargin,
 
+    "q48_vocab_topk" ->
+      """SELECT lower(w) AS token, CAST(count(*) AS BIGINT) AS n
+        |FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents)
+        |GROUP BY token
+        |ORDER BY n DESC, token
+        |LIMIT 100""".stripMargin,
+
+    "q49_pii_redact" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    text || ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com or +1-555-' ||
+        |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t2
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, t2,
+        |    regexp_replace(regexp_replace(t2,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\+1-555-[0-9]{4}', '<PHONE>', 'g') AS red
+        |  FROM s)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t2, '\+1-555-[0-9]{4}')) AS INT) AS n_phones,
+        |  md5(red) AS redacted_hash,
+        |  CAST(length(red) AS INT) AS redacted_len
+        |FROM r""".stripMargin,
+
+    "q50_hash_split" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang,
+        |    (ascii(substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 31 +
+        |     ascii(substring(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 100 AS split_bucket,
+        |    (ascii(substring(md5('smp:' || lang || ':' || CAST(doc_id AS VARCHAR)), 1, 1)) * 31 +
+        |     ascii(substring(md5('smp:' || lang || ':' || CAST(doc_id AS VARCHAR)), 2, 1))) % 100 AS smp_bucket
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(split_bucket AS INT) AS split_bucket,
+        |  CASE WHEN split_bucket < 80 THEN 'train'
+        |       WHEN split_bucket < 90 THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  smp_bucket < 10 AS in_10pct_sample
+        |FROM b""".stripMargin,
+
+    "q51_jsonl_roundtrip" ->
+      """SELECT doc_id, text,
+        |  CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang,
+        |  source, n_chars
+        |FROM documents""".stripMargin,
+
+    // IVF-flat ANN: every step is deterministic arithmetic (no hashes), so
+    // unlike the LSH path this approximate index is FULLY hash-checked —
+    // same centroid seeds, same list assignment, same probes, same ranks.
+    "q52_ann_ivf_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings),
+        |cents AS (
+        |  SELECT vec_id AS centroid_id, v AS cv, nrm AS cn FROM e WHERE vec_id % 25 = 0),
+        |scored AS (
+        |  SELECT e.vec_id, c.centroid_id,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_dot_product(e.v, c.cv) / (e.nrm * c.cn) DESC, c.centroid_id) AS r
+        |  FROM e, cents c),
+        |lists AS (SELECT vec_id AS cand_id, centroid_id FROM scored WHERE r = 1),
+        |probes AS (SELECT vec_id AS query_id, centroid_id FROM scored
+        |           WHERE vec_id % 50 = 0 AND r <= 3),
+        |cand AS (
+        |  SELECT DISTINCT query_id, cand_id
+        |  FROM probes JOIN lists USING (centroid_id)
+        |  WHERE query_id <> cand_id),
+        |sc AS (
+        |  SELECT query_id, cand_id,
+        |    list_dot_product(q.v, c2.v) / (q.nrm * c2.nrm) AS cosine
+        |  FROM cand
+        |  JOIN e q ON cand.query_id = q.vec_id
+        |  JOIN e c2 ON cand.cand_id = c2.vec_id),
+        |rk AS (
+        |  SELECT query_id, cand_id, cosine,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, cand_id) AS INT) AS rank
+        |  FROM sc)
+        |SELECT query_id, cand_id, cosine, rank FROM rk WHERE rank <= 5""".stripMargin,
+
     "q38_categorize_full" ->
       """WITH named AS (
         |  SELECT lower(p_name || ' / ' || p_type ||

@@ -576,6 +576,71 @@ object Queries {
         count(lit(1)).as("n_lines"),
         sum(col("l_quantity").cast("decimal(20,4)")).cast("double").as("total_qty"))
 
+  /** Corpus vocabulary top-k: the classic token-frequency pass every
+    * tokenizer-training / corpus-inspection pipeline runs — explode to
+    * tokens, case-fold, count, top 100. Map-side partial aggregation
+    * bounds the shuffle by |vocab|, not token count; the top-k is
+    * TakeOrderedAndProject, not a full sort. */
+  def q48VocabTopk(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(explode(TextStats.words(col("text"))).as("w"))
+      .groupBy(lower(col("w")).as("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(100)
+
+  /** PII redaction pass (C4/CCNet shape): emails/phones → typed
+    * placeholder tokens. PII synthesized onto every doc (the corpus has
+    * none) so every row exercises both patterns; output carries match
+    * counts and the md5 of the redacted text so the oracle verifies the
+    * REDACTION itself, not just the counts. */
+  def q49PiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val t2 = concat(col("text"), lit(" contact: user"), col("doc_id").cast("string"),
+      lit("@example.com or +1-555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    val redacted = TextStats.redactPii(t2)
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      regexp_count(t2, lit(TextStats.EmailRe)).as("n_emails"),
+      regexp_count(t2, lit(TextStats.PhoneRe)).as("n_phones"),
+      md5(redacted).as("redacted_hash"),
+      length(redacted).as("redacted_len"))
+  }
+
+  /** Deterministic train/val/test assignment — the md5-bucket fold split
+    * ([[Sampling.split]]): same doc → same fold on every engine and every
+    * rerun, which `rand()` sampling cannot promise (rerun leakage). */
+  def q50HashSplit(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      Sampling.hashBucket(col("doc_id")).as("split_bucket"),
+      Sampling.split(col("doc_id")).as("split"),
+      Sampling.keep(concat(col("lang"), lit(":"), col("doc_id").cast("string")), 10)
+        .as("in_10pct_sample"))
+
+  /** S1-family second text format: JSON-lines round-trip — documents
+    * (with injected nulls) written as JSONL and read back through the
+    * explicit schema; the oracle computes the same frame from the original
+    * parquet, so the round-trip must be lossless including null columns
+    * (Spark's JSON writer drops null fields; the schema-read restores
+    * them). */
+  def q51JsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val sfTag = dir.replaceAll(".*/", "")
+    val path = s"${Tables.scratchDir(s)}/jsonl_roundtrip/$sfTag/documents"
+    val df = t(s, dir, "documents")
+      .withColumn("lang", when(col("doc_id") % 7 === 0, lit(null).cast("string"))
+        .otherwise(col("lang")))
+    graft.sources.Jsonl.write(df, path)
+    graft.sources.Jsonl.read(s, path, graft.schema.Schemas.documents)
+  }
+
+  /** IVF-flat ANN top-5 — the oracle-checkable approximate path (q25's
+    * LSH variant is hash-based and rows-only; IVF is pure arithmetic, so
+    * DuckDB reproduces the exact candidate sets and ranks). Probing 3 of
+    * ~40 inverted lists bounds the scan to a fraction of N. */
+  def q52AnnIvfTopk(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+      col("vec_id") % 50 === 0, k = 5, centroidEvery = 25, nProbe = 3)
+
   /** Semi-structured props: JSON field extraction over the events payload
     * (the engine's path for the typed-metadata-in-JSON pattern every event
     * pipeline carries), aggregated per event type. */

@@ -66,6 +66,11 @@ object SparkEntry {
     "q45_dim_dates_append" -> (Queries.q45DimDatesAppend(_, _)),
     "q46_bucketed_join" -> (Queries.q46BucketedJoin(_, _)),
     "q47_salted_join" -> (Queries.q47SaltedJoin(_, _)),
+    "q48_vocab_topk" -> (Queries.q48VocabTopk(_, _)),
+    "q49_pii_redact" -> (Queries.q49PiiRedact(_, _)),
+    "q50_hash_split" -> (Queries.q50HashSplit(_, _)),
+    "q51_jsonl_roundtrip" -> (Queries.q51JsonlRoundtrip(_, _)),
+    "q52_ann_ivf_topk" -> (Queries.q52AnnIvfTopk(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

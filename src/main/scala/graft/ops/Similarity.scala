@@ -83,6 +83,64 @@ object Similarity {
       .select(col("query_id"), col("cand_id"), col("cosine"), col("rank"))
   }
 
+  /** IVF-flat approximate top-k — the third ANN path, and the only one
+    * that is fully oracle-checkable: no hashing anywhere, so centroids,
+    * list assignment and probe selection are deterministic arithmetic any
+    * engine reproduces exactly.
+    *
+    * Coarse quantizer: every `centroidEvery`-th vector is a centroid seed
+    * (a deterministic stand-in for trained k-means centroids — the
+    * dataflow is identical, swap the `cents` frame for a trained one).
+    * Every vector joins its NEAREST centroid's inverted list; a query
+    * probes its `nProbe` nearest centroids and ranks only those lists'
+    * members. Cost: one N×C assignment pass with C broadcast (C ≈
+    * N/centroidEvery, thousands at corpus scale — broadcastable), then
+    * bucket-bounded candidate ranking. Never N².
+    *
+    * CACHING CONTRACT: the assignment frame feeds inverted lists AND
+    * probe lists → persisted; release with `spark.catalog.clearCache()`.
+    */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
+              queryPred: Column, k: Int, centroidEvery: Int,
+              nProbe: Int): DataFrame = {
+    val cents = emb.filter(col(idCol) % centroidEvery === 0)
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("_cv"),
+        sqrt(dot(col(vecCol), col(vecCol))).as("_cn"))
+    val wAssign = Window.partitionBy(col(idCol))
+      .orderBy(col("_cos").desc, col("centroid_id"))
+    val assigned = emb
+      .select(col(idCol), col(vecCol).as("_v"),
+        sqrt(dot(col(vecCol), col(vecCol))).as("_n"))
+      .crossJoin(broadcast(cents.select(col("centroid_id"), col("_cv"), col("_cn"))))
+      .withColumn("_cos", dot(col("_v"), col("_cv")) / (col("_n") * col("_cn")))
+      .withColumn("_r", row_number().over(wAssign))
+      .select(col(idCol), col("centroid_id"), col("_r"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val lists = assigned.filter(col("_r") === 1)
+      .select(col(idCol).as("cand_id"), col("centroid_id"))
+    val probes = assigned.filter(queryPred && col("_r") <= nProbe)
+      .select(col(idCol).as("query_id"), col("centroid_id"))
+
+    val qv = emb.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("_qn"))
+    val cv = emb.select(col(idCol).as("cand_id"), col(vecCol).as("_cv2"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("_cn2"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    probes
+      .join(lists, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"))
+      .distinct()
+      .join(qv, Seq("query_id"))
+      .join(cv, Seq("cand_id"))
+      .withColumn("cosine", dot(col("_qv"), col("_cv2")) / (col("_qn") * col("_cn2")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("cosine"), col("rank"))
+  }
+
   /** (id, table_idx, sig) — `tables` independent `bits`-bit random-
     * hyperplane signatures per vector, all computed in ONE aggregation over
     * the posexploded vector (tables×bits conditional sums, then bit-packed).

@@ -112,6 +112,19 @@ object TextStats {
         size(array_distinct(sh)).cast("double") / size(sh).cast("double"))
   }
 
+  /** PII patterns for corpus scrubbing — deliberately in the portable
+    * common subset of Java regex and RE2 (no lookarounds, no backrefs), so
+    * the DuckDB oracle applies the identical expressions. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+1-555-[0-9]{4}"
+
+  /** PII scrub: emails then phone numbers replaced with typed placeholder
+    * tokens — the standard pre-training corpus redaction pass (C4/CCNet
+    * shape). Order fixed: emails first, so a phone inside a local-part is
+    * redacted as part of the email. */
+  def redactPii(c: Column): Column =
+    regexp_replace(regexp_replace(c, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
+
   /** Content fingerprint: md5 of the normalized text (engine-portable). */
   def contentHash(c: Column): Column = md5(normalize(c))
 

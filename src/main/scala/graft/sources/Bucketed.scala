@@ -28,7 +28,12 @@ object Bucketed {
       spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
     loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .delete(loc, true)
-    df.write
+    // Repartition on the bucket key first so each task holds exactly one
+    // bucket: the write emits numBuckets files instead of tasks×buckets
+    // (a many-small-files explosion that costs at write time AND at every
+    // subsequent scan's file-listing/footer-read at corpus scale).
+    df.repartition(numBuckets, bucketCols.map(org.apache.spark.sql.functions.col): _*)
+      .write
       .mode(SaveMode.Overwrite)
       .format("parquet")
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)

@@ -32,6 +32,32 @@ class SimilaritySpec extends SparkSpec {
     out.map(_.getInt(3)) shouldBe Array(1, 2, 3, 4)
   }
 
+  test("ivfTopK: full probe coverage reproduces brute force exactly") {
+    // centroidEvery=1 -> every vector is a centroid; nProbe >= #centroids
+    // -> every list is probed -> the candidate set is all of N, so IVF
+    // must equal the exact top-k including tie-ordering
+    val ivf = Similarity.ivfTopK(vecs, "id", "v", col("id") === 0, k = 4,
+      centroidEvery = 1, nProbe = 5).orderBy("rank").collect()
+    val brute = Similarity.bruteForceTopK(vecs, "id", "v", col("id") === 0, 4)
+      .orderBy("rank").collect()
+    ivf.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))) shouldBe
+      brute.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+  }
+
+  test("ivfTopK: narrow probe only searches the probed lists") {
+    // centroidEvery=2 -> centroids {0,2,4}. Assignments: 0,1 -> c0
+    // (cos 1.0); 2 -> c2; 4 -> c4 (itself); 3 (-x) -> c2 (cos 0 beats
+    // -1 and -0.7). With nProbe=1 the +x query probes only c0's list,
+    // so candidates = {1}: the true nearest is found, the query itself
+    // and unprobed lists (2, 3) are not.
+    val out = Similarity.ivfTopK(vecs, "id", "v", col("id") === 0, k = 5,
+      centroidEvery = 2, nProbe = 1).collect()
+    out.foreach(_.getLong(0) shouldBe 0L)
+    out.map(_.getLong(1)).toSet should contain(1L)     // true nearest found
+    out.map(_.getLong(1)) should not contain 0L        // never the query
+    out.map(_.getLong(1)).toSet should not contain 2L  // unprobed list skipped
+  }
+
   test("lshTopK returns ranked bucket-mates with exact cosines, never the query") {
     val out = Similarity.lshTopK(vecs, "id", "v", col("id") === 0, 4, tables = 4, bits = 4)
       .collect()
