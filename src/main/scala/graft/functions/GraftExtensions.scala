@@ -11,8 +11,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * Catalyst expressions — no private Spark API touched.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.floatDot)
+    ext.injectFunction(GraftExtensions.rollingHash)
+  }
 }
 
 object GraftExtensions {
@@ -21,4 +23,10 @@ object GraftExtensions {
     new ExpressionInfo(classOf[FloatDot].getName, null, "graft_float_dot",
       "graft_float_dot(a, b) - left-fold double dot product of two float arrays", ""),
     (children: Seq[Expression]) => FloatDot(children.head, children(1)))
+
+  val rollingHash: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier("graft_rolling_hash"),
+    new ExpressionInfo(classOf[RollingHash].getName, null, "graft_rolling_hash",
+      "graft_rolling_hash(s) - Rabin-Karp (acc*31+codepoint) mod 1e9+7 over s", ""),
+    (children: Seq[Expression]) => RollingHash(children.head))
 }

@@ -128,10 +128,23 @@ object TextStats {
   /** Content fingerprint: md5 of the normalized text (engine-portable). */
   def contentHash(c: Column): Column = md5(normalize(c))
 
-  /** Polynomial rolling hash over the normalized text's characters:
+  /** Polynomial rolling hash over the normalized text's code points:
     * acc = (acc*31 + codepoint) mod 1e9+7 — the classic Rabin-Karp
-    * fingerprint, left-folded so any engine reproduces it exactly. */
+    * fingerprint, left-folded so any engine reproduces it exactly.
+    * Uses the native codegen'd [[graft.functions.RollingHash]] expression
+    * (requires `graft.functions.GraftExtensions` on the session — all
+    * graft entry points install it); [[rollingHashHof]] is the
+    * extension-free equivalent. */
   def rollingHash(c: Column): Column =
+    call_function("graft_rolling_hash", normalize(c))
+
+  /** Builtin-only rolling hash (split/transform/aggregate fold) — same
+    * values as [[rollingHash]] for BMP text (split("") yields UTF-16 code
+    * units, so lone surrogate halves of non-BMP chars would fold
+    * differently than the native code-point loop), usable without session
+    * extensions, but three nested CodegenFallback lambdas evaluated per
+    * character: keep it off full-corpus scans. */
+  def rollingHashHof(c: Column): Column =
     aggregate(
       transform(split(normalize(c), ""), ch => ascii(ch).cast("long")),
       lit(0L),
