@@ -817,6 +817,29 @@ object Oracles {
         |  FROM sc)
         |SELECT query_id, cand_id, cosine, rank FROM rk WHERE rank <= 5""".stripMargin,
 
+    "q53_rollup_revenue" ->
+      """SELECT n_name, CAST(year(o_orderdate) AS INT) AS order_year,
+        |  CAST(GROUPING(n_name) AS INT) AS g_nation,
+        |  CAST(GROUPING(year(o_orderdate)) AS INT) AS g_year,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP (n_name, year(o_orderdate))""".stripMargin,
+
+    "q54_moving_window" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS order_date,
+        |    sum(CAST(o_totalprice AS DECIMAL(20,4))) AS rev
+        |  FROM orders GROUP BY 1)
+        |SELECT order_date,
+        |  CAST(rev AS DOUBLE) AS daily_revenue,
+        |  CAST(sum(rev) OVER (ORDER BY order_date
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS ma7_revenue,
+        |  CAST(lag(rev, 1) OVER (ORDER BY order_date) AS DOUBLE) AS prev_revenue
+        |FROM daily""".stripMargin,
+
     "q38_categorize_full" ->
       """WITH named AS (
         |  SELECT lower(p_name || ' / ' || p_type ||

@@ -641,6 +641,45 @@ object Queries {
     Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
       col("vec_id") % 50 === 0, k = 5, centroidEvery = 25, nProbe = 3)
 
+  /** Hierarchical ROLLUP aggregation — subtotal rows per nation, per
+    * (nation, year), and the grand total in ONE pass (Spark expands the
+    * grouping sets inside a single shuffle; the naive alternative is three
+    * scans + a union). GROUPING flags disambiguate real NULLs from
+    * subtotal rows. Beyond the reference surface (SURVEY §2.4 notes it has
+    * no grouping sets) — standard OLAP capability the engine gets from
+    * Catalyst. */
+  def q53RollupRevenue(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .withColumn("order_year", year(col("o_orderdate")))
+      .rollup(col("n_name"), col("order_year"))
+      .agg(
+        grouping(col("n_name")).cast("int").as("g_nation"),
+        grouping(col("order_year")).cast("int").as("g_year"),
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(20,4)")).cast("double").as("revenue"))
+
+  /** Frame-spec window analytics: 7-row trailing moving sum + lag over the
+    * daily revenue series (ROWS BETWEEN 6 PRECEDING AND CURRENT ROW).
+    * Beyond the reference surface (SURVEY §2.5: no frames, no lag/lead).
+    * The window sum runs over EXACT decimals — order-dependence of double
+    * addition never enters — and is surfaced as double. Global window on
+    * the pre-aggregated daily series (~2.4k rows — the q08 dim-scale
+    * precedent), not on raw orders. */
+  def q54MovingWindow(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .groupBy(col("o_orderdate").cast("date").as("order_date"))
+      .agg(sum(col("o_totalprice").cast("decimal(20,4)")).as("_rev"))
+    val wMa = Window.orderBy(col("order_date")).rowsBetween(-6, 0)
+    val wLag = Window.orderBy(col("order_date"))
+    daily.select(
+      col("order_date"),
+      col("_rev").cast("double").as("daily_revenue"),
+      sum(col("_rev")).over(wMa).cast("double").as("ma7_revenue"),
+      lag(col("_rev"), 1).over(wLag).cast("double").as("prev_revenue"))
+  }
+
   /** Semi-structured props: JSON field extraction over the events payload
     * (the engine's path for the typed-metadata-in-JSON pattern every event
     * pipeline carries), aggregated per event type. */

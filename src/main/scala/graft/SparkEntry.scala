@@ -71,6 +71,8 @@ object SparkEntry {
     "q50_hash_split" -> (Queries.q50HashSplit(_, _)),
     "q51_jsonl_roundtrip" -> (Queries.q51JsonlRoundtrip(_, _)),
     "q52_ann_ivf_topk" -> (Queries.q52AnnIvfTopk(_, _)),
+    "q53_rollup_revenue" -> (Queries.q53RollupRevenue(_, _)),
+    "q54_moving_window" -> (Queries.q54MovingWindow(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

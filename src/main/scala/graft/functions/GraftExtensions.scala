@@ -14,6 +14,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.floatDot)
     ext.injectFunction(GraftExtensions.rollingHash)
+    ext.injectFunction(GraftExtensions.tokenEstimate)
   }
 }
 
@@ -29,4 +30,10 @@ object GraftExtensions {
     new ExpressionInfo(classOf[RollingHash].getName, null, "graft_rolling_hash",
       "graft_rolling_hash(s) - Rabin-Karp (acc*31+codepoint) mod 1e9+7 over s", ""),
     (children: Seq[Expression]) => RollingHash(children.head))
+
+  val tokenEstimate: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier("graft_token_estimate"),
+    new ExpressionInfo(classOf[TokenEstimate].getName, null, "graft_token_estimate",
+      "graft_token_estimate(s) - BPE-ish token estimate: ceil(run/4) over letter/digit/punct runs", ""),
+    (children: Seq[Expression]) => TokenEstimate(children.head))
 }

@@ -52,8 +52,17 @@ object TextStats {
   }
 
   /** BPE-ish token-count estimate: lex into word / digit / punct runs, each
-    * run contributing ceil(len/4) tokens (≈4 chars per BPE token). */
+    * run contributing ceil(len/4) tokens (≈4 chars per BPE token). Native
+    * codegen'd one-pass loop ([[graft.functions.TokenEstimate]] — requires
+    * GraftExtensions on the session, as all graft entry points install);
+    * [[tokenEstimateHof]] is the extension-free equivalent. */
   def tokenEstimate(c: Column): Column =
+    call_function("graft_token_estimate", c)
+
+  /** Builtin-only token estimate (regex lex + two lambda folds) — same
+    * values as [[tokenEstimate]], no session extension needed, but
+    * CodegenFallback per token: keep it off full-corpus scans. */
+  def tokenEstimateHof(c: Column): Column =
     aggregate(
       transform(
         regexp_extract_all(c, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)),
