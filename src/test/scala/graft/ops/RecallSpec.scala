@@ -100,6 +100,35 @@ class RecallSpec extends SparkSpec {
     // actually near, which is the ANN dedup use case.
   }
 
+  test("q52 IVF top-k recall against exact top-k (and the probe tradeoff)") {
+    // IVF is oracle-checked for exactness of its own semantics; this
+    // quantifies how much of the TRUE top-k the probed fraction recovers,
+    // the number a user tunes nProbe against. Unlike LSH there is no
+    // closed-form expectation (it depends on the centroid geometry), so
+    // assert (a) the q52 parameters recover a usable share, and (b) recall
+    // is monotone in nProbe, reaching 1.0 at full probe coverage.
+    val pred = col("vec_id") % 50 === 0
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", pred, 5)
+      .select(col("query_id"), col("cand_id")).collect()
+      .map(row => (row.getLong(0), row.getLong(1))).toSet
+    def recallAt(nProbe: Int): Double = {
+      val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", pred, 5,
+          centroidEvery = 25, nProbe = nProbe)
+        .select(col("query_id"), col("cand_id")).collect()
+        .map(row => (row.getLong(0), row.getLong(1))).toSet
+      spark.catalog.clearCache()
+      ivf.count(exact).toDouble / exact.size
+    }
+    exact should not be empty
+    val nCentroids = emb.filter(col("vec_id") % 25 === 0).count().toInt
+    val r3 = recallAt(3)
+    val rFull = recallAt(nCentroids)
+    info(f"ivf recall: nProbe=3 → $r3%.3f, full probe ($nCentroids lists) → $rFull%.3f over ${exact.size} exact pairs")
+    r3 should be >= 0.3   // 3 of ~40 lists on near-random embeddings
+    rFull shouldBe 1.0    // probing every list IS brute force
+    rFull should be >= r3
+  }
+
   test("ANN-LSH finds planted near-duplicates (cosine ≈ 0.99) with high recall") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
