@@ -840,6 +840,28 @@ object Oracles {
         |  CAST(lag(rev, 1) OVER (ORDER BY order_date) AS DOUBLE) AS prev_revenue
         |FROM daily""".stripMargin,
 
+    "q55_set_ops" ->
+      """WITH c96 AS (
+        |  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996),
+        |c97 AS (
+        |  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997)
+        |SELECT o_custkey, 'both' AS set_op FROM (SELECT o_custkey FROM c96 INTERSECT SELECT o_custkey FROM c97)
+        |UNION ALL
+        |SELECT o_custkey, 'only_1996' FROM (SELECT o_custkey FROM c96 EXCEPT SELECT o_custkey FROM c97)
+        |UNION ALL
+        |SELECT o_custkey, 'only_1997' FROM (SELECT o_custkey FROM c97 EXCEPT SELECT o_custkey FROM c96)""".stripMargin,
+
+    "q56_semi_anti" ->
+      """SELECT c_custkey, c_mktsegment, 'has_high_value' AS kind
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
+        |UNION ALL
+        |SELECT c_custkey, c_mktsegment, 'no_high_value'
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)""".stripMargin,
+
     "q38_categorize_full" ->
       """WITH named AS (
         |  SELECT lower(p_name || ' / ' || p_type ||

@@ -680,6 +680,40 @@ object Queries {
       lag(col("_rev"), 1).over(wLag).cast("double").as("prev_revenue"))
   }
 
+  /** Set operations (SURVEY §2.7: absent from the reference, free in the
+    * engine): year-over-year customer retention via INTERSECT / EXCEPT —
+    * customers active in both years, churned after 1996, new in 1997.
+    * Spark plans these as aggregate/anti-join shapes (no sort), tagged and
+    * unioned into one frame. */
+  def q55SetOps(s: SparkSession, dir: String): DataFrame = {
+    val byYear = (y: Int) => t(s, dir, "orders")
+      .filter(year(col("o_orderdate")) === y)
+      .select(col("o_custkey")).distinct()
+    val c96 = byYear(1996)
+    val c97 = byYear(1997)
+    c96.intersect(c97).withColumn("set_op", lit("both"))
+      .union(c96.except(c97).withColumn("set_op", lit("only_1996")))
+      .union(c97.except(c96).withColumn("set_op", lit("only_1997")))
+  }
+
+  /** LEFT SEMI / LEFT ANTI joins — the existence-check operators a scale
+    * pipeline uses instead of IN-subqueries (no fan-out, build side only
+    * hashed once): customers partitioned into has-high-value-order vs
+    * not, by semi/anti against the same filtered orders. */
+  def q56SemiAnti(s: SparkSession, dir: String): DataFrame = {
+    val highValue = t(s, dir, "orders").filter(col("o_totalprice") > 150000)
+    val customer = t(s, dir, "customer")
+    customer
+      .join(highValue, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .withColumn("kind", lit("has_high_value"))
+      .union(
+        customer
+          .join(highValue, col("c_custkey") === col("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_mktsegment"))
+          .withColumn("kind", lit("no_high_value")))
+  }
+
   /** Semi-structured props: JSON field extraction over the events payload
     * (the engine's path for the typed-metadata-in-JSON pattern every event
     * pipeline carries), aggregated per event type. */

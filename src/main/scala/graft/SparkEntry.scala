@@ -73,6 +73,8 @@ object SparkEntry {
     "q52_ann_ivf_topk" -> (Queries.q52AnnIvfTopk(_, _)),
     "q53_rollup_revenue" -> (Queries.q53RollupRevenue(_, _)),
     "q54_moving_window" -> (Queries.q54MovingWindow(_, _)),
+    "q55_set_ops" -> (Queries.q55SetOps(_, _)),
+    "q56_semi_anti" -> (Queries.q56SemiAnti(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
