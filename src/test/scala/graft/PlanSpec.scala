@@ -56,6 +56,22 @@ class PlanSpec extends SparkSpec {
     plan(Queries.q46BucketedJoin) should not include "Exchange"
   }
 
+  test("q48: vocabulary top-k is map-side-combined and TakeOrderedAndProject") {
+    val p = plan(Queries.q48VocabTopk)
+    p should include("partial_count")       // combine before the |vocab| shuffle
+    p should include("TakeOrderedAndProject") // top-100, not a full sort
+  }
+
+  test("q52: IVF assignment broadcasts the centroids (never shuffles N against C)") {
+    plan(Queries.q52AnnIvfTopk) should include("BroadcastNestedLoopJoin")
+  }
+
+  test("q53: ROLLUP expands grouping sets inside ONE aggregation, not three scans") {
+    val p = plan(Queries.q53RollupRevenue)
+    p should include("Expand")
+    p.split("\n").count(_.contains("orders.parquet")) shouldBe 1
+  }
+
   test("no query plan contains a CollectLimit-to-driver loop or cartesian product") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = fn(spark, dir).queryExecution.executedPlan.toString
