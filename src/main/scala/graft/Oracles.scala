@@ -226,10 +226,14 @@ object Oracles {
         |    doc_id % 1000 * 40 + 1000 AS duration_ms
         |  FROM documents)
         |SELECT asset_id, media_type, n_bytes, checksum,
+        |  CAST(least(n_bytes, 256) AS INT) AS thumb_bytes,
+        |  n_bytes > 256 AS was_resized,
         |  CAST(8 AS INT) AS n_features, CAST(NULL AS BIGINT) AS frame_ms
         |FROM assets WHERE media_type <> 'video'
         |UNION ALL
         |SELECT asset_id, media_type, n_bytes, checksum,
+        |  CAST(least(n_bytes, 256) AS INT) AS thumb_bytes,
+        |  n_bytes > 256 AS was_resized,
         |  CAST(8 AS INT) AS n_features,
         |  CAST(unnest(generate_series(0, CAST(duration_ms AS BIGINT) - 1, 5000)) AS BIGINT) AS frame_ms
         |FROM assets WHERE media_type = 'video'""".stripMargin,

@@ -409,6 +409,8 @@ object Queries {
       .select(col("asset_id"), col("media_type"),
         col("decoded.n_bytes").as("n_bytes"),
         col("decoded.checksum").as("checksum"),
+        col("resized.thumb_bytes").as("thumb_bytes"),
+        col("resized.was_resized").as("was_resized"),
         size(col("features")).as("n_features"),
         col("frame_ms"))
 

@@ -48,16 +48,33 @@ object Multimodal {
       i => (pmod(xxhash64(payload, i), lit(1000L)).cast("double") / lit(1000.0))
         .cast("float"))
 
+  /** Resize/downscale stage: REAL binary plumbing (slice of the payload
+    * bytes, capped at `maxBytes`) with a FAKE scaler — a real image resize
+    * replaces the byte slice with a codec call, keeping the same
+    * payload-in/payload-out column shape. The returned struct carries the
+    * provenance a curation pipeline filters on (original vs resized
+    * size, whether scaling happened). */
+  def resizeStub(payload: Column, maxBytes: Int): Column = {
+    val n = length(payload)
+    struct(
+      substring(payload, 1, maxBytes).as("thumb"),
+      n.as("orig_bytes"),
+      least(n, lit(maxBytes)).as("thumb_bytes"),
+      (n > maxBytes).as("was_resized"))
+  }
+
   /** REAL frame-sampling plumbing: offsets 0, everyMs, 2·everyMs … within
     * the asset duration — explode to one row per sampled frame. */
   def frameOffsets(durationMs: Column, everyMs: Int): Column =
     sequence(lit(0L), durationMs.cast("long") - 1, lit(everyMs.toLong))
 
-  /** Full pipeline over an asset table: decode + features + per-frame rows
-    * for video assets. */
-  def extract(assets: DataFrame, dims: Int = 8, frameEveryMs: Int = 5000): DataFrame =
+  /** Full pipeline over an asset table: decode + resize + features +
+    * per-frame rows for video assets. */
+  def extract(assets: DataFrame, dims: Int = 8, frameEveryMs: Int = 5000,
+              thumbMaxBytes: Int = 256): DataFrame =
     assets
       .withColumn("decoded", decodeStub(col("payload"), col("media_type")))
+      .withColumn("resized", resizeStub(col("payload"), thumbMaxBytes))
       .withColumn("features", featureStub(col("payload"), dims))
       .withColumn("frame_ms",
         explode_outer(

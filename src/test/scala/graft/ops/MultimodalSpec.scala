@@ -35,6 +35,20 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("resize stage: payload sliced to the cap, provenance recorded") {
+    val out = Multimodal.extract(assets, thumbMaxBytes = 5)
+      .select("asset_id", "resized.thumb", "resized.orig_bytes",
+        "resized.thumb_bytes", "resized.was_resized")
+      .orderBy("asset_id").collect()
+    out.foreach { r =>
+      r.getAs[Array[Byte]](1).length shouldBe math.min(r.getInt(2), 5)
+      r.getInt(3) shouldBe math.min(r.getInt(2), 5)
+      r.getBoolean(4) shouldBe (r.getInt(2) > 5)
+    }
+    // the thumb is a PREFIX of the payload, not a re-encode (stub contract)
+    new String(out(0).getAs[Array[Byte]](1), "UTF-8") shouldBe "image"
+  }
+
   test("frame sampling: one row per 5s frame for video, single null row otherwise") {
     val out = Multimodal.extract(assets, frameEveryMs = 5000)
     val video = out.filter(col("media_type") === "video")
