@@ -866,6 +866,20 @@ object Oracles {
         |WHERE NOT EXISTS (SELECT 1 FROM orders o
         |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)""".stripMargin,
 
+    "q57_pivot_revenue" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+        |  CAST(sum(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN CAST(o_totalprice AS DECIMAL(20,4)) END) AS DOUBLE) AS "AUTOMOBILE",
+        |  CAST(sum(CASE WHEN c_mktsegment = 'BUILDING' THEN CAST(o_totalprice AS DECIMAL(20,4)) END) AS DOUBLE) AS "BUILDING",
+        |  CAST(sum(CASE WHEN c_mktsegment = 'FURNITURE' THEN CAST(o_totalprice AS DECIMAL(20,4)) END) AS DOUBLE) AS "FURNITURE",
+        |  CAST(sum(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN CAST(o_totalprice AS DECIMAL(20,4)) END) AS DOUBLE) AS "HOUSEHOLD",
+        |  CAST(sum(CASE WHEN c_mktsegment = 'MACHINERY' THEN CAST(o_totalprice AS DECIMAL(20,4)) END) AS DOUBLE) AS "MACHINERY"
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY order_year""".stripMargin,
+
+    "q58_orc_roundtrip" ->
+      """SELECT n_nationkey, n_name, r_name
+        |FROM nation JOIN region ON n_regionkey = r_regionkey""".stripMargin,
+
     "q38_categorize_full" ->
       """WITH named AS (
         |  SELECT lower(p_name || ' / ' || p_type ||

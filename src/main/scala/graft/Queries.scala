@@ -716,6 +716,36 @@ object Queries {
           .withColumn("kind", lit("no_high_value")))
   }
 
+  /** PIVOT — long→wide reshape: revenue per order-year with one column
+    * per market segment. The value list is EXPLICIT (the 5 TPC-H
+    * segments): with an explicit list Spark pivots in a single
+    * aggregation pass with no extra distinct-values job, and the output
+    * schema is static — both required at scale and for the oracle (which
+    * mirrors the pivot as one SUM(CASE) per segment, the relational
+    * equivalent). */
+  def q57PivotRevenue(s: SparkSession, dir: String): DataFrame = {
+    val segments = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+    t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy(year(col("o_orderdate")).as("order_year"))
+      .pivot("c_mktsegment", segments)
+      .agg(sum(col("o_totalprice").cast("decimal(20,4)")).cast("double"))
+  }
+
+  /** S1-family third format: ORC round-trip — columnar-format breadth
+    * beyond parquet (same explicit-schema read rule). DuckDB reads no ORC,
+    * so the oracle computes the same frame from the original parquet: the
+    * round-trip must be lossless. */
+  def q58OrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val sfTag = dir.replaceAll(".*/", "")
+    val path = s"${Tables.scratchDir(s)}/orc_roundtrip/$sfTag/nation_region"
+    t(s, dir, "nation")
+      .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"), col("r_name"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).orc(path)
+    s.read.schema("n_nationkey INT, n_name STRING, r_name STRING").orc(path)
+  }
+
   /** Semi-structured props: JSON field extraction over the events payload
     * (the engine's path for the typed-metadata-in-JSON pattern every event
     * pipeline carries), aggregated per event type. */

@@ -75,6 +75,8 @@ object SparkEntry {
     "q54_moving_window" -> (Queries.q54MovingWindow(_, _)),
     "q55_set_ops" -> (Queries.q55SetOps(_, _)),
     "q56_semi_anti" -> (Queries.q56SemiAnti(_, _)),
+    "q57_pivot_revenue" -> (Queries.q57PivotRevenue(_, _)),
+    "q58_orc_roundtrip" -> (Queries.q58OrcRoundtrip(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
