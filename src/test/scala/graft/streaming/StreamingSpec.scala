@@ -44,6 +44,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("JSONL file source: readStream over a directory reproduces the batch transform") {
+    import spark.implicits._
+    val dir = graft.Tables.scratchDir(spark) + "/stream_jsonl_src"
+    val first = Seq(
+      ev(1, "2024-01-01 00:10:00"), ev(2, "2024-01-01 00:20:00"),
+      ev(3, "2024-01-01 01:10:00"))
+    graft.sources.Jsonl.write(first.toDF(), dir) // batch 1: the existing files
+    val q = EventStream.windowedCountsStream(
+        spark.readStream.schema(org.apache.spark.sql.Encoders.product[Event].schema)
+          .json(dir))
+      .writeStream.format("memory").queryName("wcfile").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: a NEW file lands in the directory and pushes the watermark
+      // past the first two windows — the file source must discover it
+      Seq(ev(99, "2024-01-01 12:00:00")).toDF().write.mode("append").json(dir)
+      q.processAllAvailable()
+      val cols = Seq("window_start", "event_type", "n_events", "total_value")
+      val streamed = spark.table("wcfile")
+        .select(cols.head, cols.tail: _*).collect().map(_.toSeq).toSet
+      val batch = EventStream.windowedCounts(first.toDF())
+        .select(cols.head, cols.tail: _*).collect().map(_.toSeq).toSet
+      batch.subsetOf(streamed) shouldBe true
+      streamed.size shouldBe batch.size // the hour-12 window is still open
+    } finally q.stop()
+  }
+
   test("streamingDedup keeps one row per key within the watermark") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
