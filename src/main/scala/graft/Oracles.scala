@@ -880,6 +880,30 @@ object Oracles {
       """SELECT n_nationkey, n_name, r_name
         |FROM nation JOIN region ON n_regionkey = r_regionkey""".stripMargin,
 
+    "q59_embedding_neardup_ivf" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings),
+        |cents AS (
+        |  SELECT vec_id AS centroid_id, v AS cv, nrm AS cn FROM e WHERE vec_id % 25 = 0),
+        |scored AS (
+        |  SELECT e.vec_id, c.centroid_id,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_dot_product(e.v, c.cv) / (e.nrm * c.cn) DESC, c.centroid_id) AS r
+        |  FROM e, cents c),
+        |assigned AS (SELECT vec_id, centroid_id FROM scored WHERE r <= 2),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM assigned a JOIN assigned b USING (centroid_id)
+        |  WHERE a.vec_id < b.vec_id)
+        |SELECT id_a, id_b,
+        |  list_dot_product(x.v, y.v) / (x.nrm * y.nrm) AS cosine
+        |FROM cand
+        |JOIN e x ON id_a = x.vec_id
+        |JOIN e y ON id_b = y.vec_id
+        |WHERE list_dot_product(x.v, y.v) / (x.nrm * y.nrm) >= 0.45""".stripMargin,
+
     "q38_categorize_full" ->
       """WITH named AS (
         |  SELECT lower(p_name || ' / ' || p_type ||

@@ -746,6 +746,15 @@ object Queries {
     s.read.schema("n_nationkey INT, n_name STRING, r_name STRING").orc(path)
   }
 
+  /** Embedding near-dup pairs at corpus scale, oracle-checked: IVF-bucket
+    * candidate generation over the FULL embedding set (q41's exact
+    * formulation is O(N²) and runs on a sample; q25's LSH buckets are
+    * hash-based and rows-only — this deterministic bucketing closes the
+    * gap: the scale path itself is hash-verified end-to-end). */
+  def q59EmbeddingNeardupIvf(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+      minCosine = 0.45, centroidEvery = 25, assignProbe = 2)
+
   /** Semi-structured props: JSON field extraction over the events payload
     * (the engine's path for the typed-metadata-in-JSON pattern every event
     * pipeline carries), aggregated per event type. */

@@ -77,6 +77,7 @@ object SparkEntry {
     "q56_semi_anti" -> (Queries.q56SemiAnti(_, _)),
     "q57_pivot_revenue" -> (Queries.q57PivotRevenue(_, _)),
     "q58_orc_roundtrip" -> (Queries.q58OrcRoundtrip(_, _)),
+    "q59_embedding_neardup_ivf" -> (Queries.q59EmbeddingNeardupIvf(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -100,15 +100,17 @@ object Similarity {
     * CACHING CONTRACT: the assignment frame feeds inverted lists AND
     * probe lists → persisted; release with `spark.catalog.clearCache()`.
     */
-  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
-              queryPred: Column, k: Int, centroidEvery: Int,
-              nProbe: Int): DataFrame = {
+  /** Centroid-distance ranking per vector: (id, centroid_id, _r) with _r=1
+    * the nearest centroid. One N×C pass, centroids broadcast; persisted
+    * because every IVF consumer reads it at least twice. */
+  private def ivfAssignment(emb: DataFrame, idCol: String, vecCol: String,
+                            centroidEvery: Int): DataFrame = {
     val cents = emb.filter(col(idCol) % centroidEvery === 0)
       .select(col(idCol).as("centroid_id"), col(vecCol).as("_cv"),
         sqrt(dot(col(vecCol), col(vecCol))).as("_cn"))
     val wAssign = Window.partitionBy(col(idCol))
       .orderBy(col("_cos").desc, col("centroid_id"))
-    val assigned = emb
+    emb
       .select(col(idCol), col(vecCol).as("_v"),
         sqrt(dot(col(vecCol), col(vecCol))).as("_n"))
       .crossJoin(broadcast(cents.select(col("centroid_id"), col("_cv"), col("_cn"))))
@@ -116,6 +118,12 @@ object Similarity {
       .withColumn("_r", row_number().over(wAssign))
       .select(col(idCol), col("centroid_id"), col("_r"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
+              queryPred: Column, k: Int, centroidEvery: Int,
+              nProbe: Int): DataFrame = {
+    val assigned = ivfAssignment(emb, idCol, vecCol, centroidEvery)
 
     val lists = assigned.filter(col("_r") === 1)
       .select(col(idCol).as("cand_id"), col("centroid_id"))
@@ -139,6 +147,39 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("cand_id"), col("cosine"), col("rank"))
+  }
+
+  /** IVF-bucketed embedding near-dup PAIRS — the oracle-checkable scale
+    * path for semantic dedup (the exact [[cosineNearDupPairs]] is O(N²);
+    * the LSH buckets are hash-based and rows-only). Candidates are pairs
+    * sharing any of their `assignProbe` nearest inverted lists (multi-
+    * probe assignment recovers most pairs that straddle a single-list
+    * boundary — the standard IVF-pair tradeoff, recall < 1 for pairs
+    * whose top-`assignProbe` lists are disjoint), verified with the exact
+    * cosine. Candidate count is bounded by bucket occupancy, never N². */
+  def ivfNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                      minCosine: Double, centroidEvery: Int,
+                      assignProbe: Int = 2): DataFrame = {
+    val assigned = ivfAssignment(emb, idCol, vecCol, centroidEvery)
+      .filter(col("_r") <= assignProbe)
+      .select(col(idCol), col("centroid_id"))
+    val candidates = assigned.select(col(idCol).as("id_a"), col("centroid_id"))
+      .join(assigned.select(col(idCol).as("id_b"), col("centroid_id")),
+        Seq("centroid_id"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+
+    val va = emb.select(col(idCol).as("id_a"), col(vecCol).as("_va"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("_na"))
+    val vb = emb.select(col(idCol).as("id_b"), col(vecCol).as("_vb"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("_nb"))
+    candidates
+      .join(va, Seq("id_a"))
+      .join(vb, Seq("id_b"))
+      .withColumn("cosine", dot(col("_va"), col("_vb")) / (col("_na") * col("_nb")))
+      .filter(col("cosine") >= minCosine)
+      .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
   /** (id, table_idx, sig) — `tables` independent `bits`-bit random-

@@ -58,6 +58,17 @@ class SimilaritySpec extends SparkSpec {
     out.map(_.getLong(1)).toSet should not contain 2L  // unprobed list skipped
   }
 
+  test("ivfNearDupPairs finds co-bucketed near-dups with exact cosines, bounded candidates") {
+    // vecs 0 and 1 are parallel (cosine 1.0) and share centroid 0's list;
+    // 2 is orthogonal to both — not a near-dup even when co-bucketed
+    val out = Similarity.ivfNearDupPairs(vecs, "id", "v",
+      minCosine = 0.9, centroidEvery = 2, assignProbe = 2).collect()
+    out.map(r => (r.getLong(0), r.getLong(1))) should contain((0L, 1L))
+    out.foreach(r => r.getDouble(2) should be >= 0.9)
+    // ordering convention: id_a < id_b, no self-pairs
+    out.foreach(r => r.getLong(0) should be < r.getLong(1))
+  }
+
   test("lshTopK returns ranked bucket-mates with exact cosines, never the query") {
     val out = Similarity.lshTopK(vecs, "id", "v", col("id") === 0, 4, tables = 4, bits = 4)
       .collect()
