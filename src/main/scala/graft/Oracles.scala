@@ -924,5 +924,89 @@ object Oracles {
         |    WHEN nm LIKE '%tin%' OR nm LIKE '%nickel%' THEN 'Alloy'
         |    ELSE 'Other' END AS area,
         |  CAST(count(*) AS BIGINT) AS n_parts
-        |FROM named GROUP BY area""".stripMargin)
+        |FROM named GROUP BY area""".stripMargin,
+
+    // As-of join: natural-semantics formulation (correlated argmax), which
+    // must equal the engine's union+window formulation. Ties on click ts
+    // broken by max event_id on BOTH sides.
+    "q60_asof_join" ->
+      """WITH p AS (
+        |  SELECT event_id AS purchase_id, user_id,
+        |    CAST(ts AS TIMESTAMP) AS purchase_ts, value AS purchase_value
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+        |  FROM events WHERE event_type = 'click'),
+        |m AS (
+        |  SELECT p.*,
+        |    (SELECT max(c.ts) FROM c
+        |     WHERE c.user_id = p.user_id AND c.ts <= p.purchase_ts) AS last_click_ts
+        |  FROM p)
+        |SELECT m.purchase_id, m.user_id, m.purchase_ts, m.purchase_value,
+        |  m.last_click_ts,
+        |  (SELECT max(c.event_id) FROM c
+        |   WHERE c.user_id = m.user_id AND c.ts = m.last_click_ts) AS last_click_id,
+        |  epoch_us(m.purchase_ts) - epoch_us(m.last_click_ts) AS gap_us
+        |FROM m""".stripMargin,
+
+    // Range join: the oracle states the containment predicate directly
+    // (DuckDB plans it as an IEJoin); the engine's bucketed equi-join must
+    // produce the identical pair set.
+    "q61_range_join" ->
+      """WITH campaigns AS (
+        |  SELECT o_orderkey AS campaign_id, o_orderdate AS w_start,
+        |    o_orderdate + INTERVAL 14 DAY AS w_end
+        |  FROM orders WHERE o_orderkey % 150 = 0)
+        |SELECT campaign_id, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(o.o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS revenue
+        |FROM campaigns c
+        |JOIN orders o ON o.o_orderdate >= c.w_start AND o.o_orderdate <= c.w_end
+        |GROUP BY campaign_id""".stripMargin,
+
+    // Contamination: distinct word 8-grams per doc (list_transform over the
+    // token array mirrors the engine's lead-window shingling), overlap vs
+    // the doc_id%20=0 eval set.
+    "q62_contamination_check" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, len(w) - 7),
+        |      x -> array_to_string(w[x:x+7], ' '))) AS gram
+        |  FROM toks WHERE len(w) >= 8),
+        |eval_g AS (
+        |  SELECT DISTINCT gram FROM grams WHERE doc_id % 20 = 0)
+        |SELECT g.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(count(e.gram) AS BIGINT) AS n_contaminated,
+        |  count(e.gram) * 1.0 / count(*) AS contamination_rate,
+        |  (count(e.gram) * 1.0 / count(*)) >= 0.5 AS contaminated
+        |FROM grams g LEFT JOIN eval_g e USING (gram)
+        |WHERE g.doc_id % 20 <> 0
+        |GROUP BY g.doc_id""".stripMargin,
+
+    "q63_cube_revenue" ->
+      """SELECT c_mktsegment, o_orderpriority,
+        |  CAST(GROUPING(c_mktsegment) AS INT) AS g_seg,
+        |  CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY CUBE (c_mktsegment, o_orderpriority)""".stripMargin,
+
+    "q64_rank_functions" ->
+      """WITH per_cust AS (
+        |  SELECT c_mktsegment, c_custkey,
+        |    sum(CAST(o_totalprice AS DECIMAL(20,4))) AS rev
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY c_mktsegment, c_custkey)
+        |SELECT c_mktsegment, c_custkey, CAST(rev AS DOUBLE) AS revenue,
+        |  CAST(rank() OVER w AS INT) AS rnk,
+        |  CAST(dense_rank() OVER w AS INT) AS drnk,
+        |  percent_rank() OVER w AS prnk,
+        |  cume_dist() OVER w AS cdist,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile
+        |FROM per_cust
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY rev DESC, c_custkey)""".stripMargin)
 }

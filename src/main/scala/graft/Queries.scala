@@ -755,6 +755,123 @@ object Queries {
     Similarity.ivfNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
       minCosine = 0.45, centroidEvery = 25, assignProbe = 2)
 
+  /** As-of join ([[AsOf.joinAsOf]]) — purchase→click attribution: for every
+    * purchase event, the user's most recent click at-or-before the purchase
+    * (backward inclusive), plus the gap in microseconds. The operator the
+    * reference's relational surface (and stock Spark) lacks; implemented as
+    * one shuffle + ordered window, never a range-exploded join. Right side
+    * is pre-reduced to one row per (user, ts) with a max-event_id tie-break
+    * so the match is deterministic and the DuckDB correlated-subquery
+    * oracle reproduces it exactly. */
+  def q60AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+    val clicks = AsOf.latestPerKeyTime(
+      ev.filter(col("event_type") === "click"),
+      keys = Seq("user_id"), timeCol = "ts",
+      tieCol = "event_id", payload = Seq("event_id"))
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    AsOf.joinAsOf(purchases, clicks, keys = Seq("user_id"),
+      leftTime = "purchase_ts", rightTime = "click_ts",
+      payload = Seq("click_id"), prefix = "last_")
+      .select(
+        col("purchase_id"), col("user_id"), col("purchase_ts"),
+        col("purchase_value"),
+        col("last_click_ts"), col("last_click_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("last_click_ts")))
+          .as("gap_us"))
+  }
+
+  /** Range join ([[RangeJoin.pointInInterval]]) — campaign attribution
+    * windows: every 150th order opens a 14-day window; count and sum the
+    * orders landing inside each window. No equi-key exists, so stock Spark
+    * would nested-loop this; the bucketed formulation turns it into a
+    * hash-partitioned equi-join (PlanSpec asserts no
+    * CartesianProduct/BroadcastNestedLoop). Revenue summed as exact
+    * decimal, surfaced as double. */
+  def q61RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val campaigns = orders.filter(col("o_orderkey") % 150 === 0)
+      .select(col("o_orderkey").as("campaign_id"),
+        col("o_orderdate").as("w_start"),
+        (col("o_orderdate") + expr("INTERVAL 14 DAYS")).as("w_end"))
+    val points = orders.select(
+      col("o_orderkey").as("p_orderkey"), col("o_orderdate").as("p_date"),
+      col("o_totalprice").as("p_price"))
+    RangeJoin.pointInInterval(points, campaigns,
+      pointTime = "p_date", intervalStart = "w_start", intervalEnd = "w_end",
+      bucketWidthSeconds = 14L * 86400)
+      .groupBy(col("campaign_id"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("p_price").cast("decimal(20,4)")).cast("double").as("revenue"))
+  }
+
+  /** Benchmark-contamination check — the train/eval n-gram-overlap audit
+    * every LLM data pipeline runs before training (GPT-3/PaLM style): the
+    * held-out set is docs with doc_id % 20 = 0; for every TRAINING doc,
+    * the fraction of its distinct word 8-grams that also occur anywhere in
+    * the eval set. Train grams shuffle once on (doc_id, gram) for the
+    * per-doc distinct; the eval gram set is small by construction (eval
+    * sets are ~1k docs at any corpus scale) and broadcast into a left
+    * join — the 100 TB-safe shape: the corpus is never joined to itself. */
+  def q62ContaminationCheck(s: SparkSession, dir: String): DataFrame = {
+    val grams = Dedup.shingleSet(t(s, dir, "documents"), "doc_id", "text", 8)
+      .withColumnRenamed("shingle", "gram")
+    val evalGrams = grams.filter(col("doc_id") % 20 === 0)
+      .select(col("gram")).distinct()
+      .withColumn("_hit", lit(1))
+    grams.filter(col("doc_id") % 20 =!= 0)
+      .join(broadcast(evalGrams), Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        count(col("_hit")).as("n_contaminated"))
+      .withColumn("contamination_rate",
+        col("n_contaminated") * lit(1.0) / col("n_grams"))
+      .withColumn("contaminated", col("contamination_rate") >= 0.5)
+  }
+
+  /** CUBE — all four grouping sets of (mktsegment, orderpriority) in one
+    * Expand+aggregate pass (q53 covers ROLLUP's prefix hierarchy; CUBE is
+    * the full lattice). GROUPING flags disambiguate subtotal NULLs.
+    * Revenue through exact decimal, surfaced as double. */
+  def q63CubeRevenue(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .cube(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(
+        grouping(col("c_mktsegment")).cast("int").as("g_seg"),
+        grouping(col("o_orderpriority")).cast("int").as("g_prio"),
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(20,4)")).cast("double").as("revenue"))
+
+  /** Ranking-window family — rank / dense_rank / percent_rank / cume_dist /
+    * ntile(4) over per-customer revenue within each market segment. The
+    * order key includes the customer key so every function (ntile
+    * especially, which splits ties arbitrarily) is fully deterministic.
+    * Windows partition by segment over a pre-aggregated per-customer frame
+    * — dim-scale rows per partition, never raw orders. */
+  def q64RankFunctions(s: SparkSession, dir: String): DataFrame = {
+    val perCust = t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("c_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(20,4)")).as("_rev"))
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("_rev").desc, col("c_custkey"))
+    perCust.select(
+      col("c_mktsegment"), col("c_custkey"),
+      col("_rev").cast("double").as("revenue"),
+      rank().over(w).as("rnk"),
+      dense_rank().over(w).as("drnk"),
+      percent_rank().over(w).as("prnk"),
+      cume_dist().over(w).as("cdist"),
+      ntile(4).over(w).as("quartile"))
+  }
+
   /** Semi-structured props: JSON field extraction over the events payload
     * (the engine's path for the typed-metadata-in-JSON pattern every event
     * pipeline carries), aggregated per event type. */

@@ -78,6 +78,11 @@ object SparkEntry {
     "q57_pivot_revenue" -> (Queries.q57PivotRevenue(_, _)),
     "q58_orc_roundtrip" -> (Queries.q58OrcRoundtrip(_, _)),
     "q59_embedding_neardup_ivf" -> (Queries.q59EmbeddingNeardupIvf(_, _)),
+    "q60_asof_join" -> (Queries.q60AsofJoin(_, _)),
+    "q61_range_join" -> (Queries.q61RangeJoin(_, _)),
+    "q62_contamination_check" -> (Queries.q62ContaminationCheck(_, _)),
+    "q63_cube_revenue" -> (Queries.q63CubeRevenue(_, _)),
+    "q64_rank_functions" -> (Queries.q64RankFunctions(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

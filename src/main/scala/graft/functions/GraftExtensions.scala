@@ -15,6 +15,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.floatDot)
     ext.injectFunction(GraftExtensions.rollingHash)
     ext.injectFunction(GraftExtensions.tokenEstimate)
+    ext.injectFunction(GraftExtensions.kmvDistinct)
   }
 }
 
@@ -36,4 +37,26 @@ object GraftExtensions {
     new ExpressionInfo(classOf[TokenEstimate].getName, null, "graft_token_estimate",
       "graft_token_estimate(s) - BPE-ish token estimate: ceil(run/4) over letter/digit/punct runs", ""),
     (children: Seq[Expression]) => TokenEstimate(children.head))
+
+  val kmvDistinct: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier("graft_kmv_distinct"),
+    new ExpressionInfo(classOf[KmvDistinct].getName, null, "graft_kmv_distinct",
+      "graft_kmv_distinct(col[, k]) - KMV cardinality sketch: k smallest xxhash64 values; exact below k distinct, (k-1)*2^64/kth_min above", ""),
+    (children: Seq[Expression]) => {
+      val k = children.lift(1) match {
+        case Some(org.apache.spark.sql.catalyst.expressions.Literal(v, _)) =>
+          v.toString.toInt
+        case Some(other) =>
+          throw new IllegalArgumentException(
+            s"graft_kmv_distinct: k must be an integer literal, got $other")
+        case None => 256
+      }
+      // xxhash64(NULL) passes the seed through (counting null as a value);
+      // null-guard so NULL inputs are skipped like every SQL aggregate.
+      import org.apache.spark.sql.catalyst.expressions.{If, IsNull, Literal, XxHash64}
+      val hashed = If(IsNull(children.head),
+        Literal(null, org.apache.spark.sql.types.LongType),
+        new XxHash64(Seq(children.head)))
+      KmvDistinct(hashed, k).toAggregateExpression()
+    })
 }

@@ -72,6 +72,21 @@ class PlanSpec extends SparkSpec {
     p.split("\n").count(_.contains("orders.parquet")) shouldBe 1
   }
 
+  test("q60: as-of attribution plans as union+window — zero Join operators") {
+    val p = plan(Queries.q60AsofJoin)
+    p should not include "Join"
+  }
+
+  test("q61: range join plans as a hash-partitioned equi-join, not a nested loop") {
+    val p = plan(Queries.q61RangeJoin)
+    p should not include "BroadcastNestedLoopJoin"
+    p should include("Join") // the bucketed equi-join IS a real join node
+  }
+
+  test("q62: train grams probe the eval set via broadcast — corpus never self-joins") {
+    plan(Queries.q62ContaminationCheck) should include("BroadcastHashJoin")
+  }
+
   test("no query plan contains a CollectLimit-to-driver loop or cartesian product") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = fn(spark, dir).queryExecution.executedPlan.toString

@@ -36,7 +36,7 @@ def frame_hash(cols, rows):
     return h.hexdigest()
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, skip_missing=False):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -47,6 +47,8 @@ def main(sf_dir, out_dir):
         sql = oracle[name]
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
+            if skip_missing:
+                continue
             print(f"FAIL {name}: no spark output")
             n_fail += 1
             continue
@@ -99,4 +101,4 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2], "--skip-missing" in sys.argv[3:]))
