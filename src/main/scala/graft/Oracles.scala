@@ -1008,5 +1008,31 @@ object Oracles {
         |  cume_dist() OVER w AS cdist,
         |  CAST(ntile(4) OVER w AS INT) AS quartile
         |FROM per_cust
-        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY rev DESC, c_custkey)""".stripMargin)
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY rev DESC, c_custkey)""".stripMargin,
+
+    "q65_stream_join_batch" ->
+      """WITH p AS (
+        |  SELECT event_id AS purchase_id, user_id,
+        |    CAST(ts AS TIMESTAMP) AS purchase_ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT event_id AS click_id, user_id AS click_user,
+        |    CAST(ts AS TIMESTAMP) AS click_ts
+        |  FROM events WHERE event_type = 'click')
+        |SELECT purchase_id, user_id, purchase_ts, click_id, click_ts,
+        |  epoch_us(purchase_ts) - epoch_us(click_ts) AS lead_us
+        |FROM p JOIN c ON user_id = click_user
+        |  AND click_ts >= purchase_ts - INTERVAL 2 HOUR
+        |  AND click_ts <= purchase_ts""".stripMargin,
+
+    // Unpivot as the portable UNION ALL form (one branch per measure).
+    "q66_unpivot" ->
+      """WITH f AS (SELECT * FROM lineitem WHERE l_orderkey % 50 = 0)
+        |SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val FROM f
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM f
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM f
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM f""".stripMargin)
 }

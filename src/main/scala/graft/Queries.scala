@@ -264,10 +264,14 @@ object Queries {
     Dedup.simHashNearDupPairs(t(s, dir, "documents"), "doc_id", "text",
       maxHamming = 3)
 
-  /** Language-ID heuristic vs the labeled lang column — confusion matrix. */
+  /** Language-ID heuristic vs the labeled lang column — confusion matrix.
+    * Uses the codegen'd explode+conditional-agg scoring path
+    * ([[TextStats.langScoresById]]); the HOF convenience form
+    * ([[TextStats.langId]]) interprets per row and measured ~20× slower
+    * on the sf0.1 corpus (equivalence of the two is property-tested). */
   def q23LangId(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .withColumn("predicted_lang", TextStats.langId(col("text")))
+    TextStats.langScoresById(t(s, dir, "documents"), Seq("doc_id", "lang"), "text")
+      .select(col("lang"), TextStats.langIdFromScores.as("predicted_lang"))
       .groupBy(col("lang"), col("predicted_lang"))
       .agg(count(lit(1)).as("n_docs"))
 
@@ -871,6 +875,43 @@ object Queries {
       cume_dist().over(w).as("cdist"),
       ntile(4).over(w).as("quartile"))
   }
+
+  /** Stream-stream interval join, batch-checked
+    * ([[graft.streaming.EventStream.clickAttribution]]): all (purchase,
+    * click) pairs of the same user with the click at most 2 h before the
+    * purchase. The streaming variant of the same function (watermarked
+    * both sides, state bounded by the time predicate) is exercised in
+    * StreamingSpec; this batch run is the oracle-checked form — Structured
+    * Streaming's batch≡stream contract is what makes the check
+    * meaningful. */
+  def q65StreamJoinBatch(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+    graft.streaming.EventStream.clickAttribution(purchases, clicks, "2 hours")
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+        col("click_id"), col("click_ts"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+          .as("lead_us"))
+  }
+
+  /** UNPIVOT — wide→long reshape (inverse of q57's pivot): the four
+    * lineitem measures melt into (measure, val) rows. Narrow map-side
+    * Expand, no shuffle; output size is rows × measures, so the demo
+    * filters to every 50th order (the operator itself is O(input)). */
+  def q66Unpivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_orderkey") % 50 === 0)
+      .unpivot(
+        ids = Array(col("l_orderkey"), col("l_linenumber")),
+        values = Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")),
+        variableColumnName = "measure",
+        valueColumnName = "val")
 
   /** Semi-structured props: JSON field extraction over the events payload
     * (the engine's path for the typed-metadata-in-JSON pattern every event

@@ -83,6 +83,8 @@ object SparkEntry {
     "q62_contamination_check" -> (Queries.q62ContaminationCheck(_, _)),
     "q63_cube_revenue" -> (Queries.q63CubeRevenue(_, _)),
     "q64_rank_functions" -> (Queries.q64RankFunctions(_, _)),
+    "q65_stream_join_batch" -> (Queries.q65StreamJoinBatch(_, _)),
+    "q66_unpivot" -> (Queries.q66Unpivot(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

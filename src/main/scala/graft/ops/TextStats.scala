@@ -90,10 +90,10 @@ object TextStats {
   def langScore(c: Column, markers: Seq[String]): Column =
     size(filter(words(c), t => t.isin(markers: _*)))
 
-  /** Heuristic language-ID: argmax of marker-hit counts, ties broken by
-    * [[LangMarkers]] order, no hits at all → 'und'. */
-  def langId(c: Column): Column = {
-    val scores = LangMarkers.map { case (lang, m) => lang -> langScore(c, m) }
+  /** Argmax over per-language score columns: first language whose score is
+    * positive and >= every LATER language's score ([[LangMarkers]] order
+    * breaks ties); all zero → 'und'. */
+  private def langArgmax(scores: Seq[(String, Column)]): Column = {
     val branches = scores.zipWithIndex.map { case ((lang, s), i) =>
       val laterScores = scores.drop(i + 1).map(_._2)
       val beatsLater = laterScores.foldLeft(s > 0) { (acc, o) => acc && s >= o }
@@ -105,6 +105,36 @@ object TextStats {
       }
       .otherwise(lit("und"))
   }
+
+  /** Heuristic language-ID: argmax of marker-hit counts, ties broken by
+    * [[LangMarkers]] order, no hits at all → 'und'.
+    *
+    * Convenience form for small/ad-hoc frames: the HOF filters are
+    * CodegenFallback (interpreted per reference — and the argmax
+    * references each score up to 4×). On corpus scans use
+    * [[langScoresById]] + [[langIdFromScores]] instead (see q23 in
+    * [[graft.Queries]]): measured ~20× faster at sf0.1. */
+  def langId(c: Column): Column =
+    langArgmax(LangMarkers.map { case (lang, m) => lang -> langScore(c, m) })
+
+  /** Corpus-scale language scores: explode tokens, conditional-sum one
+    * `_s_<lang>` column per language grouped by `idCols` — fully
+    * whole-stage-codegen'd (split/explode/hash-agg, map-side partial, one
+    * shuffle on the id) where the HOF form interprets per row. Same counts
+    * as [[langScore]] (multiplicity included). */
+  def langScoresById(docs: org.apache.spark.sql.DataFrame,
+                     idCols: Seq[String], textCol: String): org.apache.spark.sql.DataFrame = {
+    val scoreCols = LangMarkers.map { case (lang, m) =>
+      sum(when(col("_w").isin(m: _*), 1L).otherwise(0L)).as(s"_s_$lang")
+    }
+    docs.select(idCols.map(col) :+ explode(words(col(textCol))).as("_w"): _*)
+      .groupBy(idCols.map(col): _*)
+      .agg(scoreCols.head, scoreCols.tail: _*)
+  }
+
+  /** The [[langId]] argmax applied to [[langScoresById]] output columns. */
+  def langIdFromScores: Column =
+    langArgmax(LangMarkers.map { case (lang, _) => lang -> col(s"_s_$lang") })
 
   /** Fraction of repeated word n-grams in the document — the Gopher-style
     * within-document repetition signal (high ⇒ boilerplate/looping text).

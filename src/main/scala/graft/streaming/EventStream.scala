@@ -44,6 +44,39 @@ object EventStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-stream interval join — click→purchase attribution: every
+    * (purchase, click) pair for the same user where the click happened in
+    * the `lookback` window ending at the purchase. Written once against
+    * plain DataFrames: the SAME function is the batch form (oracle-checked
+    * as q65) and the streaming form after [[clickAttributionStream]] adds
+    * watermarks.
+    *
+    * Expects `purchases(purchase_id, user_id, purchase_ts, ...)` and
+    * `clicks(click_id, click_user, click_ts, ...)`. The equi-key
+    * (`user_id = click_user`) keeps the join hash-partitioned; the time
+    * bound is the predicate Structured Streaming uses to expire buffered
+    * state on BOTH sides — without it a stream-stream join's state grows
+    * forever. */
+  def clickAttribution(purchases: DataFrame, clicks: DataFrame,
+                       lookback: String = "2 hours"): DataFrame =
+    purchases.join(clicks,
+      col("user_id") === col("click_user") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $lookback") &&
+        col("click_ts") <= col("purchase_ts"))
+      .drop("click_user")
+
+  /** Watermarked streaming variant of [[clickAttribution]]: both inputs
+    * get event-time watermarks so Spark can bound join state; with
+    * watermark W and lookback L, a buffered click is dropped once the
+    * purchase-side watermark passes its ts + L. */
+  def clickAttributionStream(purchases: DataFrame, clicks: DataFrame,
+                             lookback: String = "2 hours",
+                             watermark: String = "1 hour"): DataFrame =
+    clickAttribution(
+      purchases.withWatermark("purchase_ts", watermark),
+      clicks.withWatermark("click_ts", watermark),
+      lookback)
+
   /** Batch sessionization: a session break is a gap > `gapSeconds` between
     * a user's consecutive events; session id = running count of breaks.
     * Window partitioned by user → parallel across users (the classic

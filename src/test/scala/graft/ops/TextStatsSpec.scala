@@ -43,6 +43,25 @@ class TextStatsSpec extends SparkSpec {
       Seq("en", "es", "de", "fr", "und")
   }
 
+  test("langScoresById path predicts identically to the HOF langId on random text") {
+    import org.apache.spark.sql.Row
+    val vocab = Seq("the", "a", "of", "and", "is", "el", "la", "de", "que", "y",
+      "der", "die", "und", "ist", "das", "le", "les", "et", "est", "des",
+      "cat", "perro", "hund", "chat", "xyzzy", "")
+    val r = new scala.util.Random(13)
+    val rows = (1 to 300).map { i =>
+      Row(i.toLong, (0 until r.nextInt(20)).map(_ => vocab(r.nextInt(vocab.size)))
+        .mkString(" "))
+    }
+    val d = df("doc_id BIGINT, t STRING", rows)
+    val viaHof = d.select(col("doc_id"), TextStats.langId(col("t")).as("p"))
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    val viaAgg = TextStats.langScoresById(d, Seq("doc_id"), "t")
+      .select(col("doc_id"), TextStats.langIdFromScores.as("p"))
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    viaAgg shouldBe viaHof
+  }
+
   test("rollingHash: known Rabin-Karp left-fold value") {
     // 'abc' → ((0*31+97)*31+98)*31+99 = 96354
     collectCol[Long](strDf("t", Seq("abc"))

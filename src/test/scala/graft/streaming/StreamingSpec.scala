@@ -86,6 +86,53 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  // -------------------------------------------------- stream-stream join
+
+  test("clickAttributionStream: stream-stream interval join equals the batch form") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    val purchases = Seq(
+      (10L, 1L, Timestamp.valueOf("2024-01-01 03:00:00")),
+      (11L, 1L, Timestamp.valueOf("2024-01-01 08:00:00")),
+      (12L, 2L, Timestamp.valueOf("2024-01-01 03:30:00")))
+    val clicks = Seq(
+      (100L, 1L, Timestamp.valueOf("2024-01-01 01:30:00")), // in window of p10
+      (101L, 1L, Timestamp.valueOf("2024-01-01 02:59:00")), // in window of p10
+      (102L, 1L, Timestamp.valueOf("2024-01-01 03:10:00")), // after p10, not p11
+      (103L, 2L, Timestamp.valueOf("2024-01-01 03:00:00")), // user 2, in window
+      (104L, 2L, Timestamp.valueOf("2024-01-01 00:30:00"))) // > 2h before p12
+
+    val pDf = (d: Seq[(Long, Long, Timestamp)]) =>
+      d.toDF("purchase_id", "user_id", "purchase_ts")
+    val cDf = (d: Seq[(Long, Long, Timestamp)]) =>
+      d.toDF("click_id", "click_user", "click_ts")
+
+    val batch = EventStream.clickAttribution(pDf(purchases), cDf(clicks))
+      .select("purchase_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    batch shouldBe Set((10L, 100L), (10L, 101L), (12L, 103L))
+
+    val msP = MemoryStream[(Long, Long, Timestamp)]
+    val msC = MemoryStream[(Long, Long, Timestamp)]
+    val q = EventStream.clickAttributionStream(
+        msP.toDF().toDF("purchase_id", "user_id", "purchase_ts"),
+        msC.toDF().toDF("click_id", "click_user", "click_ts"))
+      .writeStream.format("memory").queryName("attr").outputMode("append").start()
+    try {
+      // interleaved arrival across triggers — the join must buffer state
+      msP.addData(purchases.head)
+      msC.addData(clicks(0), clicks(3))
+      q.processAllAvailable()
+      msC.addData(clicks(1), clicks(2), clicks(4))
+      msP.addData(purchases(1), purchases(2))
+      q.processAllAvailable()
+      val streamed = spark.table("attr").select("purchase_id", "click_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      streamed shouldBe batch
+    } finally q.stop()
+  }
+
   // ------------------------------------------------------------ sessionize
 
   test("batch sessionize: gap splits sessions, bounds and counts correct") {
