@@ -29,7 +29,7 @@ object Bench {
     // running — single-query outliers (e.g. a 3 s min/max/avg) reproduce
     // at a different query on the next run, so judge totals and repeated
     // patterns, not single cells.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
       catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
@@ -37,7 +37,19 @@ object Bench {
       // drop frames persisted inside operators (LSH signature/shingle
       // caches) so later queries aren't taxed by earlier queries' memory
       spark.catalog.clearCache()
-      name -> dt
+      dt
+    }
+    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> timeOne(name, fn)
+    }
+    // Host vCPU stalls can inflate a single measurement 10-30x (the same
+    // query has measured 4.8 s and 156 s with identical code). Re-time
+    // anything over 3 s and keep the min: a stall never makes a query
+    // faster, so min-of-2 is still an honest cold-ish measurement while
+    // bounding the damage a stall window can do to one cell.
+    val results = firstPass.map { case (name, t1) =>
+      if (t1 <= 3.0) name -> t1
+      else name -> math.min(t1, timeOne(name, SparkEntry.queries(name)))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -1034,5 +1034,159 @@ object Oracles {
         |UNION ALL
         |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM f
         |UNION ALL
-        |SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM f""".stripMargin)
+        |SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM f""".stripMargin,
+
+    // TF-IDF: same tokenization as q48; idf log and product in the same
+    // scalar order as the Spark side; rank on the ROUNDED score so the
+    // per-doc top-3 row set is engine-portable.
+    "q67_tfidf_topterms" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM terms GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+        |    round(CAST(tf.tf AS DOUBLE) *
+        |      ln((CAST(n_docs AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0)), 6) AS tfidf
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN tot),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+        |  FROM scored)
+        |SELECT doc_id, term, tf, df, tfidf, CAST(rnk AS INT) AS rnk
+        |FROM ranked WHERE rnk <= 3""".stripMargin,
+
+    // Same md5-ascii bucket arithmetic as q50 (Sampling.hashBucket).
+    "q68_stratified_sample" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang,
+        |    (ascii(substring(md5('smp:' || lang || ':' || CAST(doc_id AS VARCHAR)), 1, 1)) * 31 +
+        |     ascii(substring(md5('smp:' || lang || ':' || CAST(doc_id AS VARCHAR)), 2, 1))) % 100 AS smp_bucket,
+        |    CASE WHEN lang = 'en' THEN 10 ELSE 50 END AS rate
+        |  FROM documents)
+        |SELECT doc_id, lang, CAST(smp_bucket AS INT) AS smp_bucket, CAST(rate AS INT) AS rate
+        |FROM b WHERE smp_bucket < rate""".stripMargin,
+
+    // Non-overlapping 3-word chunks; DuckDB generate_series(0,-1) is empty,
+    // matching the Spark side's size>=W guard.
+    "q69_chunk_dedup" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, array_to_string(ws[i*3+1 : i*3+3], ' ') AS chunk
+        |  FROM w CROSS JOIN unnest(generate_series(0, CAST(floor(len(ws)/3) AS INT) - 1)) AS t(i))
+        |SELECT chunk, CAST(count(*) AS BIGINT) AS n_occurrences,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM c GROUP BY chunk HAVING count(DISTINCT doc_id) >= 2""".stripMargin,
+
+    // Exact decimal power sums -> closed-form moments in one fixed scalar
+    // order (Spark's stddev/corr combine float partials in partition order
+    // and would not be bit-stable).
+    "q70_desc_stats" ->
+      """WITH a AS (
+        |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(l_quantity AS DECIMAL(20,4))) AS sx,
+        |    sum(CAST(CAST(l_quantity AS DECIMAL(20,4)) * CAST(l_quantity AS DECIMAL(20,4)) AS DECIMAL(38,8))) AS sxx,
+        |    sum(CAST(l_extendedprice AS DECIMAL(20,4))) AS sy,
+        |    sum(CAST(CAST(l_extendedprice AS DECIMAL(20,4)) * CAST(l_extendedprice AS DECIMAL(20,4)) AS DECIMAL(38,8))) AS syy,
+        |    sum(CAST(CAST(l_quantity AS DECIMAL(20,4)) * CAST(l_extendedprice AS DECIMAL(20,4)) AS DECIMAL(38,8))) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_qty,
+        |  round(sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)), 6) AS stddev_qty,
+        |  round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_price,
+        |  round(sqrt((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)), 6) AS stddev_price,
+        |  round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0), 6) AS covar_qty_price,
+        |  round(((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)) /
+        |    sqrt(((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)) *
+        |         ((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0))), 6) AS corr_qty_price
+        |FROM a""".stripMargin,
+
+    "q71_grouping_sets" ->
+      """SELECT o_orderstatus,
+        |  CAST(year(o_orderdate) AS INT) AS order_year,
+        |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+        |  CAST(grouping(year(o_orderdate)) AS INT) AS g_year,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS revenue
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, year(o_orderdate)),
+        |                        (o_orderstatus), (year(o_orderdate)))""".stripMargin,
+
+    "q72_inverted_index" ->
+      """WITH t AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents)
+        |SELECT term, CAST(count(*) AS BIGINT) AS df,
+        |  array_to_string(list_transform(list_sort(list(doc_id))[1:20],
+        |    x -> CAST(x AS VARCHAR)), ',') AS postings
+        |FROM t GROUP BY term HAVING count(*) >= 10""".stripMargin,
+
+    "q73_histogram" ->
+      """SELECT CAST(least(floor(o_totalprice / 25000.0), 19) AS INT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS total_value,
+        |  round(min(o_totalprice), 6) AS min_value,
+        |  round(max(o_totalprice), 6) AS max_value
+        |FROM orders GROUP BY bin""".stripMargin,
+
+    "q74_ntile_quartiles" ->
+      """WITH q AS (
+        |  SELECT c_mktsegment, c_custkey, c_acctbal,
+        |    CAST(ntile(4) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS INT) AS quartile
+        |  FROM customer)
+        |SELECT c_mktsegment, quartile, CAST(count(*) AS BIGINT) AS n,
+        |  round(min(c_acctbal), 6) AS min_bal,
+        |  round(max(c_acctbal), 6) AS max_bal,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(20,4))) AS DOUBLE) AS sum_bal
+        |FROM q GROUP BY c_mktsegment, quartile""".stripMargin,
+
+    // SCD2 upsert: current state, deterministic update batch, merge
+    // dispositions (keep-open / close / re-open / insert) all in SQL.
+    "q75_scd2_upsert" ->
+      """WITH band_cur AS (
+        |  SELECT s_suppkey,
+        |    CASE WHEN s_acctbal < 0 THEN 'negative'
+        |         WHEN s_acctbal < 5000 THEN 'low' ELSE 'high' END AS bal_band,
+        |    s_nationkey
+        |  FROM supplier),
+        |current AS (
+        |  SELECT s_suppkey, bal_band, s_nationkey,
+        |    DATE '1995-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to,
+        |    true AS is_current
+        |  FROM band_cur),
+        |updates AS (
+        |  SELECT s_suppkey,
+        |    CASE WHEN s_acctbal + 6000.0 < 0 THEN 'negative'
+        |         WHEN s_acctbal + 6000.0 < 5000 THEN 'low' ELSE 'high' END AS bal_band,
+        |    s_nationkey
+        |  FROM supplier WHERE s_suppkey % 5 = 0
+        |  UNION ALL
+        |  SELECT s_suppkey + 100000,
+        |    CASE WHEN s_acctbal < 0 THEN 'negative'
+        |         WHEN s_acctbal < 5000 THEN 'low' ELSE 'high' END AS bal_band,
+        |    s_nationkey
+        |  FROM supplier WHERE s_suppkey % 7 = 0),
+        |j AS (
+        |  SELECT c.s_suppkey AS ck, c.bal_band AS cb, c.s_nationkey AS cn,
+        |    c.valid_from, c.valid_to, c.is_current,
+        |    u.s_suppkey AS uk, u.bal_band AS ub, u.s_nationkey AS un
+        |  FROM current c FULL OUTER JOIN updates u ON c.s_suppkey = u.s_suppkey),
+        |chg AS (
+        |  SELECT *, (cb IS DISTINCT FROM ub) OR (cn IS DISTINCT FROM un) AS changed
+        |  FROM j)
+        |SELECT ck AS s_suppkey, cb AS bal_band, cn AS s_nationkey,
+        |  valid_from, valid_to, is_current
+        |FROM chg WHERE ck IS NOT NULL AND (uk IS NULL OR NOT changed)
+        |UNION ALL
+        |SELECT ck, cb, cn, valid_from, DATE '2020-06-01', false
+        |FROM chg WHERE ck IS NOT NULL AND uk IS NOT NULL AND changed
+        |UNION ALL
+        |SELECT uk, ub, un, DATE '2020-06-01', CAST(NULL AS DATE), true
+        |FROM chg WHERE uk IS NOT NULL AND (ck IS NULL OR changed)""".stripMargin)
 }

@@ -913,6 +913,200 @@ object Queries {
         variableColumnName = "measure",
         valueColumnName = "val")
 
+  /** TF-IDF top terms per document — the classic relevance weighting a
+    * corpus pipeline uses for keyword extraction / topic labeling. Fully
+    * distributed: tf is a (doc,term) hash agg, df a term hash agg, N a
+    * 1-row agg cross-joined in (broadcast — never a driver collect). The
+    * idf log and the final product run in one fixed scalar order on both
+    * engines and the score is rounded before the per-doc top-3 rank, so
+    * ordering (and therefore the row set) is engine-portable. */
+  def q67TfidfTopterms(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val tf = docs
+      .select(col("doc_id"), explode(TextStats.words(lower(col("text")))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "term")
+      .crossJoin(broadcast(total))
+      .withColumn("tfidf", round(
+        col("tf").cast("double") *
+          log((col("n_docs").cast("double") + 1.0) / (col("df").cast("double") + 1.0)), 6))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"), col("rnk"))
+  }
+
+  /** Stratified subsampling — per-class keep rates (here: downsample the
+    * head language to 10%, keep the tail at 50%) via the deterministic
+    * md5-bucket filter ([[Sampling.hashBucket]]). The rate is a per-row
+    * expression, so any stratification column works; same doc → same
+    * decision on every engine and rerun (no `rand()` leakage). Narrow
+    * filter — no shuffle at any scale. */
+  def q68StratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val bucket = Sampling.hashBucket(
+      concat(lit("smp:"), col("lang"), lit(":"), col("doc_id").cast("string")))
+    val rate = when(col("lang") === "en", lit(10)).otherwise(lit(50))
+    t(s, dir, "documents")
+      .withColumn("smp_bucket", bucket)
+      .withColumn("rate", rate)
+      .filter(col("smp_bucket") < col("rate"))
+      .select(col("doc_id"), col("lang"), col("smp_bucket"), col("rate"))
+  }
+
+  /** Corpus boilerplate detection: non-overlapping 3-word chunks, grouped
+    * corpus-wide, surfacing chunks repeated across ≥2 documents — the
+    * line/paragraph-dedup shape (CCNet) adapted to the whitespace-only
+    * synthetic corpus. The chunking is a narrow explode (output ≈ input
+    * tokens / 3); the duplicate scan is one hash agg on the chunk text.
+    * At 100 TB chunks would be hashed (xxhash64) before the shuffle to
+    * cut key width; here the raw text keeps the oracle comparable. */
+  def q69ChunkDedup(s: SparkSession, dir: String): DataFrame = {
+    val W = 3
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextStats.words(lower(col("text"))).as("ws"))
+      .filter(size(col("ws")) >= W)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), (size(col("ws")) / W).cast("int") - 1)).as("i"),
+        col("ws"))
+      .select(col("doc_id"),
+        array_join(slice(col("ws"), col("i") * W + 1, lit(W)), " ").as("chunk"))
+      .groupBy(col("chunk"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+  }
+
+  /** Moment-based descriptive statistics (mean/stddev/covariance/Pearson
+    * corr) from EXACT decimal power sums. Spark's stddev/corr aggregates
+    * combine float partials in partition order — nondeterministic across
+    * runs and engines — so instead the five sums Σx Σx² Σy Σy² Σxy
+    * accumulate as decimals (exact, order-independent) and the closed-form
+    * moments are computed from them in one fixed scalar order. Single
+    * map-side-combined hash agg; identical bits at any parallelism. */
+  def q70DescStats(s: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity").cast("decimal(20,4)")
+    val y = col("l_extendedprice").cast("decimal(20,4)")
+    val agg = t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).as("sx"), sum((x * x).cast("decimal(38,8)")).as("sxx"),
+        sum(y).as("sy"), sum((y * y).cast("decimal(38,8)")).as("syy"),
+        sum((x * y).cast("decimal(38,8)")).as("sxy"))
+    val n = col("n").cast("double")
+    val (sx, sxx, sy, syy, sxy) = (col("sx").cast("double"), col("sxx").cast("double"),
+      col("sy").cast("double"), col("syy").cast("double"), col("sxy").cast("double"))
+    val varX = (sxx - sx * sx / n) / (n - 1.0)
+    val varY = (syy - sy * sy / n) / (n - 1.0)
+    val covXY = (sxy - sx * sy / n) / (n - 1.0)
+    agg.select(
+      col("l_returnflag"), col("n"),
+      round(sx / n, 6).as("mean_qty"),
+      round(sqrt(varX), 6).as("stddev_qty"),
+      round(sy / n, 6).as("mean_price"),
+      round(sqrt(varY), 6).as("stddev_price"),
+      round(covXY, 6).as("covar_qty_price"),
+      round(covXY / sqrt(varX * varY), 6).as("corr_qty_price"))
+  }
+
+  /** Explicit GROUPING SETS — the third grouping-lattice form next to
+    * ROLLUP (q53) and CUBE (q63): an arbitrary, non-hierarchical set list
+    * ((status, year), (status), (year)) in one Expand+aggregate pass —
+    * one scan and one shuffle where the naive plan is three. */
+  def q71GroupingSets(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .withColumn("order_year", year(col("o_orderdate")))
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("order_year")),
+          Seq(col("o_orderstatus")), Seq(col("order_year"))),
+        col("o_orderstatus"), col("order_year"))
+      .agg(
+        grouping(col("o_orderstatus")).cast("int").as("g_status"),
+        grouping(col("order_year")).cast("int").as("g_year"),
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(20,4)")).cast("double").as("revenue"))
+
+  /** Inverted index build — term → document frequency + a bounded sorted
+    * posting-list prefix, the retrieval-side structure a corpus pipeline
+    * materializes for contamination lookups and keyword search. distinct
+    * (doc,term) then one hash agg per term; postings are sorted then
+    * truncated so the per-term state is bounded (an unbounded collect_set
+    * on a 100 TB corpus would OOM — the prefix is the honest scalable
+    * form, with `df` carrying the true count). */
+  def q72InvertedIndex(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(TextStats.words(lower(col("text")))).as("term"))
+      .distinct()
+      .groupBy(col("term"))
+      .agg(
+        count(lit(1)).as("df"),
+        array_join(
+          transform(slice(sort_array(collect_set(col("doc_id"))), 1, 20),
+            x => x.cast("string")), ",").as("postings"))
+      .filter(col("df") >= 10)
+
+  /** Fixed-width histogram of order value: 20 × 25k bins with an overflow
+    * top bin — the single-pass binned profile used instead of a full sort
+    * for distribution inspection at scale. Bin assignment is a narrow
+    * integer expression; one hash agg. */
+  def q73Histogram(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .withColumn("bin", least(floor(col("o_totalprice") / 25000.0).cast("int"), lit(19)))
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(20,4)")).cast("double").as("total_value"),
+        round(min(col("o_totalprice")), 6).as("min_value"),
+        round(max(col("o_totalprice")), 6).as("max_value"))
+
+  /** NTILE quartile banding per market segment + per-band profile — the
+    * partitioned form (quartiles WITHIN each segment), so window state
+    * stays one segment's customers, not the global table. Tie-break on
+    * the unique key makes ntile's arbitrary-split deterministic. */
+  def q74NtileQuartiles(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    t(s, dir, "customer")
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+        ntile(4).over(w).as("quartile"))
+      .groupBy(col("c_mktsegment"), col("quartile"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(min(col("c_acctbal")), 6).as("min_bal"),
+        round(max(col("c_acctbal")), 6).as("max_bal"),
+        sum(col("c_acctbal").cast("decimal(20,4)")).cast("double").as("sum_bal"))
+  }
+
+  /** SCD2 upsert ([[Scd2.merge]]) — incremental dim maintenance, vs the
+    * reference's full CTAS rebuild (aact_gold_layer.sql:25-46). The
+    * initial dim state and the update batch are both derived
+    * deterministically from `supplier` (every 5th key changes band, every
+    * 7th key arrives as a brand-new +100000 key), so the merged output —
+    * closed rows, re-opened versions, pass-throughs, inserts — is fully
+    * oracle-checkable. */
+  def q75Scd2Upsert(s: SparkSession, dir: String): DataFrame = {
+    val sup = t(s, dir, "supplier")
+    def band(b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(b < 0, lit("negative")).when(b < 5000, lit("low")).otherwise(lit("high"))
+    val current = sup.select(
+      col("s_suppkey"), band(col("s_acctbal")).as("bal_band"),
+      col("s_nationkey"),
+      lit("1995-01-01").cast("date").as("valid_from"),
+      lit(null).cast("date").as("valid_to"),
+      lit(true).as("is_current"))
+    val updates = sup.filter(col("s_suppkey") % 5 === 0)
+      .select(col("s_suppkey"), band(col("s_acctbal") + 6000.0).as("bal_band"),
+        col("s_nationkey"))
+      .unionByName(sup.filter(col("s_suppkey") % 7 === 0)
+        .select((col("s_suppkey") + 100000).as("s_suppkey"),
+          band(col("s_acctbal")).as("bal_band"), col("s_nationkey")))
+    Scd2.merge(current, updates, "s_suppkey", Seq("bal_band", "s_nationkey"),
+      lit("2020-06-01").cast("date"))
+  }
+
   /** Semi-structured props: JSON field extraction over the events payload
     * (the engine's path for the typed-metadata-in-JSON pattern every event
     * pipeline carries), aggregated per event type. */

@@ -85,6 +85,15 @@ object SparkEntry {
     "q64_rank_functions" -> (Queries.q64RankFunctions(_, _)),
     "q65_stream_join_batch" -> (Queries.q65StreamJoinBatch(_, _)),
     "q66_unpivot" -> (Queries.q66Unpivot(_, _)),
+    "q67_tfidf_topterms" -> (Queries.q67TfidfTopterms(_, _)),
+    "q68_stratified_sample" -> (Queries.q68StratifiedSample(_, _)),
+    "q69_chunk_dedup" -> (Queries.q69ChunkDedup(_, _)),
+    "q70_desc_stats" -> (Queries.q70DescStats(_, _)),
+    "q71_grouping_sets" -> (Queries.q71GroupingSets(_, _)),
+    "q72_inverted_index" -> (Queries.q72InvertedIndex(_, _)),
+    "q73_histogram" -> (Queries.q73Histogram(_, _)),
+    "q74_ntile_quartiles" -> (Queries.q74NtileQuartiles(_, _)),
+    "q75_scd2_upsert" -> (Queries.q75Scd2Upsert(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
