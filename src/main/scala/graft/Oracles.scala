@@ -1188,5 +1188,85 @@ object Oracles {
         |FROM chg WHERE ck IS NOT NULL AND uk IS NOT NULL AND changed
         |UNION ALL
         |SELECT uk, ub, un, DATE '2020-06-01', CAST(NULL AS DATE), true
-        |FROM chg WHERE uk IS NOT NULL AND (ck IS NULL OR changed)""".stripMargin)
+        |FROM chg WHERE uk IS NOT NULL AND (ck IS NULL OR changed)""".stripMargin,
+
+    // q40's recursive-CTE clustering + keep-longest survivor per cluster
+    // (ties -> lowest doc_id).
+    "q76_dedup_keep_best" ->
+      """WITH RECURSIVE
+        |wrds AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |sh0 AS (
+        |  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+        |  FROM wrds, LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i)),
+        |sh AS (
+        |  SELECT doc_id, shingle FROM sh0
+        |  QUALIFY count(*) OVER (PARTITION BY shingle) <= 200),
+        |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS m FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS i
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN cnt ca ON doc_a = ca.doc_id
+        |  JOIN cnt cb ON doc_b = cb.doc_id
+        |  WHERE CAST(i AS DOUBLE) / CAST(ca.m + cb.m - i AS DOUBLE) >= 0.5),
+        |edges AS (
+        |  SELECT doc_a AS u, doc_b AS v FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u),
+        |labels AS (SELECT u, min(v) AS mv FROM reach GROUP BY u),
+        |clus AS (
+        |  SELECT d.doc_id,
+        |    CAST(LEAST(d.doc_id, COALESCE(l.mv, d.doc_id)) AS BIGINT) AS cluster_id,
+        |    CAST(len(string_split_regex(trim(d.text), '\s+')) AS INT) AS wc
+        |  FROM documents d LEFT JOIN labels l ON d.doc_id = l.u),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY cluster_id ORDER BY wc DESC, doc_id) AS rnk
+        |  FROM clus)
+        |SELECT cluster_id,
+        |  CAST(min(CASE WHEN rnk = 1 THEN doc_id END) AS BIGINT) AS kept_doc_id,
+        |  CAST(min(CASE WHEN rnk = 1 THEN wc END) AS INT) AS kept_word_count,
+        |  CAST(count(*) AS BIGINT) AS n_members
+        |FROM r GROUP BY cluster_id""".stripMargin,
+
+    // Ordered funnel: each stage's min ts constrained to >= previous stage.
+    "q77_funnel_stages" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS t_click
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts >= v.t_view
+        |  GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS t_purchase
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+        |  GROUP BY e.user_id)
+        |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+        |  CAST(CASE WHEN p.t_purchase IS NOT NULL THEN 3
+        |            WHEN c.t_click IS NOT NULL THEN 2
+        |            ELSE 1 END AS INT) AS reached_stage
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |LEFT JOIN p ON v.user_id = p.user_id""".stripMargin,
+
+    // Weekly retention triangle; date_trunc('week') is Monday-start in
+    // both engines.
+    "q78_retention_cohorts" ->
+      """WITH active AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+        |  FROM events),
+        |cohorts AS (
+        |  SELECT user_id, min(wk) AS cohort_week FROM active GROUP BY user_id)
+        |SELECT c.cohort_week,
+        |  CAST(date_diff('day', c.cohort_week, a.wk) / 7 AS INT) AS week_offset,
+        |  CAST(count(*) AS BIGINT) AS n_active
+        |FROM active a JOIN cohorts c ON a.user_id = c.user_id
+        |GROUP BY c.cohort_week, week_offset""".stripMargin)
 }

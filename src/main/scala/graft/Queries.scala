@@ -1107,6 +1107,71 @@ object Queries {
       lit("2020-06-01").cast("date"))
   }
 
+  /** End-to-end dedup: near-dup clusters (q40's connected components) →
+    * ONE survivor per cluster, keeping the longest document (Gopher's
+    * keep-longest policy; ties broken by lowest doc_id so the choice is
+    * deterministic). The representative pick is a per-cluster window over
+    * cluster-sized partitions — bounded state however large the corpus,
+    * since clusters are near-dup groups, not the whole table. Output is
+    * the survivor manifest a curation pipeline writes: cluster, kept doc,
+    * members folded away. */
+  def q76DedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val clusters = Dedup.nearDupClusters(docs, "doc_id", "text",
+      n = 3, minJaccard = 0.5, maxShingleDf = MaxShingleDf)
+    val sized = clusters.join(
+      docs.select(col("doc_id"), TextStats.wordCount(col("text")).as("wc")), "doc_id")
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("wc").desc, col("doc_id"))
+    sized
+      .withColumn("rnk", row_number().over(w))
+      .groupBy(col("cluster_id"))
+      .agg(
+        min(when(col("rnk") === 1, col("doc_id"))).as("kept_doc_id"),
+        min(when(col("rnk") === 1, col("wc"))).as("kept_word_count"),
+        count(lit(1)).as("n_members"))
+  }
+
+  /** Ordered funnel (view → click → purchase): each stage's timestamp is
+    * the user's first qualifying event AT OR AFTER the previous stage —
+    * order matters, so a purchase before the first post-view click doesn't
+    * count. Three per-user conditional aggregations, each a map-side-
+    * combined hash agg re-using the same user partitioning; stage tables
+    * are per-user (≤ one row each) so the joins AQE-broadcast at dim
+    * scale and co-partition at corpus scale. */
+  def q77FunnelStages(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("ts") >= col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+    val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("ts") >= col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
+        (when(col("t_purchase").isNotNull, 3)
+          .when(col("t_click").isNotNull, 2)
+          .otherwise(1)).as("reached_stage"))
+  }
+
+  /** Weekly retention cohorts: users bucketed by first-activity week, then
+    * (cohort_week, week_offset) → distinct active users — the
+    * triangle every growth dashboard draws. Two hash aggs on user_id +
+    * one on the (cohort, offset) pair; the first-week frame is per-user
+    * (one row) so its join back to activity co-partitions on user_id. */
+  def q78RetentionCohorts(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val active = ev.select(col("user_id"),
+      date_trunc("week", col("ts")).cast("date").as("wk")).distinct()
+    val cohorts = active.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_week"))
+    active.join(cohorts, "user_id")
+      .withColumn("week_offset", (datediff(col("wk"), col("cohort_week")) / 7).cast("int"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+  }
+
   /** Semi-structured props: JSON field extraction over the events payload
     * (the engine's path for the typed-metadata-in-JSON pattern every event
     * pipeline carries), aggregated per event type. */

@@ -94,6 +94,9 @@ object SparkEntry {
     "q73_histogram" -> (Queries.q73Histogram(_, _)),
     "q74_ntile_quartiles" -> (Queries.q74NtileQuartiles(_, _)),
     "q75_scd2_upsert" -> (Queries.q75Scd2Upsert(_, _)),
+    "q76_dedup_keep_best" -> (Queries.q76DedupKeepBest(_, _)),
+    "q77_funnel_stages" -> (Queries.q77FunnelStages(_, _)),
+    "q78_retention_cohorts" -> (Queries.q78RetentionCohorts(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -87,6 +87,29 @@ class PlanSpec extends SparkSpec {
     plan(Queries.q62ContaminationCheck) should include("BroadcastHashJoin")
   }
 
+  test("q67: corpus total broadcast into the tf-idf join, no driver collect") {
+    val p = plan(Queries.q67TfidfTopterms)
+    p should include("BroadcastNestedLoopJoin")
+    p should not include "CartesianProduct"
+  }
+
+  test("q71: grouping sets plan as one Expand, not three scans") {
+    val p = plan(Queries.q71GroupingSets)
+    p should include("Expand")
+    p.split("\n").count(_.contains("orders.parquet")) shouldBe 1
+  }
+
+  test("q73: histogram aggregation is partial+final (map-side combine)") {
+    val p = plan(Queries.q73Histogram)
+    p.split("\n").count(_.contains("HashAggregate")) should be >= 2
+  }
+
+  test("q75: SCD2 merge reads each input once per disposition branch, no cartesian") {
+    val p = plan(Queries.q75Scd2Upsert)
+    p should not include "CartesianProduct"
+    p should include("Union")
+  }
+
   test("no query plan contains a CollectLimit-to-driver loop or cartesian product") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = fn(spark, dir).queryExecution.executedPlan.toString
