@@ -41,6 +41,19 @@ object Bucketed {
       .saveAsTable(table)
   }
 
+  /** Build-once variant: write only when the catalog doesn't already have
+    * the table (or a previous JVM's directory exists without a catalog
+    * entry — then rebuild to heal it). Bucketed tables are amortized
+    * artifacts — built once, joined by every downstream query — so
+    * repeated pipeline runs over immutable inputs shouldn't re-pay the
+    * write+metastore cost each time. Callers whose INPUT data can change
+    * under the same table name must use [[write]]. */
+  def writeIfAbsent(df: DataFrame, table: String, bucketCols: Seq[String],
+                    numBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    if (!spark.catalog.tableExists(table)) write(df, table, bucketCols, numBuckets)
+  }
+
   def read(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
 }
