@@ -205,4 +205,35 @@ class StreamingSpec extends SparkSpec {
       sessions(0).getLong(3) shouldBe 2 // first session: events 1+2
     } finally q.stop()
   }
+
+  // ------------------------------------------------- checkpointed recovery
+
+  test("checkpoint restart: a restarted query resumes from tracked offsets — every input row lands in the sink exactly once") {
+    import spark.implicits._
+    val base = graft.Tables.scratchDir(spark) + s"/stream_ckpt_${System.nanoTime()}"
+    val (src, out, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")
+
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .schema(org.apache.spark.sql.Encoders.product[Event].schema)
+        .json(src)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    graft.sources.Jsonl.write(Seq(
+      ev(1, "2024-01-01 00:10:00"), ev(2, "2024-01-01 00:20:00")).toDF(), src)
+    runOnce()
+    // a new file lands while the query is DOWN; the restart must pick up
+    // only the unprocessed file (offsets come from the checkpoint, not a
+    // re-listing from scratch)
+    Seq(ev(3, "2024-01-01 00:30:00")).toDF().write.mode("append").json(src)
+    runOnce()
+
+    val ids = spark.read.parquet(out).select("event_id").as[Long].collect().sorted
+    ids shouldBe Array(1L, 2L, 3L) // no loss, no reprocessing duplicates
+  }
 }
