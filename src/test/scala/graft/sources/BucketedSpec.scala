@@ -33,4 +33,14 @@ class BucketedSpec extends SparkSpec {
     plan should not include "Exchange"
     agg.count() shouldBe 500
   }
+
+  test("writeIfAbsent skips the rebuild when the table already exists") {
+    val d1 = df("k BIGINT, v INT", (1L to 10L).map(i => Row(i, i.toInt)))
+    Bucketed.writeIfAbsent(d1, "b_once", Seq("k"), 2) // builds
+    val d2 = df("k BIGINT, v INT", Seq(Row(99L, 99)))
+    Bucketed.writeIfAbsent(d2, "b_once", Seq("k"), 2) // must be a no-op
+    Bucketed.read(spark, "b_once").count() shouldBe 10
+    Bucketed.write(d2, "b_once", Seq("k"), 2) // plain write still rebuilds
+    Bucketed.read(spark, "b_once").count() shouldBe 1
+  }
 }
