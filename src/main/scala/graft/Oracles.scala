@@ -1268,5 +1268,21 @@ object Oracles {
         |  CAST(date_diff('day', c.cohort_week, a.wk) / 7 AS INT) AS week_offset,
         |  CAST(count(*) AS BIGINT) AS n_active
         |FROM active a JOIN cohorts c ON a.user_id = c.user_id
-        |GROUP BY c.cohort_week, week_offset""".stripMargin)
+        |GROUP BY c.cohort_week, week_offset""".stripMargin,
+
+    // One-scan rule suite, unpivoted to a violations report.
+    "q79_quality_checks" ->
+      """WITH w AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_checked,
+        |    CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orderkey_null,
+        |    CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS orderkey_dup,
+        |    CAST(sum(CASE WHEN o_totalprice < 0 OR o_totalprice > 600000 THEN 1 ELSE 0 END) AS BIGINT) AS price_range,
+        |    CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT) AS status_domain,
+        |    CAST(sum(CASE WHEN o_orderdate >= TIMESTAMP '1999-01-01 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS date_future
+        |  FROM orders)
+        |SELECT 'orderkey_null' AS rule, orderkey_null AS n_violations, n_checked FROM w
+        |UNION ALL SELECT 'orderkey_dup', orderkey_dup, n_checked FROM w
+        |UNION ALL SELECT 'price_range', price_range, n_checked FROM w
+        |UNION ALL SELECT 'status_domain', status_domain, n_checked FROM w
+        |UNION ALL SELECT 'date_future', date_future, n_checked FROM w""".stripMargin)
 }

@@ -1186,6 +1186,34 @@ object Queries {
       .agg(count(lit(1)).as("n_active"))
   }
 
+  /** Declarative data-quality audit — the generalized form of the S8
+    * post-write uniqueness assertion: every rule (null / uniqueness /
+    * range / domain / recency) evaluates as a conditional sum in ONE
+    * map-side-combined scan, then the rule×count frame unpivots to a
+    * violations report. Adding a rule adds a column to the agg, not a
+    * pass over the data — the property that keeps a 50-rule suite
+    * affordable at 100 TB. */
+  def q79QualityChecks(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val wide = o.agg(
+      count(lit(1)).as("n_checked"),
+      sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("orderkey_null"),
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("orderkey_dup"),
+      sum(when(col("o_totalprice") < 0 || col("o_totalprice") > 600000, 1L)
+        .otherwise(0L)).as("price_range"),
+      sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L))
+        .as("status_domain"),
+      sum(when(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"), 1L)
+        .otherwise(0L)).as("date_future"))
+    wide.unpivot(
+      ids = Array(col("n_checked")),
+      values = Array(col("orderkey_null"), col("orderkey_dup"),
+        col("price_range"), col("status_domain"), col("date_future")),
+      variableColumnName = "rule",
+      valueColumnName = "n_violations")
+      .select(col("rule"), col("n_violations"), col("n_checked"))
+  }
+
   /** Semi-structured props: JSON field extraction over the events payload
     * (the engine's path for the typed-metadata-in-JSON pattern every event
     * pipeline carries), aggregated per event type. */

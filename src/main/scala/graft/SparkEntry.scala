@@ -97,6 +97,7 @@ object SparkEntry {
     "q76_dedup_keep_best" -> (Queries.q76DedupKeepBest(_, _)),
     "q77_funnel_stages" -> (Queries.q77FunnelStages(_, _)),
     "q78_retention_cohorts" -> (Queries.q78RetentionCohorts(_, _)),
+    "q79_quality_checks" -> (Queries.q79QualityChecks(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
