@@ -1284,5 +1284,22 @@ object Oracles {
         |UNION ALL SELECT 'orderkey_dup', orderkey_dup, n_checked FROM w
         |UNION ALL SELECT 'price_range', price_range, n_checked FROM w
         |UNION ALL SELECT 'status_domain', status_domain, n_checked FROM w
-        |UNION ALL SELECT 'date_future', date_future, n_checked FROM w""".stripMargin)
+        |UNION ALL SELECT 'date_future', date_future, n_checked FROM w""".stripMargin,
+
+    // first/last/nth value windows with the explicit UNBOUNDED frame on
+    // both sides; revenue aggregated exactly in DECIMAL before the cast.
+    "q80_value_windows" ->
+      """WITH perCust AS (
+        |  SELECT c_mktsegment, c_custkey,
+        |    sum(CAST(o_totalprice AS DECIMAL(20,4))) AS rev
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY c_mktsegment, c_custkey)
+        |SELECT c_mktsegment, c_custkey,
+        |  CAST(rev AS DOUBLE) AS revenue,
+        |  CAST(first_value(rev) OVER w AS DOUBLE) AS top_revenue,
+        |  CAST(last_value(rev) OVER w AS DOUBLE) AS bottom_revenue,
+        |  CAST(nth_value(rev, 2) OVER w AS DOUBLE) AS runnerup_revenue
+        |FROM perCust
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY rev DESC, c_custkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin)
 }

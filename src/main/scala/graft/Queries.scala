@@ -1214,6 +1214,28 @@ object Queries {
       .select(col("rule"), col("n_violations"), col("n_checked"))
   }
 
+  /** Value-window family — first_value / last_value / nth_value over an
+    * explicit full-partition frame (last_value's default frame stops at
+    * CURRENT ROW, a classic silent-wrong-answer; both engines get the
+    * UNBOUNDED..UNBOUNDED frame spelled out). Windows partition by
+    * segment over the pre-aggregated per-customer frame, order includes
+    * the unique key — deterministic and dim-scale per partition. */
+  def q80ValueWindows(s: SparkSession, dir: String): DataFrame = {
+    val perCust = t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("c_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(20,4)")).as("_rev"))
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("_rev").desc, col("c_custkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    perCust.select(
+      col("c_mktsegment"), col("c_custkey"),
+      col("_rev").cast("double").as("revenue"),
+      first(col("_rev")).over(w).cast("double").as("top_revenue"),
+      last(col("_rev")).over(w).cast("double").as("bottom_revenue"),
+      nth_value(col("_rev"), 2).over(w).cast("double").as("runnerup_revenue"))
+  }
+
   /** Semi-structured props: JSON field extraction over the events payload
     * (the engine's path for the typed-metadata-in-JSON pattern every event
     * pipeline carries), aggregated per event type. */

@@ -98,6 +98,7 @@ object SparkEntry {
     "q77_funnel_stages" -> (Queries.q77FunnelStages(_, _)),
     "q78_retention_cohorts" -> (Queries.q78RetentionCohorts(_, _)),
     "q79_quality_checks" -> (Queries.q79QualityChecks(_, _)),
+    "q80_value_windows" -> (Queries.q80ValueWindows(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
