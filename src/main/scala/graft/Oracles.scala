@@ -1301,5 +1301,50 @@ object Oracles {
         |  CAST(nth_value(rev, 2) OVER w AS DOUBLE) AS runnerup_revenue
         |FROM perCust
         |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY rev DESC, c_custkey
-        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin)
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
+
+    // Sequence packing: same md5-ascii shard arithmetic as q50, running
+    // token sum per shard, greedy budget-256 bin assignment.
+    "q81_sequence_packing" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    (ascii(substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 31 +
+        |     ascii(substring(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 16 AS shard,
+        |    len(string_split_regex(trim(text), '\s+')) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS strt
+        |  FROM d)
+        |SELECT doc_id,
+        |  CAST(shard AS INT) AS shard,
+        |  CAST(n_tokens AS INT) AS n_tokens,
+        |  CAST(floor(strt / 256.0) AS BIGINT) AS seq_id,
+        |  CAST(strt - floor(strt / 256.0) * 256 AS BIGINT) AS seq_offset
+        |FROM c""".stripMargin,
+
+    // Mixture resampling: weight from the source's numeric suffix,
+    // integer epochs + md5-bucket fractional keep, epochs unrolled with
+    // generate_series (empty when n_copies < 1, same as the Spark filter).
+    "q82_mixture_resample" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CASE CAST(substring(source, 4) AS INT) % 4
+        |      WHEN 0 THEN 250 WHEN 1 THEN 100 WHEN 2 THEN 50 ELSE 25 END AS weight,
+        |    (ascii(substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 1)) * 31 +
+        |     ascii(substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 2, 1))) % 100 AS bkt
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, source, weight,
+        |    weight // 100 + CASE WHEN bkt < weight % 100 THEN 1 ELSE 0 END AS n_copies
+        |  FROM d),
+        |e AS (
+        |  SELECT doc_id, source, weight, CAST(epoch AS INT) AS epoch
+        |  FROM n, LATERAL (SELECT unnest(generate_series(1, n_copies)) AS epoch)
+        |  WHERE n_copies >= 1)
+        |SELECT source, CAST(weight AS INT) AS weight,
+        |  count(*) AS n_rows, count(DISTINCT doc_id) AS n_docs,
+        |  max(epoch) AS max_epoch
+        |FROM e GROUP BY source, weight""".stripMargin)
 }

@@ -1236,6 +1236,32 @@ object Queries {
       nth_value(col("_rev"), 2).over(w).cast("double").as("runnerup_revenue"))
   }
 
+  /** Sequence packing — greedy token-budget packing of documents into
+    * training sequences, sharded 16 ways so the running-sum window is
+    * parallel (one global packing order would serialize the corpus
+    * through a single task; see [[Pack.packSequences]]). */
+  def q81SequencePacking(s: SparkSession, dir: String): DataFrame =
+    Pack.packSequences(t(s, dir, "documents"), "doc_id", "text",
+      budget = 256, shards = 16)
+
+  /** Mixture resampling — per-source mixture weights (250 = 2.5 epochs,
+    * 25 = keep 25%) turned into a deterministic training multiset via
+    * integer epochs + md5-bucket fractional keep ([[Pack.mixtureResample]]).
+    * Weights derive from the source's numeric suffix so the rule is
+    * engine-portable. */
+  def q82MixtureResample(s: SparkSession, dir: String): DataFrame = {
+    val srcNum = substring(col("source"), 4, 10).cast("int")
+    val weight = when(srcNum % 4 === 0, 250)
+      .when(srcNum % 4 === 1, 100)
+      .when(srcNum % 4 === 2, 50)
+      .otherwise(25)
+    Pack.mixtureResample(t(s, dir, "documents"), "doc_id", weight)
+      .groupBy(col("source"), col("weight"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        max(col("epoch")).as("max_epoch"))
+  }
+
   /** Semi-structured props: JSON field extraction over the events payload
     * (the engine's path for the typed-metadata-in-JSON pattern every event
     * pipeline carries), aggregated per event type. */

@@ -99,6 +99,8 @@ object SparkEntry {
     "q78_retention_cohorts" -> (Queries.q78RetentionCohorts(_, _)),
     "q79_quality_checks" -> (Queries.q79QualityChecks(_, _)),
     "q80_value_windows" -> (Queries.q80ValueWindows(_, _)),
+    "q81_sequence_packing" -> (Queries.q81SequencePacking(_, _)),
+    "q82_mixture_resample" -> (Queries.q82MixtureResample(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
