@@ -1346,5 +1346,117 @@ object Oracles {
         |SELECT source, CAST(weight AS INT) AS weight,
         |  count(*) AS n_rows, count(DISTINCT doc_id) AS n_docs,
         |  max(epoch) AS max_epoch
-        |FROM e GROUP BY source, weight""".stripMargin)
+        |FROM e GROUP BY source, weight""".stripMargin,
+
+    // Sketch-recall gate: the oracle computes each method's SQL-expressible
+    // reference size and asserts ok=TRUE — the Spark side folds its
+    // recall/precision guarantee into that boolean, so a sketch regression
+    // hash-mismatches here even though the sketches themselves (xxhash64)
+    // are only rows-checked in q19/q22/q25.
+    "q83_sketch_recall" ->
+      """WITH wrds AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |sh0 AS (
+        |  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+        |  FROM wrds, LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i)),
+        |sh AS (
+        |  SELECT doc_id, shingle FROM sh0
+        |  QUALIFY count(*) OVER (PARTITION BY shingle) <= 200),
+        |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS m FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS i
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a FROM inter
+        |  JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+        |  WHERE CAST(i AS DOUBLE) / CAST(ca.m + cb.m - i AS DOUBLE) >= 0.5),
+        |topk AS (
+        |  SELECT query_id FROM (
+        |    SELECT q.vec_id AS query_id,
+        |      row_number() OVER (
+        |        PARTITION BY q.vec_id
+        |        ORDER BY list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+        |          / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+        |           * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) DESC,
+        |          c.vec_id) AS rank
+        |    FROM embeddings q CROSS JOIN embeddings c
+        |    WHERE q.vec_id % 50 = 0 AND q.vec_id != c.vec_id)
+        |  WHERE rank <= 5)
+        |SELECT 'minhash' AS method, (SELECT count(*) FROM pairs) AS n_reference, TRUE AS ok
+        |UNION ALL SELECT 'simhash',
+        |  (SELECT count(*) FROM documents WHERE doc_id % 2 = 1), TRUE
+        |UNION ALL SELECT 'ann_lsh', (SELECT count(*) FROM topk), TRUE
+        |UNION ALL SELECT 'ivf', (SELECT count(*) FROM topk), TRUE""".stripMargin,
+
+    // Verified approximate aggregates: exact references via SQL, the
+    // error-bound assertions ride as ok=TRUE.
+    "q84_approx_checks" ->
+      """SELECT 'hll_custkey' AS metric,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_reference, TRUE AS ok
+        |FROM orders
+        |UNION ALL SELECT 'hll_orderkey',
+        |  CAST(count(DISTINCT o_orderkey) AS BIGINT), TRUE FROM orders
+        |UNION ALL SELECT 'median_rank', CAST(count(*) AS BIGINT), TRUE FROM orders""".stripMargin,
+
+    // Same non-overlapping 3-word chunking as q69, aggregated per doc.
+    "q85_repetition_ratio" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, array_to_string(ws[i*3+1 : i*3+3], ' ') AS chunk
+        |  FROM w CROSS JOIN unnest(generate_series(0, CAST(floor(len(ws)/3) AS INT) - 1)) AS t(i)),
+        |m AS (
+        |  SELECT doc_id, chunk, CAST(count(*) AS BIGINT) AS m FROM c GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(sum(m) AS BIGINT) AS n_chunks,
+        |  CAST(count(*) AS BIGINT) AS n_distinct,
+        |  CAST(max(m) AS BIGINT) AS max_mult,
+        |  1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(m) AS DOUBLE) AS dup_fraction
+        |FROM m GROUP BY doc_id""".stripMargin,
+
+    // Fixed-point integer PageRank: the exact near-dup edge list (q21's
+    // pair SQL), then three unrolled damped iterations entirely in BIGINT
+    // (// is floor division; all values positive) — bit-identical to the
+    // Spark side's `div` arithmetic by construction.
+    "q86_pagerank" ->
+      """WITH wrds AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |sh0 AS (
+        |  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+        |  FROM wrds, LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i)),
+        |sh AS (
+        |  SELECT doc_id, shingle FROM sh0
+        |  QUALIFY count(*) OVER (PARTITION BY shingle) <= 200),
+        |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS m FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS i
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+        |  WHERE CAST(i AS DOUBLE) / CAST(ca.m + cb.m - i AS DOUBLE) >= 0.5),
+        |e AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
+        |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS rank FROM deg),
+        |i1 AS (
+        |  SELECT e.dst AS node,
+        |    CAST(150000 + (sum(r.rank // d.deg) * 85) // 100 AS BIGINT) AS rank
+        |  FROM e JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.src
+        |  GROUP BY e.dst),
+        |i2 AS (
+        |  SELECT e.dst AS node,
+        |    CAST(150000 + (sum(r.rank // d.deg) * 85) // 100 AS BIGINT) AS rank
+        |  FROM e JOIN i1 r ON e.src = r.node JOIN deg d ON e.src = d.src
+        |  GROUP BY e.dst),
+        |i3 AS (
+        |  SELECT e.dst AS node,
+        |    CAST(150000 + (sum(r.rank // d.deg) * 85) // 100 AS BIGINT) AS rank
+        |  FROM e JOIN i2 r ON e.src = r.node JOIN deg d ON e.src = d.src
+        |  GROUP BY e.dst)
+        |SELECT node AS doc_id, rank AS pagerank FROM i3""".stripMargin)
 }

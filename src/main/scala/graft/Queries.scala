@@ -1274,4 +1274,164 @@ object Queries {
         sum(col("prop_k").cast("long")).as("sum_k"),
         min(col("prop_k")).as("min_k"),
         max(col("prop_k")).as("max_k"))
+
+  /** Driver-visible recall/precision verification of the hash-dependent
+    * sketch paths (q19 MinHash, q22 SimHash, q25 ANN-LSH, q52 IVF) against
+    * exact ground truths computed in the same plan. The three sketch
+    * queries themselves can only be rows-checked (xxhash64 isn't
+    * SQL-expressible); here each method's guarantee is folded into a
+    * boolean the oracle CAN check: the DuckDB side computes the
+    * SQL-expressible reference size and asserts ok=TRUE, so a recall
+    * collapse or precision bug becomes a hash MISMATCH in the driver's
+    * correctness gate, not just an sbt failure (thresholds mirror
+    * [[graft.ops]] RecallSpec: banding/hyperplane math minus 0.15 slack).
+    *
+    * 100 TB: every branch is the already-bounded operator itself plus
+    * one extra equi-join per method; the SimHash brute-force check is the
+    * one O(N²) piece, so it runs on the deterministic odd-id half-sample
+    * (same verification-on-a-sample pattern as q41). */
+  def q83SketchRecall(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val emb = t(s, dir, "embeddings")
+
+    // MinHash vs exact n-gram Jaccard: recall within banding math, zero
+    // false positives (candidates are exact-verified before emission).
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5, MaxShingleDf)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    val mh = Dedup.minHashNearDupPairs(docs, "doc_id", "text", 3, 16, 2, 0.5, MaxShingleDf)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("_mh"))
+    // P(some band catches the pair) = 1 - (1 - s^r)^(k/r), r=2, k/r=8
+    val pCatch = lit(1.0) - pow(lit(1.0) - pow(col("jaccard"), 2.0), 8.0)
+    val mhRow = exact.join(mh, Seq("doc_a", "doc_b"), "full")
+      .agg(
+        coalesce(sum(when(col("jaccard").isNotNull, 1L)), lit(0L)).as("n_exact"),
+        coalesce(sum(when(col("jaccard").isNotNull && col("_mh").isNotNull, 1L)), lit(0L)).as("n_found"),
+        coalesce(sum(when(col("jaccard").isNull, 1L)), lit(0L)).as("n_false_pos"),
+        avg(when(col("jaccard").isNotNull, pCatch)).as("exp_recall"))
+      .select(lit("minhash").as("method"), col("n_exact").as("n_reference"),
+        (col("n_false_pos") === 0L &&
+          col("n_found").cast("double") / col("n_exact") >= col("exp_recall") - 0.15).as("ok"))
+
+    // SimHash 4-chunk banding is EXACT at maxHamming<=3 (pigeonhole):
+    // banded pairs must equal brute-force Hamming pairs on the half-sample.
+    val sample = docs.filter(col("doc_id") % 2 === 1)
+    val fp = Dedup.simHash(sample, "doc_id", "text")
+    val brute = fp.select(col("doc_id").as("doc_a"), col("simhash").as("_sa"))
+      .crossJoin(fp.select(col("doc_id").as("doc_b"), col("simhash").as("_sb")))
+      .filter(col("doc_a") < col("doc_b") &&
+        bit_count(col("_sa").bitwiseXOR(col("_sb"))) <= 3)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("_bf"))
+    val banded = Dedup.simHashNearDupPairs(sample, "doc_id", "text", maxHamming = 3)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("_bd"))
+    val shMismatch = brute.join(banded, Seq("doc_a", "doc_b"), "full")
+      .agg(coalesce(sum(when(col("_bf").isNull || col("_bd").isNull, 1L)), lit(0L))
+        .as("n_mismatch"))
+    val shRow = sample.agg(count(lit(1)).as("n_docs")).crossJoin(shMismatch)
+      .select(lit("simhash").as("method"), col("n_docs").as("n_reference"),
+        (col("n_mismatch") === 0L).as("ok"))
+
+    // ANN-LSH vs exact top-k: recall within the hyperplane math at the
+    // TRUE cosines (theta = arccos c, p = 1-(1-(1-theta/pi)^bits)^tables).
+    val exactTk = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        col("vec_id") % 50 === 0, k = 5)
+      .select(col("query_id"), col("cand_id"), col("cosine"))
+    val theta = acos(least(lit(1.0), greatest(lit(-1.0), col("cosine"))))
+    val pCatchLsh = lit(1.0) - pow(lit(1.0) - pow(lit(1.0) - theta / math.Pi, 8.0), 4.0)
+    val lsh = Similarity.lshTopK(emb, "vec_id", "embedding",
+        col("vec_id") % 50 === 0, k = 5, tables = 4, bits = 8)
+      .select(col("query_id"), col("cand_id"), lit(1L).as("_f"))
+    val lshRow = exactTk.join(lsh, Seq("query_id", "cand_id"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        coalesce(sum(col("_f")), lit(0L)).as("n_found"),
+        avg(pCatchLsh).as("exp_recall"))
+      .select(lit("ann_lsh").as("method"), col("n_exact").as("n_reference"),
+        (col("n_found").cast("double") / col("n_exact") >= col("exp_recall") - 0.15).as("ok"))
+
+    // IVF@nProbe=3: no closed form (depends on centroid geometry); assert
+    // the usable-share floor RecallSpec establishes.
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding",
+        col("vec_id") % 50 === 0, k = 5, centroidEvery = 25, nProbe = 3)
+      .select(col("query_id"), col("cand_id"), lit(1L).as("_f"))
+    val ivfRow = exactTk.join(ivf, Seq("query_id", "cand_id"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        coalesce(sum(col("_f")), lit(0L)).as("n_found"))
+      .select(lit("ivf").as("method"), col("n_exact").as("n_reference"),
+        (col("n_found").cast("double") / col("n_exact") >= 0.3).as("ok"))
+
+    mhRow.unionByName(shRow).unionByName(lshRow).unionByName(ivfRow)
+  }
+
+  /** Verified approximate aggregates — HyperLogLog distinct counts and
+    * t-digest percentile, each shipped WITH its error bound as a boolean
+    * the oracle checks against exact SQL. At 100 TB approx aggregates are
+    * the difference between one pass and an exact shuffle per distinct
+    * key; this query is the pattern that keeps them honest: the exact
+    * value (computable by any engine) rides along as n_reference, and `ok`
+    * asserts the approximation landed inside its published bound (HLL
+    * rsd=5% default → 3σ=15%; percentile_approx at accuracy=10000 → rank
+    * error well under ±2%). */
+  def q84ApproxChecks(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val wide = o.agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("o_custkey")).as("ex_cust"),
+      approx_count_distinct(col("o_custkey")).as("ap_cust"),
+      countDistinct(col("o_orderkey")).as("ex_ord"),
+      approx_count_distinct(col("o_orderkey")).as("ap_ord"),
+      percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("ap_med"))
+    // rank check for the approximate median: one more pass counting how
+    // many rows fall at or below it (the 1-row agg broadcasts)
+    val medRank = o.crossJoin(wide.select(col("ap_med")))
+      .agg(coalesce(sum(when(col("o_totalprice") <= col("ap_med"), 1L)), lit(0L)).as("n_le"))
+    val hllCust = wide.select(lit("hll_custkey").as("metric"),
+      col("ex_cust").as("n_reference"),
+      (abs(col("ap_cust") - col("ex_cust")).cast("double") <= col("ex_cust") * 0.15).as("ok"))
+    val hllOrd = wide.select(lit("hll_orderkey").as("metric"),
+      col("ex_ord").as("n_reference"),
+      (abs(col("ap_ord") - col("ex_ord")).cast("double") <= col("ex_ord") * 0.15).as("ok"))
+    val med = wide.select(col("n_rows")).crossJoin(medRank)
+      .select(lit("median_rank").as("metric"), col("n_rows").as("n_reference"),
+        (col("n_le").cast("double") / col("n_rows") >= 0.48 &&
+         col("n_le").cast("double") / col("n_rows") <= 0.52).as("ok"))
+    hllCust.unionByName(hllOrd).unionByName(med)
+  }
+
+  /** Gopher-style intra-document repetition profile: fraction of a doc's
+    * non-overlapping word-3-chunks that are repeats of an earlier chunk in
+    * the SAME doc (q69 is the cross-doc complement), plus the highest
+    * single-chunk multiplicity. Two hash-partitioned aggregations, fully
+    * parallel by (doc, chunk) then doc. */
+  def q85RepetitionRatio(s: SparkSession, dir: String): DataFrame = {
+    val W = 3
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextStats.words(lower(col("text"))).as("ws"))
+      .filter(size(col("ws")) >= W)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), (size(col("ws")) / W).cast("int") - 1)).as("i"),
+        col("ws"))
+      .select(col("doc_id"),
+        array_join(slice(col("ws"), col("i") * W + 1, lit(W)), " ").as("chunk"))
+      .groupBy(col("doc_id"), col("chunk"))
+      .agg(count(lit(1)).as("m"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("m")).as("n_chunks"),
+        count(lit(1)).as("n_distinct"),
+        max(col("m")).as("max_mult"))
+      .withColumn("dup_fraction",
+        lit(1.0) - col("n_distinct").cast("double") / col("n_chunks").cast("double"))
+  }
+
+  /** Fixed-point PageRank (3 damped iterations, integer arithmetic) over
+    * the exact near-dup graph — ranks the "most representative" document
+    * inside each near-dup neighborhood ([[Graph.pageRank]]; integer
+    * fixed-point makes the distributed sums order-independent, so the
+    * DuckDB oracle reproduces every bit via three unrolled CTEs). */
+  def q86Pagerank(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, minJaccard = 0.5, maxShingleDf = MaxShingleDf)
+      .select(col("doc_a"), col("doc_b"))
+    Graph.pageRank(pairs, "doc_a", "doc_b", iterations = 3)
+      .select(col("node").as("doc_id"), col("pagerank"))
+  }
 }

@@ -101,6 +101,10 @@ object SparkEntry {
     "q80_value_windows" -> (Queries.q80ValueWindows(_, _)),
     "q81_sequence_packing" -> (Queries.q81SequencePacking(_, _)),
     "q82_mixture_resample" -> (Queries.q82MixtureResample(_, _)),
+    "q83_sketch_recall" -> (Queries.q83SketchRecall(_, _)),
+    "q84_approx_checks" -> (Queries.q84ApproxChecks(_, _)),
+    "q85_repetition_ratio" -> (Queries.q85RepetitionRatio(_, _)),
+    "q86_pagerank" -> (Queries.q86Pagerank(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class GraphSpec extends SparkSpec {
+
+  private def edges(es: (Long, Long)*) =
+    df("src BIGINT, dst BIGINT", es.map(e => Row(e._1, e._2)))
+
+  /** Driver-side reference: same fixed-point rule, plain Scala. */
+  private def refRanks(es: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val both = es ++ es.map(e => (e._2, e._1))
+    val adj = both.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val deg = adj.view.mapValues(_.size.toLong).toMap
+    var r = deg.keys.map(_ -> 1000000L).toMap
+    for (_ <- 1 to iters) {
+      val inflow = both.groupBy(_._2).map { case (dst, in) =>
+        dst -> in.map { case (src, _) => r(src) / deg(src) }.sum
+      }
+      r = r.keys.map(n => n -> (150000L + inflow.getOrElse(n, 0L) * 85L / 100L)).toMap
+    }
+    r
+  }
+
+  test("pageRank on a 3-node path matches hand-computed fixed-point values") {
+    // path 1-2-3; two iterations computed by hand:
+    //   iter1: end nodes 150000+85%·500000=575000, center 150000+85%·2000000=1850000
+    //   iter2: ends 150000+85%·925000=936250, center 150000+85%·1150000=1127500
+    val out = Graph.pageRank(edges((1L, 2L), (2L, 3L)), "src", "dst", iterations = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out shouldBe Map(1L -> 936250L, 2L -> 1127500L, 3L -> 936250L)
+  }
+
+  test("pageRank ranks the hub of a star highest and matches the reference rule") {
+    val es = Seq((10L, 1L), (10L, 2L), (10L, 3L), (10L, 4L), (1L, 2L))
+    val out = Graph.pageRank(edges(es: _*), "src", "dst", iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out shouldBe refRanks(es, 3)
+    out(10L) should be > out(3L)
+    out(10L) should be > out(1L)
+  }
+
+  test("pageRank is deterministic across partitionings (integer arithmetic)") {
+    val es = (0L until 40L).map(i => (i, (i * 7 + 1) % 40)).filter(e => e._1 != e._2)
+    val e1 = edges(es: _*)
+    val r1 = Graph.pageRank(e1, "src", "dst", 3)
+    val r2 = Graph.pageRank(e1.repartition(13), "src", "dst", 3)
+    r1.exceptAll(r2).count() shouldBe 0
+    r2.exceptAll(r1).count() shouldBe 0
+    r1.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe refRanks(es, 3)
+  }
+
+  test("pageRank rejects iteration counts outside the unrolled-plan range") {
+    an[IllegalArgumentException] should be thrownBy
+      Graph.pageRank(edges((1L, 2L)), "src", "dst", 0)
+    an[IllegalArgumentException] should be thrownBy
+      Graph.pageRank(edges((1L, 2L)), "src", "dst", 11)
+  }
+}
