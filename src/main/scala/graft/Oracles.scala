@@ -1458,5 +1458,35 @@ object Oracles {
         |    CAST(150000 + (sum(r.rank // d.deg) * 85) // 100 AS BIGINT) AS rank
         |  FROM e JOIN i2 r ON e.src = r.node JOIN deg d ON e.src = d.src
         |  GROUP BY e.dst)
-        |SELECT node AS doc_id, rank AS pagerank FROM i3""".stripMargin)
+        |SELECT node AS doc_id, rank AS pagerank FROM i3""".stripMargin,
+
+    // The partitioned write round-trips losslessly, so the oracle
+    // recomputes from raw orders; the dim's n_days=366 filter selects 1996
+    // (the range's only leap year).
+    "q87_dpp_prune" ->
+      """WITH silver AS (
+        |  SELECT
+        |    CASE WHEN o_orderstatus = 'O' THEN 'Open'
+        |         WHEN o_orderstatus = 'F' THEN 'Finished'
+        |         WHEN o_orderstatus = 'P' THEN 'Pending'
+        |         ELSE 'Unknown' END AS status_desc,
+        |    o_totalprice,
+        |    CAST(year(CASE WHEN CAST(o_orderdate AS DATE) IS NULL
+        |                     OR CAST(o_orderdate AS DATE) > DATE '1998-08-01'
+        |                   THEN DATE '1998-08-01'
+        |                   ELSE CAST(o_orderdate AS DATE) END) AS INT) AS order_year
+        |  FROM orders)
+        |SELECT order_year, status_desc,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS revenue
+        |FROM silver WHERE order_year = 1996
+        |GROUP BY order_year, status_desc""".stripMargin,
+
+    // Exact semi-join count; the bloom's no-false-negative /
+    // bounded-false-positive contract rides as ok=TRUE.
+    "q88_bloom_prefilter" ->
+      """SELECT 'bloom_semi' AS metric,
+        |  (SELECT count(*) FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |   WHERE c.c_mktsegment = 'BUILDING') AS n_reference,
+        |  TRUE AS ok""".stripMargin)
 }

@@ -1434,4 +1434,60 @@ object Queries {
     Graph.pageRank(pairs, "doc_a", "doc_b", iterations = 3)
       .select(col("node").as("doc_id"), col("pagerank"))
   }
+
+  /** Dynamic partition pruning end-to-end: the silver fact is written
+    * year-partitioned, then joined to a dim whose filter (`n_days = 366`,
+    * i.e. the leap year) selects the join key only at RUNTIME — the
+    * optimizer cannot fold it statically, so Catalyst inserts a dynamic
+    * pruning subquery on the partition column and the scan reads ONE
+    * year's directories (asserted in PlanSpec). At 100 TB this is the
+    * mechanism that turns a decade-wide fact scan into one year. */
+  def q87DppPrune(s: SparkSession, dir: String): DataFrame = {
+    val sfTag = dir.replaceAll(".*/", "")
+    val path = s"${Tables.scratchDir(s)}/dpp/$sfTag/orders"
+    graft.pipeline.Silver.cleanOrders(t(s, dir, "orders"))
+      .withColumn("order_year", year(col("order_date")))
+      .write.mode("overwrite").partitionBy("order_year").parquet(path)
+    val fact = s.read.parquet(path)
+    val leapYear = DateDim.dateDim(s, "1995-01-01", "1997-12-31")
+      .groupBy(col("year").as("order_year"))
+      .agg(count(lit(1)).as("n_days"))
+      .filter(col("n_days") === 366) // 1996 — but only the dim knows that
+    fact.join(leapYear, Seq("order_year"))
+      .groupBy(col("order_year"), col("status_desc"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(20,4)")).cast("double").as("revenue"))
+  }
+
+  /** Bloom-filter semi-join prefilter — the probe side drops non-matching
+    * rows BEFORE any shuffle by testing a bloom built over the build
+    * side's keys (Spark's own runtime-filter expressions, surfaced via
+    * [[graft.functions.GraftExtensions]]). Verified-approximation shape
+    * like q84: `ok` asserts the bloom's contract (NO false negatives —
+    * a missed member would silently drop data — and false-positive rate
+    * within the sizing math) against the exact membership computed in the
+    * same plan; the oracle checks the exact semi-join count and ok=TRUE. */
+  def q88BloomPrefilter(s: SparkSession, dir: String): DataFrame = {
+    // might_contain requires the bloom as a constant or scalar subquery
+    // (exactly how Spark's own injected runtime filters consume it), so
+    // this query runs through spark.sql over temp views.
+    t(s, dir, "customer").createOrReplaceTempView("q88_customer")
+    t(s, dir, "orders").createOrReplaceTempView("q88_orders")
+    s.sql("""
+      WITH members AS (
+        SELECT c_custkey FROM q88_customer WHERE c_mktsegment = 'BUILDING'),
+      bf AS (
+        SELECT graft_bloom_agg(xxhash64(c_custkey),
+          CAST(4000 AS BIGINT), CAST(65536 AS BIGINT)) AS b FROM members),
+      marked AS (
+        SELECT m.c_custkey IS NOT NULL AS is_member,
+          graft_might_contain((SELECT b FROM bf), xxhash64(o.o_custkey)) AS hit
+        FROM q88_orders o LEFT JOIN members m ON o.o_custkey = m.c_custkey)
+      SELECT 'bloom_semi' AS metric,
+        sum(CASE WHEN is_member THEN 1 ELSE 0 END) AS n_reference,
+        (sum(CASE WHEN is_member AND NOT hit THEN 1 ELSE 0 END) = 0
+         AND CAST(sum(CASE WHEN NOT is_member AND hit THEN 1 ELSE 0 END) AS DOUBLE)
+             <= sum(CASE WHEN NOT is_member THEN 1 ELSE 0 END) * 0.05) AS ok
+      FROM marked""")
+  }
 }

@@ -105,6 +105,8 @@ object SparkEntry {
     "q84_approx_checks" -> (Queries.q84ApproxChecks(_, _)),
     "q85_repetition_ratio" -> (Queries.q85RepetitionRatio(_, _)),
     "q86_pagerank" -> (Queries.q86Pagerank(_, _)),
+    "q87_dpp_prune" -> (Queries.q87DppPrune(_, _)),
+    "q88_bloom_prefilter" -> (Queries.q88BloomPrefilter(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -16,6 +16,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.rollingHash)
     ext.injectFunction(GraftExtensions.tokenEstimate)
     ext.injectFunction(GraftExtensions.kmvDistinct)
+    ext.injectFunction(GraftExtensions.bloomAgg)
+    ext.injectFunction(GraftExtensions.bloomMightContain)
   }
 }
 
@@ -59,4 +61,29 @@ object GraftExtensions {
         new XxHash64(Seq(children.head)))
       KmvDistinct(hashed, k).toAggregateExpression()
     })
+
+  // Spark ships BloomFilterAggregate/BloomFilterMightContain for its own
+  // runtime row-group filtering but does not register them in the public
+  // function registry — these graft aliases expose them (the semi-join
+  // prefilter every 100 TB pipeline wants: build a bloom over the small
+  // side's keys, drop non-matching corpus rows BEFORE the shuffle).
+  val bloomAgg: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier("graft_bloom_agg"),
+    new ExpressionInfo(
+      classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+      null, "graft_bloom_agg",
+      "graft_bloom_agg(xxhash64(col), nItems, nBits) - bloom filter over the hashed values", ""),
+    (children: Seq[Expression]) =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        children.head, children(1), children(2)).toAggregateExpression())
+
+  val bloomMightContain: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier("graft_might_contain"),
+    new ExpressionInfo(
+      classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+      null, "graft_might_contain",
+      "graft_might_contain(bloom, xxhash64(col)) - membership probe; false is definite", ""),
+    (children: Seq[Expression]) =>
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        children.head, children(1)))
 }

@@ -110,6 +110,11 @@ class PlanSpec extends SparkSpec {
     p should include("Union")
   }
 
+  test("q87: the partitioned scan carries a dynamic partition pruning subquery") {
+    val p = plan(Queries.q87DppPrune)
+    p.toLowerCase should include("dynamicpruning")
+  }
+
   test("no query plan contains a CollectLimit-to-driver loop or cartesian product") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = fn(spark, dir).queryExecution.executedPlan.toString
