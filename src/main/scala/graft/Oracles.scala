@@ -1488,5 +1488,36 @@ object Oracles {
       """SELECT 'bloom_semi' AS metric,
         |  (SELECT count(*) FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |   WHERE c.c_mktsegment = 'BUILDING') AS n_reference,
+        |  TRUE AS ok""".stripMargin,
+
+    // The incremental merge must equal the full recompute exactly; avg is
+    // exact-decimal sum over count, divided in DOUBLE on both engines.
+    "q89_incremental_agg" ->
+      """SELECT o_orderpriority,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS total_price,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS avg_price,
+        |  min(o_totalprice) AS min_price,
+        |  max(o_totalprice) AS max_price
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    // VARIANT-typed extraction lands on the same values as string-path
+    // JSON extraction.
+    "q90_variant_extract" ->
+      """SELECT event_type,
+        |  CAST(count(k) AS BIGINT) AS n_with_k,
+        |  CAST(sum(k) AS BIGINT) AS sum_k,
+        |  CAST(sum(k) AS DOUBLE) / CAST(count(k) AS DOUBLE) AS avg_k
+        |FROM (SELECT event_type,
+        |        CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |      FROM events)
+        |GROUP BY event_type""".stripMargin,
+
+    // The layout contract (disjoint sorted ranges) is asserted Spark-side;
+    // the oracle checks the row count and expects the contract to hold.
+    "q91_range_clustered" ->
+      """SELECT 'range_clustered' AS metric,
+        |  (SELECT count(*) FROM lineitem) AS n_rows,
         |  TRUE AS ok""".stripMargin)
 }

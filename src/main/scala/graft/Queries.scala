@@ -1490,4 +1490,93 @@ object Queries {
              <= sum(CASE WHEN NOT is_member THEN 1 ELSE 0 END) * 0.05) AS ok
       FROM marked""")
   }
+
+  /** Incremental aggregate maintenance — the materialized-view refresh
+    * pattern: the "existing" gold aggregate (orders before the cutoff) and
+    * the delta batch (at/after it) are each aggregated to PARTIALS, then
+    * merged by re-aggregation — count/sum/min/max merge losslessly, avg is
+    * re-derived from merged sum/count (the non-mergeable form is the
+    * classic MV bug). At 100 TB this is the difference between
+    * re-aggregating a decade nightly and touching only the new partition;
+    * the oracle is the full recompute, so the merge must be EXACTLY it. */
+  def q89IncrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = to_timestamp(lit("1997-01-01 00:00:00"))
+    def partial(df: DataFrame): DataFrame = df
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(20,4)")).as("_sum"),
+        min(col("o_totalprice")).as("_min"),
+        max(col("o_totalprice")).as("_max"))
+    val existing = partial(t(s, dir, "orders").filter(col("o_orderdate") < cutoff))
+    val delta = partial(t(s, dir, "orders").filter(col("o_orderdate") >= cutoff))
+    existing.unionByName(delta)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        sum(col("n_orders")).as("n_orders"),
+        sum(col("_sum")).as("_sum2"),
+        min(col("_min")).as("min_price"),
+        max(col("_max")).as("max_price"))
+      .select(col("o_orderpriority"), col("n_orders"),
+        col("_sum2").cast("double").as("total_price"),
+        // avg re-derived from the merged exact partials; the division runs
+        // in DOUBLE on both engines (decimal division scale rules differ)
+        (col("_sum2").cast("double") / col("n_orders").cast("double")).as("avg_price"),
+        col("min_price"), col("max_price"))
+  }
+
+  /** VARIANT semi-structured extraction (Spark 4's typed JSON path) —
+    * parse_json once, typed variant_get per field; same values as q43's
+    * string-path extraction but through the binary VARIANT encoding a
+    * 100 TB event pipeline would store (parse once at ingest, cheap typed
+    * reads forever after). */
+  def q90VariantExtract(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("_v", parse_json(col("props")))
+      .withColumn("prop_k", try_variant_get(col("_v"), "$.k", "int"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(col("prop_k")).as("n_with_k"),
+        sum(col("prop_k").cast("long")).as("sum_k"))
+      .withColumn("avg_k",
+        col("sum_k").cast("double") / col("n_with_k").cast("double"))
+
+  /** Range-clustered layout check — repartitionByRange + sortWithinPartitions
+    * is the write-side clustering primitive (row-group min/max pruning,
+    * merge-friendly file layout). The global-order property is asserted
+    * IN-QUERY: per-partition [min,max] key ranges, ordered by range, must
+    * not overlap, and every row must be sorted within its partition —
+    * folded into `ok` so the layout contract is oracle-checked (the
+    * partition count itself is left out: it depends on data size, which is
+    * the point of range partitioning). */
+  def q91RangeClustered(s: SparkSession, dir: String): DataFrame = {
+    val clustered = t(s, dir, "lineitem")
+      .repartitionByRange(8, col("l_shipdate"))
+      .sortWithinPartitions(col("l_shipdate"))
+    // partition id and within-partition position are captured in a narrow
+    // projection BEFORE any window shuffle, so they describe the clustered
+    // layout, not the window's own exchange
+    val tagged = clustered.select(col("l_shipdate"),
+      spark_partition_id().as("_pid"), monotonically_increasing_id().as("_mid"))
+    val wp = Window.partitionBy(col("_pid")).orderBy(col("_mid"))
+    val perPart = tagged
+      .withColumn("_in_order",
+        col("l_shipdate") >= lag(col("l_shipdate"), 1).over(wp))
+      .groupBy(col("_pid"))
+      .agg(
+        min(col("l_shipdate")).as("_lo"),
+        max(col("l_shipdate")).as("_hi"),
+        count(lit(1)).as("n_rows"),
+        coalesce(sum(when(!col("_in_order"), 1L)), lit(0L)).as("_disorder"))
+    val w = Window.orderBy(col("_lo"), col("_pid"))
+    perPart
+      .select(col("n_rows"), col("_disorder"),
+        (col("_lo") >= lag(col("_hi"), 1).over(w) || lag(col("_hi"), 1).over(w).isNull)
+          .as("_no_overlap"))
+      .agg(
+        sum(col("n_rows")).as("n_rows"),
+        (coalesce(sum(when(!col("_no_overlap"), 1L)), lit(0L)) === 0L &&
+          coalesce(sum(col("_disorder")), lit(0L)) === 0L).as("ok"))
+      .select(lit("range_clustered").as("metric"), col("n_rows"), col("ok"))
+  }
 }

@@ -107,6 +107,9 @@ object SparkEntry {
     "q86_pagerank" -> (Queries.q86Pagerank(_, _)),
     "q87_dpp_prune" -> (Queries.q87DppPrune(_, _)),
     "q88_bloom_prefilter" -> (Queries.q88BloomPrefilter(_, _)),
+    "q89_incremental_agg" -> (Queries.q89IncrementalAgg(_, _)),
+    "q90_variant_extract" -> (Queries.q90VariantExtract(_, _)),
+    "q91_range_clustered" -> (Queries.q91RangeClustered(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
