@@ -1519,5 +1519,23 @@ object Oracles {
     "q91_range_clustered" ->
       """SELECT 'range_clustered' AS metric,
         |  (SELECT count(*) FROM lineitem) AS n_rows,
-        |  TRUE AS ok""".stripMargin)
+        |  TRUE AS ok""".stripMargin,
+
+    // Same grid + forward fill; IGNORE NULLS last_value is the fill.
+    "q92_gap_fill" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+        |    sum(CAST(value AS DECIMAL(20,6))) AS v
+        |  FROM events WHERE value > 90 GROUP BY 1, 2),
+        |hours AS (
+        |  SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+        |    TIMESTAMP '2024-01-30 23:00:00', INTERVAL 1 HOUR)) AS hour_ts),
+        |types AS (SELECT DISTINCT event_type FROM events)
+        |SELECT t.event_type, h.hour_ts,
+        |  CAST(last_value(a.v IGNORE NULLS) OVER (
+        |    PARTITION BY t.event_type ORDER BY h.hour_ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS value_filled,
+        |  a.v IS NULL AS was_missing
+        |FROM types t CROSS JOIN hours h
+        |LEFT JOIN hourly a ON t.event_type = a.event_type AND h.hour_ts = a.hour_ts""".stripMargin)
 }

@@ -1579,4 +1579,30 @@ object Queries {
           coalesce(sum(col("_disorder")), lit(0L)) === 0L).as("ok"))
       .select(lit("range_clustered").as("metric"), col("n_rows"), col("ok"))
   }
+
+  /** Time-series gap filling: a dense (type × hour) calendar grid left-joined
+    * to sparse hourly aggregates, missing hours forward-filled with
+    * `last(_, ignoreNulls)` — the standard dashboard/feature-pipeline
+    * imputation. The calendar is generated, never scanned; the fill window
+    * partitions by series, so the pattern is embarrassingly parallel
+    * across series at any scale. Hours before a series' first observation
+    * stay NULL (nothing to carry forward) — that's semantics, not a bug. */
+  def q92GapFill(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val hourly = ev.filter(col("value") > 90)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour_ts"))
+      .agg(sum(col("value").cast("decimal(20,6)")).as("_v"))
+    val hours = s.range(1).select(explode(sequence(
+      to_timestamp(lit("2024-01-01 00:00:00")),
+      to_timestamp(lit("2024-01-30 23:00:00")),
+      expr("INTERVAL 1 HOUR"))).as("hour_ts"))
+    val types = ev.select(col("event_type")).distinct()
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour_ts"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    types.crossJoin(broadcast(hours))
+      .join(hourly, Seq("event_type", "hour_ts"), "left")
+      .select(col("event_type"), col("hour_ts"),
+        last(col("_v"), ignoreNulls = true).over(w).cast("double").as("value_filled"),
+        col("_v").isNull.as("was_missing"))
+  }
 }

@@ -110,6 +110,7 @@ object SparkEntry {
     "q89_incremental_agg" -> (Queries.q89IncrementalAgg(_, _)),
     "q90_variant_extract" -> (Queries.q90VariantExtract(_, _)),
     "q91_range_clustered" -> (Queries.q91RangeClustered(_, _)),
+    "q92_gap_fill" -> (Queries.q92GapFill(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
