@@ -1537,5 +1537,30 @@ object Oracles {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS value_filled,
         |  a.v IS NULL AS was_missing
         |FROM types t CROSS JOIN hours h
-        |LEFT JOIN hourly a ON t.event_type = a.event_type AND h.hour_ts = a.hour_ts""".stripMargin)
+        |LEFT JOIN hourly a ON t.event_type = a.event_type AND h.hour_ts = a.hour_ts""".stripMargin,
+
+    // mergeSchema union semantics recomputed from the raw table: old
+    // generation has no s_tier -> NULL.
+    "q93_schema_evolution" ->
+      """SELECT s_suppkey, s_name, s_acctbal,
+        |  CAST(NULL AS VARCHAR) AS s_tier, 1 AS gen
+        |FROM supplier WHERE s_suppkey % 2 = 0
+        |UNION ALL
+        |SELECT s_suppkey, s_name, s_acctbal,
+        |  CASE WHEN s_acctbal >= 5000 THEN 'gold' ELSE 'standard' END, 2
+        |FROM supplier WHERE s_suppkey % 2 = 1""".stripMargin,
+
+    // IS NOT DISTINCT FROM = Spark's <=>.
+    "q94_null_safe_join" ->
+      """WITH cust AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 10 = 0 THEN NULL ELSE c_mktsegment END AS seg
+        |  FROM customer),
+        |segs AS (
+        |  SELECT seg, COALESCE(seg, 'UNKNOWN') AS seg_label FROM (
+        |    SELECT DISTINCT c_mktsegment AS seg FROM customer
+        |    UNION ALL SELECT NULL))
+        |SELECT s.seg_label, count(*) AS n_customers
+        |FROM cust c JOIN segs s ON c.seg IS NOT DISTINCT FROM s.seg
+        |GROUP BY s.seg_label""".stripMargin)
 }

@@ -1605,4 +1605,49 @@ object Queries {
         last(col("_v"), ignoreNulls = true).over(w).cast("double").as("value_filled"),
         col("_v").isNull.as("was_missing"))
   }
+
+  /** Schema evolution across batch generations: an early batch written
+    * without a column, a later batch with it (and a different column
+    * order), read back as ONE table via mergeSchema — the standard
+    * long-lived-pipeline situation (a 100 TB lake always spans schema
+    * versions; rewriting history per evolution is not an option). Missing
+    * columns in old files surface as NULL; the oracle recomputes the same
+    * union semantics from the raw table. */
+  def q93SchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val sfTag = dir.replaceAll(".*/", "")
+    val path = s"${Tables.scratchDir(s)}/schema_evo/$sfTag/supplier"
+    val sup = t(s, dir, "supplier")
+    // generation 1: no s_tier column, written first
+    sup.filter(col("s_suppkey") % 2 === 0)
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+      .write.mode("overwrite").parquet(s"$path/gen=1")
+    // generation 2: adds s_tier, different column order
+    sup.filter(col("s_suppkey") % 2 === 1)
+      .select(col("s_acctbal"), col("s_suppkey"),
+        when(col("s_acctbal") >= 5000, "gold").otherwise("standard").as("s_tier"),
+        col("s_name"))
+      .write.mode("overwrite").parquet(s"$path/gen=2")
+    s.read.option("mergeSchema", "true").parquet(path)
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+        col("s_tier"), col("gen").cast("int").as("gen"))
+  }
+
+  /** Null-safe equality join (`<=>`): NULL keys match each other — the
+    * semantics a dimension join on an OPTIONAL attribute needs (plain `=`
+    * silently drops every NULL-keyed row). Null keys are synthesized on
+    * both sides; the oracle uses IS NOT DISTINCT FROM. Still an equi-join
+    * for the planner: hash-partitionable, broadcastable — not a theta
+    * join. */
+  def q94NullSafeJoin(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer").select(col("c_custkey"),
+      when(col("c_custkey") % 10 === 0, lit(null).cast("string"))
+        .otherwise(col("c_mktsegment")).as("seg"))
+    val segs = t(s, dir, "customer").select(col("c_mktsegment")).distinct()
+      .select(col("c_mktsegment").as("seg"))
+      .unionByName(s.range(1).select(lit(null).cast("string").as("seg")))
+      .withColumn("seg_label", coalesce(col("seg"), lit("UNKNOWN")))
+    cust.join(segs, cust("seg") <=> segs("seg"))
+      .groupBy(col("seg_label"))
+      .agg(count(lit(1)).as("n_customers"))
+  }
 }

@@ -111,6 +111,8 @@ object SparkEntry {
     "q90_variant_extract" -> (Queries.q90VariantExtract(_, _)),
     "q91_range_clustered" -> (Queries.q91RangeClustered(_, _)),
     "q92_gap_fill" -> (Queries.q92GapFill(_, _)),
+    "q93_schema_evolution" -> (Queries.q93SchemaEvolution(_, _)),
+    "q94_null_safe_join" -> (Queries.q94NullSafeJoin(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
