@@ -1562,5 +1562,25 @@ object Oracles {
         |    UNION ALL SELECT NULL))
         |SELECT s.seg_label, count(*) AS n_customers
         |FROM cust c JOIN segs s ON c.seg IS NOT DISTINCT FROM s.seg
-        |GROUP BY s.seg_label""".stripMargin)
+        |GROUP BY s.seg_label""".stripMargin,
+
+    // Ordered reassembly via string_agg(... ORDER BY i) — same result as
+    // Spark's sort_array-over-structs trick.
+    "q95_boilerplate_scrub" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, i, array_to_string(ws[i*3+1 : i*3+3], ' ') AS chunk
+        |  FROM w CROSS JOIN unnest(generate_series(0, CAST(floor(len(ws)/3) AS INT) - 1)) AS t(i)),
+        |drops AS (
+        |  SELECT chunk FROM c GROUP BY chunk HAVING count(DISTINCT doc_id) >= 2),
+        |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tot FROM c GROUP BY doc_id),
+        |kept AS (SELECT * FROM c WHERE chunk NOT IN (SELECT chunk FROM drops))
+        |SELECT k.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_kept,
+        |  CAST(any_value(t.n_tot) - count(*) AS BIGINT) AS n_dropped,
+        |  string_agg(k.chunk, ' ' ORDER BY k.i) AS scrubbed_text
+        |FROM kept k JOIN tot t ON k.doc_id = t.doc_id
+        |GROUP BY k.doc_id""".stripMargin)
 }

@@ -1650,4 +1650,42 @@ object Queries {
       .groupBy(col("seg_label"))
       .agg(count(lit(1)).as("n_customers"))
   }
+
+  /** Boilerplate SCRUB — the transform q69 only detects: chunks appearing
+    * in >= 2 distinct docs (cross-doc boilerplate) are removed and each
+    * doc's surviving text reassembled in original chunk order. Order-safe
+    * reassembly after the shuffle uses sort_array over (index, chunk)
+    * structs + a transform/array_join — the HOF runs once per DOC (not per
+    * token), off the hot path. The drop-set is a distinct-count aggregate,
+    * naturally tiny next to the corpus (and broadcast by AQE into the
+    * anti-join). Docs whose every chunk was dropped disappear from the
+    * output — they ARE pure boilerplate. */
+  def q95BoilerplateScrub(s: SparkSession, dir: String): DataFrame = {
+    val W = 3
+    val chunks = t(s, dir, "documents")
+      .select(col("doc_id"), TextStats.words(lower(col("text"))).as("ws"))
+      .filter(size(col("ws")) >= W)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), (size(col("ws")) / W).cast("int") - 1)).as("i"),
+        col("ws"))
+      .select(col("doc_id"), col("i"),
+        array_join(slice(col("ws"), col("i") * W + 1, lit(W)), " ").as("chunk"))
+    val dropSet = chunks.groupBy(col("chunk"))
+      .agg(countDistinct(col("doc_id")).as("_df"))
+      .filter(col("_df") >= 2)
+      .select(col("chunk"))
+    val tot = chunks.groupBy(col("doc_id")).agg(count(lit(1)).as("_n_tot"))
+    chunks.join(dropSet, Seq("chunk"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("i"), col("chunk")))),
+            x => x.getField("chunk")),
+          " ").as("scrubbed_text"))
+      .join(tot, Seq("doc_id"))
+      .select(col("doc_id"), col("n_kept"),
+        (col("_n_tot") - col("n_kept")).as("n_dropped"), col("scrubbed_text"))
+  }
 }

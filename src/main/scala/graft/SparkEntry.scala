@@ -113,6 +113,7 @@ object SparkEntry {
     "q92_gap_fill" -> (Queries.q92GapFill(_, _)),
     "q93_schema_evolution" -> (Queries.q93SchemaEvolution(_, _)),
     "q94_null_safe_join" -> (Queries.q94NullSafeJoin(_, _)),
+    "q95_boilerplate_scrub" -> (Queries.q95BoilerplateScrub(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
