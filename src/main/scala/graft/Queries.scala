@@ -1296,9 +1296,12 @@ object Queries {
 
     // MinHash vs exact n-gram Jaccard: recall within banding math, zero
     // false positives (candidates are exact-verified before emission).
-    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5, MaxShingleDf)
+    // ONE shingle pass feeds both the exact and the MinHash operator.
+    val sh = Dedup.capShingleDf(Dedup.shingleSet(docs, "doc_id", "text", 3), MaxShingleDf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exact = Dedup.ngramJaccardPairsFromShingles(sh, "doc_id", 0.5)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-    val mh = Dedup.minHashNearDupPairs(docs, "doc_id", "text", 3, 16, 2, 0.5, MaxShingleDf)
+    val mh = Dedup.minHashNearDupPairsFromShingles(sh, "doc_id", 16, 2, 0.5)
       .select(col("doc_a"), col("doc_b"), lit(1L).as("_mh"))
     // P(some band catches the pair) = 1 - (1 - s^r)^(k/r), r=2, k/r=8
     val pCatch = lit(1.0) - pow(lit(1.0) - pow(col("jaccard"), 2.0), 8.0)
@@ -1332,9 +1335,11 @@ object Queries {
 
     // ANN-LSH vs exact top-k: recall within the hyperplane math at the
     // TRUE cosines (theta = arccos c, p = 1-(1-(1-theta/pi)^bits)^tables).
+    // persisted: both the LSH and the IVF verification branch join it
     val exactTk = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
         col("vec_id") % 50 === 0, k = 5)
       .select(col("query_id"), col("cand_id"), col("cosine"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val theta = acos(least(lit(1.0), greatest(lit(-1.0), col("cosine"))))
     val pCatchLsh = lit(1.0) - pow(lit(1.0) - pow(lit(1.0) - theta / math.Pi, 8.0), 4.0)
     val lsh = Similarity.lshTopK(emb, "vec_id", "embedding",
