@@ -1582,5 +1582,27 @@ object Oracles {
         |  CAST(any_value(t.n_tot) - count(*) AS BIGINT) AS n_dropped,
         |  string_agg(k.chunk, ' ' ORDER BY k.i) AS scrubbed_text
         |FROM kept k JOIN tot t ON k.doc_id = t.doc_id
-        |GROUP BY k.doc_id""".stripMargin)
+        |GROUP BY k.doc_id""".stripMargin,
+
+    // TRY_CAST null semantics match Spark's try_cast; try_divide(x, 0) is
+    // NULL on the Spark side and mirrored with NULLIF here.
+    "q96_try_parse" ->
+      """SELECT count(*) AS n_rows,
+        |  count(amount) AS n_amount_ok,
+        |  CAST(sum(amount) AS DOUBLE) AS total_parsed,
+        |  count(d) AS n_date_ok,
+        |  min(d) AS min_date,
+        |  max(d) AS max_date,
+        |  count(inv) AS n_div_ok
+        |FROM (
+        |  SELECT
+        |    TRY_CAST(CASE WHEN o_orderkey % 7 = 0 THEN 'N/A'
+        |      WHEN o_orderkey % 7 = 1 THEN ''
+        |      WHEN o_orderkey % 7 = 2 THEN '$' || CAST((o_orderkey % 1000) * 13 AS VARCHAR) || '.75'
+        |      ELSE CAST((o_orderkey % 1000) * 13 AS VARCHAR) || '.75'
+        |      END AS DECIMAL(20,2)) AS amount,
+        |    TRY_CAST(CASE WHEN o_orderkey % 5 = 0 THEN 'not-a-date'
+        |      ELSE strftime(o_orderdate, '%Y-%m-%d') END AS DATE) AS d,
+        |    1.0 / NULLIF(CAST(o_orderkey % 3 AS DOUBLE), 0) AS inv
+        |  FROM orders)""".stripMargin)
 }

@@ -1693,4 +1693,39 @@ object Queries {
       .select(col("doc_id"), col("n_kept"),
         (col("_n_tot") - col("n_kept")).as("n_dropped"), col("scrubbed_text"))
   }
+
+  /** Error-tolerant ingest under ANSI mode: Spark 4 runs ANSI by default,
+    * where a single malformed value ABORTS the job — `try_cast` /
+    * `try_divide` are the per-row escape hatch that turns corrupt cells
+    * into NULLs a quality gate can count (the load-don't-die contract
+    * every dirty 100 TB ingest needs). Dirty values are synthesized
+    * deterministically; the audit aggregates parse successes/failures and
+    * the exact-decimal sum of what parsed. */
+  def q96TryParse(s: SparkSession, dir: String): DataFrame = {
+    val k = col("o_orderkey")
+    // amount strings derive from integers only — double→string formatting
+    // is the one cast whose repr rules differ across engines
+    val num = concat(((k % 1000) * 13).cast("string"), lit(".75"))
+    val raw = when(k % 7 === 0, lit("N/A"))
+      .when(k % 7 === 1, lit(""))
+      .when(k % 7 === 2, concat(lit("$"), num))
+      .otherwise(num)
+    val rawDate = when(k % 5 === 0, lit("not-a-date"))
+      .otherwise(date_format(col("o_orderdate"), "yyyy-MM-dd"))
+    t(s, dir, "orders")
+      .select(k.as("k"), raw.as("raw_amount"), rawDate.as("raw_date"),
+        (k % 3).cast("double").as("denom"))
+      .select(col("k"),
+        expr("try_cast(raw_amount AS DECIMAL(20,2))").as("amount"),
+        expr("try_cast(raw_date AS DATE)").as("d"),
+        try_divide(lit(1.0), col("denom")).as("inv"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("amount")).as("n_amount_ok"),
+        sum(col("amount")).cast("double").as("total_parsed"),
+        count(col("d")).as("n_date_ok"),
+        min(col("d")).as("min_date"),
+        max(col("d")).as("max_date"),
+        count(col("inv")).as("n_div_ok"))
+  }
 }

@@ -114,6 +114,7 @@ object SparkEntry {
     "q93_schema_evolution" -> (Queries.q93SchemaEvolution(_, _)),
     "q94_null_safe_join" -> (Queries.q94NullSafeJoin(_, _)),
     "q95_boilerplate_scrub" -> (Queries.q95BoilerplateScrub(_, _)),
+    "q96_try_parse" -> (Queries.q96TryParse(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
