@@ -1,0 +1,37 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Dev harness: time the named queries only (`runMain graft.BenchOne q40_…
+  * q86_…`), same session config and noop-sink methodology as [[Bench]].
+  * Iteration aid — the driver's per-round numbers come from Bench.
+  */
+object BenchOne {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      spark.read.parquet(s"$sfDir/nation.parquet")
+        .groupBy("n_regionkey").count()
+        .write.format("noop").mode("overwrite").save()
+    } catch { case e: Throwable => System.err.println(s"[benchone] warmup: $e") }
+    args.foreach { name =>
+      SparkEntry.queries.get(name) match {
+        case None => System.err.println(s"[benchone] unknown query: $name")
+        case Some(fn) =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+          catch { case e: Throwable => System.err.println(s"[benchone] $name: $e") }
+          println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+          spark.catalog.clearCache()
+      }
+    }
+    spark.stop()
+  }
+}

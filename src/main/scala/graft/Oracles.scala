@@ -1348,12 +1348,12 @@ object Oracles {
         |  max(epoch) AS max_epoch
         |FROM e GROUP BY source, weight""".stripMargin,
 
-    // Sketch-recall gate: the oracle computes each method's SQL-expressible
-    // reference size and asserts ok=TRUE — the Spark side folds its
-    // recall/precision guarantee into that boolean, so a sketch regression
-    // hash-mismatches here even though the sketches themselves (xxhash64)
-    // are only rows-checked in q19/q22/q25.
-    "q83_sketch_recall" ->
+    // Sketch-recall gates (q83a-d): the oracle computes each method's
+    // SQL-expressible reference size and asserts ok=TRUE — the Spark side
+    // folds its recall/precision guarantee into that boolean, so a sketch
+    // regression hash-mismatches here even though the sketches themselves
+    // (xxhash64) are only rows-checked in q19/q22/q25.
+    "q83a_minhash_recall" ->
       """WITH wrds AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
         |sh0 AS (
@@ -1370,8 +1370,17 @@ object Oracles {
         |pairs AS (
         |  SELECT doc_a FROM inter
         |  JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
-        |  WHERE CAST(i AS DOUBLE) / CAST(ca.m + cb.m - i AS DOUBLE) >= 0.5),
-        |topk AS (
+        |  WHERE CAST(i AS DOUBLE) / CAST(ca.m + cb.m - i AS DOUBLE) >= 0.5)
+        |SELECT 'minhash' AS method,
+        |  (SELECT count(*) FROM pairs) AS n_reference, TRUE AS ok""".stripMargin,
+
+    "q83b_simhash_exact" ->
+      """SELECT 'simhash' AS method,
+        |  (SELECT count(*) FROM documents WHERE doc_id % 2 = 1) AS n_reference,
+        |  TRUE AS ok""".stripMargin,
+
+    "q83c_ann_lsh_recall" ->
+      """WITH topk AS (
         |  SELECT query_id FROM (
         |    SELECT q.vec_id AS query_id,
         |      row_number() OVER (
@@ -1383,11 +1392,24 @@ object Oracles {
         |    FROM embeddings q CROSS JOIN embeddings c
         |    WHERE q.vec_id % 50 = 0 AND q.vec_id != c.vec_id)
         |  WHERE rank <= 5)
-        |SELECT 'minhash' AS method, (SELECT count(*) FROM pairs) AS n_reference, TRUE AS ok
-        |UNION ALL SELECT 'simhash',
-        |  (SELECT count(*) FROM documents WHERE doc_id % 2 = 1), TRUE
-        |UNION ALL SELECT 'ann_lsh', (SELECT count(*) FROM topk), TRUE
-        |UNION ALL SELECT 'ivf', (SELECT count(*) FROM topk), TRUE""".stripMargin,
+        |SELECT 'ann_lsh' AS method,
+        |  (SELECT count(*) FROM topk) AS n_reference, TRUE AS ok""".stripMargin,
+
+    "q83d_ivf_recall" ->
+      """WITH topk AS (
+        |  SELECT query_id FROM (
+        |    SELECT q.vec_id AS query_id,
+        |      row_number() OVER (
+        |        PARTITION BY q.vec_id
+        |        ORDER BY list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+        |          / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+        |           * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) DESC,
+        |          c.vec_id) AS rank
+        |    FROM embeddings q CROSS JOIN embeddings c
+        |    WHERE q.vec_id % 50 = 0 AND q.vec_id != c.vec_id)
+        |  WHERE rank <= 5)
+        |SELECT 'ivf' AS method,
+        |  (SELECT count(*) FROM topk) AS n_reference, TRUE AS ok""".stripMargin,
 
     // Verified approximate aggregates: exact references via SQL, the
     // error-bound assertions ride as ok=TRUE.
@@ -1604,5 +1626,42 @@ object Oracles {
         |    TRY_CAST(CASE WHEN o_orderkey % 5 = 0 THEN 'not-a-date'
         |      ELSE strftime(o_orderdate, '%Y-%m-%d') END AS DATE) AS d,
         |    1.0 / NULLIF(CAST(o_orderkey % 3 AS DOUBLE), 0) AS inv
-        |  FROM orders)""".stripMargin)
+        |  FROM orders)""".stripMargin,
+
+    // Real-decode gates: Spark ENCODES an actual BMP/WAV file then PARSES
+    // it back byte-by-byte; the oracle never sees the bytes — it recomputes
+    // the generator's pixel/sample formula in closed form. Agreement proves
+    // the decoder read the same values the encoder wrote through the real
+    // file format (header fields, row padding, chunk layout, signedness).
+    // All-integer outputs: no float drift across engines.
+    "q97_bmp_decode" ->
+      """WITH p AS (
+        |  SELECT doc_id, CAST(4 + doc_id % 5 AS INT) AS w,
+        |    CAST(4 + doc_id % 3 AS INT) AS h, doc_id AS seed
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, w, h,
+        |    (seed + 11*x + 13*y) % 256 AS r,
+        |    (seed + 5*x + 7*y) % 256 AS g,
+        |    (seed + 2*x + 3*y) % 256 AS b
+        |  FROM p,
+        |    LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x),
+        |    LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y))
+        |SELECT doc_id, w AS width, h AS height,
+        |  CAST(sum(r) AS BIGINT) AS sum_r,
+        |  CAST(sum(g) AS BIGINT) AS sum_g,
+        |  CAST(sum(b) AS BIGINT) AS sum_b
+        |FROM px GROUP BY doc_id, w, h""".stripMargin,
+
+    "q98_wav_decode" ->
+      """WITH p AS (
+        |  SELECT doc_id, CAST(64 + doc_id % 100 AS INT) AS n,
+        |    CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sr, doc_id AS seed
+        |  FROM documents),
+        |smp AS (
+        |  SELECT doc_id, n, sr, abs(((seed + 17*i) % 65536) - 32768) AS a
+        |  FROM p, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS i))
+        |SELECT doc_id, sr AS sample_rate, CAST(n AS BIGINT) AS n_samples,
+        |  CAST(sum(a) AS BIGINT) AS sum_abs, CAST(max(a) AS INT) AS peak
+        |FROM smp GROUP BY doc_id, sr, n""".stripMargin)
 }

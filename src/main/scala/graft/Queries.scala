@@ -1277,27 +1277,28 @@ object Queries {
 
   /** Driver-visible recall/precision verification of the hash-dependent
     * sketch paths (q19 MinHash, q22 SimHash, q25 ANN-LSH, q52 IVF) against
-    * exact ground truths computed in the same plan. The three sketch
-    * queries themselves can only be rows-checked (xxhash64 isn't
-    * SQL-expressible); here each method's guarantee is folded into a
+    * exact ground truths computed in the same plan — one query per method
+    * (q83a–q83d) so each lands in its own bench cell and correctness row.
+    * The sketch queries themselves can only be rows-checked (xxhash64
+    * isn't SQL-expressible); here each method's guarantee is folded into a
     * boolean the oracle CAN check: the DuckDB side computes the
     * SQL-expressible reference size and asserts ok=TRUE, so a recall
     * collapse or precision bug becomes a hash MISMATCH in the driver's
     * correctness gate, not just an sbt failure (thresholds mirror
     * [[graft.ops]] RecallSpec: banding/hyperplane math minus 0.15 slack).
+    * Every ratio is zero-guarded: a corpus with no reference pairs (or no
+    * queries) verifies vacuously true instead of failing on NaN.
     *
-    * 100 TB: every branch is the already-bounded operator itself plus
-    * one extra equi-join per method; the SimHash brute-force check is the
-    * one O(N²) piece, so it runs on the deterministic odd-id half-sample
-    * (same verification-on-a-sample pattern as q41). */
-  def q83SketchRecall(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    val emb = t(s, dir, "embeddings")
-
+    * 100 TB: each is the already-bounded operator itself plus one extra
+    * equi-join; the SimHash brute-force check is the one O(N²) piece, so
+    * it runs on the deterministic odd-id half-sample (same
+    * verification-on-a-sample pattern as q41). */
+  def q83aMinhashRecall(s: SparkSession, dir: String): DataFrame = {
     // MinHash vs exact n-gram Jaccard: recall within banding math, zero
     // false positives (candidates are exact-verified before emission).
     // ONE shingle pass feeds both the exact and the MinHash operator.
-    val sh = Dedup.capShingleDf(Dedup.shingleSet(docs, "doc_id", "text", 3), MaxShingleDf)
+    val sh = Dedup.capShingleDf(
+        Dedup.shingleSet(t(s, dir, "documents"), "doc_id", "text", 3), MaxShingleDf)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val exact = Dedup.ngramJaccardPairsFromShingles(sh, "doc_id", 0.5)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
@@ -1305,7 +1306,7 @@ object Queries {
       .select(col("doc_a"), col("doc_b"), lit(1L).as("_mh"))
     // P(some band catches the pair) = 1 - (1 - s^r)^(k/r), r=2, k/r=8
     val pCatch = lit(1.0) - pow(lit(1.0) - pow(col("jaccard"), 2.0), 8.0)
-    val mhRow = exact.join(mh, Seq("doc_a", "doc_b"), "full")
+    exact.join(mh, Seq("doc_a", "doc_b"), "full")
       .agg(
         coalesce(sum(when(col("jaccard").isNotNull, 1L)), lit(0L)).as("n_exact"),
         coalesce(sum(when(col("jaccard").isNotNull && col("_mh").isNotNull, 1L)), lit(0L)).as("n_found"),
@@ -1313,11 +1314,15 @@ object Queries {
         avg(when(col("jaccard").isNotNull, pCatch)).as("exp_recall"))
       .select(lit("minhash").as("method"), col("n_exact").as("n_reference"),
         (col("n_false_pos") === 0L &&
-          col("n_found").cast("double") / col("n_exact") >= col("exp_recall") - 0.15).as("ok"))
+          (col("n_exact") === 0L || // vacuous: no reference pairs to recall
+            col("n_found").cast("double") / col("n_exact") >= col("exp_recall") - 0.15)).as("ok"))
+  }
 
-    // SimHash 4-chunk banding is EXACT at maxHamming<=3 (pigeonhole):
-    // banded pairs must equal brute-force Hamming pairs on the half-sample.
-    val sample = docs.filter(col("doc_id") % 2 === 1)
+  /** SimHash 4-chunk banding is EXACT at maxHamming<=3 (pigeonhole):
+    * banded pairs must equal brute-force Hamming pairs on the half-sample.
+    * See [[q83aMinhashRecall]] for the family rationale. */
+  def q83bSimhashExact(s: SparkSession, dir: String): DataFrame = {
+    val sample = t(s, dir, "documents").filter(col("doc_id") % 2 === 1)
     val fp = Dedup.simHash(sample, "doc_id", "text")
     val brute = fp.select(col("doc_id").as("doc_a"), col("simhash").as("_sa"))
       .crossJoin(fp.select(col("doc_id").as("doc_b"), col("simhash").as("_sb")))
@@ -1329,41 +1334,49 @@ object Queries {
     val shMismatch = brute.join(banded, Seq("doc_a", "doc_b"), "full")
       .agg(coalesce(sum(when(col("_bf").isNull || col("_bd").isNull, 1L)), lit(0L))
         .as("n_mismatch"))
-    val shRow = sample.agg(count(lit(1)).as("n_docs")).crossJoin(shMismatch)
+    sample.agg(count(lit(1)).as("n_docs")).crossJoin(shMismatch)
       .select(lit("simhash").as("method"), col("n_docs").as("n_reference"),
         (col("n_mismatch") === 0L).as("ok"))
+  }
 
-    // ANN-LSH vs exact top-k: recall within the hyperplane math at the
-    // TRUE cosines (theta = arccos c, p = 1-(1-(1-theta/pi)^bits)^tables).
-    // persisted: both the LSH and the IVF verification branch join it
-    val exactTk = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+  /** Exact brute-force cosine top-k for the deterministic 2% query set —
+    * the shared reference side of q83c/q83d. */
+  private def exactTopK(s: SparkSession, dir: String): DataFrame =
+    Similarity.bruteForceTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
         col("vec_id") % 50 === 0, k = 5)
       .select(col("query_id"), col("cand_id"), col("cosine"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** ANN-LSH vs exact top-k: recall within the hyperplane math at the
+    * TRUE cosines (theta = arccos c, p = 1-(1-(1-theta/pi)^bits)^tables).
+    * See [[q83aMinhashRecall]] for the family rationale. */
+  def q83cAnnLshRecall(s: SparkSession, dir: String): DataFrame = {
     val theta = acos(least(lit(1.0), greatest(lit(-1.0), col("cosine"))))
     val pCatchLsh = lit(1.0) - pow(lit(1.0) - pow(lit(1.0) - theta / math.Pi, 8.0), 4.0)
-    val lsh = Similarity.lshTopK(emb, "vec_id", "embedding",
+    val lsh = Similarity.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
         col("vec_id") % 50 === 0, k = 5, tables = 4, bits = 8)
       .select(col("query_id"), col("cand_id"), lit(1L).as("_f"))
-    val lshRow = exactTk.join(lsh, Seq("query_id", "cand_id"), "left")
+    exactTopK(s, dir).join(lsh, Seq("query_id", "cand_id"), "left")
       .agg(count(lit(1)).as("n_exact"),
         coalesce(sum(col("_f")), lit(0L)).as("n_found"),
         avg(pCatchLsh).as("exp_recall"))
       .select(lit("ann_lsh").as("method"), col("n_exact").as("n_reference"),
-        (col("n_found").cast("double") / col("n_exact") >= col("exp_recall") - 0.15).as("ok"))
+        (col("n_exact") === 0L ||
+          col("n_found").cast("double") / col("n_exact") >= col("exp_recall") - 0.15).as("ok"))
+  }
 
-    // IVF@nProbe=3: no closed form (depends on centroid geometry); assert
-    // the usable-share floor RecallSpec establishes.
-    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding",
+  /** IVF@nProbe=3 vs exact top-k: no closed form (depends on centroid
+    * geometry); assert the usable-share floor RecallSpec establishes.
+    * See [[q83aMinhashRecall]] for the family rationale. */
+  def q83dIvfRecall(s: SparkSession, dir: String): DataFrame = {
+    val ivf = Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
         col("vec_id") % 50 === 0, k = 5, centroidEvery = 25, nProbe = 3)
       .select(col("query_id"), col("cand_id"), lit(1L).as("_f"))
-    val ivfRow = exactTk.join(ivf, Seq("query_id", "cand_id"), "left")
+    exactTopK(s, dir).join(ivf, Seq("query_id", "cand_id"), "left")
       .agg(count(lit(1)).as("n_exact"),
         coalesce(sum(col("_f")), lit(0L)).as("n_found"))
       .select(lit("ivf").as("method"), col("n_exact").as("n_reference"),
-        (col("n_found").cast("double") / col("n_exact") >= 0.3).as("ok"))
-
-    mhRow.unionByName(shRow).unionByName(lshRow).unionByName(ivfRow)
+        (col("n_exact") === 0L ||
+          col("n_found").cast("double") / col("n_exact") >= 0.3).as("ok"))
   }
 
   /** Verified approximate aggregates — HyperLogLog distinct counts and
@@ -1450,9 +1463,15 @@ object Queries {
   def q87DppPrune(s: SparkSession, dir: String): DataFrame = {
     val sfTag = dir.replaceAll(".*/", "")
     val path = s"${Tables.scratchDir(s)}/dpp/$sfTag/orders"
-    graft.pipeline.Silver.cleanOrders(t(s, dir, "orders"))
-      .withColumn("order_year", year(col("order_date")))
-      .write.mode("overwrite").partitionBy("order_year").parquet(path)
+    // Build-once (same amortized-artifact contract as q46's bucketed
+    // table): the partitioned layout is the durable artifact DPP prunes
+    // against; rewriting it per invocation would make every run — and the
+    // bench cell — time the setup write instead of the pruned read.
+    Tables.writePathIfAbsent(s, path) {
+      graft.pipeline.Silver.cleanOrders(t(s, dir, "orders"))
+        .withColumn("order_year", year(col("order_date")))
+        .write.mode("overwrite").partitionBy("order_year").parquet(path)
+    }
     val fact = s.read.parquet(path)
     val leapYear = DateDim.dateDim(s, "1995-01-01", "1997-12-31")
       .groupBy(col("year").as("order_year"))
@@ -1478,12 +1497,24 @@ object Queries {
     // this query runs through spark.sql over temp views.
     t(s, dir, "customer").createOrReplaceTempView("q88_customer")
     t(s, dir, "orders").createOrReplaceTempView("q88_orders")
-    s.sql("""
+    // Bloom sizing must be FOLDABLE (BloomFilterAggregate rejects
+    // non-constant capacity), so the build side is counted first — one
+    // count(*) over the already-filtered dim, the same statistics read
+    // Spark's own InjectRuntimeFilter does before sizing its blooms. 16
+    // bits/item keeps the false-positive rate ~0.04% at ANY scale factor,
+    // far inside the 5% bound `ok` asserts; the old fixed 4000/65536
+    // sizing blew that bound as soon as members outgrew 4000.
+    val nMembers = math.max(1L,
+      s.sql("SELECT count(*) FROM q88_customer WHERE c_mktsegment = 'BUILDING'")
+        .head().getLong(0))
+    val capacity = (nMembers * 12L) / 10L + 64L
+    val nBits = capacity * 16L
+    s.sql(s"""
       WITH members AS (
         SELECT c_custkey FROM q88_customer WHERE c_mktsegment = 'BUILDING'),
       bf AS (
         SELECT graft_bloom_agg(xxhash64(c_custkey),
-          CAST(4000 AS BIGINT), CAST(65536 AS BIGINT)) AS b FROM members),
+          CAST($capacity AS BIGINT), CAST($nBits AS BIGINT)) AS b FROM members),
       marked AS (
         SELECT m.c_custkey IS NOT NULL AS is_member,
           graft_might_contain((SELECT b FROM bf), xxhash64(o.o_custkey)) AS hit
@@ -1728,4 +1759,35 @@ object Queries {
         max(col("d")).as("max_date"),
         count(col("inv")).as("n_div_ok"))
   }
+
+  /** REAL image decode end-to-end: generate a spec-conformant 24-bit BMP
+    * per document ([[Multimodal.imageAssets]]), then PARSE it back with the
+    * pure-JVM decoder ([[graft.functions.MediaCodec.bmpStats]] — magic,
+    * data offset, row padding, bottom-up orientation) and emit integer
+    * channel sums. The oracle recomputes the pixel formula in closed form,
+    * so a decoder that misreads any header field or drops the row padding
+    * hash-mismatches. Narrow map, no shuffle — at 100 TB this is one
+    * codegen stage over the object-store scan, exactly how a production
+    * decode pass runs. */
+  def q97BmpDecode(s: SparkSession, dir: String): DataFrame =
+    Multimodal.imageAssets(t(s, dir, "documents"), "doc_id")
+      .select(col("asset_id").as("doc_id"),
+        Multimodal.decodeBmp(col("payload")).as("st"))
+      .select(col("doc_id"), col("st.width").as("width"),
+        col("st.height").as("height"), col("st.sum_r").as("sum_r"),
+        col("st.sum_g").as("sum_g"), col("st.sum_b").as("sum_b"))
+
+  /** REAL audio decode end-to-end: generate a PCM mono 16-bit WAV per
+    * document ([[Multimodal.audioAssets]]), then PARSE it back with the
+    * RIFF chunk walker ([[graft.functions.MediaCodec.wavStats]] — fmt
+    * validation, word-aligned chunk traversal, sample sign-extension) and
+    * emit integer amplitude stats; oracle recomputes the sample formula in
+    * closed form. Narrow map, no shuffle. */
+  def q98WavDecode(s: SparkSession, dir: String): DataFrame =
+    Multimodal.audioAssets(t(s, dir, "documents"), "doc_id")
+      .select(col("asset_id").as("doc_id"),
+        Multimodal.decodeWav(col("payload")).as("st"))
+      .select(col("doc_id"), col("st.sample_rate").as("sample_rate"),
+        col("st.n_samples").as("n_samples"), col("st.sum_abs").as("sum_abs"),
+        col("st.peak").as("peak"))
 }

@@ -101,7 +101,10 @@ object SparkEntry {
     "q80_value_windows" -> (Queries.q80ValueWindows(_, _)),
     "q81_sequence_packing" -> (Queries.q81SequencePacking(_, _)),
     "q82_mixture_resample" -> (Queries.q82MixtureResample(_, _)),
-    "q83_sketch_recall" -> (Queries.q83SketchRecall(_, _)),
+    "q83a_minhash_recall" -> (Queries.q83aMinhashRecall(_, _)),
+    "q83b_simhash_exact" -> (Queries.q83bSimhashExact(_, _)),
+    "q83c_ann_lsh_recall" -> (Queries.q83cAnnLshRecall(_, _)),
+    "q83d_ivf_recall" -> (Queries.q83dIvfRecall(_, _)),
     "q84_approx_checks" -> (Queries.q84ApproxChecks(_, _)),
     "q85_repetition_ratio" -> (Queries.q85RepetitionRatio(_, _)),
     "q86_pagerank" -> (Queries.q86Pagerank(_, _)),
@@ -115,6 +118,8 @@ object SparkEntry {
     "q94_null_safe_join" -> (Queries.q94NullSafeJoin(_, _)),
     "q95_boilerplate_scrub" -> (Queries.q95BoilerplateScrub(_, _)),
     "q96_try_parse" -> (Queries.q96TryParse(_, _)),
+    "q97_bmp_decode" -> (Queries.q97BmpDecode(_, _)),
+    "q98_wav_decode" -> (Queries.q98WavDecode(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -22,6 +22,19 @@ object Tables {
     spark.conf.getOption("spark.graft.scratchDir")
       .getOrElse(s"${System.getProperty("java.io.tmpdir")}/graft-scratch")
 
+  /** Path-based build-once write: run `write` only when `path` has no
+    * `_SUCCESS` marker (the committer drops it only after a COMPLETE write,
+    * so a half-written directory from a killed JVM is rebuilt, not
+    * trusted). Same amortization contract as
+    * [[graft.sources.Bucketed.writeIfAbsent]] for non-catalog parquet
+    * layouts (partitioned dirs): repeated runs over immutable inputs pay
+    * the write once and every later run only reads. */
+  def writePathIfAbsent(spark: SparkSession, path: String)(write: => Unit): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) write
+  }
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") events(spark, dir) else
       spark.read.parquet(s"$dir/$name.parquet")

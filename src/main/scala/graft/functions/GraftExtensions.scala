@@ -18,6 +18,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.kmvDistinct)
     ext.injectFunction(GraftExtensions.bloomAgg)
     ext.injectFunction(GraftExtensions.bloomMightContain)
+    ext.injectFunction(GraftExtensions.bmpEncode)
+    ext.injectFunction(GraftExtensions.bmpStats)
+    ext.injectFunction(GraftExtensions.wavEncode)
+    ext.injectFunction(GraftExtensions.wavStats)
   }
 }
 
@@ -76,6 +80,30 @@ object GraftExtensions {
     (children: Seq[Expression]) =>
       new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
         children.head, children(1), children(2)).toAggregateExpression())
+
+  val bmpEncode: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier("graft_bmp_encode"),
+    new ExpressionInfo(classOf[BmpEncode].getName, null, "graft_bmp_encode",
+      "graft_bmp_encode(seed, width, height) - deterministic 24-bit uncompressed BMP payload", ""),
+    (children: Seq[Expression]) => BmpEncode(children.head, children(1), children(2)))
+
+  val bmpStats: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier("graft_bmp_stats"),
+    new ExpressionInfo(classOf[BmpStats].getName, null, "graft_bmp_stats",
+      "graft_bmp_stats(payload) - parse a 24-bit BMP: struct(width, height, sum_r, sum_g, sum_b), NULL if malformed", ""),
+    (children: Seq[Expression]) => BmpStats(children.head))
+
+  val wavEncode: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier("graft_wav_encode"),
+    new ExpressionInfo(classOf[WavEncode].getName, null, "graft_wav_encode",
+      "graft_wav_encode(seed, n_samples, sample_rate) - deterministic PCM mono 16-bit WAV payload", ""),
+    (children: Seq[Expression]) => WavEncode(children.head, children(1), children(2)))
+
+  val wavStats: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier("graft_wav_stats"),
+    new ExpressionInfo(classOf[WavStats].getName, null, "graft_wav_stats",
+      "graft_wav_stats(payload) - parse a RIFF/WAVE: struct(sample_rate, n_samples, sum_abs, peak), NULL if malformed", ""),
+    (children: Seq[Expression]) => WavStats(children.head))
 
   val bloomMightContain: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     new FunctionIdentifier("graft_might_contain"),

@@ -1,0 +1,282 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+
+/** REAL pure-JVM media codecs for the multimodal pipeline — no native
+  * libraries, no stubs: [[MediaCodec.bmpStats]] walks an actual 24-bit
+  * uncompressed BMP (magic, data offset, BITMAPINFOHEADER, bottom-up vs
+  * top-down orientation, 4-byte row padding) and [[MediaCodec.wavStats]]
+  * walks an actual RIFF/WAVE container (chunk list with word alignment,
+  * `fmt ` PCM validation, `data` payload) — the two mainstream media
+  * formats that are byte-parseable without a codec library. Compressed
+  * formats (JPEG/MP3/H.264) still need external codecs and remain behind
+  * the clearly-marked stubs in [[graft.ops.Multimodal]].
+  *
+  * The matching encoders build spec-conformant files from a deterministic
+  * pixel/sample formula, which is what makes decode ORACLE-CHECKABLE: the
+  * DuckDB side computes the same formula in closed form (q97/q98), so a
+  * decoder that misreads the header, drops row padding, or mis-signs a
+  * sample hash-mismatches the driver's correctness gate. All stats are
+  * integer sums — no float drift across engines.
+  *
+  * Each expression evaluates through ONE static JVM call per row from
+  * inside whole-stage codegen (same discipline as [[FloatDot]]: no UDF
+  * serialization, no interpreted fallback on the hot path).
+  */
+object MediaCodec {
+
+  private def le16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+      ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+  private def putLe16(b: Array[Byte], o: Int, v: Int): Unit = {
+    b(o) = v.toByte; b(o + 1) = (v >> 8).toByte
+  }
+  private def putLe32(b: Array[Byte], o: Int, v: Int): Unit = {
+    b(o) = v.toByte; b(o + 1) = (v >> 8).toByte
+    b(o + 2) = (v >> 16).toByte; b(o + 3) = (v >> 24).toByte
+  }
+
+  /** Pixel formula shared with the q97 oracle: channel value at image
+    * coordinate (x, y), y = 0 the TOP row. */
+  @inline private def px(seed: Long, x: Int, y: Int, cx: Int, cy: Int): Int =
+    java.lang.Math.floorMod(seed + cx.toLong * x + cy.toLong * y, 256L).toInt
+
+  /** Largest encodable dimension — caps a single payload at ~48 MB. */
+  val MaxDim = 4096
+
+  /** Spec-conformant 24-bit uncompressed BMP: 14-byte file header + 40-byte
+    * BITMAPINFOHEADER + bottom-up BGR rows padded to 4 bytes. */
+  def bmpEncode(seed: Long, width: Int, height: Int): Array[Byte] = {
+    if (width <= 0 || height <= 0 || width > MaxDim || height > MaxDim) return null
+    val rowSize = ((width * 3 + 3) / 4) * 4
+    val dataSize = rowSize * height
+    val b = new Array[Byte](54 + dataSize)
+    b(0) = 'B'; b(1) = 'M'
+    putLe32(b, 2, 54 + dataSize) // file size
+    putLe32(b, 10, 54)           // pixel data offset
+    putLe32(b, 14, 40)           // BITMAPINFOHEADER size
+    putLe32(b, 18, width)
+    putLe32(b, 22, height)       // positive: bottom-up row order
+    putLe16(b, 26, 1)            // planes
+    putLe16(b, 28, 24)           // bits per pixel
+    putLe32(b, 30, 0)            // BI_RGB (uncompressed)
+    putLe32(b, 34, dataSize)
+    putLe32(b, 38, 2835); putLe32(b, 42, 2835) // 72 DPI in px/metre
+    var row = 0
+    while (row < height) {
+      val y = height - 1 - row // stored bottom-up
+      val off = 54 + row * rowSize
+      var x = 0
+      while (x < width) {
+        b(off + 3 * x) = px(seed, x, y, 2, 3).toByte       // B
+        b(off + 3 * x + 1) = px(seed, x, y, 5, 7).toByte   // G
+        b(off + 3 * x + 2) = px(seed, x, y, 11, 13).toByte // R
+        x += 1
+      }
+      row += 1
+    }
+    b
+  }
+
+  /** Parse a 24-bit uncompressed BMP and return
+    * (width, height, sum_r, sum_g, sum_b); null on anything malformed —
+    * wrong magic, truncated header, unsupported bpp/compression, or pixel
+    * data running past the buffer. Handles both bottom-up (height > 0)
+    * and top-down (height < 0) orientation and the 4-byte row padding. */
+  def bmpStats(b: Array[Byte]): InternalRow = {
+    if (b == null || b.length < 54 || b(0) != 'B' || b(1) != 'M') return null
+    val dataOffset = le32(b, 10)
+    val headerSize = le32(b, 14)
+    val width = le32(b, 18)
+    val heightRaw = le32(b, 22)
+    val planes = le16(b, 26)
+    val bpp = le16(b, 28)
+    val compression = le32(b, 30)
+    if (headerSize < 40 || planes != 1 || bpp != 24 || compression != 0) return null
+    val height = math.abs(heightRaw)
+    if (width <= 0 || height == 0 || width > MaxDim || height > MaxDim) return null
+    val rowSize = ((width * 3 + 3) / 4) * 4
+    if (dataOffset < 54 || dataOffset.toLong + rowSize.toLong * height > b.length) return null
+    var sumR = 0L; var sumG = 0L; var sumB = 0L
+    var row = 0
+    while (row < height) {
+      val off = dataOffset + row * rowSize
+      var x = 0
+      while (x < width) {
+        sumB += b(off + 3 * x) & 0xff
+        sumG += b(off + 3 * x + 1) & 0xff
+        sumR += b(off + 3 * x + 2) & 0xff
+        x += 1
+      }
+      row += 1
+    }
+    InternalRow(width, height, sumR, sumG, sumB)
+  }
+
+  /** Sample formula shared with the q98 oracle: signed 16-bit PCM sample i. */
+  @inline private def sample(seed: Long, i: Int): Int =
+    java.lang.Math.floorMod(seed + 17L * i, 65536L).toInt - 32768
+
+  val MaxSamples = 16 * 1024 * 1024
+
+  /** Spec-conformant RIFF/WAVE: `fmt ` chunk (PCM, mono, 16-bit) +
+    * `data` chunk of little-endian signed samples. */
+  def wavEncode(seed: Long, nSamples: Int, sampleRate: Int): Array[Byte] = {
+    if (nSamples <= 0 || nSamples > MaxSamples || sampleRate <= 0) return null
+    val dataSize = nSamples * 2
+    val b = new Array[Byte](44 + dataSize)
+    b(0) = 'R'; b(1) = 'I'; b(2) = 'F'; b(3) = 'F'
+    putLe32(b, 4, 36 + dataSize)
+    b(8) = 'W'; b(9) = 'A'; b(10) = 'V'; b(11) = 'E'
+    b(12) = 'f'; b(13) = 'm'; b(14) = 't'; b(15) = ' '
+    putLe32(b, 16, 16) // PCM fmt chunk body size
+    putLe16(b, 20, 1)  // audio format: PCM
+    putLe16(b, 22, 1)  // channels: mono
+    putLe32(b, 24, sampleRate)
+    putLe32(b, 28, sampleRate * 2) // byte rate
+    putLe16(b, 32, 2)  // block align
+    putLe16(b, 34, 16) // bits per sample
+    b(36) = 'd'; b(37) = 'a'; b(38) = 't'; b(39) = 'a'
+    putLe32(b, 40, dataSize)
+    var i = 0
+    while (i < nSamples) {
+      putLe16(b, 44 + 2 * i, sample(seed, i) & 0xffff)
+      i += 1
+    }
+    b
+  }
+
+  /** Walk a RIFF/WAVE container — chunk-by-chunk with RIFF's odd-size word
+    * padding, not fixed offsets, so files with extra chunks (LIST, fact)
+    * parse too — validate PCM/mono/16-bit, and return
+    * (sample_rate, n_samples, sum_abs, peak); null on malformed input. */
+  def wavStats(b: Array[Byte]): InternalRow = {
+    if (b == null || b.length < 44) return null
+    if (b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
+      b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return null
+    var pos = 12
+    var sampleRate = -1
+    var dataOff = -1
+    var dataLen = -1
+    while (pos + 8 <= b.length && (sampleRate < 0 || dataOff < 0)) {
+      val size = le32(b, pos + 4)
+      if (size < 0 || pos + 8 + size > b.length) return null
+      val isFmt = b(pos) == 'f' && b(pos + 1) == 'm' && b(pos + 2) == 't' && b(pos + 3) == ' '
+      val isData = b(pos) == 'd' && b(pos + 1) == 'a' && b(pos + 2) == 't' && b(pos + 3) == 'a'
+      if (isFmt) {
+        if (size < 16) return null
+        val fmt = le16(b, pos + 8)
+        val channels = le16(b, pos + 10)
+        val bits = le16(b, pos + 22)
+        if (fmt != 1 || channels != 1 || bits != 16) return null
+        sampleRate = le32(b, pos + 12)
+      } else if (isData) {
+        dataOff = pos + 8; dataLen = size
+      }
+      pos += 8 + size + (size & 1) // RIFF: chunks are word-aligned
+    }
+    if (sampleRate <= 0 || dataOff < 0 || dataLen % 2 != 0) return null
+    val n = dataLen / 2
+    var sumAbs = 0L
+    var peak = 0
+    var i = 0
+    while (i < n) {
+      val v = (le16(b, dataOff + 2 * i) << 16) >> 16 // sign-extend
+      val a = math.abs(v)
+      sumAbs += a
+      if (a > peak) peak = a
+      i += 1
+    }
+    InternalRow(sampleRate, n.toLong, sumAbs, peak)
+  }
+
+  val bmpStatsType: StructType = StructType(Seq(
+    StructField("width", IntegerType), StructField("height", IntegerType),
+    StructField("sum_r", LongType), StructField("sum_g", LongType),
+    StructField("sum_b", LongType)))
+
+  val wavStatsType: StructType = StructType(Seq(
+    StructField("sample_rate", IntegerType), StructField("n_samples", LongType),
+    StructField("sum_abs", LongType), StructField("peak", IntegerType)))
+}
+
+/** `graft_bmp_encode(seed, width, height)` → BINARY (a real BMP file). */
+case class BmpEncode(first: Expression, second: Expression, third: Expression)
+  extends TernaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType, IntegerType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_bmp_encode"
+  override def nullSafeEval(s: Any, w: Any, h: Any): Any =
+    MediaCodec.bmpEncode(s.asInstanceOf[Long], w.asInstanceOf[Int], h.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, w, h) =>
+      s"""
+         |${ev.value} = graft.functions.MediaCodec.bmpEncode($s, $w, $h);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)
+}
+
+/** `graft_bmp_stats(payload)` → STRUCT(width, height, sum_r, sum_g, sum_b);
+  * NULL when the payload is not a well-formed 24-bit uncompressed BMP. */
+case class BmpStats(child: Expression)
+  extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = MediaCodec.bmpStatsType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_bmp_stats"
+  override def nullSafeEval(b: Any): Any =
+    MediaCodec.bmpStats(b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b =>
+      s"""
+         |${ev.value} = graft.functions.MediaCodec.bmpStats($b);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(newChild)
+}
+
+/** `graft_wav_encode(seed, n_samples, sample_rate)` → BINARY (a real WAV). */
+case class WavEncode(first: Expression, second: Expression, third: Expression)
+  extends TernaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType, IntegerType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_wav_encode"
+  override def nullSafeEval(s: Any, n: Any, r: Any): Any =
+    MediaCodec.wavEncode(s.asInstanceOf[Long], n.asInstanceOf[Int], r.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, n, r) =>
+      s"""
+         |${ev.value} = graft.functions.MediaCodec.wavEncode($s, $n, $r);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)
+}
+
+/** `graft_wav_stats(payload)` → STRUCT(sample_rate, n_samples, sum_abs,
+  * peak); NULL when the payload is not well-formed PCM/mono/16-bit WAVE. */
+case class WavStats(child: Expression)
+  extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = MediaCodec.wavStatsType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_wav_stats"
+  override def nullSafeEval(b: Any): Any =
+    MediaCodec.wavStats(b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b =>
+      s"""
+         |${ev.value} = graft.functions.MediaCodec.wavStats($b);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(newChild)
+}

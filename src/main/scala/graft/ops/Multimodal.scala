@@ -8,15 +8,53 @@ import org.apache.spark.sql.functions._
   * run decode / feature-extraction / frame-sampling as distributed
   * column transforms.
   *
-  * STUB BOUNDARY: this container ships no image/audio codecs, so
-  * [[decodeStub]] and [[featureStub]] are clearly-marked DETERMINISTIC
-  * FAKES (hash-derived) standing in for a real decoder. Everything around
-  * them — the asset schema, binary payload handling, batch shape, frame
-  * sampling, partition parallelism — is real and tested; swapping the stub
-  * for a real codec is a drop-in replacement of these two functions (as a
-  * vectorized batch UDF or a native Expression).
+  * DECODE IS REAL for the two byte-parseable mainstream formats:
+  * [[imageAssets]]/[[decodeBmp]] and [[audioAssets]]/[[decodeWav]] run the
+  * pure-JVM BMP and RIFF/WAVE codecs in [[graft.functions.MediaCodec]]
+  * (native codegen Expressions — header parse, row padding, chunk walk,
+  * sample sign-extension), oracle-checked end-to-end by q97/q98.
+  *
+  * STUB BOUNDARY: compressed codecs (JPEG/MP3/H.264) need external
+  * libraries this container doesn't ship, so [[decodeStub]] and
+  * [[featureStub]] remain clearly-marked DETERMINISTIC FAKES for those
+  * media types. Everything around them — the asset schema, binary payload
+  * handling, batch shape, frame sampling, partition parallelism — is real
+  * and tested; a real compressed-format codec drops in exactly the way
+  * MediaCodec did for BMP/WAV.
   */
 object Multimodal {
+
+  /** Image-asset table with REAL payloads: one spec-conformant 24-bit BMP
+    * per document, dimensions and pixel content derived deterministically
+    * from the id (the generator stands in for an object-store read; the
+    * payload bytes are a genuine image file any viewer opens). */
+  def imageAssets(docs: DataFrame, idCol: String): DataFrame =
+    docs.select(
+      col(idCol).as("asset_id"),
+      lit("image").as("media_type"),
+      call_function("graft_bmp_encode",
+        col(idCol).cast("long"),
+        (lit(4) + pmod(col(idCol), lit(5))).cast("int"),
+        (lit(4) + pmod(col(idCol), lit(3))).cast("int")).as("payload"))
+
+  /** Audio-asset table with REAL payloads: one PCM mono 16-bit WAV per
+    * document. */
+  def audioAssets(docs: DataFrame, idCol: String): DataFrame =
+    docs.select(
+      col(idCol).as("asset_id"),
+      lit("audio").as("media_type"),
+      call_function("graft_wav_encode",
+        col(idCol).cast("long"),
+        (lit(64) + pmod(col(idCol), lit(100))).cast("int"),
+        (lit(8000) + pmod(col(idCol), lit(4)) * lit(4000)).cast("int")).as("payload"))
+
+  /** REAL image decode: parse the BMP header + pixel rows; NULL for
+    * payloads that aren't well-formed 24-bit uncompressed BMP. */
+  def decodeBmp(payload: Column): Column = call_function("graft_bmp_stats", payload)
+
+  /** REAL audio decode: walk the RIFF chunks, validate PCM, fold samples;
+    * NULL for payloads that aren't well-formed PCM/mono/16-bit WAVE. */
+  def decodeWav(payload: Column): Column = call_function("graft_wav_stats", payload)
 
   /** Synthesize an asset table from documents: opaque binary payload +
     * typed metadata — the shape a real ingest (S3 object listing + bytes)

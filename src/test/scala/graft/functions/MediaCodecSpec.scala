@@ -1,0 +1,115 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+class MediaCodecSpec extends SparkSpec {
+
+  test("bmpEncode emits a well-formed BMP; bmpStats parses it back exactly") {
+    val b = MediaCodec.bmpEncode(seed = 7L, width = 5, height = 3)
+    // header facts a real viewer relies on
+    b(0).toChar shouldBe 'B'; b(1).toChar shouldBe 'M'
+    // width 5 → 15 pixel bytes/row, padded to 16; file = 54 + 3*16
+    b.length shouldBe 54 + 3 * 16
+    val st = MediaCodec.bmpStats(b)
+    st.getInt(0) shouldBe 5
+    st.getInt(1) shouldBe 3
+    // closed form: sum over x<5,y<3 of (7 + 11x + 13y) % 256  (all < 256)
+    val expR = (for (x <- 0 until 5; y <- 0 until 3) yield (7 + 11 * x + 13 * y) % 256).sum
+    val expG = (for (x <- 0 until 5; y <- 0 until 3) yield (7 + 5 * x + 7 * y) % 256).sum
+    val expB = (for (x <- 0 until 5; y <- 0 until 3) yield (7 + 2 * x + 3 * y) % 256).sum
+    st.getLong(2) shouldBe expR.toLong
+    st.getLong(3) shouldBe expG.toLong
+    st.getLong(4) shouldBe expB.toLong
+  }
+
+  test("bmpStats handles top-down orientation (negative height)") {
+    val b = MediaCodec.bmpEncode(3L, 4, 2)
+    val sums = MediaCodec.bmpStats(b)
+    // flip to top-down: height := -2, row order reversed
+    val flipped = b.clone()
+    val h = -2
+    flipped(22) = h.toByte; flipped(23) = (h >> 8).toByte
+    flipped(24) = (h >> 16).toByte; flipped(25) = (h >> 24).toByte
+    val rowSize = ((4 * 3 + 3) / 4) * 4
+    Array.copy(b, 54, flipped, 54 + rowSize, rowSize)
+    Array.copy(b, 54 + rowSize, flipped, 54, rowSize)
+    val st = MediaCodec.bmpStats(flipped)
+    st.getInt(1) shouldBe 2 // reported as positive
+    // channel sums are orientation-invariant
+    st.getLong(2) shouldBe sums.getLong(2)
+    st.getLong(4) shouldBe sums.getLong(4)
+  }
+
+  test("bmpStats rejects malformed payloads instead of misreading them") {
+    MediaCodec.bmpStats(null) shouldBe null
+    MediaCodec.bmpStats(Array[Byte](1, 2, 3)) shouldBe null
+    MediaCodec.bmpStats("not a bitmap at all, just text".getBytes) shouldBe null
+    val good = MediaCodec.bmpEncode(1L, 4, 4)
+    MediaCodec.bmpStats(good.take(53)) shouldBe null       // truncated header
+    MediaCodec.bmpStats(good.take(60)) shouldBe null       // truncated pixels
+    val badBpp = good.clone(); badBpp(28) = 8               // 8-bit palette
+    MediaCodec.bmpStats(badBpp) shouldBe null
+    val badComp = good.clone(); badComp(30) = 1             // BI_RLE8
+    MediaCodec.bmpStats(badComp) shouldBe null
+  }
+
+  test("wavEncode emits well-formed RIFF/WAVE; wavStats walks it back") {
+    val n = 100
+    val b = MediaCodec.wavEncode(seed = 11L, nSamples = n, sampleRate = 16000)
+    b.length shouldBe 44 + 2 * n
+    new String(b.slice(0, 4)) shouldBe "RIFF"
+    new String(b.slice(8, 12)) shouldBe "WAVE"
+    val st = MediaCodec.wavStats(b)
+    st.getInt(0) shouldBe 16000
+    st.getLong(1) shouldBe n.toLong
+    val samples = (0 until n).map(i => ((11L + 17L * i) % 65536L).toInt - 32768)
+    st.getLong(2) shouldBe samples.map(v => math.abs(v).toLong).sum
+    st.getInt(3) shouldBe samples.map(math.abs).max
+  }
+
+  test("wavStats walks extra chunks (word-aligned) before data") {
+    val base = MediaCodec.wavEncode(5L, 10, 8000)
+    // splice an odd-size LIST chunk (size 5 → padded to 6) between fmt and data
+    val extra = Array[Byte]('L', 'I', 'S', 'T', 5, 0, 0, 0, 1, 2, 3, 4, 5, 0)
+    val spliced = new Array[Byte](base.length + extra.length)
+    Array.copy(base, 0, spliced, 0, 36)           // RIFF hdr + fmt chunk
+    Array.copy(extra, 0, spliced, 36, extra.length)
+    Array.copy(base, 36, spliced, 36 + extra.length, base.length - 36)
+    val riffSize = spliced.length - 8
+    spliced(4) = riffSize.toByte; spliced(5) = (riffSize >> 8).toByte
+    spliced(6) = (riffSize >> 16).toByte; spliced(7) = (riffSize >> 24).toByte
+    val st = MediaCodec.wavStats(spliced)
+    st should not be null
+    st.getLong(1) shouldBe 10L
+    st.getLong(2) shouldBe MediaCodec.wavStats(base).getLong(2)
+  }
+
+  test("wavStats rejects malformed/unsupported payloads") {
+    MediaCodec.wavStats(null) shouldBe null
+    MediaCodec.wavStats("RIFFbutnotawave-----------------------------".getBytes) shouldBe null
+    val good = MediaCodec.wavEncode(1L, 8, 8000)
+    MediaCodec.wavStats(good.take(40)) shouldBe null       // truncated
+    val stereo = good.clone(); stereo(22) = 2               // channels = 2
+    MediaCodec.wavStats(stereo) shouldBe null
+    val eightBit = good.clone(); eightBit(34) = 8           // bits = 8
+    MediaCodec.wavStats(eightBit) shouldBe null
+  }
+
+  test("expressions run inside the SQL surface with codegen (no fallback)") {
+    val out = spark.sql(
+      """SELECT graft_bmp_stats(graft_bmp_encode(CAST(id AS BIGINT),
+        |         CAST(4 + id % 5 AS INT), CAST(4 + id % 3 AS INT))) AS img,
+        |       graft_wav_stats(graft_wav_encode(CAST(id AS BIGINT),
+        |         CAST(64 + id % 100 AS INT), CAST(8000 AS INT))) AS aud
+        |FROM range(200)""".stripMargin)
+    val rows = out.collect()
+    rows.length shouldBe 200
+    all(rows.map(_.getAs[Row]("img").getInt(0))) should be >= 4
+    all(rows.map(_.getAs[Row]("aud").getLong(1))) should be >= 64L
+    // garbage payloads decode to NULL, not garbage stats
+    spark.sql("SELECT graft_bmp_stats(CAST('junk' AS BINARY)) AS s")
+      .collect()(0).isNullAt(0) shouldBe true
+  }
+}
