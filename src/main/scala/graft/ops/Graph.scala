@@ -35,12 +35,16 @@ object Graph {
     * (the groupBy on the edge destination); the static edge+degree frame is
     * persisted so it materializes once, not once per iteration branch.
     *
-    * Isolated nodes never appear in an edge list; callers wanting them get
-    * rank 0.15 by definition (no in-links) and can attach them with a left
-    * join, the same post-convergence pattern as nearDupClusters.
+    * Isolated nodes never appear in an edge list, so by default the result
+    * covers only nodes with at least one edge. Callers that need the full
+    * node universe pass it as `allNodes` (one column, any name): nodes
+    * without edges are attached AFTER the iterations with one left join at
+    * rank 0.15 — their exact fixed point (no in-links) — the same
+    * post-convergence singleton pattern as [[Dedup.nearDupClusters]],
+    * keeping the whole universe out of the per-iteration shuffles.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-               iterations: Int): DataFrame = {
+               iterations: Int, allNodes: Option[DataFrame] = None): DataFrame = {
     require(iterations >= 1 && iterations <= 10,
       s"iterations must be in [1,10] (fixed-point plans unroll per iteration); got $iterations")
     // Both directions + per-source degree, computed once. deg joins on the
@@ -65,6 +69,15 @@ object Graph {
         .agg(sum(col("share")).as("inflow"))
         .select(col("node"), (base + expr("(inflow * 85) div 100")).as("rank"))
     }
-    ranks.select(col("node"), col("rank").as("pagerank"))
+    val connected = ranks.select(col("node"), col("rank").as("pagerank"))
+    allNodes match {
+      case None => connected
+      case Some(universe) =>
+        val nodeCol = universe.columns.head
+        universe.select(col(nodeCol).as("node")).distinct()
+          .join(connected, Seq("node"), "left")
+          .select(col("node"),
+            coalesce(col("pagerank"), lit(15L * RankScale / 100)).as("pagerank"))
+    }
   }
 }

@@ -83,6 +83,53 @@ object Schemas {
     StructField("embedding", ArrayType(FloatType)),
     StructField("label", IntegerType)))
 
+  /** The reference's complete bronze `studies` DDL re-expressed as a Spark
+    * StructType — all 71 columns in declaration order
+    * (`aact_bronze_layer.sql:13-85`), with PG→Spark type mapping:
+    * VARCHAR(n)/TEXT → StringType (Spark strings are unbounded; the length
+    * caps are PG storage hints, not semantics), DATE → DateType,
+    * INT → IntegerType, TIMESTAMPTZ → TimestampType (Spark's TIMESTAMP is
+    * session-TZ-aware — the same instant semantics). Paired with
+    * [[graft.sources.Csv.read]] this is the reference's
+    * `COPY bronze.studies FROM studies.txt (FORMAT csv, DELIMITER '|',
+    * HEADER true)` ingest, typed end-to-end with zero inference passes. */
+  val studies: StructType = {
+    def s(n: String) = StructField(n, StringType)
+    def d(n: String) = StructField(n, DateType)
+    def i(n: String) = StructField(n, IntegerType)
+    def ts(n: String) = StructField(n, TimestampType)
+    StructType(Seq(
+      s("nct_id"), s("nlm_download_date_description"),
+      d("study_first_submitted_date"), d("results_first_submitted_date"),
+      d("disposition_first_submitted_date"), d("last_update_submitted_date"),
+      d("study_first_submitted_qc_date"), d("study_first_posted_date"),
+      s("study_first_posted_date_type"), d("results_first_submitted_qc_date"),
+      d("results_first_posted_date"), s("results_first_posted_date_type"),
+      d("disposition_first_submitted_qc_date"), d("disposition_first_posted_date"),
+      s("disposition_first_posted_date_type"), d("last_update_submitted_qc_date"),
+      d("last_update_posted_date"), s("last_update_posted_date_type"),
+      s("start_month_year"), s("start_date_type"), d("start_date"),
+      s("verification_month_year"), d("verification_date"),
+      s("completion_month_year"), s("completion_date_type"), d("completion_date"),
+      s("primary_completion_month_year"), s("primary_completion_date_type"),
+      d("primary_completion_date"), s("target_duration"), s("study_type"),
+      s("acronym"), s("baseline_population"), s("brief_title"),
+      s("official_title"), s("overall_status"), s("last_known_status"),
+      s("phase"), i("enrollment"), s("enrollment_type"), s("source"),
+      s("limitations_and_caveats"), i("number_of_arms"), i("number_of_groups"),
+      s("why_stopped"), s("has_expanded_access"),
+      s("expanded_access_type_individual"), s("expanded_access_type_intermediate"),
+      s("expanded_access_type_treatment"), s("has_dmc"),
+      s("is_fda_regulated_drug"), s("is_fda_regulated_device"),
+      s("is_unapproved_device"), s("is_ppsd"), s("is_us_export"),
+      s("biospec_retention"), s("biospec_description"), s("ipd_time_frame"),
+      s("ipd_access_criteria"), s("ipd_url"), s("plan_to_share_ipd"),
+      s("plan_to_share_ipd_description"), ts("created_at"), ts("updated_at"),
+      s("source_class"), s("delayed_posting"), s("expanded_access_nctid"),
+      s("expanded_access_status_for_nctid"), s("fdaaa801_violation"),
+      s("baseline_type_units_analyzed"), s("patient_registry")))
+  }
+
   val all: Map[String, StructType] = Map(
     "region" -> region, "nation" -> nation, "customer" -> customer,
     "supplier" -> supplier, "part" -> part, "orders" -> orders,

@@ -115,6 +115,14 @@ class PlanSpec extends SparkSpec {
     p.toLowerCase should include("dynamicpruning")
   }
 
+  test("q97/q98: media decode is one shuffle-free codegen map over the scan") {
+    Seq(Queries.q97BmpDecode _, Queries.q98WavDecode _).foreach { q =>
+      val p = plan(q)
+      p should not include "Exchange"
+      p should include("*(1)") // whole-stage codegen, single stage
+    }
+  }
+
   test("no query plan contains a CollectLimit-to-driver loop or cartesian product") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = fn(spark, dir).queryExecution.executedPlan.toString

@@ -53,6 +53,19 @@ class GraphSpec extends SparkSpec {
     r1.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe refRanks(es, 3)
   }
 
+  test("pageRank attaches isolated nodes at their 0.15 fixed point when given the universe") {
+    // universe 1..5; only 1-2-3 have edges, 4 and 5 are isolated
+    val universe = df("doc_id BIGINT", (1L to 5L).map(Row(_)))
+    val out = Graph.pageRank(edges((1L, 2L), (2L, 3L)), "src", "dst",
+        iterations = 2, allNodes = Some(universe))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.keySet shouldBe Set(1L, 2L, 3L, 4L, 5L)
+    out(4L) shouldBe 150000L // 0.15 · RankScale: exact fixed point, no in-links
+    out(5L) shouldBe 150000L
+    // connected nodes unchanged by the attachment
+    out(2L) shouldBe 1127500L
+  }
+
   test("pageRank rejects iteration counts outside the unrolled-plan range") {
     an[IllegalArgumentException] should be thrownBy
       Graph.pageRank(edges((1L, 2L)), "src", "dst", 0)

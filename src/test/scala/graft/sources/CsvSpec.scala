@@ -43,4 +43,44 @@ class CsvSpec extends SparkSpec {
     back.map(_.getInt(0)) shouldBe Seq(1, 2, 3, 4, 5)
     back(4).getString(1) shouldBe "with,comma"
   }
+
+  test("bronze studies ingest: the 71-column AACT export parses typed end-to-end") {
+    import graft.schema.Schemas
+    Schemas.studies.fields.length shouldBe 71
+    // one pipe-delimited line shaped like the AACT studies.txt export:
+    // mostly-\N row with typed islands (dates, ints, timestamp, texts)
+    val fields = Schemas.studies.fields.map(_.name)
+    val vals: Map[String, String] = Map(
+      "nct_id" -> "NCT00000102",
+      "study_first_submitted_date" -> "1999-10-18",
+      "start_date" -> "2000-01-01",
+      "brief_title" -> "Congenital Adrenal Hyperplasia: Calcium Channels as Therapeutic Targets",
+      "overall_status" -> "Completed",
+      "phase" -> "Phase 1/Phase 2",
+      "enrollment" -> "18",
+      "number_of_arms" -> "2",
+      "created_at" -> "2024-01-02T03:04:05.000Z",
+      "why_stopped" -> "") // quoted-empty: stays a string, not NULL
+    val header = fields.mkString("|")
+    val line = fields.map {
+      case "why_stopped" => "\"\""
+      case f => vals.getOrElse(f, "\\N")
+    }.mkString("|")
+    val path = "/root/repo/target/csv_spec/studies"
+    val dir = new java.io.File(path)
+    dir.mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$path/part-0.csv"), s"$header\n$line\n")
+    val back = Csv.read(spark, path, Schemas.studies).collect()
+    back.length shouldBe 1
+    val r = back(0)
+    r.getAs[String]("nct_id") shouldBe "NCT00000102"
+    r.getAs[java.sql.Date]("start_date").toString shouldBe "2000-01-01"
+    r.getAs[Int]("enrollment") shouldBe 18
+    r.getAs[Int]("number_of_arms") shouldBe 2
+    r.getAs[java.sql.Timestamp]("created_at") should not be null
+    r.getAs[String]("why_stopped") shouldBe ""
+    r.isNullAt(r.fieldIndex("completion_date")) shouldBe true   // \N → NULL date
+    r.isNullAt(r.fieldIndex("number_of_groups")) shouldBe true  // \N → NULL int
+  }
 }
