@@ -1663,5 +1663,48 @@ object Oracles {
         |  FROM p, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS i))
         |SELECT doc_id, sr AS sample_rate, CAST(n AS BIGINT) AS n_samples,
         |  CAST(sum(a) AS BIGINT) AS sum_abs, CAST(max(a) AS INT) AS peak
-        |FROM smp GROUP BY doc_id, sr, n""".stripMargin)
+        |FROM smp GROUP BY doc_id, sr, n""".stripMargin,
+
+    // Resize/decimation gates: the Spark side runs encode → REAL
+    // transform → decode through actual file bytes; the oracle recomputes
+    // which source pixels/samples survive (integer floor division — `//`)
+    // and their formula values. A wrong sampling index or a corrupted
+    // re-encoded header breaks the hash.
+    "q99_bmp_resize" ->
+      """WITH p AS (
+        |  SELECT doc_id, 4 + doc_id % 5 AS sw, 4 + doc_id % 3 AS sh,
+        |    CAST(2 + doc_id % 3 AS INT) AS dw, CAST(2 + doc_id % 2 AS INT) AS dh,
+        |    doc_id AS seed
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, dw, dh,
+        |    (seed + 11*((x*sw)//dw) + 13*((y*sh)//dh)) % 256 AS r,
+        |    (seed + 5*((x*sw)//dw) + 7*((y*sh)//dh)) % 256 AS g,
+        |    (seed + 2*((x*sw)//dw) + 3*((y*sh)//dh)) % 256 AS b
+        |  FROM p,
+        |    LATERAL (SELECT unnest(generate_series(0, dw - 1)) AS x),
+        |    LATERAL (SELECT unnest(generate_series(0, dh - 1)) AS y))
+        |SELECT doc_id, dw AS width, dh AS height,
+        |  CAST(sum(r) AS BIGINT) AS sum_r,
+        |  CAST(sum(g) AS BIGINT) AS sum_g,
+        |  CAST(sum(b) AS BIGINT) AS sum_b
+        |FROM px GROUP BY doc_id, dw, dh""".stripMargin,
+
+    "q100_wav_downsample" ->
+      """WITH p AS (
+        |  SELECT doc_id, 64 + doc_id % 100 AS n,
+        |    8000 + (doc_id % 4) * 4000 AS sr,
+        |    2 + doc_id % 3 AS f, doc_id AS seed
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, CAST(sr // f AS INT) AS sample_rate,
+        |    (n + f - 1) // f AS outn, f, seed
+        |  FROM p),
+        |smp AS (
+        |  SELECT doc_id, sample_rate, outn,
+        |    abs(((seed + 17*(i*f)) % 65536) - 32768) AS a
+        |  FROM d, LATERAL (SELECT unnest(generate_series(0, outn - 1)) AS i))
+        |SELECT doc_id, sample_rate, CAST(outn AS BIGINT) AS n_samples,
+        |  CAST(sum(a) AS BIGINT) AS sum_abs, CAST(max(a) AS INT) AS peak
+        |FROM smp GROUP BY doc_id, sample_rate, outn""".stripMargin)
 }

@@ -1790,4 +1790,38 @@ object Queries {
       .select(col("doc_id"), col("st.sample_rate").as("sample_rate"),
         col("st.n_samples").as("n_samples"), col("st.sum_abs").as("sum_abs"),
         col("st.peak").as("peak"))
+
+  /** REAL image resize end-to-end: encode a BMP, nearest-neighbor downscale
+    * it through the REAL codec path (decode → sample src pixel
+    * (x·srcW div dstW, y·srcH div dstH) → re-encode a valid BMP), then
+    * decode the RESIZED file and emit its channel sums. The oracle
+    * recomputes the sampled-pixel formula in closed form, so a resize that
+    * samples the wrong source pixel, mis-rounds the index, or corrupts the
+    * re-encoded header hash-mismatches. Still one shuffle-free codegen
+    * stage — encode/resize/decode fuse into the same whole-stage pipeline. */
+  def q99BmpResize(s: SparkSession, dir: String): DataFrame =
+    Multimodal.imageAssets(t(s, dir, "documents"), "doc_id")
+      .select(col("asset_id").as("doc_id"),
+        Multimodal.decodeBmp(
+          Multimodal.resizeBmp(col("payload"),
+            (lit(2) + pmod(col("asset_id"), lit(3))).cast("int"),
+            (lit(2) + pmod(col("asset_id"), lit(2))).cast("int"))).as("st"))
+      .select(col("doc_id"), col("st.width").as("width"),
+        col("st.height").as("height"), col("st.sum_r").as("sum_r"),
+        col("st.sum_g").as("sum_g"), col("st.sum_b").as("sum_b"))
+
+  /** REAL audio downsample end-to-end: encode a WAV, decimate by a per-doc
+    * factor through the real codec (kept sample i = input sample i·factor,
+    * rate divided by factor, re-encoded as a valid WAV), decode the result
+    * and emit amplitude stats; oracle recomputes the decimation in closed
+    * form. One shuffle-free codegen stage. */
+  def q100WavDownsample(s: SparkSession, dir: String): DataFrame =
+    Multimodal.audioAssets(t(s, dir, "documents"), "doc_id")
+      .select(col("asset_id").as("doc_id"),
+        Multimodal.decodeWav(
+          Multimodal.downsampleWav(col("payload"),
+            (lit(2) + pmod(col("asset_id"), lit(3))).cast("int"))).as("st"))
+      .select(col("doc_id"), col("st.sample_rate").as("sample_rate"),
+        col("st.n_samples").as("n_samples"), col("st.sum_abs").as("sum_abs"),
+        col("st.peak").as("peak"))
 }

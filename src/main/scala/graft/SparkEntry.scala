@@ -120,6 +120,8 @@ object SparkEntry {
     "q96_try_parse" -> (Queries.q96TryParse(_, _)),
     "q97_bmp_decode" -> (Queries.q97BmpDecode(_, _)),
     "q98_wav_decode" -> (Queries.q98WavDecode(_, _)),
+    "q99_bmp_resize" -> (Queries.q99BmpResize(_, _)),
+    "q100_wav_downsample" -> (Queries.q100WavDownsample(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

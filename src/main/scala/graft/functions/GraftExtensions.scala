@@ -22,6 +22,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.bmpStats)
     ext.injectFunction(GraftExtensions.wavEncode)
     ext.injectFunction(GraftExtensions.wavStats)
+    ext.injectFunction(GraftExtensions.bmpResize)
+    ext.injectFunction(GraftExtensions.wavDownsample)
   }
 }
 
@@ -104,6 +106,18 @@ object GraftExtensions {
     new ExpressionInfo(classOf[WavStats].getName, null, "graft_wav_stats",
       "graft_wav_stats(payload) - parse a RIFF/WAVE: struct(sample_rate, n_samples, sum_abs, peak), NULL if malformed", ""),
     (children: Seq[Expression]) => WavStats(children.head))
+
+  val bmpResize: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier("graft_bmp_resize"),
+    new ExpressionInfo(classOf[BmpResize].getName, null, "graft_bmp_resize",
+      "graft_bmp_resize(payload, w, h) - nearest-neighbor downscale re-encoded as a real BMP", ""),
+    (children: Seq[Expression]) => BmpResize(children.head, children(1), children(2)))
+
+  val wavDownsample: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier("graft_wav_downsample"),
+    new ExpressionInfo(classOf[WavDownsample].getName, null, "graft_wav_downsample",
+      "graft_wav_downsample(payload, factor) - keep every factor-th sample, re-encoded as a real WAV", ""),
+    (children: Seq[Expression]) => WavDownsample(children.head, children(1)))
 
   val bloomMightContain: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     new FunctionIdentifier("graft_might_contain"),

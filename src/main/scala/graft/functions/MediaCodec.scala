@@ -195,6 +195,123 @@ object MediaCodec {
     InternalRow(sampleRate, n.toLong, sumAbs, peak)
   }
 
+  /** Nearest-neighbor downscale of a 24-bit BMP, re-encoded as a REAL BMP:
+    * dst pixel (x, y) samples src pixel (x·srcW div dstW, y·srcH div dstH)
+    * — integer floor division, the closed form the q99 oracle recomputes.
+    * Decodes through the same validation as [[bmpStats]] (returns null on
+    * malformed input or non-positive/upscaling targets) and writes through
+    * the same row-padded bottom-up layout as [[bmpEncode]], so the output
+    * is itself decodable by any BMP reader. */
+  def bmpResize(b: Array[Byte], dstW: Int, dstH: Int): Array[Byte] = {
+    if (b == null || b.length < 54 || b(0) != 'B' || b(1) != 'M') return null
+    val dataOffset = le32(b, 10)
+    val headerSize = le32(b, 14)
+    val srcW = le32(b, 18)
+    val heightRaw = le32(b, 22)
+    val planes = le16(b, 26)
+    val bpp = le16(b, 28)
+    val compression = le32(b, 30)
+    if (headerSize < 40 || planes != 1 || bpp != 24 || compression != 0) return null
+    val srcH = math.abs(heightRaw)
+    val topDown = heightRaw < 0
+    if (srcW <= 0 || srcH == 0 || srcW > MaxDim || srcH > MaxDim) return null
+    val srcRowSize = ((srcW * 3 + 3) / 4) * 4
+    if (dataOffset < 54 || dataOffset.toLong + srcRowSize.toLong * srcH > b.length) return null
+    if (dstW <= 0 || dstH <= 0 || dstW > srcW || dstH > srcH) return null
+
+    val dstRowSize = ((dstW * 3 + 3) / 4) * 4
+    val out = new Array[Byte](54 + dstRowSize * dstH)
+    out(0) = 'B'; out(1) = 'M'
+    putLe32(out, 2, out.length)
+    putLe32(out, 10, 54)
+    putLe32(out, 14, 40)
+    putLe32(out, 18, dstW)
+    putLe32(out, 22, dstH) // bottom-up output regardless of input orientation
+    putLe16(out, 26, 1)
+    putLe16(out, 28, 24)
+    putLe32(out, 30, 0)
+    putLe32(out, 34, dstRowSize * dstH)
+    putLe32(out, 38, 2835); putLe32(out, 42, 2835)
+    var row = 0
+    while (row < dstH) {
+      val y = dstH - 1 - row // image y of this stored row
+      val srcY = y * srcH / dstH
+      // image row srcY lives at stored row (srcH-1-srcY) bottom-up, srcY top-down
+      val srcRow = if (topDown) srcY else srcH - 1 - srcY
+      val srcOff = dataOffset + srcRow * srcRowSize
+      val dstOff = 54 + row * dstRowSize
+      var x = 0
+      while (x < dstW) {
+        val srcX = x * srcW / dstW
+        out(dstOff + 3 * x) = b(srcOff + 3 * srcX)
+        out(dstOff + 3 * x + 1) = b(srcOff + 3 * srcX + 1)
+        out(dstOff + 3 * x + 2) = b(srcOff + 3 * srcX + 2)
+        x += 1
+      }
+      row += 1
+    }
+    out
+  }
+
+  /** Decimate a PCM mono 16-bit WAV by keeping every `factor`-th sample,
+    * re-encoded as a REAL WAV at sampleRate/factor — the audio analog of
+    * [[bmpResize]] (kept sample i of the output is input sample i·factor,
+    * the closed form the q100 oracle recomputes). Walks chunks through the
+    * same validation as [[wavStats]]; null on malformed input, factor < 1,
+    * or a zero-sample result. */
+  def wavDownsample(b: Array[Byte], factor: Int): Array[Byte] = {
+    if (factor < 1) return null
+    if (b == null || b.length < 44) return null
+    if (b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
+      b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return null
+    var pos = 12
+    var sampleRate = -1
+    var dataOff = -1
+    var dataLen = -1
+    while (pos + 8 <= b.length && (sampleRate < 0 || dataOff < 0)) {
+      val size = le32(b, pos + 4)
+      if (size < 0 || pos + 8 + size > b.length) return null
+      val isFmt = b(pos) == 'f' && b(pos + 1) == 'm' && b(pos + 2) == 't' && b(pos + 3) == ' '
+      val isData = b(pos) == 'd' && b(pos + 1) == 'a' && b(pos + 2) == 't' && b(pos + 3) == 'a'
+      if (isFmt) {
+        if (size < 16) return null
+        if (le16(b, pos + 8) != 1 || le16(b, pos + 10) != 1 || le16(b, pos + 22) != 16) return null
+        sampleRate = le32(b, pos + 12)
+      } else if (isData) {
+        dataOff = pos + 8; dataLen = size
+      }
+      pos += 8 + size + (size & 1)
+    }
+    if (sampleRate <= 0 || dataOff < 0 || dataLen % 2 != 0) return null
+    val n = dataLen / 2
+    val outN = (n + factor - 1) / factor // samples 0, factor, 2·factor, …
+    if (outN <= 0) return null
+    val newRate = math.max(1, sampleRate / factor)
+    val dataSize = outN * 2
+    val out = new Array[Byte](44 + dataSize)
+    out(0) = 'R'; out(1) = 'I'; out(2) = 'F'; out(3) = 'F'
+    putLe32(out, 4, 36 + dataSize)
+    out(8) = 'W'; out(9) = 'A'; out(10) = 'V'; out(11) = 'E'
+    out(12) = 'f'; out(13) = 'm'; out(14) = 't'; out(15) = ' '
+    putLe32(out, 16, 16)
+    putLe16(out, 20, 1)
+    putLe16(out, 22, 1)
+    putLe32(out, 24, newRate)
+    putLe32(out, 28, newRate * 2)
+    putLe16(out, 32, 2)
+    putLe16(out, 34, 16)
+    out(36) = 'd'; out(37) = 'a'; out(38) = 't'; out(39) = 'a'
+    putLe32(out, 40, dataSize)
+    var i = 0
+    while (i < outN) {
+      val srcOff = dataOff + 2 * (i * factor)
+      out(44 + 2 * i) = b(srcOff)
+      out(44 + 2 * i + 1) = b(srcOff + 1)
+      i += 1
+    }
+    out
+  }
+
   val bmpStatsType: StructType = StructType(Seq(
     StructField("width", IntegerType), StructField("height", IntegerType),
     StructField("sum_r", LongType), StructField("sum_g", LongType),
@@ -241,6 +358,47 @@ case class BmpStats(child: Expression)
          |${ev.isNull} = ${ev.value} == null;
        """.stripMargin)
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(newChild)
+}
+
+/** `graft_bmp_resize(payload, w, h)` → BINARY: nearest-neighbor downscale,
+  * re-encoded as a real BMP; NULL on malformed input or upscaling. */
+case class BmpResize(first: Expression, second: Expression, third: Expression)
+  extends TernaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, IntegerType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_bmp_resize"
+  override def nullSafeEval(b: Any, w: Any, h: Any): Any =
+    MediaCodec.bmpResize(b.asInstanceOf[Array[Byte]], w.asInstanceOf[Int], h.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, w, h) =>
+      s"""
+         |${ev.value} = graft.functions.MediaCodec.bmpResize($b, $w, $h);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)
+}
+
+/** `graft_wav_downsample(payload, factor)` → BINARY: keep every factor-th
+  * sample, re-encoded as a real WAV at rate/factor; NULL on malformed. */
+case class WavDownsample(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+  with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_wav_downsample"
+  override def nullSafeEval(b: Any, f: Any): Any =
+    MediaCodec.wavDownsample(b.asInstanceOf[Array[Byte]], f.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, f) =>
+      s"""
+         |${ev.value} = graft.functions.MediaCodec.wavDownsample($b, $f);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(l, r)
 }
 
 /** `graft_wav_encode(seed, n_samples, sample_rate)` → BINARY (a real WAV). */

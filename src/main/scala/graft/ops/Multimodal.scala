@@ -56,6 +56,16 @@ object Multimodal {
     * NULL for payloads that aren't well-formed PCM/mono/16-bit WAVE. */
   def decodeWav(payload: Column): Column = call_function("graft_wav_stats", payload)
 
+  /** REAL image resize (the non-stub counterpart of [[resizeStub]] for
+    * BMP): nearest-neighbor downscale, re-encoded as a real BMP payload. */
+  def resizeBmp(payload: Column, w: Column, h: Column): Column =
+    call_function("graft_bmp_resize", payload, w, h)
+
+  /** REAL audio downsample: keep every `factor`-th sample, re-encoded as a
+    * real WAV at rate/factor. */
+  def downsampleWav(payload: Column, factor: Column): Column =
+    call_function("graft_wav_downsample", payload, factor)
+
   /** Synthesize an asset table from documents: opaque binary payload +
     * typed metadata — the shape a real ingest (S3 object listing + bytes)
     * would land. */

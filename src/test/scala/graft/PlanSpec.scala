@@ -115,8 +115,9 @@ class PlanSpec extends SparkSpec {
     p.toLowerCase should include("dynamicpruning")
   }
 
-  test("q97/q98: media decode is one shuffle-free codegen map over the scan") {
-    Seq(Queries.q97BmpDecode _, Queries.q98WavDecode _).foreach { q =>
+  test("q97-q100: media decode/resize is one shuffle-free codegen map over the scan") {
+    Seq(Queries.q97BmpDecode _, Queries.q98WavDecode _,
+        Queries.q99BmpResize _, Queries.q100WavDownsample _).foreach { q =>
       val p = plan(q)
       p should not include "Exchange"
       p should include("*(1)") // whole-stage codegen, single stage

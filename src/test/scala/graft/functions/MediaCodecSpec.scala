@@ -97,6 +97,40 @@ class MediaCodecSpec extends SparkSpec {
     MediaCodec.wavStats(eightBit) shouldBe null
   }
 
+  test("bmpResize samples nearest-neighbor pixels and re-encodes a valid BMP") {
+    val src = MediaCodec.bmpEncode(seed = 9L, width = 8, height = 6)
+    val out = MediaCodec.bmpResize(src, 3, 2)
+    out should not be null
+    // the output is itself a decodable BMP
+    val st = MediaCodec.bmpStats(out)
+    st.getInt(0) shouldBe 3
+    st.getInt(1) shouldBe 2
+    // nearest-neighbor closed form: dst (x,y) ← src (x*8/3, y*6/2)
+    def ch(cx: Int, cy: Int) =
+      (for (x <- 0 until 3; y <- 0 until 2) yield
+        (9 + cx * (x * 8 / 3) + cy * (y * 6 / 2)) % 256).sum.toLong
+    st.getLong(2) shouldBe ch(11, 13)
+    st.getLong(3) shouldBe ch(5, 7)
+    st.getLong(4) shouldBe ch(2, 3)
+    // upscaling and malformed input refuse, not garble
+    MediaCodec.bmpResize(src, 9, 2) shouldBe null
+    MediaCodec.bmpResize("junk".getBytes, 2, 2) shouldBe null
+  }
+
+  test("wavDownsample keeps every k-th sample and re-encodes a valid WAV") {
+    val src = MediaCodec.wavEncode(seed = 3L, nSamples = 11, sampleRate = 12000)
+    val out = MediaCodec.wavDownsample(src, 3)
+    val st = MediaCodec.wavStats(out)
+    st should not be null
+    st.getInt(0) shouldBe 4000   // 12000 / 3
+    st.getLong(1) shouldBe 4L    // ceil(11/3): samples 0,3,6,9
+    val kept = Seq(0, 3, 6, 9).map(i => ((3L + 17L * i) % 65536L).toInt - 32768)
+    st.getLong(2) shouldBe kept.map(v => math.abs(v).toLong).sum
+    st.getInt(3) shouldBe kept.map(math.abs).max
+    MediaCodec.wavDownsample(src, 0) shouldBe null
+    MediaCodec.wavDownsample("RIFFjunk".getBytes, 2) shouldBe null
+  }
+
   test("expressions run inside the SQL surface with codegen (no fallback)") {
     val out = spark.sql(
       """SELECT graft_bmp_stats(graft_bmp_encode(CAST(id AS BIGINT),
