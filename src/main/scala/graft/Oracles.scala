@@ -1706,5 +1706,57 @@ object Oracles {
         |  FROM d, LATERAL (SELECT unnest(generate_series(0, outn - 1)) AS i))
         |SELECT doc_id, sample_rate, CAST(outn AS BIGINT) AS n_samples,
         |  CAST(sum(a) AS BIGINT) AS sum_abs, CAST(max(a) AS INT) AS peak
-        |FROM smp GROUP BY doc_id, sample_rate, outn""".stripMargin)
+        |FROM smp GROUP BY doc_id, sample_rate, outn""".stripMargin,
+
+    // Unrolled 2-iteration fixed-point Lloyd recurrence: quantize to 1e-6
+    // BIGINTs (floor — the one negative-safe rounding both engines share),
+    // exact integer squared distances, floor(sum/count) centroid means in
+    // DOUBLE (operands ≪ 2^53 → identical IEEE quotient). Bit-identical to
+    // Cluster.kMeans per-vector labels AND distances.
+    "q101_kmeans_cluster" ->
+      """WITH pts AS (
+        |  SELECT vec_id AS id,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |c0 AS (SELECT id AS cluster_id, qv AS cv FROM pts ORDER BY id LIMIT 8),
+        |a1 AS (
+        |  SELECT id, qv, cluster_id FROM (
+        |    SELECT p.id, p.qv, c.cluster_id,
+        |      row_number() OVER (PARTITION BY p.id ORDER BY
+        |        list_sum(list_transform(list_zip(p.qv, c.cv),
+        |          z -> (z[1]-z[2])*(z[1]-z[2]))), c.cluster_id) AS rn
+        |    FROM pts p CROSS JOIN c0 c)
+        |  WHERE rn = 1),
+        |u1 AS (
+        |  SELECT cluster_id, pos,
+        |    CAST(floor(CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS cv1
+        |  FROM (SELECT cluster_id, generate_subscripts(qv, 1) AS pos, unnest(qv) AS v FROM a1)
+        |  GROUP BY cluster_id, pos),
+        |c1 AS (SELECT cluster_id, list(cv1 ORDER BY pos) AS cv FROM u1 GROUP BY cluster_id),
+        |a2 AS (
+        |  SELECT id, qv, cluster_id FROM (
+        |    SELECT p.id, p.qv, c.cluster_id,
+        |      row_number() OVER (PARTITION BY p.id ORDER BY
+        |        list_sum(list_transform(list_zip(p.qv, c.cv),
+        |          z -> (z[1]-z[2])*(z[1]-z[2]))), c.cluster_id) AS rn
+        |    FROM pts p CROSS JOIN c1 c)
+        |  WHERE rn = 1),
+        |u2 AS (
+        |  SELECT cluster_id, pos,
+        |    CAST(floor(CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS cv1
+        |  FROM (SELECT cluster_id, generate_subscripts(qv, 1) AS pos, unnest(qv) AS v FROM a2)
+        |  GROUP BY cluster_id, pos),
+        |c2 AS (SELECT cluster_id, list(cv1 ORDER BY pos) AS cv FROM u2 GROUP BY cluster_id),
+        |fin AS (
+        |  SELECT id, cluster_id, d FROM (
+        |    SELECT p.id, c.cluster_id,
+        |      list_sum(list_transform(list_zip(p.qv, c.cv),
+        |        z -> (z[1]-z[2])*(z[1]-z[2]))) AS d,
+        |      row_number() OVER (PARTITION BY p.id ORDER BY
+        |        list_sum(list_transform(list_zip(p.qv, c.cv),
+        |          z -> (z[1]-z[2])*(z[1]-z[2]))), c.cluster_id) AS rn
+        |    FROM pts p CROSS JOIN c2 c)
+        |  WHERE rn = 1)
+        |SELECT id AS vec_id, cluster_id, CAST(d AS BIGINT) AS dist FROM fin""".stripMargin)
 }

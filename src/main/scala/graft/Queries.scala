@@ -1824,4 +1824,14 @@ object Queries {
       .select(col("doc_id"), col("st.sample_rate").as("sample_rate"),
         col("st.n_samples").as("n_samples"), col("st.sum_abs").as("sum_abs"),
         col("st.peak").as("peak"))
+
+  /** Trained-centroid semantic clustering: 2 Lloyd iterations of
+    * fixed-point k-means ([[Cluster.kMeans]]) over the embeddings table,
+    * k=8 smallest-id seeds. Every assignment and centroid mean is exact
+    * BIGINT/floor arithmetic, so the DuckDB oracle unrolls the identical
+    * recurrence and hash-matches per-vector labels AND distances — the
+    * verified-approximation stance of q83/q86 applied to clustering. */
+  def q101KmeansCluster(s: SparkSession, dir: String): DataFrame =
+    Cluster.kMeans(t(s, dir, "embeddings"), "vec_id", "embedding",
+      k = 8, iterations = 2)
 }

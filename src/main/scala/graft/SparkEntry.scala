@@ -122,6 +122,7 @@ object SparkEntry {
     "q98_wav_decode" -> (Queries.q98WavDecode(_, _)),
     "q99_bmp_resize" -> (Queries.q99BmpResize(_, _)),
     "q100_wav_downsample" -> (Queries.q100WavDownsample(_, _)),
+    "q101_kmeans_cluster" -> (Queries.q101KmeansCluster(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -47,11 +47,19 @@ object Graph {
                iterations: Int, allNodes: Option[DataFrame] = None): DataFrame = {
     require(iterations >= 1 && iterations <= 10,
       s"iterations must be in [1,10] (fixed-point plans unroll per iteration); got $iterations")
+    // The caller's edge plan can be arbitrarily expensive (q86 feeds the
+    // whole shingle self-join in here), and it appears FOUR times in the
+    // adjacency plan below (twice in the union, twice more through deg) —
+    // exchange reuse usually dedupes identical subtrees but is not
+    // guaranteed across differing projections. localCheckpoint runs the
+    // plan exactly once and every downstream branch reads the stored
+    // blocks; same edge-set-first pattern as [[Dedup.nearDupClusters]].
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint()
     // Both directions + per-source degree, computed once. deg joins on the
     // SAME key the per-iteration groupBy shuffles on, so iterations reuse
     // the partitioning.
-    val both = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+    val both = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
     val deg = both.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val adj = both.join(deg, Seq("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)

@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ClusterSpec extends SparkSpec {
+
+  private def emb(vs: (Long, Seq[Float])*) =
+    df("vec_id BIGINT, embedding ARRAY<FLOAT>", vs.map(v => Row(v._1, v._2)))
+
+  /** Driver-side reference: same fixed-point recurrence, plain Scala. */
+  private def refKMeans(vs: Seq[(Long, Seq[Float])], k: Int, iters: Int): Map[Long, Long] = {
+    val pts = vs.map { case (id, v) =>
+      id -> v.map(x => math.floor(x.toDouble * 1e6).toLong)
+    }.toMap
+    def d2(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def assign(cents: Map[Long, Seq[Long]]): Map[Long, Long] =
+      pts.map { case (id, qv) =>
+        id -> cents.toSeq.map { case (cid, cv) => (d2(qv, cv), cid) }.min._2
+      }
+    var cents = pts.toSeq.sortBy(_._1).take(k)
+      .map { case (id, qv) => id -> qv }.toMap
+    for (_ <- 1 to iters) {
+      val a = assign(cents)
+      cents = a.groupBy(_._2).map { case (cid, members) =>
+        val qs = members.keys.map(pts).toSeq
+        cid -> qs.head.indices.map { i =>
+          math.floor(qs.map(_(i)).sum.toDouble / qs.size.toDouble).toLong
+        }
+      }
+    }
+    assign(cents)
+  }
+
+  test("kMeans separates two obvious blobs and labels them by seed id") {
+    // Two tight groups around (1,0) and (0,1); seeds are ids 0 and 1 — one
+    // from each group — so the final labels are exactly the group split.
+    val data = Seq(
+      0L -> Seq(1.0f, 0.1f), 1L -> Seq(0.1f, 1.0f),
+      2L -> Seq(0.9f, 0.0f), 3L -> Seq(0.0f, 0.9f),
+      4L -> Seq(1.1f, 0.2f), 5L -> Seq(0.2f, 1.1f))
+    val out = Cluster.kMeans(emb(data: _*), "vec_id", "embedding", k = 2, iterations = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out shouldBe Map(0L -> 0L, 2L -> 0L, 4L -> 0L, 1L -> 1L, 3L -> 1L, 5L -> 1L)
+  }
+
+  test("kMeans matches the driver-side fixed-point reference on mixed-sign data") {
+    // Deterministic pseudo-random floats including negatives — exercises
+    // the floor-on-negative quantization and floor(s/n) centroid division.
+    val data = (0L until 40L).map { i =>
+      i -> (0 until 8).map(j => (((i * 37 + j * 11) % 19).toFloat - 9f) / 10f)
+    }
+    val out = Cluster.kMeans(emb(data: _*), "vec_id", "embedding", k = 4, iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out shouldBe refKMeans(data, k = 4, iters = 3)
+  }
+
+  test("kMeans is deterministic across partitionings (integer arithmetic)") {
+    val data = (0L until 30L).map { i =>
+      i -> (0 until 6).map(j => (((i * 13 + j * 7) % 23).toFloat - 11f) / 12f)
+    }
+    val one = emb(data: _*).repartition(1)
+    val many = emb(data: _*).repartition(7)
+    val r1 = Cluster.kMeans(one, "vec_id", "embedding", k = 3, iterations = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val r7 = Cluster.kMeans(many, "vec_id", "embedding", k = 3, iterations = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    r1 shouldBe r7
+  }
+
+  test("kMeans dist column is the exact quantized squared distance") {
+    val data = Seq(0L -> Seq(0.5f, 0.5f), 1L -> Seq(-0.5f, -0.5f))
+    // k=2, seeds are the points themselves; after any iterations each point
+    // is its own centroid → dist 0.
+    val out = Cluster.kMeans(emb(data: _*), "vec_id", "embedding", k = 2, iterations = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    out shouldBe Map(0L -> 0L, 1L -> 0L)
+  }
+
+  test("kMeans rejects iteration counts outside the unrolled-plan range") {
+    val data = emb(0L -> Seq(0.1f, 0.2f))
+    an[IllegalArgumentException] should be thrownBy
+      Cluster.kMeans(data, "vec_id", "embedding", k = 1, iterations = 0)
+    an[IllegalArgumentException] should be thrownBy
+      Cluster.kMeans(data, "vec_id", "embedding", k = 1, iterations = 7)
+  }
+}
