@@ -1758,5 +1758,67 @@ object Oracles {
         |          z -> (z[1]-z[2])*(z[1]-z[2]))), c.cluster_id) AS rn
         |    FROM pts p CROSS JOIN c2 c)
         |  WHERE rn = 1)
-        |SELECT id AS vec_id, cluster_id, CAST(d AS BIGINT) AS dist FROM fin""".stripMargin)
+        |SELECT id AS vec_id, cluster_id, CAST(d AS BIGINT) AS dist FROM fin""".stripMargin,
+
+    // q101's unrolled k-means assignment, then SemDeDup dominance: kept =
+    // no smaller-id same-cluster member at cosine >= 0.45 (exact DOUBLE
+    // dot products — the q59 precedent shows list_dot_product reproduces
+    // the Spark fold bit-for-bit).
+    "q102_semantic_dedup" ->
+      """WITH pts AS (
+        |  SELECT vec_id AS id,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |c0 AS (SELECT id AS cluster_id, qv AS cv FROM pts ORDER BY id LIMIT 8),
+        |a1 AS (
+        |  SELECT id, qv, cluster_id FROM (
+        |    SELECT p.id, p.qv, c.cluster_id,
+        |      row_number() OVER (PARTITION BY p.id ORDER BY
+        |        list_sum(list_transform(list_zip(p.qv, c.cv),
+        |          z -> (z[1]-z[2])*(z[1]-z[2]))), c.cluster_id) AS rn
+        |    FROM pts p CROSS JOIN c0 c)
+        |  WHERE rn = 1),
+        |u1 AS (
+        |  SELECT cluster_id, pos,
+        |    CAST(floor(CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS cv1
+        |  FROM (SELECT cluster_id, generate_subscripts(qv, 1) AS pos, unnest(qv) AS v FROM a1)
+        |  GROUP BY cluster_id, pos),
+        |c1 AS (SELECT cluster_id, list(cv1 ORDER BY pos) AS cv FROM u1 GROUP BY cluster_id),
+        |a2 AS (
+        |  SELECT id, qv, cluster_id FROM (
+        |    SELECT p.id, p.qv, c.cluster_id,
+        |      row_number() OVER (PARTITION BY p.id ORDER BY
+        |        list_sum(list_transform(list_zip(p.qv, c.cv),
+        |          z -> (z[1]-z[2])*(z[1]-z[2]))), c.cluster_id) AS rn
+        |    FROM pts p CROSS JOIN c1 c)
+        |  WHERE rn = 1),
+        |u2 AS (
+        |  SELECT cluster_id, pos,
+        |    CAST(floor(CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS cv1
+        |  FROM (SELECT cluster_id, generate_subscripts(qv, 1) AS pos, unnest(qv) AS v FROM a2)
+        |  GROUP BY cluster_id, pos),
+        |c2 AS (SELECT cluster_id, list(cv1 ORDER BY pos) AS cv FROM u2 GROUP BY cluster_id),
+        |fin AS (
+        |  SELECT id, cluster_id FROM (
+        |    SELECT p.id, c.cluster_id,
+        |      row_number() OVER (PARTITION BY p.id ORDER BY
+        |        list_sum(list_transform(list_zip(p.qv, c.cv),
+        |          z -> (z[1]-z[2])*(z[1]-z[2]))), c.cluster_id) AS rn
+        |    FROM pts p CROSS JOIN c2 c)
+        |  WHERE rn = 1),
+        |e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings),
+        |dom AS (
+        |  SELECT DISTINCT b.id AS id
+        |  FROM fin a JOIN fin b
+        |    ON a.cluster_id = b.cluster_id AND a.id < b.id
+        |  JOIN e x ON a.id = x.vec_id
+        |  JOIN e y ON b.id = y.vec_id
+        |  WHERE list_dot_product(x.v, y.v) / (x.nrm * y.nrm) >= 0.45)
+        |SELECT fin.id AS vec_id, fin.cluster_id,
+        |  (dom.id IS NULL) AS kept
+        |FROM fin LEFT JOIN dom ON fin.id = dom.id""".stripMargin)
 }

@@ -1858,4 +1858,37 @@ object Queries {
   def q101KmeansCluster(s: SparkSession, dir: String): DataFrame =
     Cluster.kMeans(t(s, dir, "embeddings"), "vec_id", "embedding",
       k = 8, iterations = 2)
+
+  /** SemDeDup-style cluster-then-dedup survivor manifest: k-means shards
+    * the corpus semantically ([[Cluster.kMeans]], the q101 assignment),
+    * then near-dup search runs ONLY inside each cluster — the candidate
+    * join is an equi-join on cluster_id whose bucket occupancy the trained
+    * quantizer bounds by design, never N². A vector is dominated (kept =
+    * false) when ANY smaller-id member of its cluster sits at cosine >=
+    * 0.45 — the deterministic greedy-by-id form of SemDeDup's
+    * keep-one-per-neighborhood policy (dominance is checked against all
+    * smaller-id members, kept or not, so the rule needs no iteration).
+    * Assignments are exact fixed-point arithmetic and cosines exact
+    * double folds, so the whole manifest hash-matches the oracle. */
+  def q102SemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val assign = Cluster.kMeans(emb, "vec_id", "embedding",
+        k = 8, iterations = 2)
+      .select(col("vec_id"), col("cluster_id"))
+    val e = emb.select(col("vec_id"),
+      col("embedding").as("_v"),
+      sqrt(Similarity.dot(col("embedding"), col("embedding"))).as("_n"))
+    val m = assign.join(e, Seq("vec_id"))
+    val dominated = m.select(col("cluster_id"), col("vec_id").as("id_a"),
+        col("_v").as("_va"), col("_n").as("_na"))
+      .join(m.select(col("cluster_id"), col("vec_id").as("id_b"),
+        col("_v").as("_vb"), col("_n").as("_nb")), Seq("cluster_id"))
+      .filter(col("id_a") < col("id_b") &&
+        Similarity.dot(col("_va"), col("_vb")) / (col("_na") * col("_nb")) >= 0.45)
+      .select(col("id_b").as("vec_id"))
+      .distinct()
+    assign
+      .join(dominated.withColumn("_dom", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster_id"), col("_dom").isNull.as("kept"))
+  }
 }

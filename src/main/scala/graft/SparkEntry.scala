@@ -123,6 +123,7 @@ object SparkEntry {
     "q99_bmp_resize" -> (Queries.q99BmpResize(_, _)),
     "q100_wav_downsample" -> (Queries.q100WavDownsample(_, _)),
     "q101_kmeans_cluster" -> (Queries.q101KmeansCluster(_, _)),
+    "q102_semantic_dedup" -> (Queries.q102SemanticDedup(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
