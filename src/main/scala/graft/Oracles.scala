@@ -1820,5 +1820,72 @@ object Oracles {
         |  WHERE list_dot_product(x.v, y.v) / (x.nrm * y.nrm) >= 0.45)
         |SELECT fin.id AS vec_id, fin.cluster_id,
         |  (dom.id IS NULL) AS kept
-        |FROM fin LEFT JOIN dom ON fin.id = dom.id""".stripMargin)
+        |FROM fin LEFT JOIN dom ON fin.id = dom.id""".stripMargin,
+
+    // q101's trained centroids (2 unrolled Lloyd iterations), then IVF:
+    // nearest-list assignment (rn=1) builds the inverted lists, every 50th
+    // vector probes its 2 nearest lists, candidates rank by exact
+    // quantized L2 — integer end to end.
+    "q103_trained_ivf_topk" ->
+      """WITH pts AS (
+        |  SELECT vec_id AS id,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |c0 AS (SELECT id AS cluster_id, qv AS cv FROM pts ORDER BY id LIMIT 8),
+        |a1 AS (
+        |  SELECT id, qv, cluster_id FROM (
+        |    SELECT p.id, p.qv, c.cluster_id,
+        |      row_number() OVER (PARTITION BY p.id ORDER BY
+        |        list_sum(list_transform(list_zip(p.qv, c.cv),
+        |          z -> (z[1]-z[2])*(z[1]-z[2]))), c.cluster_id) AS rn
+        |    FROM pts p CROSS JOIN c0 c)
+        |  WHERE rn = 1),
+        |u1 AS (
+        |  SELECT cluster_id, pos,
+        |    CAST(floor(CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS cv1
+        |  FROM (SELECT cluster_id, generate_subscripts(qv, 1) AS pos, unnest(qv) AS v FROM a1)
+        |  GROUP BY cluster_id, pos),
+        |c1 AS (SELECT cluster_id, list(cv1 ORDER BY pos) AS cv FROM u1 GROUP BY cluster_id),
+        |a2 AS (
+        |  SELECT id, qv, cluster_id FROM (
+        |    SELECT p.id, p.qv, c.cluster_id,
+        |      row_number() OVER (PARTITION BY p.id ORDER BY
+        |        list_sum(list_transform(list_zip(p.qv, c.cv),
+        |          z -> (z[1]-z[2])*(z[1]-z[2]))), c.cluster_id) AS rn
+        |    FROM pts p CROSS JOIN c1 c)
+        |  WHERE rn = 1),
+        |u2 AS (
+        |  SELECT cluster_id, pos,
+        |    CAST(floor(CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS cv1
+        |  FROM (SELECT cluster_id, generate_subscripts(qv, 1) AS pos, unnest(qv) AS v FROM a2)
+        |  GROUP BY cluster_id, pos),
+        |c2 AS (SELECT cluster_id, list(cv1 ORDER BY pos) AS cv FROM u2 GROUP BY cluster_id),
+        |ranked AS (
+        |  SELECT p.id, c.cluster_id,
+        |    row_number() OVER (PARTITION BY p.id ORDER BY
+        |      list_sum(list_transform(list_zip(p.qv, c.cv),
+        |        z -> (z[1]-z[2])*(z[1]-z[2]))), c.cluster_id) AS rn
+        |  FROM pts p CROSS JOIN c2 c),
+        |lists AS (SELECT id AS cand_id, cluster_id FROM ranked WHERE rn = 1),
+        |probes AS (
+        |  SELECT id AS query_id, cluster_id FROM ranked
+        |  WHERE rn <= 2 AND id % 50 = 0),
+        |cand AS (
+        |  SELECT DISTINCT query_id, cand_id
+        |  FROM probes JOIN lists USING (cluster_id)
+        |  WHERE query_id != cand_id),
+        |scored AS (
+        |  SELECT query_id, cand_id,
+        |    list_sum(list_transform(list_zip(a.qv, b.qv),
+        |      z -> (z[1]-z[2])*(z[1]-z[2]))) AS dist
+        |  FROM cand
+        |  JOIN pts a ON query_id = a.id
+        |  JOIN pts b ON cand_id = b.id)
+        |SELECT query_id, cand_id, CAST(dist AS BIGINT) AS dist, rank FROM (
+        |  SELECT query_id, cand_id, dist,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY dist, cand_id) AS INT) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5""".stripMargin)
 }

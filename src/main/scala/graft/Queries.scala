@@ -1891,4 +1891,16 @@ object Queries {
       .join(dominated.withColumn("_dom", lit(1)), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cluster_id"), col("_dom").isNull.as("kept"))
   }
+
+  /** Trained-centroid IVF top-k ([[Cluster.ivfSearchQ]]): the k-means
+    * quantizer (q101's training, k=8, 2 iterations) builds the inverted
+    * lists, every 50th vector queries its 2 nearest lists, and candidates
+    * rank by EXACT quantized L2 distance — integer end to end, so
+    * distances AND ranks hash-match the unrolled oracle. Completes the
+    * ANN family: brute force (q24), hyperplane LSH (q25), seed-centroid
+    * IVF (q52), and now the trained quantizer the others approximate. */
+  def q103TrainedIvfTopk(s: SparkSession, dir: String): DataFrame =
+    Cluster.ivfSearchQ(t(s, dir, "embeddings"), "vec_id", "embedding",
+      kClusters = 8, iterations = 2,
+      queryPred = col("vec_id") % 50 === 0, topK = 5, nProbe = 2)
 }

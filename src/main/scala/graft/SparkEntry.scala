@@ -124,6 +124,7 @@ object SparkEntry {
     "q100_wav_downsample" -> (Queries.q100WavDownsample(_, _)),
     "q101_kmeans_cluster" -> (Queries.q101KmeansCluster(_, _)),
     "q102_semantic_dedup" -> (Queries.q102SemanticDedup(_, _)),
+    "q103_trained_ivf_topk" -> (Queries.q103TrainedIvfTopk(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -13,6 +13,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.floatDot)
+    ext.injectFunction(GraftExtensions.longSqDist)
     ext.injectFunction(GraftExtensions.rollingHash)
     ext.injectFunction(GraftExtensions.tokenEstimate)
     ext.injectFunction(GraftExtensions.kmvDistinct)
@@ -33,6 +34,12 @@ object GraftExtensions {
     new ExpressionInfo(classOf[FloatDot].getName, null, "graft_float_dot",
       "graft_float_dot(a, b) - left-fold double dot product of two float arrays", ""),
     (children: Seq[Expression]) => FloatDot(children.head, children(1)))
+
+  val longSqDist: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier("graft_sqdist_q"),
+    new ExpressionInfo(classOf[LongSqDist].getName, null, "graft_sqdist_q",
+      "graft_sqdist_q(a, b) - exact squared L2 distance of two BIGINT arrays", ""),
+    (children: Seq[Expression]) => LongSqDist(children.head, children(1)))
 
   val rollingHash: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     new FunctionIdentifier("graft_rolling_hash"),

@@ -1,7 +1,9 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Distributed Lloyd's k-means over embedding columns — the trained-centroid
   * counterpart of [[Similarity]]'s seed-centroid IVF quantizer (its doc
@@ -36,10 +38,13 @@ object Cluster {
   def quantize(vec: Column): Column =
     transform(vec, x => floor(x.cast("double") * lit(QuantScale.toDouble)).cast("long"))
 
-  /** Exact squared L2 distance between two equal-length BIGINT arrays. */
+  /** Exact squared L2 distance between two equal-length BIGINT arrays, via
+    * the native codegen'd [[graft.functions.LongSqDist]] expression
+    * (requires `GraftExtensions` on the session — all graft entry points
+    * install it). Keeps the N×k assignment pass inside whole-stage codegen
+    * instead of a per-element interpreted `zip_with`+`aggregate` fold. */
   def sqDistQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, v) => acc + v)
+    call_function("graft_sqdist_q", a, b)
 
   /** Nearest-centroid assignment: (id, qv, cluster_id, dist). Centroids are
     * broadcast; the argmin is `min(struct(dist, cluster_id))` — lexicographic
@@ -70,15 +75,19 @@ object Cluster {
     * the whole computation is ONE lazy unrolled plan (no driver actions) —
     * beyond that, checkpoint between rounds instead.
     */
-  def kMeans(emb: DataFrame, idCol: String, vecCol: String,
-             k: Int, iterations: Int): DataFrame = {
+  /** Quantize once and truncate lineage; every training iteration (and the
+    * final assignment) re-reads the stored blocks instead of re-running the
+    * scan + quantization. */
+  private def quantizedPts(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb.select(col(idCol).as("id"), quantize(col(vecCol)).as("qv"))
+      .localCheckpoint()
+
+  /** The Lloyd training loop over a quantized (id, qv) frame — returns the
+    * trained centroid frame (cluster_id, cv). */
+  private def train(pts: DataFrame, k: Int, iterations: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1; got $k")
     require(iterations >= 1 && iterations <= 6,
       s"iterations must be in [1,6] (fixed-point plans unroll per iteration); got $iterations")
-    // Quantize once; every iteration (and the final assignment) re-reads
-    // the stored blocks instead of re-running the scan + quantization.
-    val pts = emb.select(col(idCol).as("id"), quantize(col(vecCol)).as("qv"))
-      .localCheckpoint()
     var cents = pts.orderBy(col("id")).limit(k)
       .select(col("id").as("cluster_id"), col("qv").as("cv"))
     for (_ <- 1 to iterations) {
@@ -96,7 +105,60 @@ object Cluster {
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv1")))),
           s => s.getField("cv1")).as("cv"))
     }
-    assign(pts, cents)
+    cents
+  }
+
+  def kMeans(emb: DataFrame, idCol: String, vecCol: String,
+             k: Int, iterations: Int): DataFrame = {
+    val pts = quantizedPts(emb, idCol, vecCol)
+    assign(pts, train(pts, k, iterations))
       .select(col("id").as(idCol), col("cluster_id"), col("dist"))
+  }
+
+  /** TRAINED-centroid IVF top-k in quantized L2 space — [[kMeans]]'s
+    * quantizer feeding an inverted-file search (the composition
+    * [[Similarity]]'s seed-centroid IVF leaves open). Every vector joins
+    * its nearest trained centroid's list; a query probes its `nProbe`
+    * nearest lists and ranks only their members by EXACT quantized
+    * distance. Integer arithmetic end to end, so the full result —
+    * distances and ranks included — hash-matches an engine-independent
+    * oracle.
+    *
+    * Scale shape: training + one broadcast N×k ranking pass (k centroids
+    * broadcast; window per vector id), then bucket-bounded candidate
+    * ranking — never N². The ranking frame feeds lists AND probes →
+    * persisted (caching contract: release with
+    * `spark.catalog.clearCache()`).
+    */
+  def ivfSearchQ(emb: DataFrame, idCol: String, vecCol: String,
+                 kClusters: Int, iterations: Int,
+                 queryPred: Column, topK: Int, nProbe: Int): DataFrame = {
+    require(nProbe >= 1 && topK >= 1,
+      s"topK and nProbe must be >= 1; got topK=$topK nProbe=$nProbe")
+    val pts = quantizedPts(emb, idCol, vecCol)
+    val cents = train(pts, kClusters, iterations)
+    val wr = Window.partitionBy(col("id")).orderBy(col("_d"), col("cluster_id"))
+    val ranked = pts.crossJoin(broadcast(cents))
+      .select(col("id"), col("cluster_id"), sqDistQ(col("qv"), col("cv")).as("_d"))
+      .withColumn("_r", row_number().over(wr))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val lists = ranked.filter(col("_r") === 1)
+      .select(col("id").as("cand_id"), col("cluster_id"))
+    val probes = ranked
+      .join(emb.filter(queryPred).select(col(idCol).as("id")), Seq("id"))
+      .filter(col("_r") <= nProbe)
+      .select(col("id").as("query_id"), col("cluster_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist"), col("cand_id"))
+    probes.join(lists, Seq("cluster_id"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"))
+      .distinct()
+      .join(pts.select(col("id").as("query_id"), col("qv").as("_qa")), Seq("query_id"))
+      .join(pts.select(col("id").as("cand_id"), col("qv").as("_qb")), Seq("cand_id"))
+      .withColumn("dist", sqDistQ(col("_qa"), col("_qb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("cand_id"), col("dist"), col("rank"))
   }
 }

@@ -80,6 +80,36 @@ class ClusterSpec extends SparkSpec {
     out shouldBe Map(0L -> 0L, 1L -> 0L)
   }
 
+  test("sqDistQ (native graft_sqdist_q) matches the driver-side integer sum") {
+    val out = emb(0L -> Seq(0.5f, -0.25f, 1.0f), 1L -> Seq(-0.5f, 0.25f, 0.0f))
+      .select(Cluster.sqDistQ(
+        Cluster.quantize(col("embedding")),
+        Cluster.quantize(array(lit(0.1f), lit(0.1f), lit(0.1f)))).as("d"))
+      .collect().map(_.getLong(0)).sorted
+    def q(x: Float): Long = math.floor(x.toDouble * 1e6).toLong
+    def d2(v: Seq[Float]): Long =
+      v.map(x => { val d = q(x) - q(0.1f); d * d }).sum
+    out shouldBe Array(d2(Seq(-0.5f, 0.25f, 0.0f)), d2(Seq(0.5f, -0.25f, 1.0f))).sorted
+  }
+
+  test("ivfSearchQ ranks within-blob neighbors first and never returns the query itself") {
+    // Two blobs; queries are ids 0 and 1 (one per blob). With k=2 trained
+    // clusters the lists are the blobs, so each query's top candidates are
+    // its blob-mates ranked by exact distance.
+    val data = Seq(
+      0L -> Seq(1.0f, 0.1f), 1L -> Seq(0.1f, 1.0f),
+      2L -> Seq(0.9f, 0.0f), 3L -> Seq(0.0f, 0.9f),
+      4L -> Seq(1.1f, 0.2f), 5L -> Seq(0.2f, 1.1f))
+    val out = Cluster.ivfSearchQ(emb(data: _*), "vec_id", "embedding",
+        kClusters = 2, iterations = 2,
+        queryPred = col("vec_id") <= 1, topK = 2, nProbe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    out.foreach { case (q, c, _) => q should not be c }
+    // query 0's blob is {0,2,4}, query 1's is {1,3,5}
+    out.filter(_._1 == 0L).map(_._2).toSet shouldBe Set(2L, 4L)
+    out.filter(_._1 == 1L).map(_._2).toSet shouldBe Set(3L, 5L)
+  }
+
   test("kMeans rejects iteration counts outside the unrolled-plan range") {
     val data = emb(0L -> Seq(0.1f, 0.2f))
     an[IllegalArgumentException] should be thrownBy
