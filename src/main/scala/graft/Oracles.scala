@@ -1887,5 +1887,50 @@ object Oracles {
         |    CAST(row_number() OVER (PARTITION BY query_id
         |      ORDER BY dist, cand_id) AS INT) AS rank
         |  FROM scored)
-        |WHERE rank <= 5""".stripMargin)
+        |WHERE rank <= 5""".stripMargin,
+
+    // Sliding windows W=30 stride 20, ragged tail, short docs = 1 chunk;
+    // chunk count floor((max(n-30,0)+19)/20)+1 mirrored exactly.
+    "q104_chunk_windows" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |  FROM documents)
+        |SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+        |  CAST(len(ws[i*20+1 : i*20+30]) AS INT) AS n_words,
+        |  array_to_string(ws[i*20+1 : i*20+30], ' ') AS chunk_text
+        |FROM w CROSS JOIN unnest(generate_series(0,
+        |  CAST(floor((greatest(len(ws) - 30, 0) + 19) / 20) AS INT))) AS t(i)""".stripMargin,
+
+    // Corpus (doc_id % 10 != 0) shingle index with corpus-wide DF cap;
+    // batch (doc_id % 10 = 0) probes it uncapped — exact-Jaccard matches
+    // of each new document against the standing corpus.
+    "q105_incremental_dedup" ->
+      """WITH corpw AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents WHERE doc_id % 10 != 0),
+        |csh0 AS (
+        |  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+        |  FROM corpw, LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i)),
+        |csh AS (
+        |  SELECT doc_id, shingle FROM csh0
+        |  QUALIFY count(*) OVER (PARTITION BY shingle) <= 200),
+        |cm AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS m FROM csh GROUP BY doc_id),
+        |bw AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |bsh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+        |  FROM bw, LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i)),
+        |bm AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS m_new FROM bsh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT b.doc_id AS new_doc, c.doc_id AS corpus_doc,
+        |    CAST(count(*) AS BIGINT) AS intersection
+        |  FROM bsh b JOIN csh c ON b.shingle = c.shingle
+        |  GROUP BY 1, 2)
+        |SELECT new_doc, corpus_doc, bm.m_new, cm.m AS m_corpus, intersection,
+        |  CAST(intersection AS DOUBLE) / CAST(bm.m_new + cm.m - intersection AS DOUBLE) AS jaccard
+        |FROM inter
+        |JOIN bm ON new_doc = bm.doc_id
+        |JOIN cm ON corpus_doc = cm.doc_id
+        |WHERE CAST(intersection AS DOUBLE) / CAST(bm.m_new + cm.m - intersection AS DOUBLE) >= 0.5""".stripMargin)
 }

@@ -1903,4 +1903,78 @@ object Queries {
     Cluster.ivfSearchQ(t(s, dir, "embeddings"), "vec_id", "embedding",
       kClusters = 8, iterations = 2,
       queryPred = col("vec_id") % 50 === 0, topK = 5, nProbe = 2)
+
+  /** Sliding-window document chunking — the context-window slicing step
+    * that turns variable-length documents into training-window pieces:
+    * W=30-word chunks at stride S=20 (10-word overlap so no boundary
+    * context is lost), last window ragged, documents shorter than W kept
+    * as a single chunk. chunk count = floor((max(n-W,0)+S-1)/S)+1 —
+    * arithmetic kept in exact small-int domain on both engines. A narrow
+    * explode (output ≈ n/S rows per doc, no shuffle at all until a
+    * downstream consumer aggregates); at 100 TB this is a pure map stage
+    * that pipelines into whatever follows. */
+  /** Build-once corpus shingle index (doc_id, shingle, m) over the
+    * standing corpus (doc_id % 10 != 0) — the ingest-time counterpart of
+    * [[neardupPairs]]: an incremental pipeline dedups each ARRIVING batch
+    * against this index instead of re-shingling the whole corpus per
+    * batch. DF cap computed corpus-wide at build time (the corpus is what
+    * defines boilerplate); `m` is the capped per-doc shingle-set size, so
+    * probe-side Jaccard needs no second corpus pass. */
+  private def shingleIndex(s: SparkSession, dir: String): DataFrame = {
+    val sfTag = dir.replaceAll(".*/", "")
+    val path = s"${Tables.scratchDir(s)}/shingle_index/$sfTag"
+    Tables.writePathIfAbsent(s, path) {
+      val sh = Dedup.capShingleDf(
+        Dedup.shingleSet(
+          t(s, dir, "documents").filter(col("doc_id") % 10 =!= 0),
+          "doc_id", "text", 3), MaxShingleDf)
+      val sized = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("m"))
+      sh.join(sized, Seq("doc_id")).write.mode("overwrite").parquet(path)
+    }
+    s.read.parquet(path)
+  }
+
+  /** Incremental ingest dedup: the arriving batch (doc_id % 10 == 0)
+    * probes the materialized corpus shingle index — shingle equi-join,
+    * never a corpus rescan — and emits each new document's near-dup
+    * matches in the standing corpus with exact Jaccard. Batch shingles
+    * are uncapped (a batch is too small to define boilerplate; the capped
+    * index bounds the join fan-out regardless). At 100 TB this is THE
+    * dedup shape that runs per ingest cycle: probe-side work scales with
+    * the batch, not the corpus. */
+  def q105IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val idx = shingleIndex(s, dir)
+    val shB = Dedup.shingleSet(
+        t(s, dir, "documents").filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", 3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mB = shB.groupBy(col("doc_id")).agg(count(lit(1)).as("m_new"))
+    shB.select(col("doc_id").as("new_doc"), col("shingle"))
+      .join(idx.select(col("doc_id").as("corpus_doc"), col("shingle"),
+        col("m").as("m_corpus")), Seq("shingle"))
+      .groupBy(col("new_doc"), col("corpus_doc"), col("m_corpus"))
+      .agg(count(lit(1)).as("intersection"))
+      .join(mB.select(col("doc_id").as("new_doc"), col("m_new")), Seq("new_doc"))
+      .withColumn("jaccard", col("intersection").cast("double") /
+        (col("m_new") + col("m_corpus") - col("intersection")).cast("double"))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("new_doc"), col("corpus_doc"), col("m_new"),
+        col("m_corpus"), col("intersection"), col("jaccard"))
+  }
+
+  def q104ChunkWindows(s: SparkSession, dir: String): DataFrame = {
+    val W = 30
+    val S = 20
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextStats.words(col("text")).as("ws"))
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(0),
+          floor((greatest(size(col("ws")) - W, lit(0)) + (S - 1)).cast("double") / S)
+            .cast("int"))).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        slice(col("ws"), col("chunk_idx") * S + 1, lit(W)).as("_c"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("_c")).as("n_words"),
+        array_join(col("_c"), " ").as("chunk_text"))
+  }
 }

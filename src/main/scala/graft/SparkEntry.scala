@@ -125,6 +125,8 @@ object SparkEntry {
     "q101_kmeans_cluster" -> (Queries.q101KmeansCluster(_, _)),
     "q102_semantic_dedup" -> (Queries.q102SemanticDedup(_, _)),
     "q103_trained_ivf_topk" -> (Queries.q103TrainedIvfTopk(_, _)),
+    "q104_chunk_windows" -> (Queries.q104ChunkWindows(_, _)),
+    "q105_incremental_dedup" -> (Queries.q105IncrementalDedup(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
