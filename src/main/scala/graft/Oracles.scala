@@ -1932,5 +1932,33 @@ object Oracles {
         |FROM inter
         |JOIN bm ON new_doc = bm.doc_id
         |JOIN cm ON corpus_doc = cm.doc_id
-        |WHERE CAST(intersection AS DOUBLE) / CAST(bm.m_new + cm.m - intersection AS DOUBLE) >= 0.5""".stripMargin)
+        |WHERE CAST(intersection AS DOUBLE) / CAST(bm.m_new + cm.m - intersection AS DOUBLE) >= 0.5""".stripMargin,
+
+    // Same domain-proportional 16x16 bucketing + Morton interleave; the
+    // z-range bounding boxes and the quadrant bound are analytic, the
+    // physical-layout flag is the contract (TRUE, like q91).
+    "q106_zorder_layout" ->
+      """WITH bounds AS (
+        |  SELECT min(o_custkey) AS minc, max(o_custkey) AS maxc,
+        |    min(o_orderdate) AS mind, max(o_orderdate) AS maxd
+        |  FROM orders),
+        |b AS (
+        |  SELECT o_orderkey,
+        |    CAST(least(floor(CAST(o_custkey - minc AS DOUBLE) * 16.0 /
+        |      CAST(maxc - minc + 1 AS DOUBLE)), 15) AS INT) AS xb,
+        |    CAST(least(floor(CAST(date_diff('day', mind, o_orderdate) AS DOUBLE) * 16.0 /
+        |      CAST(date_diff('day', mind, maxd) + 1 AS DOUBLE)), 15) AS INT) AS yb
+        |  FROM orders, bounds),
+        |z AS (
+        |  SELECT xb, yb,
+        |    ((xb & 1) << 0) | (((xb >> 1) & 1) << 2) |
+        |    (((xb >> 2) & 1) << 4) | (((xb >> 3) & 1) << 6) |
+        |    ((yb & 1) << 1) | (((yb >> 1) & 1) << 3) |
+        |    (((yb >> 2) & 1) << 5) | (((yb >> 3) & 1) << 7) AS zv
+        |  FROM b)
+        |SELECT CAST(zv >> 5 AS INT) AS z_range, CAST(count(*) AS BIGINT) AS n_rows,
+        |  min(xb) AS x_lo, max(xb) AS x_hi, min(yb) AS y_lo, max(yb) AS y_hi,
+        |  (max(xb) - min(xb) < 8 AND max(yb) - min(yb) < 4) AS locality_ok,
+        |  TRUE AS layout_ok
+        |FROM z GROUP BY zv >> 5""".stripMargin)
 }

@@ -1962,6 +1962,70 @@ object Queries {
         col("m_corpus"), col("intersection"), col("jaccard"))
   }
 
+  /** Z-order (Morton-curve) clustered layout — the 2-D generalization of
+    * q91's range clustering, the write-side primitive behind multi-column
+    * row-group pruning (Delta/Iceberg OPTIMIZE ZORDER). Both dimensions
+    * are bucketed 0..15 domain-proportionally (one agg computes the
+    * bounds, broadcast back — a pure map, no global window), the buckets'
+    * bits are interleaved into an 8-bit z-value, and rows are
+    * range-clustered by it. Two properties are asserted IN-QUERY and
+    * oracle-checked:
+    *  - locality: each of the 8 fixed z-ranges (32 consecutive z-values =
+    *    two 4x4 quadrant pairs) has x-extent <= 8 and y-extent <= 4 — the
+    *    Morton quadrant bound a 1-D sort cannot give both dimensions;
+    *  - layout: repartitionByRange+sortWithinPartitions leaves
+    *    non-overlapping, internally sorted physical partitions (q91's
+    *    audit, folded into the same ok).
+    * Output: per-z-range row counts and bounding boxes + the two checks. */
+  def q106ZorderLayout(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val bounds = o.agg(
+      min(col("o_custkey")).as("_minc"), max(col("o_custkey")).as("_maxc"),
+      min(col("o_orderdate")).as("_mind"), max(col("o_orderdate")).as("_maxd"))
+    val b = o.crossJoin(broadcast(bounds))
+      .select(col("o_orderkey"),
+        least(floor((col("o_custkey") - col("_minc")).cast("double") * 16.0 /
+          (col("_maxc") - col("_minc") + 1).cast("double")), lit(15.0)).cast("int").as("xb"),
+        least(floor(datediff(col("o_orderdate"), col("_mind")).cast("double") * 16.0 /
+          (datediff(col("_maxd"), col("_mind")) + 1).cast("double")), lit(15.0)).cast("int").as("yb"))
+    val zv = (0 until 4).map { i =>
+      shiftleft(shiftright(col("xb"), i).bitwiseAND(lit(1)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(col("yb"), i).bitwiseAND(lit(1)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+    val withZ = b.withColumn("zv", zv)
+
+    // Physical audit (q91's): range-cluster by zv, then assert partitions
+    // are internally sorted and non-overlapping.
+    val clustered = withZ.repartitionByRange(8, col("zv"))
+      .sortWithinPartitions(col("zv"))
+      .select(col("zv"), spark_partition_id().as("_pid"),
+        monotonically_increasing_id().as("_mid"))
+    val wp = Window.partitionBy(col("_pid")).orderBy(col("_mid"))
+    val perPart = clustered
+      .withColumn("_in_order", col("zv") >= lag(col("zv"), 1).over(wp))
+      .groupBy(col("_pid"))
+      .agg(min(col("zv")).as("_lo"), max(col("zv")).as("_hi"),
+        coalesce(sum(when(!col("_in_order"), 1L)), lit(0L)).as("_disorder"))
+    val wo = Window.orderBy(col("_lo"), col("_pid"))
+    val layoutOk = perPart
+      .select(col("_disorder"),
+        (col("_lo") >= lag(col("_hi"), 1).over(wo) ||
+          lag(col("_hi"), 1).over(wo).isNull).as("_no_overlap"))
+      .agg((coalesce(sum(when(!col("_no_overlap"), 1L)), lit(0L)) === 0L &&
+        coalesce(sum(col("_disorder")), lit(0L)) === 0L).as("layout_ok"))
+
+    withZ
+      .groupBy(shiftright(col("zv"), 5).as("z_range"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("xb")).as("x_lo"), max(col("xb")).as("x_hi"),
+        min(col("yb")).as("y_lo"), max(col("yb")).as("y_hi"))
+      .withColumn("locality_ok",
+        col("x_hi") - col("x_lo") < 8 && col("y_hi") - col("y_lo") < 4)
+      .crossJoin(broadcast(layoutOk))
+      .select(col("z_range"), col("n_rows"), col("x_lo"), col("x_hi"),
+        col("y_lo"), col("y_hi"), col("locality_ok"), col("layout_ok"))
+  }
+
   def q104ChunkWindows(s: SparkSession, dir: String): DataFrame = {
     val W = 30
     val S = 20

@@ -127,6 +127,7 @@ object SparkEntry {
     "q103_trained_ivf_topk" -> (Queries.q103TrainedIvfTopk(_, _)),
     "q104_chunk_windows" -> (Queries.q104ChunkWindows(_, _)),
     "q105_incremental_dedup" -> (Queries.q105IncrementalDedup(_, _)),
+    "q106_zorder_layout" -> (Queries.q106ZorderLayout(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
