@@ -1992,7 +1992,11 @@ object Queries {
       shiftleft(shiftright(col("xb"), i).bitwiseAND(lit(1)), 2 * i)
         .bitwiseOR(shiftleft(shiftright(col("yb"), i).bitwiseAND(lit(1)), 2 * i + 1))
     }.reduce(_ bitwiseOR _)
+    // The narrow (key, xb, yb, zv) frame feeds BOTH the physical audit and
+    // the z-range stats: persist so the fact is scanned once for the build,
+    // not once per branch (caching contract — Bench/Verify clearCache).
     val withZ = b.withColumn("zv", zv)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Physical audit (q91's): range-cluster by zv, then assert partitions
     // are internally sorted and non-overlapping.

@@ -124,6 +124,27 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q101/q103: k-means assignment broadcasts the centroids and sqdist is codegen'd") {
+    Seq(plan(Queries.q101KmeansCluster), plan(Queries.q103TrainedIvfTopk)).foreach { p =>
+      // every N-by-k pass must broadcast the k centroids, never shuffle N
+      p should include("BroadcastNestedLoopJoin")
+      // native expression resolved (not an interpreted zip_with fold)
+      p should include("graft_sqdist_q")
+    }
+  }
+
+  test("q104: chunk windows are a pure narrow map — no shuffle at all") {
+    plan(Queries.q104ChunkWindows) should not include "Exchange"
+  }
+
+  test("q106: dimension bounds broadcast; both audit branches read the cached z-frame") {
+    val p = plan(Queries.q106ZorderLayout)
+    p should include("BroadcastNestedLoopJoin") // 1-row bounds frame
+    // the narrow (key, xb, yb, zv) frame is persisted: the stats branch and
+    // the physical-layout branch must both read the cache, not re-scan
+    p.split("\n").count(_.contains("InMemoryTableScan")) should be >= 2
+  }
+
   test("no query plan contains a CollectLimit-to-driver loop or cartesian product") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = fn(spark, dir).queryExecution.executedPlan.toString
