@@ -1960,5 +1960,49 @@ object Oracles {
         |  min(xb) AS x_lo, max(xb) AS x_hi, min(yb) AS y_lo, max(yb) AS y_hi,
         |  (max(xb) - min(xb) < 8 AND max(yb) - min(yb) < 4) AS locality_ok,
         |  TRUE AS layout_ok
-        |FROM z GROUP BY zv >> 5""".stripMargin)
+        |FROM z GROUP BY zv >> 5""".stripMargin,
+
+    // q86's unrolled fixed-point iterations, then every edge-less document
+    // attached at the exact 0.15 fixed point (150000 scaled).
+    "q107_pagerank_full" ->
+      """WITH wrds AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |sh0 AS (
+        |  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+        |  FROM wrds, LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i)),
+        |sh AS (
+        |  SELECT doc_id, shingle FROM sh0
+        |  QUALIFY count(*) OVER (PARTITION BY shingle) <= 200),
+        |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS m FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS i
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+        |  WHERE CAST(i AS DOUBLE) / CAST(ca.m + cb.m - i AS DOUBLE) >= 0.5),
+        |e AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
+        |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS rank FROM deg),
+        |i1 AS (
+        |  SELECT e.dst AS node,
+        |    CAST(150000 + (sum(r.rank // d.deg) * 85) // 100 AS BIGINT) AS rank
+        |  FROM e JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.src
+        |  GROUP BY e.dst),
+        |i2 AS (
+        |  SELECT e.dst AS node,
+        |    CAST(150000 + (sum(r.rank // d.deg) * 85) // 100 AS BIGINT) AS rank
+        |  FROM e JOIN i1 r ON e.src = r.node JOIN deg d ON e.src = d.src
+        |  GROUP BY e.dst),
+        |i3 AS (
+        |  SELECT e.dst AS node,
+        |    CAST(150000 + (sum(r.rank // d.deg) * 85) // 100 AS BIGINT) AS rank
+        |  FROM e JOIN i2 r ON e.src = r.node JOIN deg d ON e.src = d.src
+        |  GROUP BY e.dst)
+        |SELECT d.doc_id, COALESCE(i3.rank, CAST(150000 AS BIGINT)) AS pagerank
+        |FROM (SELECT DISTINCT doc_id FROM documents) d
+        |LEFT JOIN i3 ON d.doc_id = i3.node""".stripMargin)
 }

@@ -2030,6 +2030,18 @@ object Queries {
         col("y_lo"), col("y_hi"), col("locality_ok"), col("layout_ok"))
   }
 
+  /** q86 over the FULL document universe: isolated documents (no near-dup
+    * edge — the overwhelming majority of any real corpus) are attached
+    * after the iterations at their exact 0.15 fixed point via one left
+    * join, so every document gets an authority score without ever entering
+    * the per-iteration shuffles ([[Graph.pageRank]]'s `allNodes` path). */
+  def q107PagerankFull(s: SparkSession, dir: String): DataFrame = {
+    val pairs = neardupPairs(s, dir).select(col("doc_a"), col("doc_b"))
+    Graph.pageRank(pairs, "doc_a", "doc_b", iterations = 3,
+        allNodes = Some(t(s, dir, "documents").select(col("doc_id"))))
+      .select(col("node").as("doc_id"), col("pagerank"))
+  }
+
   def q104ChunkWindows(s: SparkSession, dir: String): DataFrame = {
     val W = 30
     val S = 20

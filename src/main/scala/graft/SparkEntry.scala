@@ -128,6 +128,7 @@ object SparkEntry {
     "q104_chunk_windows" -> (Queries.q104ChunkWindows(_, _)),
     "q105_incremental_dedup" -> (Queries.q105IncrementalDedup(_, _)),
     "q106_zorder_layout" -> (Queries.q106ZorderLayout(_, _)),
+    "q107_pagerank_full" -> (Queries.q107PagerankFull(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
