@@ -2004,5 +2004,28 @@ object Oracles {
         |  GROUP BY e.dst)
         |SELECT d.doc_id, COALESCE(i3.rank, CAST(150000 AS BIGINT)) AS pagerank
         |FROM (SELECT DISTINCT doc_id FROM documents) d
-        |LEFT JOIN i3 ON d.doc_id = i3.node""".stripMargin)
+        |LEFT JOIN i3 ON d.doc_id = i3.node""".stripMargin,
+
+    // q21's shingle join scored by containment |A∩B|/min(|A|,|B|).
+    "q108_containment_dedup" ->
+      """WITH wrds AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |sh0 AS (
+        |  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+        |  FROM wrds, LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i)),
+        |sh AS (
+        |  SELECT doc_id, shingle FROM sh0
+        |  QUALIFY count(*) OVER (PARTITION BY shingle) <= 200),
+        |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS m FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS intersection
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, ca.m AS size_a, cb.m AS size_b, intersection,
+        |  CAST(intersection AS DOUBLE) / CAST(least(ca.m, cb.m) AS DOUBLE) AS containment,
+        |  CASE WHEN ca.m <= cb.m THEN doc_a ELSE doc_b END AS contained_doc
+        |FROM inter
+        |JOIN cnt ca ON doc_a = ca.doc_id
+        |JOIN cnt cb ON doc_b = cb.doc_id
+        |WHERE CAST(intersection AS DOUBLE) / CAST(least(ca.m, cb.m) AS DOUBLE) >= 0.8""".stripMargin)
 }

@@ -2042,6 +2042,33 @@ object Queries {
       .select(col("node").as("doc_id"), col("pagerank"))
   }
 
+  /** Containment dedup — the case Jaccard misses: a short document fully
+    * quoted inside a long one has tiny union-normalized similarity but
+    * near-total containment. Same capped-shingle equi-join as q21, scored
+    * by |A∩B| / min(|A|,|B|) >= 0.8 instead; emits which side is the
+    * contained (smaller) document so a curation pass can drop it. */
+  def q108ContainmentDedup(s: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.capShingleDf(
+        Dedup.shingleSet(t(s, dir, "documents"), "doc_id", "text", 3),
+        MaxShingleDf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("m"))
+    sh.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("intersection"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("m").as("size_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("m").as("size_b")), Seq("doc_b"))
+      .withColumn("containment", col("intersection").cast("double") /
+        least(col("size_a"), col("size_b")).cast("double"))
+      .filter(col("containment") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), col("size_a"), col("size_b"),
+        col("intersection"), col("containment"),
+        when(col("size_a") <= col("size_b"), col("doc_a")).otherwise(col("doc_b"))
+          .as("contained_doc"))
+  }
+
   def q104ChunkWindows(s: SparkSession, dir: String): DataFrame = {
     val W = 30
     val S = 20

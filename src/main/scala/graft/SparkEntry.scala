@@ -129,6 +129,7 @@ object SparkEntry {
     "q105_incremental_dedup" -> (Queries.q105IncrementalDedup(_, _)),
     "q106_zorder_layout" -> (Queries.q106ZorderLayout(_, _)),
     "q107_pagerank_full" -> (Queries.q107PagerankFull(_, _)),
+    "q108_containment_dedup" -> (Queries.q108ContainmentDedup(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
