@@ -65,6 +65,19 @@ class DedupSpec extends SparkSpec {
     clusters.size shouldBe 5 // every doc assigned
   }
 
+  test("nearDupClustersFromPairs: closure over a supplied edge list + universe attachment") {
+    // Chain 10-20-30 plus isolated pair 40-50; universe includes 60 with
+    // no edge at all. Smallest-reachable-id labeling, singleton attached.
+    val pairs = df("doc_a BIGINT, doc_b BIGINT", Seq(
+      Row(10L, 20L), Row(20L, 30L), Row(40L, 50L)))
+    val universe = df("id BIGINT",
+      Seq(Row(10L), Row(20L), Row(30L), Row(40L), Row(50L), Row(60L)))
+    val out = Dedup.nearDupClustersFromPairs(pairs, universe, "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out shouldBe Map(10L -> 10L, 20L -> 10L, 30L -> 10L,
+      40L -> 40L, 50L -> 40L, 60L -> 60L)
+  }
+
   test("capShingleDf kills the O(df²) blowup from one corpus-common shingle") {
     // Adversarial corpus: 1000 docs that all share one boilerplate 3-gram
     // but have unique tails. Uncapped, the shingle self-join emits
