@@ -2027,5 +2027,69 @@ object Oracles {
         |FROM inter
         |JOIN cnt ca ON doc_a = ca.doc_id
         |JOIN cnt cb ON doc_b = cb.doc_id
-        |WHERE CAST(intersection AS DOUBLE) / CAST(least(ca.m, cb.m) AS DOUBLE) >= 0.8""".stripMargin)
+        |WHERE CAST(intersection AS DOUBLE) / CAST(least(ca.m, cb.m) AS DOUBLE) >= 0.8""".stripMargin,
+
+    // The composed pipeline: quality gate -> exact dedup among passers ->
+    // near-dup closure (recursive CTE) + keep-longest among canonicals.
+    // Each stage's SQL is the standalone oracle's, chained over survivors.
+    "q109_curation_pipeline" ->
+      """WITH RECURSIVE
+        |base AS (
+        |  SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS wds
+        |  FROM documents),
+        |staged AS (
+        |  SELECT doc_id, text, CAST(len(wds) AS INT) AS wc,
+        |    (len(wds) BETWEEN 10 AND 1000 AND
+        |     CAST(len(list_filter(wds, t -> t IN ('the','a','of','and','to','is','in'))) AS DOUBLE)
+        |       / CAST(len(wds) AS DOUBLE) > 0.0) AS passed_quality
+        |  FROM base),
+        |ex AS (
+        |  SELECT doc_id, text, wc,
+        |    doc_id = min(doc_id) OVER (PARTITION BY
+        |      md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))) AS exact_canonical
+        |  FROM staged WHERE passed_quality),
+        |canon AS (SELECT doc_id, text, wc FROM ex WHERE exact_canonical),
+        |wrds AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM canon),
+        |sh0 AS (
+        |  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+        |  FROM wrds, LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i)),
+        |sh AS (
+        |  SELECT doc_id, shingle FROM sh0
+        |  QUALIFY count(*) OVER (PARTITION BY shingle) <= 200),
+        |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS m FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS i
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN cnt ca ON doc_a = ca.doc_id
+        |  JOIN cnt cb ON doc_b = cb.doc_id
+        |  WHERE CAST(i AS DOUBLE) / CAST(ca.m + cb.m - i AS DOUBLE) >= 0.5),
+        |edges AS (
+        |  SELECT doc_a AS u, doc_b AS v FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u),
+        |labels AS (SELECT u, min(v) AS mv FROM reach GROUP BY u),
+        |cl AS (
+        |  SELECT c.doc_id, c.wc,
+        |    CAST(LEAST(c.doc_id, COALESCE(l.mv, c.doc_id)) AS BIGINT) AS cluster_id
+        |  FROM canon c LEFT JOIN labels l ON c.doc_id = l.u),
+        |keepr AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (PARTITION BY cluster_id ORDER BY wc DESC, doc_id) = 1
+        |      AS neardup_kept
+        |  FROM cl)
+        |SELECT s.doc_id, s.passed_quality,
+        |  COALESCE(ex.exact_canonical, FALSE) AS exact_canonical,
+        |  COALESCE(k.neardup_kept, FALSE) AS neardup_kept,
+        |  (s.passed_quality AND COALESCE(ex.exact_canonical, FALSE)
+        |    AND COALESCE(k.neardup_kept, FALSE)) AS final_keep
+        |FROM staged s
+        |LEFT JOIN ex ON s.doc_id = ex.doc_id
+        |LEFT JOIN keepr k ON s.doc_id = k.doc_id""".stripMargin)
 }

@@ -2069,6 +2069,55 @@ object Queries {
           .as("contained_doc"))
   }
 
+  /** End-to-end curation pipeline with per-document lineage — the gold
+    * composition a corpus build actually runs, each stage feeding the
+    * next over the SURVIVORS of the previous:
+    *   1. quality gate (word count in [10,1000], stopword ratio > 0);
+    *   2. exact dedup among quality passers (normalized-md5 canonical);
+    *   3. near-dup clustering among exact canonicals (capped-shingle
+    *      Jaccard >= 0.5 → connected components) with keep-longest
+    *      survivor selection.
+    * Output is one row per document with each stage's verdict and the
+    * final keep flag — dropped documents show WHICH stage dropped them,
+    * the lineage a production curation audit needs. Every stage reuses
+    * the operators verified standalone (q39/q18/q40/q76); the composite
+    * hash-matches an oracle chaining the identical stages. */
+  def q109CurationPipeline(s: SparkSession, dir: String): DataFrame = {
+    val c = col("text")
+    val staged = t(s, dir, "documents")
+      .select(col("doc_id"), c.as("text"), TextStats.wordCount(c).as("wc"),
+        (TextStats.wordCount(c).between(10, 1000) &&
+          TextStats.stopwordRatio(c) > 0.0).as("passed_quality"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wHash = Window.partitionBy(col("_h"))
+    val exact = staged.filter(col("passed_quality"))
+      .withColumn("_h", md5(TextStats.normalize(col("text"))))
+      .withColumn("exact_canonical",
+        col("doc_id") === min(col("doc_id")).over(wHash))
+      .select(col("doc_id"), col("text"), col("wc"), col("exact_canonical"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val canon = exact.filter(col("exact_canonical"))
+    val pairs = Dedup.ngramJaccardPairs(canon, "doc_id", "text",
+        n = 3, minJaccard = 0.5, maxShingleDf = MaxShingleDf)
+      .select(col("doc_a"), col("doc_b"))
+    val clusters = Dedup.nearDupClustersFromPairs(pairs,
+      canon.select(col("doc_id")), "doc_id")
+    val wCl = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("wc").desc, col("doc_id"))
+    val kept = clusters
+      .join(canon.select(col("doc_id"), col("wc")), Seq("doc_id"))
+      .withColumn("neardup_kept", row_number().over(wCl) === 1)
+      .select(col("doc_id"), col("neardup_kept"))
+    staged.select(col("doc_id"), col("passed_quality"))
+      .join(exact.select(col("doc_id"), col("exact_canonical")), Seq("doc_id"), "left")
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("passed_quality"),
+        coalesce(col("exact_canonical"), lit(false)).as("exact_canonical"),
+        coalesce(col("neardup_kept"), lit(false)).as("neardup_kept"),
+        (col("passed_quality") && coalesce(col("exact_canonical"), lit(false)) &&
+          coalesce(col("neardup_kept"), lit(false))).as("final_keep"))
+  }
+
   def q104ChunkWindows(s: SparkSession, dir: String): DataFrame = {
     val W = 30
     val S = 20

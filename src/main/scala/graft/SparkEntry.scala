@@ -130,6 +130,7 @@ object SparkEntry {
     "q106_zorder_layout" -> (Queries.q106ZorderLayout(_, _)),
     "q107_pagerank_full" -> (Queries.q107PagerankFull(_, _)),
     "q108_containment_dedup" -> (Queries.q108ContainmentDedup(_, _)),
+    "q109_curation_pipeline" -> (Queries.q109CurationPipeline(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
