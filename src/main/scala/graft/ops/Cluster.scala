@@ -115,6 +115,41 @@ object Cluster {
       .select(col("id").as(idCol), col("cluster_id"), col("dist"))
   }
 
+  /** The trained centroid frame (cluster_id, cv) alone — for callers that
+    * apply the quantizer elsewhere (e.g. [[assignStreaming]] scoring an
+    * ingest stream against centroids trained on the standing corpus). */
+  def kMeansCentroids(emb: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iterations: Int): DataFrame =
+    train(quantizedPts(emb, idCol, vecCol), k, iterations)
+
+  /** Nearest-centroid assignment with NO aggregation over the input — the
+    * streaming-safe form of the assignment pass (semantic routing at
+    * ingest). The k centroids are folded into ONE static row (sorted
+    * array of (cluster_id, cv) structs) and cross-joined into every
+    * micro-batch; the argmin is a per-row left fold over that array, so
+    * the query is a stream-static join plus a stateless projection — no
+    * watermark, no state store, identical output on a batch frame and a
+    * readStream frame. Strict less-than over the cluster_id-sorted array
+    * reproduces the batch tie-break (smallest centroid wins). k is small
+    * by construction, so the interpreted fold costs k sqdists per row. */
+  def assignStreaming(emb: DataFrame, idCol: String, vecCol: String,
+                      cents: DataFrame): DataFrame = {
+    val centsRow = cents.agg(
+      array_sort(collect_list(struct(col("cluster_id"), col("cv")))).as("_cents"))
+    val best = aggregate(col("_cents"),
+      struct(lit(Long.MaxValue).as("d"), lit(Long.MinValue).as("cid")),
+      (acc, c) => {
+        val d = sqDistQ(col("qv"), c.getField("cv"))
+        when(d < acc.getField("d"),
+          struct(d.as("d"), c.getField("cluster_id").as("cid")))
+          .otherwise(acc)
+      })
+    emb.select(col(idCol), quantize(col(vecCol)).as("qv"))
+      .crossJoin(centsRow)
+      .select(col(idCol), best.as("_b"))
+      .select(col(idCol), col("_b.cid").as("cluster_id"), col("_b.d").as("dist"))
+  }
+
   /** TRAINED-centroid IVF top-k in quantized L2 space — [[kMeans]]'s
     * quantizer feeding an inverted-file search (the composition
     * [[Similarity]]'s seed-centroid IVF leaves open). Every vector joins

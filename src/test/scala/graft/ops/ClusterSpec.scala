@@ -110,6 +110,44 @@ class ClusterSpec extends SparkSpec {
     out.filter(_._1 == 1L).map(_._2).toSet shouldBe Set(3L, 5L)
   }
 
+  test("assignStreaming matches the batch kMeans assignment on the training set") {
+    val data = (0L until 30L).map { i =>
+      i -> (0 until 6).map(j => (((i * 13 + j * 7) % 23).toFloat - 11f) / 12f)
+    }
+    val e = emb(data: _*)
+    val cents = Cluster.kMeansCentroids(e, "vec_id", "embedding", k = 3, iterations = 2)
+    val streamed = Cluster.assignStreaming(e, "vec_id", "embedding", cents)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val batch = Cluster.kMeans(e, "vec_id", "embedding", k = 3, iterations = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    streamed shouldBe batch
+  }
+
+  test("assignStreaming routes a MemoryStream identically to the batch form") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val data = (0L until 20L).map { i =>
+      i -> (0 until 4).map(j => (((i * 19 + j * 5) % 17).toFloat - 8f) / 9f)
+    }
+    val e = emb(data: _*)
+    val cents = Cluster.kMeansCentroids(e, "vec_id", "embedding", k = 2, iterations = 2)
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Float])]
+    val q = Cluster.assignStreaming(
+        ms.toDF().toDF("vec_id", "embedding")
+          .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding")),
+        "vec_id", "embedding", cents)
+      .writeStream.format("memory").queryName("route").outputMode("append").start()
+    try {
+      ms.addData(data: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("route")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+      val batch = Cluster.assignStreaming(e, "vec_id", "embedding", cents)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+      streamed shouldBe batch
+    } finally q.stop()
+  }
+
   test("kMeans rejects iteration counts outside the unrolled-plan range") {
     val data = emb(0L -> Seq(0.1f, 0.2f))
     an[IllegalArgumentException] should be thrownBy
