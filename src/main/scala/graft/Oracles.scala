@@ -2091,5 +2091,59 @@ object Oracles {
         |    AND COALESCE(k.neardup_kept, FALSE)) AS final_keep
         |FROM staged s
         |LEFT JOIN ex ON s.doc_id = ex.doc_id
-        |LEFT JOIN keepr k ON s.doc_id = k.doc_id""".stripMargin)
+        |LEFT JOIN keepr k ON s.doc_id = k.doc_id""".stripMargin,
+
+    // q75's merged SCD2 dim, probed point-in-time by lineitem ship dates:
+    // valid_from <= d < valid_to (NULL = open) — facts before a change
+    // land on the CLOSED historical row.
+    "q110_scd2_pointintime" ->
+      """WITH band_cur AS (
+        |  SELECT s_suppkey,
+        |    CASE WHEN s_acctbal < 0 THEN 'negative'
+        |         WHEN s_acctbal < 5000 THEN 'low' ELSE 'high' END AS bal_band,
+        |    s_nationkey
+        |  FROM supplier),
+        |current AS (
+        |  SELECT s_suppkey, bal_band, s_nationkey,
+        |    DATE '1995-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to,
+        |    true AS is_current
+        |  FROM band_cur),
+        |updates AS (
+        |  SELECT s_suppkey,
+        |    CASE WHEN s_acctbal + 6000.0 < 0 THEN 'negative'
+        |         WHEN s_acctbal + 6000.0 < 5000 THEN 'low' ELSE 'high' END AS bal_band,
+        |    s_nationkey
+        |  FROM supplier WHERE s_suppkey % 5 = 0
+        |  UNION ALL
+        |  SELECT s_suppkey + 100000,
+        |    CASE WHEN s_acctbal < 0 THEN 'negative'
+        |         WHEN s_acctbal < 5000 THEN 'low' ELSE 'high' END AS bal_band,
+        |    s_nationkey
+        |  FROM supplier WHERE s_suppkey % 7 = 0),
+        |j AS (
+        |  SELECT c.s_suppkey AS ck, c.bal_band AS cb, c.s_nationkey AS cn,
+        |    c.valid_from, c.valid_to, c.is_current,
+        |    u.s_suppkey AS uk, u.bal_band AS ub, u.s_nationkey AS un
+        |  FROM current c FULL OUTER JOIN updates u ON c.s_suppkey = u.s_suppkey),
+        |chg AS (
+        |  SELECT *, (cb IS DISTINCT FROM ub) OR (cn IS DISTINCT FROM un) AS changed
+        |  FROM j),
+        |dim AS (
+        |  SELECT ck AS s_suppkey, cb AS bal_band, valid_from, valid_to
+        |  FROM chg WHERE ck IS NOT NULL AND (uk IS NULL OR NOT changed)
+        |  UNION ALL
+        |  SELECT ck, cb, valid_from, DATE '2020-06-01'
+        |  FROM chg WHERE ck IS NOT NULL AND uk IS NOT NULL AND changed
+        |  UNION ALL
+        |  SELECT uk, ub, DATE '2020-06-01', CAST(NULL AS DATE)
+        |  FROM chg WHERE uk IS NOT NULL AND (ck IS NULL OR changed))
+        |SELECT COALESCE(d.bal_band, 'pre_history') AS bal_band_asof,
+        |  CAST(year(l_shipdate) AS INT) AS ship_year,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS total_qty
+        |FROM lineitem l
+        |LEFT JOIN dim d ON l.l_suppkey = d.s_suppkey
+        |  AND d.valid_from <= l.l_shipdate
+        |  AND (d.valid_to IS NULL OR l.l_shipdate < d.valid_to)
+        |GROUP BY 1, 2""".stripMargin)
 }

@@ -1146,6 +1146,30 @@ object Queries {
       lit("2020-06-01").cast("date"))
   }
 
+  /** SCD2 point-in-time (AS OF) join — the read side of q75's merge: every
+    * lineitem joins the dimension VERSION valid at its ship date
+    * (`valid_from <= d < valid_to`, open-ended current rows), so facts
+    * dated before a supplier's band change aggregate under the CLOSED
+    * historical row, not the current one — the whole point of keeping
+    * SCD2 history. The join keeps its equi key (suppkey), so it plans as
+    * a hash/sort-merge join with the validity range as a residual filter,
+    * never a nested loop; ship dates before history start fall out of the
+    * left join as 'pre_history'. */
+  def q110Scd2Pointintime(s: SparkSession, dir: String): DataFrame = {
+    val dim = q75Scd2Upsert(s, dir)
+    t(s, dir, "lineitem")
+      .select(col("l_suppkey"), col("l_shipdate"), col("l_quantity"))
+      .join(dim,
+        col("l_suppkey") === col("s_suppkey") &&
+          col("valid_from") <= col("l_shipdate") &&
+          (col("valid_to").isNull || col("l_shipdate") < col("valid_to")),
+        "left")
+      .groupBy(coalesce(col("bal_band"), lit("pre_history")).as("bal_band_asof"),
+        year(col("l_shipdate")).as("ship_year"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("decimal(20,4)")).cast("double").as("total_qty"))
+  }
+
   /** End-to-end dedup: near-dup clusters (q40's connected components) →
     * ONE survivor per cluster, keeping the longest document (Gopher's
     * keep-longest policy; ties broken by lowest doc_id so the choice is
