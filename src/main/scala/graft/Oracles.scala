@@ -2145,5 +2145,21 @@ object Oracles {
         |LEFT JOIN dim d ON l.l_suppkey = d.s_suppkey
         |  AND d.valid_from <= l.l_shipdate
         |  AND (d.valid_to IS NULL OR l.l_shipdate < d.valid_to)
-        |GROUP BY 1, 2""".stripMargin)
+        |GROUP BY 1, 2""".stripMargin,
+
+    // Word BIGRAMS attributed to the first of 10 domain-proportional
+    // doc_id slices; new-per-slice + running vocabulary.
+    "q111_vocab_growth" ->
+      """WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+        |w AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+        |  FROM documents),
+        |tok AS (
+        |  SELECT CAST(floor(CAST(doc_id AS DOUBLE) * 10.0 / CAST(m + 1 AS DOUBLE)) AS INT) AS slice,
+        |    array_to_string(ws[i:i+1], ' ') AS token
+        |  FROM w, mx, LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i)),
+        |fs AS (SELECT token, min(slice) AS first_slice FROM tok GROUP BY token)
+        |SELECT first_slice, CAST(count(*) AS BIGINT) AS new_tokens,
+        |  CAST(sum(count(*)) OVER (ORDER BY first_slice) AS BIGINT) AS cum_vocab
+        |FROM fs GROUP BY first_slice""".stripMargin)
 }

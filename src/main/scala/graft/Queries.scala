@@ -2142,6 +2142,36 @@ object Queries {
           coalesce(col("neardup_kept"), lit(false))).as("final_keep"))
   }
 
+  /** Vocabulary growth curve — Heaps-law saturation diagnostics: the
+    * corpus is cut into 10 ingest slices (domain-proportional on doc_id;
+    * bounds from one agg, broadcast), each word BIGRAM is attributed to
+    * the FIRST slice that introduces it (a min-aggregation, map-side
+    * combined; bigrams because the synthetic unigram vocabulary saturates
+    * in slice 0), and the output is new-bigrams-per-slice plus the
+    * running vocabulary size. A flattening curve tells a corpus builder
+    * more ingest adds repetition, not coverage. The only window runs
+    * over the 10-row aggregate, not the data. */
+  def q111VocabGrowth(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val mx = docs.agg(max(col("doc_id")).as("_mx"))
+    val firstSlice = docs.crossJoin(broadcast(mx))
+      .select(floor(col("doc_id").cast("double") * 10.0 /
+          (col("_mx") + 1).cast("double")).cast("int").as("slice"),
+        TextStats.words(lower(col("text"))).as("_ws"))
+      .filter(size(col("_ws")) >= 2)
+      .select(col("slice"),
+        explode(sequence(lit(1), size(col("_ws")) - 1)).as("_i"), col("_ws"))
+      .select(col("slice"), concat_ws(" ",
+        element_at(col("_ws"), col("_i")),
+        element_at(col("_ws"), col("_i") + 1)).as("token"))
+      .groupBy(col("token")).agg(min(col("slice")).as("first_slice"))
+    firstSlice
+      .groupBy(col("first_slice"))
+      .agg(count(lit(1)).as("new_tokens"))
+      .withColumn("cum_vocab",
+        sum(col("new_tokens")).over(Window.orderBy(col("first_slice"))))
+  }
+
   def q104ChunkWindows(s: SparkSession, dir: String): DataFrame = {
     val W = 30
     val S = 20
