@@ -99,7 +99,10 @@ object MediaCodec {
     val compression = le32(b, 30)
     if (headerSize < 40 || planes != 1 || bpp != 24 || compression != 0) return null
     val height = math.abs(heightRaw)
-    if (width <= 0 || height == 0 || width > MaxDim || height > MaxDim) return null
+    // height <= 0, not == 0: math.abs(Int.MinValue) is still negative, and
+    // a negative "height" must reject as malformed, not slip past the
+    // MaxDim bound (the null-on-malformed contract).
+    if (width <= 0 || height <= 0 || width > MaxDim || height > MaxDim) return null
     val rowSize = ((width * 3 + 3) / 4) * 4
     if (dataOffset < 54 || dataOffset.toLong + rowSize.toLong * height > b.length) return null
     var sumR = 0L; var sumG = 0L; var sumB = 0L
@@ -214,7 +217,8 @@ object MediaCodec {
     if (headerSize < 40 || planes != 1 || bpp != 24 || compression != 0) return null
     val srcH = math.abs(heightRaw)
     val topDown = heightRaw < 0
-    if (srcW <= 0 || srcH == 0 || srcW > MaxDim || srcH > MaxDim) return null
+    // srcH <= 0 (not == 0): abs(Int.MinValue) stays negative — reject it.
+    if (srcW <= 0 || srcH <= 0 || srcW > MaxDim || srcH > MaxDim) return null
     val srcRowSize = ((srcW * 3 + 3) / 4) * 4
     if (dataOffset < 54 || dataOffset.toLong + srcRowSize.toLong * srcH > b.length) return null
     if (dstW <= 0 || dstH <= 0 || dstW > srcW || dstH > srcH) return null

@@ -51,6 +51,8 @@ object Cluster {
     * struct ordering gives a deterministic smallest-centroid tie-break, and
     * min is partially aggregable so the shuffle is N rows. `first(qv)` is
     * safe: qv is functionally dependent on the grouping key. */
+  def assignQ(pts: DataFrame, cents: DataFrame): DataFrame = assign(pts, cents)
+
   private def assign(pts: DataFrame, cents: DataFrame): DataFrame =
     pts.crossJoin(broadcast(cents))
       .select(col("id"), col("qv"),
@@ -83,8 +85,11 @@ object Cluster {
       .localCheckpoint()
 
   /** The Lloyd training loop over a quantized (id, qv) frame — returns the
-    * trained centroid frame (cluster_id, cv). */
-  private def train(pts: DataFrame, k: Int, iterations: Int): DataFrame = {
+    * trained centroid frame (cluster_id, cv). Public so a pipeline can
+    * quantize + store points ONCE (a scratch/silver artifact), train the
+    * model off the stored frame, and hand the tiny centroid table to every
+    * consumer — the train-once/serve-many shape; see [[kMeansQ]]. */
+  def train(pts: DataFrame, k: Int, iterations: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1; got $k")
     require(iterations >= 1 && iterations <= 6,
       s"iterations must be in [1,6] (fixed-point plans unroll per iteration); got $iterations")
@@ -109,11 +114,18 @@ object Cluster {
   }
 
   def kMeans(emb: DataFrame, idCol: String, vecCol: String,
-             k: Int, iterations: Int): DataFrame = {
-    val pts = quantizedPts(emb, idCol, vecCol)
+             k: Int, iterations: Int): DataFrame =
+    kMeansQ(quantizedPts(emb, idCol, vecCol), k, iterations)
+      .withColumnRenamed("id", idCol)
+
+  /** [[kMeans]] over an ALREADY-quantized (id, qv) frame — the entry point
+    * for callers that materialize [[quantize]]d points once (a scratch
+    * parquet, a silver table) and train/assign off the stored blocks
+    * instead of paying scan + quantization + lineage truncation per call.
+    * Returns (id, cluster_id, dist). */
+  def kMeansQ(pts: DataFrame, k: Int, iterations: Int): DataFrame =
     assign(pts, train(pts, k, iterations))
-      .select(col("id").as(idCol), col("cluster_id"), col("dist"))
-  }
+      .select(col("id"), col("cluster_id"), col("dist"))
 
   /** The trained centroid frame (cluster_id, cv) alone — for callers that
     * apply the quantizer elsewhere (e.g. [[assignStreaming]] scoring an
@@ -168,10 +180,19 @@ object Cluster {
   def ivfSearchQ(emb: DataFrame, idCol: String, vecCol: String,
                  kClusters: Int, iterations: Int,
                  queryPred: Column, topK: Int, nProbe: Int): DataFrame = {
+    val pts = quantizedPts(emb, idCol, vecCol)
+    ivfSearchQPts(pts, train(pts, kClusters, iterations),
+      emb.filter(queryPred).select(col(idCol).as("id")), topK, nProbe)
+  }
+
+  /** [[ivfSearchQ]] with the quantized points AND the trained centroids
+    * supplied by the caller — the serve path when both are stored
+    * artifacts (points quantized once per snapshot, model trained once).
+    * `queryIds` is a one-column (`id`) frame naming the query vectors. */
+  def ivfSearchQPts(pts: DataFrame, cents: DataFrame,
+                    queryIds: DataFrame, topK: Int, nProbe: Int): DataFrame = {
     require(nProbe >= 1 && topK >= 1,
       s"topK and nProbe must be >= 1; got topK=$topK nProbe=$nProbe")
-    val pts = quantizedPts(emb, idCol, vecCol)
-    val cents = train(pts, kClusters, iterations)
     val wr = Window.partitionBy(col("id")).orderBy(col("_d"), col("cluster_id"))
     val ranked = pts.crossJoin(broadcast(cents))
       .select(col("id"), col("cluster_id"), sqDistQ(col("qv"), col("cv")).as("_d"))
@@ -180,7 +201,7 @@ object Cluster {
     val lists = ranked.filter(col("_r") === 1)
       .select(col("id").as("cand_id"), col("cluster_id"))
     val probes = ranked
-      .join(emb.filter(queryPred).select(col(idCol).as("id")), Seq("id"))
+      .join(queryIds, Seq("id"))
       .filter(col("_r") <= nProbe)
       .select(col("id").as("query_id"), col("cluster_id"))
     val w = Window.partitionBy(col("query_id"))

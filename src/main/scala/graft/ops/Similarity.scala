@@ -46,9 +46,21 @@ object Similarity {
     * the semantic-dedup counterpart of the n-gram Jaccard pairs. This is
     * the exact formulation over the given frame: O(N²/2) — sample or
     * pre-bucket (e.g. [[lshSignatures]] buckets as the candidate
-    * generator) before calling it at corpus scale. */
+    * generator) before calling it at corpus scale.
+    *
+    * `maxRows` is an EXPLICIT misuse guard, not a tuning knob: the input
+    * row count is checked up front and the call fails fast when the frame
+    * exceeds it, instead of launching an N² cross join that would run for
+    * days at corpus scale. Callers that have deliberately sampled or
+    * bucketed can raise it to their known bound; the scale path is
+    * [[ivfNearDupPairs]]. */
   def cosineNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
-                         minCosine: Double): DataFrame = {
+                         minCosine: Double, maxRows: Long = 100000L): DataFrame = {
+    val n = emb.count()
+    require(n <= maxRows,
+      s"cosineNearDupPairs is exact O(N^2): got N=$n rows > maxRows=$maxRows. " +
+        "Sample/bucket first (ivfNearDupPairs is the scale path) or raise maxRows " +
+        "if the frame is a deliberate sample.")
     val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("_va"),
       sqrt(dot(col(vecCol), col(vecCol))).as("_na"))
     val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("_vb"),

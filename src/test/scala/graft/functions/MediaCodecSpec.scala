@@ -53,6 +53,12 @@ class MediaCodecSpec extends SparkSpec {
     MediaCodec.bmpStats(badBpp) shouldBe null
     val badComp = good.clone(); badComp(30) = 1             // BI_RLE8
     MediaCodec.bmpStats(badComp) shouldBe null
+    // height = Int.MinValue: math.abs stays negative — must reject, not
+    // return a garbage row with height -2147483648
+    val minH = good.clone()
+    minH(22) = 0; minH(23) = 0; minH(24) = 0; minH(25) = 0x80.toByte
+    MediaCodec.bmpStats(minH) shouldBe null
+    MediaCodec.bmpResize(minH, 2, 2) shouldBe null
   }
 
   test("wavEncode emits well-formed RIFF/WAVE; wavStats walks it back") {

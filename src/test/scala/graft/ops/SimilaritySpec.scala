@@ -24,6 +24,16 @@ class SimilaritySpec extends SparkSpec {
       Similarity.cosine(a, array(lit(-1.0f), lit(0.0f))))) shouldBe Seq(-1.0)
   }
 
+  test("cosineNearDupPairs trips its O(N^2) misuse guard on an oversized frame") {
+    val e = intercept[IllegalArgumentException] {
+      Similarity.cosineNearDupPairs(vecs, "id", "v", 0.9, maxRows = 3L)
+    }
+    e.getMessage should include("maxRows")
+    // under the bound it still runs
+    Similarity.cosineNearDupPairs(vecs, "id", "v", 0.99, maxRows = 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))) shouldBe Array((0L, 1L))
+  }
+
   test("bruteForceTopK ranks by cosine desc, excludes the query itself") {
     val out = Similarity.bruteForceTopK(vecs, "id", "v", col("id") === 0, 4)
       .orderBy("rank").collect()
