@@ -39,15 +39,21 @@ object Tables {
     if (name == "events") events(spark, dir) else
       spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark's reader rejects;
-    * read nanos as long and truncate to microseconds (Spark's native
-    * timestamp precision — same floor DuckDB applies when casting).
-    * NB: integer `div`, not `/` — Column./ is DOUBLE division, and epoch
-    * nanos (~1.7e15) lose their low digits in a double. */
+  /** Normalize `events.ts` to Spark's native TimestampType regardless of
+    * how the generator wrote it: TIMESTAMP(NANOS) parquet (Spark's reader
+    * rejects it; read nanos as long, truncate to micros — integer `div`,
+    * not `/`: Column./ is DOUBLE division and epoch nanos ~1.7e15 lose
+    * their low digits in a double), TIMESTAMP_NTZ (cast preserves the wall
+    * clock under the UTC session), or already-TIMESTAMP micros. */
   private def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 }
