@@ -2161,5 +2161,28 @@ object Oracles {
         |fs AS (SELECT token, min(slice) AS first_slice FROM tok GROUP BY token)
         |SELECT first_slice, CAST(count(*) AS BIGINT) AS new_tokens,
         |  CAST(sum(count(*)) OVER (ORDER BY first_slice) AS BIGINT) AS cum_vocab
-        |FROM fs GROUP BY first_slice""".stripMargin)
+        |FROM fs GROUP BY first_slice""".stripMargin,
+
+    // PNG decode gate: same closed-form pixel recomputation as q97 — the
+    // Spark side additionally pays (and must survive) zlib inflate, CRC
+    // verification, and all five scanline-filter reconstructions, none of
+    // which change the decoded pixels when implemented correctly.
+    "q112_png_decode" ->
+      """WITH p AS (
+        |  SELECT doc_id, CAST(4 + doc_id % 7 AS INT) AS w,
+        |    CAST(4 + doc_id % 5 AS INT) AS h, doc_id AS seed
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, w, h,
+        |    (seed + 11*x + 13*y) % 256 AS r,
+        |    (seed + 5*x + 7*y) % 256 AS g,
+        |    (seed + 2*x + 3*y) % 256 AS b
+        |  FROM p,
+        |    LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x),
+        |    LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y))
+        |SELECT doc_id, w AS width, h AS height,
+        |  CAST(sum(r) AS BIGINT) AS sum_r,
+        |  CAST(sum(g) AS BIGINT) AS sum_g,
+        |  CAST(sum(b) AS BIGINT) AS sum_b
+        |FROM px GROUP BY doc_id, w, h""".stripMargin)
 }

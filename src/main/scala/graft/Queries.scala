@@ -2248,6 +2248,23 @@ object Queries {
         sum(col("new_tokens")).over(Window.orderBy(col("first_slice"))))
   }
 
+  /** REAL compressed-image decode end-to-end: generate a zlib-deflated
+    * 8-bit truecolor PNG per document ([[graft.ops.Multimodal.pngAssets]]
+    * — scanline filters cycle through all five PNG types), then DECODE it
+    * back through the full pipeline (signature, chunk walk + CRC32 verify,
+    * IHDR validation, inflate, filter reconstruction) and emit integer
+    * channel sums. Filtering is lossless, so the oracle recomputes the
+    * pixel formula in closed form exactly like q97's — but a decoder that
+    * mis-reconstructs Sub/Up/Average/Paeth, mishandles the zlib container,
+    * or mis-walks a chunk hash-mismatches. Narrow map, no shuffle. */
+  def q112PngDecode(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Multimodal.pngAssets(t(s, dir, "documents"), "doc_id")
+      .select(col("asset_id").as("doc_id"),
+        graft.ops.Multimodal.decodePng(col("payload")).as("st"))
+      .select(col("doc_id"), col("st.width").as("width"),
+        col("st.height").as("height"), col("st.sum_r").as("sum_r"),
+        col("st.sum_g").as("sum_g"), col("st.sum_b").as("sum_b"))
+
   def q104ChunkWindows(s: SparkSession, dir: String): DataFrame = {
     val W = 30
     val S = 20

@@ -25,6 +25,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.wavStats)
     ext.injectFunction(GraftExtensions.bmpResize)
     ext.injectFunction(GraftExtensions.wavDownsample)
+    ext.injectFunction(GraftExtensions.pngEncode)
+    ext.injectFunction(GraftExtensions.pngStats)
   }
 }
 
@@ -125,6 +127,18 @@ object GraftExtensions {
     new ExpressionInfo(classOf[WavDownsample].getName, null, "graft_wav_downsample",
       "graft_wav_downsample(payload, factor) - keep every factor-th sample, re-encoded as a real WAV", ""),
     (children: Seq[Expression]) => WavDownsample(children.head, children(1)))
+
+  val pngEncode: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier("graft_png_encode"),
+    new ExpressionInfo(classOf[PngEncode].getName, null, "graft_png_encode",
+      "graft_png_encode(seed, width, height) - deterministic zlib-compressed 8-bit truecolor PNG payload", ""),
+    (children: Seq[Expression]) => PngEncode(children.head, children(1), children(2)))
+
+  val pngStats: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier("graft_png_stats"),
+    new ExpressionInfo(classOf[PngStats].getName, null, "graft_png_stats",
+      "graft_png_stats(payload) - decode a PNG (inflate + de-filter): struct(width, height, sum_r, sum_g, sum_b), NULL if malformed", ""),
+    (children: Seq[Expression]) => PngStats(children.head))
 
   val bloomMightContain: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     new FunctionIdentifier("graft_might_contain"),

@@ -8,13 +8,16 @@ import org.apache.spark.sql.functions._
   * run decode / feature-extraction / frame-sampling as distributed
   * column transforms.
   *
-  * DECODE IS REAL for the two byte-parseable mainstream formats:
-  * [[imageAssets]]/[[decodeBmp]] and [[audioAssets]]/[[decodeWav]] run the
-  * pure-JVM BMP and RIFF/WAVE codecs in [[graft.functions.MediaCodec]]
-  * (native codegen Expressions — header parse, row padding, chunk walk,
-  * sample sign-extension), oracle-checked end-to-end by q97/q98.
+  * DECODE IS REAL for the mainstream formats byte-parseable on a bare
+  * JVM: [[imageAssets]]/[[decodeBmp]] and [[audioAssets]]/[[decodeWav]]
+  * run the pure-JVM BMP and RIFF/WAVE codecs in
+  * [[graft.functions.MediaCodec]] (header parse, row padding, chunk walk,
+  * sample sign-extension), and [[pngAssets]]/[[decodePng]] run the
+  * COMPRESSED-format PNG codec in [[graft.functions.PngCodec]] (zlib
+  * inflate + all five scanline-filter reconstructions) — all native
+  * codegen Expressions, oracle-checked end-to-end by q97/q98/q112.
   *
-  * STUB BOUNDARY: compressed codecs (JPEG/MP3/H.264) need external
+  * STUB BOUNDARY: transform-coded codecs (JPEG/MP3/H.264) need external
   * libraries this container doesn't ship, so [[decodeStub]] and
   * [[featureStub]] remain clearly-marked DETERMINISTIC FAKES for those
   * media types. Everything around them — the asset schema, binary payload
@@ -48,9 +51,27 @@ object Multimodal {
         (lit(64) + pmod(col(idCol), lit(100))).cast("int"),
         (lit(8000) + pmod(col(idCol), lit(4)) * lit(4000)).cast("int")).as("payload"))
 
+  /** Compressed-image-asset table with REAL payloads: one zlib-deflated
+    * 8-bit truecolor PNG per document ([[graft.functions.PngCodec]] —
+    * scanline filters cycle through all five PNG types). Height ≥ 5 for
+    * most ids, so every filter reconstruction path runs. */
+  def pngAssets(docs: DataFrame, idCol: String): DataFrame =
+    docs.select(
+      col(idCol).as("asset_id"),
+      lit("image/png").as("media_type"),
+      call_function("graft_png_encode",
+        col(idCol).cast("long"),
+        (lit(4) + pmod(col(idCol), lit(7))).cast("int"),
+        (lit(4) + pmod(col(idCol), lit(5))).cast("int")).as("payload"))
+
   /** REAL image decode: parse the BMP header + pixel rows; NULL for
     * payloads that aren't well-formed 24-bit uncompressed BMP. */
   def decodeBmp(payload: Column): Column = call_function("graft_bmp_stats", payload)
+
+  /** REAL compressed-image decode: chunk walk + CRC verify + zlib inflate
+    * + filter reconstruction; NULL for payloads that aren't well-formed
+    * 8-bit truecolor non-interlaced PNG. */
+  def decodePng(payload: Column): Column = call_function("graft_png_stats", payload)
 
   /** REAL audio decode: walk the RIFF chunks, validate PCM, fold samples;
     * NULL for payloads that aren't well-formed PCM/mono/16-bit WAVE. */
