@@ -2184,5 +2184,22 @@ object Oracles {
         |  CAST(sum(r) AS BIGINT) AS sum_r,
         |  CAST(sum(g) AS BIGINT) AS sum_g,
         |  CAST(sum(b) AS BIGINT) AS sum_b
-        |FROM px GROUP BY doc_id, w, h""".stripMargin)
+        |FROM px GROUP BY doc_id, w, h""".stripMargin,
+
+    // Ingest-dedup gate: the content hash quantizes `value` to a long
+    // before hashing (double→string renders differently across engines;
+    // a quantized long is bit-identical), and the survivor rule is a
+    // deterministic window, so the whole op hash-checks.
+    "q113_stream_ingest_dedup" ->
+      """WITH h AS (
+        |  SELECT event_id, ts, user_id, event_type, value,
+        |    md5(concat_ws('|', user_id, event_type,
+        |      CAST(floor(value * 1000) AS BIGINT))) AS content_hash
+        |  FROM events),
+        |r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY content_hash ORDER BY ts, event_id) AS rn
+        |  FROM h)
+        |SELECT event_id, ts, user_id, event_type, value, content_hash
+        |FROM r WHERE rn = 1""".stripMargin)
 }

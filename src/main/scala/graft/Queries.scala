@@ -2265,6 +2265,18 @@ object Queries {
         col("st.height").as("height"), col("st.sum_r").as("sum_r"),
         col("st.sum_g").as("sum_g"), col("st.sum_b").as("sum_b"))
 
+  /** Streaming-ingest dedup, batch form ([[graft.streaming.EventStream
+    * .ingestDedup]]): content-hash the event payload and keep one
+    * deterministic survivor per hash — the op an ingest pipeline runs
+    * before anything else. The streaming twin (`ingestDedupStream`,
+    * `dropDuplicatesWithinWatermark` on the same hash) is asserted
+    * key-set-identical on the same input by StreamingSpec; this entry
+    * oracle-checks the shared dedup semantics end-to-end. */
+  def q113StreamIngestDedup(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStream.ingestDedup(t(s, dir, "events"))
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("content_hash"))
+
   def q104ChunkWindows(s: SparkSession, dir: String): DataFrame = {
     val W = 30
     val S = 20

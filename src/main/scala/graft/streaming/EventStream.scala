@@ -44,6 +44,38 @@ object EventStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Ingest content hash: digest of the event's PAYLOAD fields (not its
+    * id), so replayed/at-least-once deliveries of the same logical event
+    * collide. `value` goes in integer-quantized — double→string renders
+    * differently across engines, a quantized long hashes bit-identically
+    * everywhere. */
+  def contentHash: org.apache.spark.sql.Column =
+    md5(concat_ws("|", col("user_id"), col("event_type"),
+      floor(col("value") * 1000).cast("long")))
+
+  /** Batch form of ingest dedup — the op an ingest pipeline runs FIRST:
+    * one deterministic survivor per content hash (earliest ts, ties by
+    * event_id). Window over hash-sized partitions: bounded state, scales
+    * by partitioning on the hash like every dedup in [[graft.ops.Dedup]].
+    * [[ingestDedupStream]] is the same op incrementally; StreamingSpec
+    * asserts the stream keeps exactly this key set on the same input. */
+  def ingestDedup(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("content_hash"))
+      .orderBy(col("ts"), col("event_id"))
+    events.withColumn("content_hash", contentHash)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** Streaming form of [[ingestDedup]]: content-hash the payload, then
+    * [[streamingDedup]] on the hash — state is one entry per distinct
+    * hash inside the watermark, expiring as it advances. Which duplicate
+    * survives is arrival-order-dependent (the stream keeps the first
+    * seen); the KEY SET is identical to the batch form's. */
+  def ingestDedupStream(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    streamingDedup(events.withColumn("content_hash", contentHash),
+      Seq("content_hash"), watermark)
+
   /** Stream-stream interval join — click→purchase attribution: every
     * (purchase, click) pair for the same user where the click happened in
     * the `lookback` window ending at the purchase. Written once against

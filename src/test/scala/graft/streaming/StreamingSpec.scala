@@ -86,6 +86,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ingestDedupStream keeps exactly the batch form's content-hash key set") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    // ids differ but (user, type, value) repeat → same content hash;
+    // user 2 and the changed value are distinct hashes.
+    val events = Seq(
+      ev(1, "2024-01-01 00:00:00"), ev(2, "2024-01-01 00:03:00"),
+      ev(3, "2024-01-01 00:05:00", user = 2L),
+      Event(4L, Timestamp.valueOf("2024-01-01 00:07:00"), 1L, "click", 2.5),
+      ev(5, "2024-01-01 00:09:00"))
+    val ms = MemoryStream[Event]
+    val q = EventStream.ingestDedupStream(ms.toDF(), "30 minutes")
+      .writeStream.format("memory").queryName("ingest_dedup")
+      .outputMode("append").start()
+    try {
+      ms.addData(events: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("ingest_dedup")
+        .select("content_hash").collect().map(_.getString(0)).sorted
+      val batch = EventStream.ingestDedup(events.toDF())
+        .select("content_hash").collect().map(_.getString(0)).sorted
+      streamed shouldBe batch
+      streamed.length shouldBe 3 // 5 events, 2 payload-duplicates dropped
+    } finally q.stop()
+  }
+
   // -------------------------------------------------- stream-stream join
 
   test("clickAttributionStream: stream-stream interval join equals the batch form") {
