@@ -133,7 +133,81 @@ object Bench {
     val canaryJson =
       if (cs.isEmpty) "{}"
       else s"""{"n":${cs.size},"median_sec":${cs(cs.size / 2)},"max_sec":${cs.last}}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","canary":$canaryJson,"stalled":$stalled}""")
+
+    // ---- Scale evidence: the dedup/clustering family at 10x documents.
+    // Every 100 TB argument in this repo is from plan shape; this block
+    // adds MEASUREMENT: the same queries on a synthesized 10x corpus.
+    // Per-query fixed cost (scheduling, codegen, persist barriers)
+    // dominates the sf0.1 cells, so time should grow far less than 10x —
+    // the amortization claim made with data. Off by default at non-sf0.1
+    // dirs and switchable off via SPARK_GRAFT_SF1=0.
+    val sf1Json: String =
+      if (sys.env.getOrElse("SPARK_GRAFT_SF1", "1") == "0" ||
+          !sfDir.endsWith("sf0.1")) "null"
+      else try {
+        val sf1Dir = ScaleCorpus.ensure(spark, sfDir, copies = 10)
+        val scaleQs = Seq("q18_exact_dedup", "q21_ngram_jaccard",
+          "q40_neardup_clusters", "q59_embedding_neardup_ivf",
+          "q101_kmeans_cluster").filter(SparkEntry.queries.contains)
+        // Same min-of-2 protocol as the main table (second pass reversed).
+        val p1 = scaleQs.map { n => n -> timeOne(n, (sp, _) => SparkEntry.queries(n)(sp, sf1Dir)) }.toMap
+        val p2 = scaleQs.reverse.map { n => n -> timeOne(n, (sp, _) => SparkEntry.queries(n)(sp, sf1Dir)) }.toMap
+        val cells = scaleQs.map { n =>
+          val t = math.min(p1(n), p2(n))
+          val base = finalResults.get(n).map(_._1).getOrElse(Double.NaN)
+          s""""$n":{"sec":$t,"sf01_sec":$base,"growth_x":${t / base}}"""
+        }
+        s"""{"copies":10,"dir":"$sf1Dir","queries":${cells.mkString("{", ",", "}")}}"""
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] sf1 block skipped: $e"); "null"
+      }
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","canary":$canaryJson,"stalled":$stalled,"sf1":$sf1Json}""")
     spark.stop()
+  }
+}
+
+/** Synthesizes the 10x-documents scale corpus the `sf1` bench block runs
+  * on. Each copy k re-skins the source corpus by suffixing every word
+  * with `_k` (embeddings: a per-copy affine nudge), so intra-copy
+  * duplicate/near-dup structure is preserved exactly while cross-copy
+  * shingles never collide — pair counts scale LINEARLY with the copy
+  * count, the way a real corpus grows, instead of quadratically the way
+  * naive replication would. Built once per scratch dir via
+  * [[Tables.writePathIfAbsent]]. */
+object ScaleCorpus {
+  def ensure(spark: SparkSession, srcDir: String, copies: Int): String = {
+    import org.apache.spark.sql.functions._
+    val out = s"${Tables.scratchDir(spark)}/scale_sf1_v1"
+    val idStep = 10L * 1000 * 1000
+    Tables.writePathIfAbsent(spark, s"$out/documents.parquet") {
+      val src = spark.read.parquet(s"$srcDir/documents.parquet")
+      (0 until copies).map { k =>
+        if (k == 0) src
+        else src.select(
+          (col("doc_id") + lit(k * idStep)).as("doc_id"),
+          concat_ws(" ", transform(split(col("text"), " "),
+            w => concat(w, lit(s"_$k")))).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }.reduce(_.unionByName(_))
+        .repartition(8)
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    }
+    Tables.writePathIfAbsent(spark, s"$out/embeddings.parquet") {
+      val src = spark.read.parquet(s"$srcDir/embeddings.parquet")
+      (0 until copies).map { k =>
+        if (k == 0) src
+        else src.select(
+          (col("vec_id") + lit(k * idStep)).as("vec_id"),
+          transform(col("embedding"),
+            x => (x * lit(1.0f - 0.03f * k) + lit(0.11f * k)).cast("float"))
+            .as("embedding"),
+          col("label"))
+      }.reduce(_.unionByName(_))
+        .repartition(8)
+        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    }
+    out
   }
 }

@@ -15,8 +15,22 @@ import graft.ops._
   */
 object Queries {
 
+  /** The big fact/corpus tables go through [[Tables.wide]] — the one-time
+    * compaction of the generator's single-row-group files into the
+    * multi-split layout a real deployment has (scan parallelism without
+    * touching any query's plan; every query here is order-deterministic,
+    * proven by the DuckDB hash gate, so re-layout cannot change results).
+    * Dimension-sized tables stay on the raw single files — they broadcast
+    * or build tiny artifacts anyway. `embeddings` is deliberately NOT
+    * here: its heavy consumers are ITERATIVE (Lloyd rounds, IVF serve
+    * stages) where 16 near-empty tasks per stage is pure scheduler
+    * overhead; the few genuinely compute-bound consumers (brute-force
+    * pair/top-k verification) opt in via [[Tables.wide]] directly. */
+  private val WideTables = Set("lineitem", "orders", "events", "documents")
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    Tables.table(s, dir, name)
+    if (WideTables(name)) Tables.wide(s, dir, name)
+    else Tables.table(s, dir, name)
 
   /** S1-S5/P1/P2/P5/P6: scan → filter (timestamp between, numeric compare) →
     * projection with per-row arithmetic. Filters/pruning reach the parquet
@@ -328,7 +342,7 @@ object Queries {
 
   /** Brute-force cosine top-5 for every 50th vector as query. */
   def q24AnnCosineTopk(s: SparkSession, dir: String): DataFrame =
-    Similarity.bruteForceTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+    Similarity.bruteForceTopK(Tables.wide(s, dir, "embeddings"), "vec_id", "embedding",
       col("vec_id") % 50 === 0, k = 5)
 
   /** Hyperplane-LSH approximate top-5 (bucketed candidates, never N²).
@@ -551,7 +565,7 @@ object Queries {
     * generator is the LSH bucket path of q25). */
   def q41EmbeddingNeardup(s: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDupPairs(
-      t(s, dir, "embeddings").filter(col("vec_id") % 5 === 0),
+      Tables.wide(s, dir, "embeddings").filter(col("vec_id") % 5 === 0),
       "vec_id", "embedding", minCosine = 0.45)
 
   /** J3 at full star depth: geographic rollup through the two-hop
@@ -1419,7 +1433,7 @@ object Queries {
   /** Exact brute-force cosine top-k for the deterministic 2% query set —
     * the shared reference side of q83c/q83d. */
   private def exactTopK(s: SparkSession, dir: String): DataFrame =
-    Similarity.bruteForceTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+    Similarity.bruteForceTopK(Tables.wide(s, dir, "embeddings"), "vec_id", "embedding",
         col("vec_id") % 50 === 0, k = 5)
       .select(col("query_id"), col("cand_id"), col("cosine"))
 
