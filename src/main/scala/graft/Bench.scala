@@ -42,6 +42,12 @@ object Bench {
       // real cluster this knob scales with the data (set it per job);
       // the plans themselves are partition-count-agnostic.
       .config("spark.sql.shuffle.partitions", "8")
+      // Shuffle/spill blocks on tmpfs: this host's /tmp is disk-backed,
+      // and MB-scale shuffle blocks are latency- not capacity-bound. On a
+      // real cluster this is the standard NVMe/ramdisk local-dir setting.
+      .config("spark.local.dir",
+        if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-bench-local"
+        else System.getProperty("java.io.tmpdir"))
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
