@@ -185,7 +185,7 @@ object Bench {
 object ScaleCorpus {
   def ensure(spark: SparkSession, srcDir: String, copies: Int): String = {
     import org.apache.spark.sql.functions._
-    val out = s"${Tables.scratchDir(spark)}/scale_sf1_v1"
+    val out = s"${Tables.scratchDir(spark)}/scale_sf1_v2"
     val idStep = 10L * 1000 * 1000
     Tables.writePathIfAbsent(spark, s"$out/documents.parquet") {
       val src = spark.read.parquet(s"$srcDir/documents.parquet")
@@ -204,12 +204,21 @@ object ScaleCorpus {
       val src = spark.read.parquet(s"$srcDir/embeddings.parquet")
       (0 until copies).map { k =>
         if (k == 0) src
-        else src.select(
-          (col("vec_id") + lit(k * idStep)).as("vec_id"),
-          transform(col("embedding"),
-            x => (x * lit(1.0f - 0.03f * k) + lit(0.11f * k)).cast("float"))
-            .as("embedding"),
-          col("label"))
+        else {
+          // Circular component rotation: preserves every norm and the
+          // pairwise-distance DISTRIBUTION within a copy, while pointing
+          // cross-copy vectors in genuinely different directions — an
+          // affine nudge would drift all copies toward one corner and
+          // overfill a few IVF buckets (superlinear candidate growth
+          // that says nothing about real corpus scaling).
+          val d = size(col("embedding"))
+          val r = lit(k) % d
+          src.select(
+            (col("vec_id") + lit(k * idStep)).as("vec_id"),
+            concat(slice(col("embedding"), r + 1, d - r),
+              slice(col("embedding"), lit(1), r)).as("embedding"),
+            col("label"))
+        }
       }.reduce(_.unionByName(_))
         .repartition(8)
         .write.mode("overwrite").parquet(s"$out/embeddings.parquet")

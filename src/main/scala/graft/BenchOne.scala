@@ -27,6 +27,8 @@ object BenchOne {
       SparkEntry.queries.get(name) match {
         case None => System.err.println(s"[benchone] unknown query: $name")
         case Some(fn) =>
+          if (sys.env.contains("SPARK_GRAFT_EXPLAIN"))
+            println(fn(spark, sfDir).queryExecution.executedPlan.toString.take(12000))
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
           catch { case e: Throwable => System.err.println(s"[benchone] $name: $e") }

@@ -2050,13 +2050,16 @@ object Oracles {
         |  FROM staged WHERE passed_quality),
         |canon AS (SELECT doc_id, text, wc FROM ex WHERE exact_canonical),
         |wrds AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM canon),
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
         |sh0 AS (
         |  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
         |  FROM wrds, LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i)),
-        |sh AS (
+        |shall AS (
         |  SELECT doc_id, shingle FROM sh0
         |  QUALIFY count(*) OVER (PARTITION BY shingle) <= 200),
+        |sh AS (
+        |  SELECT shall.doc_id, shall.shingle FROM shall
+        |  JOIN canon ON shall.doc_id = canon.doc_id),
         |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS m FROM sh GROUP BY doc_id),
         |inter AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS i
