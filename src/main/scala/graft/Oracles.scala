@@ -790,12 +790,17 @@ object Oracles {
     // unlike the LSH path this approximate index is FULLY hash-checked —
     // same centroid seeds, same list assignment, same probes, same ranks.
     "q52_ann_ivf_topk" ->
-      """WITH e AS (
+      """WITH nn AS (
+        |  SELECT CAST(GREATEST(1, ceil(CAST(count(*) AS DOUBLE) /
+        |    ceil(sqrt(CAST(count(*) AS DOUBLE))))) AS BIGINT) AS stride
+        |  FROM embeddings),
+        |e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v,
         |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
         |  FROM embeddings),
         |cents AS (
-        |  SELECT vec_id AS centroid_id, v AS cv, nrm AS cn FROM e WHERE vec_id % 25 = 0),
+        |  SELECT vec_id AS centroid_id, v AS cv, nrm AS cn
+        |  FROM e, nn WHERE vec_id % nn.stride = 0),
         |scored AS (
         |  SELECT e.vec_id, c.centroid_id,
         |    row_number() OVER (PARTITION BY e.vec_id
@@ -881,12 +886,17 @@ object Oracles {
         |FROM nation JOIN region ON n_regionkey = r_regionkey""".stripMargin,
 
     "q59_embedding_neardup_ivf" ->
-      """WITH e AS (
+      """WITH nn AS (
+        |  SELECT CAST(GREATEST(1, ceil(CAST(count(*) AS DOUBLE) /
+        |    ceil(sqrt(CAST(count(*) AS DOUBLE))))) AS BIGINT) AS stride
+        |  FROM embeddings),
+        |e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v,
         |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
         |  FROM embeddings),
         |cents AS (
-        |  SELECT vec_id AS centroid_id, v AS cv, nrm AS cn FROM e WHERE vec_id % 25 = 0),
+        |  SELECT vec_id AS centroid_id, v AS cv, nrm AS cn
+        |  FROM e, nn WHERE vec_id % nn.stride = 0),
         |scored AS (
         |  SELECT e.vec_id, c.centroid_id,
         |    row_number() OVER (PARTITION BY e.vec_id

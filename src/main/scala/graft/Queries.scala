@@ -734,11 +734,14 @@ object Queries {
 
   /** IVF-flat ANN top-5 — the oracle-checkable approximate path (q25's
     * LSH variant is hash-based and rows-only; IVF is pure arithmetic, so
-    * DuckDB reproduces the exact candidate sets and ranks). Probing 3 of
-    * ~40 inverted lists bounds the scan to a fraction of N. */
+    * DuckDB reproduces the exact candidate sets and ranks). Centroid
+    * count is the AUTO √N rule ([[Similarity.ivfAssignment]]) — probing
+    * nProbe of ~√N lists bounds the scan to ~nProbe·√N candidates and
+    * keeps the assignment pass subquadratic as N grows (the sf1 bench
+    * block measured the fixed-stride blow-up this replaced). */
   def q52AnnIvfTopk(s: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
-      col("vec_id") % 50 === 0, k = 5, centroidEvery = 25, nProbe = 3)
+      col("vec_id") % 50 === 0, k = 5, centroidEvery = 0, nProbe = 3)
 
   /** Hierarchical ROLLUP aggregation — subtotal rows per nation, per
     * (nation, year), and the grand total in ONE pass (Spark expands the
@@ -850,7 +853,7 @@ object Queries {
     * gap: the scale path itself is hash-verified end-to-end). */
   def q59EmbeddingNeardupIvf(s: SparkSession, dir: String): DataFrame =
     Similarity.ivfNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
-      minCosine = 0.45, centroidEvery = 25, assignProbe = 2)
+      minCosine = 0.45, centroidEvery = 0, assignProbe = 2)
 
   /** As-of join ([[AsOf.joinAsOf]]) — purchase→click attribution: for every
     * purchase event, the user's most recent click at-or-before the purchase
@@ -1497,7 +1500,7 @@ object Queries {
     * See [[q83aMinhashRecall]] for the family rationale. */
   def q83dIvfRecall(s: SparkSession, dir: String): DataFrame = {
     val ivf = Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
-        col("vec_id") % 50 === 0, k = 5, centroidEvery = 25, nProbe = 3)
+        col("vec_id") % 50 === 0, k = 5, centroidEvery = 0, nProbe = 3)
       .select(col("query_id"), col("cand_id"), lit(1L).as("_f"))
     exactTopK(s, dir).join(ivf, Seq("query_id", "cand_id"), "left")
       .agg(count(lit(1)).as("n_exact"),

@@ -114,10 +114,30 @@ object Similarity {
     */
   /** Centroid-distance ranking per vector: (id, centroid_id, _r) with _r=1
     * the nearest centroid. One N×C pass, centroids broadcast; persisted
-    * because every IVF consumer reads it at least twice. */
+    * because every IVF consumer reads it at least twice.
+    *
+    * `centroidEvery > 0` pins the seed stride explicitly (tests, fixed
+    * small frames). `centroidEvery == 0` is AUTO: stride =
+    * ceil(N / ceil(√N)), giving C ≈ √N inverted lists — the balance that
+    * keeps the N×C assignment pass subquadratic as the corpus grows. A
+    * fixed stride means C ∝ N and an O(N²/stride) assign: the sf1 bench
+    * block MEASURED that blow-up (6.7× time at 10× data) before this
+    * rule replaced it. The stride is derived declaratively (one count
+    * aggregate broadcast back), deterministic IEEE arithmetic any engine
+    * reproduces. */
   private def ivfAssignment(emb: DataFrame, idCol: String, vecCol: String,
                             centroidEvery: Int): DataFrame = {
-    val cents = emb.filter(col(idCol) % centroidEvery === 0)
+    val seeds =
+      if (centroidEvery > 0) emb.filter(col(idCol) % centroidEvery === 0)
+      else {
+        val n = count(lit(1)).cast("double")
+        val strideF = emb.agg(
+          greatest(lit(1L), ceil(n / ceil(sqrt(n))).cast("long")).as("_stride"))
+        emb.crossJoin(broadcast(strideF))
+          .filter(col(idCol) % col("_stride") === 0)
+          .drop("_stride")
+      }
+    val cents = seeds
       .select(col(idCol).as("centroid_id"), col(vecCol).as("_cv"),
         sqrt(dot(col(vecCol), col(vecCol))).as("_cn"))
     val wAssign = Window.partitionBy(col(idCol))
