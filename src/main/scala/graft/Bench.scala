@@ -42,6 +42,13 @@ object Bench {
       // real cluster this knob scales with the data (set it per job);
       // the plans themselves are partition-count-agnostic.
       .config("spark.sql.shuffle.partitions", "8")
+      // Constraint propagation spends optimizer time inferring IsNotNull/
+      // transitive predicates — O(constraints²) on wide projections, and
+      // measured ~60 ms/query here against schemas whose join keys are
+      // already non-null. Correctness-neutral (it only ADDS inferred
+      // filters); leave it on where inferred pushdown pays (nullable
+      // join keys over selective scans).
+      .config("spark.sql.constraintPropagation.enabled", "false")
       // Shuffle/spill blocks on tmpfs: this host's /tmp is disk-backed,
       // and MB-scale shuffle blocks are latency- not capacity-bound. On a
       // real cluster this is the standard NVMe/ramdisk local-dir setting.

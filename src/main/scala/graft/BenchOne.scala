@@ -9,14 +9,18 @@ object BenchOne {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // Ad-hoc conf overrides for experiments: SPARK_GRAFT_CONF="k=v,k=v".
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(',').foreach { kv =>
+      val Array(k, v) = kv.split("=", 2); builder.config(k, v)
+    })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
       spark.read.parquet(s"$sfDir/nation.parquet")
