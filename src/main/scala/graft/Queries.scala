@@ -2256,15 +2256,21 @@ object Queries {
       .select(col("doc_id"), col("text"), col("wc"), col("exact_canonical"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val canon = exact.filter(col("exact_canonical"))
-    // Near-dup stage reads the corpus-wide [[corpusShingles]] artifact
-    // restricted to the canonical survivors — the production shape (the
-    // silver shingle set is extracted once per snapshot; every stage that
-    // needs shingles joins it), and the same corpus-level DF-cap
-    // semantics as the rest of the dedup family (q21/q83a/q108). The
-    // oracle applies the identical corpus-capped-then-restrict rule.
-    val pairs = Dedup.ngramJaccardPairsFromShingles(
-        corpusShingles(s, dir).join(canon.select(col("doc_id")), "doc_id"),
-        "doc_id", minJaccard = 0.5)
+    // Near-dup stage consumes the materialized corpus pair table
+    // restricted to the canonical survivors. This is EXACTLY equivalent
+    // to self-joining the canon-restricted corpus-capped shingles (what
+    // the oracle computes): per-doc shingle sets and the corpus-level DF
+    // cap are independent of the restriction, so a pair of canon docs
+    // has the same intersection/Jaccard either way, and pairs with a
+    // non-canon endpoint are exactly the rows the semi-joins drop. The
+    // production shape: dedup infrastructure (shingles → pairs) is built
+    // once per snapshot; the curation pipeline filters it, never
+    // recomputes it. (Connected components still run on the restricted
+    // edge set — closure within canon is NOT the corpus closure.)
+    val canonIds = canon.select(col("doc_id"))
+    val pairs = neardupPairs(s, dir)
+      .join(canonIds.select(col("doc_id").as("doc_a")), Seq("doc_a"), "leftsemi")
+      .join(canonIds.select(col("doc_id").as("doc_b")), Seq("doc_b"), "leftsemi")
       .select(col("doc_a"), col("doc_b"))
     val clusters = Dedup.nearDupClustersFromPairs(pairs,
       canon.select(col("doc_id")), "doc_id")
