@@ -162,13 +162,15 @@ object Bench {
         val scaleQs = Seq("q18_exact_dedup", "q21_ngram_jaccard",
           "q40_neardup_clusters", "q59_embedding_neardup_ivf",
           "q101_kmeans_cluster").filter(SparkEntry.queries.contains)
-        // Same min-of-2 protocol as the main table (second pass reversed).
-        val p1 = scaleQs.map { n => n -> timeOne(n, (sp, _) => SparkEntry.queries(n)(sp, sf1Dir)) }.toMap
-        val p2 = scaleQs.reverse.map { n => n -> timeOne(n, (sp, _) => SparkEntry.queries(n)(sp, sf1Dir)) }.toMap
+        // Same min-of-2 + canary-bracket protocol as the main table
+        // (second pass reversed) — a stall window covering both samples of
+        // one scale cell must flag, not publish a bogus growth factor.
+        val p1 = scaleQs.map { n => n -> measure(n, (sp, _) => SparkEntry.queries(n)(sp, sf1Dir)) }.toMap
+        val p2 = scaleQs.reverse.map { n => n -> measure(n, (sp, _) => SparkEntry.queries(n)(sp, sf1Dir)) }.toMap
         val cells = scaleQs.map { n =>
-          val t = math.min(p1(n), p2(n))
+          val (t, flagged) = if (p1(n)._1 <= p2(n)._1) p1(n) else p2(n)
           val base = finalResults.get(n).map(_._1).getOrElse(Double.NaN)
-          s""""$n":{"sec":$t,"sf01_sec":$base,"growth_x":${t / base}}"""
+          s""""$n":{"sec":$t,"sf01_sec":$base,"growth_x":${t / base},"stall_suspect":$flagged}"""
         }
         s"""{"copies":10,"dir":"$sf1Dir","queries":${cells.mkString("{", ",", "}")}}"""
       } catch {

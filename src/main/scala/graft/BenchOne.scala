@@ -18,7 +18,11 @@ object BenchOne {
       .config("spark.ui.enabled", "false")
     // Ad-hoc conf overrides for experiments: SPARK_GRAFT_CONF="k=v,k=v".
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(',').foreach { kv =>
-      val Array(k, v) = kv.split("=", 2); builder.config(k, v)
+      kv.split("=", 2) match {
+        case Array(k, v) if k.nonEmpty => builder.config(k.trim, v.trim)
+        case _ if kv.trim.isEmpty => // trailing comma etc.
+        case _ => System.err.println(s"[benchone] ignoring malformed conf entry: '$kv'")
+      }
     })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

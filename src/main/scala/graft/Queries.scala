@@ -282,7 +282,7 @@ object Queries {
     * shingle/cap parameters and a schema version, so a semantics change
     * rebuilds rather than silently reusing stale data. */
   private def corpusShingles(s: SparkSession, dir: String): DataFrame = {
-    val sfTag = dir.replaceAll(".*/", "")
+    val sfTag = Tables.corpusTag(s, dir, "documents")
     val path = s"${Tables.scratchDir(s)}/shingles_n3_df${MaxShingleDf}_v1/$sfTag"
     Tables.writePathIfAbsent(s, path) {
       Dedup.capShingleDf(
@@ -307,7 +307,7 @@ object Queries {
     * [[corpusShingles]] artifact, so the build itself pays only the
     * self-join, not a second shingle extraction. */
   private def neardupPairs(s: SparkSession, dir: String): DataFrame = {
-    val sfTag = dir.replaceAll(".*/", "")
+    val sfTag = Tables.corpusTag(s, dir, "documents")
     val path = s"${Tables.scratchDir(s)}/neardup_pairs_n3_j05_df${MaxShingleDf}_v1/$sfTag"
     Tables.writePathIfAbsent(s, path) {
       Dedup.ngramJaccardPairsFromShingles(corpusShingles(s, dir), "doc_id",
@@ -563,7 +563,7 @@ object Queries {
     * loop's barriers every time. Same `writePathIfAbsent` contract and
     * parameter-salted path as the artifacts it derives from. */
   private def neardupClusters(s: SparkSession, dir: String): DataFrame = {
-    val sfTag = dir.replaceAll(".*/", "")
+    val sfTag = Tables.corpusTag(s, dir, "documents")
     val path = s"${Tables.scratchDir(s)}/neardup_clusters_n3_j05_df${MaxShingleDf}_v1/$sfTag"
     Tables.writePathIfAbsent(s, path) {
       Dedup.nearDupClustersFromPairs(neardupPairs(s, dir),
@@ -1466,7 +1466,7 @@ object Queries {
     * LIVE brute-force cell is q24, which times the same operator
     * end-to-end and is hash-checked. */
   private def exactTopK(s: SparkSession, dir: String): DataFrame = {
-    val sfTag = dir.replaceAll(".*/", "")
+    val sfTag = Tables.corpusTag(s, dir, "embeddings")
     val path = s"${Tables.scratchDir(s)}/exact_topk_q50_k5_v1/$sfTag"
     Tables.writePathIfAbsent(s, path) {
       Similarity.bruteForceTopK(Tables.wide(s, dir, "embeddings"), "vec_id", "embedding",
@@ -1590,7 +1590,7 @@ object Queries {
     * year's directories (asserted in PlanSpec). At 100 TB this is the
     * mechanism that turns a decade-wide fact scan into one year. */
   def q87DppPrune(s: SparkSession, dir: String): DataFrame = {
-    val sfTag = dir.replaceAll(".*/", "")
+    val sfTag = Tables.corpusTag(s, dir, "orders")
     // _v1: versioned like every writePathIfAbsent artifact, so a change
     // to cleanOrders/partitioning semantics rebuilds rather than reuses.
     val path = s"${Tables.scratchDir(s)}/dpp_v1/$sfTag/orders"
@@ -1988,7 +1988,7 @@ object Queries {
     * localCheckpoint. Path carries the quantization scale + schema
     * version so a semantics change rebuilds the artifact. */
   private def quantizedPoints(s: SparkSession, dir: String): DataFrame = {
-    val sfTag = dir.replaceAll(".*/", "")
+    val sfTag = Tables.corpusTag(s, dir, "embeddings")
     val path = s"${Tables.scratchDir(s)}/qpoints_e6_v1/$sfTag"
     Tables.writePathIfAbsent(s, path) {
       t(s, dir, "embeddings")
@@ -2006,7 +2006,7 @@ object Queries {
     * centroid table is k rows; the artifact exists to amortize the
     * training recurrence, not to move data. */
   private def trainedCentroids(s: SparkSession, dir: String): DataFrame = {
-    val sfTag = dir.replaceAll(".*/", "")
+    val sfTag = Tables.corpusTag(s, dir, "embeddings")
     val path = s"${Tables.scratchDir(s)}/kmeans_k8_i2_e6_v1/$sfTag"
     Tables.writePathIfAbsent(s, path) {
       Cluster.train(quantizedPoints(s, dir), k = 8, iterations = 2)
@@ -2077,7 +2077,7 @@ object Queries {
     * defines boilerplate); `m` is the capped per-doc shingle-set size, so
     * probe-side Jaccard needs no second corpus pass. */
   private def shingleIndex(s: SparkSession, dir: String): DataFrame = {
-    val sfTag = dir.replaceAll(".*/", "")
+    val sfTag = Tables.corpusTag(s, dir, "documents")
     // Path carries the shingle parameters + a schema version (same
     // invalidation contract as [[corpusShingles]]): a semantics change
     // rebuilds the artifact instead of silently reusing a stale one.

@@ -52,6 +52,22 @@ object Tables {
     * production layout provides. Use for scan-/compute-bound queries
     * whose results don't depend on row order (maps, aggregations).
     * Cache the tiny frames you'd broadcast anyway via [[table]]. */
+  /** Identity tag for the corpus snapshot behind `dir/name.parquet`:
+    * `<basename>_<bytes>_<mtime>` — the same salt [[wide]] uses. Derived
+    * artifacts (shingle sets, pair tables, trained models, ground-truth
+    * top-k) must key their scratch paths with this, not the bare dir
+    * basename: a table regenerated in place, or two corpora whose
+    * directories share a final path component, would otherwise silently
+    * serve each other's artifacts. */
+  def corpusTag(spark: SparkSession, dir: String, name: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(p)
+    val bytes =
+      if (st.isFile) st.getLen else fs.getContentSummary(p).getLength
+    s"${dir.replaceAll(".*/", "")}_${bytes}_${st.getModificationTime}"
+  }
+
   def wide(spark: SparkSession, dir: String, name: String): DataFrame = {
     val src = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
     val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)

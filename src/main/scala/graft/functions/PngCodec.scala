@@ -163,7 +163,10 @@ object PngCodec {
     while (!sawIend) {
       if (pos + 12 > b.length) return null
       val len = beInt(b, pos)
-      if (len < 0 || pos + 12 + len > b.length) return null
+      // Long arithmetic: a hostile length near Int.MaxValue would wrap the
+      // Int sum negative and slip past the bound (same discipline as the
+      // BMP walker's dataOffset check).
+      if (len < 0 || pos + 12L + len > b.length) return null
       val crc = new java.util.zip.CRC32()
       crc.update(b, pos + 4, 4 + len)
       if (crc.getValue.toInt != beInt(b, pos + 8 + len)) return null
@@ -205,13 +208,20 @@ object PngCodec {
       var got = 0
       while (got < expected && !inflater.finished()) {
         val n = inflater.inflate(filtered, got, expected - got)
-        if (n == 0 && inflater.needsInput()) return null // truncated stream
+        // n == 0 without needing input means a preset-dictionary (FDICT)
+        // stream — unsupported (and never produced by PNG encoders);
+        // without this check the loop would spin forever on such input.
+        if (n == 0 && (inflater.needsInput() || inflater.needsDictionary()))
+          return null // truncated or dictionary-requiring stream
         got += n
       }
       if (got != expected) return null
-      // The stream must END here — surplus pixel data is malformed.
+      // The stream must END here, with its Adler-32 trailer verified:
+      // one more inflate processes the trailer (finished() flips true) or
+      // exposes surplus pixel data / a truncated checksum — all malformed.
       val probe = new Array[Byte](1)
-      if (!inflater.finished() && inflater.inflate(probe) != 0) return null
+      if (inflater.inflate(probe) != 0) return null
+      if (!inflater.finished()) return null
     } catch {
       case _: java.util.zip.DataFormatException => return null
     } finally inflater.end()
