@@ -2199,6 +2199,31 @@ object Oracles {
         |  CAST(sum(b) AS BIGINT) AS sum_b
         |FROM px GROUP BY doc_id, w, h""".stripMargin,
 
+    // PNG resize gate: q99's sampled-pixel differential applied to the
+    // compressed format — the oracle recomputes which source pixels
+    // survive the integer-floor downscale and their formula values; the
+    // Spark side pays (and must survive) a full decode → sample →
+    // re-encode → decode round trip through real PNG bytes.
+    "q114_png_resize" ->
+      """WITH p AS (
+        |  SELECT doc_id, 4 + doc_id % 7 AS sw, 4 + doc_id % 5 AS sh,
+        |    CAST(2 + doc_id % 3 AS INT) AS dw, CAST(2 + doc_id % 2 AS INT) AS dh,
+        |    doc_id AS seed
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, dw, dh,
+        |    (seed + 11*((x*sw)//dw) + 13*((y*sh)//dh)) % 256 AS r,
+        |    (seed + 5*((x*sw)//dw) + 7*((y*sh)//dh)) % 256 AS g,
+        |    (seed + 2*((x*sw)//dw) + 3*((y*sh)//dh)) % 256 AS b
+        |  FROM p,
+        |    LATERAL (SELECT unnest(generate_series(0, dw - 1)) AS x),
+        |    LATERAL (SELECT unnest(generate_series(0, dh - 1)) AS y))
+        |SELECT doc_id, dw AS width, dh AS height,
+        |  CAST(sum(r) AS BIGINT) AS sum_r,
+        |  CAST(sum(g) AS BIGINT) AS sum_g,
+        |  CAST(sum(b) AS BIGINT) AS sum_b
+        |FROM px GROUP BY doc_id, dw, dh""".stripMargin,
+
     // Ingest-dedup gate: the content hash quantizes `value` to a long
     // before hashing (double→string renders differently across engines;
     // a quantized long is bit-identical), and the survivor rule is a

@@ -2337,6 +2337,25 @@ object Queries {
         col("st.height").as("height"), col("st.sum_r").as("sum_r"),
         col("st.sum_g").as("sum_g"), col("st.sum_b").as("sum_b"))
 
+  /** REAL compressed-image resize end-to-end: encode a PNG, downscale it
+    * through the full codec path (decode — CRC walk, inflate, de-filter —
+    * sample src pixel (x·srcW div dstW, y·srcH div dstH), re-encode a
+    * valid PNG), then decode the RESIZED file and emit its channel sums.
+    * The oracle recomputes the sampled-pixel formula in closed form
+    * (q99's differential applied to the compressed format), so a wrong
+    * sampling index, a broken re-encode, or any filter asymmetry between
+    * encode and decode hash-mismatches. Narrow map, no shuffle. */
+  def q114PngResize(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Multimodal.pngAssets(t(s, dir, "documents"), "doc_id")
+      .select(col("asset_id").as("doc_id"),
+        graft.ops.Multimodal.decodePng(
+          graft.ops.Multimodal.resizePng(col("payload"),
+            (lit(2) + pmod(col("asset_id"), lit(3))).cast("int"),
+            (lit(2) + pmod(col("asset_id"), lit(2))).cast("int"))).as("st"))
+      .select(col("doc_id"), col("st.width").as("width"),
+        col("st.height").as("height"), col("st.sum_r").as("sum_r"),
+        col("st.sum_g").as("sum_g"), col("st.sum_b").as("sum_b"))
+
   /** Streaming-ingest dedup, batch form ([[graft.streaming.EventStream
     * .ingestDedup]]): content-hash the event payload and keep one
     * deterministic survivor per hash — the op an ingest pipeline runs

@@ -27,6 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.wavDownsample)
     ext.injectFunction(GraftExtensions.pngEncode)
     ext.injectFunction(GraftExtensions.pngStats)
+    ext.injectFunction(GraftExtensions.pngResize)
   }
 }
 
@@ -139,6 +140,12 @@ object GraftExtensions {
     new ExpressionInfo(classOf[PngStats].getName, null, "graft_png_stats",
       "graft_png_stats(payload) - decode a PNG (inflate + de-filter): struct(width, height, sum_r, sum_g, sum_b), NULL if malformed", ""),
     (children: Seq[Expression]) => PngStats(children.head))
+
+  val pngResize: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier("graft_png_resize"),
+    new ExpressionInfo(classOf[PngResize].getName, null, "graft_png_resize",
+      "graft_png_resize(payload, w, h) - nearest-neighbor downscale through the full PNG decode path, re-encoded as a real PNG", ""),
+    (children: Seq[Expression]) => PngResize(children.head, children(1), children(2)))
 
   val bloomMightContain: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     new FunctionIdentifier("graft_might_contain"),

@@ -93,9 +93,18 @@ object PngCodec {
       }
       y += 1
     }
+    encodeRgb(raw, width, height)
+  }
+
+  /** Filter + deflate + frame a raw top-down RGB byte image as a real
+    * PNG file — the shared encoder back half of [[pngEncode]] and
+    * [[pngResize]]. */
+  private def encodeRgb(raw: Array[Byte], width: Int, height: Int): Array[Byte] = {
+    val bpp = 3
+    val stride = width * bpp
     // Filtered stream: per scanline, 1 filter-type byte + filtered bytes.
     val filtered = new Array[Byte](height * (1 + stride))
-    y = 0
+    var y = 0
     while (y < height) {
       val ft = y % 5
       filtered(y * (1 + stride)) = ft.toByte
@@ -152,6 +161,57 @@ object PngCodec {
     * or invalid IHDR, unsupported depth/color/interlace, zlib stream that
     * inflates to the wrong length, or an unknown filter type. */
   def pngStats(b: Array[Byte]): InternalRow = {
+    val img = decodeRgb(b)
+    if (img == null) return null
+    var sumR = 0L; var sumG = 0L; var sumB = 0L
+    var o = 0
+    while (o < img.raw.length) {
+      sumR += img.raw(o) & 0xff
+      sumG += img.raw(o + 1) & 0xff
+      sumB += img.raw(o + 2) & 0xff
+      o += 3
+    }
+    InternalRow(img.width, img.height, sumR, sumG, sumB)
+  }
+
+  /** Nearest-neighbor downscale of a PNG, re-encoded as a REAL PNG — the
+    * compressed-format counterpart of [[MediaCodec.bmpResize]]: dst pixel
+    * (x, y) samples src pixel (x·srcW div dstW, y·srcH div dstH), integer
+    * floor division, the closed form the q114 oracle recomputes. Decodes
+    * through the full [[decodeRgb]] validation (null on malformed input
+    * or non-positive/upscaling targets) and re-encodes through the same
+    * filter + deflate + CRC plumbing as [[pngEncode]], so the output is
+    * itself a valid PNG any reader opens. */
+  def pngResize(b: Array[Byte], dstW: Int, dstH: Int): Array[Byte] = {
+    val img = decodeRgb(b)
+    if (img == null) return null
+    if (dstW <= 0 || dstH <= 0 || dstW > img.width || dstH > img.height) return null
+    val out = new Array[Byte](dstH * dstW * 3)
+    var y = 0
+    while (y < dstH) {
+      val srcY = y * img.height / dstH
+      var x = 0
+      while (x < dstW) {
+        val srcX = x * img.width / dstW
+        val so = (srcY * img.width + srcX) * 3
+        val o = (y * dstW + x) * 3
+        out(o) = img.raw(so)
+        out(o + 1) = img.raw(so + 1)
+        out(o + 2) = img.raw(so + 2)
+        x += 1
+      }
+      y += 1
+    }
+    encodeRgb(out, dstW, dstH)
+  }
+
+  /** Decoded 8-bit RGB image: top-down rows of packed R,G,B bytes. */
+  private final class Rgb(val width: Int, val height: Int, val raw: Array[Byte])
+
+  /** The full decode path (signature, CRC-verified chunk walk, IHDR
+    * validation, multi-IDAT inflate, filter reconstruction) shared by
+    * [[pngStats]] and [[pngResize]]; null on anything malformed. */
+  private def decodeRgb(b: Array[Byte]): Rgb = {
     if (b == null || b.length < 8 + 12 + 13 + 12) return null
     var i = 0
     while (i < 8) { if (b(i) != Signature(i)) return null; i += 1 }
@@ -226,9 +286,8 @@ object PngCodec {
       case _: java.util.zip.DataFormatException => return null
     } finally inflater.end()
 
-    // Reconstruct scanlines in place (raw bytes overwrite filtered bytes)
-    // and fold the channel sums.
-    var sumR = 0L; var sumG = 0L; var sumB = 0L
+    // Reconstruct scanlines in place (raw bytes overwrite filtered bytes),
+    // then strip the filter-type bytes into a packed RGB frame.
     var y = 0
     while (y < height) {
       val rowOff = y * (1 + stride) + 1
@@ -248,16 +307,17 @@ object PngCodec {
           case 4 => cur + paeth(left, up, upLeft)
         }) & 0xff
         filtered(rowOff + j) = recon.toByte
-        (j % bpp) match {
-          case 0 => sumR += recon
-          case 1 => sumG += recon
-          case 2 => sumB += recon
-        }
         j += 1
       }
       y += 1
     }
-    InternalRow(width, height, sumR, sumG, sumB)
+    val raw = new Array[Byte](height * stride)
+    y = 0
+    while (y < height) {
+      System.arraycopy(filtered, y * (1 + stride) + 1, raw, y * stride, stride)
+      y += 1
+    }
+    new Rgb(width, height, raw)
   }
 
   val pngStatsType: StructType = StructType(Seq(
@@ -302,4 +362,25 @@ case class PngStats(child: Expression)
          |${ev.isNull} = ${ev.value} == null;
        """.stripMargin)
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(newChild)
+}
+
+/** `graft_png_resize(payload, w, h)` → BINARY: nearest-neighbor downscale
+  * decoded through the full PNG path and re-encoded as a real PNG; NULL
+  * on malformed input or upscaling. */
+case class PngResize(first: Expression, second: Expression, third: Expression)
+  extends TernaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, IntegerType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_png_resize"
+  override def nullSafeEval(b: Any, w: Any, h: Any): Any =
+    PngCodec.pngResize(b.asInstanceOf[Array[Byte]], w.asInstanceOf[Int], h.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, w, h) =>
+      s"""
+         |${ev.value} = graft.functions.PngCodec.pngResize($b, $w, $h);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)
 }

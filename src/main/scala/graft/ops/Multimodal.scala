@@ -73,6 +73,12 @@ object Multimodal {
     * 8-bit truecolor non-interlaced PNG. */
   def decodePng(payload: Column): Column = call_function("graft_png_stats", payload)
 
+  /** REAL compressed-image resize: nearest-neighbor downscale through the
+    * full PNG decode path, re-encoded (filter + deflate + CRC) as a real
+    * PNG payload. */
+  def resizePng(payload: Column, w: Column, h: Column): Column =
+    call_function("graft_png_resize", payload, w, h)
+
   /** REAL audio decode: walk the RIFF chunks, validate PCM, fold samples;
     * NULL for payloads that aren't well-formed PCM/mono/16-bit WAVE. */
   def decodeWav(payload: Column): Column = call_function("graft_wav_stats", payload)
