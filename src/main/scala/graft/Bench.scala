@@ -161,7 +161,10 @@ object Bench {
         val sf1Dir = ScaleCorpus.ensure(spark, sfDir, copies = 10)
         val scaleQs = Seq("q18_exact_dedup", "q21_ngram_jaccard",
           "q40_neardup_clusters", "q59_embedding_neardup_ivf",
-          "q101_kmeans_cluster").filter(SparkEntry.queries.contains)
+          "q101_kmeans_cluster",
+          // scan-bound families: codec + text throughput should grow
+          // ~linearly in data and amortize fixed cost (growth << 10x)
+          "q112_png_decode", "q20_text_stats").filter(SparkEntry.queries.contains)
         // Same min-of-2 + canary-bracket protocol as the main table
         // (second pass reversed) — a stall window covering both samples of
         // one scale cell must flag, not publish a bogus growth factor.
