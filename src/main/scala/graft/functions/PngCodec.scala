@@ -210,14 +210,17 @@ object PngCodec {
 
   /** The full decode path (signature, CRC-verified chunk walk, IHDR
     * validation, multi-IDAT inflate, filter reconstruction) shared by
-    * [[pngStats]] and [[pngResize]]; null on anything malformed. */
+    * [[pngStats]] and [[pngResize]]; null on anything malformed.
+    * Supports 8-bit truecolor (color type 2) AND 8-bit grayscale (color
+    * type 0 — the other PNG flavor real corpora commonly contain);
+    * grayscale expands to R=G=B so every consumer sees one RGB shape. */
   private def decodeRgb(b: Array[Byte]): Rgb = {
     if (b == null || b.length < 8 + 12 + 13 + 12) return null
     var i = 0
     while (i < 8) { if (b(i) != Signature(i)) return null; i += 1 }
 
     var pos = 8
-    var width = -1; var height = -1
+    var width = -1; var height = -1; var colorType = -1
     var sawIhdr = false; var sawIend = false
     val idat = new java.io.ByteArrayOutputStream(b.length)
     while (!sawIend) {
@@ -238,11 +241,12 @@ object PngCodec {
           width = beInt(b, pos + 8)
           height = beInt(b, pos + 12)
           val depth = b(pos + 16) & 0xff
-          val color = b(pos + 17) & 0xff
+          colorType = b(pos + 17) & 0xff
           val comp = b(pos + 18) & 0xff
           val filt = b(pos + 19) & 0xff
           val interlace = b(pos + 20) & 0xff
-          if (depth != 8 || color != 2 || comp != 0 || filt != 0 || interlace != 0)
+          if (depth != 8 || (colorType != 2 && colorType != 0) ||
+            comp != 0 || filt != 0 || interlace != 0)
             return null
           if (width <= 0 || height <= 0 || width > MaxDim || height > MaxDim)
             return null
@@ -258,7 +262,7 @@ object PngCodec {
       pos += 12 + len
     }
 
-    val bpp = 3
+    val bpp = if (colorType == 0) 1 else 3 // filter distance = bytes/pixel
     val stride = width * bpp
     val expected = height * (1 + stride)
     val filtered = new Array[Byte](expected)
@@ -311,10 +315,21 @@ object PngCodec {
       }
       y += 1
     }
-    val raw = new Array[Byte](height * stride)
+    val raw = new Array[Byte](height * width * 3)
     y = 0
     while (y < height) {
-      System.arraycopy(filtered, y * (1 + stride) + 1, raw, y * stride, stride)
+      if (bpp == 3)
+        System.arraycopy(filtered, y * (1 + stride) + 1, raw, y * width * 3, stride)
+      else {
+        // grayscale: replicate the single channel into R=G=B
+        var x = 0
+        while (x < width) {
+          val v = filtered(y * (1 + stride) + 1 + x)
+          val o = (y * width + x) * 3
+          raw(o) = v; raw(o + 1) = v; raw(o + 2) = v
+          x += 1
+        }
+      }
       y += 1
     }
     new Rgb(width, height, raw)

@@ -71,6 +71,29 @@ class PngCodecSpec extends SparkSpec {
     st.getLong(4) shouldBe bl
   }
 
+  test("pngStats decodes 8-bit GRAYSCALE PNGs (color type 0) from the independent encoder") {
+    // real corpora carry grayscale PNGs; ImageIO writes TYPE_BYTE_GRAY as
+    // color type 0, exercising the 1-byte-per-pixel filter distance.
+    val w = 7; val h = 5
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    var expected = 0L
+    for (x <- 0 until w; y <- 0 until h) {
+      val v = java.lang.Math.floorMod(31L * x + 17L * y + 3, 256L).toInt
+      img.getRaster.setSample(x, y, 0, v)
+      expected += v
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out) shouldBe true
+    val st = PngCodec.pngStats(out.toByteArray)
+    st should not be null
+    st.getInt(0) shouldBe w
+    st.getInt(1) shouldBe h
+    // grayscale expands to R=G=B
+    st.getLong(2) shouldBe expected
+    st.getLong(3) shouldBe expected
+    st.getLong(4) shouldBe expected
+  }
+
   test("pngStats rejects malformed payloads instead of misreading them") {
     PngCodec.pngStats(null) shouldBe null
     PngCodec.pngStats(Array[Byte](1, 2, 3)) shouldBe null
