@@ -33,7 +33,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       // 8 initial shuffle partitions, not `cpus`: AQE coalesces shuffle
       // OUTPUTS to the data size anyway, but the INITIAL partition count
@@ -57,7 +57,18 @@ object Bench {
         else System.getProperty("java.io.tmpdir"))
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // Ad-hoc conf overrides for lever experiments (same contract as
+    // BenchOne): SPARK_GRAFT_CONF="k=v,k=v". The committed defaults above
+    // are what the driver measures; this hook exists so an A/B never
+    // needs a recompile.
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(',').foreach { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) if k.nonEmpty => builder.config(k.trim, v.trim)
+        case _ if kv.trim.isEmpty =>
+        case _ => System.err.println(s"[bench] ignoring malformed conf entry: '$kv'")
+      }
+    })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import org.apache.spark.sql.functions.sum
 

