@@ -885,28 +885,54 @@ object Oracles {
       """SELECT n_nationkey, n_name, r_name
         |FROM nation JOIN region ON n_regionkey = r_regionkey""".stripMargin,
 
+    // Signed-projection banding with margin-directed multiprobe
+    // (Similarity.projNearDupPairs): every arithmetic step is exact —
+    // 1e-6 fixed-point quantization, integer multiplicative-hash weights
+    // ((pos·M(t,j)) mod 8191 − 4095, pos 1-based), BIGINT projection sums
+    // (order-independent) — so signatures, flip choices and the final
+    // cosines reproduce bit-for-bit. p = max(4, bitlen(ceil(n/4)−1))
+    // mirrors the engine's integer bit-length rule (no float log2).
     "q59_embedding_neardup_ivf" ->
       """WITH nn AS (
-        |  SELECT CAST(GREATEST(1, ceil(CAST(count(*) AS DOUBLE) /
-        |    ceil(sqrt(CAST(count(*) AS DOUBLE))))) AS BIGINT) AS stride
+        |  SELECT GREATEST(4, length(printf('%b',
+        |    CAST(ceil(count(*) / 4.0) AS BIGINT) - 1))) AS p
         |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, list_transform(embedding::DOUBLE[],
+        |    x -> CAST(floor(x * 1000000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |px AS (
+        |  SELECT vec_id, u AS pos, qv[u] AS qc
+        |  FROM (SELECT vec_id, qv, unnest(range(1, len(qv) + 1)) AS u FROM q)),
+        |tj AS (
+        |  SELECT t, j FROM (SELECT unnest(range(8)) AS t),
+        |    (SELECT unnest(range(p)) AS j FROM nn)),
+        |proj AS (
+        |  SELECT vec_id, t, j,
+        |    sum(qc * ((pos * (2654435761 + 40503*(t*32 + j))) % 8191 - 4095)) AS s
+        |  FROM px, tj GROUP BY vec_id, t, j),
+        |ranked AS (
+        |  SELECT vec_id, t, j, s,
+        |    row_number() OVER (PARTITION BY vec_id, t ORDER BY abs(s), j) AS mr
+        |  FROM proj),
+        |sigs AS (
+        |  SELECT vec_id, t,
+        |    sum(CASE WHEN s >= 0 THEN 1::BIGINT << j ELSE 0 END) AS sig,
+        |    list(j ORDER BY mr) FILTER (mr <= 2) AS flips
+        |  FROM ranked GROUP BY vec_id, t),
+        |entries AS (
+        |  SELECT vec_id, t, sig FROM sigs
+        |  UNION ALL
+        |  SELECT vec_id, t, CAST(xor(sig::BIGINT, (1::BIGINT << f.fj)) AS BIGINT)
+        |  FROM sigs, unnest(flips) f(fj)),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM entries a JOIN entries b USING (t, sig)
+        |  WHERE a.vec_id < b.vec_id),
         |e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v,
         |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-        |  FROM embeddings),
-        |cents AS (
-        |  SELECT vec_id AS centroid_id, v AS cv, nrm AS cn
-        |  FROM e, nn WHERE vec_id % nn.stride = 0),
-        |scored AS (
-        |  SELECT e.vec_id, c.centroid_id,
-        |    row_number() OVER (PARTITION BY e.vec_id
-        |      ORDER BY list_dot_product(e.v, c.cv) / (e.nrm * c.cn) DESC, c.centroid_id) AS r
-        |  FROM e, cents c),
-        |assigned AS (SELECT vec_id, centroid_id FROM scored WHERE r <= 2),
-        |cand AS (
-        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-        |  FROM assigned a JOIN assigned b USING (centroid_id)
-        |  WHERE a.vec_id < b.vec_id)
+        |  FROM embeddings)
         |SELECT id_a, id_b,
         |  list_dot_product(x.v, y.v) / (x.nrm * y.nrm) AS cosine
         |FROM cand

@@ -843,14 +843,18 @@ object Queries {
     s.read.schema("n_nationkey INT, n_name STRING, r_name STRING").orc(path)
   }
 
-  /** Embedding near-dup pairs at corpus scale, oracle-checked: IVF-bucket
-    * candidate generation over the FULL embedding set (q41's exact
+  /** Embedding near-dup pairs at corpus scale, oracle-checked
+    * ([[Similarity.projNearDupPairs]]): signed-projection banding with
+    * margin-directed multiprobe over the FULL embedding set (q41's exact
     * formulation is O(N²) and runs on a sample; q25's LSH buckets are
     * hash-based and rows-only — this deterministic bucketing closes the
-    * gap: the scale path itself is hash-verified end-to-end). */
+    * gap: the scale path itself is hash-verified end-to-end). Signature
+    * bits scale as log2(N/occupancy), so assignment AND candidate volume
+    * grow ~linearly with the corpus — the round-8 IVF formulation's
+    * O(N^1.5) assignment (sf1 growth 5.4× at 10× data) retired. */
   def q59EmbeddingNeardupIvf(s: SparkSession, dir: String): DataFrame =
-    Similarity.ivfNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
-      minCosine = 0.45, centroidEvery = 0, assignProbe = 2)
+    Similarity.projNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+      minCosine = 0.45, tables = 8, targetOcc = 4, flips = 2)
 
   /** As-of join ([[AsOf.joinAsOf]]) — purchase→click attribution: for every
     * purchase event, the user's most recent click at-or-before the purchase

