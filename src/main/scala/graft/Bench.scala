@@ -1,7 +1,12 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main. Prints ONE JSON line with per-query wall seconds.
+/** Benchmark main. Prints the per-query JSON record line (every query's
+  * wall seconds) as soon as the gate-relevant passes finish, then — after
+  * the optional 10x scale block — ONE short summary JSON line
+  * (`{"total_sec":…,"n":…,"stalled":…,"canary":…,"sf1":…}`) so a tail
+  * capture of stdout always retains the headline number and the scale
+  * evidence even though the full record line is longer than the capture.
   *
   * Every cell is the MIN OF TWO full measurements — the same protocol the
   * DuckDB baseline uses (BASELINE_DUCKDB.json is "min of 2 passes" in one
@@ -158,6 +163,11 @@ object Bench {
       if (cs.isEmpty) "{}"
       else s"""{"n":${cs.size},"median_sec":${cs(cs.size / 2)},"max_sec":${cs.last}}"""
 
+    // The gate-relevant line prints BEFORE the sf1 block runs: a driver
+    // timeout during the scale pass must never lose the headline number.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","canary":$canaryJson,"stalled":$stalled,"sf1":"see_summary_line"}""")
+    System.out.flush()
+
     // ---- Scale evidence: the dedup/clustering family at 10x documents.
     // Every 100 TB argument in this repo is from plan shape; this block
     // adds MEASUREMENT: the same queries on a synthesized 10x corpus.
@@ -184,7 +194,13 @@ object Bench {
         val cells = scaleQs.map { n =>
           val (t, flagged) = if (p1(n)._1 <= p2(n)._1) p1(n) else p2(n)
           val base = finalResults.get(n).map(_._1).getOrElse(Double.NaN)
-          s""""$n":{"sec":$t,"sf01_sec":$base,"growth_x":${t / base},"stall_suspect":$flagged}"""
+          // A missing/zero base would interpolate NaN/Infinity — not valid
+          // JSON; emit null so a reader sees "no growth factor" instead of
+          // the driver's json.load rejecting the whole line.
+          val (baseJson, growthJson) =
+            if (base.isNaN || base <= 0.0) ("null", "null")
+            else (base.toString, (t / base).toString)
+          s""""$n":{"sec":$t,"sf01_sec":$baseJson,"growth_x":$growthJson,"stall_suspect":$flagged}"""
         }
         s"""{"copies":10,"dir":"$sf1Dir","queries":${cells.mkString("{", ",", "}")}}"""
       } catch {
@@ -192,7 +208,12 @@ object Bench {
           System.err.println(s"[bench] sf1 block skipped: $e"); "null"
       }
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","canary":$canaryJson,"stalled":$stalled,"sf1":$sf1Json}""")
+    // Short trailing summary: the driver archives only the last ~2000
+    // chars of stdout, and the big line's head (the total) is what gets
+    // truncated away — this line keeps the headline + sf1 evidence inside
+    // any tail capture. Key names deliberately differ from the main
+    // line's so no parser mistakes it for the per-query record.
+    println(s"""{"total_sec":$total,"n":${names.size},"stalled":$stalled,"canary":$canaryJson,"sf1":$sf1Json}""")
     spark.stop()
   }
 }
@@ -208,7 +229,12 @@ object Bench {
 object ScaleCorpus {
   def ensure(spark: SparkSession, srcDir: String, copies: Int): String = {
     import org.apache.spark.sql.functions._
-    val out = s"${Tables.scratchDir(spark)}/scale_sf1_v2"
+    // Path salted with the SOURCE corpus identity (size+mtime, the
+    // Tables.corpusTag contract): regenerated testdata must rebuild the
+    // scale corpus, not benchmark a stale copy and publish bogus growth.
+    val out = s"${Tables.scratchDir(spark)}/scale10x_v3/" +
+      s"${Tables.corpusTag(spark, srcDir, "documents")}__" +
+      Tables.corpusTag(spark, srcDir, "embeddings")
     val idStep = 10L * 1000 * 1000
     Tables.writePathIfAbsent(spark, s"$out/documents.parquet") {
       val src = spark.read.parquet(s"$srcDir/documents.parquet")

@@ -2256,7 +2256,7 @@ object Oracles {
     // deterministic window, so the whole op hash-checks.
     "q113_stream_ingest_dedup" ->
       """WITH h AS (
-        |  SELECT event_id, ts, user_id, event_type, value,
+        |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value,
         |    md5(concat_ws('|', user_id, event_type,
         |      CAST(floor(value * 1000) AS BIGINT))) AS content_hash
         |  FROM events),

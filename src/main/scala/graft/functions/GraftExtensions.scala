@@ -138,7 +138,7 @@ object GraftExtensions {
   val pngStats: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     new FunctionIdentifier("graft_png_stats"),
     new ExpressionInfo(classOf[PngStats].getName, null, "graft_png_stats",
-      "graft_png_stats(payload) - decode a PNG (inflate + de-filter): struct(width, height, sum_r, sum_g, sum_b), NULL if malformed", ""),
+      "graft_png_stats(payload) - decode an 8-bit truecolor or grayscale PNG (inflate + de-filter): struct(width, height, sum_r, sum_g, sum_b), NULL if malformed", ""),
     (children: Seq[Expression]) => PngStats(children.head))
 
   val pngResize: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (

@@ -361,7 +361,8 @@ case class PngEncode(first: Expression, second: Expression, third: Expression)
 }
 
 /** `graft_png_stats(payload)` → STRUCT(width, height, sum_r, sum_g, sum_b);
-  * NULL when the payload is not a well-formed 8-bit truecolor PNG. */
+  * NULL when the payload is not a well-formed 8-bit truecolor or
+  * grayscale non-interlaced PNG (grayscale decodes as r=g=b). */
 case class PngStats(child: Expression)
   extends UnaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[DataType] = Seq(BinaryType)

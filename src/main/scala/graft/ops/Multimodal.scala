@@ -70,7 +70,7 @@ object Multimodal {
 
   /** REAL compressed-image decode: chunk walk + CRC verify + zlib inflate
     * + filter reconstruction; NULL for payloads that aren't well-formed
-    * 8-bit truecolor non-interlaced PNG. */
+    * 8-bit truecolor or grayscale non-interlaced PNG. */
   def decodePng(payload: Column): Column = call_function("graft_png_stats", payload)
 
   /** REAL compressed-image resize: nearest-neighbor downscale through the
