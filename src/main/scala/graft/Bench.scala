@@ -47,6 +47,15 @@ object Bench {
       // real cluster this knob scales with the data (set it per job);
       // the plans themselves are partition-count-agnostic.
       .config("spark.sql.shuffle.partitions", "8")
+      // AQE off for the BENCH session only: at 8 fixed partitions over
+      // MB-scale inputs its per-exchange re-planning (stage submission in
+      // waves, runtime statistics collection) is pure driver latency and
+      // the chosen physical plans are the same ones the static planner
+      // picks. On a real cluster AQE stays on — coalescing, skew splits
+      // and runtime broadcast thresholds all pay at TB scale; operators
+      // that need full parallelism regardless size their own exchanges
+      // (e.g. Similarity.projNearDupPairs).
+      .config("spark.sql.adaptive.enabled", "false")
       // Constraint propagation spends optimizer time inferring IsNotNull/
       // transitive predicates — O(constraints²) on wide projections, and
       // measured ~60 ms/query here against schemas whose join keys are

@@ -28,6 +28,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.pngEncode)
     ext.injectFunction(GraftExtensions.pngStats)
     ext.injectFunction(GraftExtensions.pngResize)
+    ext.injectFunction(GraftExtensions.projEntries)
   }
 }
 
@@ -146,6 +147,14 @@ object GraftExtensions {
     new ExpressionInfo(classOf[PngResize].getName, null, "graft_png_resize",
       "graft_png_resize(payload, w, h) - nearest-neighbor downscale through the full PNG decode path, re-encoded as a real PNG", ""),
     (children: Seq[Expression]) => PngResize(children.head, children(1), children(2)))
+
+  val projEntries: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier("graft_proj_entries"),
+    new ExpressionInfo(classOf[ProjEntries].getName, null, "graft_proj_entries",
+      "graft_proj_entries(qv, tables, bits, flips) - signed-projection LSH bucket entries " +
+        "array<struct<t,sig>> for a quantized BIGINT vector (exact integer arithmetic)", ""),
+    (children: Seq[Expression]) =>
+      ProjEntries(children.head, children(1), children(2), children(3)))
 
   val bloomMightContain: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     new FunctionIdentifier("graft_might_contain"),

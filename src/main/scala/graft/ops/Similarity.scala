@@ -259,66 +259,40 @@ object Similarity {
                        targetOcc: Int = 4, flips: Int = 2): DataFrame = {
     require(tables >= 1 && targetOcc >= 1 && flips >= 0 && flips <= 3,
       s"need tables>=1, targetOcc>=1, 0<=flips<=3; got $tables/$targetOcc/$flips")
-    val n = emb.count()
-    // p = max(4, ceil(log2(ceil(n / targetOcc)))) via integer bit-length —
-    // no floating log2, whose ULP at exact powers of two could differ
-    // between engines and change p.
-    val m = math.max(1L, (n + targetOcc - 1) / targetOcc)
-    val p = math.max(4, 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, m - 1)))
-    require(flips < p, s"flips=$flips must be < p=$p")
+    // p = max(4, ceil(log2(ceil(n / targetOcc)))) via integer bit-length
+    // (length of the binary rendering — no floating log2, whose ULP at
+    // exact powers of two could differ between engines and change p).
+    // Derived IN-PLAN from a broadcast count, so sizing the signature to
+    // the corpus costs no driver action.
+    val pCol = greatest(lit(4),
+      length(bin(ceil(count(lit(1)).cast("double") / targetOcc).cast("long") - 1)))
+      .cast("int").as("_p")
+    val nn = emb.agg(pCol)
 
-    // The generator's one-row-group layout would run the projection
-    // aggregation on a single core; hash-repartition first when the scan
-    // is narrower than the session's parallelism (cheap: N skinny rows).
-    // At 100 TB the source is thousands of splits and this is a no-op.
+    // The generator's one-row-group layout would run the signature kernel
+    // on a single core; hash-repartition first when the scan is narrower
+    // than the session's parallelism (cheap: N skinny rows). At 100 TB
+    // the source is thousands of splits and this is a no-op. Downstream
+    // exchanges (bucket join, pair dedup) are likewise sized to the
+    // CLUSTER's parallelism, not spark.sql.shuffle.partitions — the
+    // session default is tuned for the engine's many small exchanges.
     val src = emb.select(col(idCol).as("_id"),
       Cluster.quantize(col(vecCol)).as("_qv"))
-    // Compute-bound stages are sized to the CLUSTER's parallelism, not
-    // spark.sql.shuffle.partitions — the session default is tuned for the
-    // engine's many small exchanges, while this operator's aggregation /
-    // bucket join / verify carry O(N·L·p) rows and want every core.
     val para = src.sparkSession.sparkContext.defaultParallelism
     val widened =
       if (src.rdd.getNumPartitions * 4 < para) src.repartition(para, col("_id"))
       else src
 
-    // One aggregation computes all L×p exact projections (map-side
-    // combined; the shuffle carries N rows of L·p longs, not N·d rows).
-    val pe = widened.select(col("_id"),
-      posexplode(col("_qv")).as(Seq("_pos", "_qc")))
-    val sums = for (t <- 0 until tables; j <- 0 until p) yield {
-      val mult = 2654435761L + 40503L * (t * 32 + j)
-      sum(col("_qc") * (((col("_pos") + 1) * mult) % 8191L - 4095L)).as(s"_s_${t}_$j")
-    }
-    val proj = pe.groupBy(col("_id")).agg(sums.head, sums.tail: _*)
-
-    // Unpivot to one row per (vector, table) FIRST, then derive the packed
-    // sign signature and the bit values of the `flips` smallest-
-    // |projection| bits (deterministic tie-break: ascending bit value ≡
-    // ascending j) from the small per-row array — the naive form (24
-    // struct expressions each re-deriving sig and re-sorting margins)
-    // codegens a multi-second monster; this one is O(1) expression size
-    // and the HOFs run over p elements on N·L rows.
-    val tArr = array((0 until tables).map { t =>
-      struct(lit(t).as("t"),
-        array((0 until p).map(j => col(s"_s_${t}_$j")): _*).as("ss"))
-    }: _*)
-    val sigCol = aggregate(
-      transform(col("_ss"), (s, j) =>
-        when(s >= 0, call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))),
-      lit(0L), _ + _)
-    val marginsCol = array_sort(transform(col("_ss"), (s, j) =>
-      struct(abs(s).as("a"), call_function("shiftleft", lit(1L), j).as("bit"))))
-    val entrySigs = (0 until flips).foldLeft(array(col("_sig"))) { (acc, k) =>
-      array_append(acc,
-        col("_sig").bitwiseXOR(col("_margins").getItem(k).getField("bit")))
-    }
-    val entries = proj
-      .select(col("_id"), explode(tArr).as("e"))
-      .select(col("_id"), col("e.t").as("_t"), col("e.ss").as("_ss"))
-      .withColumn("_sig", sigCol)
-      .withColumn("_margins", marginsCol)
-      .select(col("_id"), col("_t"), explode(entrySigs).as("_sig"))
+    // All L×(1+flips) bucket entries per vector from the native
+    // [[graft.functions.ProjEntries]] kernel — one generated-code loop
+    // per row (the dataframe formulation of the same kernel, a 72-column
+    // sum aggregation over a posexploded vector, measured ~0.5 s per pass
+    // at sf0.1 and codegenned a multi-second compile unit).
+    val entries = widened.crossJoin(broadcast(nn))
+      .select(col("_id"),
+        explode(call_function("graft_proj_entries",
+          col("_qv"), lit(tables), col("_p"), lit(flips))).as("e"))
+      .select(col("_id"), col("e.t").as("_t"), col("e.sig").as("_sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // One explicit bucket-keyed exchange feeds BOTH join sides (reused
