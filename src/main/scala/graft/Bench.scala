@@ -188,6 +188,12 @@ object Bench {
       if (sys.env.getOrElse("SPARK_GRAFT_SF1", "1") == "0" ||
           !sfDir.endsWith("sf0.1")) "null"
       else try {
+        // AQE back ON for the scale pass: the main-table toggle trades
+        // its per-exchange re-planning for latency on MB cells, but at
+        // 10x data the runtime machinery (skew-join split above all — the
+        // shingle self-join is skew-prone) is exactly what a production
+        // run would rely on. Runtime conf, so the flip is per-pass.
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
         val sf1Dir = ScaleCorpus.ensure(spark, sfDir, copies = 10)
         val scaleQs = Seq("q18_exact_dedup", "q21_ngram_jaccard",
           "q40_neardup_clusters", "q59_embedding_neardup_ivf",

@@ -1,7 +1,7 @@
 #!/bin/bash
 # Run graft.Bench (or another main, $RUNMAIN) from compiled classes without sbt.
 CP="/root/repo/target/scala-2.13/classes:/opt/spark/jars/*"
-exec java -Xmx96g --add-opens=java.base/java.lang=ALL-UNNAMED \
+exec java -Xmx96g $EXTRA_JVM --add-opens=java.base/java.lang=ALL-UNNAMED \
   --add-opens=java.base/java.lang.invoke=ALL-UNNAMED \
   --add-opens=java.base/java.lang.reflect=ALL-UNNAMED \
   --add-opens=java.base/java.io=ALL-UNNAMED \
