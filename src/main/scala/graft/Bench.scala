@@ -47,15 +47,26 @@ object Bench {
       // real cluster this knob scales with the data (set it per job);
       // the plans themselves are partition-count-agnostic.
       .config("spark.sql.shuffle.partitions", "8")
-      // AQE off for the BENCH session only: at 8 fixed partitions over
-      // MB-scale inputs its per-exchange re-planning (stage submission in
-      // waves, runtime statistics collection) is pure driver latency and
-      // the chosen physical plans are the same ones the static planner
-      // picks. On a real cluster AQE stays on — coalescing, skew splits
-      // and runtime broadcast thresholds all pay at TB scale; operators
-      // that need full parallelism regardless size their own exchanges
-      // (e.g. Similarity.projNearDupPairs).
-      .config("spark.sql.adaptive.enabled", "false")
+      // AQE stays ON — measured both ways on the full 117-query sweep:
+      // ON 52.4 s vs OFF 69.9 s (same host, warm artifacts). The blanket
+      // OFF trial lost badly on multi-distinct/percentile aggregates
+      // (q84 0.96→2.86 s warm, q37 1.04→2.64 s): runtime coalescing and
+      // SMJ→BHJ conversion pay even on MB inputs, and they are exactly
+      // what a production run relies on at TB scale.
+      .config("spark.sql.adaptive.enabled", "true")
+      // THE dominant per-cell floor lever (52.4 s → 31.3 s on the full
+      // sweep): whole-stage-codegen compiled classes are cached by
+      // generated source in a cache of only 100 entries by default, and
+      // 117 queries × several codegen stages each cycle it completely —
+      // so the second measurement pass recompiled every stage (~50-400 ms
+      // per stage of pure Janino time) and min-of-2 never saw a
+      // compile-free run. Raising the cap restores this protocol's
+      // declared intent: the second pass reuses the JVM's codegen cache
+      // exactly as DuckDB's second pass reuses its compiled pipelines.
+      // Production clusters with query fleets want the same bump — the
+      // cache is weak-reference-keyed, so memory cost is bounded by live
+      // plans.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       // Constraint propagation spends optimizer time inferring IsNotNull/
       // transitive predicates — O(constraints²) on wide projections, and
       // measured ~60 ms/query here against schemas whose join keys are
@@ -174,7 +185,7 @@ object Bench {
 
     // The gate-relevant line prints BEFORE the sf1 block runs: a driver
     // timeout during the scale pass must never lose the headline number.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","canary":$canaryJson,"stalled":$stalled,"sf1":"see_summary_line"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","canary":$canaryJson,"stalled":$stalled,"sf1":"see_sf1_line"}""")
     System.out.flush()
 
     // ---- Scale evidence: the dedup/clustering family at 10x documents.
@@ -188,11 +199,10 @@ object Bench {
       if (sys.env.getOrElse("SPARK_GRAFT_SF1", "1") == "0" ||
           !sfDir.endsWith("sf0.1")) "null"
       else try {
-        // AQE back ON for the scale pass: the main-table toggle trades
-        // its per-exchange re-planning for latency on MB cells, but at
-        // 10x data the runtime machinery (skew-join split above all — the
-        // shingle self-join is skew-prone) is exactly what a production
-        // run would rely on. Runtime conf, so the flip is per-pass.
+        // AQE explicitly (re-)pinned ON for the scale pass regardless of
+        // any SPARK_GRAFT_CONF experiment on the main table: at 10x data
+        // the runtime machinery (skew-join split above all — the shingle
+        // self-join is skew-prone) is what a production run relies on.
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         val sf1Dir = ScaleCorpus.ensure(spark, sfDir, copies = 10)
         val scaleQs = Seq("q18_exact_dedup", "q21_ngram_jaccard",
@@ -223,12 +233,14 @@ object Bench {
           System.err.println(s"[bench] sf1 block skipped: $e"); "null"
       }
 
-    // Short trailing summary: the driver archives only the last ~2000
-    // chars of stdout, and the big line's head (the total) is what gets
-    // truncated away — this line keeps the headline + sf1 evidence inside
-    // any tail capture. Key names deliberately differ from the main
-    // line's so no parser mistakes it for the per-query record.
-    println(s"""{"total_sec":$total,"n":${names.size},"stalled":$stalled,"canary":$canaryJson,"sf1":$sf1Json}""")
+    // The driver archives only the last ~2000 chars of stdout. Round 8's
+    // combined summary line proved the sf1 json alone can exceed that and
+    // push the headline out of the capture window — so the sf1 evidence
+    // gets its own line, and the LAST line is a tiny fixed-size summary
+    // that always fits. Key names deliberately differ from the main
+    // line's so no parser mistakes either for the per-query record.
+    println(s"""{"sf1":$sf1Json}""")
+    println(s"""{"total_sec":$total,"n":${names.size},"stalled":$stalled,"canary":$canaryJson}""")
     spark.stop()
   }
 }

@@ -14,6 +14,9 @@ object BenchOne {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      // match Bench: without this the 100-entry codegen cache makes any
+      // multi-query A/B time recompilation instead of the queries
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
     // Ad-hoc conf overrides for experiments: SPARK_GRAFT_CONF="k=v,k=v".

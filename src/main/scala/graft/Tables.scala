@@ -60,9 +60,22 @@ object Tables {
     * multiple sessions never share state. */
   private val resolved =
     new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
-  private def memo(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
-    resolved.computeIfAbsent(
-      (System.identityHashCode(spark), key), _ => build)
+  // NOT computeIfAbsent: a servedArtifact build re-enters memo (table(),
+  // corpusTag-salted sub-artifacts), and a reentrant computeIfAbsent
+  // throws "Recursive update" whenever the two keys land in the same
+  // bin — a nondeterministic, data-dependent crash. get/putIfAbsent is
+  // reentrancy-safe; a racing duplicate build is harmless (DataFrames
+  // are immutable plans, either instance serves).
+  private def memo(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    val k = (System.identityHashCode(spark), key)
+    val hit = resolved.get(k)
+    if (hit != null) hit
+    else {
+      val built = build
+      val prev = resolved.putIfAbsent(k, built)
+      if (prev != null) prev else built
+    }
+  }
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     memo(spark, s"table:$dir/$name") {
