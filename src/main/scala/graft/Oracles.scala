@@ -2250,6 +2250,21 @@ object Oracles {
         |  CAST(sum(b) AS BIGINT) AS sum_b
         |FROM px GROUP BY doc_id, dw, dh""".stripMargin,
 
+    // JPEG decode gate: the format is LOSSY, so unlike q112's exact PNG
+    // sums this is the verified-approximation shape (q83/q84 pattern) —
+    // width/height are recomputed from the asset dimension formula (the
+    // Spark side reads them out of the decoder's SOF parse) and `ok`
+    // (Spark: decoded luminance sum within 2 LSB/px of the closed-form
+    // ramp sum, channels replicated) is asserted TRUE. A broken marker
+    // walk, Huffman table, coefficient run or IDCT turns width/height
+    // NULL or ok FALSE → hash mismatch.
+    "q115_jpeg_decode" ->
+      """SELECT doc_id,
+        |  CAST(4 + doc_id % 9 AS INT) AS width,
+        |  CAST(4 + doc_id % 6 AS INT) AS height,
+        |  TRUE AS ok
+        |FROM documents""".stripMargin,
+
     // Ingest-dedup gate: the content hash quantizes `value` to a long
     // before hashing (double→string renders differently across engines;
     // a quantized long is bit-identical), and the survivor rule is a

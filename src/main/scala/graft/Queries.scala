@@ -2415,6 +2415,39 @@ object Queries {
         col("st.height").as("height"), col("st.sum_r").as("sum_r"),
         col("st.sum_g").as("sum_g"), col("st.sum_b").as("sum_b"))
 
+  /** REAL transform-coded image decode end-to-end: generate a baseline
+    * grayscale JFIF per document ([[graft.ops.Multimodal.jpegAssets]] —
+    * FDCT + Annex-K quantization + Huffman + byte stuffing), then DECODE
+    * it through the full baseline pipeline (marker walk, DQT/DHT parse,
+    * entropy decode, dequantize, IDCT). JPEG is LOSSY, so the decoded
+    * sums have no exact closed form; the verified-approximation pattern
+    * (q83/q84) applies instead: the encoder's source pattern is a
+    * wrap-free affine ramp whose pixel sum IS closed-form, and `ok`
+    * asserts the decoded luminance sum lands within 2 LSB/pixel of it
+    * (measured round-trip error is < 0.3 LSB/px — JpegCodecSpec pins the
+    * pixelwise bound at 2, so the margin is ~7x). width/height come from
+    * the DECODER (SOF parse), the oracle recomputes them from the asset
+    * dimension formula — a decoder that mis-parses a marker, a Huffman
+    * table, or any coefficient run hash-mismatches. Narrow map, no
+    * shuffle. */
+  def q115JpegDecode(s: SparkSession, dir: String): DataFrame = {
+    val c = col("doc_id") % 97
+    val w = (lit(4) + col("doc_id") % 9).cast("long")
+    val h = (lit(4) + col("doc_id") % 6).cast("long")
+    // sum over the ramp: w·h·c + 2·h·Σx + 3·w·Σy  (min(255,·) never binds
+    // at these dims: 96 + 2·11 + 3·8 = 142 < 255)
+    val expected = w * h * c + h * w * (w - 1) + lit(3) * w * h * (h - 1) / 2
+    graft.ops.Multimodal.jpegAssets(t(s, dir, "documents"), "doc_id")
+      .select(col("asset_id").as("doc_id"),
+        graft.ops.Multimodal.decodeJpeg(col("payload")).as("st"))
+      .select(col("doc_id"), col("st.width").as("width"),
+        col("st.height").as("height"),
+        (col("st").isNotNull &&
+          abs(col("st.sum_r") - expected) <= lit(2) * w * h &&
+          col("st.sum_g") === col("st.sum_r") &&
+          col("st.sum_b") === col("st.sum_r")).as("ok"))
+  }
+
   /** Streaming-ingest dedup, batch form ([[graft.streaming.EventStream
     * .ingestDedup]]): content-hash the event payload and keep one
     * deterministic survivor per hash — the op an ingest pipeline runs

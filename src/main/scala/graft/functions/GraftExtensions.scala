@@ -28,6 +28,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.pngEncode)
     ext.injectFunction(GraftExtensions.pngStats)
     ext.injectFunction(GraftExtensions.pngResize)
+    ext.injectFunction(GraftExtensions.jpegEncode)
+    ext.injectFunction(GraftExtensions.jpegStats)
     ext.injectFunction(GraftExtensions.projEntries)
   }
 }
@@ -147,6 +149,18 @@ object GraftExtensions {
     new ExpressionInfo(classOf[PngResize].getName, null, "graft_png_resize",
       "graft_png_resize(payload, w, h) - nearest-neighbor downscale through the full PNG decode path, re-encoded as a real PNG", ""),
     (children: Seq[Expression]) => PngResize(children.head, children(1), children(2)))
+
+  val jpegEncode: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier("graft_jpeg_encode"),
+    new ExpressionInfo(classOf[JpegEncode].getName, null, "graft_jpeg_encode",
+      "graft_jpeg_encode(seed, width, height) - deterministic baseline grayscale JFIF payload (FDCT + quantize + Huffman)", ""),
+    (children: Seq[Expression]) => JpegEncode(children.head, children(1), children(2)))
+
+  val jpegStats: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier("graft_jpeg_stats"),
+    new ExpressionInfo(classOf[JpegStats].getName, null, "graft_jpeg_stats",
+      "graft_jpeg_stats(payload) - decode a baseline sequential JPEG (Huffman + dequant + IDCT; grayscale or YCbCr up to 2x2 sampling): struct(width, height, sum_r, sum_g, sum_b), NULL if malformed or progressive", ""),
+    (children: Seq[Expression]) => JpegStats(children.head))
 
   val projEntries: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     new FunctionIdentifier("graft_proj_entries"),

@@ -17,13 +17,19 @@ import org.apache.spark.sql.functions._
   * inflate + all five scanline-filter reconstructions) — all native
   * codegen Expressions, oracle-checked end-to-end by q97/q98/q112.
   *
-  * STUB BOUNDARY: transform-coded codecs (JPEG/MP3/H.264) need external
-  * libraries this container doesn't ship, so [[decodeStub]] and
-  * [[featureStub]] remain clearly-marked DETERMINISTIC FAKES for those
-  * media types. Everything around them — the asset schema, binary payload
-  * handling, batch shape, frame sampling, partition parallelism — is real
-  * and tested; a real compressed-format codec drops in exactly the way
-  * MediaCodec did for BMP/WAV.
+  * [[jpegAssets]]/[[decodeJpeg]] run the TRANSFORM-coded baseline-JPEG
+  * codec in [[graft.functions.JpegCodec]] (Huffman entropy decode,
+  * dequantize, IDCT, chroma upsample, YCbCr→RGB — grayscale and 4:2:0/
+  * 4:2:2/4:4:4 color), cross-verified both directions against the JDK's
+  * independent ImageIO coder and oracle-checked by q115.
+  *
+  * STUB BOUNDARY: temporal codecs (MP3/H.264) genuinely need external
+  * libraries (psychoacoustic filter banks, motion compensation), so
+  * [[decodeStub]] and [[featureStub]] remain clearly-marked
+  * DETERMINISTIC FAKES for audio-compressed/video media. Everything
+  * around them — the asset schema, binary payload handling, batch shape,
+  * frame sampling, partition parallelism — is real and tested; a real
+  * codec drops in exactly the way JpegCodec did for JPEG.
   */
 object Multimodal {
 
@@ -64,9 +70,29 @@ object Multimodal {
         (lit(4) + pmod(col(idCol), lit(7))).cast("int"),
         (lit(4) + pmod(col(idCol), lit(5))).cast("int")).as("payload"))
 
+  /** Transform-coded-image-asset table with REAL payloads: one baseline
+    * grayscale JFIF per document ([[graft.functions.JpegCodec]] — FDCT,
+    * Annex-K quantization + Huffman tables, byte-stuffed scan). The
+    * source pattern is a wrap-free affine ramp whose pixel sum is
+    * closed-form, which is what lets the LOSSY decode be oracle-checked
+    * as a bounded-error boolean (q115). */
+  def jpegAssets(docs: DataFrame, idCol: String): DataFrame =
+    docs.select(
+      col(idCol).as("asset_id"),
+      lit("image/jpeg").as("media_type"),
+      call_function("graft_jpeg_encode",
+        col(idCol).cast("long"),
+        (lit(4) + pmod(col(idCol), lit(9))).cast("int"),
+        (lit(4) + pmod(col(idCol), lit(6))).cast("int")).as("payload"))
+
   /** REAL image decode: parse the BMP header + pixel rows; NULL for
     * payloads that aren't well-formed 24-bit uncompressed BMP. */
   def decodeBmp(payload: Column): Column = call_function("graft_bmp_stats", payload)
+
+  /** REAL transform-coded image decode: baseline JPEG entropy decode +
+    * dequantize + IDCT (+ chroma upsample and YCbCr→RGB for color); NULL
+    * for payloads that aren't well-formed baseline sequential JPEG. */
+  def decodeJpeg(payload: Column): Column = call_function("graft_jpeg_stats", payload)
 
   /** REAL compressed-image decode: chunk walk + CRC verify + zlib inflate
     * + filter reconstruction; NULL for payloads that aren't well-formed

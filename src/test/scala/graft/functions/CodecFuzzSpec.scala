@@ -32,7 +32,8 @@ class CodecFuzzSpec extends SparkSpec {
     ("bmpStats", MediaCodec.bmpStats _),
     ("bmpResize", (b: Array[Byte]) => MediaCodec.bmpResize(b, 2, 2)),
     ("wavStats", MediaCodec.wavStats _),
-    ("wavDownsample", (b: Array[Byte]) => MediaCodec.wavDownsample(b, 2)))
+    ("wavDownsample", (b: Array[Byte]) => MediaCodec.wavDownsample(b, 2)),
+    ("jpegStats", JpegCodec.jpegStats _))
 
   test("fuzz: decoders are total on arbitrary byte blobs") {
     totalOn(Gen.choose(0, 512).flatMap(n =>
@@ -46,8 +47,9 @@ class CodecFuzzSpec extends SparkSpec {
     val basePng = PngCodec.pngEncode(3L, 6, 7)
     val baseBmp = MediaCodec.bmpEncode(3L, 6, 7)
     val baseWav = MediaCodec.wavEncode(3L, 100, 8000)
+    val baseJpg = JpegCodec.jpegEncode(3L, 6, 7)
     val gen = for {
-      base <- Gen.oneOf(basePng, baseBmp, baseWav)
+      base <- Gen.oneOf(basePng, baseBmp, baseWav, baseJpg)
       idx <- Gen.choose(0, base.length - 1)
       b <- Gen.choose(Byte.MinValue, Byte.MaxValue)
     } yield { val m = base.clone(); m(idx) = b; m }
@@ -58,8 +60,9 @@ class CodecFuzzSpec extends SparkSpec {
     val basePng = PngCodec.pngEncode(9L, 5, 6)
     val baseBmp = MediaCodec.bmpEncode(9L, 5, 6)
     val baseWav = MediaCodec.wavEncode(9L, 64, 8000)
+    val baseJpg = JpegCodec.jpegEncode(9L, 5, 6)
     val gen = for {
-      base <- Gen.oneOf(basePng, baseBmp, baseWav)
+      base <- Gen.oneOf(basePng, baseBmp, baseWav, baseJpg)
       cut <- Gen.choose(0, base.length)
       pad <- Gen.choose(0, 16)
     } yield base.take(cut) ++ Array.fill[Byte](pad)(0x41)
