@@ -272,10 +272,13 @@ object Similarity {
     // The generator's one-row-group layout would run the signature kernel
     // on a single core; hash-repartition first when the scan is narrower
     // than the session's parallelism (cheap: N skinny rows). At 100 TB
-    // the source is thousands of splits and this is a no-op. Downstream
-    // exchanges (bucket join, pair dedup) are likewise sized to the
-    // CLUSTER's parallelism, not spark.sql.shuffle.partitions — the
-    // session default is tuned for the engine's many small exchanges.
+    // the source is thousands of splits and this is a no-op. This is the
+    // only exchange PINNED to cluster parallelism — it sizes a COMPUTE
+    // kernel. The downstream exchanges (bucket join, pair dedup) move
+    // DATA, so they are advisory (no explicit count): they take the
+    // session's spark.sql.shuffle.partitions — the knob a production job
+    // sizes to its data — and stay coalescible by AQE, where a pinned
+    // count would freeze this corpus size's tuning into the operator.
     val src = emb.select(col(idCol).as("_id"),
       Cluster.quantize(col(vecCol)).as("_qv"))
     val para = src.sparkSession.sparkContext.defaultParallelism
@@ -293,18 +296,19 @@ object Similarity {
         explode(call_function("graft_proj_entries",
           col("_qv"), lit(tables), col("_p"), lit(flips))).as("e"))
       .select(col("_id"), col("e.t").as("_t"), col("e.sig").as("_sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // One explicit bucket-keyed exchange feeds BOTH join sides (reused
-    // exchange), at full parallelism; the pre-distinct repartition keys
-    // the pair dedup the same way so no further exchange is planned.
-    val byBucket = entries.repartition(para, col("_t"), col("_sig"))
+    // One bucket-keyed exchange feeds BOTH join sides: the two inputs
+    // canonicalize to the same exchange subtree, so ReuseExchange
+    // materializes it once — the signature kernel runs one pass with no
+    // persist barrier. The pre-distinct repartition keys the pair dedup
+    // the same way so no further exchange is planned.
+    val byBucket = entries.repartition(col("_t"), col("_sig"))
     val candidates = byBucket.select(col("_id").as("id_a"), col("_t"), col("_sig"))
       .join(byBucket.select(col("_id").as("id_b"), col("_t"), col("_sig")),
         Seq("_t", "_sig"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
-      .repartition(para, col("id_a"), col("id_b"))
+      .repartition(col("id_a"), col("id_b"))
       .distinct()
 
     val va = emb.select(col(idCol).as("id_a"), col(vecCol).as("_va"),
