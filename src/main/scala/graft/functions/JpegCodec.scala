@@ -173,7 +173,15 @@ object JpegCodec {
 
   /** Deterministic grayscale baseline JFIF file for (seed, width, height);
     * null on non-positive or over-[[MaxDim]] dims. */
-  def jpegEncode(seed: Long, width: Int, height: Int): Array[Byte] = {
+  def jpegEncode(seed: Long, width: Int, height: Int): Array[Byte] =
+    jpegEncode(seed, width, height, restartInterval = 0)
+
+  /** Variant with DRI/RSTn restart markers every `restartInterval` MCUs —
+    * exists so the decoder's restart path (byte realign, RST sequence
+    * check, DC-predictor reset) is exercised by files an independent
+    * decoder also accepts; the JDK writer never emits DRI. */
+  private[graft] def jpegEncode(seed: Long, width: Int, height: Int,
+                                restartInterval: Int): Array[Byte] = {
     if (width <= 0 || height <= 0 || width > MaxDim || height > MaxDim) return null
     val out = new java.io.ByteArrayOutputStream(1024)
     out.write(0xff); out.write(0xd8) // SOI
@@ -202,6 +210,9 @@ object JpegCodec {
     }
     marker(out, 0xc4, dht(0x00, DcLumaBits, DcLumaVals))
     marker(out, 0xc4, dht(0x10, AcLumaBits, AcLumaVals))
+    if (restartInterval > 0)
+      marker(out, 0xdd, Array[Byte](
+        ((restartInterval >>> 8) & 0xff).toByte, (restartInterval & 0xff).toByte))
     // SOS: 1 component, comp id 1, DC table 0 / AC table 0, Ss=0 Se=63 Ah/Al=0
     marker(out, 0xda, Array[Byte](1, 1, 0x00, 0, 63, 0))
 
@@ -213,10 +224,19 @@ object JpegCodec {
     val bx = (width + 7) / 8
     val by = (height + 7) / 8
     var pred = 0
+    var rstIdx = 0
+    var mcuIdx = 0
     var myi = 0
     while (myi < by) {
       var mxi = 0
       while (mxi < bx) {
+        if (restartInterval > 0 && mcuIdx > 0 && mcuIdx % restartInterval == 0) {
+          bw.flush() // byte-align (1-bit padding) before the marker
+          out.write(0xff); out.write(0xd0 + rstIdx)
+          rstIdx = (rstIdx + 1) & 7
+          pred = 0 // DC predictor resets at every restart
+        }
+        mcuIdx += 1
         // level-shifted 8x8 block, edge-replicated past the image bounds
         var y = 0
         while (y < 8) {

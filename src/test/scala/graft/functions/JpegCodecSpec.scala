@@ -106,6 +106,35 @@ class JpegCodecSpec extends SparkSpec {
     }
   }
 
+  test("restart markers: DRI/RSTn files decode through the reset path, and ImageIO agrees") {
+    // 16x12 at interval 1 → an RST between every pair of the 4 MCUs; the
+    // decoder must realign to the byte boundary, check the RST sequence
+    // number, and reset the DC predictor — and the JDK's reader validates
+    // our EMISSION of the same protocol independently.
+    for ((w, h, ri) <- Seq((16, 12, 1), (24, 16, 2), (16, 16, 5))) {
+      val b = JpegCodec.jpegEncode(77L, w, h, restartInterval = ri)
+      b should not be null
+      val dec = JpegCodec.decodeRgb(b)
+      dec should not be null
+      dec.width shouldBe w
+      dec.height shouldBe h
+      for (y <- 0 until h; x <- 0 until w)
+        math.abs((dec.raw((y * w + x) * 3) & 0xff) - srcPx(77L, x, y)) should be <= 2
+      val ref = imageIoRead(b)
+      ref should not be null
+      for (y <- 0 until h; x <- 0 until w)
+        math.abs((dec.raw((y * w + x) * 3) & 0xff) -
+          ref.getRaster.getSample(x, y, 0)) should be <= 1
+    }
+    // A WRONG restart sequence number must be rejected, not glossed over:
+    // corrupt the first RST marker's index (0xD0 → 0xD5).
+    val b = JpegCodec.jpegEncode(77L, 16, 12, restartInterval = 1)
+    val at = (0 until b.length - 1).find(i =>
+      (b(i) & 0xff) == 0xff && (b(i + 1) & 0xff) == 0xd0).get
+    val m = b.clone(); m(at + 1) = 0xd5.toByte
+    JpegCodec.jpegStats(m) shouldBe null
+  }
+
   test("jpegStats returns dims + channel sums; sums match the pixel sum within tolerance") {
     val seed = 31L; val w = 9; val h = 7
     val st = JpegCodec.jpegStats(JpegCodec.jpegEncode(seed, w, h))
