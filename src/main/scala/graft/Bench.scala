@@ -204,6 +204,14 @@ object Bench {
         // the runtime machinery (skew-join split above all — the shingle
         // self-join is skew-prone) is what a production run relies on.
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+        // Shuffle partitions sized to the DATA for the scale pass — the
+        // operators deliberately leave their data exchanges advisory so
+        // the session knob (not a pinned count) sets their width, which
+        // is exactly how a production job scales; 8 initial partitions
+        // are the small-cell tuning and would cap the 10x corpus at a
+        // quarter of the cores (AQE coalesces, it never widens).
+        spark.conf.set("spark.sql.shuffle.partitions",
+          spark.sparkContext.defaultParallelism.toString)
         val sf1Dir = ScaleCorpus.ensure(spark, sfDir, copies = 10)
         val scaleQs = Seq("q18_exact_dedup", "q21_ngram_jaccard",
           "q40_neardup_clusters", "q59_embedding_neardup_ivf",
