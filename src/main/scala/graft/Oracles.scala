@@ -2250,6 +2250,97 @@ object Oracles {
         |  CAST(sum(b) AS BIGINT) AS sum_b
         |FROM px GROUP BY doc_id, dw, dh""".stripMargin,
 
+    // PQ gate: the q103 unrolled-Lloyd oracle generalized per-subspace —
+    // the same fixed-point recurrence replayed in SQL with a `g` column
+    // carried through every CTE (2 training rounds × 4 subspaces), then
+    // encoding, the ADC lookup-sum over the code table, the oversampled
+    // shortlist cut and the exact integer re-rank. Distances and ranks
+    // hash-match because every step is integer/floor arithmetic.
+    "q116_pq_topk" ->
+      """WITH pts AS (
+        |  SELECT vec_id AS id,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |subs AS (
+        |  SELECT id, g, qv[(g*s+1):(g*s+s)] AS sub
+        |  FROM (SELECT id, qv, len(qv)//4 AS s FROM pts WHERE len(qv) % 4 = 0),
+        |       (SELECT unnest(generate_series(0, 3)) AS g)),
+        |seeds AS (SELECT id FROM pts ORDER BY id LIMIT 8),
+        |b0 AS (
+        |  SELECT g, s.id AS code_id, sub AS cw
+        |  FROM subs s JOIN seeds USING (id)),
+        |a1 AS (
+        |  SELECT id, g, code_id FROM (
+        |    SELECT s.id, s.g, b.code_id,
+        |      row_number() OVER (PARTITION BY s.id, s.g ORDER BY
+        |        list_sum(list_transform(list_zip(s.sub, b.cw),
+        |          z -> (z[1]-z[2])*(z[1]-z[2]))), b.code_id) AS rn
+        |    FROM subs s JOIN b0 b ON s.g = b.g)
+        |  WHERE rn = 1),
+        |u1 AS (
+        |  SELECT g, code_id, pos,
+        |    CAST(floor(CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS cv1
+        |  FROM (
+        |    SELECT a.g, a.code_id, generate_subscripts(s.sub, 1) AS pos, unnest(s.sub) AS v
+        |    FROM a1 a JOIN subs s ON a.id = s.id AND a.g = s.g)
+        |  GROUP BY g, code_id, pos),
+        |b1 AS (SELECT g, code_id, list(cv1 ORDER BY pos) AS cw FROM u1 GROUP BY g, code_id),
+        |a2 AS (
+        |  SELECT id, g, code_id FROM (
+        |    SELECT s.id, s.g, b.code_id,
+        |      row_number() OVER (PARTITION BY s.id, s.g ORDER BY
+        |        list_sum(list_transform(list_zip(s.sub, b.cw),
+        |          z -> (z[1]-z[2])*(z[1]-z[2]))), b.code_id) AS rn
+        |    FROM subs s JOIN b1 b ON s.g = b.g)
+        |  WHERE rn = 1),
+        |u2 AS (
+        |  SELECT g, code_id, pos,
+        |    CAST(floor(CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS cv1
+        |  FROM (
+        |    SELECT a.g, a.code_id, generate_subscripts(s.sub, 1) AS pos, unnest(s.sub) AS v
+        |    FROM a2 a JOIN subs s ON a.id = s.id AND a.g = s.g)
+        |  GROUP BY g, code_id, pos),
+        |b2 AS (SELECT g, code_id, list(cv1 ORDER BY pos) AS cw FROM u2 GROUP BY g, code_id),
+        |codes AS (
+        |  SELECT id, g, code_id FROM (
+        |    SELECT s.id, s.g, b.code_id,
+        |      row_number() OVER (PARTITION BY s.id, s.g ORDER BY
+        |        list_sum(list_transform(list_zip(s.sub, b.cw),
+        |          z -> (z[1]-z[2])*(z[1]-z[2]))), b.code_id) AS rn
+        |    FROM subs s JOIN b2 b ON s.g = b.g)
+        |  WHERE rn = 1),
+        |dtab AS (
+        |  SELECT s.id AS query_id, s.g, b.code_id,
+        |    list_sum(list_transform(list_zip(s.sub, b.cw),
+        |      z -> (z[1]-z[2])*(z[1]-z[2]))) AS d
+        |  FROM subs s JOIN b2 b ON s.g = b.g
+        |  WHERE s.id % 50 = 0),
+        |adc AS (
+        |  SELECT t.query_id, c.id AS cand_id, CAST(sum(t.d) AS BIGINT) AS adc
+        |  FROM codes c JOIN dtab t ON c.g = t.g AND c.code_id = t.code_id
+        |  WHERE c.id != t.query_id
+        |  GROUP BY t.query_id, c.id),
+        |shortlist AS (
+        |  SELECT query_id, cand_id FROM (
+        |    SELECT query_id, cand_id,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY adc, cand_id) AS rn
+        |    FROM adc)
+        |  WHERE rn <= 20),
+        |scored AS (
+        |  SELECT query_id, cand_id,
+        |    list_sum(list_transform(list_zip(a.qv, b.qv),
+        |      z -> (z[1]-z[2])*(z[1]-z[2]))) AS dist
+        |  FROM shortlist
+        |  JOIN pts a ON query_id = a.id
+        |  JOIN pts b ON cand_id = b.id)
+        |SELECT query_id, cand_id, CAST(dist AS BIGINT) AS dist, rank FROM (
+        |  SELECT query_id, cand_id, dist,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY dist, cand_id) AS INT) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5""".stripMargin,
+
     // JPEG decode gate: the format is LOSSY, so unlike q112's exact PNG
     // sums this is the verified-approximation shape (q83/q84 pattern) —
     // width/height are recomputed from the asset dimension formula (the

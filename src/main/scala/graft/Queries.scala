@@ -2430,6 +2430,50 @@ object Queries {
     * dimension formula — a decoder that mis-parses a marker, a Huffman
     * table, or any coefficient run hash-mismatches. Narrow map, no
     * shuffle. */
+  /** Build-once PQ codebooks (g, code_id, cw): m=4 subspaces over the
+    * 64-dim corpus, k=8 codewords each, 2 Lloyd rounds over
+    * [[quantizedPoints]] — the per-subspace generalization of
+    * [[trainedCentroids]], same train-once/serve-many contract and the
+    * same artifact salting (parameters + quantization scale + schema
+    * version in the path). */
+  private def pqBooks(s: SparkSession, dir: String): DataFrame = {
+    val sfTag = Tables.corpusTag(s, dir, "embeddings")
+    val path = s"${Tables.scratchDir(s)}/pq_books_m4_k8_i2_e6_v1/$sfTag"
+    Tables.servedArtifact(s, path) {
+      graft.ops.Pq.trainCodebooks(quantizedPoints(s, dir), m = 4, k = 8, iterations = 2)
+        .write.mode("overwrite").parquet(path)
+    }
+  }
+
+  /** Build-once PQ code table (id, g, code_id) — the compressed serving
+    * copy of the corpus (M=4 codebook indices per vector instead of 64
+    * floats); ADC queries scan THIS, not embeddings. */
+  private def pqCodes(s: SparkSession, dir: String): DataFrame = {
+    val sfTag = Tables.corpusTag(s, dir, "embeddings")
+    val path = s"${Tables.scratchDir(s)}/pq_codes_m4_k8_i2_e6_v1/$sfTag"
+    Tables.servedArtifact(s, path) {
+      graft.ops.Pq.encode(quantizedPoints(s, dir), pqBooks(s, dir), m = 4)
+        .write.mode("overwrite").parquet(path)
+    }
+  }
+
+  /** Product-quantization ANN top-k ([[graft.ops.Pq]]): ADC scoring over
+    * the compressed code table (4 codebook indices per vector — the pass
+    * that never touches raw vectors), oversampled shortlist, exact
+    * quantized-L2 re-rank. Every stage is fixed-point integer arithmetic,
+    * so the DuckDB oracle replays ALL of it — both Lloyd rounds per
+    * subspace, encoding, the ADC lookup-sum, the shortlist cut and the
+    * re-rank — and distances AND ranks hash-match. Completes the ANN
+    * family's production axis: q103 trains the coarse quantizer
+    * (inverted lists), this trains the fine one (compressed residual
+    * scan); a full IVF-PQ deployment composes the two. */
+  def q116PqTopk(s: SparkSession, dir: String): DataFrame = {
+    val pts = quantizedPoints(s, dir)
+    graft.ops.Pq.topKQ(pts, pqBooks(s, dir), pqCodes(s, dir), m = 4,
+      queries = pts.filter(col("id") % 50 === 0).select(col("id")),
+      k = 5, oversample = 4)
+  }
+
   def q115JpegDecode(s: SparkSession, dir: String): DataFrame = {
     val c = col("doc_id") % 97
     val w = (lit(4) + col("doc_id") % 9).cast("long")

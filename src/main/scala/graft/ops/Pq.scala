@@ -1,0 +1,161 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) — the ANN index shape that actually ships at
+  * 100 TB: vectors are compressed to M small codes (one per contiguous
+  * subspace) against per-subspace codebooks, queries score candidates by
+  * ASYMMETRIC DISTANCE (ADC) — exact query-subvector → codeword distances
+  * summed across subspaces via table lookup — and only an oversampled
+  * top-R shortlist pays the exact re-rank. A 64-dim embedding (256 bytes
+  * of floats) becomes M=4 codebook indices: ~64× less candidate-side IO,
+  * which at corpus scale is the difference between scanning embeddings
+  * and scanning codes.
+  *
+  * Everything is the same fixed-point discipline as [[Cluster]] (whose
+  * Lloyd trainer [[trainCodebooks]] generalizes per-subspace): 1e-6
+  * quantized BIGINT components, exact integer squared distances
+  * ([[graft.functions.LongSqDist]]), floor-average centroid updates,
+  * smallest-id seeding — no RNG, no floats outside IEEE-exact division,
+  * so codebooks, codes, ADC scores and final ranks are bit-identical on
+  * any engine running the same recurrence (the q116 DuckDB oracle
+  * replays all of it in SQL, including both Lloyd rounds per subspace).
+  *
+  * Spark shapes: training is M interleaved Lloyd loops in ONE lazy plan
+  * over the (id, g, sub) subvector frame (assignment joins a broadcast
+  * codebook table; the argmin is a partially-aggregable
+  * `min(struct(dist, code))`); encoding is the same broadcast assign;
+  * ADC scoring broadcasts the tiny Q·M·K distance-table frame against
+  * the codes table — a map-side lookup join, then ONE shuffle summing
+  * the M subspace contributions per (query, candidate). Nothing is ever
+  * all-pairs on raw vectors; the exact re-rank touches `oversample`·k
+  * candidates per query.
+  *
+  * All entry points take the quantized (id, qv) frame — the stored
+  * corpus artifact every [[Cluster]] consumer reads — so the float scan
+  * and quantization are paid once per snapshot, not per index build.
+  */
+object Pq {
+
+  /** (id, g, sub) — the quantized vector split into `m` contiguous
+    * subspaces of d/m components. Rows whose length is not divisible by
+    * `m` are dropped (never mis-sliced). */
+  def subvectors(pts: DataFrame, m: Int): DataFrame = {
+    require(m >= 1, s"need m>=1; got $m")
+    // Column./ is DOUBLE division — an integer floor here is what makes
+    // the ragged-row guard below actually fire (size 5, m 2: sub must be
+    // 2 and 2*2 != 5, not 2.5 with 2.5*2 == 5).
+    val sub = floor(size(col("qv")) / m).cast("int")
+    pts.select(col("id"), col("qv"), sub.as("_sub"))
+      .where(size(col("qv")) === col("_sub") * m)
+      .select(col("id"), explode(sequence(lit(0), lit(m - 1))).as("g"),
+        col("qv"), col("_sub"))
+      .select(col("id"), col("g"),
+        slice(col("qv"), col("g") * col("_sub") + 1, col("_sub")).as("sub"))
+  }
+
+  /** Per-subspace argmin assignment: (id, g, code_id, dist). `books` is
+    * (g, code_id, cw), broadcast — M·K codewords is bytes, never data. */
+  private def assignCodes(subs: DataFrame, books: DataFrame): DataFrame =
+    subs.join(broadcast(books), Seq("g"))
+      .select(col("id"), col("g"),
+        struct(Cluster.sqDistQ(col("sub"), col("cw")).as("d"),
+          col("code_id").as("c")).as("dc"))
+      .groupBy(col("id"), col("g"))
+      .agg(min(col("dc")).as("m"))
+      .select(col("id"), col("g"), col("m.c").as("code_id"), col("m.d").as("dist"))
+
+  /** M interleaved Lloyd loops in one lazy plan: per subspace `g`, k
+    * codewords seeded from the k smallest ids' subvectors and refined
+    * `iterations` floor-average rounds — [[Cluster.train]] generalized by
+    * carrying `g` through every join/group key (the id set is identical
+    * across subspaces, so one tiny seed-id broadcast serves all M).
+    * Returns (g, code_id, cw). */
+  def trainCodebooks(pts: DataFrame, m: Int, k: Int, iterations: Int): DataFrame = {
+    require(k >= 1, s"need k>=1; got $k")
+    require(iterations >= 1 && iterations <= 6,
+      s"iterations must be in [1,6] (plans unroll per iteration); got $iterations")
+    val subs = subvectors(pts, m)
+    val seedIds = pts.select(col("id")).orderBy(col("id")).limit(k)
+    var books = subs.join(broadcast(seedIds), Seq("id"))
+      .select(col("g"), col("id").as("code_id"), col("sub").as("cw"))
+    for (_ <- 1 to iterations) {
+      val a = assignCodes(subs, books).join(subs, Seq("id", "g"))
+      books = a
+        .select(col("g"), col("code_id"), posexplode(col("sub")).as(Seq("pos", "v")))
+        .groupBy(col("g"), col("code_id"), col("pos"))
+        // floor(s/n) in DOUBLE — exact for |s| ≪ 2^53, and floor (not
+        // BIGINT div) so negative sums round the same on every engine
+        // (Cluster.train's rationale).
+        .agg(floor(sum(col("v")).cast("double") / count(lit(1)).cast("double"))
+          .cast("long").as("cv1"))
+        .groupBy(col("g"), col("code_id"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv1")))),
+          s => s.getField("cv1")).as("cw"))
+    }
+    books
+  }
+
+  /** PQ-encode the corpus: (id, g, code_id) — M rows per vector, each a
+    * codebook index. The long form IS the serving layout: ADC is a join
+    * on (g, code_id), so a packed array would only have to explode
+    * again. */
+  def encode(pts: DataFrame, books: DataFrame, m: Int): DataFrame =
+    assignCodes(subvectors(pts, m), books)
+      .select(col("id"), col("g"), col("code_id"))
+
+  /** ADC top-k with exact re-rank, all in exact quantized L2.
+    *
+    * 1. Distance tables: per query subvector × codeword, the exact
+    *    integer squared distance — Q·M·K rows, broadcast.
+    * 2. ADC: codes ⋈ tables on (g, code_id) (map-side lookup against the
+    *    broadcast), then one aggregation summing the M subspace
+    *    contributions per (query, candidate). This pass reads CODES, not
+    *    vectors — the 100 TB win.
+    * 3. Shortlist: top `oversample`·k by (adc, cand_id) per query — ADC
+    *    is approximate (the codeword stands in for the candidate), so
+    *    the shortlist oversamples before the exact pass.
+    * 4. Exact re-rank of the shortlist only: [[Cluster.sqDistQ]] on the
+    *    stored quantized vectors, rank = row_number over (dist, cand_id).
+    *
+    * `queries` is a 1-column (id) frame (tiny, broadcast); output is
+    * (query_id, cand_id, dist, rank) — every column integer, fully
+    * hash-checkable. */
+  def topKQ(pts: DataFrame, books: DataFrame, codes: DataFrame, m: Int,
+            queries: DataFrame, k: Int, oversample: Int = 4): DataFrame = {
+    require(k >= 1 && oversample >= 1, s"need k>=1, oversample>=1; got $k/$oversample")
+    val qsubs = subvectors(pts.join(broadcast(queries), Seq("id")), m)
+      .select(col("id").as("query_id"), col("g"), col("sub"))
+    val dtab = qsubs.join(broadcast(books), Seq("g"))
+      .select(col("query_id"), col("g"), col("code_id"),
+        Cluster.sqDistQ(col("sub"), col("cw")).as("d"))
+
+    val adc = codes.select(col("id").as("cand_id"), col("g"), col("code_id"))
+      .join(broadcast(dtab), Seq("g", "code_id"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("cand_id"))
+      .agg(sum(col("d")).as("adc"))
+
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("cand_id"))
+    val shortlist = adc
+      .withColumn("_r", row_number().over(wAdc))
+      .filter(col("_r") <= k * oversample)
+      .select(col("query_id"), col("cand_id"))
+
+    val qv = pts.select(col("id").as("query_id"), col("qv").as("_q"))
+    val cv = pts.select(col("id").as("cand_id"), col("qv").as("_c"))
+    val wExact = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist").asc, col("cand_id"))
+    shortlist
+      .join(qv, Seq("query_id"))
+      .join(cv, Seq("cand_id"))
+      .withColumn("dist", Cluster.sqDistQ(col("_q"), col("_c")))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("dist"),
+        col("rank").cast("int").as("rank"))
+  }
+}

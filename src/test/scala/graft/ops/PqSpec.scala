@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class PqSpec extends SparkSpec {
+
+  private def pts(vs: (Long, Seq[Long])*) =
+    df("id BIGINT, qv ARRAY<BIGINT>", vs.map(v => Row(v._1, v._2)))
+
+  // 8-dim quantized vectors, two obvious mirror groups per half: EVEN
+  // ids near (10.., 90..), ODD ids near (90.., 10..). Interleaving the
+  // groups puts the two smallest-id seeds (0 and 1) one in each blob —
+  // smallest-id seeding cannot separate blobs it never seeds.
+  private val sample: Seq[(Long, Seq[Long])] = Seq(
+    0L -> Seq(10L, 11, 9, 10, 90L, 91, 89, 90),
+    2L -> Seq(11L, 10, 10, 9, 89L, 90, 91, 90),
+    4L -> Seq(9L, 10, 11, 10, 91L, 90, 90, 89),
+    6L -> Seq(10L, 9, 10, 11, 90L, 89, 90, 91),
+    1L -> Seq(90L, 91, 89, 90, 10L, 11, 9, 10),
+    3L -> Seq(89L, 90, 91, 90, 11L, 10, 10, 9),
+    5L -> Seq(91L, 90, 90, 89, 9L, 10, 11, 10),
+    7L -> Seq(90L, 89, 90, 91, 10L, 9, 10, 11))
+
+  test("subvectors slices contiguous subspaces and drops ragged rows") {
+    val in = pts(1L -> Seq(1L, 2, 3, 4, 5, 6), 2L -> Seq(1L, 2, 3, 4, 5)) // 5 % 2 != 0
+    val out = Pq.subvectors(in, m = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Long](2))).toSet
+    out shouldBe Set((1L, 0, Seq(1L, 2, 3)), (1L, 1, Seq(4L, 5, 6)))
+  }
+
+  test("trainCodebooks: k codewords per subspace, each the floor-mean of its members") {
+    val books = Pq.trainCodebooks(pts(sample: _*), m = 2, k = 2, iterations = 2)
+      .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getSeq[Long](2))).toMap
+    books.keySet.map(_._1) shouldBe Set(0, 1)
+    books.size shouldBe 4 // 2 subspaces x 2 codewords
+    // Seeds are ids 0 and 1 — one per mirror blob — so two Lloyd rounds
+    // converge each codeword onto its blob's floor-mean: every trained
+    // component must sit inside one blob's value range, never on a mixed
+    // mean between them.
+    for (((_, _), cw) <- books) {
+      cw should have size 4
+      val lvl = cw.head
+      all(cw.map(math.abs(_))) should be <= math.abs(lvl) + 3
+      assert(cw.forall(v => (v >= 8 && v <= 12) || (v >= 88 && v <= 92)),
+        s"codeword $cw is not centered on either blob")
+    }
+  }
+
+  test("encode: every full-length vector gets exactly m codes from the trained books") {
+    val p = pts(sample: _*)
+    val books = Pq.trainCodebooks(p, m = 2, k = 2, iterations = 2)
+    val codes = Pq.encode(p, books, m = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    codes.groupBy(_._1).values.foreach(_.map(_._2).toSet shouldBe Set(0, 1))
+    codes.length shouldBe sample.size * 2
+    val bookIds = books.select(col("code_id")).collect().map(_.getLong(0)).toSet
+    all(codes.map(_._3)) should (be(bookIds.head) or be(bookIds.last))
+    // The two mirror groups must land on different codes in BOTH subspaces
+    val byId = codes.groupBy(_._1).map { case (id, cs) =>
+      id -> cs.sortBy(_._2).map(_._3).toSeq
+    }
+    byId(0L) shouldBe byId(2L)
+    byId(1L) shouldBe byId(3L)
+    byId(0L) should not be byId(1L)
+  }
+
+  test("topKQ: ADC shortlist + exact re-rank finds the true in-group neighbors") {
+    val p = pts(sample: _*)
+    val books = Pq.trainCodebooks(p, m = 2, k = 2, iterations = 2)
+    val codes = Pq.encode(p, books, m = 2)
+    val res = Pq.topKQ(p, books, codes, m = 2,
+      queries = p.filter(col("id") === 0L).select(col("id")),
+      k = 3, oversample = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    res.map(_._1).toSet shouldBe Set(0L)
+    res should have size 3
+    // The 3 nearest of id 0 are its group mates 2,4,6 — the mirror group
+    // is ~2*4*80² away and must not appear.
+    res.map(_._2).toSet shouldBe Set(2L, 4L, 6L)
+    // ranks are 1..k and distances nondecreasing in rank
+    res.sortBy(_._4).map(_._4).toSeq shouldBe Seq(1, 2, 3)
+    val byRank = res.sortBy(_._4).map(_._3)
+    byRank.zip(byRank.tail).foreach { case (a, b) => a should be <= b }
+    // dist is the EXACT quantized L2, not the ADC approximation
+    val v0 = sample.head._2
+    def d2(a: Seq[Long], b: Seq[Long]) = a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    res.foreach { case (_, cand, dist, _) =>
+      dist shouldBe d2(v0, sample.find(_._1 == cand).get._2)
+    }
+  }
+
+  test("recall against brute force on scattered data with oversampling") {
+    // 40 spread-out vectors (deterministic pseudo-random), m=2/k=4 books,
+    // oversample 4: ADC-shortlisted top-3 must recover most of the true
+    // top-3 (PQ is approximate — assert a floor, not equality).
+    val vs = (0L until 40L).map { i =>
+      i -> Seq.tabulate(8)(j => ((i * 2654435761L + j * 40503L) % 1000L) - 500L)
+    }
+    val p = pts(vs: _*)
+    val books = Pq.trainCodebooks(p, m = 2, k = 4, iterations = 2)
+    val codes = Pq.encode(p, books, m = 2)
+    val got = Pq.topKQ(p, books, codes, m = 2,
+      queries = p.filter(col("id") % 10 === 0).select(col("id")),
+      k = 3, oversample = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def d2(a: Seq[Long], b: Seq[Long]) = a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val exact = vs.filter(_._1 % 10 == 0).flatMap { case (q, qv) =>
+      vs.filter(_._1 != q)
+        .map { case (c, cv) => (d2(qv, cv), c) }.sorted.take(3)
+        .map { case (_, c) => (q, c) }
+    }.toSet
+    val recall = (got & exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"PQ recall $recall below floor (got=$got exact=$exact)")
+  }
+}
