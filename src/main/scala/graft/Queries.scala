@@ -2474,6 +2474,25 @@ object Queries {
       k = 5, oversample = 4)
   }
 
+  /** Full IVF-PQ top-k ([[graft.ops.Pq.ivfPqTopK]]) — the production ANN
+    * deployment both trained quantizers exist FOR, composed: q103's
+    * k-means model routes each query to its 2 nearest inverted lists
+    * (coarse), q116's product quantizer ADC-scores only those lists'
+    * members from the compressed code table (fine), and the oversampled
+    * shortlist pays the exact re-rank. All three model artifacts are the
+    * build-once snapshot tables the component queries serve from, so this
+    * entry times exactly what a serving deployment runs per query batch:
+    * route → compressed scan → re-rank, never a full-corpus pass over raw
+    * vectors. Fixed-point end to end; the oracle replays both trainers
+    * and the full search, distances AND ranks hash-checked. */
+  def q117IvfpqTopk(s: SparkSession, dir: String): DataFrame = {
+    val pts = quantizedPoints(s, dir)
+    graft.ops.Pq.ivfPqTopK(pts, trainedCentroids(s, dir), pqBooks(s, dir),
+      pqCodes(s, dir), m = 4,
+      queries = pts.filter(col("id") % 50 === 0).select(col("id")),
+      k = 5, nProbe = 2, oversample = 4)
+  }
+
   def q115JpegDecode(s: SparkSession, dir: String): DataFrame = {
     val c = col("doc_id") % 97
     val w = (lit(4) + col("doc_id") % 9).cast("long")

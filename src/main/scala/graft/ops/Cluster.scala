@@ -185,6 +185,18 @@ object Cluster {
       emb.filter(queryPred).select(col(idCol).as("id")), topK, nProbe)
   }
 
+  /** Per-vector centroid ranking (id, cluster_id, _r), _r = 1 the nearest
+    * trained centroid in exact quantized L2 — one broadcast N×k pass, the
+    * shared front half of every inverted-file consumer ([[ivfSearchQPts]]
+    * builds lists AND probes from it; [[Pq.ivfPqTopK]] the same). Callers
+    * that read it more than once persist it themselves. */
+  def rankCentroidsQ(pts: DataFrame, cents: DataFrame): DataFrame = {
+    val wr = Window.partitionBy(col("id")).orderBy(col("_d"), col("cluster_id"))
+    pts.crossJoin(broadcast(cents))
+      .select(col("id"), col("cluster_id"), sqDistQ(col("qv"), col("cv")).as("_d"))
+      .withColumn("_r", row_number().over(wr))
+  }
+
   /** [[ivfSearchQ]] with the quantized points AND the trained centroids
     * supplied by the caller — the serve path when both are stored
     * artifacts (points quantized once per snapshot, model trained once).
@@ -193,10 +205,7 @@ object Cluster {
                     queryIds: DataFrame, topK: Int, nProbe: Int): DataFrame = {
     require(nProbe >= 1 && topK >= 1,
       s"topK and nProbe must be >= 1; got topK=$topK nProbe=$nProbe")
-    val wr = Window.partitionBy(col("id")).orderBy(col("_d"), col("cluster_id"))
-    val ranked = pts.crossJoin(broadcast(cents))
-      .select(col("id"), col("cluster_id"), sqDistQ(col("qv"), col("cv")).as("_d"))
-      .withColumn("_r", row_number().over(wr))
+    val ranked = rankCentroidsQ(pts, cents)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val lists = ranked.filter(col("_r") === 1)
       .select(col("id").as("cand_id"), col("cluster_id"))

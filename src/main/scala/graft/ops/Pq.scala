@@ -158,4 +158,80 @@ object Pq {
       .select(col("query_id"), col("cand_id"), col("dist"),
         col("rank").cast("int").as("rank"))
   }
+
+  /** Full IVF-PQ top-k — the two trained quantizers composed the way a
+    * production ANN deployment composes them: the COARSE k-means model
+    * (`cents`, [[Cluster.train]]) bounds the search to each query's
+    * `nProbe` nearest inverted lists, and the FINE product quantizer
+    * (`books`/`codes`) scores those lists' members by ADC so the bounded
+    * pass still reads compressed codes, not raw vectors. Only the
+    * oversampled shortlist pays an exact distance.
+    *
+    * Scale shape, in order: one broadcast N×k coarse ranking pass
+    * (persisted — it feeds lists AND probes); a probe⋈list equi-join on
+    * cluster_id whose output is list-occupancy-bounded (never N², never
+    * all codes); the candidates' codes joined against the BROADCAST
+    * Q·M·K distance table (map-side lookup) and summed in one
+    * aggregation; a per-query top-`oversample`·k window; an exact
+    * re-rank touching `oversample`·k rows per query. At 100 TB the codes
+    * table is stored clustered by cluster_id, so the candidate join
+    * prunes IO as well as compute — the same layout contract as q106's
+    * z-order.
+    *
+    * Same fixed-point discipline as every [[Cluster]]/[[Pq]] stage, so
+    * distances and ranks hash-match an engine-independent oracle that
+    * replays both trainers. Output: (query_id, cand_id, dist, rank).
+    *
+    * CACHING CONTRACT: the coarse ranking frame stays persisted; release
+    * with `spark.catalog.clearCache()`. */
+  def ivfPqTopK(pts: DataFrame, cents: DataFrame, books: DataFrame,
+                codes: DataFrame, m: Int, queries: DataFrame,
+                k: Int, nProbe: Int, oversample: Int = 4): DataFrame = {
+    require(k >= 1 && nProbe >= 1 && oversample >= 1,
+      s"need k>=1, nProbe>=1, oversample>=1; got $k/$nProbe/$oversample")
+    val ranked = Cluster.rankCentroidsQ(pts, cents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lists = ranked.filter(col("_r") === 1)
+      .select(col("id").as("cand_id"), col("cluster_id"))
+    val probes = ranked.join(broadcast(queries), Seq("id"))
+      .filter(col("_r") <= nProbe)
+      .select(col("id").as("query_id"), col("cluster_id"))
+    val cand = probes.join(lists, Seq("cluster_id"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"))
+      .distinct()
+
+    val qsubs = subvectors(pts.join(broadcast(queries), Seq("id")), m)
+      .select(col("id").as("query_id"), col("g"), col("sub"))
+    val dtab = qsubs.join(broadcast(books), Seq("g"))
+      .select(col("query_id"), col("g"), col("code_id"),
+        Cluster.sqDistQ(col("sub"), col("cw")).as("d"))
+
+    val adc = cand
+      .join(codes.select(col("id").as("cand_id"), col("g"), col("code_id")),
+        Seq("cand_id"))
+      .join(broadcast(dtab), Seq("query_id", "g", "code_id"))
+      .groupBy(col("query_id"), col("cand_id"))
+      .agg(sum(col("d")).as("adc"))
+
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("cand_id"))
+    val shortlist = adc
+      .withColumn("_r", row_number().over(wAdc))
+      .filter(col("_r") <= k * oversample)
+      .select(col("query_id"), col("cand_id"))
+
+    val qv = pts.select(col("id").as("query_id"), col("qv").as("_q"))
+    val cv = pts.select(col("id").as("cand_id"), col("qv").as("_c"))
+    val wExact = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist").asc, col("cand_id"))
+    shortlist
+      .join(qv, Seq("query_id"))
+      .join(cv, Seq("cand_id"))
+      .withColumn("dist", Cluster.sqDistQ(col("_q"), col("_c")))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("dist"),
+        col("rank").cast("int").as("rank"))
+  }
 }

@@ -115,4 +115,33 @@ class PqSpec extends SparkSpec {
     val recall = (got & exact).size.toDouble / exact.size
     assert(recall >= 0.5, s"PQ recall $recall below floor (got=$got exact=$exact)")
   }
+
+  test("ivfPqTopK: coarse lists bound the search, ADC+re-rank find in-blob neighbors") {
+    val p = pts(sample: _*)
+    val cents = Cluster.train(p, k = 2, iterations = 2)
+    val books = Pq.trainCodebooks(p, m = 2, k = 2, iterations = 2)
+    val codes = Pq.encode(p, books, m = 2)
+    val res = Pq.ivfPqTopK(p, cents, books, codes, m = 2,
+      queries = p.filter(col("id") <= 1L).select(col("id")),
+      k = 3, nProbe = 1, oversample = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    // With nProbe=1 each query searches only its own blob's inverted
+    // list: id 0's neighbors are exactly its even group mates, id 1's the
+    // odd ones — the mirror blob is structurally excluded by the coarse
+    // router before ADC ever runs.
+    res.filter(_._1 == 0L).map(_._2).toSet shouldBe Set(2L, 4L, 6L)
+    res.filter(_._1 == 1L).map(_._2).toSet shouldBe Set(3L, 5L, 7L)
+    // dist is the exact quantized L2 of the original vectors
+    def d2(a: Seq[Long], b: Seq[Long]) = a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    res.foreach { case (q, c, dist, _) =>
+      dist shouldBe d2(sample.find(_._1 == q).get._2, sample.find(_._1 == c).get._2)
+    }
+    // ranks contiguous from 1, distances nondecreasing per query
+    res.groupBy(_._1).values.foreach { rs =>
+      rs.sortBy(_._4).map(_._4).toSeq shouldBe (1 to rs.size)
+      val byRank = rs.sortBy(_._4).map(_._3)
+      byRank.zip(byRank.tail).foreach { case (a, b) => a should be <= b }
+    }
+    p.sparkSession.catalog.clearCache()
+  }
 }
