@@ -2490,6 +2490,32 @@ object Oracles {
         |  TRUE AS ok
         |FROM documents""".stripMargin,
 
+    // G.711 μ-law decode gate — EXACT, unlike the bounded-error JPEG
+    // gate: the compress→expand round trip is closed-form integer
+    // arithmetic (bias 132, clip 32635, segment e = bitlength(v>>7)-1,
+    // 4-bit mantissa, expand ((man*8+132)<<e)-132 with the sign
+    // restored), so the oracle replays the codec per sample and the
+    // decoded amplitude stats hash-match bit-for-bit.
+    "q118_ulaw_decode" ->
+      """WITH p AS (
+        |  SELECT doc_id, CAST(64 + doc_id % 100 AS INT) AS n,
+        |    CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sr, doc_id AS seed
+        |  FROM documents),
+        |smp AS (
+        |  SELECT doc_id, n, sr, ((seed + 17*i) % 65536) - 32768 AS s
+        |  FROM p, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS i)),
+        |seg AS (
+        |  SELECT doc_id, n, sr, s, v, length(bin(v // 128)) - 1 AS e
+        |  FROM (SELECT *, least(32635, abs(s)) + 132 AS v FROM smp)),
+        |dec AS (
+        |  SELECT doc_id, n, sr,
+        |    CASE WHEN s < 0 THEN -(((((v >> (e+3)) & 15) * 8 + 132) << e) - 132)
+        |         ELSE ((((v >> (e+3)) & 15) * 8 + 132) << e) - 132 END AS d
+        |  FROM seg)
+        |SELECT doc_id, sr AS sample_rate, CAST(n AS BIGINT) AS n_samples,
+        |  CAST(sum(abs(d)) AS BIGINT) AS sum_abs, CAST(max(abs(d)) AS INT) AS peak
+        |FROM dec GROUP BY doc_id, sr, n""".stripMargin,
+
     // Ingest-dedup gate: the content hash quantizes `value` to a long
     // before hashing (double→string renders differently across engines;
     // a quantized long is bit-identical), and the survivor rule is a

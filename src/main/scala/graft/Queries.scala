@@ -2511,6 +2511,26 @@ object Queries {
           col("st.sum_b") === col("st.sum_r")).as("ok"))
   }
 
+  /** REAL compressed-audio decode end-to-end: generate a G.711 μ-law
+    * WAVE per document ([[Multimodal.ulawAudioAssets]] — format code 7,
+    * fact chunk, one compressed byte per sample), then decode it through
+    * the real expander ([[graft.functions.MediaCodec.mulawExpand]],
+    * cross-checked against the JDK's independent javax.sound ULAW
+    * decoder) and emit amplitude stats over the DECODED PCM. Unlike
+    * q115's bounded-error JPEG gate, μ-law is EXACTLY replayable: the
+    * compress→expand round trip is pure integer arithmetic (bias, MSB
+    * segment, mantissa, complement), so the oracle recomputes the decoded
+    * samples in closed form and the hash must match bit-for-bit — a
+    * decoder off by one segment or mantissa bit fails. Narrow map, no
+    * shuffle; at 100 TB one codegen stage over the object-store scan. */
+  def q118UlawDecode(s: SparkSession, dir: String): DataFrame =
+    Multimodal.ulawAudioAssets(t(s, dir, "documents"), "doc_id")
+      .select(col("asset_id").as("doc_id"),
+        Multimodal.decodeWav(col("payload")).as("st"))
+      .select(col("doc_id"), col("st.sample_rate").as("sample_rate"),
+        col("st.n_samples").as("n_samples"), col("st.sum_abs").as("sum_abs"),
+        col("st.peak").as("peak"))
+
   /** Streaming-ingest dedup, batch form ([[graft.streaming.EventStream
     * .ingestDedup]]): content-hash the event payload and keep one
     * deterministic survivor per hash — the op an ingest pipeline runs

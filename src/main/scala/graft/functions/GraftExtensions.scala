@@ -23,6 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.bmpStats)
     ext.injectFunction(GraftExtensions.wavEncode)
     ext.injectFunction(GraftExtensions.wavStats)
+    ext.injectFunction(GraftExtensions.wavEncodeUlaw)
     ext.injectFunction(GraftExtensions.bmpResize)
     ext.injectFunction(GraftExtensions.wavDownsample)
     ext.injectFunction(GraftExtensions.pngEncode)
@@ -117,8 +118,14 @@ object GraftExtensions {
   val wavStats: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     new FunctionIdentifier("graft_wav_stats"),
     new ExpressionInfo(classOf[WavStats].getName, null, "graft_wav_stats",
-      "graft_wav_stats(payload) - parse a RIFF/WAVE: struct(sample_rate, n_samples, sum_abs, peak), NULL if malformed", ""),
+      "graft_wav_stats(payload) - parse a RIFF/WAVE (PCM 16-bit or G.711 u-law 8-bit, decoded): struct(sample_rate, n_samples, sum_abs, peak), NULL if malformed", ""),
     (children: Seq[Expression]) => WavStats(children.head))
+
+  val wavEncodeUlaw: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier("graft_wav_encode_ulaw"),
+    new ExpressionInfo(classOf[WavEncodeUlaw].getName, null, "graft_wav_encode_ulaw",
+      "graft_wav_encode_ulaw(seed, n_samples, sample_rate) - deterministic G.711 u-law compressed mono WAV payload", ""),
+    (children: Seq[Expression]) => WavEncodeUlaw(children.head, children(1), children(2)))
 
   val bmpResize: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     new FunctionIdentifier("graft_bmp_resize"),

@@ -154,16 +154,84 @@ object MediaCodec {
     b
   }
 
+  /** G.711 μ-law COMPRESS: 16-bit signed PCM → 8-bit code. The standard
+    * CCITT recurrence (bias 0x84, clip 32635, segment = bit position of
+    * the biased magnitude's MSB above bit 7, 4-bit mantissa, all bits
+    * complemented — positive codes carry sign bit 1). Pure integer, no
+    * tables, so the q118 oracle replays it in closed-form SQL. */
+  @inline def mulawCompress(s: Int): Int = {
+    val neg = s < 0
+    var mag = if (neg) -s else s // -32768 → 32768, clipped below
+    if (mag > 32635) mag = 32635
+    val v = mag + 0x84
+    var e = 7
+    while (e > 0 && (v >> (e + 7)) == 0) e -= 1
+    val mantissa = (v >> (e + 3)) & 0xF
+    val uval = (e << 4) | mantissa
+    uval ^ (if (neg) 0x7F else 0xFF)
+  }
+
+  /** G.711 μ-law EXPAND: 8-bit code → 16-bit signed PCM — the exact
+    * inverse table mapping ((mantissa·8 + 0x84) << segment) − 0x84 with
+    * the sign from the complemented top bit. Matches the JDK's
+    * independent javax.sound ULAW decoder byte-for-byte
+    * (MediaCodecSpec interop test). */
+  @inline def mulawExpand(code: Int): Int = {
+    val u = ~code & 0xFF
+    val e = (u >> 4) & 7
+    val t = (((u & 0xF) << 3) + 0x84) << e
+    if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** Spec-conformant COMPRESSED-audio WAVE: G.711 μ-law mono 8-bit
+    * (format code 7) — fmt chunk in its 18-byte non-PCM form (cbSize=0),
+    * the `fact` chunk non-PCM formats require, and one compressed byte
+    * per sample of the same deterministic PCM formula [[wavEncode]]
+    * uses. A real telephony-grade file any audio tool opens. */
+  def wavEncodeUlaw(seed: Long, nSamples: Int, sampleRate: Int): Array[Byte] = {
+    if (nSamples <= 0 || nSamples > MaxSamples || sampleRate <= 0) return null
+    val dataSize = nSamples
+    val pad = dataSize & 1 // RIFF word alignment for the odd-size data chunk
+    val b = new Array[Byte](12 + 26 + 12 + 8 + dataSize + pad)
+    b(0) = 'R'; b(1) = 'I'; b(2) = 'F'; b(3) = 'F'
+    putLe32(b, 4, b.length - 8)
+    b(8) = 'W'; b(9) = 'A'; b(10) = 'V'; b(11) = 'E'
+    b(12) = 'f'; b(13) = 'm'; b(14) = 't'; b(15) = ' '
+    putLe32(b, 16, 18) // non-PCM fmt chunk body: 16 + cbSize field
+    putLe16(b, 20, 7)  // audio format: G.711 μ-law
+    putLe16(b, 22, 1)  // channels: mono
+    putLe32(b, 24, sampleRate)
+    putLe32(b, 28, sampleRate) // byte rate: 1 byte per sample
+    putLe16(b, 32, 1)  // block align
+    putLe16(b, 34, 8)  // bits per sample
+    putLe16(b, 36, 0)  // cbSize: no format extension
+    b(38) = 'f'; b(39) = 'a'; b(40) = 'c'; b(41) = 't'
+    putLe32(b, 42, 4)
+    putLe32(b, 46, nSamples) // fact: sample count
+    b(50) = 'd'; b(51) = 'a'; b(52) = 't'; b(53) = 'a'
+    putLe32(b, 54, dataSize)
+    var i = 0
+    while (i < nSamples) {
+      b(58 + i) = mulawCompress(sample(seed, i)).toByte
+      i += 1
+    }
+    b
+  }
+
   /** Walk a RIFF/WAVE container — chunk-by-chunk with RIFF's odd-size word
     * padding, not fixed offsets, so files with extra chunks (LIST, fact)
-    * parse too — validate PCM/mono/16-bit, and return
-    * (sample_rate, n_samples, sum_abs, peak); null on malformed input. */
+    * parse too — validate the format (PCM/mono/16-bit, or G.711
+    * μ-law/mono/8-bit whose samples are EXPANDED through the real
+    * [[mulawExpand]] decoder before folding), and return
+    * (sample_rate, n_samples, sum_abs, peak) over the decoded PCM; null
+    * on malformed input. */
   def wavStats(b: Array[Byte]): InternalRow = {
     if (b == null || b.length < 44) return null
     if (b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
       b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return null
     var pos = 12
     var sampleRate = -1
+    var fmtCode = -1
     var dataOff = -1
     var dataLen = -1
     while (pos + 8 <= b.length && (sampleRate < 0 || dataOff < 0)) {
@@ -176,20 +244,25 @@ object MediaCodec {
         val fmt = le16(b, pos + 8)
         val channels = le16(b, pos + 10)
         val bits = le16(b, pos + 22)
-        if (fmt != 1 || channels != 1 || bits != 16) return null
+        if (channels != 1) return null
+        if (!((fmt == 1 && bits == 16) || (fmt == 7 && bits == 8))) return null
+        fmtCode = fmt
         sampleRate = le32(b, pos + 12)
       } else if (isData) {
         dataOff = pos + 8; dataLen = size
       }
       pos += 8 + size + (size & 1) // RIFF: chunks are word-aligned
     }
-    if (sampleRate <= 0 || dataOff < 0 || dataLen % 2 != 0) return null
-    val n = dataLen / 2
+    if (sampleRate <= 0 || dataOff < 0) return null
+    if (fmtCode == 1 && dataLen % 2 != 0) return null
+    val n = if (fmtCode == 1) dataLen / 2 else dataLen
     var sumAbs = 0L
     var peak = 0
     var i = 0
     while (i < n) {
-      val v = (le16(b, dataOff + 2 * i) << 16) >> 16 // sign-extend
+      val v =
+        if (fmtCode == 1) (le16(b, dataOff + 2 * i) << 16) >> 16 // sign-extend
+        else mulawExpand(b(dataOff + i) & 0xFF)
       val a = math.abs(v)
       sumAbs += a
       if (a > peak) peak = a
@@ -424,8 +497,30 @@ case class WavEncode(first: Expression, second: Expression, third: Expression)
       f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)
 }
 
+/** `graft_wav_encode_ulaw(seed, n_samples, sample_rate)` → BINARY: a real
+  * G.711 μ-law compressed WAVE (format code 7, fact chunk, 1 byte/sample). */
+case class WavEncodeUlaw(first: Expression, second: Expression, third: Expression)
+  extends TernaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType, IntegerType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_wav_encode_ulaw"
+  override def nullSafeEval(s: Any, n: Any, r: Any): Any =
+    MediaCodec.wavEncodeUlaw(s.asInstanceOf[Long], n.asInstanceOf[Int], r.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, n, r) =>
+      s"""
+         |${ev.value} = graft.functions.MediaCodec.wavEncodeUlaw($s, $n, $r);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)
+}
+
 /** `graft_wav_stats(payload)` → STRUCT(sample_rate, n_samples, sum_abs,
-  * peak); NULL when the payload is not well-formed PCM/mono/16-bit WAVE. */
+  * peak) over the DECODED PCM; NULL when the payload is not well-formed
+  * mono WAVE (PCM 16-bit, or G.711 μ-law 8-bit — expanded through the
+  * real decoder). */
 case class WavStats(child: Expression)
   extends UnaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[DataType] = Seq(BinaryType)

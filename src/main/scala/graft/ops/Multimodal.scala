@@ -23,10 +23,16 @@ import org.apache.spark.sql.functions._
   * 4:2:2/4:4:4 color), cross-verified both directions against the JDK's
   * independent ImageIO coder and oracle-checked by q115.
   *
-  * STUB BOUNDARY: temporal codecs (MP3/H.264) genuinely need external
-  * libraries (psychoacoustic filter banks, motion compensation), so
-  * [[decodeStub]] and [[featureStub]] remain clearly-marked
-  * DETERMINISTIC FAKES for audio-compressed/video media. Everything
+  * [[ulawAudioAssets]] carry REAL compressed audio: G.711 μ-law WAVE
+  * (format code 7), compressed by the standard CCITT recurrence and
+  * expanded back through [[graft.functions.MediaCodec.mulawExpand]] —
+  * cross-checked against the JDK's independent javax.sound ULAW decoder
+  * and oracle-checked by q118.
+  *
+  * STUB BOUNDARY: perceptual/temporal codecs (MP3/H.264) genuinely need
+  * external libraries (psychoacoustic filter banks, motion
+  * compensation), so [[decodeStub]] and [[featureStub]] remain
+  * clearly-marked DETERMINISTIC FAKES for those media. Everything
   * around them — the asset schema, binary payload handling, batch shape,
   * frame sampling, partition parallelism — is real and tested; a real
   * codec drops in exactly the way JpegCodec did for JPEG.
@@ -53,6 +59,22 @@ object Multimodal {
       col(idCol).as("asset_id"),
       lit("audio").as("media_type"),
       call_function("graft_wav_encode",
+        col(idCol).cast("long"),
+        (lit(64) + pmod(col(idCol), lit(100))).cast("int"),
+        (lit(8000) + pmod(col(idCol), lit(4)) * lit(4000)).cast("int")).as("payload"))
+
+  /** COMPRESSED-audio-asset table with REAL payloads: one G.711 μ-law
+    * mono WAV per document (format code 7, `fact` chunk, one compressed
+    * byte per sample) — the telephony codec that is the simplest real
+    * compressed audio format, and the format a speech-data pipeline
+    * actually ingests. Same deterministic PCM source as [[audioAssets]],
+    * so lossy decode is oracle-checked EXACTLY: the compress→expand
+    * round trip is pure integer arithmetic both engines replay. */
+  def ulawAudioAssets(docs: DataFrame, idCol: String): DataFrame =
+    docs.select(
+      col(idCol).as("asset_id"),
+      lit("audio/ulaw").as("media_type"),
+      call_function("graft_wav_encode_ulaw",
         col(idCol).cast("long"),
         (lit(64) + pmod(col(idCol), lit(100))).cast("int"),
         (lit(8000) + pmod(col(idCol), lit(4)) * lit(4000)).cast("int")).as("payload"))

@@ -103,6 +103,65 @@ class MediaCodecSpec extends SparkSpec {
     MediaCodec.wavStats(eightBit) shouldBe null
   }
 
+  test("mulaw: compress/expand round trip within segment quantization error") {
+    // canonical anchors: +0 is 0xFF, and expand is the exact inverse table
+    MediaCodec.mulawCompress(0) shouldBe 0xFF
+    MediaCodec.mulawExpand(0xFF) shouldBe 0
+    // exhaustive 16-bit sweep: truncation error is bounded by the segment
+    // step (v/16 with bias), and the sign always survives
+    var s = -32768
+    while (s <= 32767) {
+      val mag = math.min(32635, math.abs(s))
+      val want = if (s < 0) -mag else mag
+      val d = MediaCodec.mulawExpand(MediaCodec.mulawCompress(s))
+      assert(math.abs(d - want) <= (mag + 132) / 16,
+        s"round trip $s -> $d drifted past the segment step")
+      s += 1
+    }
+  }
+
+  test("mulawExpand matches the JDK's independent javax.sound ULAW decoder on all 256 codes") {
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem}
+    val codes = Array.tabulate[Byte](256)(_.toByte)
+    val ulaw = new AudioFormat(AudioFormat.Encoding.ULAW, 8000f, 8, 1, 1, 8000f, false)
+    val pcmFmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, 8000f, 16, 1, 2, 8000f, false)
+    val pcm = AudioSystem.getAudioInputStream(pcmFmt,
+      new AudioInputStream(new java.io.ByteArrayInputStream(codes), ulaw, 256))
+    val out = pcm.readAllBytes()
+    out.length shouldBe 512
+    for (i <- 0 until 256) {
+      val v = ((out(2 * i + 1) << 8) | (out(2 * i) & 0xff)).toShort.toInt
+      assert(v == MediaCodec.mulawExpand(i),
+        s"code $i: JDK decodes $v, mulawExpand gives ${MediaCodec.mulawExpand(i)}")
+    }
+  }
+
+  test("wavEncodeUlaw emits a fact-chunked format-7 WAVE; wavStats decodes through expand") {
+    val b = MediaCodec.wavEncodeUlaw(seed = 11L, nSamples = 9, sampleRate = 8000)
+    // format code 7, mono, 8-bit, 18-byte fmt body, fact chunk present
+    (b(20) & 0xff) shouldBe 7
+    (b(34) & 0xff) shouldBe 8
+    new String(b.slice(38, 42)) shouldBe "fact"
+    b.length % 2 shouldBe 0 // odd data chunk word-aligned
+    val st = MediaCodec.wavStats(b)
+    st should not be null
+    st.getInt(0) shouldBe 8000
+    st.getLong(1) shouldBe 9L
+    val dec = (0 until 9).map { i =>
+      MediaCodec.mulawExpand(
+        MediaCodec.mulawCompress(((11L + 17L * i) % 65536L).toInt - 32768))
+    }
+    st.getLong(2) shouldBe dec.map(v => math.abs(v).toLong).sum
+    st.getInt(3) shouldBe dec.map(math.abs).max
+    // the JDK opens the file as real audio and decodes the same PCM
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    val ais = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(b))
+    val pcmFmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, 8000f, 16, 1, 2, 8000f, false)
+    val jdk = AudioSystem.getAudioInputStream(pcmFmt, ais).readAllBytes()
+    val jdkSamples = (0 until 9).map(i => ((jdk(2 * i + 1) << 8) | (jdk(2 * i) & 0xff)).toShort.toInt)
+    jdkSamples shouldBe dec
+  }
+
   test("bmpResize samples nearest-neighbor pixels and re-encodes a valid BMP") {
     val src = MediaCodec.bmpEncode(seed = 9L, width = 8, height = 6)
     val out = MediaCodec.bmpResize(src, 3, 2)
