@@ -45,7 +45,9 @@ object Bench {
       // still schedules that many tasks per exchange — 32 near-empty tasks
       // per stage is pure scheduler overhead on MB-scale SF inputs. On a
       // real cluster this knob scales with the data (set it per job);
-      // the plans themselves are partition-count-agnostic.
+      // the plans themselves are partition-count-agnostic. Full-sweep
+      // A/B: 32 → 70.8 s, 8 → 29.6 s, 4 → 31.5 s (4 starves the cells
+      // with real work) — 8 is the measured floor for this host.
       .config("spark.sql.shuffle.partitions", "8")
       // AQE stays ON — measured both ways on the full 117-query sweep:
       // ON 52.4 s vs OFF 69.9 s (same host, warm artifacts). The blanket
@@ -72,7 +74,11 @@ object Bench {
       // measured ~60 ms/query here against schemas whose join keys are
       // already non-null. Correctness-neutral (it only ADDS inferred
       // filters); leave it on where inferred pushdown pays (nullable
-      // join keys over selective scans).
+      // join keys over selective scans). Round-9 full-sweep A/B after the
+      // codegen-cache fix: ON = 30.7 s vs OFF = 29.6 s on the same 119
+      // cells, per-cell deltas inside host noise — OFF stays, and the r8
+      // "q78–q89 band drift" this knob was suspected of is gone (band
+      // 2.9 s both ways; the drift was codegen-cache recompilation).
       .config("spark.sql.constraintPropagation.enabled", "false")
       // Shuffle/spill blocks on tmpfs: this host's /tmp is disk-backed,
       // and MB-scale shuffle blocks are latency- not capacity-bound. On a
@@ -216,6 +222,10 @@ object Bench {
         val scaleQs = Seq("q18_exact_dedup", "q21_ngram_jaccard",
           "q40_neardup_clusters", "q59_embedding_neardup_ivf",
           "q101_kmeans_cluster",
+          // ANN serving: coarse route + compressed ADC scan at 10x corpus
+          // (the candidate volume is list-occupancy-bounded, so growth
+          // should track the corpus, not its square)
+          "q117_ivfpq_topk",
           // scan-bound families: codec + text throughput should grow
           // ~linearly in data and amortize fixed cost (growth << 10x)
           "q112_png_decode", "q20_text_stats").filter(SparkEntry.queries.contains)

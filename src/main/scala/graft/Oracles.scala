@@ -2516,6 +2516,35 @@ object Oracles {
         |  CAST(sum(abs(d)) AS BIGINT) AS sum_abs, CAST(max(abs(d)) AS INT) AS peak
         |FROM dec GROUP BY doc_id, sr, n""".stripMargin,
 
+    // G.711 A-law decode gate — q118's European sibling, same exact
+    // replay: negatives map through -s-8 clamped at 0, segment e =
+    // bitlength(v>>8) (0 below 256), mantissa shift max(4, e+3), expand
+    // man*16+8 in segment 0 else (man*16+264)<<(e-1), sign restored.
+    "q119_alaw_decode" ->
+      """WITH p AS (
+        |  SELECT doc_id, CAST(64 + doc_id % 100 AS INT) AS n,
+        |    CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sr, doc_id AS seed
+        |  FROM documents),
+        |smp AS (
+        |  SELECT doc_id, n, sr, ((seed + 17*i) % 65536) - 32768 AS s
+        |  FROM p, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS i)),
+        |seg AS (
+        |  SELECT doc_id, n, sr, s, v,
+        |    CASE WHEN v < 256 THEN 0 ELSE length(bin(v // 256)) END AS e
+        |  FROM (SELECT *, greatest(0, CASE WHEN s >= 0 THEN s ELSE -s - 8 END) AS v
+        |        FROM smp)),
+        |dec AS (
+        |  SELECT doc_id, n, sr,
+        |    CASE WHEN s >= 0 THEN m ELSE -m END AS d
+        |  FROM (
+        |    SELECT *,
+        |      CASE WHEN e = 0 THEN ((v >> 4) & 15) * 16 + 8
+        |           ELSE (((v >> greatest(4, e + 3)) & 15) * 16 + 264) << (e - 1) END AS m
+        |    FROM seg))
+        |SELECT doc_id, sr AS sample_rate, CAST(n AS BIGINT) AS n_samples,
+        |  CAST(sum(abs(d)) AS BIGINT) AS sum_abs, CAST(max(abs(d)) AS INT) AS peak
+        |FROM dec GROUP BY doc_id, sr, n""".stripMargin,
+
     // Ingest-dedup gate: the content hash quantizes `value` to a long
     // before hashing (double→string renders differently across engines;
     // a quantized long is bit-identical), and the survivor rule is a

@@ -2531,6 +2531,20 @@ object Queries {
         col("st.n_samples").as("n_samples"), col("st.sum_abs").as("sum_abs"),
         col("st.peak").as("peak"))
 
+  /** q118's European sibling: G.711 A-law decode
+    * ([[Multimodal.alawAudioAssets]], WAV format code 6) through the
+    * exact alternate-bit-inversion expander — same closed-form oracle
+    * discipline (segment from the magnitude MSB, 4-bit mantissa,
+    * (mant·16+264)·2^(seg−1) expansion), decoded stats hash
+    * bit-for-bit. */
+  def q119AlawDecode(s: SparkSession, dir: String): DataFrame =
+    Multimodal.alawAudioAssets(t(s, dir, "documents"), "doc_id")
+      .select(col("asset_id").as("doc_id"),
+        Multimodal.decodeWav(col("payload")).as("st"))
+      .select(col("doc_id"), col("st.sample_rate").as("sample_rate"),
+        col("st.n_samples").as("n_samples"), col("st.sum_abs").as("sum_abs"),
+        col("st.peak").as("peak"))
+
   /** Streaming-ingest dedup, batch form ([[graft.streaming.EventStream
     * .ingestDedup]]): content-hash the event payload and keep one
     * deterministic survivor per hash — the op an ingest pipeline runs

@@ -24,6 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.wavEncode)
     ext.injectFunction(GraftExtensions.wavStats)
     ext.injectFunction(GraftExtensions.wavEncodeUlaw)
+    ext.injectFunction(GraftExtensions.wavEncodeAlaw)
     ext.injectFunction(GraftExtensions.bmpResize)
     ext.injectFunction(GraftExtensions.wavDownsample)
     ext.injectFunction(GraftExtensions.pngEncode)
@@ -126,6 +127,12 @@ object GraftExtensions {
     new ExpressionInfo(classOf[WavEncodeUlaw].getName, null, "graft_wav_encode_ulaw",
       "graft_wav_encode_ulaw(seed, n_samples, sample_rate) - deterministic G.711 u-law compressed mono WAV payload", ""),
     (children: Seq[Expression]) => WavEncodeUlaw(children.head, children(1), children(2)))
+
+  val wavEncodeAlaw: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier("graft_wav_encode_alaw"),
+    new ExpressionInfo(classOf[WavEncodeAlaw].getName, null, "graft_wav_encode_alaw",
+      "graft_wav_encode_alaw(seed, n_samples, sample_rate) - deterministic G.711 A-law compressed mono WAV payload", ""),
+    (children: Seq[Expression]) => WavEncodeAlaw(children.head, children(1), children(2)))
 
   val bmpResize: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     new FunctionIdentifier("graft_bmp_resize"),

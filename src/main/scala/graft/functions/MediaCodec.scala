@@ -183,12 +183,44 @@ object MediaCodec {
     if ((u & 0x80) != 0) 0x84 - t else t - 0x84
   }
 
-  /** Spec-conformant COMPRESSED-audio WAVE: G.711 μ-law mono 8-bit
-    * (format code 7) — fmt chunk in its 18-byte non-PCM form (cbSize=0),
-    * the `fact` chunk non-PCM formats require, and one compressed byte
-    * per sample of the same deterministic PCM formula [[wavEncode]]
-    * uses. A real telephony-grade file any audio tool opens. */
-  def wavEncodeUlaw(seed: Long, nSamples: Int, sampleRate: Int): Array[Byte] = {
+  /** G.711 A-law COMPRESS: 16-bit signed PCM → 8-bit code — the European
+    * half of G.711 (the CCITT reference recurrence: negative inputs map
+    * through −s−8 clamped at 0, segment from the magnitude's MSB above
+    * bit 8, 4-bit mantissa, alternate-bit inversion 0x55 with sign bit
+    * 0x80 for non-negatives). Pure integer; the q119 oracle replays it
+    * in closed-form SQL. */
+  @inline def alawCompress(s: Int): Int = {
+    val neg = s < 0
+    var v = if (neg) -s - 8 else s // -32768 → 32760; small negatives clamp
+    if (v < 0) v = 0
+    var seg = 0
+    while (seg < 7 && v > ((0xFF << seg) | ((1 << seg) - 1))) seg += 1
+    val mantissa = if (seg < 2) (v >> 4) & 0xF else (v >> (seg + 3)) & 0xF
+    ((seg << 4) | mantissa) ^ (if (neg) 0x55 else 0xD5)
+  }
+
+  /** G.711 A-law EXPAND: 8-bit code → 16-bit signed PCM — the exact
+    * inverse mapping (mantissa·16 + 8 in segment 0, (mantissa·16 + 264)
+    * · 2^(seg−1) above). Matches the JDK's independent javax.sound ALAW
+    * decoder byte-for-byte (MediaCodecSpec interop test). */
+  @inline def alawExpand(code: Int): Int = {
+    val a = (code & 0xFF) ^ 0x55
+    val seg = (a & 0x70) >> 4
+    val mant = (a & 0xF) << 4
+    val t =
+      if (seg == 0) mant + 8
+      else (mant + 0x108) << (seg - 1)
+    if ((a & 0x80) != 0) t else -t
+  }
+
+  /** Spec-conformant COMPRESSED-audio WAVE: G.711 mono 8-bit (μ-law
+    * format code 7 / A-law format code 6) — fmt chunk in its 18-byte
+    * non-PCM form (cbSize=0), the `fact` chunk non-PCM formats require,
+    * and one compressed byte per sample of the same deterministic PCM
+    * formula [[wavEncode]] uses. A real telephony-grade file any audio
+    * tool opens. */
+  private def wavEncodeG711(seed: Long, nSamples: Int, sampleRate: Int,
+                            fmtCode: Int): Array[Byte] = {
     if (nSamples <= 0 || nSamples > MaxSamples || sampleRate <= 0) return null
     val dataSize = nSamples
     val pad = dataSize & 1 // RIFF word alignment for the odd-size data chunk
@@ -198,7 +230,7 @@ object MediaCodec {
     b(8) = 'W'; b(9) = 'A'; b(10) = 'V'; b(11) = 'E'
     b(12) = 'f'; b(13) = 'm'; b(14) = 't'; b(15) = ' '
     putLe32(b, 16, 18) // non-PCM fmt chunk body: 16 + cbSize field
-    putLe16(b, 20, 7)  // audio format: G.711 μ-law
+    putLe16(b, 20, fmtCode) // audio format: 7 = μ-law, 6 = A-law
     putLe16(b, 22, 1)  // channels: mono
     putLe32(b, 24, sampleRate)
     putLe32(b, 28, sampleRate) // byte rate: 1 byte per sample
@@ -212,17 +244,24 @@ object MediaCodec {
     putLe32(b, 54, dataSize)
     var i = 0
     while (i < nSamples) {
-      b(58 + i) = mulawCompress(sample(seed, i)).toByte
+      val s = sample(seed, i)
+      b(58 + i) = (if (fmtCode == 7) mulawCompress(s) else alawCompress(s)).toByte
       i += 1
     }
     b
   }
 
+  def wavEncodeUlaw(seed: Long, nSamples: Int, sampleRate: Int): Array[Byte] =
+    wavEncodeG711(seed, nSamples, sampleRate, 7)
+
+  def wavEncodeAlaw(seed: Long, nSamples: Int, sampleRate: Int): Array[Byte] =
+    wavEncodeG711(seed, nSamples, sampleRate, 6)
+
   /** Walk a RIFF/WAVE container — chunk-by-chunk with RIFF's odd-size word
     * padding, not fixed offsets, so files with extra chunks (LIST, fact)
     * parse too — validate the format (PCM/mono/16-bit, or G.711
-    * μ-law/mono/8-bit whose samples are EXPANDED through the real
-    * [[mulawExpand]] decoder before folding), and return
+    * μ-law/A-law mono 8-bit whose samples are EXPANDED through the real
+    * [[mulawExpand]]/[[alawExpand]] decoders before folding), and return
     * (sample_rate, n_samples, sum_abs, peak) over the decoded PCM; null
     * on malformed input. */
   def wavStats(b: Array[Byte]): InternalRow = {
@@ -245,7 +284,8 @@ object MediaCodec {
         val channels = le16(b, pos + 10)
         val bits = le16(b, pos + 22)
         if (channels != 1) return null
-        if (!((fmt == 1 && bits == 16) || (fmt == 7 && bits == 8))) return null
+        if (!((fmt == 1 && bits == 16) ||
+          ((fmt == 7 || fmt == 6) && bits == 8))) return null
         fmtCode = fmt
         sampleRate = le32(b, pos + 12)
       } else if (isData) {
@@ -262,7 +302,8 @@ object MediaCodec {
     while (i < n) {
       val v =
         if (fmtCode == 1) (le16(b, dataOff + 2 * i) << 16) >> 16 // sign-extend
-        else mulawExpand(b(dataOff + i) & 0xFF)
+        else if (fmtCode == 7) mulawExpand(b(dataOff + i) & 0xFF)
+        else alawExpand(b(dataOff + i) & 0xFF)
       val a = math.abs(v)
       sumAbs += a
       if (a > peak) peak = a
@@ -517,10 +558,30 @@ case class WavEncodeUlaw(first: Expression, second: Expression, third: Expressio
       f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)
 }
 
+/** `graft_wav_encode_alaw(seed, n_samples, sample_rate)` → BINARY: a real
+  * G.711 A-law compressed WAVE (format code 6, fact chunk, 1 byte/sample). */
+case class WavEncodeAlaw(first: Expression, second: Expression, third: Expression)
+  extends TernaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType, IntegerType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_wav_encode_alaw"
+  override def nullSafeEval(s: Any, n: Any, r: Any): Any =
+    MediaCodec.wavEncodeAlaw(s.asInstanceOf[Long], n.asInstanceOf[Int], r.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, n, r) =>
+      s"""
+         |${ev.value} = graft.functions.MediaCodec.wavEncodeAlaw($s, $n, $r);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)
+}
+
 /** `graft_wav_stats(payload)` → STRUCT(sample_rate, n_samples, sum_abs,
   * peak) over the DECODED PCM; NULL when the payload is not well-formed
-  * mono WAVE (PCM 16-bit, or G.711 μ-law 8-bit — expanded through the
-  * real decoder). */
+  * mono WAVE (PCM 16-bit, or G.711 μ-law/A-law 8-bit — expanded through
+  * the real decoders). */
 case class WavStats(child: Expression)
   extends UnaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[DataType] = Seq(BinaryType)

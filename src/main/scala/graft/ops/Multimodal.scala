@@ -79,6 +79,18 @@ object Multimodal {
         (lit(64) + pmod(col(idCol), lit(100))).cast("int"),
         (lit(8000) + pmod(col(idCol), lit(4)) * lit(4000)).cast("int")).as("payload"))
 
+  /** [[ulawAudioAssets]]'s European sibling: G.711 A-law (WAV format
+    * code 6) — same container, same deterministic PCM source, the
+    * alternate-bit-inversion companding law. */
+  def alawAudioAssets(docs: DataFrame, idCol: String): DataFrame =
+    docs.select(
+      col(idCol).as("asset_id"),
+      lit("audio/alaw").as("media_type"),
+      call_function("graft_wav_encode_alaw",
+        col(idCol).cast("long"),
+        (lit(64) + pmod(col(idCol), lit(100))).cast("int"),
+        (lit(8000) + pmod(col(idCol), lit(4)) * lit(4000)).cast("int")).as("payload"))
+
   /** Compressed-image-asset table with REAL payloads: one zlib-deflated
     * 8-bit truecolor PNG per document ([[graft.functions.PngCodec]] —
     * scanline filters cycle through all five PNG types). Height ≥ 5 for

@@ -123,13 +123,25 @@ class PlanSpec extends SparkSpec {
     p.toLowerCase should include("dynamicpruning")
   }
 
-  test("q97-q100: media decode/resize is one shuffle-free codegen map over the scan") {
+  test("q97-q100/q118/q119: media decode/resize is one shuffle-free codegen map over the scan") {
     Seq(Queries.q97BmpDecode _, Queries.q98WavDecode _,
-        Queries.q99BmpResize _, Queries.q100WavDownsample _).foreach { q =>
+        Queries.q99BmpResize _, Queries.q100WavDownsample _,
+        Queries.q118UlawDecode _, Queries.q119AlawDecode _).foreach { q =>
       val p = plan(q)
       p should not include "Exchange"
       p should include("*(1)") // whole-stage codegen, single stage
     }
+  }
+
+  test("q117: IVF-PQ broadcasts every model table; raw vectors never self-join") {
+    val p = plan(Queries.q117IvfpqTopk)
+    // centroids, query ids, codebooks and the ADC distance table all ride
+    // broadcasts; the probes |X| lists equi-join keys cluster_id (SMJ in
+    // the static plan — AQE converts it when the probe side is small, and
+    // at 100 TB a shuffle there is the correct shape), never raw vectors
+    p should include("BroadcastNestedLoopJoin") // N x k centroid ranking
+    p should include("BroadcastHashJoin")       // codes |X| broadcast dtab
+    p should not include "CartesianProduct"
   }
 
   test("q101/q103: k-means assignment broadcasts the centroids and sqdist is codegen'd") {

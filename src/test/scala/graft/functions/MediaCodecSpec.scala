@@ -162,6 +162,52 @@ class MediaCodecSpec extends SparkSpec {
     jdkSamples shouldBe dec
   }
 
+  test("alaw: compress/expand round trip within segment quantization error") {
+    // A-law has no true zero: 0 encodes to +8 (half the segment-0 step)
+    MediaCodec.alawExpand(MediaCodec.alawCompress(0)) shouldBe 8
+    var s = -32768
+    while (s <= 32767) {
+      val d = MediaCodec.alawExpand(MediaCodec.alawCompress(s))
+      // segment step is 16·2^e ≤ (|s|+264)/16; mid-rise offset adds step/2
+      val bound = math.max(16, (math.abs(s) + 264) / 16)
+      assert(math.abs(d - s) <= bound,
+        s"round trip $s -> $d drifted past the segment step")
+      assert(s >= -16 || (d < 0) == (s < 0), s"sign flipped: $s -> $d")
+      s += 1
+    }
+  }
+
+  test("alawExpand matches the JDK's independent javax.sound ALAW decoder on all 256 codes") {
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem}
+    val codes = Array.tabulate[Byte](256)(_.toByte)
+    val alaw = new AudioFormat(AudioFormat.Encoding.ALAW, 8000f, 8, 1, 1, 8000f, false)
+    val pcmFmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, 8000f, 16, 1, 2, 8000f, false)
+    val pcm = AudioSystem.getAudioInputStream(pcmFmt,
+      new AudioInputStream(new java.io.ByteArrayInputStream(codes), alaw, 256))
+    val out = pcm.readAllBytes()
+    out.length shouldBe 512
+    for (i <- 0 until 256) {
+      val v = ((out(2 * i + 1) << 8) | (out(2 * i) & 0xff)).toShort.toInt
+      assert(v == MediaCodec.alawExpand(i),
+        s"code $i: JDK decodes $v, alawExpand gives ${MediaCodec.alawExpand(i)}")
+    }
+  }
+
+  test("wavEncodeAlaw emits a format-6 WAVE; wavStats decodes through the A-law expander") {
+    val b = MediaCodec.wavEncodeAlaw(seed = 23L, nSamples = 10, sampleRate = 16000)
+    (b(20) & 0xff) shouldBe 6
+    val st = MediaCodec.wavStats(b)
+    st should not be null
+    st.getInt(0) shouldBe 16000
+    st.getLong(1) shouldBe 10L
+    val dec = (0 until 10).map { i =>
+      MediaCodec.alawExpand(
+        MediaCodec.alawCompress(((23L + 17L * i) % 65536L).toInt - 32768))
+    }
+    st.getLong(2) shouldBe dec.map(v => math.abs(v).toLong).sum
+    st.getInt(3) shouldBe dec.map(math.abs).max
+  }
+
   test("bmpResize samples nearest-neighbor pixels and re-encodes a valid BMP") {
     val src = MediaCodec.bmpEncode(seed = 9L, width = 8, height = 6)
     val out = MediaCodec.bmpResize(src, 3, 2)
