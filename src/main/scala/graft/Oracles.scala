@@ -1447,6 +1447,27 @@ object Oracles {
         |SELECT 'ivf' AS method,
         |  (SELECT count(*) FROM topk) AS n_reference, TRUE AS ok""".stripMargin,
 
+    // IVF-PQ recall gate: n_reference recomputed from the oracle's own
+    // brute-force QUANTIZED-L2 pass (the metric PQ ranks in), ok pinned
+    // TRUE — a recall collapse on the engine side hash-mismatches.
+    "q83e_pq_recall" ->
+      """WITH pts AS (
+        |  SELECT vec_id AS id,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |topk AS (
+        |  SELECT query_id FROM (
+        |    SELECT a.id AS query_id,
+        |      row_number() OVER (PARTITION BY a.id ORDER BY
+        |        list_sum(list_transform(list_zip(a.qv, b.qv),
+        |          z -> (z[1]-z[2])*(z[1]-z[2]))), b.id) AS rank
+        |    FROM pts a CROSS JOIN pts b
+        |    WHERE a.id % 50 = 0 AND b.id != a.id)
+        |  WHERE rank <= 5)
+        |SELECT 'ivf_pq' AS method,
+        |  (SELECT count(*) FROM topk) AS n_reference, TRUE AS ok""".stripMargin,
+
     // Verified approximate aggregates: exact references via SQL, the
     // error-bound assertions ride as ok=TRUE.
     "q84_approx_checks" ->
@@ -2460,7 +2481,7 @@ object Oracles {
         |    SELECT query_id, cand_id,
         |      row_number() OVER (PARTITION BY query_id ORDER BY adc, cand_id) AS rn
         |    FROM adc)
-        |  WHERE rn <= 20),
+        |  WHERE rn <= 320),
         |scored AS (
         |  SELECT query_id, cand_id,
         |    list_sum(list_transform(list_zip(a.qv, b.qv),

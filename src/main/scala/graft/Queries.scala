@@ -1508,6 +1508,51 @@ object Queries {
     }
   }
 
+  /** Exact QUANTIZED-L2 top-k for the same 2% query set — the reference
+    * side of [[q83ePqRecall]]. The PQ/IVF-PQ family ranks by exact
+    * quantized L2 ([[graft.ops.Cluster.sqDistQ]]), not cosine, so its
+    * recall gate needs an L2 ground truth, not [[exactTopK]]'s cosine
+    * one. Same build-once artifact contract. */
+  private def exactTopKL2(s: SparkSession, dir: String): DataFrame = {
+    val sfTag = Tables.corpusTag(s, dir, "embeddings")
+    val path = s"${Tables.scratchDir(s)}/exact_topk_l2_q50_k5_v1/$sfTag"
+    Tables.servedArtifact(s, path) {
+      val pts = quantizedPoints(s, dir)
+      val q = pts.filter(col("id") % 50 === 0)
+        .select(col("id").as("query_id"), col("qv").as("_q"))
+      val c = pts.select(col("id").as("cand_id"), col("qv").as("_c"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("dist"), col("cand_id"))
+      c.crossJoin(broadcast(q))
+        .filter(col("query_id") =!= col("cand_id"))
+        .withColumn("dist", Cluster.sqDistQ(col("_q"), col("_c")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("cand_id"))
+        .write.mode("overwrite").parquet(path)
+    }
+  }
+
+  /** IVF-PQ vs exact quantized-L2 top-k: the recall gate that keeps the
+    * production ANN composition honest. q117 itself is fully hash-checked
+    * (determinism); this asserts the APPROXIMATION QUALITY — the coarse
+    * router (nProbe=2 of 8 lists) and the ADC shortlist together must
+    * recover at least the floor RecallSpec establishes (floor 0.3 =
+    * q83d's IVF stance, no closed form — recall depends on centroid
+    * geometry). The oracle recomputes n_reference from its own
+    * brute-force L2 pass and pins ok=TRUE, so a recall collapse
+    * hash-mismatches rather than being followed. */
+  def q83ePqRecall(s: SparkSession, dir: String): DataFrame = {
+    val pq = q117IvfpqTopk(s, dir)
+      .select(col("query_id"), col("cand_id")).withColumn("_f", lit(1L))
+    exactTopKL2(s, dir).join(pq, Seq("query_id", "cand_id"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        coalesce(sum(col("_f")), lit(0L)).as("n_found"))
+      .select(lit("ivf_pq").as("method"), col("n_exact").as("n_reference"),
+        (col("n_exact") === 0L ||
+          col("n_found").cast("double") / col("n_exact") >= 0.3).as("ok"))
+  }
+
   /** ANN-LSH vs exact top-k: recall within the hyperplane math at the
     * TRUE cosines (theta = arccos c, p = 1-(1-(1-theta/pi)^bits)^tables).
     * See [[q83aMinhashRecall]] for the family rationale. */
@@ -2487,10 +2532,20 @@ object Queries {
     * and the full search, distances AND ranks hash-checked. */
   def q117IvfpqTopk(s: SparkSession, dir: String): DataFrame = {
     val pts = quantizedPoints(s, dir)
+    // oversample 64, not q116's 4: the testdata embeddings are
+    // near-random — PQ's adversarial case, where 8 codewords per 16-dim
+    // subspace (3-bit codes, kept tiny so the oracle can replay both
+    // Lloyd trainers) barely discriminate, and the ADC shortlist at 4x
+    // misses neighbors the coarse router DID route (recall 0.26 vs the
+    // router's 0.49 ceiling at sf0.1; 64x recovers 0.47). Production
+    // codebooks are 8-bit (k=256) and run oversample 2-8; low-resolution
+    // codes trading a wider exact re-rank (320 rows/query — still
+    // corpus-independent) is the same dial at a different setting. The
+    // ADC scan, the pass that scales, is untouched.
     graft.ops.Pq.ivfPqTopK(pts, trainedCentroids(s, dir), pqBooks(s, dir),
       pqCodes(s, dir), m = 4,
       queries = pts.filter(col("id") % 50 === 0).select(col("id")),
-      k = 5, nProbe = 2, oversample = 4)
+      k = 5, nProbe = 2, oversample = 64)
   }
 
   def q115JpegDecode(s: SparkSession, dir: String): DataFrame = {

@@ -159,4 +159,17 @@ class RecallSpec extends SparkSpec {
     info(f"planted-pair recall: ${hits / 200.0}%.3f (${hits}/200)")
     hits / 200.0 should be >= 0.85
   }
+
+  test("q83e IVF-PQ recall clears its floor against exact quantized-L2 ground truth") {
+    // The gate the driver hash-checks (oracle pins ok=TRUE): coarse
+    // router (nProbe=2 of 8 trained lists) + ADC shortlist at the
+    // documented oversample must recover >= 0.3 of the true L2 top-5.
+    // Measured here: ~0.44 at sf0.01 against the router's ~0.46 ceiling
+    // (the synthetic embeddings are near-random — PQ's hardest case).
+    val r = graft.Queries.q83ePqRecall(spark, dir).collect()(0)
+    r.getString(0) shouldBe "ivf_pq"
+    r.getLong(1) shouldBe 50L // 10 queries x k=5 ground-truth rows
+    assert(r.getBoolean(2), "IVF-PQ recall fell below the 0.3 floor")
+    spark.catalog.clearCache()
+  }
 }
