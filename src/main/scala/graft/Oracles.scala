@@ -1468,6 +1468,39 @@ object Oracles {
         |SELECT 'ivf_pq' AS method,
         |  (SELECT count(*) FROM topk) AS n_reference, TRUE AS ok""".stripMargin,
 
+    // kNN classification: brute-force L2 top-5 (the exactTopKL2 replay),
+    // mode of the neighbors' labels with smallest-label tie-break,
+    // compared to the query's own label.
+    "q120_knn_classify" ->
+      """WITH pts AS (
+        |  SELECT vec_id AS id, label,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |topk AS (
+        |  SELECT query_id, cand_id FROM (
+        |    SELECT a.id AS query_id, b.id AS cand_id,
+        |      row_number() OVER (PARTITION BY a.id ORDER BY
+        |        list_sum(list_transform(list_zip(a.qv, b.qv),
+        |          z -> (z[1]-z[2])*(z[1]-z[2]))), b.id) AS rank
+        |    FROM pts a CROSS JOIN pts b
+        |    WHERE a.id % 50 = 0 AND b.id != a.id)
+        |  WHERE rank <= 5),
+        |votes AS (
+        |  SELECT t.query_id, p.label AS n_label, count(*) AS votes
+        |  FROM topk t JOIN pts p ON t.cand_id = p.id
+        |  GROUP BY t.query_id, p.label),
+        |pred AS (
+        |  SELECT query_id, n_label FROM (
+        |    SELECT query_id, n_label,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY votes DESC, n_label) AS r
+        |    FROM votes)
+        |  WHERE r = 1)
+        |SELECT d.query_id, d.n_label AS pred_label, p.label AS true_label,
+        |  d.n_label = p.label AS correct
+        |FROM pred d JOIN pts p ON d.query_id = p.id""".stripMargin,
+
     // Verified approximate aggregates: exact references via SQL, the
     // error-bound assertions ride as ok=TRUE.
     "q84_approx_checks" ->

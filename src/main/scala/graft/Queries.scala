@@ -1553,6 +1553,35 @@ object Queries {
           col("n_found").cast("double") / col("n_exact") >= 0.3).as("ok"))
   }
 
+  /** kNN majority-vote classification over the embedding space — the
+    * auto-labeling step a curation pipeline runs to propagate weak
+    * labels onto unlabeled data, exercised on the `label` column via the
+    * served exact-L2 ground truth ([[exactTopKL2]] — the same top-5
+    * neighbor table the q83e recall gate reads, so the O(Q·N) pass is
+    * paid once per snapshot). Prediction = mode of the 5 neighbors'
+    * labels, ties broken toward the SMALLEST label (deterministic), and
+    * `correct` compares against the query's own held label. Scale shape:
+    * ground-truth artifact scan + a label join + one tiny (query, label)
+    * aggregation; at 100 TB the neighbor source swaps to the q117
+    * IVF-PQ index — the dataflow downstream is identical. */
+  def q120KnnClassify(s: SparkSession, dir: String): DataFrame = {
+    val lab = t(s, dir, "embeddings").select(col("vec_id"), col("label"))
+    val votes = exactTopKL2(s, dir)
+      .join(lab.select(col("vec_id").as("cand_id"), col("label").as("n_label")),
+        Seq("cand_id"))
+      .groupBy(col("query_id"), col("n_label"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("n_label"))
+    votes
+      .withColumn("_r", row_number().over(w))
+      .filter(col("_r") === 1)
+      .join(lab.select(col("vec_id").as("query_id"), col("label").as("true_label")),
+        Seq("query_id"))
+      .select(col("query_id"), col("n_label").as("pred_label"),
+        col("true_label"), (col("n_label") === col("true_label")).as("correct"))
+  }
+
   /** ANN-LSH vs exact top-k: recall within the hyperplane math at the
     * TRUE cosines (theta = arccos c, p = 1-(1-(1-theta/pi)^bits)^tables).
     * See [[q83aMinhashRecall]] for the family rationale. */
