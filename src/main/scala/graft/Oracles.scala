@@ -1468,6 +1468,68 @@ object Oracles {
         |SELECT 'ivf_pq' AS method,
         |  (SELECT count(*) FROM topk) AS n_reference, TRUE AS ok""".stripMargin,
 
+    // IMA ADPCM decode gate: the oracle replays the codec's adaptive
+    // state machine sample-by-sample with a RECURSIVE CTE carrying
+    // (predictor, step index) per document — block-header samples
+    // (i % 65 = 0) pass through raw with the index carried, every other
+    // sample quantizes the delta at the current step (b2/b1/b0 bits),
+    // reconstructs with the decoder's diffq, clamps, and adjusts the
+    // index through the spec's literal tables. Exact integers, so the
+    // decoded amplitude stats hash bit-for-bit.
+    "q121_ima_adpcm_decode" ->
+      """WITH RECURSIVE p AS (
+        |  SELECT doc_id, CAST(64 + doc_id % 100 AS INT) AS n,
+        |    CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sr, doc_id AS seed
+        |  FROM documents),
+        |st AS (
+        |  SELECT doc_id, n, seed, 0 AS i,
+        |    CAST((seed % 65536) - 32768 AS BIGINT) AS dec,
+        |    CAST((seed % 65536) - 32768 AS BIGINT) AS pred,
+        |    CAST(0 AS BIGINT) AS idx
+        |  FROM p
+        |  UNION ALL
+        |  SELECT doc_id, n, seed, i,
+        |    CASE WHEN i % 65 = 0 THEN s ELSE pq END AS dec,
+        |    CASE WHEN i % 65 = 0 THEN s ELSE pq END AS pred,
+        |    CASE WHEN i % 65 = 0 THEN idx
+        |         ELSE least(CAST(88 AS BIGINT), greatest(CAST(0 AS BIGINT),
+        |           idx + [-1,-1,-1,-1,2,4,6,8][CAST(cd % 8 AS INT) + 1])) END AS idx
+        |  FROM (
+        |    SELECT *,
+        |      CASE WHEN sgn = 1 THEN greatest(CAST(-32768 AS BIGINT), pred - dq)
+        |           ELSE least(CAST(32767 AS BIGINT), pred + dq) END AS pq,
+        |      sgn*8 + b2*4 + b1*2 + b0 AS cd
+        |    FROM (
+        |      SELECT *, CASE WHEN d1 - b1*(stp // 2) >= stp // 4 THEN 1 ELSE 0 END AS b0,
+        |        (stp // 8) + b2*stp + b1*(stp // 2)
+        |          + (CASE WHEN d1 - b1*(stp // 2) >= stp // 4 THEN 1 ELSE 0 END)*(stp // 4) AS dq
+        |      FROM (
+        |        SELECT *, CASE WHEN d1 >= stp // 2 THEN 1 ELSE 0 END AS b1
+        |        FROM (
+        |          SELECT *, d0 - b2*stp AS d1
+        |          FROM (
+        |            SELECT *, CASE WHEN d0 >= stp THEN 1 ELSE 0 END AS b2
+        |            FROM (
+        |              SELECT *, CASE WHEN s < pred THEN 1 ELSE 0 END AS sgn,
+        |                abs(s - pred) AS d0
+        |              FROM (
+        |                SELECT doc_id, n, seed, i + 1 AS i, pred, idx,
+        |                  CAST(((seed + 17*(i+1)) % 65536) - 32768 AS BIGINT) AS s,
+        |                  [7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,
+        |                   41,45,50,55,60,66,73,80,88,97,107,118,130,143,157,173,
+        |                   190,209,230,253,279,307,337,371,408,449,494,544,598,658,
+        |                   724,796,876,963,1060,1166,1282,1411,1552,1707,1878,2066,
+        |                   2272,2499,2749,3024,3327,3660,4026,4428,4871,5358,5894,
+        |                   6484,7132,7845,8630,9493,10442,11487,12635,13899,15289,
+        |                   16818,18500,20350,22385,24623,27086,29794,32767]
+        |                    [CAST(idx AS INT) + 1] AS stp
+        |                FROM st WHERE i + 1 < n) t0) t1) t2) t3) t4) t5) t6)
+        |SELECT st.doc_id, p.sr AS sample_rate, CAST(p.n AS BIGINT) AS n_samples,
+        |  CAST(sum(abs(st.dec)) AS BIGINT) AS sum_abs,
+        |  CAST(max(abs(st.dec)) AS INT) AS peak
+        |FROM st JOIN p ON st.doc_id = p.doc_id
+        |GROUP BY st.doc_id, p.sr, p.n""".stripMargin,
+
     // kNN classification: brute-force L2 top-5 (the exactTopKL2 replay),
     // mode of the neighbors' labels with smallest-label tie-break,
     // compared to the query's own label.

@@ -2629,6 +2629,23 @@ object Queries {
         col("st.n_samples").as("n_samples"), col("st.sum_abs").as("sum_abs"),
         col("st.peak").as("peak"))
 
+  /** IMA/DVI ADPCM decode end-to-end ([[Multimodal.imaAudioAssets]],
+    * WAV format code 0x11): a REAL block-compressed adaptive codec — the
+    * decoder walks 36-byte blocks (raw header sample + carried step
+    * index + 4-bit codes, final block padded and trimmed by the fact
+    * count) and runs the spec's step-table state machine per sample.
+    * Still exactly oracle-checkable: the recurrence is pure integer, so
+    * the DuckDB side replays encode AND decode sample-by-sample with a
+    * RECURSIVE CTE over (doc, sample index) carrying (predictor, step
+    * index) — the decoded amplitude stats hash bit-for-bit. */
+  def q121ImaAdpcmDecode(s: SparkSession, dir: String): DataFrame =
+    Multimodal.imaAudioAssets(t(s, dir, "documents"), "doc_id")
+      .select(col("asset_id").as("doc_id"),
+        Multimodal.decodeWav(col("payload")).as("st"))
+      .select(col("doc_id"), col("st.sample_rate").as("sample_rate"),
+        col("st.n_samples").as("n_samples"), col("st.sum_abs").as("sum_abs"),
+        col("st.peak").as("peak"))
+
   /** Streaming-ingest dedup, batch form ([[graft.streaming.EventStream
     * .ingestDedup]]): content-hash the event payload and keep one
     * deterministic survivor per hash — the op an ingest pipeline runs

@@ -25,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.wavStats)
     ext.injectFunction(GraftExtensions.wavEncodeUlaw)
     ext.injectFunction(GraftExtensions.wavEncodeAlaw)
+    ext.injectFunction(GraftExtensions.wavEncodeIma)
     ext.injectFunction(GraftExtensions.bmpResize)
     ext.injectFunction(GraftExtensions.wavDownsample)
     ext.injectFunction(GraftExtensions.pngEncode)
@@ -133,6 +134,12 @@ object GraftExtensions {
     new ExpressionInfo(classOf[WavEncodeAlaw].getName, null, "graft_wav_encode_alaw",
       "graft_wav_encode_alaw(seed, n_samples, sample_rate) - deterministic G.711 A-law compressed mono WAV payload", ""),
     (children: Seq[Expression]) => WavEncodeAlaw(children.head, children(1), children(2)))
+
+  val wavEncodeIma: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier("graft_wav_encode_ima"),
+    new ExpressionInfo(classOf[WavEncodeIma].getName, null, "graft_wav_encode_ima",
+      "graft_wav_encode_ima(seed, n_samples, sample_rate) - deterministic IMA/DVI ADPCM compressed mono WAV payload", ""),
+    (children: Seq[Expression]) => WavEncodeIma(children.head, children(1), children(2)))
 
   val bmpResize: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     new FunctionIdentifier("graft_bmp_resize"),

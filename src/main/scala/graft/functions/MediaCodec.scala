@@ -257,13 +257,134 @@ object MediaCodec {
   def wavEncodeAlaw(seed: Long, nSamples: Int, sampleRate: Int): Array[Byte] =
     wavEncodeG711(seed, nSamples, sampleRate, 6)
 
+  /** The IMA/DVI ADPCM step-size table (89 entries) and index-adjustment
+    * table — spec-defined literal constants, shared by compress and
+    * expand, and replayed as list literals by the q121 oracle. */
+  private val ImaStep: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+  private val ImaIndexAdj: Array[Int] = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** One IMA ADPCM compress step: quantize `s - pred` to a 4-bit code at
+    * the current step size. Returns the code; the caller advances state
+    * with [[imaAdvance]] (the SAME reconstruction the decoder runs — the
+    * encoder tracks the decoder's predictor exactly, which is what makes
+    * the recurrence closed under replay). */
+  @inline private def imaCompressStep(s: Int, pred: Int, idx: Int): Int = {
+    val step = ImaStep(idx)
+    var diff = s - pred
+    var code = 0
+    if (diff < 0) { code = 8; diff = -diff }
+    if (diff >= step) { code |= 4; diff -= step }
+    if (diff >= (step >> 1)) { code |= 2; diff -= step >> 1 }
+    if (diff >= (step >> 2)) code |= 1
+    code
+  }
+
+  /** Advance (pred, idx) by one 4-bit code — the decoder recurrence:
+    * diffq = step/8 + step·b2 + step/2·b1 + step/4·b0, predictor clamped
+    * to 16-bit, index clamped to the table. Returns packed
+    * (newPred << 8) | newIdx (pred in the high bits keeps it one int). */
+  @inline private def imaAdvance(code: Int, pred: Int, idx: Int): Long = {
+    val step = ImaStep(idx)
+    var diffq = step >> 3
+    if ((code & 4) != 0) diffq += step
+    if ((code & 2) != 0) diffq += step >> 1
+    if ((code & 1) != 0) diffq += step >> 2
+    var p = if ((code & 8) != 0) pred - diffq else pred + diffq
+    if (p > 32767) p = 32767
+    if (p < -32768) p = -32768
+    var i = idx + ImaIndexAdj(code & 7)
+    if (i < 0) i = 0
+    if (i > 88) i = 88
+    (p.toLong << 8) | i
+  }
+
+  /** Samples per IMA block at [[ImaBlockAlign]]: the stored header sample
+    * plus 2 nibbles per remaining byte. */
+  val ImaBlockAlign = 36
+  val ImaSamplesPerBlock: Int = (ImaBlockAlign - 4) * 2 + 1 // 65
+
+  /** Spec-conformant IMA/DVI ADPCM WAVE (format code 0x11, mono, 4-bit):
+    * 20-byte fmt chunk (cbSize=2 extension carrying wSamplesPerBlock),
+    * fact chunk with the true sample count, and block-aligned data —
+    * each 36-byte block stores its first sample RAW in the 4-byte header
+    * (int16 predictor, uint8 step index carried across blocks, reserved
+    * 0) and the remaining 64 samples as 4-bit codes, low nibble first.
+    * The final block is zero-padded; the fact count trims it on decode.
+    * ~4:1 compression with a real adaptive-step state machine — the
+    * midpoint between G.711 (memoryless) and the perceptual codecs that
+    * stay stubbed. */
+  def wavEncodeIma(seed: Long, nSamples: Int, sampleRate: Int): Array[Byte] = {
+    if (nSamples <= 0 || nSamples > MaxSamples || sampleRate <= 0) return null
+    val spb = ImaSamplesPerBlock
+    val nBlocks = (nSamples + spb - 1) / spb
+    val dataSize = nBlocks * ImaBlockAlign
+    val byteRate = math.max(1, (sampleRate.toLong * ImaBlockAlign / spb).toInt)
+    val b = new Array[Byte](12 + 28 + 12 + 8 + dataSize)
+    b(0) = 'R'; b(1) = 'I'; b(2) = 'F'; b(3) = 'F'
+    putLe32(b, 4, b.length - 8)
+    b(8) = 'W'; b(9) = 'A'; b(10) = 'V'; b(11) = 'E'
+    b(12) = 'f'; b(13) = 'm'; b(14) = 't'; b(15) = ' '
+    putLe32(b, 16, 20)   // fmt body: 16 + cbSize field + 2-byte extension
+    putLe16(b, 20, 0x11) // audio format: IMA/DVI ADPCM
+    putLe16(b, 22, 1)    // channels: mono
+    putLe32(b, 24, sampleRate)
+    putLe32(b, 28, byteRate)
+    putLe16(b, 32, ImaBlockAlign)
+    putLe16(b, 34, 4)    // bits per sample
+    putLe16(b, 36, 2)    // cbSize
+    putLe16(b, 38, spb)  // wSamplesPerBlock
+    b(40) = 'f'; b(41) = 'a'; b(42) = 'c'; b(43) = 't'
+    putLe32(b, 44, 4)
+    putLe32(b, 48, nSamples)
+    b(52) = 'd'; b(53) = 'a'; b(54) = 't'; b(55) = 'a'
+    putLe32(b, 56, dataSize)
+    var idx = 0
+    var pred = 0
+    var i = 0
+    var off = 60
+    while (i < nSamples) {
+      if (i % spb == 0) { // block header: raw first sample + carried index
+        val s = sample(seed, i)
+        putLe16(b, off, s & 0xffff)
+        b(off + 2) = idx.toByte
+        b(off + 3) = 0
+        pred = s
+        off += 4
+        i += 1
+      } else {
+        var byte = 0
+        var nib = 0
+        while (nib < 2 && i % spb != 0 && i < nSamples) {
+          val code = imaCompressStep(sample(seed, i), pred, idx)
+          val st = imaAdvance(code, pred, idx)
+          pred = (st >> 8).toInt
+          idx = (st & 0xff).toInt
+          byte |= code << (4 * nib)
+          nib += 1
+          i += 1
+        }
+        b(off) = byte.toByte
+        off += 1
+      }
+    }
+    b
+  }
+
   /** Walk a RIFF/WAVE container — chunk-by-chunk with RIFF's odd-size word
     * padding, not fixed offsets, so files with extra chunks (LIST, fact)
-    * parse too — validate the format (PCM/mono/16-bit, or G.711
-    * μ-law/A-law mono 8-bit whose samples are EXPANDED through the real
-    * [[mulawExpand]]/[[alawExpand]] decoders before folding), and return
-    * (sample_rate, n_samples, sum_abs, peak) over the decoded PCM; null
-    * on malformed input. */
+    * parse too — validate the format (PCM/mono/16-bit; G.711 μ-law/A-law
+    * mono 8-bit EXPANDED through the real [[mulawExpand]]/[[alawExpand]]
+    * decoders; or IMA/DVI ADPCM mono 4-bit decoded block-by-block through
+    * the adaptive-step state machine, the fact chunk trimming the padded
+    * final block), and return (sample_rate, n_samples, sum_abs, peak)
+    * over the decoded PCM; null on malformed input. */
   def wavStats(b: Array[Byte]): InternalRow = {
     if (b == null || b.length < 44) return null
     if (b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
@@ -271,12 +392,16 @@ object MediaCodec {
     var pos = 12
     var sampleRate = -1
     var fmtCode = -1
+    var blockAlign = -1
+    var spb = -1
+    var factN = -1
     var dataOff = -1
     var dataLen = -1
     while (pos + 8 <= b.length && (sampleRate < 0 || dataOff < 0)) {
       val size = le32(b, pos + 4)
       if (size < 0 || pos + 8 + size > b.length) return null
       val isFmt = b(pos) == 'f' && b(pos + 1) == 'm' && b(pos + 2) == 't' && b(pos + 3) == ' '
+      val isFact = b(pos) == 'f' && b(pos + 1) == 'a' && b(pos + 2) == 'c' && b(pos + 3) == 't'
       val isData = b(pos) == 'd' && b(pos + 1) == 'a' && b(pos + 2) == 't' && b(pos + 3) == 'a'
       if (isFmt) {
         if (size < 16) return null
@@ -285,29 +410,72 @@ object MediaCodec {
         val bits = le16(b, pos + 22)
         if (channels != 1) return null
         if (!((fmt == 1 && bits == 16) ||
-          ((fmt == 7 || fmt == 6) && bits == 8))) return null
+          ((fmt == 7 || fmt == 6) && bits == 8) ||
+          (fmt == 0x11 && bits == 4))) return null
         fmtCode = fmt
         sampleRate = le32(b, pos + 12)
+        blockAlign = le16(b, pos + 20)
+        // IMA: the 2-byte fmt extension carries wSamplesPerBlock
+        if (fmt == 0x11) {
+          if (size < 20 || le16(b, pos + 24) < 2) return null
+          spb = le16(b, pos + 26)
+        }
+      } else if (isFact) {
+        if (size >= 4) factN = le32(b, pos + 8)
       } else if (isData) {
         dataOff = pos + 8; dataLen = size
       }
       pos += 8 + size + (size & 1) // RIFF: chunks are word-aligned
     }
     if (sampleRate <= 0 || dataOff < 0) return null
-    if (fmtCode == 1 && dataLen % 2 != 0) return null
-    val n = if (fmtCode == 1) dataLen / 2 else dataLen
     var sumAbs = 0L
     var peak = 0
-    var i = 0
-    while (i < n) {
-      val v =
-        if (fmtCode == 1) (le16(b, dataOff + 2 * i) << 16) >> 16 // sign-extend
-        else if (fmtCode == 7) mulawExpand(b(dataOff + i) & 0xFF)
-        else alawExpand(b(dataOff + i) & 0xFF)
-      val a = math.abs(v)
-      sumAbs += a
-      if (a > peak) peak = a
-      i += 1
+    var n = 0
+    if (fmtCode == 0x11) {
+      // IMA ADPCM: consistency of block geometry, fact count, data size
+      if (blockAlign < 5 || spb != (blockAlign - 4) * 2 + 1) return null
+      if (dataLen % blockAlign != 0) return null
+      val nBlocks = dataLen / blockAlign
+      if (factN <= 0 || factN > nBlocks.toLong * spb ||
+        factN <= (nBlocks - 1).toLong * spb) return null
+      n = factN
+      var i = 0
+      var blk = 0
+      while (blk < nBlocks) {
+        val boff = dataOff + blk * blockAlign
+        var pred = (le16(b, boff) << 16) >> 16 // header sample, sign-extended
+        var idx = b(boff + 2) & 0xff
+        if (idx > 88 || b(boff + 3) != 0) return null
+        var a = math.abs(pred)
+        sumAbs += a; if (a > peak) peak = a
+        i += 1
+        var k = 1 // sample index within block
+        while (k < spb && i < n) {
+          val byte = b(boff + 4 + (k - 1) / 2) & 0xff
+          val code = if ((k & 1) == 1) byte & 0xF else byte >> 4
+          val st = imaAdvance(code, pred, idx)
+          pred = (st >> 8).toInt
+          idx = (st & 0xff).toInt
+          a = math.abs(pred)
+          sumAbs += a; if (a > peak) peak = a
+          k += 1; i += 1
+        }
+        blk += 1
+      }
+    } else {
+      if (fmtCode == 1 && dataLen % 2 != 0) return null
+      n = if (fmtCode == 1) dataLen / 2 else dataLen
+      var i = 0
+      while (i < n) {
+        val v =
+          if (fmtCode == 1) (le16(b, dataOff + 2 * i) << 16) >> 16 // sign-extend
+          else if (fmtCode == 7) mulawExpand(b(dataOff + i) & 0xFF)
+          else alawExpand(b(dataOff + i) & 0xFF)
+        val a = math.abs(v)
+        sumAbs += a
+        if (a > peak) peak = a
+        i += 1
+      }
     }
     InternalRow(sampleRate, n.toLong, sumAbs, peak)
   }
@@ -578,10 +746,31 @@ case class WavEncodeAlaw(first: Expression, second: Expression, third: Expressio
       f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)
 }
 
+/** `graft_wav_encode_ima(seed, n_samples, sample_rate)` → BINARY: a real
+  * IMA/DVI ADPCM compressed WAVE (format code 0x11, 36-byte blocks,
+  * 4-bit codes, fact chunk). */
+case class WavEncodeIma(first: Expression, second: Expression, third: Expression)
+  extends TernaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType, IntegerType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_wav_encode_ima"
+  override def nullSafeEval(s: Any, n: Any, r: Any): Any =
+    MediaCodec.wavEncodeIma(s.asInstanceOf[Long], n.asInstanceOf[Int], r.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, n, r) =>
+      s"""
+         |${ev.value} = graft.functions.MediaCodec.wavEncodeIma($s, $n, $r);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)
+}
+
 /** `graft_wav_stats(payload)` → STRUCT(sample_rate, n_samples, sum_abs,
   * peak) over the DECODED PCM; NULL when the payload is not well-formed
-  * mono WAVE (PCM 16-bit, or G.711 μ-law/A-law 8-bit — expanded through
-  * the real decoders). */
+  * mono WAVE (PCM 16-bit; G.711 μ-law/A-law 8-bit; or IMA ADPCM 4-bit —
+  * all decoded through the real expanders/state machine). */
 case class WavStats(child: Expression)
   extends UnaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[DataType] = Seq(BinaryType)

@@ -91,6 +91,23 @@ object Multimodal {
         (lit(64) + pmod(col(idCol), lit(100))).cast("int"),
         (lit(8000) + pmod(col(idCol), lit(4)) * lit(4000)).cast("int")).as("payload"))
 
+  /** Block-compressed-audio-asset table with REAL payloads: one IMA/DVI
+    * ADPCM WAVE per document (format code 0x11, 36-byte blocks — the
+    * header stores the block's first sample raw plus the carried step
+    * index, then 4-bit codes) — the ADAPTIVE-state compressed format
+    * between G.711's memoryless companding and the perceptual codecs:
+    * decode is a real per-block state machine, still pure integer, so
+    * the q121 oracle replays it with a recursive CTE. Same PCM source
+    * as [[audioAssets]]; n spans 1–3 blocks incl. a ragged final one. */
+  def imaAudioAssets(docs: DataFrame, idCol: String): DataFrame =
+    docs.select(
+      col(idCol).as("asset_id"),
+      lit("audio/ima-adpcm").as("media_type"),
+      call_function("graft_wav_encode_ima",
+        col(idCol).cast("long"),
+        (lit(64) + pmod(col(idCol), lit(100))).cast("int"),
+        (lit(8000) + pmod(col(idCol), lit(4)) * lit(4000)).cast("int")).as("payload"))
+
   /** Compressed-image-asset table with REAL payloads: one zlib-deflated
     * 8-bit truecolor PNG per document ([[graft.functions.PngCodec]] —
     * scanline filters cycle through all five PNG types). Height ≥ 5 for

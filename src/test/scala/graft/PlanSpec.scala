@@ -126,7 +126,8 @@ class PlanSpec extends SparkSpec {
   test("q97-q100/q118/q119: media decode/resize is one shuffle-free codegen map over the scan") {
     Seq(Queries.q97BmpDecode _, Queries.q98WavDecode _,
         Queries.q99BmpResize _, Queries.q100WavDownsample _,
-        Queries.q118UlawDecode _, Queries.q119AlawDecode _).foreach { q =>
+        Queries.q118UlawDecode _, Queries.q119AlawDecode _,
+        Queries.q121ImaAdpcmDecode _).foreach { q =>
       val p = plan(q)
       p should not include "Exchange"
       p should include("*(1)") // whole-stage codegen, single stage

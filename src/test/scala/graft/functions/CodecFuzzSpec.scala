@@ -49,9 +49,10 @@ class CodecFuzzSpec extends SparkSpec {
     val baseWav = MediaCodec.wavEncode(3L, 100, 8000)
     val baseUlaw = MediaCodec.wavEncodeUlaw(3L, 100, 8000)
     val baseAlaw = MediaCodec.wavEncodeAlaw(3L, 100, 8000)
+    val baseIma = MediaCodec.wavEncodeIma(3L, 100, 8000)
     val baseJpg = JpegCodec.jpegEncode(3L, 6, 7)
     val gen = for {
-      base <- Gen.oneOf(basePng, baseBmp, baseWav, baseUlaw, baseAlaw, baseJpg)
+      base <- Gen.oneOf(basePng, baseBmp, baseWav, baseUlaw, baseAlaw, baseIma, baseJpg)
       idx <- Gen.choose(0, base.length - 1)
       b <- Gen.choose(Byte.MinValue, Byte.MaxValue)
     } yield { val m = base.clone(); m(idx) = b; m }
@@ -64,9 +65,10 @@ class CodecFuzzSpec extends SparkSpec {
     val baseWav = MediaCodec.wavEncode(9L, 64, 8000)
     val baseUlaw = MediaCodec.wavEncodeUlaw(9L, 64, 8000)
     val baseAlaw = MediaCodec.wavEncodeAlaw(9L, 64, 8000)
+    val baseIma = MediaCodec.wavEncodeIma(9L, 64, 8000)
     val baseJpg = JpegCodec.jpegEncode(9L, 5, 6)
     val gen = for {
-      base <- Gen.oneOf(basePng, baseBmp, baseWav, baseUlaw, baseAlaw, baseJpg)
+      base <- Gen.oneOf(basePng, baseBmp, baseWav, baseUlaw, baseAlaw, baseIma, baseJpg)
       cut <- Gen.choose(0, base.length)
       pad <- Gen.choose(0, 16)
     } yield base.take(cut) ++ Array.fill[Byte](pad)(0x41)

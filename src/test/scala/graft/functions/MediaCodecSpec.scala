@@ -208,6 +208,85 @@ class MediaCodecSpec extends SparkSpec {
     st.getInt(3) shouldBe dec.map(math.abs).max
   }
 
+  /** Test-local replay of the IMA recurrence with its OWN copies of the
+    * spec tables — pins the production tables: an edit to either literal
+    * in MediaCodec diverges from this one and fails. */
+  private def imaReplay(seed: Long, n: Int): Seq[Int] = {
+    val step = Array(7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25,
+      28, 31, 34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118,
+      130, 143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408,
+      449, 494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282,
+      1411, 1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660,
+      4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442,
+      11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623,
+      27086, 29794, 32767)
+    val adj = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+    var pred = 0; var idx = 0
+    (0 until n).map { i =>
+      val s = (((seed + 17L * i) % 65536L).toInt - 32768)
+      if (i % 65 == 0) { pred = s; s }
+      else {
+        val st = step(idx)
+        var d = s - pred; var code = 0
+        if (d < 0) { code = 8; d = -d }
+        if (d >= st) { code |= 4; d -= st }
+        if (d >= (st >> 1)) { code |= 2; d -= st >> 1 }
+        if (d >= (st >> 2)) code |= 1
+        var dq = st >> 3
+        if ((code & 4) != 0) dq += st
+        if ((code & 2) != 0) dq += st >> 1
+        if ((code & 1) != 0) dq += st >> 2
+        pred = math.max(-32768, math.min(32767, if ((code & 8) != 0) pred - dq else pred + dq))
+        idx = math.max(0, math.min(88, idx + adj(code & 7)))
+        pred
+      }
+    }
+  }
+
+  test("wavEncodeIma emits block-aligned format-0x11 WAVE; wavStats replays the state machine") {
+    for (n <- Seq(64, 65, 66, 130, 163)) { // 1-3 blocks, ragged and exact
+      val b = MediaCodec.wavEncodeIma(seed = 31L, nSamples = n, sampleRate = 8000)
+      (b(20) & 0xff) shouldBe 0x11
+      new String(b.slice(40, 44)) shouldBe "fact"
+      val nBlocks = (n + 64) / 65
+      b.length shouldBe 60 + nBlocks * 36
+      val st = MediaCodec.wavStats(b)
+      withClue(s"n=$n: ") {
+        st should not be null
+        st.getLong(1) shouldBe n.toLong
+        val dec = imaReplay(31L, n)
+        st.getLong(2) shouldBe dec.map(v => math.abs(v).toLong).sum
+        st.getInt(3) shouldBe dec.map(math.abs).max
+      }
+    }
+  }
+
+  test("IMA decode tracks a smooth signal closely (adaptive step converges)") {
+    // The corpus formula advances 17 units/sample after the raw header
+    // sample — slow relative to 16-bit range, so after the step table
+    // adapts the reconstruction must stay within a small bound of the
+    // true signal for in-block samples. A broken index adaptation or
+    // nibble order blows this up by orders of magnitude.
+    val n = 65
+    val dec = imaReplay(3L, n)
+    val err = (1 until n).map(i => math.abs(dec(i) - (((3L + 17L * i) % 65536L).toInt - 32768)))
+    // skip the first few adaptation samples; the steady-state must track
+    all(err.drop(8)) should be <= 64
+  }
+
+  test("wavStats rejects malformed IMA payloads") {
+    val good = MediaCodec.wavEncodeIma(7L, 100, 8000)
+    MediaCodec.wavStats(good.take(70)) shouldBe null         // truncated data
+    val badRes = good.clone(); badRes(63) = 1                // reserved byte
+    MediaCodec.wavStats(badRes) shouldBe null
+    val badIdx = good.clone(); badIdx(62) = 90.toByte        // index > 88
+    MediaCodec.wavStats(badIdx) shouldBe null
+    val badFact = good.clone(); badFact(48) = 0; badFact(49) = 0
+    MediaCodec.wavStats(badFact) shouldBe null               // fact = 0
+    val badSpb = good.clone(); badSpb(38) = 17               // spb mismatch
+    MediaCodec.wavStats(badSpb) shouldBe null
+  }
+
   test("bmpResize samples nearest-neighbor pixels and re-encodes a valid BMP") {
     val src = MediaCodec.bmpEncode(seed = 9L, width = 8, height = 6)
     val out = MediaCodec.bmpResize(src, 3, 2)
