@@ -1530,6 +1530,27 @@ object Oracles {
         |FROM st JOIN p ON st.doc_id = p.doc_id
         |GROUP BY st.doc_id, p.sr, p.n""".stripMargin,
 
+    // Audio framing features: frames of 32 at stride 16 (complete frames
+    // only), per-frame energy and zero-crossing count from the replayed
+    // PCM formula — all exact integers.
+    "q122_audio_frames" ->
+      """WITH p AS (
+        |  SELECT doc_id, CAST(64 + doc_id % 100 AS INT) AS n, doc_id AS seed
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, seed, CAST(fi AS INT) AS frame_idx
+        |  FROM p, LATERAL (SELECT unnest(generate_series(0, (n - 32) // 16)) AS fi)),
+        |smp AS (
+        |  SELECT doc_id, frame_idx, j,
+        |    ((seed + 17*(frame_idx*16 + j)) % 65536) - 32768 AS s
+        |  FROM f, LATERAL (SELECT unnest(generate_series(0, 31)) AS j))
+        |SELECT doc_id, frame_idx,
+        |  CAST(sum(s*s) AS BIGINT) AS energy,
+        |  CAST(sum(CASE WHEN j > 0 AND (s < 0) != (prev < 0) THEN 1 ELSE 0 END) AS BIGINT) AS zcr
+        |FROM (SELECT *, lag(s) OVER (PARTITION BY doc_id, frame_idx ORDER BY j) AS prev
+        |      FROM smp)
+        |GROUP BY doc_id, frame_idx""".stripMargin,
+
     // kNN classification: brute-force L2 top-5 (the exactTopKL2 replay),
     // mode of the neighbors' labels with smallest-label tie-break,
     // compared to the query's own label.

@@ -2646,6 +2646,34 @@ object Queries {
         col("st.n_samples").as("n_samples"), col("st.sum_abs").as("sum_abs"),
         col("st.peak").as("peak"))
 
+  /** REAL audio feature extraction ([[Multimodal.decodeWavSamples]]):
+    * decode each asset to its PCM sample ARRAY through the real codec,
+    * then frame it (W=32, stride 16 — overlapping windows, complete
+    * frames only) and compute per-frame energy (Σs²) and zero-crossing
+    * count — the framing + feature step every speech/audio model's data
+    * pipeline runs between decode and the feature model. All integer →
+    * exact oracle. One narrow map + explode, no shuffle; at 100 TB this
+    * pipelines into whatever consumes the frames. */
+  def q122AudioFrames(s: SparkSession, dir: String): DataFrame = {
+    val W = 32
+    val S = 16
+    Multimodal.audioAssets(t(s, dir, "documents"), "doc_id")
+      .select(col("asset_id").as("doc_id"),
+        Multimodal.decodeWavSamples(col("payload")).as("smp"))
+      .select(col("doc_id"), col("smp"),
+        explode(sequence(lit(0),
+          floor((size(col("smp")) - W).cast("double") / S).cast("int"))).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        slice(col("smp"), col("frame_idx") * S + 1, lit(W)).as("w"))
+      .select(col("doc_id"), col("frame_idx"),
+        aggregate(col("w"), lit(0L),
+          (a, x) => a + x.cast("long") * x.cast("long")).as("energy"),
+        aggregate(
+          zip_with(slice(col("w"), 1, W - 1), slice(col("w"), 2, W - 1),
+            (a, b) => when((a < 0) =!= (b < 0), 1L).otherwise(0L)),
+          lit(0L), (a, x) => a + x).as("zcr"))
+  }
+
   /** Streaming-ingest dedup, batch form ([[graft.streaming.EventStream
     * .ingestDedup]]): content-hash the event payload and keep one
     * deterministic survivor per hash — the op an ingest pipeline runs

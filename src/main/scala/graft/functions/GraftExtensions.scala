@@ -26,6 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.wavEncodeUlaw)
     ext.injectFunction(GraftExtensions.wavEncodeAlaw)
     ext.injectFunction(GraftExtensions.wavEncodeIma)
+    ext.injectFunction(GraftExtensions.wavSamples)
     ext.injectFunction(GraftExtensions.bmpResize)
     ext.injectFunction(GraftExtensions.wavDownsample)
     ext.injectFunction(GraftExtensions.pngEncode)
@@ -140,6 +141,12 @@ object GraftExtensions {
     new ExpressionInfo(classOf[WavEncodeIma].getName, null, "graft_wav_encode_ima",
       "graft_wav_encode_ima(seed, n_samples, sample_rate) - deterministic IMA/DVI ADPCM compressed mono WAV payload", ""),
     (children: Seq[Expression]) => WavEncodeIma(children.head, children(1), children(2)))
+
+  val wavSamples: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier("graft_wav_samples"),
+    new ExpressionInfo(classOf[WavSamples].getName, null, "graft_wav_samples",
+      "graft_wav_samples(payload) - decoded PCM sample array of a supported WAVE, NULL if malformed", ""),
+    (children: Seq[Expression]) => WavSamples(children.head))
 
   val bmpResize: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     new FunctionIdentifier("graft_bmp_resize"),

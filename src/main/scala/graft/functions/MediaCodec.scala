@@ -386,6 +386,32 @@ object MediaCodec {
     * final block), and return (sample_rate, n_samples, sum_abs, peak)
     * over the decoded PCM; null on malformed input. */
   def wavStats(b: Array[Byte]): InternalRow = {
+    val dec = wavDecode(b)
+    if (dec == null) return null
+    val (sampleRate, samples) = dec
+    var sumAbs = 0L
+    var peak = 0
+    var i = 0
+    while (i < samples.length) {
+      val a = math.abs(samples(i))
+      sumAbs += a
+      if (a > peak) peak = a
+      i += 1
+    }
+    InternalRow(sampleRate, samples.length.toLong, sumAbs, peak)
+  }
+
+  /** The decoded PCM sample array itself (plus sample rate) — the input
+    * every downstream audio feature extractor (framing, energy, ZCR,
+    * resample) consumes. Same validation as [[wavStats]]; null on
+    * malformed input. */
+  def wavSamples(b: Array[Byte]): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val dec = wavDecode(b)
+    if (dec == null) return null
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(dec._2)
+  }
+
+  private def wavDecode(b: Array[Byte]): (Int, Array[Int]) = {
     if (b == null || b.length < 44) return null
     if (b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
       b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return null
@@ -428,9 +454,6 @@ object MediaCodec {
       pos += 8 + size + (size & 1) // RIFF: chunks are word-aligned
     }
     if (sampleRate <= 0 || dataOff < 0) return null
-    var sumAbs = 0L
-    var peak = 0
-    var n = 0
     if (fmtCode == 0x11) {
       // IMA ADPCM: consistency of block geometry, fact count, data size
       if (blockAlign < 5 || spb != (blockAlign - 4) * 2 + 1) return null
@@ -438,7 +461,7 @@ object MediaCodec {
       val nBlocks = dataLen / blockAlign
       if (factN <= 0 || factN > nBlocks.toLong * spb ||
         factN <= (nBlocks - 1).toLong * spb) return null
-      n = factN
+      val out = new Array[Int](factN)
       var i = 0
       var blk = 0
       while (blk < nBlocks) {
@@ -446,38 +469,35 @@ object MediaCodec {
         var pred = (le16(b, boff) << 16) >> 16 // header sample, sign-extended
         var idx = b(boff + 2) & 0xff
         if (idx > 88 || b(boff + 3) != 0) return null
-        var a = math.abs(pred)
-        sumAbs += a; if (a > peak) peak = a
+        out(i) = pred
         i += 1
         var k = 1 // sample index within block
-        while (k < spb && i < n) {
+        while (k < spb && i < factN) {
           val byte = b(boff + 4 + (k - 1) / 2) & 0xff
           val code = if ((k & 1) == 1) byte & 0xF else byte >> 4
           val st = imaAdvance(code, pred, idx)
           pred = (st >> 8).toInt
           idx = (st & 0xff).toInt
-          a = math.abs(pred)
-          sumAbs += a; if (a > peak) peak = a
+          out(i) = pred
           k += 1; i += 1
         }
         blk += 1
       }
+      (sampleRate, out)
     } else {
       if (fmtCode == 1 && dataLen % 2 != 0) return null
-      n = if (fmtCode == 1) dataLen / 2 else dataLen
+      val n = if (fmtCode == 1) dataLen / 2 else dataLen
+      val out = new Array[Int](n)
       var i = 0
       while (i < n) {
-        val v =
+        out(i) =
           if (fmtCode == 1) (le16(b, dataOff + 2 * i) << 16) >> 16 // sign-extend
           else if (fmtCode == 7) mulawExpand(b(dataOff + i) & 0xFF)
           else alawExpand(b(dataOff + i) & 0xFF)
-        val a = math.abs(v)
-        sumAbs += a
-        if (a > peak) peak = a
         i += 1
       }
+      (sampleRate, out)
     }
-    InternalRow(sampleRate, n.toLong, sumAbs, peak)
   }
 
   /** Nearest-neighbor downscale of a 24-bit BMP, re-encoded as a REAL BMP:
@@ -744,6 +764,26 @@ case class WavEncodeAlaw(first: Expression, second: Expression, third: Expressio
        """.stripMargin)
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)
+}
+
+/** `graft_wav_samples(payload)` → ARRAY<INT>: the decoded PCM samples of
+  * any supported WAVE (PCM / G.711 / IMA ADPCM) — the feature-extraction
+  * entry point; NULL when the payload is malformed. */
+case class WavSamples(child: Expression)
+  extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_wav_samples"
+  override def nullSafeEval(b: Any): Any =
+    MediaCodec.wavSamples(b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b =>
+      s"""
+         |${ev.value} = graft.functions.MediaCodec.wavSamples($b);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(newChild)
 }
 
 /** `graft_wav_encode_ima(seed, n_samples, sample_rate)` → BINARY: a real

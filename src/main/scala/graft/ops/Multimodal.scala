@@ -160,6 +160,12 @@ object Multimodal {
     * NULL for payloads that aren't well-formed PCM/mono/16-bit WAVE. */
   def decodeWav(payload: Column): Column = call_function("graft_wav_stats", payload)
 
+  /** REAL audio decode to the PCM SAMPLE ARRAY — the feature-extraction
+    * entry point (framing, energy, ZCR run as ordinary array Columns on
+    * top); accepts every supported WAVE coding (PCM, G.711, IMA ADPCM). */
+  def decodeWavSamples(payload: Column): Column =
+    call_function("graft_wav_samples", payload)
+
   /** REAL image resize (the non-stub counterpart of [[resizeStub]] for
     * BMP): nearest-neighbor downscale, re-encoded as a real BMP payload. */
   def resizeBmp(payload: Column, w: Column, h: Column): Column =

@@ -154,8 +154,9 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("q104: chunk windows are a pure narrow map — no shuffle at all") {
+  test("q104/q122: chunk/frame windows are a pure narrow map — no shuffle at all") {
     plan(Queries.q104ChunkWindows) should not include "Exchange"
+    plan(Queries.q122AudioFrames) should not include "Exchange"
   }
 
   test("q106: dimension bounds broadcast; both audit branches read the cached z-frame") {

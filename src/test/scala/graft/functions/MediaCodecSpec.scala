@@ -287,6 +287,24 @@ class MediaCodecSpec extends SparkSpec {
     MediaCodec.wavStats(badSpb) shouldBe null
   }
 
+  test("wavSamples returns the decoded PCM array for every supported coding") {
+    val n = 20
+    val pcm = MediaCodec.wavSamples(MediaCodec.wavEncode(5L, n, 8000))
+    pcm.numElements shouldBe n
+    (0 until n).foreach { i =>
+      pcm.getInt(i) shouldBe ((5L + 17L * i) % 65536L).toInt - 32768
+    }
+    val ul = MediaCodec.wavSamples(MediaCodec.wavEncodeUlaw(5L, n, 8000))
+    (0 until n).foreach { i =>
+      ul.getInt(i) shouldBe MediaCodec.mulawExpand(
+        MediaCodec.mulawCompress(((5L + 17L * i) % 65536L).toInt - 32768))
+    }
+    val ima = MediaCodec.wavSamples(MediaCodec.wavEncodeIma(5L, 70, 8000))
+    val rep = imaReplay(5L, 70)
+    (0 until 70).foreach { i => ima.getInt(i) shouldBe rep(i) }
+    MediaCodec.wavSamples("RIFFjunk".getBytes) shouldBe null
+  }
+
   test("bmpResize samples nearest-neighbor pixels and re-encodes a valid BMP") {
     val src = MediaCodec.bmpEncode(seed = 9L, width = 8, height = 6)
     val out = MediaCodec.bmpResize(src, 3, 2)
