@@ -1551,6 +1551,33 @@ object Oracles {
         |      FROM smp)
         |GROUP BY doc_id, frame_idx""".stripMargin,
 
+    // Image patchify: 2x2 complete patches over the replayed pixel
+    // formula; a wrong pixel-array layout shifts per-patch sums even
+    // when whole-image sums (q97) still pass.
+    "q123_image_patches" ->
+      """WITH p AS (
+        |  SELECT doc_id, CAST(4 + doc_id % 5 AS INT) AS w,
+        |    CAST(4 + doc_id % 3 AS INT) AS h, doc_id AS seed
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, seed, w, h, CAST(gx AS INT) AS patch_x, CAST(gy AS INT) AS patch_y
+        |  FROM p,
+        |    LATERAL (SELECT unnest(generate_series(0, w//2 - 1)) AS gx),
+        |    LATERAL (SELECT unnest(generate_series(0, h//2 - 1)) AS gy)),
+        |q AS (
+        |  SELECT doc_id, patch_x, patch_y,
+        |    (seed + 11*(patch_x*2+dx) + 13*(patch_y*2+dy)) % 256 AS r,
+        |    (seed + 5*(patch_x*2+dx) + 7*(patch_y*2+dy)) % 256 AS gc,
+        |    (seed + 2*(patch_x*2+dx) + 3*(patch_y*2+dy)) % 256 AS b
+        |  FROM g,
+        |    LATERAL (SELECT unnest(generate_series(0, 1)) AS dx),
+        |    LATERAL (SELECT unnest(generate_series(0, 1)) AS dy))
+        |SELECT doc_id, patch_x, patch_y,
+        |  CAST(sum(r) AS BIGINT) AS sum_r,
+        |  CAST(sum(gc) AS BIGINT) AS sum_g,
+        |  CAST(sum(b) AS BIGINT) AS sum_b
+        |FROM q GROUP BY doc_id, patch_x, patch_y""".stripMargin,
+
     // kNN classification: brute-force L2 top-5 (the exactTopKL2 replay),
     // mode of the neighbors' labels with smallest-label tie-break,
     // compared to the query's own label.

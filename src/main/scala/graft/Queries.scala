@@ -2674,6 +2674,35 @@ object Queries {
           lit(0L), (a, x) => a + x).as("zcr"))
   }
 
+  /** REAL image patchify ([[graft.functions.MediaCodec.bmpPixels]]): the
+    * ViT-style preprocessing step — decode each asset to its RGB pixel
+    * array through the real codec, split into 2×2 patches (complete
+    * patches only), and emit per-patch per-channel sums. A wrong pixel
+    * layout (row order, channel interleave, orientation flip) shifts
+    * every patch sum and hash-mismatches even though the WHOLE-image
+    * sums of q97 would still pass — this is the gate that pins the
+    * array geometry. One narrow map + explode, no shuffle. */
+  def q123ImagePatches(s: SparkSession, dir: String): DataFrame = {
+    def chSum(c: Int) =
+      (for (dy <- 0 to 1; dx <- 0 to 1) yield
+        element_at(col("pix"),
+          ((col("_py") * 2 + dy) * col("w") + (col("_px") * 2 + dx)) * 3 + c + 1))
+        .reduce(_ + _).cast("long")
+    Multimodal.imageAssets(t(s, dir, "documents"), "doc_id")
+      .select(col("asset_id").as("doc_id"),
+        call_function("graft_bmp_pixels", col("payload")).as("d"))
+      .select(col("doc_id"), col("d.width").as("w"), col("d.height").as("h"),
+        col("d.pix").as("pix"))
+      .withColumn("_gw", floor(col("w") / 2).cast("int"))
+      .withColumn("pid",
+        explode(sequence(lit(0),
+          col("_gw") * floor(col("h") / 2).cast("int") - 1)))
+      .withColumn("_px", pmod(col("pid"), col("_gw")).cast("int"))
+      .withColumn("_py", floor(col("pid") / col("_gw")).cast("int"))
+      .select(col("doc_id"), col("_px").as("patch_x"), col("_py").as("patch_y"),
+        chSum(0).as("sum_r"), chSum(1).as("sum_g"), chSum(2).as("sum_b"))
+  }
+
   /** Streaming-ingest dedup, batch form ([[graft.streaming.EventStream
     * .ingestDedup]]): content-hash the event payload and keep one
     * deterministic survivor per hash — the op an ingest pipeline runs

@@ -27,6 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.wavEncodeAlaw)
     ext.injectFunction(GraftExtensions.wavEncodeIma)
     ext.injectFunction(GraftExtensions.wavSamples)
+    ext.injectFunction(GraftExtensions.bmpPixels)
     ext.injectFunction(GraftExtensions.bmpResize)
     ext.injectFunction(GraftExtensions.wavDownsample)
     ext.injectFunction(GraftExtensions.pngEncode)
@@ -147,6 +148,12 @@ object GraftExtensions {
     new ExpressionInfo(classOf[WavSamples].getName, null, "graft_wav_samples",
       "graft_wav_samples(payload) - decoded PCM sample array of a supported WAVE, NULL if malformed", ""),
     (children: Seq[Expression]) => WavSamples(children.head))
+
+  val bmpPixels: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier("graft_bmp_pixels"),
+    new ExpressionInfo(classOf[BmpPixels].getName, null, "graft_bmp_pixels",
+      "graft_bmp_pixels(payload) - decoded RGB pixel array of a 24-bit BMP: struct(width, height, pix), NULL if malformed", ""),
+    (children: Seq[Expression]) => BmpPixels(children.head))
 
   val bmpResize: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     new FunctionIdentifier("graft_bmp_resize"),

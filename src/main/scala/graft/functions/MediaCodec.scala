@@ -121,6 +121,50 @@ object MediaCodec {
     InternalRow(width, height, sumR, sumG, sumB)
   }
 
+  /** The decoded pixel array itself — (width, height, pix) with `pix` a
+    * flattened row-major top-down RGB interleave (length w·h·3, pixel
+    * (x, y) channel c at index (y·w + x)·3 + c) — the input every
+    * downstream image feature extractor (patchify, pooling, stats)
+    * consumes. Same validation and orientation handling as [[bmpStats]];
+    * null on malformed input. */
+  def bmpPixels(b: Array[Byte]): InternalRow = {
+    if (b == null || b.length < 54 || b(0) != 'B' || b(1) != 'M') return null
+    val dataOffset = le32(b, 10)
+    val headerSize = le32(b, 14)
+    val width = le32(b, 18)
+    val heightRaw = le32(b, 22)
+    val planes = le16(b, 26)
+    val bpp = le16(b, 28)
+    val compression = le32(b, 30)
+    if (headerSize < 40 || planes != 1 || bpp != 24 || compression != 0) return null
+    val height = math.abs(heightRaw)
+    if (width <= 0 || height <= 0 || width > MaxDim || height > MaxDim) return null
+    val topDown = heightRaw < 0
+    val rowSize = ((width * 3 + 3) / 4) * 4
+    if (dataOffset < 54 || dataOffset.toLong + rowSize.toLong * height > b.length) return null
+    val pix = new Array[Int](width * height * 3)
+    var y = 0
+    while (y < height) { // image y, 0 = top
+      val srcRow = if (topDown) y else height - 1 - y
+      val off = dataOffset + srcRow * rowSize
+      var x = 0
+      while (x < width) {
+        val o = (y * width + x) * 3
+        pix(o) = b(off + 3 * x + 2) & 0xff     // R
+        pix(o + 1) = b(off + 3 * x + 1) & 0xff // G
+        pix(o + 2) = b(off + 3 * x) & 0xff     // B
+        x += 1
+      }
+      y += 1
+    }
+    InternalRow(width, height,
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(pix))
+  }
+
+  val bmpPixelsType: StructType = StructType(Seq(
+    StructField("width", IntegerType), StructField("height", IntegerType),
+    StructField("pix", ArrayType(IntegerType, containsNull = false))))
+
   /** Sample formula shared with the q98 oracle: signed 16-bit PCM sample i. */
   @inline private def sample(seed: Long, i: Int): Int =
     java.lang.Math.floorMod(seed + 17L * i, 65536L).toInt - 32768
@@ -764,6 +808,26 @@ case class WavEncodeAlaw(first: Expression, second: Expression, third: Expressio
        """.stripMargin)
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)
+}
+
+/** `graft_bmp_pixels(payload)` → STRUCT(width, height, pix ARRAY<INT>):
+  * the decoded RGB pixel array (row-major top-down interleave) — the
+  * image feature-extraction entry point; NULL if malformed. */
+case class BmpPixels(child: Expression)
+  extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = MediaCodec.bmpPixelsType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_bmp_pixels"
+  override def nullSafeEval(b: Any): Any =
+    MediaCodec.bmpPixels(b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b =>
+      s"""
+         |${ev.value} = graft.functions.MediaCodec.bmpPixels($b);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(newChild)
 }
 
 /** `graft_wav_samples(payload)` → ARRAY<INT>: the decoded PCM samples of

@@ -154,9 +154,10 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("q104/q122: chunk/frame windows are a pure narrow map — no shuffle at all") {
+  test("q104/q122/q123: chunk/frame/patch windows are a pure narrow map — no shuffle") {
     plan(Queries.q104ChunkWindows) should not include "Exchange"
     plan(Queries.q122AudioFrames) should not include "Exchange"
+    plan(Queries.q123ImagePatches) should not include "Exchange"
   }
 
   test("q106: dimension bounds broadcast; both audit branches read the cached z-frame") {

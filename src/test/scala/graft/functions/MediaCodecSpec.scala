@@ -287,6 +287,35 @@ class MediaCodecSpec extends SparkSpec {
     MediaCodec.wavStats(badSpb) shouldBe null
   }
 
+  test("bmpPixels returns row-major top-down RGB and undoes the bottom-up flip") {
+    val b = MediaCodec.bmpEncode(seed = 7L, width = 4, height = 3)
+    val d = MediaCodec.bmpPixels(b)
+    d.getInt(0) shouldBe 4
+    d.getInt(1) shouldBe 3
+    val pix = d.getArray(2)
+    pix.numElements shouldBe 4 * 3 * 3
+    for (y <- 0 until 3; x <- 0 until 4) {
+      val o = (y * 4 + x) * 3
+      pix.getInt(o) shouldBe (7 + 11 * x + 13 * y) % 256     // R
+      pix.getInt(o + 1) shouldBe (7 + 5 * x + 7 * y) % 256   // G
+      pix.getInt(o + 2) shouldBe (7 + 2 * x + 3 * y) % 256   // B
+    }
+    // top-down variant must decode to the SAME array (orientation is
+    // normalized away)
+    val flipped = b.clone()
+    val h = -3
+    flipped(22) = h.toByte; flipped(23) = (h >> 8).toByte
+    flipped(24) = (h >> 16).toByte; flipped(25) = (h >> 24).toByte
+    val rowSize = ((4 * 3 + 3) / 4) * 4
+    for (r <- 0 until 3)
+      Array.copy(b, 54 + r * rowSize, flipped, 54 + (2 - r) * rowSize, rowSize)
+    val d2 = MediaCodec.bmpPixels(flipped)
+    (0 until pix.numElements).foreach { i =>
+      d2.getArray(2).getInt(i) shouldBe pix.getInt(i)
+    }
+    MediaCodec.bmpPixels("BMjunk".getBytes) shouldBe null
+  }
+
   test("wavSamples returns the decoded PCM array for every supported coding") {
     val n = 20
     val pcm = MediaCodec.wavSamples(MediaCodec.wavEncode(5L, n, 8000))
