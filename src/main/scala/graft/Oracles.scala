@@ -1578,6 +1578,18 @@ object Oracles {
         |  CAST(sum(b) AS BIGINT) AS sum_b
         |FROM q GROUP BY doc_id, patch_x, patch_y""".stripMargin,
 
+    // Per-source quota: top-20 per source by word count (doc_id
+    // tie-break) — the per-domain curation cap.
+    "q124_source_caps" ->
+      """SELECT source, doc_id, word_count, rank FROM (
+        |  SELECT source, doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS word_count,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY len(string_split_regex(trim(text), '\s+')) DESC, doc_id)
+        |      AS INT) AS rank
+        |  FROM documents)
+        |WHERE rank <= 20""".stripMargin,
+
     // kNN classification: brute-force L2 top-5 (the exactTopKL2 replay),
     // mode of the neighbors' labels with smallest-label tie-break,
     // compared to the query's own label.

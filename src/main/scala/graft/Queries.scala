@@ -2703,6 +2703,27 @@ object Queries {
         chSum(0).as("sum_r"), chSum(1).as("sum_g"), chSum(2).as("sum_b"))
   }
 
+  /** Per-source quota cap — the CCNet/RefinedWeb-style curation step
+    * that keeps any one domain from dominating the corpus: rank
+    * documents within each source by quality (word count here — the
+    * integer-exact proxy; any score column drops in) and keep the top
+    * N=20 per source. One partitioned window over a narrow projection —
+    * the shuffle keys `source`, so at 100 TB each domain's quota is
+    * computed where its documents land, with AQE splitting any
+    * pathological mega-domain. */
+  def q124SourceCaps(s: SparkSession, dir: String): DataFrame = {
+    val N = 20
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("word_count").desc, col("doc_id"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        TextStats.wordCount(col("text")).as("word_count"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= N)
+      .select(col("source"), col("doc_id"), col("word_count"),
+        col("rank").cast("int").as("rank"))
+  }
+
   /** Streaming-ingest dedup, batch form ([[graft.streaming.EventStream
     * .ingestDedup]]): content-hash the event payload and keep one
     * deterministic survivor per hash — the op an ingest pipeline runs
