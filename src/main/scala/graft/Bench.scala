@@ -226,9 +226,11 @@ object Bench {
           // (the candidate volume is list-occupancy-bounded, so growth
           // should track the corpus, not its square)
           "q117_ivfpq_topk",
-          // scan-bound families: codec + text throughput should grow
-          // ~linearly in data and amortize fixed cost (growth << 10x)
-          "q112_png_decode", "q20_text_stats").filter(SparkEntry.queries.contains)
+          // scan-bound families: codec + text + feature-extraction
+          // throughput should grow ~linearly in data and amortize fixed
+          // cost (growth << 10x)
+          "q112_png_decode", "q20_text_stats",
+          "q122_audio_frames").filter(SparkEntry.queries.contains)
         // Same min-of-2 + canary-bracket protocol as the main table
         // (second pass reversed) — a stall window covering both samples of
         // one scale cell must flag, not publish a bogus growth factor.
