@@ -144,4 +144,29 @@ class PqSpec extends SparkSpec {
     }
     p.sparkSession.catalog.clearCache()
   }
+
+  test("ivfPqTopK at exhaustive parameters collapses to exact L2 top-k") {
+    // nProbe = every cluster and oversample covering the corpus: the
+    // coarse router excludes nothing, the ADC shortlist admits everyone,
+    // so the exact re-rank IS brute force — the whole approximate
+    // pipeline must return the true top-k, ranks included.
+    val vs = (0L until 30L).map { i =>
+      i -> Seq.tabulate(8)(j => ((i * 2654435761L + j * 40503L) % 1000L) - 500L)
+    }
+    val p = pts(vs: _*)
+    val cents = Cluster.train(p, k = 2, iterations = 2)
+    val books = Pq.trainCodebooks(p, m = 2, k = 4, iterations = 2)
+    val codes = Pq.encode(p, books, m = 2)
+    val got = Pq.ivfPqTopK(p, cents, books, codes, m = 2,
+      queries = p.filter(col("id") % 10 === 0).select(col("id")),
+      k = 3, nProbe = 2, oversample = 10) // 3*10 >= N: full shortlist
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    def d2(a: Seq[Long], b: Seq[Long]) = a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val exact = vs.filter(_._1 % 10 == 0).flatMap { case (q, qv) =>
+      vs.filter(_._1 != q).map { case (c, cv) => (d2(qv, cv), c) }.sorted.take(3)
+        .zipWithIndex.map { case ((_, c), r) => (q, c, r + 1) }
+    }.toSet
+    got shouldBe exact
+    p.sparkSession.catalog.clearCache()
+  }
 }
