@@ -226,6 +226,10 @@ object Bench {
           // (the candidate volume is list-occupancy-bounded, so growth
           // should track the corpus, not its square)
           "q117_ivfpq_topk",
+          // the headline end-to-end curation pipeline (quality gate +
+          // exact dedup + near-dup survivor manifest off the served pair
+          // table) and the per-source quota window at 10x
+          "q109_curation_pipeline", "q124_source_caps",
           // scan-bound families: codec + text + feature-extraction
           // throughput should grow ~linearly in data and amortize fixed
           // cost (growth << 10x)
