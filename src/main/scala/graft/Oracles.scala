@@ -1590,6 +1590,20 @@ object Oracles {
         |  FROM documents)
         |WHERE rank <= 20""".stripMargin,
 
+    // Quarantine disposition: every 10th line is a truncated object ->
+    // typed columns NULL, quarantined flag, raw length of the broken
+    // line; good lines parse back their values.
+    "q125_jsonl_quarantine" ->
+      """SELECT
+        |  CASE WHEN doc_id % 10 = 0 THEN NULL ELSE doc_id END AS doc_id,
+        |  CASE WHEN doc_id % 10 = 0 THEN NULL ELSE lang END AS lang,
+        |  CASE WHEN doc_id % 10 = 0 THEN NULL ELSE n_chars END AS n_chars,
+        |  doc_id % 10 = 0 AS quarantined,
+        |  CASE WHEN doc_id % 10 = 0
+        |       THEN CAST(length('{"doc_id":' || CAST(doc_id AS VARCHAR) || ',') AS INT)
+        |       ELSE 0 END AS raw_len
+        |FROM documents""".stripMargin,
+
     // kNN classification: brute-force L2 top-5 (the exactTopKL2 replay),
     // mode of the neighbors' labels with smallest-label tie-break,
     // compared to the query's own label.

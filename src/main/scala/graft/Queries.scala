@@ -2724,6 +2724,32 @@ object Queries {
         col("rank").cast("int").as("rank"))
   }
 
+  /** Malformed-line JSONL quarantine ([[graft.sources.Jsonl
+    * .readWithQuarantine]]): simulate an upstream drop where every 10th
+    * line is a truncated JSON object, read it back in PERMISSIVE mode
+    * with a corrupt-record column, and emit the per-line disposition —
+    * parsed columns for good lines, the raw text length and a
+    * quarantined flag for broken ones. The failure mode this gates:
+    * silent null-ing or dropping of unparseable lines, which at 100 TB
+    * of heterogeneous upstream dumps loses data without a trace. */
+  def q125JsonlQuarantine(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val sfTag = dir.replaceAll(".*/", "")
+    val path = s"${Tables.scratchDir(s)}/jsonl_quarantine/$sfTag/lines"
+    t(s, dir, "documents").select(
+      when(col("doc_id") % 10 === 0,
+        concat(lit("{\"doc_id\":"), col("doc_id").cast("string"), lit(",")))
+        .otherwise(to_json(struct(col("doc_id"), col("lang"), col("n_chars"))))
+        .as("value"))
+      .write.mode("overwrite").text(path)
+    graft.sources.Jsonl.readWithQuarantine(s, path, StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang", StringType),
+        StructField("n_chars", LongType))))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        col("_corrupt_record").isNotNull.as("quarantined"),
+        coalesce(length(col("_corrupt_record")), lit(0)).as("raw_len"))
+  }
+
   /** Streaming-ingest dedup, batch form ([[graft.streaming.EventStream
     * .ingestDedup]]): content-hash the event payload and keep one
     * deterministic survivor per hash — the op an ingest pipeline runs

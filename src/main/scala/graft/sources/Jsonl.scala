@@ -21,4 +21,19 @@ object Jsonl {
 
   def read(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
+
+  /** Read with malformed-line QUARANTINE — what a production ingest runs
+    * against upstream drops it does not control: PERMISSIVE mode routes
+    * every unparseable line's raw text into `_corrupt_record` (typed
+    * columns null) instead of failing the job or silently dropping the
+    * line, so the caller can count, audit, and re-drive quarantined
+    * rows. The returned frame carries `schema` plus the string
+    * `_corrupt_record` column. */
+  def readWithQuarantine(spark: SparkSession, path: String,
+                         schema: StructType): DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt_record", org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
 }
