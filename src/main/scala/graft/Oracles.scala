@@ -1604,6 +1604,21 @@ object Oracles {
         |       ELSE 0 END AS raw_len
         |FROM documents""".stripMargin,
 
+    // CSV quarantine: type garbage in the key column -> that field
+    // nulls, the OTHER columns keep their parsed values, raw line
+    // quarantined.
+    "q126_csv_quarantine" ->
+      """SELECT
+        |  CASE WHEN doc_id % 10 = 0 THEN NULL ELSE doc_id END AS doc_id,
+        |  lang,
+        |  n_chars,
+        |  doc_id % 10 = 0 AS quarantined,
+        |  CASE WHEN doc_id % 10 = 0
+        |       THEN CAST(length('x' || CAST(doc_id AS VARCHAR) || '|' || lang
+        |         || '|' || CAST(n_chars AS VARCHAR)) AS INT)
+        |       ELSE 0 END AS raw_len
+        |FROM documents""".stripMargin,
+
     // kNN classification: brute-force L2 top-5 (the exactTopKL2 replay),
     // mode of the neighbors' labels with smallest-label tie-break,
     // compared to the query's own label.

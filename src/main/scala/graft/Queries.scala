@@ -2750,6 +2750,36 @@ object Queries {
         coalesce(length(col("_corrupt_record")), lit(0)).as("raw_len"))
   }
 
+  /** Malformed-row CSV quarantine ([[graft.sources.Csv
+    * .readWithQuarantine]]) — q125's counterpart for the reference's own
+    * ingest format: every 10th row carries type garbage in the key
+    * column (`x<id>`), and PERMISSIVE parsing must null exactly the
+    * failed field, KEEP the still-parseable columns, and route the raw
+    * line into the corrupt-record column — the COPY-drift defense a
+    * pipe-CSV bronze layer needs. */
+  def q126CsvQuarantine(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val sfTag = dir.replaceAll(".*/", "")
+    val path = s"${Tables.scratchDir(s)}/csv_quarantine/$sfTag/lines"
+    val rows = t(s, dir, "documents").select(
+      (col("doc_id") + 1).as("_ord"),
+      concat(
+        when(col("doc_id") % 10 === 0, concat(lit("x"), col("doc_id").cast("string")))
+          .otherwise(col("doc_id").cast("string")),
+        lit("|"), col("lang"), lit("|"), col("n_chars").cast("string")).as("value"))
+    s.range(1).select(lit(0L).as("_ord"), lit("doc_id|lang|n_chars").as("value"))
+      .unionByName(rows)
+      .repartition(1).sortWithinPartitions(col("_ord"))
+      .select(col("value"))
+      .write.mode("overwrite").text(path)
+    graft.sources.Csv.readWithQuarantine(s, path, StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang", StringType),
+        StructField("n_chars", LongType))))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        col("_corrupt_record").isNotNull.as("quarantined"),
+        coalesce(length(col("_corrupt_record")), lit(0)).as("raw_len"))
+  }
+
   /** Streaming-ingest dedup, batch form ([[graft.streaming.EventStream
     * .ingestDedup]]): content-hash the event payload and keep one
     * deterministic survivor per hash — the op an ingest pipeline runs

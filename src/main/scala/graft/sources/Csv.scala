@@ -37,6 +37,23 @@ object Csv {
       .option("mode", "PERMISSIVE")
       .csv(path)
 
+  /** [[read]] with malformed-row QUARANTINE — the defense a production
+    * ingest needs against upstream export drift (ragged rows, type
+    * garbage): PERMISSIVE mode routes every row the schema cannot fully
+    * parse into `_corrupt_record` as raw text (typed columns null where
+    * unparseable) instead of failing the COPY or silently coercing.
+    * Same dialect (`\N` nulls, header, sep) as [[read]]. */
+  def readWithQuarantine(spark: SparkSession, path: String, schema: StructType,
+                         sep: String = "|"): DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt_record", org.apache.spark.sql.types.StringType))
+      .option("header", "true")
+      .option("sep", sep)
+      .option("nullValue", "\\N")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(path)
+
   /** Idempotent CSV sink (S4 overwrite semantics) writing the dialect
     * [[read]] parses — NULL as `\N`, empty string as quoted `""`. */
   def write(df: DataFrame, path: String, sep: String = "|"): Unit =

@@ -83,4 +83,31 @@ class CsvSpec extends SparkSpec {
     r.isNullAt(r.fieldIndex("completion_date")) shouldBe true   // \N → NULL date
     r.isNullAt(r.fieldIndex("number_of_groups")) shouldBe true  // \N → NULL int
   }
+
+  test("readWithQuarantine nulls only the failed field and keeps the raw line") {
+    val path = graft.Tables.scratchDir(spark) + "/csv_quarantine_spec"
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(
+          Row("id|s|d"),
+          Row("1|ok|1.5"),
+          Row("oops|partial|2.5"),  // type garbage in id: id nulls, s/d keep
+          Row("3|fine|notanumber")  // type garbage in d
+        ), 1),
+        StructType(Seq(StructField("value", StringType))))
+      .write.mode("overwrite").text(path)
+    val back = Csv.readWithQuarantine(spark, path, schema)
+      .collect().sortBy(r => Option(r.getAs[String]("s")).getOrElse(""))
+    back.length shouldBe 3
+    val byS = back.map(r => r.getAs[String]("s") -> r).toMap
+    byS("ok").isNullAt(3) shouldBe true // no corrupt record
+    byS("ok").getInt(0) shouldBe 1
+    val p2 = byS("partial")
+    p2.isNullAt(0) shouldBe true               // failed field nulls...
+    p2.getDouble(2) shouldBe 2.5               // ...parseable ones survive
+    p2.getString(3) shouldBe "oops|partial|2.5" // raw line quarantined
+    val p3 = byS("fine")
+    p3.getInt(0) shouldBe 3
+    p3.isNullAt(2) shouldBe true
+    p3.getString(3) shouldBe "3|fine|notanumber"
+  }
 }
