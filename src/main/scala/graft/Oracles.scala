@@ -1619,6 +1619,32 @@ object Oracles {
         |       ELSE 0 END AS raw_len
         |FROM documents""".stripMargin,
 
+    // AVI frame sampling: every 2nd frame's channel sums recomputed in
+    // closed form from the per-frame-shifted pixel gradient.
+    "q127_avi_frames" ->
+      """WITH p AS (
+        |  SELECT doc_id, CAST(4 + doc_id % 5 AS INT) AS w,
+        |    CAST(4 + doc_id % 3 AS INT) AS h,
+        |    CAST(2 + doc_id % 4 AS INT) AS nf, doc_id AS seed
+        |  FROM documents),
+        |fr AS (
+        |  SELECT doc_id, w, h, nf, seed, CAST(f AS INT) AS frame_idx
+        |  FROM p, LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS f)
+        |  WHERE f % 2 = 0),
+        |q AS (
+        |  SELECT doc_id, w, h, nf, frame_idx,
+        |    (seed + 1000003*frame_idx + 11*x + 13*y) % 256 AS r,
+        |    (seed + 1000003*frame_idx + 5*x + 7*y) % 256 AS gc,
+        |    (seed + 1000003*frame_idx + 2*x + 3*y) % 256 AS b
+        |  FROM fr,
+        |    LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x),
+        |    LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y))
+        |SELECT doc_id, w AS width, h AS height, nf AS n_frames, frame_idx,
+        |  CAST(sum(r) AS BIGINT) AS sum_r,
+        |  CAST(sum(gc) AS BIGINT) AS sum_g,
+        |  CAST(sum(b) AS BIGINT) AS sum_b
+        |FROM q GROUP BY doc_id, w, h, nf, frame_idx""".stripMargin,
+
     // kNN classification: brute-force L2 top-5 (the exactTopKL2 replay),
     // mode of the neighbors' labels with smallest-label tie-break,
     // compared to the query's own label.

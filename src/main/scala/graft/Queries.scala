@@ -2780,6 +2780,29 @@ object Queries {
         coalesce(length(col("_corrupt_record")), lit(0)).as("raw_len"))
   }
 
+  /** REAL video decode + frame sampling ([[Multimodal.videoAssets]] /
+    * [[graft.functions.MediaCodec.aviStats]]): one uncompressed-DIB AVI
+    * per document — RIFF container, avih/strh/strf header chain, idx1
+    * index, 2–5 distinct frames — decoded in ONE parse to per-frame
+    * channel sums, then the frame-sampling step keeps every 2nd frame.
+    * This makes the video modality's container + frame plumbing REAL
+    * (only the compressed codec, H.264, stays a declared stub): the
+    * oracle recomputes each sampled frame's pixel-formula sums in
+    * closed form, so a decoder that misparses the header chain, drops
+    * row padding, or misaligns frame chunks hash-mismatches. Narrow
+    * map + explode, no shuffle. */
+  def q127AviFrames(s: SparkSession, dir: String): DataFrame =
+    Multimodal.videoAssets(t(s, dir, "documents"), "doc_id")
+      .select(col("asset_id").as("doc_id"),
+        Multimodal.decodeAvi(col("payload")).as("d"))
+      .select(col("doc_id"), col("d.width").as("width"),
+        col("d.height").as("height"), col("d.n_frames").as("n_frames"),
+        posexplode(col("d.frames")).as(Seq("frame_idx", "fr")))
+      .filter(col("frame_idx") % 2 === 0) // frame sampling: every 2nd frame
+      .select(col("doc_id"), col("width"), col("height"), col("n_frames"),
+        col("frame_idx"), col("fr.sum_r").as("sum_r"),
+        col("fr.sum_g").as("sum_g"), col("fr.sum_b").as("sum_b"))
+
   /** Streaming-ingest dedup, batch form ([[graft.streaming.EventStream
     * .ingestDedup]]): content-hash the event payload and keep one
     * deterministic survivor per hash — the op an ingest pipeline runs

@@ -28,6 +28,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.wavEncodeIma)
     ext.injectFunction(GraftExtensions.wavSamples)
     ext.injectFunction(GraftExtensions.bmpPixels)
+    ext.injectFunction(GraftExtensions.aviEncode)
+    ext.injectFunction(GraftExtensions.aviStats)
     ext.injectFunction(GraftExtensions.bmpResize)
     ext.injectFunction(GraftExtensions.wavDownsample)
     ext.injectFunction(GraftExtensions.pngEncode)
@@ -154,6 +156,18 @@ object GraftExtensions {
     new ExpressionInfo(classOf[BmpPixels].getName, null, "graft_bmp_pixels",
       "graft_bmp_pixels(payload) - decoded RGB pixel array of a 24-bit BMP: struct(width, height, pix), NULL if malformed", ""),
     (children: Seq[Expression]) => BmpPixels(children.head))
+
+  val aviEncode: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier("graft_avi_encode"),
+    new ExpressionInfo(classOf[AviEncode].getName, null, "graft_avi_encode",
+      "graft_avi_encode(seed, width, height, n_frames) - deterministic uncompressed-DIB AVI payload", ""),
+    (children: Seq[Expression]) => AviEncode(children.head, children(1), children(2), children(3)))
+
+  val aviStats: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier("graft_avi_stats"),
+    new ExpressionInfo(classOf[AviStats].getName, null, "graft_avi_stats",
+      "graft_avi_stats(payload) - decode an uncompressed-DIB AVI: struct(width, height, n_frames, frames), NULL if malformed", ""),
+    (children: Seq[Expression]) => AviStats(children.head))
 
   val bmpResize: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     new FunctionIdentifier("graft_bmp_resize"),

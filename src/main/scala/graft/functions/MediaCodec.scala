@@ -165,6 +165,195 @@ object MediaCodec {
     StructField("width", IntegerType), StructField("height", IntegerType),
     StructField("pix", ArrayType(IntegerType, containsNull = false))))
 
+  /** Frame-f pixel formula for video assets: the [[px]] gradient with a
+    * per-frame seed offset, so every frame is distinct but closed-form. */
+  @inline private def fpx(seed: Long, f: Int, x: Int, y: Int, cx: Int, cy: Int): Int =
+    px(seed + 1000003L * f, x, y, cx, cy)
+
+  val MaxFrames = 4096
+
+  /** Spec-conformant AVI (RIFF 'AVI ') with an uncompressed 24-bit DIB
+    * video stream — the video container that is byte-parseable without a
+    * codec library: LIST hdrl (avih main header + strl with a 'vids'/
+    * 'DIB ' stream header and BITMAPINFOHEADER), LIST movi with one
+    * '00db' chunk per frame (bottom-up BGR rows, BMP row padding), and
+    * the idx1 index real players expect. Frame content is the [[px]]
+    * gradient shifted per frame. */
+  def aviEncode(seed: Long, width: Int, height: Int, nFrames: Int): Array[Byte] = {
+    if (width <= 0 || height <= 0 || width > MaxDim || height > MaxDim) return null
+    if (nFrames <= 0 || nFrames > MaxFrames) return null
+    val rowSize = ((width * 3 + 3) / 4) * 4
+    val frameSize = rowSize * height
+    val hdrlSize = 4 + 8 + 56 + (8 + 4 + 8 + 56 + 8 + 40) // 'hdrl'+avih+strl LIST
+    val moviSize = 4 + nFrames * (8 + frameSize)
+    val idx1Size = nFrames * 16
+    val riffSize = 4 + 8 + hdrlSize + 8 + moviSize + 8 + idx1Size
+    val b = new Array[Byte](8 + riffSize)
+    var p = 0
+    def fourcc(s: String): Unit = { var i = 0; while (i < 4) { b(p) = s.charAt(i).toByte; p += 1; i += 1 } }
+    def le32v(v: Int): Unit = { putLe32(b, p, v); p += 4 }
+    fourcc("RIFF"); le32v(riffSize); fourcc("AVI ")
+    fourcc("LIST"); le32v(hdrlSize); fourcc("hdrl")
+    fourcc("avih"); le32v(56)
+    le32v(40000)            // dwMicroSecPerFrame: 25 fps
+    le32v(frameSize * 25)   // dwMaxBytesPerSec
+    le32v(0)                // dwPaddingGranularity
+    le32v(0x10)             // dwFlags: AVIF_HASINDEX
+    le32v(nFrames)          // dwTotalFrames
+    le32v(0)                // dwInitialFrames
+    le32v(1)                // dwStreams
+    le32v(frameSize)        // dwSuggestedBufferSize
+    le32v(width); le32v(height)
+    le32v(0); le32v(0); le32v(0); le32v(0) // dwReserved
+    fourcc("LIST"); le32v(4 + 8 + 56 + 8 + 40); fourcc("strl")
+    fourcc("strh"); le32v(56)
+    fourcc("vids"); fourcc("DIB ")
+    le32v(0)                // dwFlags
+    le32v(0)                // wPriority/wLanguage
+    le32v(0)                // dwInitialFrames
+    le32v(1)                // dwScale
+    le32v(25)               // dwRate: 25 fps
+    le32v(0)                // dwStart
+    le32v(nFrames)          // dwLength
+    le32v(frameSize)        // dwSuggestedBufferSize
+    le32v(-1)               // dwQuality
+    le32v(0)                // dwSampleSize
+    le32v(0); le32v(0)      // rcFrame
+    fourcc("strf"); le32v(40)
+    le32v(40); le32v(width); le32v(height)
+    putLe16(b, p, 1); p += 2      // planes
+    putLe16(b, p, 24); p += 2     // bpp
+    le32v(0)                      // BI_RGB
+    le32v(frameSize)
+    le32v(2835); le32v(2835); le32v(0); le32v(0)
+    fourcc("LIST"); le32v(moviSize); fourcc("movi")
+    val frameOffsets = new Array[Int](nFrames)
+    var f = 0
+    while (f < nFrames) {
+      frameOffsets(f) = p - (8 + 4 + 8 + hdrlSize + 8 + 4) + 4 // offset from movi LIST data start, idx1 convention: from 'movi' fourcc
+      fourcc("00db"); le32v(frameSize)
+      var row = 0
+      while (row < height) {
+        val y = height - 1 - row // bottom-up like BMP
+        val off = p + row * rowSize
+        var x = 0
+        while (x < width) {
+          b(off + 3 * x) = fpx(seed, f, x, y, 2, 3).toByte
+          b(off + 3 * x + 1) = fpx(seed, f, x, y, 5, 7).toByte
+          b(off + 3 * x + 2) = fpx(seed, f, x, y, 11, 13).toByte
+          x += 1
+        }
+        row += 1
+      }
+      p += frameSize
+      f += 1
+    }
+    fourcc("idx1"); le32v(idx1Size)
+    f = 0
+    while (f < nFrames) {
+      fourcc("00db"); le32v(0x10) // AVIIF_KEYFRAME
+      le32v(frameOffsets(f)); le32v(frameSize)
+      f += 1
+    }
+    b
+  }
+
+  /** Parse an uncompressed-DIB AVI and return (width, height, n_frames,
+    * frames) where `frames` is the per-frame (sum_r, sum_g, sum_b) array
+    * — the whole-container decode a frame-sampling pipeline consumes in
+    * ONE parse. Validates RIFF/AVI magic, the avih/strh/strf chain
+    * (vids + 24-bit BI_RGB), and every '00db' frame chunk against the
+    * declared geometry; null on malformed input. */
+  def aviStats(b: Array[Byte]): InternalRow = {
+    if (b == null || b.length < 12) return null
+    if (b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
+      b(8) != 'A' || b(9) != 'V' || b(10) != 'I' || b(11) != ' ') return null
+    def fcc(o: Int, s: String): Boolean =
+      o + 4 <= b.length && (0 until 4).forall(i => b(o + i) == s.charAt(i).toByte)
+    var width = -1; var height = -1; var totalFrames = -1
+    var vidsOk = false; var bppOk = false
+    var moviOff = -1; var moviEnd = -1
+    // top-level chunk walk
+    var pos = 12
+    while (pos + 8 <= b.length && moviOff < 0) {
+      val size = le32(b, pos + 4)
+      if (size < 0 || pos + 8 + size > b.length) return null
+      if (fcc(pos, "LIST") && size >= 4) {
+        if (fcc(pos + 8, "hdrl")) {
+          // walk hdrl children
+          var q = pos + 12
+          val end = pos + 8 + size
+          while (q + 8 <= end) {
+            val csz = le32(b, q + 4)
+            if (csz < 0 || q + 8 + csz > end) return null
+            if (fcc(q, "avih") && csz >= 40) {
+              totalFrames = le32(b, q + 8 + 16)
+              width = le32(b, q + 8 + 32)
+              height = le32(b, q + 8 + 36)
+            } else if (fcc(q, "LIST") && csz >= 4 && fcc(q + 8, "strl")) {
+              var r = q + 12
+              val send = q + 8 + csz
+              while (r + 8 <= send) {
+                val ssz = le32(b, r + 4)
+                if (ssz < 0 || r + 8 + ssz > send) return null
+                if (fcc(r, "strh") && ssz >= 8 && fcc(r + 8, "vids")) vidsOk = true
+                if (fcc(r, "strf") && ssz >= 40 &&
+                  le16(b, r + 8 + 14) == 24 && le32(b, r + 8 + 16) == 0) bppOk = true
+                r += 8 + ssz + (ssz & 1)
+              }
+            }
+            q += 8 + csz + (csz & 1)
+          }
+        } else if (fcc(pos + 8, "movi")) {
+          moviOff = pos + 12; moviEnd = pos + 8 + size
+        }
+      }
+      pos += 8 + size + (size & 1)
+    }
+    if (width <= 0 || height <= 0 || width > MaxDim || height > MaxDim) return null
+    if (totalFrames <= 0 || totalFrames > MaxFrames || !vidsOk || !bppOk ||
+      moviOff < 0) return null
+    val rowSize = ((width * 3 + 3) / 4) * 4
+    val frameSize = rowSize * height
+    val sums = new Array[InternalRow](totalFrames)
+    var f = 0
+    var q = moviOff
+    while (f < totalFrames) {
+      if (q + 8 > moviEnd) return null
+      val csz = le32(b, q + 4)
+      if (csz < 0 || q + 8 + csz > moviEnd) return null
+      if (fcc(q, "00db")) {
+        if (csz != frameSize) return null
+        var sumR = 0L; var sumG = 0L; var sumB = 0L
+        var row = 0
+        while (row < height) {
+          val off = q + 8 + row * rowSize
+          var x = 0
+          while (x < width) {
+            sumB += b(off + 3 * x) & 0xff
+            sumG += b(off + 3 * x + 1) & 0xff
+            sumR += b(off + 3 * x + 2) & 0xff
+            x += 1
+          }
+          row += 1
+        }
+        sums(f) = InternalRow(sumR, sumG, sumB)
+        f += 1
+      }
+      q += 8 + csz + (csz & 1)
+    }
+    InternalRow(width, height, totalFrames,
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        sums.asInstanceOf[Array[Any]]))
+  }
+
+  val aviStatsType: StructType = StructType(Seq(
+    StructField("width", IntegerType), StructField("height", IntegerType),
+    StructField("n_frames", IntegerType),
+    StructField("frames", ArrayType(StructType(Seq(
+      StructField("sum_r", LongType), StructField("sum_g", LongType),
+      StructField("sum_b", LongType))), containsNull = false))))
+
   /** Sample formula shared with the q98 oracle: signed 16-bit PCM sample i. */
   @inline private def sample(seed: Long, i: Int): Int =
     java.lang.Math.floorMod(seed + 17L * i, 65536L).toInt - 32768
@@ -808,6 +997,50 @@ case class WavEncodeAlaw(first: Expression, second: Expression, third: Expressio
        """.stripMargin)
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)
+}
+
+/** `graft_avi_encode(seed, width, height, n_frames)` → BINARY: a real
+  * uncompressed-DIB AVI (RIFF container, vids/DIB stream, idx1 index). */
+case class AviEncode(first: Expression, second: Expression,
+                     third: Expression, fourth: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression
+  with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType, IntegerType, IntegerType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_avi_encode"
+  override def nullSafeEval(s: Any, w: Any, h: Any, n: Any): Any =
+    MediaCodec.aviEncode(s.asInstanceOf[Long], w.asInstanceOf[Int],
+      h.asInstanceOf[Int], n.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, w, h, n) =>
+      s"""
+         |${ev.value} = graft.functions.MediaCodec.aviEncode($s, $w, $h, $n);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
+  override protected def withNewChildrenInternal(
+      f: Expression, sd: Expression, t: Expression, fo: Expression): Expression =
+    copy(f, sd, t, fo)
+}
+
+/** `graft_avi_stats(payload)` → STRUCT(width, height, n_frames,
+  * frames ARRAY<STRUCT<sum_r, sum_g, sum_b>>): whole-container decode of
+  * an uncompressed-DIB AVI in one parse; NULL if malformed. */
+case class AviStats(child: Expression)
+  extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = MediaCodec.aviStatsType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_avi_stats"
+  override def nullSafeEval(b: Any): Any =
+    MediaCodec.aviStats(b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b =>
+      s"""
+         |${ev.value} = graft.functions.MediaCodec.aviStats($b);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(newChild)
 }
 
 /** `graft_bmp_pixels(payload)` → STRUCT(width, height, pix ARRAY<INT>):

@@ -29,10 +29,15 @@ import org.apache.spark.sql.functions._
   * cross-checked against the JDK's independent javax.sound ULAW decoder
   * and oracle-checked by q118.
   *
-  * STUB BOUNDARY: perceptual/temporal codecs (MP3/H.264) genuinely need
-  * external libraries (psychoacoustic filter banks, motion
-  * compensation), so [[decodeStub]] and [[featureStub]] remain
-  * clearly-marked DETERMINISTIC FAKES for those media. Everything
+  * [[videoAssets]]/[[decodeAvi]] carry REAL video containers:
+  * uncompressed-DIB AVI (RIFF, vids stream, idx1 index) decoded
+  * frame-by-frame in one parse, oracle-checked by q127 — the video
+  * modality's container and frame-sampling plumbing is real.
+  *
+  * STUB BOUNDARY: perceptual codecs (MP3 audio, H.264 video frames)
+  * genuinely need external libraries (psychoacoustic filter banks,
+  * motion compensation), so [[decodeStub]] and [[featureStub]] remain
+  * clearly-marked DETERMINISTIC FAKES for those codings. Everything
   * around them — the asset schema, binary payload handling, batch shape,
   * frame sampling, partition parallelism — is real and tested; a real
   * codec drops in exactly the way JpegCodec did for JPEG.
@@ -108,6 +113,21 @@ object Multimodal {
         (lit(64) + pmod(col(idCol), lit(100))).cast("int"),
         (lit(8000) + pmod(col(idCol), lit(4)) * lit(4000)).cast("int")).as("payload"))
 
+  /** Video-asset table with REAL payloads: one uncompressed-DIB AVI per
+    * document (RIFF container, vids/DIB stream header, idx1 index,
+    * 2–5 frames of the per-frame-shifted pixel gradient) — the video
+    * modality's container/frame plumbing made real; only the compressed
+    * video codec (H.264) stays a declared stub. */
+  def videoAssets(docs: DataFrame, idCol: String): DataFrame =
+    docs.select(
+      col(idCol).as("asset_id"),
+      lit("video/avi").as("media_type"),
+      call_function("graft_avi_encode",
+        col(idCol).cast("long"),
+        (lit(4) + pmod(col(idCol), lit(5))).cast("int"),
+        (lit(4) + pmod(col(idCol), lit(3))).cast("int"),
+        (lit(2) + pmod(col(idCol), lit(4))).cast("int")).as("payload"))
+
   /** Compressed-image-asset table with REAL payloads: one zlib-deflated
     * 8-bit truecolor PNG per document ([[graft.functions.PngCodec]] —
     * scanline filters cycle through all five PNG types). Height ≥ 5 for
@@ -135,6 +155,12 @@ object Multimodal {
         col(idCol).cast("long"),
         (lit(4) + pmod(col(idCol), lit(9))).cast("int"),
         (lit(4) + pmod(col(idCol), lit(6))).cast("int")).as("payload"))
+
+  /** REAL video-container decode: parse the AVI header chain and every
+    * DIB frame in one pass — (width, height, n_frames, per-frame channel
+    * sums); NULL for payloads that aren't well-formed uncompressed-DIB
+    * AVI. */
+  def decodeAvi(payload: Column): Column = call_function("graft_avi_stats", payload)
 
   /** REAL image decode: parse the BMP header + pixel rows; NULL for
     * payloads that aren't well-formed 24-bit uncompressed BMP. */

@@ -158,6 +158,7 @@ class PlanSpec extends SparkSpec {
     plan(Queries.q104ChunkWindows) should not include "Exchange"
     plan(Queries.q122AudioFrames) should not include "Exchange"
     plan(Queries.q123ImagePatches) should not include "Exchange"
+    plan(Queries.q127AviFrames) should not include "Exchange"
   }
 
   test("q106: dimension bounds broadcast; both audit branches read the cached z-frame") {

@@ -33,7 +33,8 @@ class CodecFuzzSpec extends SparkSpec {
     ("bmpResize", (b: Array[Byte]) => MediaCodec.bmpResize(b, 2, 2)),
     ("wavStats", MediaCodec.wavStats _),
     ("wavDownsample", (b: Array[Byte]) => MediaCodec.wavDownsample(b, 2)),
-    ("jpegStats", JpegCodec.jpegStats _))
+    ("jpegStats", JpegCodec.jpegStats _),
+    ("aviStats", MediaCodec.aviStats _))
 
   test("fuzz: decoders are total on arbitrary byte blobs") {
     totalOn(Gen.choose(0, 512).flatMap(n =>
@@ -50,9 +51,10 @@ class CodecFuzzSpec extends SparkSpec {
     val baseUlaw = MediaCodec.wavEncodeUlaw(3L, 100, 8000)
     val baseAlaw = MediaCodec.wavEncodeAlaw(3L, 100, 8000)
     val baseIma = MediaCodec.wavEncodeIma(3L, 100, 8000)
+    val baseAvi = MediaCodec.aviEncode(3L, 5, 4, 3)
     val baseJpg = JpegCodec.jpegEncode(3L, 6, 7)
     val gen = for {
-      base <- Gen.oneOf(basePng, baseBmp, baseWav, baseUlaw, baseAlaw, baseIma, baseJpg)
+      base <- Gen.oneOf(basePng, baseBmp, baseWav, baseUlaw, baseAlaw, baseIma, baseAvi, baseJpg)
       idx <- Gen.choose(0, base.length - 1)
       b <- Gen.choose(Byte.MinValue, Byte.MaxValue)
     } yield { val m = base.clone(); m(idx) = b; m }
@@ -66,9 +68,10 @@ class CodecFuzzSpec extends SparkSpec {
     val baseUlaw = MediaCodec.wavEncodeUlaw(9L, 64, 8000)
     val baseAlaw = MediaCodec.wavEncodeAlaw(9L, 64, 8000)
     val baseIma = MediaCodec.wavEncodeIma(9L, 64, 8000)
+    val baseAvi = MediaCodec.aviEncode(9L, 4, 5, 2)
     val baseJpg = JpegCodec.jpegEncode(9L, 5, 6)
     val gen = for {
-      base <- Gen.oneOf(basePng, baseBmp, baseWav, baseUlaw, baseAlaw, baseIma, baseJpg)
+      base <- Gen.oneOf(basePng, baseBmp, baseWav, baseUlaw, baseAlaw, baseIma, baseAvi, baseJpg)
       cut <- Gen.choose(0, base.length)
       pad <- Gen.choose(0, 16)
     } yield base.take(cut) ++ Array.fill[Byte](pad)(0x41)

@@ -316,6 +316,47 @@ class MediaCodecSpec extends SparkSpec {
     MediaCodec.bmpPixels("BMjunk".getBytes) shouldBe null
   }
 
+  test("aviEncode emits a real RIFF/AVI; aviStats decodes every frame exactly") {
+    val b = MediaCodec.aviEncode(seed = 9L, width = 5, height = 4, nFrames = 3)
+    new String(b.slice(0, 4)) shouldBe "RIFF"
+    new String(b.slice(8, 12)) shouldBe "AVI "
+    val st = MediaCodec.aviStats(b)
+    st should not be null
+    st.getInt(0) shouldBe 5
+    st.getInt(1) shouldBe 4
+    st.getInt(2) shouldBe 3
+    val frames = st.getArray(3)
+    frames.numElements shouldBe 3
+    for (f <- 0 until 3) {
+      def ch(cx: Int, cy: Int) =
+        (for (x <- 0 until 5; y <- 0 until 4) yield
+          java.lang.Math.floorMod(9L + 1000003L * f + cx * x + cy * y, 256L)).sum
+      val fr = frames.getStruct(f, 3)
+      fr.getLong(0) shouldBe ch(11, 13)
+      fr.getLong(1) shouldBe ch(5, 7)
+      fr.getLong(2) shouldBe ch(2, 3)
+    }
+  }
+
+  test("aviStats rejects malformed containers") {
+    MediaCodec.aviStats(null) shouldBe null
+    MediaCodec.aviStats("RIFFxxxxWAVE".getBytes) shouldBe null // not AVI
+    val good = MediaCodec.aviEncode(3L, 4, 4, 2)
+    MediaCodec.aviStats(good.take(good.length / 2)) shouldBe null // truncated
+    val badBpp = good.clone()
+    // strf bpp field: find 'strf' and corrupt its biBitCount
+    val i = (0 until good.length - 4).find(o =>
+      good(o) == 's' && good(o + 1) == 't' && good(o + 2) == 'r' && good(o + 3) == 'f').get
+    badBpp(i + 8 + 14) = 8
+    MediaCodec.aviStats(badBpp) shouldBe null
+    val badFrame = good.clone()
+    // corrupt the first frame chunk's declared size
+    val m = (0 until good.length - 4).find(o =>
+      good(o) == '0' && good(o + 1) == '0' && good(o + 2) == 'd' && good(o + 3) == 'b').get
+    badFrame(m + 4) = 1; badFrame(m + 5) = 0
+    MediaCodec.aviStats(badFrame) shouldBe null
+  }
+
   test("wavSamples returns the decoded PCM array for every supported coding") {
     val n = 20
     val pcm = MediaCodec.wavSamples(MediaCodec.wavEncode(5L, n, 8000))
