@@ -1645,6 +1645,33 @@ object Oracles {
         |  CAST(sum(b) AS BIGINT) AS sum_b
         |FROM q GROUP BY doc_id, w, h, nf, frame_idx""".stripMargin,
 
+    // Shot-boundary deltas: consecutive frames' channel-sum L1 distance
+    // + per-pixel-threshold cut flag, replayed closed-form.
+    "q128_scene_deltas" ->
+      """WITH p AS (
+        |  SELECT doc_id, CAST(4 + doc_id % 5 AS INT) AS w,
+        |    CAST(4 + doc_id % 3 AS INT) AS h,
+        |    CAST(2 + doc_id % 4 AS INT) AS nf, doc_id AS seed
+        |  FROM documents),
+        |fs AS (
+        |  SELECT doc_id, w, h, CAST(f AS INT) AS frame_idx,
+        |    CAST(sum((seed + 1000003*f + 11*x + 13*y) % 256) AS BIGINT) AS sr,
+        |    CAST(sum((seed + 1000003*f + 5*x + 7*y) % 256) AS BIGINT) AS sg,
+        |    CAST(sum((seed + 1000003*f + 2*x + 3*y) % 256) AS BIGINT) AS sb
+        |  FROM p,
+        |    LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS f),
+        |    LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x),
+        |    LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y)
+        |  GROUP BY doc_id, w, h, f)
+        |SELECT doc_id, frame_idx,
+        |  abs(sr - psr) + abs(sg - psg) + abs(sb - psb) AS delta,
+        |  abs(sr - psr) + abs(sg - psg) + abs(sb - psb) > w*h*64 AS is_cut
+        |FROM (
+        |  SELECT *, lag(sr) OVER wf AS psr, lag(sg) OVER wf AS psg,
+        |    lag(sb) OVER wf AS psb
+        |  FROM fs WINDOW wf AS (PARTITION BY doc_id ORDER BY frame_idx))
+        |WHERE frame_idx > 0""".stripMargin,
+
     // kNN classification: brute-force L2 top-5 (the exactTopKL2 replay),
     // mode of the neighbors' labels with smallest-label tie-break,
     // compared to the query's own label.

@@ -2803,6 +2803,31 @@ object Queries {
         col("frame_idx"), col("fr.sum_r").as("sum_r"),
         col("fr.sum_g").as("sum_g"), col("fr.sum_b").as("sum_b"))
 
+  /** Temporal video features — shot-boundary detection, the
+    * frame-selection step a VLM data pipeline runs after container
+    * decode: per consecutive frame pair, the L1 delta of the channel
+    * sums, flagged as a cut when it exceeds the per-pixel threshold
+    * (×64 per pixel — the per-frame gradient shift makes real scene
+    * changes large and within-scene deltas zero here, so the flag is
+    * exact, not heuristic, on these assets). Builds directly on q127's
+    * one-parse frames array; still a narrow map. */
+  def q128SceneDeltas(s: SparkSession, dir: String): DataFrame =
+    Multimodal.videoAssets(t(s, dir, "documents"), "doc_id")
+      .select(col("asset_id").as("doc_id"),
+        Multimodal.decodeAvi(col("payload")).as("d"))
+      .select(col("doc_id"), col("d.width").as("w"), col("d.height").as("h"),
+        posexplode(col("d.frames")).as(Seq("frame_idx", "fr")),
+        col("d.frames").as("all"))
+      .filter(col("frame_idx") > 0)
+      .withColumn("prev", element_at(col("all"), col("frame_idx"))) // 1-based: previous frame
+      .withColumn("delta",
+        abs(col("fr.sum_r") - col("prev.sum_r")) +
+          abs(col("fr.sum_g") - col("prev.sum_g")) +
+          abs(col("fr.sum_b") - col("prev.sum_b")))
+      .withColumn("is_cut", col("delta") > col("w") * col("h") * 64)
+      .select(col("doc_id"), col("frame_idx").cast("int").as("frame_idx"),
+        col("delta"), col("is_cut"))
+
   /** Streaming-ingest dedup, batch form ([[graft.streaming.EventStream
     * .ingestDedup]]): content-hash the event payload and keep one
     * deterministic survivor per hash — the op an ingest pipeline runs
