@@ -34,7 +34,9 @@ class CodecFuzzSpec extends SparkSpec {
     ("wavStats", MediaCodec.wavStats _),
     ("wavDownsample", (b: Array[Byte]) => MediaCodec.wavDownsample(b, 2)),
     ("jpegStats", JpegCodec.jpegStats _),
-    ("aviStats", MediaCodec.aviStats _))
+    ("aviStats", MediaCodec.aviStats _),
+    ("wavSamples", MediaCodec.wavSamples _),
+    ("bmpPixels", MediaCodec.bmpPixels _))
 
   test("fuzz: decoders are total on arbitrary byte blobs") {
     totalOn(Gen.choose(0, 512).flatMap(n =>
