@@ -1672,6 +1672,91 @@ object Oracles {
         |  FROM fs WINDOW wf AS (PARTITION BY doc_id ORDER BY frame_idx))
         |WHERE frame_idx > 0""".stripMargin,
 
+    // BPE training replay: 3 merge rounds (pair counting with self-pair
+    // exclusion, count-desc/pair-asc top-1, exact position-filtered
+    // array rewrite) + final segmentation of the top-20 words.
+    "q129_bpe_merges" ->
+      """WITH w AS (
+        |  SELECT lower(t) AS word
+        |  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS t
+        |        FROM documents)
+        |  WHERE regexp_matches(lower(t), '^[a-z]+$')),
+        |v0 AS (
+        |  SELECT word,
+        |    array_to_string(string_split(word, ''), ' ') AS sym,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM w GROUP BY word),
+        |p1 AS (
+        |  SELECT z[1] || ' ' || z[2] AS pair, CAST(sum(n) AS BIGINT) AS cnt
+        |  FROM (
+        |    SELECT n, unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS z
+        |    FROM (SELECT n, string_split(sym, ' ') AS l FROM v0))
+        |  WHERE z[1] != z[2]
+        |  GROUP BY 1),
+        |t1 AS (
+        |  SELECT pair, replace(pair, ' ', '') AS merged, cnt
+        |  FROM p1 ORDER BY cnt DESC, pair LIMIT 1),
+        |v1 AS (
+        |  SELECT word,
+        |    array_to_string(list_transform(
+        |      list_filter(range(1, len(l) + 1),
+        |        p -> NOT (p >= 2 AND l[p-1] = a AND l[p] = b)),
+        |      p -> CASE WHEN p < len(l) AND l[p] = a AND l[p+1] = b
+        |                THEN m ELSE l[p] END), ' ') AS sym, n
+        |  FROM (SELECT word, string_split(sym, ' ') AS l, n FROM v0)
+        |  CROSS JOIN (SELECT string_split(pair, ' ')[1] AS a,
+        |    string_split(pair, ' ')[2] AS b, merged AS m FROM t1)),
+        |p2 AS (
+        |  SELECT z[1] || ' ' || z[2] AS pair, CAST(sum(n) AS BIGINT) AS cnt
+        |  FROM (
+        |    SELECT n, unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS z
+        |    FROM (SELECT n, string_split(sym, ' ') AS l FROM v1))
+        |  WHERE z[1] != z[2]
+        |  GROUP BY 1),
+        |t2 AS (
+        |  SELECT pair, replace(pair, ' ', '') AS merged, cnt
+        |  FROM p2 ORDER BY cnt DESC, pair LIMIT 1),
+        |v2 AS (
+        |  SELECT word,
+        |    array_to_string(list_transform(
+        |      list_filter(range(1, len(l) + 1),
+        |        p -> NOT (p >= 2 AND l[p-1] = a AND l[p] = b)),
+        |      p -> CASE WHEN p < len(l) AND l[p] = a AND l[p+1] = b
+        |                THEN m ELSE l[p] END), ' ') AS sym, n
+        |  FROM (SELECT word, string_split(sym, ' ') AS l, n FROM v1)
+        |  CROSS JOIN (SELECT string_split(pair, ' ')[1] AS a,
+        |    string_split(pair, ' ')[2] AS b, merged AS m FROM t2)),
+        |p3 AS (
+        |  SELECT z[1] || ' ' || z[2] AS pair, CAST(sum(n) AS BIGINT) AS cnt
+        |  FROM (
+        |    SELECT n, unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS z
+        |    FROM (SELECT n, string_split(sym, ' ') AS l FROM v2))
+        |  WHERE z[1] != z[2]
+        |  GROUP BY 1),
+        |t3 AS (
+        |  SELECT pair, replace(pair, ' ', '') AS merged, cnt
+        |  FROM p3 ORDER BY cnt DESC, pair LIMIT 1),
+        |v3 AS (
+        |  SELECT word,
+        |    array_to_string(list_transform(
+        |      list_filter(range(1, len(l) + 1),
+        |        p -> NOT (p >= 2 AND l[p-1] = a AND l[p] = b)),
+        |      p -> CASE WHEN p < len(l) AND l[p] = a AND l[p+1] = b
+        |                THEN m ELSE l[p] END), ' ') AS sym, n
+        |  FROM (SELECT word, string_split(sym, ' ') AS l, n FROM v2)
+        |  CROSS JOIN (SELECT string_split(pair, ' ')[1] AS a,
+        |    string_split(pair, ' ')[2] AS b, merged AS m FROM t3))
+        |SELECT kind, key, value, weight, ord FROM (
+        |  SELECT 'merge' AS kind, pair AS key, merged AS value,
+        |    cnt AS weight, 1 AS ord FROM t1
+        |  UNION ALL
+        |  SELECT 'merge', pair, merged, cnt, 2 FROM t2
+        |  UNION ALL
+        |  SELECT 'merge', pair, merged, cnt, 3 FROM t3
+        |  UNION ALL
+        |  SELECT 'word', word, sym, n, 0
+        |  FROM (SELECT * FROM v3 ORDER BY n DESC, word LIMIT 20))""".stripMargin,
+
     // kNN classification: brute-force L2 top-5 (the exactTopKL2 replay),
     // mode of the neighbors' labels with smallest-label tie-break,
     // compared to the query's own label.

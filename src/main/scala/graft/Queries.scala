@@ -2828,6 +2828,18 @@ object Queries {
       .select(col("doc_id"), col("frame_idx").cast("int").as("frame_idx"),
         col("delta"), col("is_cut"))
 
+  /** Distributed BPE tokenizer training ([[graft.ops.Bpe.train]]): 3
+    * merge rounds over the corpus word-frequency table plus the final
+    * segmentation of the 20 most frequent words. The one corpus-sized
+    * pass is the word count; every round after that is vocabulary-sized
+    * (adjacent-pair aggregation, in-plan top-1 broadcast back, per-word
+    * exact array rewrite — no driver actions, no collect). The oracle
+    * replays all three rounds, so a wrong pair count, tie-break, or a
+    * boundary-crossing merge (the classic naive string-replace bug)
+    * hash-mismatches. */
+  def q129BpeMerges(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Bpe.train(t(s, dir, "documents"), "text", rounds = 3, topWords = 20)
+
   /** Streaming-ingest dedup, batch form ([[graft.streaming.EventStream
     * .ingestDedup]]): content-hash the event payload and keep one
     * deterministic survivor per hash — the op an ingest pipeline runs

@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE tokenizer training — the merge-pair loop every LLM
+  * tokenizer pipeline runs over its corpus sample, shaped for scale the
+  * way [[Cluster.train]] shapes Lloyd iterations: the ONE corpus-sized
+  * pass is the word-frequency aggregation; every merge round after that
+  * works on the vocabulary table (distinct words × counts — vocabulary-
+  * sized, not corpus-sized), picks its top pair with an in-plan
+  * `orderBy.limit(1)` broadcast back (no driver action), and applies the
+  * merge as a per-word array rewrite. `rounds` unrolled rounds build one
+  * lazy plan.
+  *
+  * Merge semantics are EXACT BPE with one documented restriction:
+  * self-pairs (a, a) are excluded from selection. For a ≠ b adjacent
+  * matches can never overlap, so replacing ALL matches simultaneously
+  * equals the reference greedy left-to-right merge — which is what makes
+  * the round a pure per-row array map both engines reproduce
+  * bit-for-bit (the q129 oracle replays every round; self-pair runs
+  * like "a a a" would need sequential run-length tie-breaking that no
+  * declarative one-pass map expresses).
+  *
+  * Words are lowercase latin tokens (`^[a-z]+$`) of the corpus'
+  * whitespace tokenization; symbols travel space-joined, so a pair is
+  * "a b" and its merge "ab".
+  */
+object Bpe {
+
+  /** The corpus word-frequency table: (word, n). The only corpus-sized
+    * pass in BPE training. */
+  def wordFreq(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(TextStats.words(col(textCol))).as("_w"))
+      .select(lower(col("_w")).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+
+  /** Adjacent-pair counts over the weighted vocab (self-pairs excluded —
+    * see the object doc). */
+  private def pairCounts(v: DataFrame): DataFrame = {
+    val arr = split(col("sym"), " ")
+    v.select(col("n"),
+        explode(zip_with(slice(arr, lit(1), size(arr) - 1),
+          slice(arr, lit(2), size(arr) - 1),
+          (a, b) => concat_ws(" ", a, b))).as("pair"),
+        col("sym"))
+      .withColumn("_parts", split(col("pair"), " "))
+      .filter(element_at(col("_parts"), 1) =!= element_at(col("_parts"), 2))
+      .groupBy(col("pair")).agg(sum(col("n")).as("cnt"))
+  }
+
+  /** One merge round: top pair by (count desc, pair asc), applied as the
+    * exact array rewrite — position p is dropped when (p−1, p) matched,
+    * rewritten to the merged symbol when (p, p+1) matched. Returns the
+    * rewritten vocab and the 1-row merge record (iteration, pair,
+    * merged, cnt). */
+  private def mergeRound(v: DataFrame, iter: Int): (DataFrame, DataFrame) = {
+    val top = pairCounts(v)
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(1)
+      .select(lit(iter).as("iteration"), col("pair"),
+        concat_ws("", split(col("pair"), " ")).as("merged"), col("cnt"))
+    val withTop = v.crossJoin(broadcast(top.select(
+      split(col("pair"), " ").getItem(0).as("_a"),
+      split(col("pair"), " ").getItem(1).as("_b"),
+      col("merged").as("_m"))))
+    def arr: Column = split(col("sym"), " ")
+    def el(p: Column): Column = element_at(arr, p)
+    val kept = filter(sequence(lit(1), size(arr)),
+      p => !(p >= 2 && el(p - 1) === col("_a") && el(p) === col("_b")))
+    val rewritten = transform(kept,
+      p => when(p < size(arr) && el(p) === col("_a") && el(p + 1) === col("_b"),
+        col("_m")).otherwise(el(p)))
+    val nv = withTop
+      .withColumn("sym", array_join(rewritten, " "))
+      .select(col("word"), col("sym"), col("n"))
+    (nv, top)
+  }
+
+  /** Train `rounds` BPE merges and report them alongside the final
+    * segmentation of the `topWords` most frequent words: rows
+    * (kind, key, value, weight) — kind 'merge' carries (pair, merged,
+    * selection count) per round; kind 'word' carries (word, final
+    * space-joined segmentation, corpus count). */
+  def train(docs: DataFrame, textCol: String, rounds: Int,
+            topWords: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 6,
+      s"rounds must be in [1,6] (plans unroll per round); got $rounds")
+    require(topWords >= 1, s"topWords must be >= 1; got $topWords")
+    var vocab = wordFreq(docs, textCol)
+      .withColumn("sym", concat_ws(" ", split(col("word"), "")))
+      .select(col("word"), col("sym"), col("n"))
+    var merges: Seq[DataFrame] = Nil
+    for (r <- 1 to rounds) {
+      val (nv, m) = mergeRound(vocab, r)
+      vocab = nv
+      merges = merges :+ m
+    }
+    val mergeRows = merges.reduce(_.unionByName(_))
+      .select(lit("merge").as("kind"), col("pair").as("key"),
+        col("merged").as("value"), col("cnt").as("weight"),
+        col("iteration").as("ord"))
+    val wordRows = vocab.orderBy(col("n").desc, col("word")).limit(topWords)
+      .select(lit("word").as("kind"), col("word").as("key"),
+        col("sym").as("value"), col("n").as("weight"),
+        lit(0).as("ord"))
+    mergeRows.unionByName(wordRows)
+      .select(col("kind"), col("key"), col("value"), col("weight"), col("ord"))
+  }
+}

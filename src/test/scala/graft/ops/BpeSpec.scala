@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+class BpeSpec extends SparkSpec {
+
+  private def docs(texts: String*) = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        texts.zipWithIndex.map { case (t, i) => Row(i.toLong, t) }, 2), schema)
+  }
+
+  test("train reproduces the hand-computed merge sequence and segmentations") {
+    // corpus: the x2, then x1
+    //   round 1: pairs t-h:3, h-e:3, e-n:1 -> tie 3, pair-asc picks "h e"
+    //   round 2: t-he:3, he-n:1          -> "t he" -> "the"
+    //   round 3: the-n:1                 -> "the n" -> "then"
+    val out = Bpe.train(docs("the then", "the"), "text", rounds = 3, topWords = 5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getInt(4)))
+    val merges = out.filter(_._1 == "merge").sortBy(_._5)
+    merges.map(m => (m._5, m._2, m._3, m._4)).toSeq shouldBe Seq(
+      (1, "h e", "he", 3L), (2, "t he", "the", 3L), (3, "the n", "then", 1L))
+    val words = out.filter(_._1 == "word").map(w => w._2 -> w._3).toMap
+    words shouldBe Map("the" -> "the", "then" -> "then")
+  }
+
+  test("merges never cross symbol boundaries (the naive string-replace bug)") {
+    // corpus: "xa b" tokens 'xa' and 'b' never exist... build words where a
+    // learned pair's TEXT occurs inside a larger symbol: words "ab" (x3)
+    // and "cab" (x2). Round 1 pairs: a-b:5, c-a:2 -> "a b" -> "ab".
+    // In "c a b" only positions (2,3) match; the rewrite must give
+    // "c ab" — a substring replace on "c a b" would also work here, so
+    // round 2 is the discriminator: pairs now c-ab:2 -> merge "c ab" ->
+    // "cab"; a boundary-crossing implementation would have corrupted the
+    // symbol stream and disagree.
+    val out = Bpe.train(docs("ab ab ab cab cab"), "text", rounds = 2, topWords = 5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getInt(4)))
+    val merges = out.filter(_._1 == "merge").sortBy(_._5)
+    merges.map(m => (m._5, m._2, m._3, m._4)).toSeq shouldBe Seq(
+      (1, "a b", "ab", 5L), (2, "c ab", "cab", 2L))
+    val words = out.filter(_._1 == "word").map(w => w._2 -> w._3).toMap
+    words shouldBe Map("ab" -> "ab", "cab" -> "cab")
+  }
+
+  test("self-pairs are excluded from selection; distinct-pair runs merge all at once") {
+    // "aaaa" would make a-a dominate; with self-pairs excluded the top
+    // pair must be a distinct one, and "abab" merges BOTH occurrences of
+    // (a, b) in one round.
+    val out = Bpe.train(docs("abab abab aaaa"), "text", rounds = 1, topWords = 5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getInt(4)))
+    val m = out.filter(_._1 == "merge").head
+    (m._2, m._3) shouldBe ("a b", "ab")
+    val words = out.filter(_._1 == "word").map(w => w._2 -> w._3).toMap
+    words("abab") shouldBe "ab ab" // both matches merged in one round
+    words("aaaa") shouldBe "a a a a" // untouched: self-pair never selected
+  }
+}
