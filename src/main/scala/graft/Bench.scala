@@ -230,6 +230,10 @@ object Bench {
           // exact dedup + near-dup survivor manifest off the served pair
           // table) and the per-source quota window at 10x
           "q109_curation_pipeline", "q124_source_caps",
+          // BPE training: the word-count pass is the only corpus-sized
+          // stage; the merge rounds are vocabulary-sized, so total time
+          // should grow far below 10x
+          "q129_bpe_merges",
           // scan-bound families: codec + text + feature-extraction
           // throughput should grow ~linearly in data and amortize fixed
           // cost (growth << 10x)
