@@ -43,8 +43,7 @@ object Bpe {
     v.select(col("n"),
         explode(zip_with(slice(arr, lit(1), size(arr) - 1),
           slice(arr, lit(2), size(arr) - 1),
-          (a, b) => concat_ws(" ", a, b))).as("pair"),
-        col("sym"))
+          (a, b) => concat_ws(" ", a, b))).as("pair"))
       .withColumn("_parts", split(col("pair"), " "))
       .filter(element_at(col("_parts"), 1) =!= element_at(col("_parts"), 2))
       .groupBy(col("pair")).agg(sum(col("n")).as("cnt"))
