@@ -2707,18 +2707,34 @@ object Queries {
     * that keeps any one domain from dominating the corpus: rank
     * documents within each source by quality (word count here — the
     * integer-exact proxy; any score column drops in) and keep the top
-    * N=20 per source. One partitioned window over a narrow projection —
-    * the shuffle keys `source`, so at 100 TB each domain's quota is
-    * computed where its documents land, with AQE splitting any
-    * pathological mega-domain. */
+    * N=20 per source.
+    *
+    * Two-phase salted top-N, because a window partition is the one
+    * skew shape AQE canNOT split: `row_number().over(partitionBy
+    * ("source"))` forces every row of a domain into a single task, and
+    * at 100 TB a real mega-domain (common-crawl's top domain is ~1% of
+    * the corpus ≈ 1 TB) serializes on — and can OOM — one core.
+    * Phase 1 ranks within (source, salt) where salt is a deterministic
+    * hash bucket of doc_id, so a mega-domain spreads across `Salts`
+    * tasks and each keeps only its local top N. Any global-top-N row
+    * is necessarily in its own bucket's top N, so phase 2 — the same
+    * window keyed on source alone — sees at most Salts*N rows per
+    * source and produces the identical ranking (same order keys, same
+    * rank numbering) the single-window plan gave. */
   def q124SourceCaps(s: SparkSession, dir: String): DataFrame = {
-    val N = 20
-    val w = Window.partitionBy(col("source"))
+    val N     = 20
+    val Salts = 16
+    val wSalt = Window.partitionBy(col("source"), col("_salt"))
+      .orderBy(col("word_count").desc, col("doc_id"))
+    val wFinal = Window.partitionBy(col("source"))
       .orderBy(col("word_count").desc, col("doc_id"))
     t(s, dir, "documents")
       .select(col("doc_id"), col("source"),
         TextStats.wordCount(col("text")).as("word_count"))
-      .withColumn("rank", row_number().over(w))
+      .withColumn("_salt", pmod(hash(col("doc_id")), lit(Salts)))
+      .withColumn("_lrank", row_number().over(wSalt))
+      .filter(col("_lrank") <= N)
+      .withColumn("rank", row_number().over(wFinal))
       .filter(col("rank") <= N)
       .select(col("source"), col("doc_id"), col("word_count"),
         col("rank").cast("int").as("rank"))

@@ -169,6 +169,19 @@ class PlanSpec extends SparkSpec {
     p.split("\n").count(_.contains("InMemoryTableScan")) should be >= 2
   }
 
+  test("q124: per-source top-N is a salted two-phase window (AQE cannot split window skew)") {
+    val p = plan(Queries.q124SourceCaps)
+    // phase 1 partitions on (source, salt) so a mega-domain spreads over
+    // many tasks; phase 2 ranks the pruned survivors per source alone —
+    // exactly two Window operators, in that key order
+    val windows = p.split("\n").filter(_.contains("Window"))
+      .filterNot(_.contains("WindowGroupLimit"))
+    windows.length shouldBe 2
+    p.split("\n").count(_.contains("Window")) should be >= 2
+    val saltFirst = p.split("\n").find(l => l.contains("Window") && l.contains("_salt"))
+    saltFirst should not be empty
+  }
+
   test("no query plan contains a CollectLimit-to-driver loop or cartesian product") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = fn(spark, dir).queryExecution.executedPlan.toString
