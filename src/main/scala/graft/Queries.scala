@@ -2660,6 +2660,10 @@ object Queries {
     Multimodal.audioAssets(t(s, dir, "documents"), "doc_id")
       .select(col("asset_id").as("doc_id"),
         Multimodal.decodeWavSamples(col("payload")).as("smp"))
+      // a clip shorter than one window has zero complete frames; without
+      // this filter the sequence stop goes negative and Spark defaults
+      // to step -1, emitting bogus descending frame indices
+      .filter(size(col("smp")) >= W)
       .select(col("doc_id"), col("smp"),
         explode(sequence(lit(0),
           floor((size(col("smp")) - W).cast("double") / S).cast("int"))).as("frame_idx"))

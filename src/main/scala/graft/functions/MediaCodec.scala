@@ -185,9 +185,16 @@ object MediaCodec {
     val rowSize = ((width * 3 + 3) / 4) * 4
     val frameSize = rowSize * height
     val hdrlSize = 4 + 8 + 56 + (8 + 4 + 8 + 56 + 8 + 40) // 'hdrl'+avih+strl LIST
-    val moviSize = 4 + nFrames * (8 + frameSize)
+    // Size the file in Long first: width/height/nFrames each pass their
+    // individual bounds, but the product (e.g. 4096×4096×43 frames ≈
+    // 2.2 GB) overflows Int, yielding a negative array size inside
+    // codegen instead of this family's null-on-invalid contract.
+    val moviSizeL = 4L + nFrames.toLong * (8L + frameSize.toLong)
     val idx1Size = nFrames * 16
-    val riffSize = 4 + 8 + hdrlSize + 8 + moviSize + 8 + idx1Size
+    val riffSizeL = 4L + 8L + hdrlSize + 8L + moviSizeL + 8L + idx1Size
+    if (8L + riffSizeL > Int.MaxValue) return null
+    val moviSize = moviSizeL.toInt
+    val riffSize = riffSizeL.toInt
     val b = new Array[Byte](8 + riffSize)
     var p = 0
     def fourcc(s: String): Unit = { var i = 0; while (i < 4) { b(p) = s.charAt(i).toByte; p += 1; i += 1 } }
@@ -656,12 +663,18 @@ object MediaCodec {
     var factN = -1
     var dataOff = -1
     var dataLen = -1
-    while (pos + 8 <= b.length && (sampleRate < 0 || dataOff < 0)) {
+    // Walk ALL chunks to EOF, keeping the first fmt/data/fact seen — a
+    // spec-legal WAVE may place its fact chunk AFTER data, and stopping
+    // at fmt+data would lose factN (nulling a valid IMA ADPCM file).
+    while (pos + 8 <= b.length) {
       val size = le32(b, pos + 4)
       if (size < 0 || pos + 8 + size > b.length) return null
-      val isFmt = b(pos) == 'f' && b(pos + 1) == 'm' && b(pos + 2) == 't' && b(pos + 3) == ' '
-      val isFact = b(pos) == 'f' && b(pos + 1) == 'a' && b(pos + 2) == 'c' && b(pos + 3) == 't'
-      val isData = b(pos) == 'd' && b(pos + 1) == 'a' && b(pos + 2) == 't' && b(pos + 3) == 'a'
+      val isFmt = sampleRate < 0 &&
+        b(pos) == 'f' && b(pos + 1) == 'm' && b(pos + 2) == 't' && b(pos + 3) == ' '
+      val isFact = factN < 0 &&
+        b(pos) == 'f' && b(pos + 1) == 'a' && b(pos + 2) == 'c' && b(pos + 3) == 't'
+      val isData = dataOff < 0 &&
+        b(pos) == 'd' && b(pos + 1) == 'a' && b(pos + 2) == 't' && b(pos + 3) == 'a'
       if (isFmt) {
         if (size < 16) return null
         val fmt = le16(b, pos + 8)

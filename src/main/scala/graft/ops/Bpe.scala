@@ -22,6 +22,17 @@ import org.apache.spark.sql.functions._
   * like "a a a" would need sequential run-length tie-breaking that no
   * declarative one-pass map expresses).
   *
+  * RESTRICTION vs. HuggingFace `tokenizers` and SentencePiece (BPE
+  * mode): both reference trainers DO count and can select self-pairs —
+  * on a corpus dominated by single-character runs (e.g. "aaaa" → HF
+  * merges (a,a)→"aa" first) this trainer picks the best a≠b pair
+  * instead, so the learned merge lists diverge from round 1 on such
+  * corpora. On natural-language text self-pairs essentially never win
+  * a round, so the lists agree; a user training a production tokenizer
+  * on run-heavy data (DNA, ASCII art, padded logs) should not use this
+  * trainer as a drop-in HF/SentencePiece replacement. BpeSpec pins the
+  * divergence with an explicit run-corpus case.
+  *
   * Words are lowercase latin tokens (`^[a-z]+$`) of the corpus'
   * whitespace tokenization; symbols travel space-joined, so a pair is
   * "a b" and its merge "ab".
@@ -60,10 +71,18 @@ object Bpe {
       .limit(1)
       .select(lit(iter).as("iteration"), col("pair"),
         concat_ws("", split(col("pair"), " ")).as("merged"), col("cnt"))
-    val withTop = v.crossJoin(broadcast(top.select(
-      split(col("pair"), " ").getItem(0).as("_a"),
-      split(col("pair"), " ").getItem(1).as("_b"),
-      col("merged").as("_m"))))
+    // Left join on a constant key, NOT a crossJoin: a degenerate round
+    // (no countable pairs left — e.g. a corpus of single-character
+    // words) yields an EMPTY top frame, and a crossJoin with an empty
+    // side would silently annihilate the whole vocabulary. With the
+    // left join the pair columns come back null and the word passes
+    // through unrewritten, so exhausted rounds are a graceful no-op.
+    val withTop = v.withColumn("_one", lit(1))
+      .join(broadcast(top.select(lit(1).as("_one"),
+        split(col("pair"), " ").getItem(0).as("_a"),
+        split(col("pair"), " ").getItem(1).as("_b"),
+        col("merged").as("_m"))), Seq("_one"), "left")
+      .drop("_one")
     def arr: Column = split(col("sym"), " ")
     def el(p: Column): Column = element_at(arr, p)
     val kept = filter(sequence(lit(1), size(arr)),
@@ -72,7 +91,8 @@ object Bpe {
       p => when(p < size(arr) && el(p) === col("_a") && el(p + 1) === col("_b"),
         col("_m")).otherwise(el(p)))
     val nv = withTop
-      .withColumn("sym", array_join(rewritten, " "))
+      .withColumn("sym", when(col("_a").isNull, col("sym"))
+        .otherwise(array_join(rewritten, " ")))
       .select(col("word"), col("sym"), col("n"))
     (nv, top)
   }

@@ -287,6 +287,30 @@ class MediaCodecSpec extends SparkSpec {
     MediaCodec.wavStats(badSpb) shouldBe null
   }
 
+  test("wavStats accepts a spec-legal WAVE whose fact chunk FOLLOWS data") {
+    // wavEncodeIma lays out fmt(12..39) fact(40..51) data(52..); RIFF
+    // allows any chunk order after fmt, so rebuild the same file with
+    // the fact chunk moved after data and require an identical decode
+    val good = MediaCodec.wavEncodeIma(7L, 100, 8000)
+    new String(good.slice(40, 44)) shouldBe "fact"
+    val reordered = good.take(40) ++ good.drop(52) ++ good.slice(40, 52)
+    reordered.length shouldBe good.length
+    val a = MediaCodec.wavStats(good)
+    val b = MediaCodec.wavStats(reordered)
+    b should not be null
+    (0 until 4).foreach { i =>
+      b.get(i, null).toString shouldBe a.get(i, null).toString
+    }
+  }
+
+  test("aviEncode nulls when the total file size overflows Int, not a negative alloc") {
+    // 4096 x 4096 x 43 frames passes every per-field bound but the movi
+    // payload is ~2.2 GB — must hit the null-on-invalid contract
+    MediaCodec.aviEncode(1L, 4096, 4096, 43) shouldBe null
+    // boundary sanity: a modest clip still encodes
+    MediaCodec.aviEncode(1L, 8, 8, 2) should not be null
+  }
+
   test("bmpPixels returns row-major top-down RGB and undoes the bottom-up flip") {
     val b = MediaCodec.bmpEncode(seed = 7L, width = 4, height = 3)
     val d = MediaCodec.bmpPixels(b)

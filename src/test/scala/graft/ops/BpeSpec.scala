@@ -62,4 +62,31 @@ class BpeSpec extends SparkSpec {
     words("abab") shouldBe "ab ab" // both matches merged in one round
     words("aaaa") shouldBe "a a a a" // untouched: self-pair never selected
   }
+
+  test("divergence vs HF/SentencePiece pinned: run-only corpus learns no merges") {
+    // HuggingFace tokenizers / SentencePiece WOULD merge (a,a)->"aa"
+    // here; this trainer's self-pair exclusion means the corpus has no
+    // selectable pair at all. The round must be a graceful no-op (empty
+    // top frame must NOT annihilate the vocabulary via the join) and
+    // every later round likewise.
+    val out = Bpe.train(docs("aaaa aa bbb"), "text", rounds = 3, topWords = 5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getInt(4)))
+    out.filter(_._1 == "merge") shouldBe empty
+    val words = out.filter(_._1 == "word").map(w => w._2 -> w._3).toMap
+    words shouldBe Map("aaaa" -> "a a a a", "aa" -> "a a", "bbb" -> "b b b")
+  }
+
+  test("rounds beyond pair exhaustion are a no-op, not an empty result") {
+    // one real merge exists (t,o); rounds 2..4 find nothing — the word
+    // rows and the single merge row must survive all four rounds.
+    val out = Bpe.train(docs("to to"), "text", rounds = 4, topWords = 5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getInt(4)))
+    val merges = out.filter(_._1 == "merge").sortBy(_._5)
+    merges.map(m => (m._5, m._2, m._3, m._4)).toSeq shouldBe Seq(
+      (1, "t o", "to", 2L))
+    val words = out.filter(_._1 == "word").map(w => w._2 -> w._3).toMap
+    words shouldBe Map("to" -> "to")
+  }
 }
