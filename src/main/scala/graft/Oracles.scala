@@ -1621,6 +1621,23 @@ object Oracles {
 
     // AVI frame sampling: every 2nd frame's channel sums recomputed in
     // closed form from the per-frame-shifted pixel gradient.
+    // MJPEG gate: the oracle cannot re-run the lossy JPEG decode, so —
+    // exactly like q115 — it pins the exact columns (dims, frame count,
+    // sampled frame indices) and predicts ok=TRUE for every frame; the
+    // Spark side computes ok from the decoded sums vs the closed-form
+    // ramp bound, so any container/codec fault flips a cell and
+    // hash-mismatches.
+    "q130_mjpeg_frames" ->
+      """WITH p AS (
+        |  SELECT doc_id, CAST(4 + doc_id % 9 AS INT) AS w,
+        |    CAST(4 + doc_id % 6 AS INT) AS h,
+        |    CAST(2 + doc_id % 4 AS INT) AS nf
+        |  FROM documents)
+        |SELECT doc_id, w AS width, h AS height, nf AS n_frames,
+        |  CAST(f AS INT) AS frame_idx, TRUE AS ok
+        |FROM p, LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS f)
+        |WHERE f % 2 = 0""".stripMargin,
+
     "q127_avi_frames" ->
       """WITH p AS (
         |  SELECT doc_id, CAST(4 + doc_id % 5 AS INT) AS w,

@@ -2848,6 +2848,41 @@ object Queries {
       .select(col("doc_id"), col("frame_idx").cast("int").as("frame_idx"),
         col("delta"), col("is_cut"))
 
+  /** COMPRESSED video frames end-to-end ([[Multimodal.mjpegVideoAssets]]
+    * → [[Multimodal.decodeMjpeg]]): a Motion-JPEG AVI per document —
+    * the container walk from q127 composed with the real baseline JPEG
+    * decoder from q115, so the video modality now carries compressed
+    * frames (the realistic VLM-ingest format short of H.264, which
+    * stays the one declared stub). Every 2nd frame is kept (the
+    * frame-sampling step), and because JPEG is lossy the gate is the
+    * q115-style bounded-error boolean: frame f's smooth ramp has
+    * closed-form sum w·h·c_f + h·w(w−1) + 3wh(h−1)/2 with c_f =
+    * (seed + 1000003·f) mod 97, and the decoded luminance sum must land
+    * within 2 LSB/px of it with r=g=b (grayscale JFIF). A decoder that
+    * misparses the 'MJPG' header chain, misaligns the variable-size
+    * word-padded chunks, or corrupts any frame's entropy stream flips
+    * `ok` or nulls the row — both hash-mismatch. Narrow map + explode,
+    * no shuffle. */
+  def q130MjpegFrames(s: SparkSession, dir: String): DataFrame = {
+    val w = (lit(4) + col("doc_id") % 9).cast("long")
+    val h = (lit(4) + col("doc_id") % 6).cast("long")
+    val cF = (col("doc_id") + lit(1000003L) * col("frame_idx")) % 97
+    val expected = w * h * cF + h * w * (w - 1) + lit(3) * w * h * (h - 1) / 2
+    Multimodal.mjpegVideoAssets(t(s, dir, "documents"), "doc_id")
+      .select(col("asset_id").as("doc_id"),
+        Multimodal.decodeMjpeg(col("payload")).as("d"))
+      .select(col("doc_id"), col("d.width").as("width"),
+        col("d.height").as("height"), col("d.n_frames").as("n_frames"),
+        posexplode(col("d.frames")).as(Seq("frame_idx", "fr")))
+      .filter(col("frame_idx") % 2 === 0) // frame sampling: every 2nd frame
+      .select(col("doc_id"), col("width"), col("height"), col("n_frames"),
+        col("frame_idx").cast("int").as("frame_idx"),
+        (col("fr").isNotNull &&
+          abs(col("fr.sum_r") - expected) <= lit(2) * w * h &&
+          col("fr.sum_g") === col("fr.sum_r") &&
+          col("fr.sum_b") === col("fr.sum_r")).as("ok"))
+  }
+
   /** Distributed BPE tokenizer training ([[graft.ops.Bpe.train]]): 3
     * merge rounds over the corpus word-frequency table plus the final
     * segmentation of the 20 most frequent words. The one corpus-sized

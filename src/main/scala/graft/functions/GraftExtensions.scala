@@ -30,6 +30,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.bmpPixels)
     ext.injectFunction(GraftExtensions.aviEncode)
     ext.injectFunction(GraftExtensions.aviStats)
+    ext.injectFunction(GraftExtensions.mjpegEncode)
+    ext.injectFunction(GraftExtensions.mjpegStats)
     ext.injectFunction(GraftExtensions.bmpResize)
     ext.injectFunction(GraftExtensions.wavDownsample)
     ext.injectFunction(GraftExtensions.pngEncode)
@@ -168,6 +170,18 @@ object GraftExtensions {
     new ExpressionInfo(classOf[AviStats].getName, null, "graft_avi_stats",
       "graft_avi_stats(payload) - decode an uncompressed-DIB AVI: struct(width, height, n_frames, frames), NULL if malformed", ""),
     (children: Seq[Expression]) => AviStats(children.head))
+
+  val mjpegEncode: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier("graft_mjpeg_encode"),
+    new ExpressionInfo(classOf[MjpegEncode].getName, null, "graft_mjpeg_encode",
+      "graft_mjpeg_encode(seed, width, height, n_frames) - deterministic Motion-JPEG AVI payload (one baseline JFIF per frame)", ""),
+    (children: Seq[Expression]) => MjpegEncode(children.head, children(1), children(2), children(3)))
+
+  val mjpegStats: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier("graft_mjpeg_stats"),
+    new ExpressionInfo(classOf[MjpegStats].getName, null, "graft_mjpeg_stats",
+      "graft_mjpeg_stats(payload) - decode a Motion-JPEG AVI through the real JPEG decoder: struct(width, height, n_frames, frames), NULL if malformed", ""),
+    (children: Seq[Expression]) => MjpegStats(children.head))
 
   val bmpResize: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     new FunctionIdentifier("graft_bmp_resize"),

@@ -361,6 +361,174 @@ object MediaCodec {
       StructField("sum_r", LongType), StructField("sum_g", LongType),
       StructField("sum_b", LongType))), containsNull = false))))
 
+  /** Motion-JPEG AVI — the same RIFF 'AVI ' container as [[aviEncode]],
+    * but the video stream is COMPRESSED: fccHandler/biCompression 'MJPG'
+    * and one complete baseline JFIF file per '00dc' chunk (each frame
+    * independently decodable — MJPEG's defining property, and why it is
+    * the video format a VLM scrape pipeline most often ingests short of
+    * H.264). Frame f's image is [[JpegCodec.jpegEncode]] at seed +
+    * 1000003·f, so per-frame content is distinct but closed-form for the
+    * oracle. Variable-size chunks are RIFF word-aligned; idx1 records
+    * the true (unpadded) sizes. */
+  def mjpegEncode(seed: Long, width: Int, height: Int, nFrames: Int): Array[Byte] = {
+    if (width <= 0 || height <= 0 || width > MaxDim || height > MaxDim) return null
+    if (nFrames <= 0 || nFrames > MaxFrames) return null
+    val frames = new Array[Array[Byte]](nFrames)
+    var maxFrame = 0
+    var payloadL = 0L
+    var f = 0
+    while (f < nFrames) {
+      val j = JpegCodec.jpegEncode(seed + 1000003L * f, width, height)
+      if (j == null) return null
+      frames(f) = j
+      if (j.length > maxFrame) maxFrame = j.length
+      payloadL += 8L + j.length + (j.length & 1)
+      f += 1
+    }
+    val hdrlSize = 4 + 8 + 56 + (8 + 4 + 8 + 56 + 8 + 40) // 'hdrl'+avih+strl LIST
+    val moviSizeL = 4L + payloadL
+    val idx1Size = nFrames * 16
+    val riffSizeL = 4L + 8L + hdrlSize + 8L + moviSizeL + 8L + idx1Size
+    if (8L + riffSizeL > Int.MaxValue) return null
+    val moviSize = moviSizeL.toInt
+    val riffSize = riffSizeL.toInt
+    val b = new Array[Byte](8 + riffSize)
+    var p = 0
+    def fourcc(s: String): Unit = { var i = 0; while (i < 4) { b(p) = s.charAt(i).toByte; p += 1; i += 1 } }
+    def le32v(v: Int): Unit = { putLe32(b, p, v); p += 4 }
+    fourcc("RIFF"); le32v(riffSize); fourcc("AVI ")
+    fourcc("LIST"); le32v(hdrlSize); fourcc("hdrl")
+    fourcc("avih"); le32v(56)
+    le32v(40000)            // dwMicroSecPerFrame: 25 fps
+    le32v(math.min(Int.MaxValue.toLong, 25L * maxFrame).toInt) // dwMaxBytesPerSec
+    le32v(0)                // dwPaddingGranularity
+    le32v(0x10)             // dwFlags: AVIF_HASINDEX
+    le32v(nFrames)          // dwTotalFrames
+    le32v(0)                // dwInitialFrames
+    le32v(1)                // dwStreams
+    le32v(maxFrame)         // dwSuggestedBufferSize
+    le32v(width); le32v(height)
+    le32v(0); le32v(0); le32v(0); le32v(0) // dwReserved
+    fourcc("LIST"); le32v(4 + 8 + 56 + 8 + 40); fourcc("strl")
+    fourcc("strh"); le32v(56)
+    fourcc("vids"); fourcc("MJPG")
+    le32v(0)                // dwFlags
+    le32v(0)                // wPriority/wLanguage
+    le32v(0)                // dwInitialFrames
+    le32v(1)                // dwScale
+    le32v(25)               // dwRate: 25 fps
+    le32v(0)                // dwStart
+    le32v(nFrames)          // dwLength
+    le32v(maxFrame)         // dwSuggestedBufferSize
+    le32v(-1)               // dwQuality
+    le32v(0)                // dwSampleSize
+    le32v(0); le32v(0)      // rcFrame
+    fourcc("strf"); le32v(40)
+    le32v(40); le32v(width); le32v(height)
+    putLe16(b, p, 1); p += 2      // planes
+    putLe16(b, p, 24); p += 2     // bpp
+    fourcc("MJPG")                // biCompression
+    le32v(maxFrame)               // biSizeImage (largest frame)
+    le32v(2835); le32v(2835); le32v(0); le32v(0)
+    fourcc("LIST"); le32v(moviSize); fourcc("movi")
+    val moviFourccPos = p - 4
+    val frameOffsets = new Array[Int](nFrames)
+    f = 0
+    while (f < nFrames) {
+      frameOffsets(f) = p - moviFourccPos // idx1 convention: from 'movi' fourcc
+      val j = frames(f)
+      fourcc("00dc"); le32v(j.length)
+      System.arraycopy(j, 0, b, p, j.length)
+      p += j.length + (j.length & 1) // pad byte (already zero) on odd size
+      f += 1
+    }
+    fourcc("idx1"); le32v(idx1Size)
+    f = 0
+    while (f < nFrames) {
+      fourcc("00dc"); le32v(0x10) // AVIIF_KEYFRAME: every MJPEG frame
+      le32v(frameOffsets(f)); le32v(frames(f).length)
+      f += 1
+    }
+    b
+  }
+
+  /** Parse an MJPEG AVI and return the same shape as [[aviStats]]:
+    * (width, height, n_frames, per-frame channel sums) — but each
+    * '00dc' chunk runs through the REAL baseline JPEG decoder
+    * ([[JpegCodec]] Huffman + dequant + IDCT). Validates the container
+    * chain (vids stream with 'MJPG' handler, 24-bpp 'MJPG'
+    * BITMAPINFOHEADER) and that every frame decodes to the declared
+    * geometry; null on malformed input. */
+  def mjpegStats(b: Array[Byte]): InternalRow = {
+    if (b == null || b.length < 12) return null
+    if (b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
+      b(8) != 'A' || b(9) != 'V' || b(10) != 'I' || b(11) != ' ') return null
+    def fcc(o: Int, s: String): Boolean =
+      o + 4 <= b.length && (0 until 4).forall(i => b(o + i) == s.charAt(i).toByte)
+    var width = -1; var height = -1; var totalFrames = -1
+    var vidsOk = false; var cmpOk = false
+    var moviOff = -1; var moviEnd = -1
+    var pos = 12
+    while (pos + 8 <= b.length && moviOff < 0) {
+      val size = le32(b, pos + 4)
+      if (size < 0 || pos + 8 + size > b.length) return null
+      if (fcc(pos, "LIST") && size >= 4) {
+        if (fcc(pos + 8, "hdrl")) {
+          var q = pos + 12
+          val end = pos + 8 + size
+          while (q + 8 <= end) {
+            val csz = le32(b, q + 4)
+            if (csz < 0 || q + 8 + csz > end) return null
+            if (fcc(q, "avih") && csz >= 40) {
+              totalFrames = le32(b, q + 8 + 16)
+              width = le32(b, q + 8 + 32)
+              height = le32(b, q + 8 + 36)
+            } else if (fcc(q, "LIST") && csz >= 4 && fcc(q + 8, "strl")) {
+              var r = q + 12
+              val send = q + 8 + csz
+              while (r + 8 <= send) {
+                val ssz = le32(b, r + 4)
+                if (ssz < 0 || r + 8 + ssz > send) return null
+                if (fcc(r, "strh") && ssz >= 12 && fcc(r + 8, "vids") &&
+                  fcc(r + 12, "MJPG")) vidsOk = true
+                if (fcc(r, "strf") && ssz >= 40 &&
+                  le16(b, r + 8 + 14) == 24 && fcc(r + 8 + 16, "MJPG")) cmpOk = true
+                r += 8 + ssz + (ssz & 1)
+              }
+            }
+            q += 8 + csz + (csz & 1)
+          }
+        } else if (fcc(pos + 8, "movi")) {
+          moviOff = pos + 12; moviEnd = pos + 8 + size
+        }
+      }
+      pos += 8 + size + (size & 1)
+    }
+    if (width <= 0 || height <= 0 || width > MaxDim || height > MaxDim) return null
+    if (totalFrames <= 0 || totalFrames > MaxFrames || !vidsOk || !cmpOk ||
+      moviOff < 0) return null
+    val sums = new Array[InternalRow](totalFrames)
+    var f = 0
+    var q = moviOff
+    while (f < totalFrames) {
+      if (q + 8 > moviEnd) return null
+      val csz = le32(b, q + 4)
+      if (csz < 0 || q + 8 + csz > moviEnd) return null
+      if (fcc(q, "00dc")) {
+        val st = JpegCodec.jpegStats(
+          java.util.Arrays.copyOfRange(b, q + 8, q + 8 + csz))
+        if (st == null || st.getInt(0) != width || st.getInt(1) != height)
+          return null
+        sums(f) = InternalRow(st.getLong(2), st.getLong(3), st.getLong(4))
+        f += 1
+      }
+      q += 8 + csz + (csz & 1)
+    }
+    InternalRow(width, height, totalFrames,
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        sums.asInstanceOf[Array[Any]]))
+  }
+
   /** Sample formula shared with the q98 oracle: signed 16-bit PCM sample i. */
   @inline private def sample(seed: Long, i: Int): Int =
     java.lang.Math.floorMod(seed + 17L * i, 65536L).toInt - 32768
@@ -1051,6 +1219,52 @@ case class AviStats(child: Expression)
     nullSafeCodeGen(ctx, ev, b =>
       s"""
          |${ev.value} = graft.functions.MediaCodec.aviStats($b);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(newChild)
+}
+
+/** `graft_mjpeg_encode(seed, width, height, n_frames)` → BINARY: a real
+  * Motion-JPEG AVI (RIFF container, 'MJPG' vids stream, one baseline
+  * JFIF file per '00dc' chunk, idx1 index). */
+case class MjpegEncode(first: Expression, second: Expression,
+                       third: Expression, fourth: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression
+  with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType, IntegerType, IntegerType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_mjpeg_encode"
+  override def nullSafeEval(s: Any, w: Any, h: Any, n: Any): Any =
+    MediaCodec.mjpegEncode(s.asInstanceOf[Long], w.asInstanceOf[Int],
+      h.asInstanceOf[Int], n.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, w, h, n) =>
+      s"""
+         |${ev.value} = graft.functions.MediaCodec.mjpegEncode($s, $w, $h, $n);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
+  override protected def withNewChildrenInternal(
+      f: Expression, sd: Expression, t: Expression, fo: Expression): Expression =
+    copy(f, sd, t, fo)
+}
+
+/** `graft_mjpeg_stats(payload)` → STRUCT(width, height, n_frames,
+  * frames ARRAY<STRUCT<sum_r, sum_g, sum_b>>): whole-container decode of
+  * a Motion-JPEG AVI — every frame through the real baseline JPEG
+  * decoder; NULL if malformed. */
+case class MjpegStats(child: Expression)
+  extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = MediaCodec.aviStatsType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_mjpeg_stats"
+  override def nullSafeEval(b: Any): Any =
+    MediaCodec.mjpegStats(b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b =>
+      s"""
+         |${ev.value} = graft.functions.MediaCodec.mjpegStats($b);
          |${ev.isNull} = ${ev.value} == null;
        """.stripMargin)
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(newChild)

@@ -32,7 +32,11 @@ import org.apache.spark.sql.functions._
   * [[videoAssets]]/[[decodeAvi]] carry REAL video containers:
   * uncompressed-DIB AVI (RIFF, vids stream, idx1 index) decoded
   * frame-by-frame in one parse, oracle-checked by q127 — the video
-  * modality's container and frame-sampling plumbing is real.
+  * modality's container and frame-sampling plumbing is real. And
+  * [[mjpegVideoAssets]]/[[decodeMjpeg]] carry REAL COMPRESSED video:
+  * Motion-JPEG AVI ('MJPG' stream, one baseline JFIF per frame chunk,
+  * every frame through the real JpegCodec both ways), oracle-checked by
+  * q130 — the realistic VLM-ingest video format short of H.264.
   *
   * STUB BOUNDARY: perceptual codecs (MP3 audio, H.264 video frames)
   * genuinely need external libraries (psychoacoustic filter banks,
@@ -128,6 +132,24 @@ object Multimodal {
         (lit(4) + pmod(col(idCol), lit(3))).cast("int"),
         (lit(2) + pmod(col(idCol), lit(4))).cast("int")).as("payload"))
 
+  /** COMPRESSED-video-asset table with REAL payloads: one Motion-JPEG
+    * AVI per document — the 'MJPG' vids stream carries a complete
+    * baseline JFIF file per '00dc' chunk, each run through the real
+    * [[graft.functions.JpegCodec]] encoder (FDCT + quantize + Huffman).
+    * This is the realistic VLM-ingest video format short of H.264
+    * (which stays a declared stub): container walk AND per-frame codec
+    * are both real. Dims match [[jpegAssets]] so the smooth-ramp
+    * closed-form sum bound holds per frame. */
+  def mjpegVideoAssets(docs: DataFrame, idCol: String): DataFrame =
+    docs.select(
+      col(idCol).as("asset_id"),
+      lit("video/x-motion-jpeg").as("media_type"),
+      call_function("graft_mjpeg_encode",
+        col(idCol).cast("long"),
+        (lit(4) + pmod(col(idCol), lit(9))).cast("int"),
+        (lit(4) + pmod(col(idCol), lit(6))).cast("int"),
+        (lit(2) + pmod(col(idCol), lit(4))).cast("int")).as("payload"))
+
   /** Compressed-image-asset table with REAL payloads: one zlib-deflated
     * 8-bit truecolor PNG per document ([[graft.functions.PngCodec]] —
     * scanline filters cycle through all five PNG types). Height ≥ 5 for
@@ -161,6 +183,12 @@ object Multimodal {
     * sums); NULL for payloads that aren't well-formed uncompressed-DIB
     * AVI. */
   def decodeAvi(payload: Column): Column = call_function("graft_avi_stats", payload)
+
+  /** REAL compressed-video decode: walk the MJPEG AVI container and run
+    * every frame through the real baseline JPEG decoder; NULL for
+    * payloads that aren't well-formed 'MJPG'-stream AVI. */
+  def decodeMjpeg(payload: Column): Column =
+    call_function("graft_mjpeg_stats", payload)
 
   /** REAL image decode: parse the BMP header + pixel rows; NULL for
     * payloads that aren't well-formed 24-bit uncompressed BMP. */

@@ -159,6 +159,7 @@ class PlanSpec extends SparkSpec {
     plan(Queries.q122AudioFrames) should not include "Exchange"
     plan(Queries.q123ImagePatches) should not include "Exchange"
     plan(Queries.q127AviFrames) should not include "Exchange"
+    plan(Queries.q130MjpegFrames) should not include "Exchange"
   }
 
   test("q106: dimension bounds broadcast; both audit branches read the cached z-frame") {

@@ -35,6 +35,7 @@ class CodecFuzzSpec extends SparkSpec {
     ("wavDownsample", (b: Array[Byte]) => MediaCodec.wavDownsample(b, 2)),
     ("jpegStats", JpegCodec.jpegStats _),
     ("aviStats", MediaCodec.aviStats _),
+    ("mjpegStats", MediaCodec.mjpegStats _),
     ("wavSamples", MediaCodec.wavSamples _),
     ("bmpPixels", MediaCodec.bmpPixels _))
 
@@ -54,9 +55,10 @@ class CodecFuzzSpec extends SparkSpec {
     val baseAlaw = MediaCodec.wavEncodeAlaw(3L, 100, 8000)
     val baseIma = MediaCodec.wavEncodeIma(3L, 100, 8000)
     val baseAvi = MediaCodec.aviEncode(3L, 5, 4, 3)
+    val baseMjpg = MediaCodec.mjpegEncode(3L, 5, 4, 3)
     val baseJpg = JpegCodec.jpegEncode(3L, 6, 7)
     val gen = for {
-      base <- Gen.oneOf(basePng, baseBmp, baseWav, baseUlaw, baseAlaw, baseIma, baseAvi, baseJpg)
+      base <- Gen.oneOf(basePng, baseBmp, baseWav, baseUlaw, baseAlaw, baseIma, baseAvi, baseMjpg, baseJpg)
       idx <- Gen.choose(0, base.length - 1)
       b <- Gen.choose(Byte.MinValue, Byte.MaxValue)
     } yield { val m = base.clone(); m(idx) = b; m }
@@ -71,9 +73,10 @@ class CodecFuzzSpec extends SparkSpec {
     val baseAlaw = MediaCodec.wavEncodeAlaw(9L, 64, 8000)
     val baseIma = MediaCodec.wavEncodeIma(9L, 64, 8000)
     val baseAvi = MediaCodec.aviEncode(9L, 4, 5, 2)
+    val baseMjpg = MediaCodec.mjpegEncode(9L, 4, 5, 2)
     val baseJpg = JpegCodec.jpegEncode(9L, 5, 6)
     val gen = for {
-      base <- Gen.oneOf(basePng, baseBmp, baseWav, baseUlaw, baseAlaw, baseIma, baseAvi, baseJpg)
+      base <- Gen.oneOf(basePng, baseBmp, baseWav, baseUlaw, baseAlaw, baseIma, baseAvi, baseMjpg, baseJpg)
       cut <- Gen.choose(0, base.length)
       pad <- Gen.choose(0, 16)
     } yield base.take(cut) ++ Array.fill[Byte](pad)(0x41)

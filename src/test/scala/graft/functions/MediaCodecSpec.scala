@@ -311,6 +311,60 @@ class MediaCodecSpec extends SparkSpec {
     MediaCodec.aviEncode(1L, 8, 8, 2) should not be null
   }
 
+  test("mjpegEncode emits a real MJPG AVI; mjpegStats runs every frame through the JPEG decoder") {
+    val b = MediaCodec.mjpegEncode(seed = 11L, width = 7, height = 5, nFrames = 3)
+    b should not be null
+    new String(b.slice(8, 12)) shouldBe "AVI "
+    val d = MediaCodec.mjpegStats(b)
+    d should not be null
+    d.getInt(0) shouldBe 7
+    d.getInt(1) shouldBe 5
+    d.getInt(2) shouldBe 3
+    val frames = d.getArray(3)
+    frames.numElements shouldBe 3
+    // composition check: each container frame must decode to exactly what
+    // the standalone JPEG codec produces for the same (seed, dims)
+    for (f <- 0 until 3) {
+      val expect = JpegCodec.jpegStats(JpegCodec.jpegEncode(11L + 1000003L * f, 7, 5))
+      val fr = frames.getStruct(f, 3)
+      fr.getLong(0) shouldBe expect.getLong(2)
+      fr.getLong(1) shouldBe expect.getLong(3)
+      fr.getLong(2) shouldBe expect.getLong(4)
+    }
+    // independent decoder: extract the first '00dc' chunk and let the
+    // JDK's ImageIO JPEG reader decode it — the frame is a complete JFIF
+    val tag = "00dc".getBytes
+    val at = b.indexOfSlice(tag)
+    at should be > 0
+    val len = (b(at + 4) & 0xff) | ((b(at + 5) & 0xff) << 8) |
+      ((b(at + 6) & 0xff) << 16) | ((b(at + 7) & 0xff) << 24)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(b.slice(at + 8, at + 8 + len)))
+    img.getWidth shouldBe 7
+    img.getHeight shouldBe 5
+  }
+
+  test("mjpegStats rejects non-MJPEG containers and truncations") {
+    val mjpg = MediaCodec.mjpegEncode(11L, 7, 5, 3)
+    val dib = MediaCodec.aviEncode(11L, 7, 5, 3)
+    MediaCodec.mjpegStats(dib) shouldBe null   // DIB stream, not MJPG
+    MediaCodec.aviStats(mjpg) shouldBe null    // and vice versa
+    // truncate into the movi payload (cutting only the idx1 tail is
+    // legitimately decodable — frames are all present)
+    MediaCodec.mjpegStats(mjpg.take(mjpg.length / 2)) shouldBe null
+    MediaCodec.mjpegStats(Array.empty[Byte]) shouldBe null
+    // a corrupted entropy byte inside a frame must null, not misdecode:
+    // flip a byte in the middle of the first frame's scan data
+    val tag = "00dc".getBytes
+    val at = mjpg.indexOfSlice(tag)
+    val bad = mjpg.clone()
+    bad(at + 40) = (bad(at + 40) ^ 0x55).toByte
+    // either null (decode failure) or a decode whose dims still match —
+    // totality is what matters; a wrong-dims success is the bug
+    val r = MediaCodec.mjpegStats(bad)
+    if (r != null) { r.getInt(0) shouldBe 7; r.getInt(1) shouldBe 5 }
+  }
+
   test("bmpPixels returns row-major top-down RGB and undoes the bottom-up flip") {
     val b = MediaCodec.bmpEncode(seed = 7L, width = 4, height = 3)
     val d = MediaCodec.bmpPixels(b)
