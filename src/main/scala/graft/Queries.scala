@@ -2725,24 +2725,16 @@ object Queries {
     * window keyed on source alone — sees at most Salts*N rows per
     * source and produces the identical ranking (same order keys, same
     * rank numbering) the single-window plan gave. */
-  def q124SourceCaps(s: SparkSession, dir: String): DataFrame = {
-    val N     = 20
-    val Salts = 16
-    val wSalt = Window.partitionBy(col("source"), col("_salt"))
-      .orderBy(col("word_count").desc, col("doc_id"))
-    val wFinal = Window.partitionBy(col("source"))
-      .orderBy(col("word_count").desc, col("doc_id"))
-    t(s, dir, "documents")
-      .select(col("doc_id"), col("source"),
-        TextStats.wordCount(col("text")).as("word_count"))
-      .withColumn("_salt", pmod(hash(col("doc_id")), lit(Salts)))
-      .withColumn("_lrank", row_number().over(wSalt))
-      .filter(col("_lrank") <= N)
-      .withColumn("rank", row_number().over(wFinal))
-      .filter(col("rank") <= N)
+  def q124SourceCaps(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TopN.saltedTopNPerKey(
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextStats.wordCount(col("text")).as("word_count")),
+      key = Seq(col("source")),
+      order = Seq(col("word_count").desc, col("doc_id")),
+      n = 20)
       .select(col("source"), col("doc_id"), col("word_count"),
         col("rank").cast("int").as("rank"))
-  }
 
   /** Malformed-line JSONL quarantine ([[graft.sources.Jsonl
     * .readWithQuarantine]]): simulate an upstream drop where every 10th
