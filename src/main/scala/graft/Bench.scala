@@ -194,6 +194,12 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","canary":$canaryJson,"stalled":$stalled,"sf1":"see_sf1_line"}""")
     System.out.flush()
 
+    // Set by the sf1 block when a scale cell breaches its declared
+    // growth bound; turns the whole run red (rc 3) after all JSON lines
+    // have printed — the harness, not a human reading the JSON, catches
+    // the next quadratic.
+    var growthViolations: Seq[String] = Nil
+
     // ---- Scale evidence: the dedup/clustering family at 10x documents.
     // Every 100 TB argument in this repo is from plan shape; this block
     // adds MEASUREMENT: the same queries on a synthesized 10x corpus.
@@ -219,6 +225,10 @@ object Bench {
         spark.conf.set("spark.sql.shuffle.partitions",
           spark.sparkContext.defaultParallelism.toString)
         val sf1Dir = ScaleCorpus.ensure(spark, sfDir, copies = 10)
+        // Heap hygiene between the 134-query sweep and the scale cells:
+        // carried-over garbage skews the first multi-second sf1 joins.
+        spark.catalog.clearCache()
+        System.gc()
         val scaleQs = Seq("q18_exact_dedup", "q21_ngram_jaccard",
           "q40_neardup_clusters", "q59_embedding_neardup_ivf",
           "q101_kmeans_cluster",
@@ -238,24 +248,104 @@ object Bench {
           // throughput should grow ~linearly in data and amortize fixed
           // cost (growth << 10x)
           "q112_png_decode", "q20_text_stats",
+          // the compressed-video decode (JPEG per frame) — the heaviest
+          // per-byte codec work in the suite; must stay scan-bound
+          "q130_mjpeg_frames",
           "q122_audio_frames").filter(SparkEntry.queries.contains)
-        // Same min-of-2 + canary-bracket protocol as the main table
-        // (second pass reversed) — a stall window covering both samples of
-        // one scale cell must flag, not publish a bogus growth factor.
-        val p1 = scaleQs.map { n => n -> measure(n, (sp, _) => SparkEntry.queries(n)(sp, sf1Dir)) }.toMap
-        val p2 = scaleQs.reverse.map { n => n -> measure(n, (sp, _) => SparkEntry.queries(n)(sp, sf1Dir)) }.toMap
-        val cells = scaleQs.map { n =>
-          val (t, flagged) = if (p1(n)._1 <= p2(n)._1) p1(n) else p2(n)
-          val base = finalResults.get(n).map(_._1).getOrElse(Double.NaN)
+        // Min-of-3 for BOTH sides of the ratio, measured back-to-back in
+        // the SAME session config: round 9's q122 growth read 4.6x on one
+        // run and 13x on another because the denominator came from the
+        // main table (different shuffle-partition config, ~80 ms base,
+        // min-of-2) — noise the growth division amplifies. Three samples
+        // each way and a same-config base make the published factor
+        // reproducible.
+        def minOf3(n: String, dir: String): (Double, Boolean) =
+          (1 to 3).map(_ => measure(n, (sp, _) => SparkEntry.queries(n)(sp, dir)))
+            .minBy(_._1)
+        // REGRESSION GATE: declared per-cell growth bounds at 10x data;
+        // any breach turns the run red (rc 3) after all JSON lines print.
+        // Two regimes, calibrated over consecutive full runs (which
+        // showed up to 2x run-to-run variance on multi-second sf1 join
+        // cells from shared-box/JVM state — the gate must catch
+        // STRUCTURE, not noise): fixed-cost-amortizing plans (dedup,
+        // clustering, BPE, curation — scheduling/codegen/model costs
+        // dominate their sf0.1 cells; observed 0.9-3.0x) get tight 4-6x
+        // bounds, while plans whose work is LINEAR in the corpus by
+        // design (scan-bound codecs/text, the DF-capped shingle join
+        // whose pair count grows with copies; observed 4-9x) get bounds
+        // just above the data growth (12-15x) so only a superlinear
+        // shape — an uncapped shingle join reads >>15x — trips them.
+        // Calibration anchor for the tight regime: the retired
+        // seed-stride IVF read 5.4x (and climbing with corpus size)
+        // where the fixed formulation reads 1.5-3.0x — q59's bound of 5
+        // turns exactly that regression red.
+        // Override for drills: SPARK_GRAFT_GROWTH_BOUND replaces ALL
+        // bounds (e.g. =0.1 forces a red run to prove the gate fires).
+        val defaultBounds: Map[String, Double] = Map(
+          "q18_exact_dedup"           -> 5.0,
+          "q21_ngram_jaccard"         -> 15.0,
+          "q40_neardup_clusters"      -> 4.0,
+          "q59_embedding_neardup_ivf" -> 5.0,
+          "q101_kmeans_cluster"       -> 4.0,
+          "q117_ivfpq_topk"           -> 6.0,
+          "q109_curation_pipeline"    -> 4.0,
+          "q124_source_caps"          -> 5.0,
+          "q129_bpe_merges"           -> 4.0,
+          "q112_png_decode"           -> 10.0,
+          "q20_text_stats"            -> 15.0,
+          "q130_mjpeg_frames"         -> 12.0,
+          "q122_audio_frames"         -> 15.0)
+        val boundFor: String => Double =
+          sys.env.get("SPARK_GRAFT_GROWTH_BOUND").map(_.toDouble) match {
+            case Some(o) => _ => o
+            case None    => n => defaultBounds.getOrElse(n, 6.0)
+          }
+        // Noise guard: a bound verdict needs a base the clock can resolve;
+        // cells faster than this at sf0.1 get measured + published but
+        // never gate (their growth factor divides by scheduler jitter).
+        val minGateBase = 0.05
+        val firstPass = scaleQs.map { n =>
+          val (base, bFlag) = minOf3(n, sfDir)
+          val (t, tFlag) = minOf3(n, sf1Dir)
+          (n, base, bFlag, t, tFlag)
+        }
+        def breaches(n: String, base: Double, bFlag: Boolean,
+                     t: Double, tFlag: Boolean): Boolean =
+          !bFlag && !tFlag && base >= minGateBase && t / base > boundFor(n)
+        // CONFIRM BEFORE RED: wall-clock cells this small carry 2-5x
+        // run-to-run variance under unseen box load (observed across
+        // consecutive calibration runs — one run's q20 base read 0.28 s
+        // against 0.06 s on the runs beside it, same code). A transient
+        // almost never survives a fresh min-of-3 re-measure of both
+        // sides; a structural superlinearity always does. Only a
+        // REPRODUCED breach goes red; the published cell is the better
+        // (second) measurement so the JSON reflects what was gated on.
+        val measured = firstPass.map {
+          case (n, base, bFlag, t, tFlag) if breaches(n, base, bFlag, t, tFlag) =>
+            System.err.println(
+              s"[bench] growth bound breach on $n (${t / base}x) — re-measuring to confirm")
+            System.gc()
+            val (b2, bf2) = minOf3(n, sfDir)
+            val (t2, tf2) = minOf3(n, sf1Dir)
+            (n, b2, bf2, t2, tf2)
+          case c => c
+        }
+        val violations = measured.collect {
+          case (n, base, bFlag, t, tFlag) if breaches(n, base, bFlag, t, tFlag) => n
+        }
+        val cells = measured.map { case (n, base, bFlag, t, tFlag) =>
           // A missing/zero base would interpolate NaN/Infinity — not valid
           // JSON; emit null so a reader sees "no growth factor" instead of
           // the driver's json.load rejecting the whole line.
           val (baseJson, growthJson) =
             if (base.isNaN || base <= 0.0) ("null", "null")
             else (base.toString, (t / base).toString)
-          s""""$n":{"sec":$t,"sf01_sec":$baseJson,"growth_x":$growthJson,"stall_suspect":$flagged}"""
+          s""""$n":{"sec":$t,"sf01_sec":$baseJson,"growth_x":$growthJson,"bound_x":${boundFor(n)},"stall_suspect":${bFlag || tFlag}}"""
         }
-        s"""{"copies":10,"dir":"$sf1Dir","queries":${cells.mkString("{", ",", "}")}}"""
+        growthViolations = violations
+        s"""{"copies":10,"dir":"$sf1Dir",""" +
+          s""""growth_violations":${violations.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+          s""""queries":${cells.mkString("{", ",", "}")}}"""
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] sf1 block skipped: $e"); "null"
@@ -270,6 +360,11 @@ object Bench {
     println(s"""{"sf1":$sf1Json}""")
     println(s"""{"total_sec":$total,"n":${names.size},"stalled":$stalled,"canary":$canaryJson}""")
     spark.stop()
+    if (growthViolations.nonEmpty) {
+      System.err.println(
+        s"[bench] GROWTH BOUND VIOLATED at 10x data: ${growthViolations.mkString(", ")}")
+      sys.exit(3)
+    }
   }
 }
 
