@@ -1621,6 +1621,57 @@ object Oracles {
 
     // AVI frame sampling: every 2nd frame's channel sums recomputed in
     // closed form from the per-frame-shifted pixel gradient.
+    // Batch-perceptron quality filter: pure integer recurrence, so the
+    // oracle replays ALL three training rounds (w0=0 makes round 1 flag
+    // every row; later rounds flag y*(w·x) <= 0) and the final per-doc
+    // margins exactly.
+    "q131_quality_perceptron" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS BIGINT) AS y,
+        |    CAST(1 AS BIGINT) AS x0,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS x1,
+        |    n_chars AS x2,
+        |    CAST((length(text) - length(replace(text, 'the', ''))) // 3 AS BIGINT) AS x3
+        |  FROM documents),
+        |u1 AS (
+        |  SELECT CAST(coalesce(sum(y*x0),0) AS BIGINT) AS d0,
+        |         CAST(coalesce(sum(y*x1),0) AS BIGINT) AS d1,
+        |         CAST(coalesce(sum(y*x2),0) AS BIGINT) AS d2,
+        |         CAST(coalesce(sum(y*x3),0) AS BIGINT) AS d3
+        |  FROM f),
+        |w1 AS (SELECT d0 AS g0, d1 AS g1, d2 AS g2, d3 AS g3 FROM u1),
+        |u2 AS (
+        |  SELECT CAST(coalesce(sum(y*x0),0) AS BIGINT) AS d0,
+        |         CAST(coalesce(sum(y*x1),0) AS BIGINT) AS d1,
+        |         CAST(coalesce(sum(y*x2),0) AS BIGINT) AS d2,
+        |         CAST(coalesce(sum(y*x3),0) AS BIGINT) AS d3
+        |  FROM f, w1 WHERE y * (g0*x0 + g1*x1 + g2*x2 + g3*x3) <= 0),
+        |w2 AS (SELECT g0+d0 AS g0, g1+d1 AS g1, g2+d2 AS g2, g3+d3 AS g3 FROM w1, u2),
+        |u3 AS (
+        |  SELECT CAST(coalesce(sum(y*x0),0) AS BIGINT) AS d0,
+        |         CAST(coalesce(sum(y*x1),0) AS BIGINT) AS d1,
+        |         CAST(coalesce(sum(y*x2),0) AS BIGINT) AS d2,
+        |         CAST(coalesce(sum(y*x3),0) AS BIGINT) AS d3
+        |  FROM f, w2 WHERE y * (g0*x0 + g1*x1 + g2*x2 + g3*x3) <= 0),
+        |w3 AS (SELECT g0+d0 AS g0, g1+d1 AS g1, g2+d2 AS g2, g3+d3 AS g3 FROM w2, u3)
+        |SELECT 'w' AS kind, CAST(1 AS BIGINT) AS a, CAST(0 AS BIGINT) AS b, g0 AS v FROM w1
+        |UNION ALL SELECT 'w', 1, 1, g1 FROM w1
+        |UNION ALL SELECT 'w', 1, 2, g2 FROM w1
+        |UNION ALL SELECT 'w', 1, 3, g3 FROM w1
+        |UNION ALL SELECT 'w', 2, 0, g0 FROM w2
+        |UNION ALL SELECT 'w', 2, 1, g1 FROM w2
+        |UNION ALL SELECT 'w', 2, 2, g2 FROM w2
+        |UNION ALL SELECT 'w', 2, 3, g3 FROM w2
+        |UNION ALL SELECT 'w', 3, 0, g0 FROM w3
+        |UNION ALL SELECT 'w', 3, 1, g1 FROM w3
+        |UNION ALL SELECT 'w', 3, 2, g2 FROM w3
+        |UNION ALL SELECT 'w', 3, 3, g3 FROM w3
+        |UNION ALL
+        |SELECT 'd', doc_id, CASE WHEN m > 0 THEN 1 ELSE -1 END, m
+        |FROM (SELECT doc_id, g0*x0 + g1*x1 + g2*x2 + g3*x3 AS m
+        |      FROM f, w3) s""".stripMargin,
+
     // MJPEG gate: the oracle cannot re-run the lossy JPEG decode, so —
     // exactly like q115 — it pins the exact columns (dims, frame count,
     // sampled frame indices) and predicts ok=TRUE for every frame; the

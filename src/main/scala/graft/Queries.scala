@@ -2875,6 +2875,22 @@ object Queries {
           col("fr.sum_b") === col("fr.sum_r")).as("ok"))
   }
 
+  /** Model-based quality filtering ([[graft.ops.QualityFilter
+    * .trainPerceptron]]): train a batch perceptron to predict lang='en'
+    * from integer document features (bias, word count, char count,
+    * "the"-trigram count) over 3 unrolled rounds, then score every
+    * document with the trained weights. The real pipeline step this
+    * stands in for is CCNet/GPT-3-style classifier filtering; the
+    * distributed shape — one corpus-sized map-side-combined aggregate
+    * per round, O(k) model state riding broadcasts — is exactly what a
+    * production trainer does per batch. Pure integer arithmetic, so the
+    * oracle replays every round exactly: a wrong margin rule, flagged
+    * set, or update sum hash-mismatches. */
+  def q131QualityPerceptron(s: SparkSession, dir: String): DataFrame =
+    graft.ops.QualityFilter.trainPerceptron(
+      t(s, dir, "documents"), "doc_id", "text", "n_chars",
+      when(col("lang") === "en", 1L).otherwise(-1L), rounds = 3)
+
   /** Distributed BPE tokenizer training ([[graft.ops.Bpe.train]]): 3
     * merge rounds over the corpus word-frequency table plus the final
     * segmentation of the 20 most frequent words. The one corpus-sized

@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Model-BASED quality filtering — the classifier step of a real curation
+  * pipeline (CCNet trains a fastText model against Wikipedia; GPT-3's
+  * data work trained a logistic-regression filter over curated-vs-crawl
+  * features) distilled to its distributed training shape: a batch
+  * perceptron over per-document feature vectors.
+  *
+  * All arithmetic is EXACT INTEGER, the same discipline as
+  * [[Cluster]]/[[Graph.pageRank]]: float gradients are order-dependent
+  * under distributed summation and could never hash-match another
+  * engine, so this trains the one linear classifier whose update rule is
+  * a pure integer aggregate — round t flags every row with
+  * y·(w_{t-1}·x) ≤ 0 and adds Σ y·x over the flagged set to the weights
+  * (classic batch perceptron, unit learning rate). Deterministic,
+  * engine-reproducible, and the oracle replays every round in SQL.
+  *
+  * Scale shape per round — exactly [[Cluster.train]]'s: ONE corpus-sized
+  * aggregation (each row contributes k=4 products; the sum is map-side
+  * combined, so the shuffle carries partial sums, not rows) producing a
+  * 1-row weight frame that rides a broadcast into the next round. No
+  * driver actions, no collect; `rounds` unrolled rounds build one lazy
+  * plan. At 100 TB each round is a single scan+reduce — the minimum any
+  * full-batch trainer can do — and the model state is O(k).
+  *
+  * The empty-update round (all rows correctly classified — linearly
+  * separable corpus converged early) is a graceful no-op: the aggregate
+  * returns null sums over the empty flagged set and `coalesce(_, 0)`
+  * passes the weights through unchanged (the same degenerate-round guard
+  * [[Bpe]] uses for exhausted merge rounds).
+  *
+  * On the synthetic testdata the `lang` labels carry NO textual signal
+  * (every language draws from the same word distribution), so — exactly
+  * like k-means/PQ over the near-random testdata embeddings — the q131
+  * gate certifies the TRAINER's distributed recurrence bit-for-bit, not
+  * model accuracy; on a real corpus the same features (word count, char
+  * count, "the" density) are the classic cheap quality/language
+  * signals.
+  */
+object QualityFilter {
+
+  /** Feature columns (BIGINT, engine-reproducible): bias, word count,
+    * char count, and occurrences of the literal trigram "the" — a crude
+    * but real English-quality signal with an exact SQL twin
+    * ((len(text) − len(replace(text,'the','')))/3). */
+  private def featureCols(textCol: Column, nCharsCol: Column): Seq[Column] = Seq(
+    lit(1L),
+    TextStats.wordCount(textCol).cast("long"),
+    nCharsCol.cast("long"),
+    ((length(textCol) - length(replace(textCol, lit("the"), lit("")))) / 3)
+      .cast("long"))
+
+  /** Train `rounds` batch-perceptron rounds predicting `labelCol` (+1/−1)
+    * and score every document with the final weights. Output rows
+    * (kind, a, b, v):
+    *   - kind 'w': a = round (1-based), b = feature index, v = weight
+    *     AFTER that round's update;
+    *   - kind 'd': a = doc id, b = prediction (+1 if final margin > 0
+    *     else −1), v = the exact final margin w·x.
+    */
+  def trainPerceptron(docs: DataFrame, idCol: String, textCol: String,
+                      nCharsCol: String, labelCol: Column,
+                      rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 4,
+      s"rounds must be in [1,4] (plans unroll per round); got $rounds")
+    val k = 4
+    val xs = featureCols(col(textCol), col(nCharsCol))
+    val feats = docs.select(
+      (col(idCol).cast("long").as("doc_id") +: labelCol.cast("long").as("y") +:
+        xs.zipWithIndex.map { case (c, j) => c.as(s"x$j") }): _*)
+
+    def margin(wPrefix: String): Column =
+      (0 until k).map(j => col(s"$wPrefix$j") * col(s"x$j"))
+        .reduce(_ + _)
+
+    // w_0 = 0: round 1 flags every row (y·0 ≤ 0), so the first update is
+    // Σ y·x over the whole corpus — the standard cold start.
+    var w: DataFrame = docs.sparkSession.range(1)
+      .select((0 until k).map(j => lit(0L).as(s"w$j")): _*)
+    val weightRows = (1 to rounds).map { r =>
+      val updCols = (0 until k).map(j =>
+        coalesce(sum(col("y") * col(s"x$j")), lit(0L)).as(s"d$j"))
+      val upd = feats.crossJoin(broadcast(w))
+        .filter(col("y") * margin("w") <= 0)
+        .agg(updCols.head, updCols.tail: _*)
+      w = w.crossJoin(broadcast(upd))
+        .select((0 until k).map(j => (col(s"w$j") + col(s"d$j")).as(s"w$j")): _*)
+      val rw = w
+      (0 until k).map(j =>
+        rw.select(lit("w").as("kind"), lit(r.toLong).as("a"),
+          lit(j.toLong).as("b"), col(s"w$j").as("v")))
+        .reduce(_.unionByName(_))
+    }.reduce(_.unionByName(_))
+
+    val docRows = feats.crossJoin(broadcast(w))
+      .select(col("doc_id"), margin("w").as("m"))
+      .select(lit("d").as("kind"), col("doc_id").as("a"),
+        when(col("m") > 0, 1L).otherwise(-1L).as("b"), col("m").as("v"))
+
+    weightRows.unionByName(docRows)
+  }
+}
