@@ -1621,6 +1621,38 @@ object Oracles {
 
     // AVI frame sampling: every 2nd frame's channel sums recomputed in
     // closed form from the per-frame-shifted pixel gradient.
+    // Exact-span dedup: replays window extraction, min-encoded canonical
+    // selection, and the per-document rewrite — the deduped TEXT itself
+    // is hash-compared.
+    "q132_span_dedup" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+        |  FROM documents),
+        |win AS (
+        |  SELECT doc_id, i AS p, array_to_string(ws[i+1 : i+5], ' ') AS key
+        |  FROM tok CROSS JOIN unnest(generate_series(0, len(ws) - 5)) AS g(i)
+        |  WHERE len(ws) >= 5),
+        |occ AS (
+        |  SELECT key, count(*) AS n, min(doc_id * 1000000 + p) AS canon
+        |  FROM win GROUP BY key HAVING count(*) >= 2),
+        |m AS (
+        |  SELECT w.doc_id, w.p
+        |  FROM win w JOIN occ o ON w.key = o.key
+        |  WHERE w.doc_id * 1000000 + w.p <> o.canon),
+        |kept AS (
+        |  SELECT t.doc_id, i, t.ws[i] AS tokn
+        |  FROM tok t CROSS JOIN unnest(generate_series(1, len(t.ws))) AS g(i)
+        |  WHERE NOT EXISTS (SELECT 1 FROM m
+        |    WHERE m.doc_id = t.doc_id AND i BETWEEN m.p + 1 AND m.p + 5)),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(tokn, ' ' ORDER BY i) AS txt
+        |  FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.ws) AS BIGINT) AS n_tokens,
+        |  CAST(len(t.ws) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+        |  coalesce(a.txt, '') AS deduped_text
+        |FROM tok t LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
     // Batch-perceptron quality filter: pure integer recurrence, so the
     // oracle replays ALL three training rounds (w0=0 makes round 1 flag
     // every row; later rounds flag y*(w·x) <= 0) and the final per-doc

@@ -2875,6 +2875,21 @@ object Queries {
           col("fr.sum_b") === col("fr.sum_r")).as("ok"))
   }
 
+  /** Exact duplicated-span dedup with REMOVAL ([[graft.ops.ExactSpans
+    * .dedupSpans]]): the Lee-et-al exact-substring operation — every
+    * stride-1 5-token window occurring 2+ times in the corpus keeps its
+    * globally-first occurrence and is cut from every other document,
+    * which are then REWRITTEN. Unlike q69 (which only lists duplicated
+    * non-overlapping tiles), this emits the deduped corpus itself:
+    * (doc_id, n_tokens, n_removed, deduped_text), all hash-checked
+    * including the rewritten text. Linear in corpus size: one window
+    * row per token, min-based canonical (no per-key window function —
+    * stop-phrase keys would skew), equi-join fan-out bounded by the
+    * occurrence count. */
+  def q132SpanDedup(s: SparkSession, dir: String): DataFrame =
+    graft.ops.ExactSpans.dedupSpans(
+      t(s, dir, "documents"), "doc_id", "text", spanLen = 5)
+
   /** Model-based quality filtering ([[graft.ops.QualityFilter
     * .trainPerceptron]]): train a batch perceptron to predict lang='en'
     * from integer document features (bias, word count, char count,
