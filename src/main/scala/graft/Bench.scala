@@ -251,6 +251,10 @@ object Bench {
           // the compressed-video decode (JPEG per frame) — the heaviest
           // per-byte codec work in the suite; must stay scan-bound
           "q130_mjpeg_frames",
+          // exact-span dedup: one window row per token + equi-join —
+          // linear by construction; a superlinear reading means the
+          // occurrence join degenerated
+          "q132_span_dedup",
           "q122_audio_frames").filter(SparkEntry.queries.contains)
         // Min-of-3 for BOTH sides of the ratio, measured back-to-back in
         // the SAME session config: round 9's q122 growth read 4.6x on one
@@ -294,6 +298,7 @@ object Bench {
           "q112_png_decode"           -> 10.0,
           "q20_text_stats"            -> 15.0,
           "q130_mjpeg_frames"         -> 12.0,
+          "q132_span_dedup"           -> 15.0,
           "q122_audio_frames"         -> 15.0)
         val boundFor: String => Double =
           sys.env.get("SPARK_GRAFT_GROWTH_BOUND").map(_.toDouble) match {

@@ -2918,6 +2918,22 @@ object Queries {
   def q129BpeMerges(s: SparkSession, dir: String): DataFrame =
     graft.ops.Bpe.train(t(s, dir, "documents"), "text", rounds = 3, topWords = 20)
 
+  /** BPE corpus ENCODING ([[graft.ops.Bpe.encode]]) — the serving half
+    * of q129: train the 3-merge tokenizer in-plan, then apply the
+    * learned merges in rank order to every document and emit the token
+    * accounting a pretraining pipeline needs (per-doc word count, BPE
+    * token count, and the full segmentation — hash-checked, so a wrong
+    * merge order, a boundary-crossing application, or a lost word
+    * position mismatches). Rewrites run on the distinct-word
+    * vocabulary; the corpus-sized steps are one equi-join and one
+    * per-doc reassembly aggregation. */
+  def q133BpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val merges = graft.ops.Bpe.train(docs, "text", rounds = 3, topWords = 1)
+      .filter(col("kind") === "merge")
+    graft.ops.Bpe.encode(docs, "doc_id", "text", merges, nMerges = 3)
+  }
+
   /** Streaming-ingest dedup, batch form ([[graft.streaming.EventStream
     * .ingestDedup]]): content-hash the event payload and keep one
     * deterministic survivor per hash — the op an ingest pipeline runs

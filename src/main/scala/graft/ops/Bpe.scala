@@ -71,17 +71,31 @@ object Bpe {
       .limit(1)
       .select(lit(iter).as("iteration"), col("pair"),
         concat_ws("", split(col("pair"), " ")).as("merged"), col("cnt"))
-    // Left join on a constant key, NOT a crossJoin: a degenerate round
-    // (no countable pairs left — e.g. a corpus of single-character
-    // words) yields an EMPTY top frame, and a crossJoin with an empty
-    // side would silently annihilate the whole vocabulary. With the
-    // left join the pair columns come back null and the word passes
-    // through unrewritten, so exhausted rounds are a graceful no-op.
+    val nv = applyMerge(v, top.select(
+      split(col("pair"), " ").getItem(0).as("_a"),
+      split(col("pair"), " ").getItem(1).as("_b"),
+      concat_ws("", split(col("pair"), " ")).as("_m")))
+    (nv, top)
+  }
+
+  /** Apply ONE merge (the ≤1-row frame `m` with columns _a, _b, _m) to
+    * every `sym` in `v`, preserving v's other columns — the exact array
+    * rewrite shared by training rounds and [[encode]]: position p drops
+    * when (p−1, p) matched, rewrites to the merged symbol when (p, p+1)
+    * matched.
+    *
+    * Joined on a constant key, NOT a crossJoin: a degenerate round (no
+    * countable pairs left — e.g. a corpus of single-character words, or
+    * encoding with fewer trained merges than requested) yields an EMPTY
+    * merge frame, and a crossJoin with an empty side would silently
+    * annihilate the whole vocabulary. With the left join the pair
+    * columns come back null and the word passes through unrewritten, so
+    * exhausted rounds are a graceful no-op. */
+  private def applyMerge(v: DataFrame, m: DataFrame): DataFrame = {
+    val cols = v.columns.toSeq
     val withTop = v.withColumn("_one", lit(1))
-      .join(broadcast(top.select(lit(1).as("_one"),
-        split(col("pair"), " ").getItem(0).as("_a"),
-        split(col("pair"), " ").getItem(1).as("_b"),
-        col("merged").as("_m"))), Seq("_one"), "left")
+      .join(broadcast(m.select(lit(1).as("_one"), col("_a"), col("_b"),
+        col("_m"))), Seq("_one"), "left")
       .drop("_one")
     def arr: Column = split(col("sym"), " ")
     def el(p: Column): Column = element_at(arr, p)
@@ -90,11 +104,10 @@ object Bpe {
     val rewritten = transform(kept,
       p => when(p < size(arr) && el(p) === col("_a") && el(p + 1) === col("_b"),
         col("_m")).otherwise(el(p)))
-    val nv = withTop
+    withTop
       .withColumn("sym", when(col("_a").isNull, col("sym"))
         .otherwise(array_join(rewritten, " ")))
-      .select(col("word"), col("sym"), col("n"))
-    (nv, top)
+      .select(cols.map(col): _*)
   }
 
   /** Train `rounds` BPE merges and report them alongside the final
@@ -126,5 +139,57 @@ object Bpe {
         lit(0).as("ord"))
     mergeRows.unionByName(wordRows)
       .select(col("kind"), col("key"), col("value"), col("weight"), col("ord"))
+  }
+
+  /** ENCODE the corpus with a trained merge list — the serving half of
+    * the tokenizer: apply the merges in learned order (rank 1 first,
+    * each globally within every word — for a≠b pairs this equals the
+    * reference greedy application) and emit the per-document token
+    * accounting every pretraining data pipeline runs: (doc_id, n_words,
+    * n_bpe_tokens, encoded), where `encoded` joins each word's final
+    * symbols with spaces and words with " | ".
+    *
+    * Scale shape: the rewrite runs on the DISTINCT-word vocabulary
+    * (vocabulary-sized per merge, like training), then one equi-join
+    * maps corpus word occurrences to their segmentation and a per-doc
+    * aggregation reassembles order via sort_array(collect_list(struct)).
+    * `merges` is the train() output filtered to kind='merge' (columns
+    * key=pair, value=merged, ord=rank); a rank with no trained merge
+    * (training exhausted early) no-ops via [[applyMerge]]'s guard.
+    * Non-latin tokens are outside the trained domain and are skipped
+    * (documented restriction, same domain as [[wordFreq]]). */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+             merges: DataFrame, nMerges: Int): DataFrame = {
+    require(nMerges >= 1 && nMerges <= 6,
+      s"nMerges must be in [1,6] (plans unroll per merge); got $nMerges")
+    var vocab = docs
+      .select(explode(TextStats.words(col(textCol))).as("_w"))
+      .select(lower(col("_w")).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .distinct()
+      .withColumn("sym", concat_ws(" ", split(col("word"), "")))
+    for (r <- 1 to nMerges)
+      vocab = applyMerge(vocab, merges.filter(col("ord") === r).select(
+        split(col("key"), " ").getItem(0).as("_a"),
+        split(col("key"), " ").getItem(1).as("_b"),
+        col("value").as("_m")))
+    val dw = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        posexplode(TextStats.words(col(textCol))).as(Seq("pos", "_w")))
+      .select(col("doc_id"), col("pos"), lower(col("_w")).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+    val enc = dw.join(vocab, "word")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(size(split(col("sym"), " ")).cast("long")).as("n_bpe_tokens"),
+        array_join(
+          transform(sort_array(collect_list(struct(col("pos"), col("sym")))),
+            s => s.getField("sym")), " | ").as("encoded"))
+    docs.select(col(idCol).cast("long").as("doc_id")).join(enc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"),
+        coalesce(col("encoded"), lit("")).as("encoded"))
   }
 }

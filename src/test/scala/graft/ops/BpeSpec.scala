@@ -77,6 +77,30 @@ class BpeSpec extends SparkSpec {
     words shouldBe Map("aaaa" -> "a a a a", "aa" -> "a a", "bbb" -> "b b b")
   }
 
+  test("encode applies trained merges in rank order; untrained words stay chars") {
+    import org.apache.spark.sql.functions.col
+    val corpus = docs("the then", "the")
+    val merges = Bpe.train(corpus, "text", rounds = 3, topWords = 1)
+      .filter(col("kind") === "merge")
+    // merges: (1) h e -> he, (2) t he -> the, (3) the n -> then
+    val out = Bpe.encode(docs("the then zebra"), "doc_id", "text", merges, nMerges = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    out.toSeq shouldBe Seq((0L, 3L, 7L, "the | then | z e b r a"))
+    // requesting more merges than were trained is a graceful no-op
+    val out4 = Bpe.encode(docs("the then zebra"), "doc_id", "text", merges, nMerges = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    out4.toSeq shouldBe out.toSeq
+  }
+
+  test("encode keeps word order and skips non-latin tokens") {
+    import org.apache.spark.sql.functions.col
+    val merges = Bpe.train(docs("ab ab"), "text", rounds = 1, topWords = 1)
+      .filter(col("kind") === "merge") // (a b) -> ab
+    val out = Bpe.encode(docs("cd 42 ab x9 ab"), "doc_id", "text", merges, nMerges = 1)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+    out.toSeq shouldBe Seq((3L, 4L, "c d | ab | ab"))
+  }
+
   test("rounds beyond pair exhaustion are a no-op, not an empty result") {
     // one real merge exists (t,o); rounds 2..4 find nothing — the word
     // rows and the single merge row must survive all four rounds.
