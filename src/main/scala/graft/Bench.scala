@@ -244,6 +244,10 @@ object Bench {
           // stage; the merge rounds are vocabulary-sized, so total time
           // should grow far below 10x
           "q129_bpe_merges",
+          // the perceptron trainer: per-round cost is one map-side-combined
+          // aggregate over the checkpointed feature table — fixed job
+          // overhead dominates small cells and must amortize at 10x
+          "q131_quality_perceptron",
           // scan-bound families: codec + text + feature-extraction
           // throughput should grow ~linearly in data and amortize fixed
           // cost (growth << 10x)
@@ -295,6 +299,7 @@ object Bench {
           "q109_curation_pipeline"    -> 4.0,
           "q124_source_caps"          -> 5.0,
           "q129_bpe_merges"           -> 4.0,
+          "q131_quality_perceptron"   -> 4.0,
           "q112_png_decode"           -> 10.0,
           "q20_text_stats"            -> 15.0,
           "q130_mjpeg_frames"         -> 12.0,

@@ -488,8 +488,12 @@ object Queries {
     * l_extendedprice (virtually no repeats — the histogram path would
     * degenerate) via the sketch-bracketed three-pass order statistic. */
   def q37PercentileContinuous(s: SparkSession, dir: String): DataFrame =
-    Percentiles.percentileDiscContinuous(
-      t(s, dir, "lineitem"), "l_extendedprice", 0.5, Seq("l_returnflag"), "price_median")
+    // round 10: the two-level-histogram formulation — same exact output
+    // as percentileDiscContinuous, ONE corpus shuffle instead of three
+    // barriers (bucket width 1000 on prices ~900-110k → ~110 buckets).
+    Percentiles.percentileDiscTwoLevel(
+      t(s, dir, "lineitem"), "l_extendedprice", 0.5, Seq("l_returnflag"),
+      "price_median", bucketWidth = 1000.0)
 
   /** P8 at reference width: a 12-branch ordered categorizer — the
     * therapeutic_area shape (aact_silver_layer.sql:454-500, 12 branches,
@@ -2929,8 +2933,14 @@ object Queries {
     * per-doc reassembly aggregation. */
   def q133BpeEncode(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
+    // The trained merge table is O(vocab-rounds) rows; checkpoint it so
+    // the three per-rank references in encode() read the 3-row result
+    // instead of re-running the whole training DAG each time (the
+    // train-once/serve-many shape — a real pipeline loads the merge
+    // list from its model store).
     val merges = graft.ops.Bpe.train(docs, "text", rounds = 3, topWords = 1)
       .filter(col("kind") === "merge")
+      .localCheckpoint()
     graft.ops.Bpe.encode(docs, "doc_id", "text", merges, nMerges = 3)
   }
 

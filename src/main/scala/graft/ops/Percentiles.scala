@@ -65,6 +65,76 @@ object Percentiles {
     picked.unionByName(emptyGroups)
   }
 
+  /** Exact PERCENTILE_DISC via a TWO-LEVEL histogram — one corpus-sized
+    * shuffle total (round-10 convergence of the two formulations below;
+    * the 3-pass sketch-bracket version kept for reference/regression).
+    *
+    *   1. histogram: ONE map-side-combined groupBy over (group,
+    *      floor(value/bucketWidth)) — nulls ride along as a null bucket,
+    *      so all-null groups survive without a second totals pass;
+    *      output is O(groups × value_range/bucketWidth), tiny;
+    *   2. target bucket: per-group cumulative counts over the tiny
+    *      histogram locate the bucket holding rank k = ceil(p·n) and the
+    *      in-bucket rank j = k − count_before — window over bucket rows,
+    *      not data rows;
+    *   3. in-bucket pick: re-scan filtered to each group's ONE target
+    *      bucket (broadcast semi-join on (group, bucket)) and take the
+    *      j-th smallest — the only row-level window runs over ~n/B rows
+    *      per group, never a whole group.
+    *
+    * vs [[percentileDisc]]: that one keys the histogram by DISTINCT
+    * VALUE — optimal for low-cardinality domains (quantities,
+    * enrollment counts) but degenerate for continuous measures. vs
+    * [[percentileDiscContinuous]]: same output, one corpus shuffle
+    * instead of three barriers, and no sketch/eps tuning — the bracket
+    * is exact by construction. */
+  def percentileDiscTwoLevel(df: DataFrame, valueCol: String, p: Double,
+                             partitionCols: Seq[String], outCol: String,
+                             bucketWidth: Double = 1000.0): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be > 0; got $bucketWidth")
+    val grp = partitionCols.map(col)
+    val valueType = df.schema(valueCol).dataType
+    val v = col(valueCol)
+
+    // Pass 1: (group, bucket) histogram; null values → null bucket.
+    val hist = df
+      .groupBy(grp :+ when(v.isNotNull,
+        floor(v.cast("double") / bucketWidth).cast("long")).as("_bkt"): _*)
+      .agg(count(lit(1)).as("_cnt"))
+
+    // Tiny frames: per-group non-null totals and the target bucket.
+    val tot = hist.filter(col("_bkt").isNotNull)
+      .groupBy(grp: _*).agg(sum(col("_cnt")).as("_n"))
+    val wB = Window.partitionBy(grp: _*).orderBy(col("_bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val target = hist.filter(col("_bkt").isNotNull)
+      .withColumn("_before", coalesce(sum(col("_cnt")).over(wB), lit(0L)))
+      .join(tot, partitionCols)
+      .withColumn("_k", ceil(lit(p) * col("_n")).cast("long"))
+      .filter(col("_before") < col("_k") &&
+        col("_k") <= col("_before") + col("_cnt"))
+      .select(grp :+ col("_bkt") :+ (col("_k") - col("_before")).as("_j"): _*)
+
+    // Pass 2: j-th smallest inside the one target bucket per group.
+    val wV = Window.partitionBy(grp: _*).orderBy(v)
+    val picked = df
+      .filter(v.isNotNull)
+      .withColumn("_bkt", floor(v.cast("double") / bucketWidth).cast("long"))
+      .join(broadcast(target), partitionCols :+ "_bkt")
+      .withColumn("_rn", row_number().over(wV))
+      .filter(col("_rn") === col("_j"))
+      .select(grp :+ v.as(outCol): _*)
+
+    // All-null groups: present in the histogram only as a null bucket.
+    val emptyGroups = hist
+      .groupBy(grp: _*)
+      .agg(sum(when(col("_bkt").isNotNull, col("_cnt"))).as("_nn"))
+      .filter(col("_nn").isNull)
+      .select(grp :+ lit(null).cast(valueType).as(outCol): _*)
+
+    picked.unionByName(emptyGroups)
+  }
+
   /** Exact PERCENTILE_DISC for CONTINUOUS measures (~no repeated values,
     * where [[percentileDisc]]'s histogram degenerates to the full data).
     *

@@ -68,9 +68,15 @@ object QualityFilter {
       s"rounds must be in [1,4] (plans unroll per round); got $rounds")
     val k = 4
     val xs = featureCols(col(textCol), col(nCharsCol))
+    // Featurize ONCE and truncate lineage ([[Cluster.quantizedPts]]'s
+    // discipline): every round — and the final scoring pass — re-reads
+    // the tiny stored feature blocks instead of re-running the text
+    // scan + tokenization, which is exactly how a production trainer
+    // iterates on a materialized feature table rather than raw text.
     val feats = docs.select(
       (col(idCol).cast("long").as("doc_id") +: labelCol.cast("long").as("y") +:
         xs.zipWithIndex.map { case (c, j) => c.as(s"x$j") }): _*)
+      .localCheckpoint()
 
     def margin(wPrefix: String): Column =
       (0 until k).map(j => col(s"$wPrefix$j") * col(s"x$j"))

@@ -53,6 +53,38 @@ class PercentilesSpec extends SparkSpec {
     }
   }
 
+  test("two-level path agrees with both other paths across p and widths") {
+    val rng = new scala.util.Random(11)
+    val rows = (1 to 500).map(i =>
+      Row(if (i % 3 == 0) "x" else "y", rng.nextDouble() * 1000)) :+ Row("z", null)
+    val d = df("g STRING, v DOUBLE", rows)
+    for (p <- Seq(0.25, 0.5, 0.9, 0.997); w <- Seq(1.0, 37.0, 1000.0, 1e9)) {
+      val exact = Percentiles.percentileDisc(d, "v", p, Seq("g"), "c")
+        .collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+      val two = Percentiles.percentileDiscTwoLevel(d, "v", p, Seq("g"), "c", w)
+        .collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+      two shouldBe exact
+      two("z") shouldBe None // all-null group kept as null
+    }
+  }
+
+  test("two-level path: duplicates spanning a bucket boundary and exact-edge ranks") {
+    // ranks: k lands exactly on the last row of a bucket (before < k =
+    // before+cnt) and on the first of the next — both edges must pick
+    // correctly with width 2 splitting the 5.0-run from the 7.0-run.
+    val rows = (Seq.fill(40)(5.0) ++ Seq.fill(40)(7.0) ++ Seq(1.0, 9.0)).map(v => Row("a", v))
+    val d = df("g STRING, v DOUBLE", rows)
+    Percentiles.percentileDiscTwoLevel(d, "v", 0.5, Seq("g"), "c", 2.0)
+      .collect().head.getDouble(1) shouldBe 5.0 // rank 41 of 82: last of 5-run
+    Percentiles.percentileDiscTwoLevel(d, "v", 42.0 / 82.0, Seq("g"), "c", 2.0)
+      .collect().head.getDouble(1) shouldBe 7.0 // rank 42: first of 7-run
+    // negative values: floor-bucketing must stay monotone below zero
+    val neg = Seq(-9.5, -7.0, -0.5, 3.0).map(v => Row("a", v))
+    Percentiles.percentileDiscTwoLevel(
+      df("g STRING, v DOUBLE", neg), "v", 0.5, Seq("g"), "c", 2.0)
+      .collect().head.getDouble(1) shouldBe -7.0
+  }
+
   test("continuous path handles duplicates at the bracket boundary") {
     val rows = (Seq.fill(40)(5.0) ++ Seq.fill(40)(7.0) ++ Seq(1.0, 9.0)).map(v => Row("a", v))
     val out = Percentiles.percentileDiscContinuous(
