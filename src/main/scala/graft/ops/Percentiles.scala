@@ -92,6 +92,7 @@ object Percentiles {
                              partitionCols: Seq[String], outCol: String,
                              bucketWidth: Double = 1000.0): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be > 0; got $bucketWidth")
+    require(p >= 0 && p <= 1, s"p=$p out of [0, 1]")
     val grp = partitionCols.map(col)
     val valueType = df.schema(valueCol).dataType
     val v = col(valueCol)
@@ -110,7 +111,9 @@ object Percentiles {
     val target = hist.filter(col("_bkt").isNotNull)
       .withColumn("_before", coalesce(sum(col("_cnt")).over(wB), lit(0L)))
       .join(tot, partitionCols)
-      .withColumn("_k", ceil(lit(p) * col("_n")).cast("long"))
+      // k >= 1: PERCENTILE_DISC(0) is the minimum (SQL semantics); a bare
+      // ceil(0·n) = 0 would match no bucket and silently drop the group
+      .withColumn("_k", greatest(ceil(lit(p) * col("_n")).cast("long"), lit(1L)))
       .filter(col("_before") < col("_k") &&
         col("_k") <= col("_before") + col("_cnt"))
       .select(grp :+ col("_bkt") :+ (col("_k") - col("_before")).as("_j"): _*)

@@ -32,6 +32,12 @@ import org.apache.spark.sql.functions._
   * passes the weights through unchanged (the same degenerate-round guard
   * [[Bpe]] uses for exhausted merge rounds).
   *
+  * Overflow headroom: weights grow like rounds·Σ|x| and margins like
+  * w·x, all in BIGINT — fine through ~10^12 documents with these
+  * count-scale features; an extreme corpus should train on a sampled
+  * subset or ratio-scaled features (standard practice for batch
+  * trainers) rather than widen the arithmetic.
+  *
   * On the synthetic testdata the `lang` labels carry NO textual signal
   * (every language draws from the same word distribution), so — exactly
   * like k-means/PQ over the near-random testdata embeddings — the q131
@@ -92,13 +98,21 @@ object QualityFilter {
       val upd = feats.crossJoin(broadcast(w))
         .filter(col("y") * margin("w") <= 0)
         .agg(updCols.head, updCols.tail: _*)
+      // Checkpoint the 1-row weight state per round: w_r is referenced by
+      // round r+1's flagging pass, the weight report AND the final
+      // scoring — without truncation each reference re-executes every
+      // earlier round's corpus aggregate (round r's update would run
+      // 4-r times); with it each update aggregate runs exactly once.
       w = w.crossJoin(broadcast(upd))
         .select((0 until k).map(j => (col(s"w$j") + col(s"d$j")).as(s"w$j")): _*)
-      val rw = w
-      (0 until k).map(j =>
-        rw.select(lit("w").as("kind"), lit(r.toLong).as("a"),
-          lit(j.toLong).as("b"), col(s"w$j").as("v")))
-        .reduce(_.unionByName(_))
+        .localCheckpoint()
+      // ONE plan per round (explode over the 1-row weight frame), not k
+      // union branches — each branch would re-derive the whole broadcast
+      // chain as its own job tree
+      w.select(lit("w").as("kind"), lit(r.toLong).as("a"),
+        explode(array((0 until k).map(j =>
+          struct(lit(j.toLong).as("b"), col(s"w$j").as("v"))): _*)).as("bv"))
+        .select(col("kind"), col("a"), col("bv.b").as("b"), col("bv.v").as("v"))
     }.reduce(_.unionByName(_))
 
     val docRows = feats.crossJoin(broadcast(w))

@@ -83,6 +83,10 @@ class PercentilesSpec extends SparkSpec {
     Percentiles.percentileDiscTwoLevel(
       df("g STRING, v DOUBLE", neg), "v", 0.5, Seq("g"), "c", 2.0)
       .collect().head.getDouble(1) shouldBe -7.0
+    // p = 0 is the minimum (SQL PERCENTILE_DISC(0)), not a dropped group
+    Percentiles.percentileDiscTwoLevel(
+      df("g STRING, v DOUBLE", neg), "v", 0.0, Seq("g"), "c", 2.0)
+      .collect().head.getDouble(1) shouldBe -9.5
   }
 
   test("continuous path handles duplicates at the bracket boundary") {
