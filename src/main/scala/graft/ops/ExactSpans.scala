@@ -23,10 +23,14 @@ import org.apache.spark.sql.functions._
   * linear, never quadratic); the rewrite is a per-document array fold.
   *
   * The canonical occurrence is the globally smallest (doc_id, position),
-  * encoded as doc_id·PosRange + position for the min aggregate —
-  * positions must stay below PosRange (10^6 tokens per document;
-  * enforced). All strings and integers — the oracle replays every stage
-  * exactly, including the rewritten text.
+  * encoded as doc_id·PosRange + position for the min aggregate — exactly
+  * lexicographic because positions stay in [0, PosRange). Documents
+  * longer than PosRange (10^6) tokens are OUTSIDE the dedup domain:
+  * they contribute no windows and pass through unrewritten (an explicit
+  * bound, not a silent truncation — a corpus with multi-million-token
+  * documents should chunk them upstream or raise PosRange together with
+  * the oracle's encoding constant). All strings and integers — the
+  * oracle replays every stage exactly, including the rewritten text.
   */
 object ExactSpans {
 

@@ -183,6 +183,26 @@ class PlanSpec extends SparkSpec {
     saltFirst should not be empty
   }
 
+  test("q132: span dedup is window-free (min-based canonical, no per-key skew point)") {
+    val p = plan(Queries.q132SpanDedup)
+    // the canonical occurrence must come from a map-side-combined min,
+    // never a per-window-key row_number — a stop-phrase key would
+    // serialize on one core at scale
+    p.split("\n").filterNot(_.contains("WindowGroupLimit"))
+      .count(_.contains("Window")) shouldBe 0
+    p should include("HashAggregate")
+  }
+
+  test("q133: encode serves the stored merge table, not a retraining subtree") {
+    val p = plan(Queries.q133BpeEncode)
+    // documents feeds exactly the vocab pass, the doc-order pass, and a
+    // doc_id-pruned scan that keeps zero-latin-word docs in the output;
+    // the merge ranks come from the tiny parquet artifact (train-once/
+    // serve-many) — a regression to in-plan retraining (3 more full
+    // corpus passes per merge rank) multiplies the scan count
+    scans(p, "documents") should be <= 3
+  }
+
   test("no query plan contains a CollectLimit-to-driver loop or cartesian product") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = fn(spark, dir).queryExecution.executedPlan.toString
