@@ -1621,6 +1621,15 @@ object Oracles {
 
     // AVI frame sampling: every 2nd frame's channel sums recomputed in
     // closed form from the per-frame-shifted pixel gradient.
+    // Compression-ratio gate: the DEFLATE length is zlib-implementation-
+    // specific, so — like q115/q130 — the oracle pins the exact columns
+    // (doc id, byte length) and predicts both sanity booleans TRUE; the
+    // Spark side computes them from the real codec output.
+    "q134_compress_quality" ->
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS byte_len,
+        |  TRUE AS ok_bounds, TRUE AS ok_disc
+        |FROM documents""".stripMargin,
+
     // BPE ENCODE: replays the full 3-round training (same CTE chain as
     // q129 — v3 is the fully-merged vocabulary) and then the corpus
     // application: per-doc word mapping, token accounting, and the

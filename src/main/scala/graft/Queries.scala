@@ -2950,6 +2950,34 @@ object Queries {
     graft.ops.Bpe.encode(t(s, dir, "documents"), "doc_id", "text",
       trainedBpeMerges(s, dir), nMerges = 3)
 
+  /** Compression-ratio quality signal ([[graft.functions.TextCompress]]):
+    * DEFLATE each document's text through the JDK codec — the cheap
+    * repetitiveness measure production filters run beside word stats
+    * (boilerplate and log spam compress far harder than prose). The
+    * compressed length is not a cross-engine constant, so the gate is
+    * q115-style predictable booleans: `ok_bounds` pins the codec's
+    * output to (0, byte_len + 64] on every document, and `ok_disc` pins
+    * the signal's DISCRIMINATION — a 128-char repeated-bigram string
+    * must compress strictly smaller than 128 chars of md5 hex entropy
+    * derived from the doc id. A broken codec, a swapped level argument,
+    * or a signal that stopped separating repetition from entropy flips
+    * a cell and hash-mismatches. Narrow codegen map, no shuffle. */
+  def q134CompressQuality(s: SparkSession, dir: String): DataFrame = {
+    def dl(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      call_function("graft_deflate_len", c, lit(6))
+    val rep = repeat(lit("ab"), 64)
+    val rnd = concat(md5(col("doc_id").cast("string")),
+      md5((col("doc_id") + 1).cast("string")),
+      md5((col("doc_id") + 2).cast("string")),
+      md5((col("doc_id") + 3).cast("string")))
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      octet_length(col("text")).cast("long").as("byte_len"),
+      (dl(col("text")).isNotNull && dl(col("text")) > 0 &&
+        dl(col("text")) <= octet_length(col("text")) + 64).as("ok_bounds"),
+      (dl(rep) < dl(rnd)).as("ok_disc"))
+  }
+
   /** Streaming-ingest dedup, batch form ([[graft.streaming.EventStream
     * .ingestDedup]]): content-hash the event payload and keep one
     * deterministic survivor per hash — the op an ingest pipeline runs

@@ -32,6 +32,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.aviStats)
     ext.injectFunction(GraftExtensions.mjpegEncode)
     ext.injectFunction(GraftExtensions.mjpegStats)
+    ext.injectFunction(GraftExtensions.deflateLen)
     ext.injectFunction(GraftExtensions.bmpResize)
     ext.injectFunction(GraftExtensions.wavDownsample)
     ext.injectFunction(GraftExtensions.pngEncode)
@@ -170,6 +171,12 @@ object GraftExtensions {
     new ExpressionInfo(classOf[AviStats].getName, null, "graft_avi_stats",
       "graft_avi_stats(payload) - decode an uncompressed-DIB AVI: struct(width, height, n_frames, frames), NULL if malformed", ""),
     (children: Seq[Expression]) => AviStats(children.head))
+
+  val deflateLen: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier("graft_deflate_len"),
+    new ExpressionInfo(classOf[DeflateLen].getName, null, "graft_deflate_len",
+      "graft_deflate_len(text, level) - DEFLATE-compressed byte length of the UTF-8 text (repetitiveness/quality signal)", ""),
+    (children: Seq[Expression]) => DeflateLen(children.head, children(1)))
 
   val mjpegEncode: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     new FunctionIdentifier("graft_mjpeg_encode"),

@@ -70,7 +70,11 @@ object ExactSpans {
 
     // Rewrite: token t (1-based) is cut iff some marked start s covers it
     // (s+1 <= t <= s+L). Overlapping spans union through the mask — no
-    // explicit interval merge needed.
+    // explicit interval merge needed. Per-doc cost is O(tokens × marked
+    // starts): tight when marked spans are the minority (the operating
+    // point of this filter — a document that is MOSTLY duplicated spans
+    // should have been removed by the upstream document-level dedup the
+    // curation pipeline runs first, not rewritten token by token).
     tok.join(marked, Seq("doc_id"), "left")
       .withColumn("_starts",
         coalesce(col("starts"), array().cast("array<long>")))
