@@ -1621,6 +1621,33 @@ object Oracles {
 
     // AVI frame sampling: every 2nd frame's channel sums recomputed in
     // closed form from the per-frame-shifted pixel gradient.
+    // VLM pair manifest: the decoded pixel mass is recomputed in closed
+    // form (q97's formula summed across channels), joined with the
+    // caption word count, gate and shard replayed exactly.
+    "q135_vlm_pair_manifest" ->
+      """WITH p AS (
+        |  SELECT doc_id, CAST(4 + doc_id % 5 AS INT) AS w,
+        |    CAST(4 + doc_id % 3 AS INT) AS h, doc_id AS seed
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, w, h,
+        |    (seed + 11*x + 13*y) % 256 + (seed + 5*x + 7*y) % 256 +
+        |    (seed + 2*x + 3*y) % 256 AS m
+        |  FROM p,
+        |    LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x),
+        |    LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y)),
+        |img AS (
+        |  SELECT doc_id, w, h, CAST(sum(m) AS BIGINT) AS pixel_mass
+        |  FROM px GROUP BY doc_id, w, h),
+        |cap AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS caption_words
+        |  FROM documents)
+        |SELECT i.doc_id, w AS width, h AS height, pixel_mass, caption_words,
+        |  (caption_words BETWEEN 5 AND 500 AND w >= 5 AND h >= 5) AS keep,
+        |  CAST(i.doc_id % 8 AS INT) AS shard
+        |FROM img i JOIN cap c ON i.doc_id = c.doc_id""".stripMargin,
+
     // Compression-ratio gate: the DEFLATE length is zlib-implementation-
     // specific, so — like q115/q130 — the oracle pins the exact columns
     // (doc id, byte length) and predicts both sanity booleans TRUE; the

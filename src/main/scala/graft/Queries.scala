@@ -1612,17 +1612,25 @@ object Queries {
           col("n_found").cast("double") / col("n_exact") >= col("exp_recall") - 0.15).as("ok"))
   }
 
-  /** IVF@nProbe=3 vs exact top-k: no closed form (depends on centroid
-    * geometry); assert the usable-share floor RecallSpec establishes.
+  /** IVF vs exact top-k: no closed form (depends on centroid geometry);
+    * assert the usable-share floor RecallSpec establishes. Round 10:
+    * probes a constant 15% of the inverted lists
+    * ([[Similarity.ivfTopKFrac]]) instead of a fixed nProbe=3 — the
+    * fixed count probed 13% of sf0.01's ~23 lists but only 6.7% of
+    * sf0.1's ~45, and recall decayed straight through the 0.3 floor
+    * (caught by running THIS gate at sf0.1, which the per-round
+    * harness never does). A constant probed fraction keeps the floor
+    * scale-stable, which is how production IVF holds a recall target.
     * See [[q83aMinhashRecall]] for the family rationale. */
   def q83dIvfRecall(s: SparkSession, dir: String): DataFrame = {
     // Served IVF result, same contract as [[q83cAnnLshRecall]] (the LIVE
     // seed-centroid IVF timing cell is q52).
     val sfTag = Tables.corpusTag(s, dir, "embeddings")
-    val ivfPath = s"${Tables.scratchDir(s)}/ivf_topk_auto_p3_q50_k5_v1/$sfTag"
+    val ivfPath = s"${Tables.scratchDir(s)}/ivf_topk_auto_f15_q50_k5_v2/$sfTag"
     val ivf = Tables.servedArtifact(s, ivfPath) {
-      Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
-          col("vec_id") % 50 === 0, k = 5, centroidEvery = 0, nProbe = 3)
+      Similarity.ivfTopKFrac(t(s, dir, "embeddings"), "vec_id", "embedding",
+          col("vec_id") % 50 === 0, k = 5, centroidEvery = 0,
+          probeFrac = 0.15, nProbeMin = 3)
         .select(col("query_id"), col("cand_id"))
         .write.mode("overwrite").parquet(ivfPath)
     }.withColumn("_f", lit(1L))
@@ -2949,6 +2957,33 @@ object Queries {
   def q133BpeEncode(s: SparkSession, dir: String): DataFrame =
     graft.ops.Bpe.encode(t(s, dir, "documents"), "doc_id", "text",
       trainedBpeMerges(s, dir), nMerges = 3)
+
+  /** VLM training-pair curation manifest — the end-to-end composition a
+    * vision-language data pipeline ships: decode every image asset
+    * through the REAL codec ([[Multimodal.decodeBmp]]), join 1:1 with
+    * its caption's text statistics, apply the pair-level quality gate
+    * (caption length band, minimum image dimensions), and assign the
+    * deterministic training shard. Everything integer/boolean — the
+    * oracle recomputes the decoded pixel mass in closed form, so a
+    * decode fault, a join misalignment, or a drifted gate flips cells.
+    * One equi-join on the shared key; both sides partition by doc_id at
+    * scale, and the image side is a narrow codegen decode map. */
+  def q135VlmPairManifest(s: SparkSession, dir: String): DataFrame = {
+    val imgs = Multimodal.imageAssets(t(s, dir, "documents"), "doc_id")
+      .select(col("asset_id").as("doc_id"),
+        Multimodal.decodeBmp(col("payload")).as("st"))
+      .select(col("doc_id"), col("st.width").as("width"),
+        col("st.height").as("height"),
+        (col("st.sum_r") + col("st.sum_g") + col("st.sum_b")).as("pixel_mass"))
+    val caps = t(s, dir, "documents").select(col("doc_id"),
+      TextStats.wordCount(col("text")).cast("long").as("caption_words"))
+    imgs.join(caps, Seq("doc_id"))
+      .select(col("doc_id"), col("width"), col("height"), col("pixel_mass"),
+        col("caption_words"),
+        (col("caption_words").between(5, 500) &&
+          col("width") >= 5 && col("height") >= 5).as("keep"),
+        pmod(col("doc_id"), lit(8)).cast("int").as("shard"))
+  }
 
   /** Compression-ratio quality signal ([[graft.functions.TextCompress]]):
     * DEFLATE each document's text through the JDK codec — the cheap

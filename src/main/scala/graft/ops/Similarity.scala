@@ -154,12 +154,41 @@ object Similarity {
 
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
               queryPred: Column, k: Int, centroidEvery: Int,
-              nProbe: Int): DataFrame = {
+              nProbe: Int): DataFrame =
+    ivfTopKCore(emb, idCol, vecCol, queryPred, k, centroidEvery,
+      _ => lit(nProbe.toLong))
+
+  /** [[ivfTopK]] probing a constant FRACTION of the inverted lists
+    * (floored at `nProbeMin`) instead of a fixed count. With the √N
+    * auto-centroid rule a FIXED nProbe probes a shrinking share of the
+    * index as the corpus grows — recall decays with scale even though
+    * every run is individually correct (the q83d gate caught exactly
+    * this between sf0.01 and sf0.1). Probing frac·C keeps the probed
+    * share — and empirically the recall floor — scale-stable, which is
+    * how production IVF deployments hold a recall target. The threshold
+    * is derived IN-PLAN (a 1-row centroid count riding a broadcast), no
+    * driver action. */
+  def ivfTopKFrac(emb: DataFrame, idCol: String, vecCol: String,
+                  queryPred: Column, k: Int, centroidEvery: Int,
+                  probeFrac: Double, nProbeMin: Int = 3): DataFrame = {
+    require(probeFrac > 0 && probeFrac <= 1, s"probeFrac=$probeFrac out of (0,1]")
+    ivfTopKCore(emb, idCol, vecCol, queryPred, k, centroidEvery,
+      c => greatest(lit(nProbeMin.toLong),
+        ceil(lit(probeFrac) * c).cast("long")))
+  }
+
+  private def ivfTopKCore(emb: DataFrame, idCol: String, vecCol: String,
+                          queryPred: Column, k: Int, centroidEvery: Int,
+                          probeRank: Column => Column): DataFrame = {
     val assigned = ivfAssignment(emb, idCol, vecCol, centroidEvery)
 
     val lists = assigned.filter(col("_r") === 1)
       .select(col(idCol).as("cand_id"), col("centroid_id"))
-    val probes = assigned.filter(queryPred && col("_r") <= nProbe)
+    val cCount = assigned.filter(col("_r") === 1)
+      .agg(countDistinct(col("centroid_id")).as("_c"))
+    val probes = assigned.filter(queryPred)
+      .crossJoin(broadcast(cCount))
+      .filter(col("_r") <= probeRank(col("_c")))
       .select(col(idCol).as("query_id"), col("centroid_id"))
 
     val qv = emb.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),

@@ -129,6 +129,28 @@ class RecallSpec extends SparkSpec {
     rFull should be >= r3
   }
 
+  test("q83d fractional probing: frac=1.0 is brute force; a tiny frac floors at nProbeMin") {
+    // The scale lesson the q83d gate caught between sf0.01 and sf0.1: a
+    // FIXED nProbe probes a shrinking share of the sqrt(N)-sized index,
+    // so recall decays with corpus size; probing frac*C keeps the share
+    // constant. Equivalences pin the threshold arithmetic exactly.
+    val pred = col("vec_id") % 50 === 0
+    def ids(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] = {
+      val r = df.select(col("query_id"), col("cand_id")).collect()
+        .map(row => (row.getLong(0), row.getLong(1))).toSet
+      spark.catalog.clearCache(); r
+    }
+    val full = ids(Similarity.ivfTopKFrac(emb, "vec_id", "embedding", pred, 5,
+      centroidEvery = 25, probeFrac = 1.0))
+    val brute = ids(Similarity.bruteForceTopK(emb, "vec_id", "embedding", pred, 5))
+    full shouldBe brute // ceil(1.0*C) = C probes every list
+    val floored = ids(Similarity.ivfTopKFrac(emb, "vec_id", "embedding", pred, 5,
+      centroidEvery = 25, probeFrac = 1e-9, nProbeMin = 3))
+    val fixed3 = ids(Similarity.ivfTopK(emb, "vec_id", "embedding", pred, 5,
+      centroidEvery = 25, nProbe = 3))
+    floored shouldBe fixed3 // the floor IS the fixed-count behavior
+  }
+
   test("ANN-LSH finds planted near-duplicates (cosine ≈ 0.99) with high recall") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
