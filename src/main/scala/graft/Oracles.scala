@@ -12,6 +12,94 @@ package graft
   */
 object Oracles {
 
+  /** Shared CTE chain replaying 3-round BPE training + corpus encode
+    * (ends with CTE `enc`: doc_id, n_words, n_bpe_tokens, encoded) —
+    * the q133 and q136 oracles append their own final SELECTs. */
+  private val BpeEncodeCtes: String =
+    """WITH w AS (
+        |  SELECT lower(t) AS word
+        |  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS t
+        |        FROM documents)
+        |  WHERE regexp_matches(lower(t), '^[a-z]+$')),
+        |v0 AS (
+        |  SELECT word,
+        |    array_to_string(string_split(word, ''), ' ') AS sym,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM w GROUP BY word),
+        |p1 AS (
+        |  SELECT z[1] || ' ' || z[2] AS pair, CAST(sum(n) AS BIGINT) AS cnt
+        |  FROM (
+        |    SELECT n, unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS z
+        |    FROM (SELECT n, string_split(sym, ' ') AS l FROM v0))
+        |  WHERE z[1] != z[2]
+        |  GROUP BY 1),
+        |t1 AS (
+        |  SELECT pair, replace(pair, ' ', '') AS merged, cnt
+        |  FROM p1 ORDER BY cnt DESC, pair LIMIT 1),
+        |v1 AS (
+        |  SELECT word,
+        |    array_to_string(list_transform(
+        |      list_filter(range(1, len(l) + 1),
+        |        p -> NOT (p >= 2 AND l[p-1] = a AND l[p] = b)),
+        |      p -> CASE WHEN p < len(l) AND l[p] = a AND l[p+1] = b
+        |                THEN m ELSE l[p] END), ' ') AS sym, n
+        |  FROM (SELECT word, string_split(sym, ' ') AS l, n FROM v0)
+        |  CROSS JOIN (SELECT string_split(pair, ' ')[1] AS a,
+        |    string_split(pair, ' ')[2] AS b, merged AS m FROM t1)),
+        |p2 AS (
+        |  SELECT z[1] || ' ' || z[2] AS pair, CAST(sum(n) AS BIGINT) AS cnt
+        |  FROM (
+        |    SELECT n, unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS z
+        |    FROM (SELECT n, string_split(sym, ' ') AS l FROM v1))
+        |  WHERE z[1] != z[2]
+        |  GROUP BY 1),
+        |t2 AS (
+        |  SELECT pair, replace(pair, ' ', '') AS merged, cnt
+        |  FROM p2 ORDER BY cnt DESC, pair LIMIT 1),
+        |v2 AS (
+        |  SELECT word,
+        |    array_to_string(list_transform(
+        |      list_filter(range(1, len(l) + 1),
+        |        p -> NOT (p >= 2 AND l[p-1] = a AND l[p] = b)),
+        |      p -> CASE WHEN p < len(l) AND l[p] = a AND l[p+1] = b
+        |                THEN m ELSE l[p] END), ' ') AS sym, n
+        |  FROM (SELECT word, string_split(sym, ' ') AS l, n FROM v1)
+        |  CROSS JOIN (SELECT string_split(pair, ' ')[1] AS a,
+        |    string_split(pair, ' ')[2] AS b, merged AS m FROM t2)),
+        |p3 AS (
+        |  SELECT z[1] || ' ' || z[2] AS pair, CAST(sum(n) AS BIGINT) AS cnt
+        |  FROM (
+        |    SELECT n, unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS z
+        |    FROM (SELECT n, string_split(sym, ' ') AS l FROM v2))
+        |  WHERE z[1] != z[2]
+        |  GROUP BY 1),
+        |t3 AS (
+        |  SELECT pair, replace(pair, ' ', '') AS merged, cnt
+        |  FROM p3 ORDER BY cnt DESC, pair LIMIT 1),
+        |v3 AS (
+        |  SELECT word,
+        |    array_to_string(list_transform(
+        |      list_filter(range(1, len(l) + 1),
+        |        p -> NOT (p >= 2 AND l[p-1] = a AND l[p] = b)),
+        |      p -> CASE WHEN p < len(l) AND l[p] = a AND l[p+1] = b
+        |                THEN m ELSE l[p] END), ' ') AS sym, n
+        |  FROM (SELECT word, string_split(sym, ' ') AS l, n FROM v2)
+        |  CROSS JOIN (SELECT string_split(pair, ' ')[1] AS a,
+        |    string_split(pair, ' ')[2] AS b, merged AS m FROM t3)),
+        |dw AS (
+        |  SELECT doc_id, i, lower(t[i]) AS word
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |        FROM documents)
+        |  CROSS JOIN unnest(generate_series(1, len(t))) AS g(i)
+        |  WHERE regexp_matches(lower(t[i]), '^[a-z]+$')),
+        |enc AS (
+        |  SELECT dw.doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_words,
+        |    CAST(sum(len(string_split(v3.sym, ' '))) AS BIGINT) AS n_bpe_tokens,
+        |    string_agg(v3.sym, ' | ' ORDER BY dw.i) AS encoded
+        |  FROM dw JOIN v3 ON dw.word = v3.word
+        |  GROUP BY dw.doc_id)"""
+
   val parity: Map[String, String] = Map(
     "q01_scan_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
@@ -1662,94 +1750,37 @@ object Oracles {
     // application: per-doc word mapping, token accounting, and the
     // order-preserving reassembled segmentation, all hash-compared.
     "q133_bpe_encode" ->
-      """WITH w AS (
-        |  SELECT lower(t) AS word
-        |  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS t
-        |        FROM documents)
-        |  WHERE regexp_matches(lower(t), '^[a-z]+$')),
-        |v0 AS (
-        |  SELECT word,
-        |    array_to_string(string_split(word, ''), ' ') AS sym,
-        |    CAST(count(*) AS BIGINT) AS n
-        |  FROM w GROUP BY word),
-        |p1 AS (
-        |  SELECT z[1] || ' ' || z[2] AS pair, CAST(sum(n) AS BIGINT) AS cnt
-        |  FROM (
-        |    SELECT n, unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS z
-        |    FROM (SELECT n, string_split(sym, ' ') AS l FROM v0))
-        |  WHERE z[1] != z[2]
-        |  GROUP BY 1),
-        |t1 AS (
-        |  SELECT pair, replace(pair, ' ', '') AS merged, cnt
-        |  FROM p1 ORDER BY cnt DESC, pair LIMIT 1),
-        |v1 AS (
-        |  SELECT word,
-        |    array_to_string(list_transform(
-        |      list_filter(range(1, len(l) + 1),
-        |        p -> NOT (p >= 2 AND l[p-1] = a AND l[p] = b)),
-        |      p -> CASE WHEN p < len(l) AND l[p] = a AND l[p+1] = b
-        |                THEN m ELSE l[p] END), ' ') AS sym, n
-        |  FROM (SELECT word, string_split(sym, ' ') AS l, n FROM v0)
-        |  CROSS JOIN (SELECT string_split(pair, ' ')[1] AS a,
-        |    string_split(pair, ' ')[2] AS b, merged AS m FROM t1)),
-        |p2 AS (
-        |  SELECT z[1] || ' ' || z[2] AS pair, CAST(sum(n) AS BIGINT) AS cnt
-        |  FROM (
-        |    SELECT n, unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS z
-        |    FROM (SELECT n, string_split(sym, ' ') AS l FROM v1))
-        |  WHERE z[1] != z[2]
-        |  GROUP BY 1),
-        |t2 AS (
-        |  SELECT pair, replace(pair, ' ', '') AS merged, cnt
-        |  FROM p2 ORDER BY cnt DESC, pair LIMIT 1),
-        |v2 AS (
-        |  SELECT word,
-        |    array_to_string(list_transform(
-        |      list_filter(range(1, len(l) + 1),
-        |        p -> NOT (p >= 2 AND l[p-1] = a AND l[p] = b)),
-        |      p -> CASE WHEN p < len(l) AND l[p] = a AND l[p+1] = b
-        |                THEN m ELSE l[p] END), ' ') AS sym, n
-        |  FROM (SELECT word, string_split(sym, ' ') AS l, n FROM v1)
-        |  CROSS JOIN (SELECT string_split(pair, ' ')[1] AS a,
-        |    string_split(pair, ' ')[2] AS b, merged AS m FROM t2)),
-        |p3 AS (
-        |  SELECT z[1] || ' ' || z[2] AS pair, CAST(sum(n) AS BIGINT) AS cnt
-        |  FROM (
-        |    SELECT n, unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS z
-        |    FROM (SELECT n, string_split(sym, ' ') AS l FROM v2))
-        |  WHERE z[1] != z[2]
-        |  GROUP BY 1),
-        |t3 AS (
-        |  SELECT pair, replace(pair, ' ', '') AS merged, cnt
-        |  FROM p3 ORDER BY cnt DESC, pair LIMIT 1),
-        |v3 AS (
-        |  SELECT word,
-        |    array_to_string(list_transform(
-        |      list_filter(range(1, len(l) + 1),
-        |        p -> NOT (p >= 2 AND l[p-1] = a AND l[p] = b)),
-        |      p -> CASE WHEN p < len(l) AND l[p] = a AND l[p+1] = b
-        |                THEN m ELSE l[p] END), ' ') AS sym, n
-        |  FROM (SELECT word, string_split(sym, ' ') AS l, n FROM v2)
-        |  CROSS JOIN (SELECT string_split(pair, ' ')[1] AS a,
-        |    string_split(pair, ' ')[2] AS b, merged AS m FROM t3)),
-        |dw AS (
-        |  SELECT doc_id, i, lower(t[i]) AS word
-        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
-        |        FROM documents)
-        |  CROSS JOIN unnest(generate_series(1, len(t))) AS g(i)
-        |  WHERE regexp_matches(lower(t[i]), '^[a-z]+$')),
-        |enc AS (
-        |  SELECT dw.doc_id,
-        |    CAST(count(*) AS BIGINT) AS n_words,
-        |    CAST(sum(len(string_split(v3.sym, ' '))) AS BIGINT) AS n_bpe_tokens,
-        |    string_agg(v3.sym, ' | ' ORDER BY dw.i) AS encoded
-        |  FROM dw JOIN v3 ON dw.word = v3.word
-        |  GROUP BY dw.doc_id)
+      (BpeEncodeCtes + """
         |SELECT d.doc_id,
         |  CAST(coalesce(e.n_words, 0) AS BIGINT) AS n_words,
         |  CAST(coalesce(e.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens,
         |  coalesce(e.encoded, '') AS encoded
-        |FROM documents d LEFT JOIN enc e USING (doc_id)""".stripMargin,
+        |FROM documents d LEFT JOIN enc e USING (doc_id)""").stripMargin,
+
+    // Train -> encode -> PACK: the q133 chain supplies real BPE token
+    // counts; the packing arithmetic (md5 shard, per-shard running sum,
+    // 512-token sequences) is replayed exactly as in q81.
+    "q136_bpe_token_packing" ->
+      (BpeEncodeCtes + """,
+        |cnt AS (
+        |  SELECT d.doc_id,
+        |    CAST(coalesce(e.n_bpe_tokens, 0) AS BIGINT) AS n_tokens
+        |  FROM documents d LEFT JOIN enc e ON d.doc_id = e.doc_id),
+        |sh AS (
+        |  SELECT doc_id,
+        |    (ascii(substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 31 +
+        |     ascii(substring(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 16 AS shard,
+        |    n_tokens
+        |  FROM cnt),
+        |c AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS strt
+        |  FROM sh)
+        |SELECT doc_id, CAST(shard AS INT) AS shard, n_tokens,
+        |  CAST(floor(strt / 512.0) AS BIGINT) AS seq_id,
+        |  CAST(strt - floor(strt / 512.0) * 512 AS BIGINT) AS seq_offset
+        |FROM c""").stripMargin,
 
     // Exact-span dedup: replays window extraction, min-encoded canonical
     // selection, and the per-document rewrite — the deduped TEXT itself

@@ -2958,6 +2958,22 @@ object Queries {
     graft.ops.Bpe.encode(t(s, dir, "documents"), "doc_id", "text",
       trainedBpeMerges(s, dir), nMerges = 3)
 
+  /** Token-budget sequence packing on REAL tokenizer counts — the final
+    * composition between a curated corpus and a token stream: encode
+    * every document with the served BPE merges ([[Queries
+    * .trainedBpeMerges]] → [[graft.ops.Bpe.encode]]), then pack by the
+    * ACTUAL n_bpe_tokens ([[graft.ops.Pack.packSequencesBy]]) instead
+    * of q81's whitespace proxy. The oracle replays tokenizer training,
+    * corpus encoding, AND the sharded packing arithmetic end to end —
+    * the full train→encode→pack chain hash-checked. */
+  def q136BpeTokenPacking(s: SparkSession, dir: String): DataFrame = {
+    val enc = graft.ops.Bpe.encode(t(s, dir, "documents"), "doc_id", "text",
+      trainedBpeMerges(s, dir), nMerges = 3)
+      .select(col("doc_id"), col("n_bpe_tokens"))
+    Pack.packSequencesBy(enc, "doc_id", "n_bpe_tokens",
+      budget = 512, shards = 16)
+  }
+
   /** VLM training-pair curation manifest — the end-to-end composition a
     * vision-language data pipeline ships: decode every image asset
     * through the REAL codec ([[Multimodal.decodeBmp]]), join 1:1 with

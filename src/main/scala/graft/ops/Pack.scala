@@ -47,6 +47,28 @@ object Pack {
         col("seq_id"), col("seq_offset"))
   }
 
+  /** [[packSequences]] over PRE-COMPUTED token counts — the form a real
+    * pipeline runs once a tokenizer exists: `counts` carries one row per
+    * document with the ACTUAL token count (e.g. [[Bpe.encode]]'s
+    * n_bpe_tokens) instead of the whitespace proxy. Same sharded
+    * running-sum shape; n_tokens is BIGINT here (real tokenizers
+    * overflow INT at long-document scale). */
+  def packSequencesBy(counts: DataFrame, idCol: String, tokenCol: String,
+                      budget: Int, shards: Int): DataFrame = {
+    require(budget > 0, s"budget must be positive; got $budget")
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+    counts
+      .select(col(idCol),
+        Sampling.hashBucket(col(idCol), shards).cast("int").as("shard"),
+        col(tokenCol).cast("long").as("n_tokens"))
+      .withColumn("_start",
+        sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("seq_id", floor(col("_start") / budget))
+      .withColumn("seq_offset", col("_start") - col("seq_id") * budget)
+      .select(col(idCol), col("shard"), col("n_tokens"),
+        col("seq_id"), col("seq_offset"))
+  }
+
   /** Deterministic weighted mixture resampling: each document is emitted
     * `weight/100` times (epochs), plus one more with probability
     * `(weight mod 100)/100` decided by its hash bucket — the standard

@@ -44,6 +44,21 @@ class PackSpec extends SparkSpec {
     p1.exceptAll(p2).count() shouldBe 0
   }
 
+  test("packSequencesBy packs on the provided counts, not the text proxy") {
+    // counts chosen so the hand-checkable tiling differs from any
+    // word-count derivation: doc i carries 100+i tokens, budget 256
+    val counts = df("doc_id BIGINT, n BIGINT",
+      (0L until 6L).map(i => Row(i, 100L + i)))
+    val packed = Pack.packSequencesBy(counts, "doc_id", "n",
+      budget = 256, shards = 1)
+    val rows = packed.orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("n_tokens"), r.getAs[Long]("seq_id"), r.getAs[Long]("seq_offset")))
+    // running starts: 0,100,201,303,406,510 -> seq floor(start/256)
+    rows.toSeq shouldBe Seq(
+      (100L, 0L, 0L), (101L, 0L, 100L), (102L, 0L, 201L),
+      (103L, 1L, 47L), (104L, 1L, 150L), (105L, 1L, 254L))
+  }
+
   test("mixtureResample: integer weights emit exactly weight/100 epochs") {
     val out = Pack.mixtureResample(docs(100), "doc_id", lit(300))
     out.count() shouldBe 300
