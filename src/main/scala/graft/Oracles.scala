@@ -14,7 +14,14 @@ object Oracles {
 
   /** Shared CTE chain replaying 3-round BPE training + corpus encode
     * (ends with CTE `enc`: doc_id, n_words, n_bpe_tokens, encoded) —
-    * the q133 and q136 oracles append their own final SELECTs. */
+    * the q133 and q136 oracles append their own final SELECTs.
+    *
+    * The vN rewrite CTEs join their ≤1-row merge CTE with LEFT JOIN ON
+    * TRUE + a `a IS NULL` passthrough, NOT a CROSS JOIN: a corpus that
+    * trains fewer than 3 merges leaves tN empty, and a cross join would
+    * annihilate the whole vocabulary (every doc reporting 0 tokens)
+    * where the Spark side's [[graft.ops.Bpe.applyMerge]] left-join
+    * no-ops — the guards must mirror each other exactly. */
   private val BpeEncodeCtes: String =
     """WITH w AS (
         |  SELECT lower(t) AS word
@@ -38,14 +45,15 @@ object Oracles {
         |  FROM p1 ORDER BY cnt DESC, pair LIMIT 1),
         |v1 AS (
         |  SELECT word,
-        |    array_to_string(list_transform(
+        |    CASE WHEN a IS NULL THEN sym0
+        |         ELSE array_to_string(list_transform(
         |      list_filter(range(1, len(l) + 1),
         |        p -> NOT (p >= 2 AND l[p-1] = a AND l[p] = b)),
         |      p -> CASE WHEN p < len(l) AND l[p] = a AND l[p+1] = b
-        |                THEN m ELSE l[p] END), ' ') AS sym, n
-        |  FROM (SELECT word, string_split(sym, ' ') AS l, n FROM v0)
-        |  CROSS JOIN (SELECT string_split(pair, ' ')[1] AS a,
-        |    string_split(pair, ' ')[2] AS b, merged AS m FROM t1)),
+        |                THEN m ELSE l[p] END), ' ') END AS sym, n
+        |  FROM (SELECT word, sym AS sym0, string_split(sym, ' ') AS l, n FROM v0)
+        |  LEFT JOIN (SELECT string_split(pair, ' ')[1] AS a,
+        |    string_split(pair, ' ')[2] AS b, merged AS m FROM t1) ON TRUE),
         |p2 AS (
         |  SELECT z[1] || ' ' || z[2] AS pair, CAST(sum(n) AS BIGINT) AS cnt
         |  FROM (
@@ -58,14 +66,15 @@ object Oracles {
         |  FROM p2 ORDER BY cnt DESC, pair LIMIT 1),
         |v2 AS (
         |  SELECT word,
-        |    array_to_string(list_transform(
+        |    CASE WHEN a IS NULL THEN sym0
+        |         ELSE array_to_string(list_transform(
         |      list_filter(range(1, len(l) + 1),
         |        p -> NOT (p >= 2 AND l[p-1] = a AND l[p] = b)),
         |      p -> CASE WHEN p < len(l) AND l[p] = a AND l[p+1] = b
-        |                THEN m ELSE l[p] END), ' ') AS sym, n
-        |  FROM (SELECT word, string_split(sym, ' ') AS l, n FROM v1)
-        |  CROSS JOIN (SELECT string_split(pair, ' ')[1] AS a,
-        |    string_split(pair, ' ')[2] AS b, merged AS m FROM t2)),
+        |                THEN m ELSE l[p] END), ' ') END AS sym, n
+        |  FROM (SELECT word, sym AS sym0, string_split(sym, ' ') AS l, n FROM v1)
+        |  LEFT JOIN (SELECT string_split(pair, ' ')[1] AS a,
+        |    string_split(pair, ' ')[2] AS b, merged AS m FROM t2) ON TRUE),
         |p3 AS (
         |  SELECT z[1] || ' ' || z[2] AS pair, CAST(sum(n) AS BIGINT) AS cnt
         |  FROM (
@@ -78,14 +87,15 @@ object Oracles {
         |  FROM p3 ORDER BY cnt DESC, pair LIMIT 1),
         |v3 AS (
         |  SELECT word,
-        |    array_to_string(list_transform(
+        |    CASE WHEN a IS NULL THEN sym0
+        |         ELSE array_to_string(list_transform(
         |      list_filter(range(1, len(l) + 1),
         |        p -> NOT (p >= 2 AND l[p-1] = a AND l[p] = b)),
         |      p -> CASE WHEN p < len(l) AND l[p] = a AND l[p+1] = b
-        |                THEN m ELSE l[p] END), ' ') AS sym, n
-        |  FROM (SELECT word, string_split(sym, ' ') AS l, n FROM v2)
-        |  CROSS JOIN (SELECT string_split(pair, ' ')[1] AS a,
-        |    string_split(pair, ' ')[2] AS b, merged AS m FROM t3)),
+        |                THEN m ELSE l[p] END), ' ') END AS sym, n
+        |  FROM (SELECT word, sym AS sym0, string_split(sym, ' ') AS l, n FROM v2)
+        |  LEFT JOIN (SELECT string_split(pair, ' ')[1] AS a,
+        |    string_split(pair, ' ')[2] AS b, merged AS m FROM t3) ON TRUE),
         |dw AS (
         |  SELECT doc_id, i, lower(t[i]) AS word
         |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
@@ -1792,7 +1802,7 @@ object Oracles {
         |win AS (
         |  SELECT doc_id, i AS p, array_to_string(ws[i+1 : i+5], ' ') AS key
         |  FROM tok CROSS JOIN unnest(generate_series(0, len(ws) - 5)) AS g(i)
-        |  WHERE len(ws) >= 5),
+        |  WHERE len(ws) >= 5 AND len(ws) <= 1000000),
         |occ AS (
         |  SELECT key, count(*) AS n, min(doc_id * 1000000 + p) AS canon
         |  FROM win GROUP BY key HAVING count(*) >= 2),
@@ -1959,14 +1969,15 @@ object Oracles {
         |  FROM p1 ORDER BY cnt DESC, pair LIMIT 1),
         |v1 AS (
         |  SELECT word,
-        |    array_to_string(list_transform(
+        |    CASE WHEN a IS NULL THEN sym0
+        |         ELSE array_to_string(list_transform(
         |      list_filter(range(1, len(l) + 1),
         |        p -> NOT (p >= 2 AND l[p-1] = a AND l[p] = b)),
         |      p -> CASE WHEN p < len(l) AND l[p] = a AND l[p+1] = b
-        |                THEN m ELSE l[p] END), ' ') AS sym, n
-        |  FROM (SELECT word, string_split(sym, ' ') AS l, n FROM v0)
-        |  CROSS JOIN (SELECT string_split(pair, ' ')[1] AS a,
-        |    string_split(pair, ' ')[2] AS b, merged AS m FROM t1)),
+        |                THEN m ELSE l[p] END), ' ') END AS sym, n
+        |  FROM (SELECT word, sym AS sym0, string_split(sym, ' ') AS l, n FROM v0)
+        |  LEFT JOIN (SELECT string_split(pair, ' ')[1] AS a,
+        |    string_split(pair, ' ')[2] AS b, merged AS m FROM t1) ON TRUE),
         |p2 AS (
         |  SELECT z[1] || ' ' || z[2] AS pair, CAST(sum(n) AS BIGINT) AS cnt
         |  FROM (
@@ -1979,14 +1990,15 @@ object Oracles {
         |  FROM p2 ORDER BY cnt DESC, pair LIMIT 1),
         |v2 AS (
         |  SELECT word,
-        |    array_to_string(list_transform(
+        |    CASE WHEN a IS NULL THEN sym0
+        |         ELSE array_to_string(list_transform(
         |      list_filter(range(1, len(l) + 1),
         |        p -> NOT (p >= 2 AND l[p-1] = a AND l[p] = b)),
         |      p -> CASE WHEN p < len(l) AND l[p] = a AND l[p+1] = b
-        |                THEN m ELSE l[p] END), ' ') AS sym, n
-        |  FROM (SELECT word, string_split(sym, ' ') AS l, n FROM v1)
-        |  CROSS JOIN (SELECT string_split(pair, ' ')[1] AS a,
-        |    string_split(pair, ' ')[2] AS b, merged AS m FROM t2)),
+        |                THEN m ELSE l[p] END), ' ') END AS sym, n
+        |  FROM (SELECT word, sym AS sym0, string_split(sym, ' ') AS l, n FROM v1)
+        |  LEFT JOIN (SELECT string_split(pair, ' ')[1] AS a,
+        |    string_split(pair, ' ')[2] AS b, merged AS m FROM t2) ON TRUE),
         |p3 AS (
         |  SELECT z[1] || ' ' || z[2] AS pair, CAST(sum(n) AS BIGINT) AS cnt
         |  FROM (
@@ -1999,14 +2011,15 @@ object Oracles {
         |  FROM p3 ORDER BY cnt DESC, pair LIMIT 1),
         |v3 AS (
         |  SELECT word,
-        |    array_to_string(list_transform(
+        |    CASE WHEN a IS NULL THEN sym0
+        |         ELSE array_to_string(list_transform(
         |      list_filter(range(1, len(l) + 1),
         |        p -> NOT (p >= 2 AND l[p-1] = a AND l[p] = b)),
         |      p -> CASE WHEN p < len(l) AND l[p] = a AND l[p+1] = b
-        |                THEN m ELSE l[p] END), ' ') AS sym, n
-        |  FROM (SELECT word, string_split(sym, ' ') AS l, n FROM v2)
-        |  CROSS JOIN (SELECT string_split(pair, ' ')[1] AS a,
-        |    string_split(pair, ' ')[2] AS b, merged AS m FROM t3))
+        |                THEN m ELSE l[p] END), ' ') END AS sym, n
+        |  FROM (SELECT word, sym AS sym0, string_split(sym, ' ') AS l, n FROM v2)
+        |  LEFT JOIN (SELECT string_split(pair, ' ')[1] AS a,
+        |    string_split(pair, ' ')[2] AS b, merged AS m FROM t3) ON TRUE)
         |SELECT kind, key, value, weight, ord FROM (
         |  SELECT 'merge' AS kind, pair AS key, merged AS value,
         |    cnt AS weight, 1 AS ord FROM t1

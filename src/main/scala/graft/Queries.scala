@@ -2744,6 +2744,7 @@ object Queries {
           TextStats.wordCount(col("text")).as("word_count")),
       key = Seq(col("source")),
       order = Seq(col("word_count").desc, col("doc_id")),
+      tiebreaker = col("doc_id"),
       n = 20)
       .select(col("source"), col("doc_id"), col("word_count"),
         col("rank").cast("int").as("rank"))
@@ -3007,7 +3008,11 @@ object Queries {
     * (boilerplate and log spam compress far harder than prose). The
     * compressed length is not a cross-engine constant, so the gate is
     * q115-style predictable booleans: `ok_bounds` pins the codec's
-    * output to (0, byte_len + 64] on every document, and `ok_disc` pins
+    * output to (0, byte_len + 64 + byte_len/1000] on every document —
+    * the allowance scales with the input because DEFLATE's worst case
+    * on incompressible data is ~5 bytes per 64 KB stored block, so a
+    * fixed +64 would spuriously flip on a near-incompressible document
+    * past ~800 KB — and `ok_disc` pins
     * the signal's DISCRIMINATION — a 128-char repeated-bigram string
     * must compress strictly smaller than 128 chars of md5 hex entropy
     * derived from the doc id. A broken codec, a swapped level argument,
@@ -3025,7 +3030,8 @@ object Queries {
       col("doc_id"),
       octet_length(col("text")).cast("long").as("byte_len"),
       (dl(col("text")).isNotNull && dl(col("text")) > 0 &&
-        dl(col("text")) <= octet_length(col("text")) + 64).as("ok_bounds"),
+        dl(col("text")) <= octet_length(col("text")) + 64 +
+          floor(octet_length(col("text")) / lit(1000)).cast("int")).as("ok_bounds"),
       (dl(rep) < dl(rnd)).as("ok_disc"))
   }
 

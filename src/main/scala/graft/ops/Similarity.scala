@@ -156,7 +156,7 @@ object Similarity {
               queryPred: Column, k: Int, centroidEvery: Int,
               nProbe: Int): DataFrame =
     ivfTopKCore(emb, idCol, vecCol, queryPred, k, centroidEvery,
-      _ => lit(nProbe.toLong))
+      Left(nProbe))
 
   /** [[ivfTopK]] probing a constant FRACTION of the inverted lists
     * (floored at `nProbeMin`) instead of a fixed count. With the √N
@@ -173,23 +173,32 @@ object Similarity {
                   probeFrac: Double, nProbeMin: Int = 3): DataFrame = {
     require(probeFrac > 0 && probeFrac <= 1, s"probeFrac=$probeFrac out of (0,1]")
     ivfTopKCore(emb, idCol, vecCol, queryPred, k, centroidEvery,
-      c => greatest(lit(nProbeMin.toLong),
-        ceil(lit(probeFrac) * c).cast("long")))
+      Right((probeFrac, nProbeMin)))
   }
 
+  /** `probe`: Left(nProbe) = fixed count — a plain `_r <= n` filter, no
+    * extra pass; Right((frac, min)) = constant-fraction — needs the
+    * centroid COUNT, so only this branch builds and broadcasts the
+    * 1-row countDistinct aggregate (the fixed path would pay a
+    * corpus-sized pass for a value its filter ignores). */
   private def ivfTopKCore(emb: DataFrame, idCol: String, vecCol: String,
                           queryPred: Column, k: Int, centroidEvery: Int,
-                          probeRank: Column => Column): DataFrame = {
+                          probe: Either[Int, (Double, Int)]): DataFrame = {
     val assigned = ivfAssignment(emb, idCol, vecCol, centroidEvery)
 
     val lists = assigned.filter(col("_r") === 1)
       .select(col(idCol).as("cand_id"), col("centroid_id"))
-    val cCount = assigned.filter(col("_r") === 1)
-      .agg(countDistinct(col("centroid_id")).as("_c"))
-    val probes = assigned.filter(queryPred)
-      .crossJoin(broadcast(cCount))
-      .filter(col("_r") <= probeRank(col("_c")))
-      .select(col(idCol).as("query_id"), col("centroid_id"))
+    val probes = (probe match {
+      case Left(nProbe) =>
+        assigned.filter(queryPred).filter(col("_r") <= nProbe)
+      case Right((frac, nProbeMin)) =>
+        val cCount = assigned.filter(col("_r") === 1)
+          .agg(countDistinct(col("centroid_id")).as("_c"))
+        assigned.filter(queryPred)
+          .crossJoin(broadcast(cCount))
+          .filter(col("_r") <= greatest(lit(nProbeMin.toLong),
+            ceil(lit(frac) * col("_c")).cast("long")))
+    }).select(col(idCol).as("query_id"), col("centroid_id"))
 
     val qv = emb.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
       sqrt(dot(col(vecCol), col(vecCol))).as("_qn"))

@@ -22,20 +22,23 @@ import org.apache.spark.sql.functions._
   * would. Output: the input columns plus an integer `rank` (1-based,
   * dense within key by the given order).
   *
-  * `order` must be a TOTAL order per key (include a unique tiebreaker
-  * column) — with ties, `row_number` would make both the single- and
-  * two-phase rankings nondeterministic.
+  * `order` must be a TOTAL order per key, and `tiebreaker` must be the
+  * plain VALUE column that makes it total (it salts phase 1, so it has
+  * to be hashable — passing it explicitly instead of inferring
+  * `order.last` keeps a `col(x).desc` sort expression from ever
+  * reaching `hash()` and failing at analysis) — with ties, `row_number`
+  * would make both the single- and two-phase rankings nondeterministic.
   */
 object TopN {
 
   def saltedTopNPerKey(df: DataFrame, key: Seq[Column], order: Seq[Column],
-                       n: Int, salts: Int = 16,
-                       saltOn: Column => Column = hash(_)): DataFrame = {
+                       tiebreaker: Column, n: Int,
+                       salts: Int = 16): DataFrame = {
     require(n >= 1, s"n must be >= 1; got $n")
     require(salts >= 1, s"salts must be >= 1; got $salts")
-    // salt from the LAST order column's value (the unique tiebreaker by
-    // convention); hash-uniform, deterministic across retries
-    val salted = df.withColumn("_salt", pmod(saltOn(order.last), lit(salts)))
+    // salt from the unique tiebreaker's value: hash-uniform across the
+    // salt buckets, deterministic across retries
+    val salted = df.withColumn("_salt", pmod(hash(tiebreaker), lit(salts)))
     val wSalt = Window.partitionBy(key :+ col("_salt"): _*).orderBy(order: _*)
     val wFinal = Window.partitionBy(key: _*).orderBy(order: _*)
     salted

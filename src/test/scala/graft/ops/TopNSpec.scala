@@ -23,7 +23,7 @@ class TopNSpec extends SparkSpec {
     val n = 10
     val fast = TopN.saltedTopNPerKey(skewed,
       key = Seq(col("key")), order = Seq(col("score").desc, col("id")),
-      n = n, salts = 8)
+      tiebreaker = col("id"), n = n, salts = 8)
       .select("key", "id", "score", "rank")
     val w = Window.partitionBy(col("key")).orderBy(col("score").desc, col("id"))
     val naive = skewed.withColumn("rank", row_number().over(w))
@@ -35,7 +35,8 @@ class TopNSpec extends SparkSpec {
 
   test("keys with fewer than N rows keep every row, rank still 1-based dense") {
     val out = TopN.saltedTopNPerKey(skewed,
-      key = Seq(col("key")), order = Seq(col("score").desc, col("id")), n = 10)
+      key = Seq(col("key")), order = Seq(col("score").desc, col("id")),
+      tiebreaker = col("id"), n = 10)
       .filter(col("key").isin("tiny", "one"))
       .select("key", "rank").as[(String, Int)].collect().toSet
     out shouldBe Set(("tiny", 1), ("tiny", 2), ("tiny", 3), ("one", 1))
@@ -44,7 +45,7 @@ class TopNSpec extends SparkSpec {
   test("salts=1 degenerates to the plain ranking (still correct)") {
     val out = TopN.saltedTopNPerKey(skewed,
       key = Seq(col("key")), order = Seq(col("score").desc, col("id")),
-      n = 3, salts = 1)
+      tiebreaker = col("id"), n = 3, salts = 1)
       .filter(col("key") === "mega")
       .select("id", "rank").as[(Long, Int)].collect().sortBy(_._2)
     // score = i % 17, max score 16 first at ids 16, 33, 50
