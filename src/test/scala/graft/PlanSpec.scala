@@ -193,14 +193,19 @@ class PlanSpec extends SparkSpec {
     p should include("HashAggregate")
   }
 
-  test("q133: encode serves the stored merge table, not a retraining subtree") {
+  test("q133: encode serves the stored vocab — no per-merge join chain, no retraining") {
     val p = plan(Queries.q133BpeEncode)
-    // documents feeds exactly the vocab pass, the doc-order pass, and a
-    // doc_id-pruned scan that keeps zero-latin-word docs in the output;
-    // the merge ranks come from the tiny parquet artifact (train-once/
-    // serve-many) — a regression to in-plan retraining (3 more full
-    // corpus passes per merge rank) multiplies the scan count
-    scans(p, "documents") should be <= 3
+    // documents feeds exactly the word-occurrence pass and a doc_id-
+    // pruned scan that keeps zero-latin-word docs in the output; the
+    // SEGMENTATION comes from the stored encoded-vocabulary artifact
+    // (train-once/serve-many, one composition deeper than the merge
+    // table) — a regression to in-plan vocab derivation or retraining
+    // adds corpus scans and one broadcast join per merge rank
+    scans(p, "documents") should be <= 2
+    // exactly the serving joins survive: word→segmentation equi-join +
+    // the doc_id left join that restores empty docs — the 3 applyMerge
+    // broadcast joins of the live chain must NOT appear
+    p.split("\n").count(_.contains("Join")) should be <= 2
   }
 
   test("no query plan contains a CollectLimit-to-driver loop or cartesian product") {
