@@ -20,7 +20,8 @@ import org.apache.spark.sql.functions._
   * window-function canonical would serialize that key on one core — the
   * same skew lesson as [[TopN]]); the marked-occurrence join is a pure
   * equi-join (one occ row per key — fan-out is the occurrence count,
-  * linear, never quadratic); the rewrite is a per-document array fold.
+  * linear, never quadratic); the rewrite is a per-document interval
+  * merge + gap sweep, O(tokens + spans) per document ([[keptIdx]]).
   *
   * The canonical occurrence is the globally smallest (doc_id, position),
   * encoded as doc_id·PosRange + position for the min aggregate — exactly
@@ -31,10 +32,57 @@ import org.apache.spark.sql.functions._
   * documents should chunk them upstream or raise PosRange together with
   * the oracle's encoding constant). All strings and integers — the
   * oracle replays every stage exactly, including the rewritten text.
+  *
+  * KEEP-ONE-CANONICAL is per WINDOW, not absolute per span content:
+  * when a DIFFERENT duplicated window's non-canonical occurrence
+  * overlaps a canonical occurrence, the canonical's tokens can still be
+  * partially cut — under heavy overlapping duplication a span's content
+  * can vanish from every document. That is the fixed-L sliding-anchor
+  * compromise (the suffix-array construction is what removes it), and
+  * the oracle replays the same semantics, so both engines agree.
   */
 object ExactSpans {
 
   val PosRange = 1000000L
+
+  /** Kept 1-based token indices after cutting every length-`L` span
+    * whose 0-based start is in `starts` (sorted ascending, distinct)
+    * from a document of `nTokens` tokens — O(tokens + spans) per
+    * document: the covered ranges [s+1, s+L] are merged into disjoint
+    * intervals declaratively (all spans share length L, so a start
+    * opens a new interval iff its gap to the previous start exceeds L,
+    * and an interval's end is the last start of its run + L — no
+    * running-max fold needed), then the kept indices are the flattened
+    * gap ranges between consecutive intervals. The previous
+    * formulation — `filter(sequence(1,n), t => !exists(starts, …))` —
+    * was O(tokens × starts) per document: correct, but a pathological
+    * boilerplate-heavy document with thousands of marked spans made one
+    * row quadratic. */
+  private[ops] def keptIdx(starts: Column, nTokens: Column, L: Int): Column = {
+    val n = nTokens.cast("long")
+    // starts shifted right/left, with sentinels that always break a run:
+    // prev sentinel -(L+1) makes s0-prev > L; next sentinel MaxValue-L
+    // makes next-sLast > L without overflow (s >= 0).
+    val sPrev = concat(array(lit(-(L + 1).toLong)),
+      slice(starts, lit(1), size(starts) - 1))
+    val sNext = concat(slice(starts, lit(2), size(starts) - 1),
+      array(lit(Long.MaxValue - L)))
+    // interval bounds: lo = s+1 where the gap to the previous start
+    // exceeds L (run opener), hi = s+L where the gap to the next start
+    // exceeds L (run closer); the k-th lo pairs with the k-th hi
+    // because runs are contiguous in the sorted start list
+    val los = filter(zip_with(starts, sPrev, (s, p) => when(s - p > L, s + 1)),
+      x => x.isNotNull)
+    val his = filter(zip_with(starts, sNext, (s, nx) => when(nx - s > L, s + L)),
+      x => x.isNotNull)
+    // kept = the gaps: [1, lo1-1], [hi1+1, lo2-1], …, [hiK+1, nTokens]
+    val gapLo = concat(array(lit(1L)), transform(his, h => h + 1))
+    val gapHi = concat(transform(los, l => l - 1), array(n))
+    when(size(starts) === 0, sequence(lit(1L), n))
+      .otherwise(flatten(zip_with(gapLo, gapHi,
+        (a, b) => when(a <= b, sequence(a, b))
+          .otherwise(array().cast("array<bigint>")))))
+  }
 
   /** Per-document span-dedup manifest: (doc_id, n_tokens, n_removed,
     * deduped_text). Tokens are the lowercased whitespace tokenization
@@ -66,24 +114,26 @@ object ExactSpans {
     val marked = win.join(occ, "key")
       .filter(col("doc_id") * PosRange + col("p") =!= col("canon"))
       .groupBy(col("doc_id"))
-      .agg(sort_array(collect_set(col("p"))).as("starts"))
+      .agg(sort_array(collect_set(col("p").cast("long"))).as("starts"))
 
-    // Rewrite: token t (1-based) is cut iff some marked start s covers it
-    // (s+1 <= t <= s+L). Overlapping spans union through the mask — no
-    // explicit interval merge needed. Per-doc cost is O(tokens × marked
-    // starts): tight when marked spans are the minority (the operating
-    // point of this filter — a document that is MOSTLY duplicated spans
-    // should have been removed by the upstream document-level dedup the
-    // curation pipeline runs first, not rewritten token by token).
+    rewrite(tok, marked, L)
+  }
+
+  /** The shared cut-marked-spans rewrite: `tok` = (doc_id, ws), `marked`
+    * = (doc_id, starts [sorted distinct 0-based span starts]); emits
+    * (doc_id, n_tokens, n_removed, deduped_text) for EVERY document
+    * (unmarked docs pass through whole). One left equi-join + a per-doc
+    * O(tokens + spans) interval sweep — also the removal half of
+    * eval-set decontamination ([[Decontaminate]]). */
+  private[ops] def rewrite(tok: DataFrame, marked: DataFrame,
+                           L: Int): DataFrame =
     tok.join(marked, Seq("doc_id"), "left")
       .withColumn("_starts",
         coalesce(col("starts"), array().cast("array<long>")))
-      .withColumn("_kept", filter(sequence(lit(1), size(col("ws"))),
-        t => !exists(col("_starts"), s => s + 1 <= t && t <= s + L)))
+      .withColumn("_kept", keptIdx(col("_starts"), size(col("ws")), L))
       .select(col("doc_id"),
         size(col("ws")).cast("long").as("n_tokens"),
         (size(col("ws")) - size(col("_kept"))).cast("long").as("n_removed"),
         array_join(transform(col("_kept"),
-          t => element_at(col("ws"), t)), " ").as("deduped_text"))
-  }
+          t => element_at(col("ws"), t.cast("int"))), " ").as("deduped_text"))
 }

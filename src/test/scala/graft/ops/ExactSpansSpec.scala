@@ -50,4 +50,44 @@ class ExactSpansSpec extends SparkSpec {
     out(4L) shouldBe ((3L, 0L, "a b c"))
     out(5L) shouldBe ((3L, 0L, "a b c"))
   }
+
+  test("heavily-marked doc (~1500 overlapping spans) stays linear and exact") {
+    // A 1500-token run of one repeated token: every 5-window is the same
+    // key, the canonical is p=0, and positions 1..1495 are ALL marked —
+    // the O(tokens × starts) shape this rewrite replaced would do ~2.2M
+    // exists() probes on this one row; the interval sweep merges the
+    // 1495 overlapping spans into ONE covered interval [2,1500] in a
+    // single O(spans) pass and keeps exactly the first token.
+    val out = run(7L -> Array.fill(1500)("t").mkString(" "))
+    out(7L) shouldBe ((1500L, 1499L, "t"))
+  }
+
+  test("separated marked regions keep interior and trailing gaps intact") {
+    val out = run(
+      0L -> "a b c d e",
+      1L -> "i j k l m",
+      5L -> "a b c d e x1 x2 x3 i j k l m y1 y2")
+    // doc 5 marked at p=0 (covers 1..5) and p=8 (covers 9..13):
+    // kept = interior gap 6..8 plus trailing gap 14..15
+    out(5L) shouldBe ((15L, 10L, "x1 x2 x3 y1 y2"))
+  }
+
+  test("keptIdx gap arithmetic matches brute force across boundary shapes") {
+    import org.apache.spark.sql.functions._
+    val L = 5
+    val n = 15
+    val cases: Seq[Seq[Long]] = Seq(
+      Seq(), Seq(0L), Seq(10L), Seq(3L), Seq(0L, 2L), Seq(0L, 5L),
+      Seq(0L, 6L), Seq(2L, 3L, 9L), Seq(0L, 5L, 10L), (0L to 10L))
+    cases.foreach { starts =>
+      val brute = (1 to n).filter(t =>
+        !starts.exists(s => s + 1 <= t && t <= s + L)).map(_.toLong)
+      val df = spark.range(1).select(
+        ExactSpans.keptIdx(
+          typedLit(starts), lit(n), L).as("kept"))
+      withClue(s"starts=$starts: ") {
+        df.collect().head.getSeq[Long](0) shouldBe brute
+      }
+    }
+  }
 }
