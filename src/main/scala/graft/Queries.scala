@@ -2914,10 +2914,20 @@ object Queries {
     * production trainer does per batch. Pure integer arithmetic, so the
     * oracle replays every round exactly: a wrong margin rule, flagged
     * set, or update sum hash-mismatches. */
-  def q131QualityPerceptron(s: SparkSession, dir: String): DataFrame =
+  def q131QualityPerceptron(s: SparkSession, dir: String): DataFrame = {
+    // Reliable materialization for the trainer's iterated frames (the
+    // featurized corpus + per-round weights): content-salted parquet
+    // artifacts, the same build-once contract as the BPE merge/vocab
+    // tables — survives executor loss where a localCheckpoint would not.
+    val sfTag = Tables.corpusTag(s, dir, "documents")
+    val base = s"${Tables.scratchDir(s)}/qf_perceptron_v1/$sfTag"
     graft.ops.QualityFilter.trainPerceptron(
       t(s, dir, "documents"), "doc_id", "text", "n_chars",
-      when(col("lang") === "en", 1L).otherwise(-1L), rounds = 3)
+      when(col("lang") === "en", 1L).otherwise(-1L), rounds = 3,
+      store = (label, df) => Tables.servedArtifact(s, s"$base/$label") {
+        df.write.mode("overwrite").parquet(s"$base/$label")
+      })
+  }
 
   /** Distributed BPE tokenizer training ([[graft.ops.Bpe.train]]): 3
     * merge rounds over the corpus word-frequency table plus the final

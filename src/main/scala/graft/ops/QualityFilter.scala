@@ -66,23 +66,34 @@ object QualityFilter {
     *     AFTER that round's update;
     *   - kind 'd': a = doc id, b = prediction (+1 if final margin > 0
     *     else −1), v = the exact final margin w·x.
-    */
+    *
+    * `store(label, frame)` is the trainer's MATERIALIZATION hook: it
+    * receives the featurized corpus ("feats") and each round's 1-row
+    * weight state ("w1".."wN") — frames that later stages reference
+    * repeatedly — and must return a re-readable frame. The production
+    * implementation is a RELIABLE stored artifact (q131 passes
+    * [[graft.Tables.servedArtifact]], parquet salted by corpus snapshot
+    * + feature version): `localCheckpoint`, the obvious in-session
+    * alternative, pins blocks to executors NON-reliably — on a real
+    * cluster one lost executor makes the corpus-sized feature table
+    * unrecoverable mid-training and fails the job; a written artifact
+    * survives executor loss and is exactly how a production trainer
+    * iterates on a materialized feature table rather than raw text
+    * (and how this repo already serves the BPE merge/vocab tables).
+    * The identity default materializes nothing — each reference
+    * recomputes its upstream (O(rounds²) corpus aggregates) — fine for
+    * tests and tiny corpora only. */
   def trainPerceptron(docs: DataFrame, idCol: String, textCol: String,
-                      nCharsCol: String, labelCol: Column,
-                      rounds: Int): DataFrame = {
+                      nCharsCol: String, labelCol: Column, rounds: Int,
+                      store: (String, DataFrame) => DataFrame =
+                        (_, df) => df): DataFrame = {
     require(rounds >= 1 && rounds <= 4,
       s"rounds must be in [1,4] (plans unroll per round); got $rounds")
     val k = 4
     val xs = featureCols(col(textCol), col(nCharsCol))
-    // Featurize ONCE and truncate lineage ([[Cluster.quantizedPts]]'s
-    // discipline): every round — and the final scoring pass — re-reads
-    // the tiny stored feature blocks instead of re-running the text
-    // scan + tokenization, which is exactly how a production trainer
-    // iterates on a materialized feature table rather than raw text.
-    val feats = docs.select(
+    val feats = store("feats", docs.select(
       (col(idCol).cast("long").as("doc_id") +: labelCol.cast("long").as("y") +:
-        xs.zipWithIndex.map { case (c, j) => c.as(s"x$j") }): _*)
-      .localCheckpoint()
+        xs.zipWithIndex.map { case (c, j) => c.as(s"x$j") }): _*))
 
     def margin(wPrefix: String): Column =
       (0 until k).map(j => col(s"$wPrefix$j") * col(s"x$j"))
@@ -98,14 +109,15 @@ object QualityFilter {
       val upd = feats.crossJoin(broadcast(w))
         .filter(col("y") * margin("w") <= 0)
         .agg(updCols.head, updCols.tail: _*)
-      // Checkpoint the 1-row weight state per round: w_r is referenced by
+      // Store the 1-row weight state per round: w_r is referenced by
       // round r+1's flagging pass, the weight report AND the final
-      // scoring — without truncation each reference re-executes every
-      // earlier round's corpus aggregate (round r's update would run
-      // 4-r times); with it each update aggregate runs exactly once.
-      w = w.crossJoin(broadcast(upd))
-        .select((0 until k).map(j => (col(s"w$j") + col(s"d$j")).as(s"w$j")): _*)
-        .localCheckpoint()
+      // scoring — without materialization each reference re-executes
+      // every earlier round's corpus aggregate (round r's update would
+      // run 4-r times); with the stored artifact each update aggregate
+      // runs exactly once, and — unlike a localCheckpoint — survives
+      // executor loss (see the scaladoc).
+      w = store(s"w$r", w.crossJoin(broadcast(upd))
+        .select((0 until k).map(j => (col(s"w$j") + col(s"d$j")).as(s"w$j")): _*))
       // ONE plan per round (explode over the 1-row weight frame), not k
       // union branches — each branch would re-derive the whole broadcast
       // chain as its own job tree
