@@ -1792,6 +1792,42 @@ object Oracles {
         |  CAST(strt - floor(strt / 512.0) * 512 AS BIGINT) AS seq_offset
         |FROM c""").stripMargin,
 
+    // Eval-set decontamination with removal: replays the eval window
+    // set, every matching training occurrence (no canonical survivor),
+    // the mask rewrite, and the integer keep/drop rule — the
+    // decontaminated TEXT itself is hash-compared.
+    "q137_decontaminate" ->
+      """WITH tok AS (
+        |  SELECT doc_id, doc_id % 20 = 0 AS ev,
+        |    string_split_regex(trim(lower(text)), '\s+') AS ws
+        |  FROM documents),
+        |ew AS (
+        |  SELECT DISTINCT array_to_string(ws[i+1 : i+8], ' ') AS key
+        |  FROM tok CROSS JOIN unnest(generate_series(0, len(ws) - 8)) AS g(i)
+        |  WHERE ev AND len(ws) >= 8),
+        |m AS (
+        |  SELECT t.doc_id, i AS p
+        |  FROM tok t CROSS JOIN unnest(generate_series(0, len(ws) - 8)) AS g(i)
+        |  WHERE NOT ev AND len(ws) >= 8
+        |    AND array_to_string(ws[i+1 : i+8], ' ') IN (SELECT key FROM ew)),
+        |kept AS (
+        |  SELECT t.doc_id, i, t.ws[i] AS tokn
+        |  FROM tok t CROSS JOIN unnest(generate_series(1, len(t.ws))) AS g(i)
+        |  WHERE NOT t.ev AND NOT EXISTS (SELECT 1 FROM m
+        |    WHERE m.doc_id = t.doc_id AND i BETWEEN m.p + 1 AND m.p + 8)),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(tokn, ' ' ORDER BY i) AS txt
+        |  FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.ws) AS BIGINT) AS n_tokens,
+        |  CAST(len(t.ws) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+        |  (len(t.ws) - coalesce(a.n_kept, 0)) > 0 AS contaminated,
+        |  (len(t.ws) - coalesce(a.n_kept, 0)) * 100 <= len(t.ws) * 20 AS keep,
+        |  CASE WHEN (len(t.ws) - coalesce(a.n_kept, 0)) * 100 <= len(t.ws) * 20
+        |       THEN coalesce(a.txt, '') ELSE '' END AS decon_text
+        |FROM tok t LEFT JOIN agg a ON t.doc_id = a.doc_id
+        |WHERE NOT t.ev""".stripMargin,
+
     // Exact-span dedup: replays window extraction, min-encoded canonical
     // selection, and the per-document rewrite — the deduped TEXT itself
     // is hash-compared.

@@ -3003,6 +3003,20 @@ object Queries {
       budget = 512, shards = 16)
   }
 
+  /** Eval-set decontamination with REMOVAL ([[graft.ops.Decontaminate
+    * .removeEvalSpans]]) — the action step after q62's audit: the eval
+    * set is the q62 split (doc_id % 20 = 0), every 8-token window of a
+    * training document that occurs anywhere in the eval set is cut
+    * (8 = the audit's gram length), and documents losing more than 20%
+    * of their tokens are dropped rather than shredded. The oracle
+    * replays detection AND removal — the rewritten corpus text itself
+    * is hash-checked along with the per-doc keep/drop lineage (the
+    * q109 manifest pattern). */
+  def q137Decontaminate(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Decontaminate.removeEvalSpans(
+      t(s, dir, "documents"), "doc_id", "text",
+      evalPred = col("doc_id") % 20 === 0, spanLen = 8, dropPct = 20)
+
   /** VLM training-pair curation manifest — the end-to-end composition a
     * vision-language data pipeline ships: decode every image asset
     * through the REAL codec ([[Multimodal.decodeBmp]]), join 1:1 with

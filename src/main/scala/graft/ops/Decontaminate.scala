@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Eval-set DEcontamination with REMOVAL — the step an actual
+  * pretraining pipeline runs AFTER the contamination audit
+  * ([[graft.Queries.q62ContaminationCheck]] detects n-gram overlap;
+  * this operator acts on it): every length-L token window of a TRAINING
+  * document that occurs anywhere in the held-out eval set is cut out of
+  * the training text (GPT-3/PaLM-style n-gram decontamination), and a
+  * per-document disposition manifest is emitted so the pipeline has
+  * lineage for every survivor, rewrite, and drop.
+  *
+  * Unlike [[ExactSpans.dedupSpans]] there is NO canonical occurrence:
+  * eval content must not survive in the training corpus at all, so
+  * every matching occurrence is removed. Documents whose removal
+  * fraction exceeds `dropPct`% are DROPPED rather than shredded (a doc
+  * that is mostly eval content is a leaked copy, and a rewrite would
+  * leave disconnected fragments) — the keep-vs-drop rule every
+  * production decontamination run applies, kept integer-exact
+  * (n_removed·100 ≤ n_tokens·dropPct) so the oracle replays it.
+  *
+  * Scale shape: window extraction is the linear explode both span
+  * operators use; the eval window set is SMALL by construction (eval
+  * sets are ~1k docs at any corpus scale — same argument as q62) and
+  * broadcast into an equi-join against the training windows, so the
+  * corpus is never joined to itself and never shuffled on content; the
+  * rewrite is [[ExactSpans.rewrite]]'s O(tokens + spans) interval
+  * sweep behind one doc_id equi-join.
+  *
+  * Output, one row per TRAINING document (eval docs are not part of
+  * the served corpus): (doc_id, n_tokens, n_removed, contaminated,
+  * keep, decon_text) — decon_text is the rewritten text for kept docs
+  * and '' for dropped ones.
+  */
+object Decontaminate {
+
+  def removeEvalSpans(docs: DataFrame, idCol: String, textCol: String,
+                      evalPred: Column, spanLen: Int,
+                      dropPct: Int): DataFrame = {
+    require(spanLen >= 2, s"spanLen must be >= 2; got $spanLen")
+    require(dropPct >= 0 && dropPct <= 100,
+      s"dropPct must be in [0,100]; got $dropPct")
+    val L = spanLen
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      evalPred.as("_eval"),
+      TextStats.words(lower(col(textCol))).as("ws"))
+
+    def wins(df: DataFrame): DataFrame = df
+      .filter(size(col("ws")) >= L)
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(0), size(col("ws")) - L)).as("p"))
+      .select(col("doc_id"), col("p"),
+        array_join(slice(col("ws"), col("p") + 1, lit(L)), " ").as("key"))
+
+    val evalKeys = wins(base.filter(col("_eval")))
+      .select(col("key")).distinct()
+    val train = base.filter(!col("_eval")).select(col("doc_id"), col("ws"))
+
+    // ALL matching occurrences are marked — no canonical survivor.
+    val marked = wins(base.filter(!col("_eval")))
+      .join(broadcast(evalKeys), Seq("key"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("p").cast("long"))).as("starts"))
+
+    val keepRule = col("n_removed") * 100 <= col("n_tokens") * dropPct
+    ExactSpans.rewrite(train, marked, L)
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+        (col("n_removed") > 0).as("contaminated"),
+        keepRule.as("keep"),
+        when(keepRule, col("deduped_text")).otherwise(lit(""))
+          .as("decon_text"))
+  }
+}
