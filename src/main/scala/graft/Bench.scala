@@ -189,9 +189,38 @@ object Bench {
       if (cs.isEmpty) "{}"
       else s"""{"n":${cs.size},"median_sec":${cs(cs.size / 2)},"max_sec":${cs.last}}"""
 
+    // Per-cell ratio vs the recorded DuckDB baseline: the weak-cell
+    // determination (>1 s AND >2x baseline) used to be judge-side
+    // arithmetic; emitting it per run makes drift visible — and
+    // gateable — without a judge. Observational for now: no red exit
+    // criteria attached. Baseline cells are sf0.1 measurements, so the
+    // ratios only mean something when this run IS sf0.1.
+    val baselines: Map[String, Double] =
+      try {
+        val f = new java.io.File(sys.env.getOrElse("SPARK_GRAFT_BASELINE",
+          "BASELINE_DUCKDB.json"))
+        if (!f.exists || !sfDir.contains("sf0.1")) Map.empty
+        else {
+          val om = new com.fasterxml.jackson.databind.ObjectMapper()
+          val q = om.readTree(f).path("queries")
+          import scala.jdk.CollectionConverters._
+          q.fieldNames().asScala.map(n => n -> q.path(n).asDouble()).toMap
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] baseline load: $e"); Map.empty }
+    val ratios: Seq[(String, Double)] = names.flatMap { n =>
+      baselines.get(n).filter(_ > 0).map(b => n -> finalResults(n)._1 / b) }
+    def r3(x: Double): String = (math.rint(x * 1000) / 1000).toString
+    val ratioJson = ratios
+      .map { case (n, r) => "\"" + n + "\":" + r3(r) }.mkString("{", ",", "}")
+    val weak = ratios.filter { case (n, r) => r > 2.0 && finalResults(n)._1 > 1.0 }
+    val weakJson = weak
+      .map { case (n, r) => s"""{"q":"$n","sec":${finalResults(n)._1},"ratio":${r3(r)}}""" }
+      .mkString("[", ",", "]")
+
     // The gate-relevant line prints BEFORE the sf1 block runs: a driver
     // timeout during the scale pass must never lose the headline number.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","canary":$canaryJson,"stalled":$stalled,"sf1":"see_sf1_line"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","canary":$canaryJson,"stalled":$stalled,"ratio_vs_baseline":$ratioJson,"sf1":"see_sf1_line"}""")
     System.out.flush()
 
     // Set by the sf1 block when a scale cell breaches its declared
@@ -372,7 +401,9 @@ object Bench {
     // that always fits. Key names deliberately differ from the main
     // line's so no parser mistakes either for the per-query record.
     println(s"""{"sf1":$sf1Json}""")
-    println(s"""{"total_sec":$total,"n":${names.size},"stalled":$stalled,"canary":$canaryJson}""")
+    // `weak` rides the (short, tail-surviving) summary line: cells both
+    // >1 s and >2x their DuckDB baseline cell, with the measured ratio.
+    println(s"""{"total_sec":$total,"n":${names.size},"stalled":$stalled,"canary":$canaryJson,"baseline_cells":${ratios.size},"weak":$weakJson}""")
     spark.stop()
     if (growthViolations.nonEmpty) {
       System.err.println(
