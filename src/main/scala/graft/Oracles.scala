@@ -110,6 +110,64 @@ object Oracles {
         |  FROM dw JOIN v3 ON dw.word = v3.word
         |  GROUP BY dw.doc_id)"""
 
+  /** q138: the q131 perceptron recurrence at k=68 — 4 standard features
+    * plus 64 hashed-bigram bucket counts. The SQL is GENERATED by the
+    * same index loops the Spark trainer unrolls with (68 update sums and
+    * a 68-term margin per round), so widening k cannot drift the replay;
+    * the bucket id replays the q26-proven rolling hash (left fold
+    * (acc·31 + codepoint) mod 1e9+7 over the lowercased bigram) mod 64. */
+  private val QfNgramSql: String = {
+    val K = 68
+    val xs = Seq(
+      "    CAST(1 AS BIGINT) AS x0",
+      "    CAST(len(ws) AS BIGINT) AS x1",
+      "    n_chars AS x2",
+      "    CAST((length(text) - length(replace(text, 'the', ''))) // 3 AS BIGINT) AS x3"
+    ) ++ (0 until 64).map(j =>
+      s"    CAST(len(list_filter(bk, v -> v = $j)) AS BIGINT) AS x${4 + j}")
+    def upd(src: String, cond: String) =
+      s"""  SELECT
+         |${(0 until K).map(j => s"    CAST(coalesce(sum(y*x$j),0) AS BIGINT) AS d$j").mkString(",\n")}
+         |  FROM $src$cond""".stripMargin
+    def margin(p: String) = (0 until K).map(j => s"$p$j*x$j").mkString(" + ")
+    val w1 = (0 until K).map(j => s"d$j AS g$j").mkString(", ")
+    val wn = (0 until K).map(j => s"g$j+d$j AS g$j").mkString(", ")
+    val wReport = (1 to 3).flatMap { r =>
+      (0 until K).map { j =>
+        if (r == 1 && j == 0)
+          s"SELECT 'w' AS kind, CAST(1 AS BIGINT) AS a, CAST(0 AS BIGINT) AS b, g0 AS v FROM w1"
+        else s"SELECT 'w', $r, $j, g$j FROM w$r"
+      }
+    }.mkString("\nUNION ALL ")
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |    CAST(CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS BIGINT) AS y,
+       |${xs.mkString(",\n")}
+       |  FROM (
+       |    SELECT doc_id, lang, n_chars, text, ws,
+       |      list_transform(list_zip(ws[1:len(ws)-1], ws[2:len(ws)]),
+       |        z -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |               list_transform(string_split(lower(z[1] || ' ' || z[2]), ''),
+       |                 ch -> CAST(unicode(ch) AS BIGINT))),
+       |             (acc, c) -> (acc * 31 + c) % 1000000007) % 64) AS bk
+       |    FROM (SELECT doc_id, lang, n_chars, text,
+       |            string_split_regex(trim(text), '\\s+') AS ws FROM documents))),
+       |u1 AS (
+       |${upd("f", "")}),
+       |w1 AS (SELECT $w1 FROM u1),
+       |u2 AS (
+       |${upd("f, w1", s" WHERE y * (${margin("g")}) <= 0")}),
+       |w2 AS (SELECT $wn FROM w1, u2),
+       |u3 AS (
+       |${upd("f, w2", s" WHERE y * (${margin("g")}) <= 0")}),
+       |w3 AS (SELECT $wn FROM w2, u3)
+       |$wReport
+       |UNION ALL
+       |SELECT 'd', doc_id, CASE WHEN m > 0 THEN 1 ELSE -1 END, m
+       |FROM (SELECT doc_id, ${margin("g")} AS m
+       |      FROM f, w3) s""".stripMargin
+  }
+
   val parity: Map[String, String] = Map(
     "q01_scan_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
@@ -1910,6 +1968,11 @@ object Oracles {
         |SELECT 'd', doc_id, CASE WHEN m > 0 THEN 1 ELSE -1 END, m
         |FROM (SELECT doc_id, g0*x0 + g1*x1 + g2*x2 + g3*x3 AS m
         |      FROM f, w3) s""".stripMargin,
+
+    // q131's recurrence at k=68 (4 standard + 64 hashed-bigram buckets):
+    // the SQL is generated by the same index loops the Spark trainer
+    // unrolls with — see QfNgramSql above.
+    "q138_quality_ngram_perceptron" -> QfNgramSql,
 
     // MJPEG gate: the oracle cannot re-run the lossy JPEG decode, so —
     // exactly like q115 — it pins the exact columns (dims, frame count,

@@ -3003,6 +3003,41 @@ object Queries {
       budget = 512, shards = 16)
   }
 
+  /** Hashed-n-gram perceptron ([[graft.ops.QualityFilter
+    * .trainPerceptronFeatures]]) — q131's trainer at the CCNet/fastText
+    * operating point: the 4 standard features plus 64 hashed BIGRAM
+    * bucket counts (rolling-hash of each adjacent word pair mod 64 —
+    * the hashing trick every production text classifier uses to get a
+    * fixed-width vector from an unbounded n-gram vocabulary), still
+    * BIGINT-exact so the oracle replays the bucketing AND every
+    * training round. Scale shape unchanged: one map-side-combined
+    * corpus aggregate per round carrying 68 partial sums, O(k) model
+    * state on broadcasts, feature table a reliable stored artifact. */
+  def q138QualityNgramPerceptron(s: SparkSession, dir: String): DataFrame = {
+    val ws = TextStats.words(col("text"))
+    val bigrams = zip_with(
+      slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
+      (a, b) => concat_ws(" ", a, b))
+    // bucket id per bigram, computed ONCE per row (the 64 count
+    // features below share the array); the native codegen'd rolling
+    // hash normalizes (lowercases) its input, giving case-insensitive
+    // buckets with the exact q26-proven SQL twin
+    val withBk = t(s, dir, "documents").withColumn("_bk",
+      transform(bigrams, b => pmod(TextStats.rollingHash(b), lit(64L))))
+    val feats = graft.ops.QualityFilter.standardFeatures(
+      col("text"), col("n_chars")) ++
+      (0 until 64).map(j =>
+        size(filter(col("_bk"), v => v === j)).cast("long"))
+    val sfTag = Tables.corpusTag(s, dir, "documents")
+    val base = s"${Tables.scratchDir(s)}/qf_ngram_v1/$sfTag"
+    graft.ops.QualityFilter.trainPerceptronFeatures(
+      withBk, "doc_id",
+      when(col("lang") === "en", 1L).otherwise(-1L), feats, rounds = 3,
+      store = (label, df) => Tables.servedArtifact(s, s"$base/$label") {
+        df.write.mode("overwrite").parquet(s"$base/$label")
+      })
+  }
+
   /** Eval-set decontamination with REMOVAL ([[graft.ops.Decontaminate
     * .removeEvalSpans]]) — the action step after q62's audit: the eval
     * set is the q62 split (doc_id % 20 = 0), every 8-token window of a

@@ -48,11 +48,13 @@ import org.apache.spark.sql.functions._
   */
 object QualityFilter {
 
-  /** Feature columns (BIGINT, engine-reproducible): bias, word count,
-    * char count, and occurrences of the literal trigram "the" — a crude
-    * but real English-quality signal with an exact SQL twin
-    * ((len(text) − len(replace(text,'the','')))/3). */
-  private def featureCols(textCol: Column, nCharsCol: Column): Seq[Column] = Seq(
+  /** The standard feature columns (BIGINT, engine-reproducible): bias,
+    * word count, char count, and occurrences of the literal trigram
+    * "the" — a crude but real English-quality signal with an exact SQL
+    * twin ((len(text) − len(replace(text,'the','')))/3). Callers
+    * wanting the CCNet/fastText-style operating point append hashed
+    * n-gram count features (q138's 64 rolling-hash bigram buckets). */
+  def standardFeatures(textCol: Column, nCharsCol: Column): Seq[Column] = Seq(
     lit(1L),
     TextStats.wordCount(textCol).cast("long"),
     nCharsCol.cast("long"),
@@ -86,11 +88,27 @@ object QualityFilter {
   def trainPerceptron(docs: DataFrame, idCol: String, textCol: String,
                       nCharsCol: String, labelCol: Column, rounds: Int,
                       store: (String, DataFrame) => DataFrame =
-                        (_, df) => df): DataFrame = {
+                        (_, df) => df): DataFrame =
+    trainPerceptronFeatures(docs, idCol, labelCol,
+      standardFeatures(col(textCol), col(nCharsCol)), rounds, store)
+
+  /** [[trainPerceptron]] with an arbitrary integer feature vector —
+    * same recurrence, same output contract, k = features.size. The
+    * per-round shuffle still carries only partial sums (k products per
+    * row, map-side combined) and the model state stays O(k) broadcast,
+    * so widening from 4 to the CCNet-style hundreds of hashed-n-gram
+    * buckets changes per-task arithmetic, not the distributed shape. */
+  def trainPerceptronFeatures(docs: DataFrame, idCol: String,
+                              labelCol: Column, features: Seq[Column],
+                              rounds: Int,
+                              store: (String, DataFrame) => DataFrame =
+                                (_, df) => df): DataFrame = {
     require(rounds >= 1 && rounds <= 4,
       s"rounds must be in [1,4] (plans unroll per round); got $rounds")
-    val k = 4
-    val xs = featureCols(col(textCol), col(nCharsCol))
+    val k = features.size
+    require(k >= 1 && k <= 256,
+      s"need 1..256 features (plans carry k columns); got $k")
+    val xs = features
     val feats = store("feats", docs.select(
       (col(idCol).cast("long").as("doc_id") +: labelCol.cast("long").as("y") +:
         xs.zipWithIndex.map { case (c, j) => c.as(s"x$j") }): _*))

@@ -43,6 +43,24 @@ class QualityFilterSpec extends SparkSpec {
     d(2L) shouldBe ((-1L, -89L)) // word-soup doc: -1, margin -89
   }
 
+  test("custom feature vectors widen k without changing the recurrence") {
+    // k=2: bias + word count. w0=0 -> round 1 flags both:
+    // w1 = (1,10) - (1,2) = (0,8). round 2: m_A=80 ok, m_B=16 flagged
+    // -> w2 = (-1,6). round 3: m_A=59 ok, m_B=-(1)-... = -1+12=11>0
+    // flagged (y=-1, y*m=-11<=0... m_B = -1+6*2 = 11, y*m = -11 <= 0)
+    // -> w3 = (-2,4).
+    val out = QualityFilter.trainPerceptronFeatures(docs, "doc_id",
+      when(col("lang") === "en", 1L).otherwise(-1L),
+      Seq(lit(1L), TextStats.wordCount(col("text")).cast("long")),
+      rounds = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val w = out.filter(_._1 == "w").map(t => (t._2, t._3) -> t._4).toMap
+    (0 to 1).map(j => w((1L, j.toLong))) shouldBe Seq(0L, 8L)
+    (0 to 1).map(j => w((2L, j.toLong))) shouldBe Seq(-1L, 6L)
+    (0 to 1).map(j => w((3L, j.toLong))) shouldBe Seq(-2L, 4L)
+  }
+
   test("post-convergence rounds are an exact no-op (empty flagged set)") {
     val out = train(4)
     val w = out.filter(_._1 == "w").map(t => (t._2, t._3) -> t._4).toMap
