@@ -120,13 +120,24 @@ object Bpe {
     require(rounds >= 1 && rounds <= 6,
       s"rounds must be in [1,6] (plans unroll per round); got $rounds")
     require(topWords >= 1, s"topWords must be >= 1; got $topWords")
+    // CACHING CONTRACT (the [[Similarity.ivfAssignment]] discipline):
+    // every round's vocab frame feeds MULTIPLE consumers — the next
+    // round's pair aggregation, and transitively every later merge
+    // report plus the final word rows. Unpersisted, each consumer
+    // re-derives the whole chain from the corpus scan (round r's
+    // rewrite would run rounds−r+1 times and the corpus-sized wordFreq
+    // once per branch); persisted, the corpus is scanned once and each
+    // vocabulary-sized rewrite runs once. Release with
+    // `spark.catalog.clearCache()`.
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     var vocab = wordFreq(docs, textCol)
       .withColumn("sym", concat_ws(" ", split(col("word"), "")))
       .select(col("word"), col("sym"), col("n"))
+      .persist(lvl)
     var merges: Seq[DataFrame] = Nil
     for (r <- 1 to rounds) {
       val (nv, m) = mergeRound(vocab, r)
-      vocab = nv
+      vocab = nv.persist(lvl)
       merges = merges :+ m
     }
     val mergeRows = merges.reduce(_.unionByName(_))
