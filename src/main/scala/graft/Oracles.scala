@@ -168,7 +168,46 @@ object Oracles {
        |      FROM f, w3) s""".stripMargin
   }
 
+  /** q139: q132's span-dedup replay at three window lengths with the
+    * cut masks unioned — per-length CTEs generated by the same loop the
+    * Spark side folds over, so adding a length cannot drift the replay. */
+  private val MultiSpanSql: String = {
+    val Ls = Seq(4, 6, 9)
+    val perLen = Ls.map { l =>
+      s"""w$l AS (
+         |  SELECT doc_id, i AS p, array_to_string(ws[i+1 : i+$l], ' ') AS key
+         |  FROM tok CROSS JOIN unnest(generate_series(0, len(ws) - $l)) AS g(i)
+         |  WHERE len(ws) >= $l AND len(ws) <= 1000000),
+         |o$l AS (
+         |  SELECT key, min(doc_id * 1000000 + p) AS canon
+         |  FROM w$l GROUP BY key HAVING count(*) >= 2),
+         |m$l AS (
+         |  SELECT w.doc_id, w.p FROM w$l w JOIN o$l o ON w.key = o.key
+         |  WHERE w.doc_id * 1000000 + w.p <> o.canon)""".stripMargin
+    }.mkString(",\n")
+    val survives = Ls.map(l =>
+      s"NOT EXISTS (SELECT 1 FROM m$l WHERE m$l.doc_id = t.doc_id AND i BETWEEN m$l.p + 1 AND m$l.p + $l)")
+      .mkString("\n    AND ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws
+       |  FROM documents),
+       |$perLen,
+       |kept AS (
+       |  SELECT t.doc_id, i, t.ws[i] AS tokn
+       |  FROM tok t CROSS JOIN unnest(generate_series(1, len(t.ws))) AS g(i)
+       |  WHERE $survives),
+       |agg AS (
+       |  SELECT doc_id, count(*) AS n_kept,
+       |    string_agg(tokn, ' ' ORDER BY i) AS txt
+       |  FROM kept GROUP BY doc_id)
+       |SELECT t.doc_id, CAST(len(t.ws) AS BIGINT) AS n_tokens,
+       |  CAST(len(t.ws) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+       |  coalesce(a.txt, '') AS deduped_text
+       |FROM tok t LEFT JOIN agg a USING (doc_id)""".stripMargin
+  }
+
   val parity: Map[String, String] = Map(
+    "q139_multi_span_dedup" -> MultiSpanSql,
     "q01_scan_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
         |  l_extendedprice * (1.0 - l_discount) AS revenue, l_returnflag

@@ -3003,6 +3003,17 @@ object Queries {
       budget = 512, shards = 16)
   }
 
+  /** Multi-length exact-span dedup ([[graft.ops.ExactSpans
+    * .dedupSpansMulti]]): the q132 operation at window lengths 4, 6
+    * and 9 with the cut masks UNIONED — approaching Lee et al.'s
+    * suffix-array all-lengths exactness with three linear passes. Each
+    * length's detection and canonical choice is independent; the
+    * oracle replays all three and the mask union, with the rewritten
+    * text hash-checked. */
+  def q139MultiSpanDedup(s: SparkSession, dir: String): DataFrame =
+    graft.ops.ExactSpans.dedupSpansMulti(
+      t(s, dir, "documents"), "doc_id", "text", spanLens = Seq(4, 6, 9))
+
   /** Hashed-n-gram perceptron ([[graft.ops.QualityFilter
     * .trainPerceptronFeatures]]) — q131's trainer at the CCNet/fastText
     * operating point: the 4 standard features plus 64 hashed BIGRAM

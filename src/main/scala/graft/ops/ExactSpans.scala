@@ -91,10 +91,49 @@ object ExactSpans {
   def dedupSpans(docs: DataFrame, idCol: String, textCol: String,
                  spanLen: Int): DataFrame = {
     require(spanLen >= 2, s"spanLen must be >= 2; got $spanLen")
-    val L = spanLen
     val tok = docs.select(col(idCol).cast("long").as("doc_id"),
       TextStats.words(lower(col(textCol))).as("ws"))
+    rewrite(tok, markedStarts(tok, spanLen), spanLen)
+  }
 
+  /** MULTI-length span dedup — toward the paper's all-lengths exactness
+    * without the suffix array: run the length-L detection at each of
+    * `spanLens` independently (each length picks its own canonical
+    * occurrences) and UNION the cut masks, so a token survives only if
+    * NO length marks it. Catches both the short boilerplate a long
+    * window straddles and the long near-template runs a short window
+    * under-reports. Cost is the linear single-length pass times
+    * |spanLens| (each length is its own window explode + one
+    * map-side-combined groupBy); the per-doc mask union is an ordered
+    * array intersection of the per-length kept sets — still
+    * O(lengths · (tokens + spans)). */
+  def dedupSpansMulti(docs: DataFrame, idCol: String, textCol: String,
+                      spanLens: Seq[Int]): DataFrame = {
+    require(spanLens.nonEmpty && spanLens.forall(_ >= 2),
+      s"spanLens must be non-empty, each >= 2; got $spanLens")
+    require(spanLens.distinct.size == spanLens.size,
+      s"spanLens must be distinct; got $spanLens")
+    val tok = docs.select(col(idCol).cast("long").as("doc_id"),
+      TextStats.words(lower(col(textCol))).as("ws"))
+    val joined = spanLens.zipWithIndex.foldLeft(tok) { case (df, (l, i)) =>
+      df.join(markedStarts(tok, l).withColumnRenamed("starts", s"_st$i"),
+        Seq("doc_id"), "left")
+    }
+    val kept = spanLens.zipWithIndex.map { case (l, i) =>
+      keptIdx(coalesce(col(s"_st$i"), array().cast("array<long>")),
+        size(col("ws")), l)
+    }.reduce(array_intersect(_, _)) // sorted ∩ sorted keeps left order
+    joined.select(col("doc_id"),
+      size(col("ws")).cast("long").as("n_tokens"),
+      (size(col("ws")) - size(kept)).cast("long").as("n_removed"),
+      array_join(transform(kept,
+        t => element_at(col("ws"), t.cast("int"))), " ").as("deduped_text"))
+  }
+
+  /** Detection at one length: (doc_id, starts) — the sorted distinct
+    * 0-based starts of every NON-canonical occurrence of a duplicated
+    * length-L window. */
+  private def markedStarts(tok: DataFrame, L: Int): DataFrame = {
     // All stride-1 windows of length L: (doc_id, p [0-based], key).
     val win = tok
       .filter(size(col("ws")) >= L && size(col("ws")) <= lit(PosRange))
@@ -111,12 +150,10 @@ object ExactSpans {
       .filter(col("n") >= 2)
 
     // Every NON-canonical occurrence of a duplicated window.
-    val marked = win.join(occ, "key")
+    win.join(occ, "key")
       .filter(col("doc_id") * PosRange + col("p") =!= col("canon"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_set(col("p").cast("long"))).as("starts"))
-
-    rewrite(tok, marked, L)
   }
 
   /** The shared cut-marked-spans rewrite: `tok` = (doc_id, ws), `marked`

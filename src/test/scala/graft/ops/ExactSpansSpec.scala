@@ -72,6 +72,23 @@ class ExactSpansSpec extends SparkSpec {
     out(5L) shouldBe ((15L, 10L, "x1 x2 x3 y1 y2"))
   }
 
+  test("multi-length dedup unions the masks across window lengths") {
+    val out = ExactSpans.dedupSpansMulti(docs(
+      100L -> "a b c d",
+      101L -> "p q r s t u v w x",
+      102L -> "a b c d z1 z2 p q r s t u v w x z3"),
+      "doc_id", "text", spanLens = Seq(4, 6, 9))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    // canonicals (lowest doc) untouched; doc 102 loses the 4-span dup
+    // (tokens 1..4) AND the 9-span dup (tokens 7..15) — the 6-length
+    // sub-window marks are subsumed — keeping exactly the glue tokens
+    out(100L) shouldBe ((4L, 0L, "a b c d"))
+    out(101L) shouldBe ((9L, 0L, "p q r s t u v w x"))
+    out(102L) shouldBe ((16L, 13L, "z1 z2 z3"))
+  }
+
   test("keptIdx gap arithmetic matches brute force across boundary shapes") {
     import org.apache.spark.sql.functions._
     val L = 5
