@@ -139,7 +139,12 @@ object Oracles {
         else s"SELECT 'w', $r, $j, g$j FROM w$r"
       }
     }.mkString("\nUNION ALL ")
-    s"""WITH f AS (
+    // f is MATERIALIZED: DuckDB inlines plain CTEs, so the 64-bucket
+    // featurization (a per-character rolling-hash fold over every
+    // bigram) would re-run once per round + once for scoring — the
+    // Spark side materializes its feature table as a stored artifact,
+    // and the oracle should pay the featurization once too.
+    s"""WITH f AS MATERIALIZED (
        |  SELECT doc_id,
        |    CAST(CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS BIGINT) AS y,
        |${xs.mkString(",\n")}

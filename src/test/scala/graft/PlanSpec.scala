@@ -95,6 +95,22 @@ class PlanSpec extends SparkSpec {
     plan(Queries.q62ContaminationCheck) should include("BroadcastHashJoin")
   }
 
+  test("q137: decontamination probes the eval window set via broadcast") {
+    // the removal step keeps q62's scale contract: the small-by-
+    // construction eval set broadcasts into the training-window join,
+    // the corpus never joins itself on content
+    plan(Queries.q137Decontaminate) should include("BroadcastHashJoin")
+  }
+
+  test("q138: per-round weights ride broadcasts; features come from the stored artifact") {
+    val p = plan(Queries.q138QualityNgramPerceptron)
+    // every corpus-sized pass reads the materialized feature artifact,
+    // not the text scan: documents feeds only the (build-once) artifact
+    // write, so a fresh plan over warm artifacts scans it zero times
+    scans(p, "documents") shouldBe 0
+    p should include("BroadcastNestedLoopJoin") // 1-row weight frames
+  }
+
   test("q67: corpus total broadcast into the tf-idf join, no driver collect") {
     val p = plan(Queries.q67TfidfTopterms)
     p should include("BroadcastNestedLoopJoin")
