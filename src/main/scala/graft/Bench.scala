@@ -288,6 +288,14 @@ object Bench {
           // linear by construction; a superlinear reading means the
           // occurrence join degenerated
           "q132_span_dedup",
+          // its round-11 siblings: eval-overlap removal (same window
+          // pass + broadcast probe) and the three-length mask union
+          // (3x the linear pass — growth must still track the corpus)
+          "q137_decontaminate", "q139_multi_span_dedup",
+          // the 68-feature trainer: featurization is artifact-built in
+          // sample 1; the per-round aggregate carries 68 partial sums
+          // over 10x rows and must amortize like q131's k=4
+          "q138_quality_ngram_perceptron",
           "q122_audio_frames").filter(SparkEntry.queries.contains)
         // Min-of-3 for BOTH sides of the ratio, measured back-to-back in
         // the SAME session config: round 9's q122 growth read 4.6x on one
@@ -337,6 +345,9 @@ object Bench {
           "q20_text_stats"            -> 15.0,
           "q130_mjpeg_frames"         -> 12.0,
           "q132_span_dedup"           -> 15.0,
+          "q137_decontaminate"        -> 15.0,
+          "q139_multi_span_dedup"     -> 15.0,
+          "q138_quality_ngram_perceptron" -> 6.0,
           "q122_audio_frames"         -> 15.0)
         val boundFor: String => Double =
           sys.env.get("SPARK_GRAFT_GROWTH_BOUND").map(_.toDouble) match {
