@@ -213,6 +213,31 @@ object Oracles {
 
   val parity: Map[String, String] = Map(
     "q139_multi_span_dedup" -> MultiSpanSql,
+
+    // Snapshot delta: both synthesized snapshots, the content hash
+    // (md5 over the normalized text — the q18/q26 fingerprint), the
+    // full-outer disposition and the work-set flag all replayed.
+    "q140_snapshot_delta" ->
+      """WITH o AS (
+        |  SELECT doc_id,
+        |    md5(lower(trim(regexp_replace(
+        |      CASE WHEN doc_id % 13 = 0 THEN text || ' v1' ELSE text END,
+        |      '\s+', ' ', 'g')))) AS old_hash
+        |  FROM documents WHERE doc_id % 17 <> 0),
+        |n AS (
+        |  SELECT doc_id,
+        |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS new_hash
+        |  FROM documents WHERE doc_id % 19 <> 0),
+        |d AS (
+        |  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, old_hash, new_hash,
+        |    CASE WHEN old_hash IS NULL THEN 'added'
+        |         WHEN new_hash IS NULL THEN 'removed'
+        |         WHEN old_hash <> new_hash THEN 'changed'
+        |         ELSE 'unchanged' END AS status
+        |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+        |SELECT doc_id, old_hash, new_hash, status,
+        |  status IN ('added', 'changed') AS needs_processing
+        |FROM d""".stripMargin,
     "q01_scan_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
         |  l_extendedprice * (1.0 - l_discount) AS revenue, l_returnflag

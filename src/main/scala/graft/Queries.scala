@@ -3003,6 +3003,23 @@ object Queries {
       budget = 512, shards = 16)
   }
 
+  /** Corpus snapshot delta ([[graft.ops.SnapshotDelta.diff]]) — the
+    * incremental-ingest planning step between crawls: the previous
+    * snapshot is synthesized deterministically (docs with doc_id%17=0
+    * absent → 'added' in the new; every 13th doc's text carried a ' v1'
+    * suffix → 'changed') and the new snapshot drops doc_id%19=0 →
+    * 'removed'; the diff is one full-outer equi-join over (id,
+    * content_hash) pairs and emits the needs_processing work set the
+    * downstream dedup/decontamination/tokenization stages run on. */
+  def q140SnapshotDelta(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val oldSnap = d.filter(col("doc_id") % 17 =!= 0)
+      .withColumn("text", when(col("doc_id") % 13 === 0,
+        concat(col("text"), lit(" v1"))).otherwise(col("text")))
+    val newSnap = d.filter(col("doc_id") % 19 =!= 0)
+    graft.ops.SnapshotDelta.diff(oldSnap, newSnap, "doc_id", "text")
+  }
+
   /** Multi-length exact-span dedup ([[graft.ops.ExactSpans
     * .dedupSpansMulti]]): the q132 operation at window lengths 4, 6
     * and 9 with the cut masks UNIONED — approaching Lee et al.'s

@@ -1,0 +1,40 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus snapshot DIFF — the incremental-ingest planning step a
+  * production pipeline runs between crawls: compare the previous
+  * snapshot to the new one by content hash and emit a per-document
+  * disposition manifest (added / removed / changed / unchanged) plus
+  * the `needs_processing` work set, so the expensive downstream stages
+  * (dedup, decontamination, tokenization) run on the DELTA, not the
+  * whole corpus. Complements [[graft.Queries.q105IncrementalDedup]]
+  * (batch-vs-corpus shingle dedup): this is the upstream gate that
+  * decides which documents even enter that pass.
+  *
+  * Scale shape: ONE full-outer equi-join hash-partitioned on the id —
+  * both sides reduced to (id, content_hash) by a narrow codegen map
+  * first, so the shuffle carries 2 columns, never the text. Content
+  * hash is [[TextStats.contentHash]] (md5 of normalized text), the
+  * same fingerprint the exact-dedup family keys on — a doc whose text
+  * changed only in whitespace runs reads `unchanged`, by design.
+  */
+object SnapshotDelta {
+
+  def diff(oldSnap: DataFrame, newSnap: DataFrame,
+           idCol: String, textCol: String): DataFrame = {
+    def hashed(df: DataFrame, as: String): DataFrame =
+      df.select(col(idCol).cast("long").as("doc_id"),
+        TextStats.contentHash(col(textCol)).as(as))
+    hashed(oldSnap, "old_hash")
+      .join(hashed(newSnap, "new_hash"), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("old_hash"), col("new_hash"),
+        when(col("old_hash").isNull, "added")
+          .when(col("new_hash").isNull, "removed")
+          .when(col("old_hash") =!= col("new_hash"), "changed")
+          .otherwise("unchanged").as("status"))
+      .withColumn("needs_processing",
+        col("status").isin("added", "changed"))
+  }
+}
