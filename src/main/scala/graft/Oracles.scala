@@ -214,6 +214,38 @@ object Oracles {
   val parity: Map[String, String] = Map(
     "q139_multi_span_dedup" -> MultiSpanSql,
 
+    // Integer log2-count LM scoring: the bigram count model over the
+    // lang='en' reference subset, every doc's bigrams left-joined to
+    // it, bit-length weights (length(bin(cnt)) — exact in both
+    // engines), and the single-division average all replayed.
+    "q141_lm_score" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang,
+        |    string_split_regex(trim(lower(text)), '\s+') AS ws
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, lang, z[1] || ' ' || z[2] AS bigram
+        |  FROM (SELECT doc_id, lang,
+        |          unnest(list_zip(ws[1:len(ws)-1], ws[2:len(ws)])) AS z
+        |        FROM tok)),
+        |lm AS (
+        |  SELECT bigram, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM bg WHERE lang = 'en' GROUP BY bigram),
+        |sc AS (
+        |  SELECT b.doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    CAST(count(l.cnt) AS BIGINT) AS n_hits,
+        |    CAST(coalesce(sum(length(bin(l.cnt))), 0) AS BIGINT) AS total_bits
+        |  FROM bg b LEFT JOIN lm l USING (bigram) GROUP BY b.doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(n_bigrams, 0) AS n_bigrams,
+        |  coalesce(n_hits, 0) AS n_hits,
+        |  coalesce(total_bits, 0) AS total_bits,
+        |  CASE WHEN coalesce(n_bigrams, 0) > 0
+        |       THEN CAST(total_bits AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+        |       ELSE 0.0 END AS lm_score
+        |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin,
+
     // Snapshot delta: both synthesized snapshots, the content hash
     // (md5 over the normalized text — the q18/q26 fingerprint), the
     // full-outer disposition and the work-set flag all replayed.

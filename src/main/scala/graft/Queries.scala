@@ -3003,6 +3003,25 @@ object Queries {
       budget = 512, shards = 16)
   }
 
+  /** N-gram LM quality scoring ([[graft.ops.LmScore]]) — the
+    * CCNet/KenLM perplexity-filter step in the integer log2-count
+    * formulation another engine replays exactly: the bigram count
+    * model trains once on the lang='en' reference subset and is served
+    * as a stored artifact (too big to broadcast at scale — scoring is
+    * a hash-partitioned equi-join on the bigram), every document's
+    * bigrams contribute the bit length of their reference count, and
+    * lm_score is the one-division average. */
+  def q141LmScore(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val sfTag = Tables.corpusTag(s, dir, "documents")
+    val path = s"${Tables.scratchDir(s)}/lm_bigram_v1/$sfTag"
+    val model = Tables.servedArtifact(s, path) {
+      graft.ops.LmScore.trainCounts(d, "doc_id", "text", col("lang") === "en")
+        .write.mode("overwrite").parquet(path)
+    }
+    graft.ops.LmScore.score(d, "doc_id", "text", model)
+  }
+
   /** Corpus snapshot delta ([[graft.ops.SnapshotDelta.diff]]) — the
     * incremental-ingest planning step between crawls: the previous
     * snapshot is synthesized deterministically (docs with doc_id%17=0

@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** N-gram language-model quality scoring — the CCNet/KenLM step of a
+  * real curation pipeline (score every document against an LM trained
+  * on a clean reference corpus; low-likelihood docs are filtered or
+  * down-mixed), in the one formulation another engine can replay
+  * bit-for-bit: INTEGER LOG2-COUNT scoring. A float log-probability
+  * sum is order-dependent under distributed aggregation and could
+  * never hash-match; instead each document bigram found in the
+  * reference model contributes the BIT LENGTH of its reference count
+  * (= floor(log2(cnt)) + 1 — `length(bin(cnt))`, exact in both
+  * engines), unseen bigrams contribute 0. The total is a monotone
+  * integer proxy for Σ log2 count(w_{i-1} w_i) — the unnormalized
+  * log-likelihood under a count LM — and the reported `lm_score` is
+  * the single division total_bits/n_bigrams (one double op on exact
+  * integers, bit-identical everywhere).
+  *
+  * Scale shape: the model is a BUILD-ONCE artifact (bigram → count
+  * over the reference subset — the BPE-merge train-once/serve-many
+  * contract; at 100 TB it is far too big to broadcast, so scoring is
+  * a hash-partitioned equi-join on the bigram), and the per-doc
+  * aggregation is map-side combined. One corpus pass to score.
+  */
+object LmScore {
+
+  /** Lowercased adjacent word pairs of `textCol`: (id, bigram). */
+  private[ops] def bigrams(df: DataFrame, idCol: String,
+                           textCol: String): DataFrame = {
+    val ws = TextStats.words(lower(col(textCol)))
+    df.select(col(idCol).cast("long").as("doc_id"),
+        explode(zip_with(
+          slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
+          (a, b) => concat_ws(" ", a, b))).as("bigram"))
+  }
+
+  /** The reference count model: (bigram, cnt) over `refPred` docs. */
+  def trainCounts(docs: DataFrame, idCol: String, textCol: String,
+                  refPred: Column): DataFrame =
+    bigrams(docs.filter(refPred), idCol, textCol)
+      .groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))
+
+  /** Score EVERY document against the (possibly stored) count model:
+    * (doc_id, n_bigrams, n_hits, total_bits, lm_score). Documents with
+    * fewer than two words score 0 over 0 bigrams. */
+  def score(docs: DataFrame, idCol: String, textCol: String,
+            model: DataFrame): DataFrame = {
+    val scored = bigrams(docs, idCol, textCol)
+      .join(model, Seq("bigram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        count(col("cnt")).as("n_hits"),
+        coalesce(sum(length(bin(col("cnt"))).cast("long")), lit(0L))
+          .as("total_bits"))
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("total_bits"), lit(0L)).as("total_bits"),
+        when(coalesce(col("n_bigrams"), lit(0L)) > 0,
+          col("total_bits").cast("double") / col("n_bigrams").cast("double"))
+          .otherwise(lit(0.0)).as("lm_score"))
+  }
+}
