@@ -199,6 +199,12 @@ object Bench {
       try {
         val f = new java.io.File(sys.env.getOrElse("SPARK_GRAFT_BASELINE",
           "BASELINE_DUCKDB.json"))
+        if (!f.exists && sfDir.contains("sf0.1"))
+          // loud, not silent: an empty ratio set must never read as a
+          // passing weak-cell check (the summary emits weak:null below)
+          System.err.println(s"[bench] baseline file ${f.getAbsolutePath} " +
+            "not found (run from the repo root or set SPARK_GRAFT_BASELINE) " +
+            "— ratio_vs_baseline and the weak list will NOT be computed")
         if (!f.exists || !sfDir.contains("sf0.1")) Map.empty
         else {
           val om = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -214,9 +220,13 @@ object Bench {
     val ratioJson = ratios
       .map { case (n, r) => "\"" + n + "\":" + r3(r) }.mkString("{", ",", "}")
     val weak = ratios.filter { case (n, r) => r > 2.0 && finalResults(n)._1 > 1.0 }
-    val weakJson = weak
-      .map { case (n, r) => s"""{"q":"$n","sec":${finalResults(n)._1},"ratio":${r3(r)}}""" }
-      .mkString("[", ",", "]")
+    // weak is NULL (not []) when no baseline cells were compared — an
+    // absent baseline file must be distinguishable from a clean pass
+    val weakJson =
+      if (ratios.isEmpty) "null"
+      else weak
+        .map { case (n, r) => s"""{"q":"$n","sec":${finalResults(n)._1},"ratio":${r3(r)}}""" }
+        .mkString("[", ",", "]")
 
     // The gate-relevant line prints BEFORE the sf1 block runs: a driver
     // timeout during the scale pass must never lose the headline number.

@@ -204,7 +204,19 @@ object Bpe {
   /** Apply a pre-encoded vocabulary ((word, sym) — [[encodeVocab]], or
     * its stored snapshot) to the corpus: ONE equi-join mapping word
     * occurrences to their segmentation plus one per-doc reassembly
-    * aggregation — the whole serving path, no per-merge work. */
+    * aggregation — the whole serving path, no per-merge work.
+    *
+    * OUT-OF-VOCABULARY words (possible when a stored snapshot built
+    * from corpus A serves corpus B — never when the vocab derives from
+    * `docs` itself) fall back to their CHARACTER segmentation via a
+    * left join, the standard OOV behavior of a served tokenizer
+    * snapshot. Note the fallback applies no merges — a word the
+    * trained merge list WOULD have rewritten still counts one token
+    * per character; re-derive the vocab against the new corpus
+    * ([[encodeVocab]]) when exact parity with a live [[encode]]
+    * matters. An inner join here would silently DROP unseen words
+    * from n_words/n_bpe_tokens/encoded — undercounted token budgets
+    * flowing straight into sequence packing. */
   def encodeWith(docs: DataFrame, idCol: String, textCol: String,
                  vocab: DataFrame): DataFrame = {
     val dw = docs
@@ -212,7 +224,9 @@ object Bpe {
         posexplode(TextStats.words(col(textCol))).as(Seq("pos", "_w")))
       .select(col("doc_id"), col("pos"), lower(col("_w")).as("word"))
       .filter(col("word").rlike("^[a-z]+$"))
-    val enc = dw.join(vocab, "word")
+    val enc = dw.join(vocab, Seq("word"), "left")
+      .withColumn("sym", coalesce(col("sym"),
+        concat_ws(" ", split(col("word"), ""))))
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_words"),

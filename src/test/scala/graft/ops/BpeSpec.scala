@@ -101,6 +101,20 @@ class BpeSpec extends SparkSpec {
     out.toSeq shouldBe Seq((3L, 4L, "c d | ab | ab"))
   }
 
+  test("encodeWith falls back to character segmentation for OOV words") {
+    import org.apache.spark.sql.functions.col
+    // vocab snapshot built from corpus A ("ab ab" -> merge (a,b)->ab);
+    // corpus B carries "cd", absent from the snapshot — it must appear
+    // as its character segmentation and COUNT, never silently drop
+    val corpusA = docs("ab ab")
+    val merges = Bpe.train(corpusA, "text", rounds = 1, topWords = 1)
+      .filter(col("kind") === "merge")
+    val vocab = Bpe.encodeVocab(corpusA, "text", merges, nMerges = 1)
+    val out = Bpe.encodeWith(docs("ab cd"), "doc_id", "text", vocab)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+    out.toSeq shouldBe Seq((2L, 3L, "ab | c d"))
+  }
+
   test("rounds beyond pair exhaustion are a no-op, not an empty result") {
     // one real merge exists (t,o); rounds 2..4 find nothing — the word
     // rows and the single merge row must survive all four rounds.
