@@ -214,6 +214,25 @@ object Oracles {
   val parity: Map[String, String] = Map(
     "q139_multi_span_dedup" -> MultiSpanSql,
 
+    // Temperature-scaled mixture weights: per-source token mass, the
+    // alpha=0.5 weight floor(sqrt(n_tokens)) (IEEE sqrt of a perfect
+    // square is correctly rounded; floor pins the rest), and the
+    // single-division share.
+    "q142_mixture_weights" ->
+      """WITH ps AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents GROUP BY source),
+        |w AS (
+        |  SELECT source, n_docs, n_tokens,
+        |    CAST(floor(sqrt(n_tokens)) AS BIGINT) AS weight
+        |  FROM ps),
+        |t AS (SELECT CAST(sum(weight) AS BIGINT) AS tw FROM w)
+        |SELECT source, n_docs, n_tokens, weight,
+        |  CAST(weight AS DOUBLE) / CAST(tw AS DOUBLE) AS share
+        |FROM w, t""".stripMargin,
+
     // Integer log2-count LM scoring: the bigram count model over the
     // lang='en' reference subset, every doc's bigrams left-joined to
     // it, bit-length weights (length(bin(cnt)) — exact in both

@@ -3003,6 +3003,27 @@ object Queries {
       budget = 512, shards = 16)
   }
 
+  /** Temperature-scaled mixture weights — the T5/Pile mixing-design
+    * step upstream of q82's resampler: per-source token mass, the
+    * α=0.5 temperature weight floor(sqrt(n_tokens)) (integer-exact:
+    * IEEE sqrt of a BIGINT-ranged perfect square is correctly rounded
+    * in both engines, and floor pins every other case), and each
+    * source's share of the total weight as one double division. The
+    * damping is WHY pipelines do this: raw proportional sampling lets
+    * the biggest crawl source drown curated sources; sqrt flattens the
+    * mixture. One map-side-combined aggregate + a 1-row broadcast. */
+  def q142MixtureWeights(s: SparkSession, dir: String): DataFrame = {
+    val perSource = t(s, dir, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextStats.wordCount(col("text")).cast("long")).as("n_tokens"))
+      .withColumn("weight", floor(sqrt(col("n_tokens"))).cast("long"))
+    val total = perSource.agg(sum(col("weight")).as("_tw"))
+    perSource.crossJoin(broadcast(total))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("weight"),
+        (col("weight").cast("double") / col("_tw").cast("double")).as("share"))
+  }
+
   /** N-gram LM quality scoring ([[graft.ops.LmScore]]) — the
     * CCNet/KenLM perplexity-filter step in the integer log2-count
     * formulation another engine replays exactly: the bigram count
