@@ -89,11 +89,20 @@ object ExactSpans {
     * (same formula as the chunk/fingerprint family); documents shorter
     * than `spanLen` tokens pass through untouched. */
   def dedupSpans(docs: DataFrame, idCol: String, textCol: String,
-                 spanLen: Int): DataFrame = {
+                 spanLen: Int): DataFrame =
+    dedupSpans(docs, idCol, textCol, spanLen, PosRange)
+
+  /** [[dedupSpans]] with an explicit position-encoding bound — raise it
+    * together with the oracle's constant for corpora with longer
+    * documents; the spec drives a small bound to pin the
+    * outside-the-domain pass-through without building million-token
+    * strings. */
+  def dedupSpans(docs: DataFrame, idCol: String, textCol: String,
+                 spanLen: Int, posRange: Long): DataFrame = {
     require(spanLen >= 2, s"spanLen must be >= 2; got $spanLen")
     val tok = docs.select(col(idCol).cast("long").as("doc_id"),
       TextStats.words(lower(col(textCol))).as("ws"))
-    rewrite(tok, markedStarts(tok, spanLen), spanLen)
+    rewrite(tok, markedStarts(tok, spanLen, posRange), spanLen)
   }
 
   /** MULTI-length span dedup — toward the paper's all-lengths exactness
@@ -133,10 +142,11 @@ object ExactSpans {
   /** Detection at one length: (doc_id, starts) — the sorted distinct
     * 0-based starts of every NON-canonical occurrence of a duplicated
     * length-L window. */
-  private def markedStarts(tok: DataFrame, L: Int): DataFrame = {
+  private def markedStarts(tok: DataFrame, L: Int,
+                           posRange: Long = PosRange): DataFrame = {
     // All stride-1 windows of length L: (doc_id, p [0-based], key).
     val win = tok
-      .filter(size(col("ws")) >= L && size(col("ws")) <= lit(PosRange))
+      .filter(size(col("ws")) >= L && size(col("ws")) <= lit(posRange))
       .select(col("doc_id"), col("ws"),
         explode(sequence(lit(0), size(col("ws")) - L)).as("p"))
       .select(col("doc_id"), col("p"),
@@ -146,12 +156,12 @@ object ExactSpans {
     val occ = win
       .groupBy(col("key"))
       .agg(count(lit(1)).as("n"),
-        min(col("doc_id") * PosRange + col("p")).as("canon"))
+        min(col("doc_id") * posRange + col("p")).as("canon"))
       .filter(col("n") >= 2)
 
     // Every NON-canonical occurrence of a duplicated window.
     win.join(occ, "key")
-      .filter(col("doc_id") * PosRange + col("p") =!= col("canon"))
+      .filter(col("doc_id") * posRange + col("p") =!= col("canon"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_set(col("p").cast("long"))).as("starts"))
   }

@@ -72,6 +72,26 @@ class ExactSpansSpec extends SparkSpec {
     out(5L) shouldBe ((15L, 10L, "x1 x2 x3 y1 y2"))
   }
 
+  test("documents past the position-encoding bound pass through untouched") {
+    // posRange=10: the 12-token doc is OUTSIDE the dedup domain — it
+    // contributes no windows (so the 5-token doc's span has no second
+    // occurrence and survives everywhere) and passes through whole;
+    // the 10-token doc sits exactly ON the bound and IS deduped.
+    val out = ExactSpans.dedupSpans(docs(
+      1L -> "a b c d e",
+      2L -> "a b c d e x1 x2 x3 x4 x5 x6 x7",
+      3L -> "a b c d e a b c d e"),
+      "doc_id", "text", spanLen = 5, posRange = 10L)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    out(2L) shouldBe ((12L, 0L, "a b c d e x1 x2 x3 x4 x5 x6 x7"))
+    // doc 3 is on the bound and in-domain: both its occurrences are
+    // non-canonical (doc 1 holds the canonical) and both are cut
+    out(3L) shouldBe ((10L, 10L, ""))
+    out(1L) shouldBe ((5L, 0L, "a b c d e"))
+  }
+
   test("multi-length dedup unions the masks across window lengths") {
     val out = ExactSpans.dedupSpansMulti(docs(
       100L -> "a b c d",
