@@ -3003,6 +3003,97 @@ object Queries {
       budget = 512, shards = 16)
   }
 
+  /** END-TO-END corpus build v2 — the full curation chain a pretraining
+    * run ships, composing the round-11 operators with the established
+    * ones under one per-document lineage manifest (the q109 pattern,
+    * two stages deeper): quality gate (word-count band) → exact-dedup
+    * canonical survivor (min-doc_id per content hash — no per-key
+    * window, the [[graft.ops.ExactSpans]] skew lesson) → eval-set
+    * decontamination with removal on the SURVIVORS ([[graft.ops
+    * .Decontaminate]] — the eval window set broadcasts, heavy leaks
+    * drop) → LM quality gate on the DECONTAMINATED text (≥50% bigram
+    * hit rate against the q141 count-model artifact, integer-exact) →
+    * shard assignment. Stages short-circuit: a doc failing stage k is
+    * never tested downstream (flags read false). The oracle replays
+    * the entire chain — including the decontaminated final_text — in
+    * one CTE pipeline.
+    *
+    * On the synthetic corpus the funnel at sf0.01 reads 475 → 359
+    * (quality) → 359 → 357 (decon drops the leaked eval copies) → 357:
+    * the generator writes no exact-duplicate documents and every
+    * source shares one word distribution, so stages 2 and 4 pass all
+    * comers HERE — the q131/k-means caveat: this gate certifies the
+    * chain's arithmetic bit-for-bit, while each stage's discriminating
+    * behavior is pinned by its own operator gate (q18/q76 exact dedup,
+    * q137 drop/rewrite, q141 scoring) and specs. */
+  def q143CorpusBuild(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val isEval = col("doc_id") % 20 === 0
+    // stage 1: quality band over the training universe (non-eval docs)
+    val q = d.filter(!isEval)
+      .select(col("doc_id"), col("text"),
+        TextStats.wordCount(col("text")).cast("long").as("wc"))
+      .withColumn("pass_quality", col("wc").between(25, 90))
+    // stage 2: exact-dedup canonical among quality passers
+    val hashes = q.filter(col("pass_quality"))
+      .select(col("doc_id"), TextStats.contentHash(col("text")).as("_h"))
+    val canon = hashes.groupBy(col("_h")).agg(min(col("doc_id")).as("_canon"))
+    // persisted ([[graft.ops.Similarity.ivfAssignment]]'s contract):
+    // referenced by the survivor filter AND the final manifest — each
+    // reference would otherwise re-run the hash + groupBy subtree
+    val exact = hashes.join(canon, "_h")
+      .select(col("doc_id"), (col("doc_id") === col("_canon")).as("pass_exact"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // stage 3: decontamination on the quality+exact survivors (eval
+    // docs ride along only to supply the window set)
+    val survivors = q.join(exact, Seq("doc_id"))
+      .filter(col("pass_quality") && col("pass_exact"))
+      .select(col("doc_id"), col("text"))
+    // persisted: the decon subtree (window explode + broadcast probe +
+    // rewrite) feeds BOTH the LM stage's input and the final manifest
+    val decon = graft.ops.Decontaminate.removeEvalSpans(
+      d.filter(isEval).select(col("doc_id"), col("text"))
+        .unionByName(survivors),
+      "doc_id", "text", evalPred = col("doc_id") % 20 === 0,
+      spanLen = 8, dropPct = 20)
+      .select(col("doc_id"), col("keep").as("pass_decon"), col("decon_text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // stage 4: LM hit-rate gate on the decontaminated text, against the
+    // SAME stored count model q141 serves
+    val sfTag = Tables.corpusTag(s, dir, "documents")
+    val path = s"${Tables.scratchDir(s)}/lm_bigram_v1/$sfTag"
+    val model = Tables.servedArtifact(s, path) {
+      graft.ops.LmScore.trainCounts(d, "doc_id", "text", col("lang") === "en")
+        .write.mode("overwrite").parquet(path)
+    }
+    val lm = graft.ops.LmScore.score(
+      decon.filter(col("pass_decon"))
+        .select(col("doc_id"), col("decon_text").as("text")),
+      "doc_id", "text", model)
+      .select(col("doc_id"),
+        (col("n_hits") * 2 >= col("n_bigrams") && col("n_bigrams") > 0)
+          .as("pass_lm"))
+    // the manifest: one row per training doc, every stage's disposition
+    // — decon joins ONCE carrying both its flag and its text
+    q.select(col("doc_id"), col("pass_quality"))
+      .join(exact, Seq("doc_id"), "left")
+      .join(decon, Seq("doc_id"), "left")
+      .join(lm, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("pass_quality"),
+        coalesce(col("pass_exact"), lit(false)).as("pass_exact"),
+        coalesce(col("pass_decon"), lit(false)).as("pass_decon"),
+        coalesce(col("pass_lm"), lit(false)).as("pass_lm"),
+        col("decon_text"))
+      .withColumn("keep", col("pass_quality") && col("pass_exact") &&
+        col("pass_decon") && col("pass_lm"))
+      .select(col("doc_id"), col("pass_quality"), col("pass_exact"),
+        col("pass_decon"), col("pass_lm"), col("keep"),
+        when(col("keep"), coalesce(col("decon_text"), lit("")))
+          .otherwise(lit("")).as("final_text"),
+        when(col("keep"), pmod(col("doc_id"), lit(16))).otherwise(lit(-1L))
+          .cast("int").as("shard"))
+  }
+
   /** Temperature-scaled mixture weights — the T5/Pile mixing-design
     * step upstream of q82's resampler: per-source token mass, the
     * α=0.5 temperature weight floor(sqrt(n_tokens)) (integer-exact:
