@@ -3054,7 +3054,7 @@ object Queries {
     val decon = graft.ops.Decontaminate.removeEvalSpans(
       d.filter(isEval).select(col("doc_id"), col("text"))
         .unionByName(survivors),
-      "doc_id", "text", evalPred = col("doc_id") % 20 === 0,
+      "doc_id", "text", evalPred = isEval,
       spanLen = 8, dropPct = 20)
       .select(col("doc_id"), col("keep").as("pass_decon"), col("decon_text"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -3090,7 +3090,9 @@ object Queries {
         col("pass_decon"), col("pass_lm"), col("keep"),
         when(col("keep"), coalesce(col("decon_text"), lit("")))
           .otherwise(lit("")).as("final_text"),
-        when(col("keep"), pmod(col("doc_id"), lit(16))).otherwise(lit(-1L))
+        // plain % (not pmod), matching the oracle's doc_id % 16 —
+        // they differ on negative ids
+        when(col("keep"), col("doc_id") % 16).otherwise(lit(-1L))
           .cast("int").as("shard"))
   }
 

@@ -100,6 +100,9 @@ object ExactSpans {
   def dedupSpans(docs: DataFrame, idCol: String, textCol: String,
                  spanLen: Int, posRange: Long): DataFrame = {
     require(spanLen >= 2, s"spanLen must be >= 2; got $spanLen")
+    require(posRange >= spanLen,
+      s"posRange must be >= spanLen ($spanLen) — a smaller bound would " +
+        s"silently exclude every document from the dedup domain; got $posRange")
     val tok = docs.select(col(idCol).cast("long").as("doc_id"),
       TextStats.words(lower(col(textCol))).as("ws"))
     rewrite(tok, markedStarts(tok, spanLen, posRange), spanLen)
