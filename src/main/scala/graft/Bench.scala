@@ -306,6 +306,11 @@ object Bench {
           // sample 1; the per-round aggregate carries 68 partial sums
           // over 10x rows and must amortize like q131's k=4
           "q138_quality_ngram_perceptron",
+          // the flagship end-to-end corpus build: every stage is an
+          // amortizing family already gated above; the composition must
+          // amortize too (LM model + decon window set artifact-/
+          // broadcast-bounded, manifest joins keyed on doc_id)
+          "q143_corpus_build",
           "q122_audio_frames").filter(SparkEntry.queries.contains)
         // Min-of-3 for BOTH sides of the ratio, measured back-to-back in
         // the SAME session config: round 9's q122 growth read 4.6x on one
@@ -358,6 +363,7 @@ object Bench {
           "q137_decontaminate"        -> 15.0,
           "q139_multi_span_dedup"     -> 15.0,
           "q138_quality_ngram_perceptron" -> 6.0,
+          "q143_corpus_build"         -> 6.0,
           "q122_audio_frames"         -> 15.0)
         val boundFor: String => Double =
           sys.env.get("SPARK_GRAFT_GROWTH_BOUND").map(_.toDouble) match {
