@@ -19,6 +19,10 @@ import org.apache.spark.sql.functions._
   * hash is [[TextStats.contentHash]] (md5 of normalized text), the
   * same fingerprint the exact-dedup family keys on — a doc whose text
   * changed only in whitespace runs reads `unchanged`, by design.
+  *
+  * Snapshots are keyed by `idCol`: one row per id. A snapshot carrying
+  * duplicate ids fans out through the full-outer join (m×n rows for
+  * that id) — run the exact-dedup pass first if ids can repeat.
   */
 object SnapshotDelta {
 
