@@ -116,7 +116,19 @@ object Bpe {
     * selection count) per round; kind 'word' carries (word, final
     * space-joined segmentation, corpus count). */
   def train(docs: DataFrame, textCol: String, rounds: Int,
-            topWords: Int): DataFrame = {
+            topWords: Int): DataFrame =
+    trainFromWordFreq(wordFreq(docs, textCol), rounds, topWords)
+
+  /** [[train]] over a caller-supplied word-frequency table (word, n) —
+    * the [[graft.ops.Dedup.minHashNearDupPairsFromShingles]] split: the
+    * word count is the ONLY corpus-sized stage of BPE training, and in a
+    * production pipeline it is a silver artifact written once per corpus
+    * snapshot (the same table feeds vocab-growth diagnostics, quality
+    * stats, and every tokenizer retrain at a new merge budget). Callers
+    * that serve it from a stored artifact pay the corpus scan once and
+    * re-train at any `rounds`/`topWords` for vocabulary-sized cost. */
+  def trainFromWordFreq(wf: DataFrame, rounds: Int,
+                        topWords: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 6,
       s"rounds must be in [1,6] (plans unroll per round); got $rounds")
     require(topWords >= 1, s"topWords must be >= 1; got $topWords")
@@ -128,9 +140,20 @@ object Bpe {
     // rewrite would run rounds−r+1 times and the corpus-sized wordFreq
     // once per branch); persisted, the corpus is scanned once and each
     // vocabulary-sized rewrite runs once. Release with
-    // `spark.catalog.clearCache()`.
+    // `spark.catalog.clearCache()`. NOTE the accumulation risk that
+    // contract carries: train() marks rounds+1 vocab frames
+    // MEMORY_AND_DISK and unpersists none of them itself — an EAGER
+    // per-round unpersist here would be wrong (no action runs inside
+    // train(), so an unmarked round-r frame would be recomputed once per
+    // downstream consumer when the caller finally acts), but a
+    // long-lived session invoking train() repeatedly without
+    // clearCache() (e.g. servedArtifact builds outside Bench/Verify)
+    // accumulates the blocks. Storage is vocabulary-sized (not corpus-
+    // sized) per frame, and MEMORY_AND_DISK evicts under pressure rather
+    // than OOM — but callers owning a persistent session should still
+    // clearCache() after consuming the result.
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    var vocab = wordFreq(docs, textCol)
+    var vocab = wf
       .withColumn("sym", concat_ws(" ", split(col("word"), "")))
       .select(col("word"), col("sym"), col("n"))
       .persist(lvl)

@@ -36,12 +36,25 @@ import org.apache.spark.sql.functions._
   */
 object Decontaminate {
 
+  /** `maxEvalWindows` is an EXPLICIT misuse guard in the
+    * [[Similarity.cosineNearDupPairs]] style, not a tuning knob: the
+    * operator broadcasts the distinct eval window set on the documented
+    * "eval sets are small" contract, and a mis-scoped `evalPred` that
+    * selects half the corpus would OOM the driver through that broadcast.
+    * The guard counts the distinct windows up front (one aggregation over
+    * the — persisted — eval frame, the same metadata-sized action as the
+    * exact-kernel row guard) and fails fast with the remedy instead. The
+    * default bound (10M windows ≈ a few hundred MB broadcast) is far above
+    * any real eval suite and far below a corpus-sized leak. */
   def removeEvalSpans(docs: DataFrame, idCol: String, textCol: String,
                       evalPred: Column, spanLen: Int,
-                      dropPct: Int): DataFrame = {
+                      dropPct: Int,
+                      maxEvalWindows: Long = 10000000L): DataFrame = {
     require(spanLen >= 2, s"spanLen must be >= 2; got $spanLen")
     require(dropPct >= 0 && dropPct <= 100,
       s"dropPct must be in [0,100]; got $dropPct")
+    require(maxEvalWindows >= 1,
+      s"maxEvalWindows must be >= 1; got $maxEvalWindows")
     val L = spanLen
     val base = docs.select(col(idCol).cast("long").as("doc_id"),
       evalPred.as("_eval"),
@@ -54,8 +67,19 @@ object Decontaminate {
       .select(col("doc_id"), col("p"),
         array_join(slice(col("ws"), col("p") + 1, lit(L)), " ").as("key"))
 
+    // Persisted: the window set feeds the size guard's count AND the
+    // broadcast join build (caching contract — callers release with
+    // `spark.catalog.clearCache()`, what Bench/Verify do).
     val evalKeys = wins(base.filter(col("_eval")))
       .select(col("key")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nEval = evalKeys.count()
+    require(nEval <= maxEvalWindows,
+      s"removeEvalSpans broadcasts the eval window set: got $nEval distinct " +
+        s"windows > maxEvalWindows=$maxEvalWindows. The evalPred is selecting " +
+        "a corpus-sized set, not an eval suite — fix its scope, or raise " +
+        "maxEvalWindows if the eval set is genuinely this large (the join " +
+        "then belongs on a shuffle, not a broadcast).")
     val train = base.filter(!col("_eval")).select(col("doc_id"), col("ws"))
 
     // ALL matching occurrences are marked — no canonical survivor.

@@ -103,6 +103,15 @@ object ExactSpans {
     require(posRange >= spanLen,
       s"posRange must be >= spanLen ($spanLen) — a smaller bound would " +
         s"silently exclude every document from the dedup domain; got $posRange")
+    // The rewrite indexes tokens via element_at(ws, idx.cast(int)): a
+    // posRange past Int.MaxValue would admit documents whose 1-based
+    // token indices overflow that cast (runtime error or corrupt
+    // deduped_text). Documents longer than ~2^31 tokens need upstream
+    // chunking, not a larger posRange.
+    require(posRange <= Int.MaxValue,
+      s"posRange must be <= Int.MaxValue (token indices are materialized " +
+        s"as ints in the rewrite); got $posRange — chunk longer documents " +
+        "upstream instead")
     val tok = docs.select(col(idCol).cast("long").as("doc_id"),
       TextStats.words(lower(col(textCol))).as("ws"))
     rewrite(tok, markedStarts(tok, spanLen, posRange), spanLen)

@@ -55,4 +55,22 @@ class DecontaminateSpec extends SparkSpec {
     val out = run(50, 0L -> "e1 e2 e3 e4 e5", 14L -> "e1 e2 e3")
     out(14L) shouldBe ((3L, 0L, false, true, "e1 e2 e3"))
   }
+
+  test("a corpus-sized eval window set fails fast instead of broadcasting") {
+    // 3 eval docs x 2 windows each = 6 distinct windows > bound of 4:
+    // the guard must trip BEFORE any broadcast with an actionable message.
+    val d = docs(
+      0L -> "a1 a2 a3 a4 a5 a6", 1L -> "b1 b2 b3 b4 b5 b6",
+      2L -> "c1 c2 c3 c4 c5 c6", 11L -> "x1 x2 x3 x4 x5 x6")
+    val e = intercept[IllegalArgumentException] {
+      Decontaminate.removeEvalSpans(d, "doc_id", "text",
+        evalPred = col("doc_id") < 10, spanLen = 5, dropPct = 50,
+        maxEvalWindows = 4L).collect()
+    }
+    e.getMessage should include("maxEvalWindows")
+    // same predicate under the default bound still runs
+    Decontaminate.removeEvalSpans(d, "doc_id", "text",
+      evalPred = col("doc_id") < 10, spanLen = 5, dropPct = 50)
+      .count() shouldBe 1L
+  }
 }
