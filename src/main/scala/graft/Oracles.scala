@@ -579,9 +579,157 @@ object Oracles {
         |  CAST(row_number() OVER (ORDER BY opportunity_score DESC, p_name) AS INT) AS opportunity_rank
         |FROM scored""".stripMargin,
 
-    // ==== LLM-data-pipeline extension. q19/q22/q25 are intentionally absent
-    // (xxhash64-based LSH — not SQL-portable; driver rows-only check;
-    // recall is quantified against the exact ground truths in RecallSpec). ====
+    // ==== LLM-data-pipeline extension. q19/q22/q25 replay the PORTABLE
+    // sketch flavors (seeded-md5 MinHash/SimHash, multiplicative-hash
+    // signed projections) end-to-end — signatures, banding, verification
+    // — closing the last rows-only cells; the xxhash64 fast-path flavors
+    // stay gated by q83a/b/c + RecallSpec. ====
+
+    // MinHash: mh_i = min(md5('i:' || shingle)) over the capped corpus
+    // shingles (q21's CTE verbatim), bands join on the raw signature
+    // string pairs, candidates verified with the EXACT shingle
+    // intersection (the same count Spark's array_intersect of the
+    // carried shingle sets produces).
+    "q19_minhash_neardup" -> {
+      val mhs = (0 until 16)
+        .map(i => s"min(md5('$i:' || shingle)) AS mh_$i")
+        .mkString(",\n        |    ")
+      val bands = (0 until 8)
+        .map(b => s"SELECT doc_id, $b AS band_idx, " +
+          s"mh_${2 * b} || '|' || mh_${2 * b + 1} AS band_key FROM sigs")
+        .mkString("\n        |  UNION ALL ")
+      s"""WITH wrds AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+        |sh0 AS (
+        |  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+        |  FROM wrds, LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i)),
+        |sh AS (
+        |  SELECT doc_id, shingle FROM sh0
+        |  QUALIFY count(*) OVER (PARTITION BY shingle) <= 200),
+        |sigs AS (
+        |  SELECT doc_id,
+        |    $mhs,
+        |    CAST(count(*) AS BIGINT) AS m
+        |  FROM sh GROUP BY doc_id),
+        |bands AS (
+        |  $bands),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b USING (band_idx, band_key)
+        |  WHERE a.doc_id < b.doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(count(*) AS BIGINT) AS i
+        |  FROM sh a
+        |  JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  CAST(i AS DOUBLE) / CAST(ca.m + cb.m - i AS DOUBLE) AS jaccard
+        |FROM inter
+        |JOIN sigs ca ON doc_a = ca.doc_id
+        |JOIN sigs cb ON doc_b = cb.doc_id
+        |WHERE CAST(i AS DOUBLE) / CAST(ca.m + cb.m - i AS DOUBLE) >= 0.5""".stripMargin
+    },
+
+    // SimHash: vote bit i of a shingle = bit (i%4) of hex digit (i/4) of
+    // md5(shingle) (ascii-decoded), fingerprint as four 16-bit chunks
+    // (c = bits 16c..16c+15 — never a 1<<63), 4-chunk pigeonhole
+    // banding, Hamming = sum of per-chunk xor popcounts.
+    "q22_simhash_neardup" -> {
+      def digit(g: Int) =
+        s"(CASE WHEN ascii(substr(md5(shingle), ${g + 1}, 1)) <= 57 " +
+          s"THEN ascii(substr(md5(shingle), ${g + 1}, 1)) - 48 " +
+          s"ELSE ascii(substr(md5(shingle), ${g + 1}, 1)) - 87 END)"
+      val pops = (0 until 64)
+        .map(i => s"CAST(sum((${digit(i / 4)} >> ${i % 4}) & 1) AS BIGINT) AS p_$i")
+        .mkString(",\n        |    ")
+      val chunks = (0 until 4).map { c =>
+        (0 until 16)
+          .map(b => s"(CASE WHEN 2 * p_${16 * c + b} > n THEN ${1L << b} ELSE 0 END)")
+          .mkString("CAST(", " + ", s" AS BIGINT) AS c$c")
+      }.mkString(",\n        |    ")
+      val ham = (0 until 4)
+        .map(c => s"bit_count(xor(a.c$c, b.c$c))").mkString(" + ")
+      s"""WITH wrds AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+        |sh0 AS (
+        |  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+        |  FROM wrds, LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i)),
+        |sh AS (
+        |  SELECT doc_id, shingle FROM sh0
+        |  QUALIFY count(*) OVER (PARTITION BY shingle) <= 200),
+        |pop AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+        |    $pops
+        |  FROM sh GROUP BY doc_id),
+        |fp AS (
+        |  SELECT doc_id,
+        |    $chunks
+        |  FROM pop),
+        |e AS (
+        |  SELECT doc_id, u.ci AS chunk_idx,
+        |    CASE u.ci WHEN 0 THEN c0 WHEN 1 THEN c1 WHEN 2 THEN c2 ELSE c3 END AS chunk,
+        |    c0, c1, c2, c3
+        |  FROM fp, (VALUES (0), (1), (2), (3)) u(ci))
+        |SELECT doc_a, doc_b, hamming FROM (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST($ham AS INT) AS hamming
+        |  FROM e a JOIN e b ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk
+        |    AND a.doc_id < b.doc_id)
+        |WHERE hamming <= 3""".stripMargin
+    },
+
+    // Signed-projection LSH top-k: the q59 signature/multiprobe CTEs at
+    // the serving index's fixed parameters (t=4, p=8, flips=1), query
+    // set vec_id%50=0, then q24's exact cosine + rank replay over the
+    // bucket candidates.
+    "q25_ann_lsh_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id, list_transform(embedding::DOUBLE[],
+        |    x -> CAST(floor(x * 1000000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |px AS (
+        |  SELECT vec_id, u AS pos, qv[u] AS qc
+        |  FROM (SELECT vec_id, qv, unnest(range(1, len(qv) + 1)) AS u FROM q)),
+        |tj AS (
+        |  SELECT t, j FROM (SELECT unnest(range(4)) AS t),
+        |    (SELECT unnest(range(8)) AS j)),
+        |proj AS (
+        |  SELECT vec_id, t, j,
+        |    sum(qc * ((pos * (2654435761 + 40503*(t*32 + j))) % 8191 - 4095)) AS s
+        |  FROM px, tj GROUP BY vec_id, t, j),
+        |ranked AS (
+        |  SELECT vec_id, t, j, s,
+        |    row_number() OVER (PARTITION BY vec_id, t ORDER BY abs(s), j) AS mr
+        |  FROM proj),
+        |sigs AS (
+        |  SELECT vec_id, t,
+        |    sum(CASE WHEN s >= 0 THEN 1::BIGINT << j ELSE 0 END) AS sig,
+        |    list(j ORDER BY mr) FILTER (mr <= 1) AS flips
+        |  FROM ranked GROUP BY vec_id, t),
+        |entries AS (
+        |  SELECT vec_id, t, sig FROM sigs
+        |  UNION ALL
+        |  SELECT vec_id, t, CAST(xor(sig::BIGINT, (1::BIGINT << f.fj)) AS BIGINT)
+        |  FROM sigs, unnest(flips) f(fj)),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS cand_id
+        |  FROM entries a JOIN entries b USING (t, sig)
+        |  WHERE a.vec_id % 50 = 0 AND a.vec_id != b.vec_id),
+        |e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings),
+        |s2 AS (
+        |  SELECT query_id, cand_id,
+        |    list_dot_product(x.v, y.v) / (x.nrm * y.nrm) AS cosine
+        |  FROM cand JOIN e x ON query_id = x.vec_id JOIN e y ON cand_id = y.vec_id),
+        |r AS (
+        |  SELECT query_id, cand_id, cosine,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS INT) AS rank
+        |  FROM s2)
+        |SELECT query_id, cand_id, cosine, rank FROM r WHERE rank <= 5""".stripMargin,
 
     // q36's exported columns are all deterministic (byte length, md5, the
     // frame-offset arithmetic, the constant feature width) — only the

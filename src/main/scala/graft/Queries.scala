@@ -236,15 +236,20 @@ object Queries {
   def q18ExactDedup(s: SparkSession, dir: String): DataFrame =
     Dedup.exactDedup(t(s, dir, "documents"), "doc_id", "text")
 
-  /** MinHash-LSH near-dup: banded candidates + exact-Jaccard verification.
-    * Rows-only check: signatures are xxhash64-based (not SQL-portable), and
-    * LSH recall < 1 means the pair set is hash-dependent. */
+  /** MinHash-LSH near-dup: banded candidates + exact-Jaccard verification
+    * — the seeded-MD5 PORTABLE flavor ([[graft.ops.Dedup
+    * .minHashNearDupPairsPortable]]), so the full pipeline (signatures,
+    * banding, verification) is replayed by the DuckDB oracle and
+    * hash-checked, closing what was a rows-only cell through round 11.
+    * The xxhash64 flavor remains the 100 TB fast path and keeps its own
+    * oracle-checked recall gate (q83a); this cell serves the flavor an
+    * external auditor can reproduce. Same capped-shingle semantics as
+    * the whole dedup family, read from the materialized
+    * [[corpusShingles]] artifact — the cell times the MinHash signature
+    * + banding + verification pipeline, not a fifth corpus
+    * re-shingling. */
   def q19MinhashNeardup(s: SparkSession, dir: String): DataFrame =
-    // Same capped-shingle semantics as the whole dedup family, read from
-    // the materialized [[corpusShingles]] artifact — the cell times the
-    // MinHash signature + banding + verification pipeline, not a fifth
-    // corpus re-shingling.
-    Dedup.minHashNearDupPairsFromShingles(corpusShingles(s, dir), "doc_id",
+    Dedup.minHashNearDupPairsPortable(corpusShingles(s, dir), "doc_id",
       k = 16, rowsPerBand = 2, minJaccard = 0.5)
 
   /** Text analysis: token/char counts, punctuation & stopword ratios,
@@ -325,10 +330,21 @@ object Queries {
       minJaccard = 0.5)
 
   /** SimHash near-dup: 64-bit shingle fingerprint, 16-bit-chunk banding,
-    * Hamming verify. Rows-only (xxhash64-based). */
-  def q22SimhashNeardup(s: SparkSession, dir: String): DataFrame =
-    Dedup.simHashNearDupPairs(t(s, dir, "documents"), "doc_id", "text",
-      maxHamming = 3)
+    * Hamming verify — the seeded-MD5 PORTABLE flavor ([[graft.ops.Dedup
+    * .simHashPortable]]): vote bits come from each shingle's md5 digest
+    * and the fingerprint travels as four 16-bit chunks, so the DuckDB
+    * oracle replays fingerprints, banding and the Hamming verification
+    * exactly (rows-only through round 11; hash-checked now). Built from
+    * the capped [[corpusShingles]] artifact like the rest of the dedup
+    * family (the q19 rationale: corpus-boilerplate shingles should not
+    * vote); the xxhash64 flavor keeps the q83b exactness gate. */
+  def q22SimhashNeardup(s: SparkSession, dir: String): DataFrame = {
+    // Fingerprints feed both sides of the chunk self-join: persist so
+    // the 16-lane popcount aggregation runs once (clearCache contract).
+    val fp = Dedup.simHashPortable(corpusShingles(s, dir), "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Dedup.simHashNearDupPairsPortableFromFp(fp, "doc_id", maxHamming = 3)
+  }
 
   /** Language-ID heuristic vs the labeled lang column — confusion matrix.
     * Uses the codegen'd explode+conditional-agg scoring path
@@ -346,11 +362,17 @@ object Queries {
     Similarity.bruteForceTopK(Tables.wide(s, dir, "embeddings"), "vec_id", "embedding",
       col("vec_id") % 50 === 0, k = 5)
 
-  /** Hyperplane-LSH approximate top-5 (bucketed candidates, never N²).
-    * Rows-only (xxhash64-derived hyperplanes; approximate recall). */
+  /** Hyperplane-LSH approximate top-5 (bucketed candidates, never N²) —
+    * the PORTABLE signed-projection flavor ([[graft.ops.Similarity
+    * .projTopK]]): quantized integer components, multiplicative-hash
+    * hyperplanes and exact BIGINT projection sums (the q59 scheme), so
+    * the DuckDB oracle replays signatures, multiprobe, bucketing AND
+    * the exact cosine re-rank bit-for-bit (rows-only through round 11;
+    * hash-checked now). The xxhash64 [[Similarity.lshTopK]] keeps the
+    * q83c recall gate. */
   def q25AnnLshTopk(s: SparkSession, dir: String): DataFrame =
-    Similarity.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
-      col("vec_id") % 50 === 0, k = 5, tables = 4, bits = 8)
+    Similarity.projTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+      col("vec_id") % 50 === 0, k = 5, tables = 4, bits = 8, flips = 1)
 
   /** Document fingerprints: md5 content hash + Rabin-Karp rolling hash. */
   def q26DocFingerprint(s: SparkSession, dir: String): DataFrame =

@@ -400,6 +400,48 @@ object Similarity {
     // runs once.
     val sigs = lshSignatures(emb, idCol, vecCol, tables, bits)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    topKFromSigs(emb, idCol, vecCol, queryPred, k, sigs)
+  }
+
+  /** Approximate top-k over the PORTABLE signed-projection signatures —
+    * the [[projNearDupPairs]] scheme (quantized BIGINT components,
+    * `((pos+1)·M(t,j)) mod 8191 − 4095` multiplicative-hash hyperplanes,
+    * exact integer projection sums, margin-directed multiprobe) applied
+    * to the serving-top-k shape of [[lshTopK]]. Every step up to the
+    * final cosine is order-independent integer arithmetic, and the
+    * cosine/rank replay is [[bruteForceTopK]]'s proven-portable double
+    * pipeline — so unlike the xxhash64 [[lshSignatures]] flavor the
+    * whole result is hash-checkable by a second engine (the q25
+    * oracle). Signature width is FIXED here (a serving index's
+    * parameters are deployment constants, unlike the corpus-sized
+    * pair-generation path which sizes p to the data); entries come from
+    * the native [[graft.functions.ProjEntries]] kernel, one generated
+    * loop per vector. Multiprobe registers each vector in its `flips`
+    * lowest-|margin| flipped buckets on BOTH sides, the recall lever
+    * measured in [[projNearDupPairs]].
+    *
+    * CACHING CONTRACT: as [[lshTopK]] — the signature frame persists;
+    * release with `spark.catalog.clearCache()`. */
+  def projTopK(emb: DataFrame, idCol: String, vecCol: String,
+               queryPred: Column, k: Int, tables: Int, bits: Int,
+               flips: Int): DataFrame = {
+    require(tables >= 1 && bits >= 1 && bits <= 30 && flips >= 0 && flips <= 3,
+      s"need tables>=1, 1<=bits<=30, 0<=flips<=3; got $tables/$bits/$flips")
+    val sigs = emb.select(col(idCol),
+        explode(call_function("graft_proj_entries",
+          Cluster.quantize(col(vecCol)), lit(tables), lit(bits),
+          lit(flips))).as("e"))
+      .select(col(idCol), col("e.t").as("table_idx"), col("e.sig").as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    topKFromSigs(emb, idCol, vecCol, queryPred, k, sigs)
+  }
+
+  /** Shared serve tail of [[lshTopK]]/[[projTopK]]: bucket-join the query
+    * signatures against the corpus signatures, then exact cosine + rank
+    * over the candidates only. */
+  private def topKFromSigs(emb: DataFrame, idCol: String, vecCol: String,
+                           queryPred: Column, k: Int,
+                           sigs: DataFrame): DataFrame = {
     val qsigs = emb.filter(queryPred).select(col(idCol).as("query_id"))
       .join(sigs.withColumnRenamed(idCol, "query_id"), Seq("query_id"))
     val pairs = qsigs

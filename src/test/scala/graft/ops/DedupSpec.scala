@@ -138,4 +138,41 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     assert(pairs.exists(p => p._1 == 1L && p._2 == 5L && p._3 == 0))
   }
+
+  // ---- portable (seeded-md5) flavors: same structural guarantees as the
+  // xxhash64 paths, plus the chunk-domain invariant that makes them
+  // SQL-replayable (no 64-bit packing, no sign games).
+
+  test("portable minHash pairs ⊆ exact pairs; identical docs always caught") {
+    val sh = Dedup.shingleSet(docs, "id", "text", 3)
+    val exact = Dedup.ngramJaccardPairsFromShingles(sh, "id", 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = Dedup.minHashNearDupPairsPortable(sh, "id", 16, 2, 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    mh.subsetOf(exact) shouldBe true
+    mh should contain((1L, 5L))
+    // verified Jaccard is the exact one, not an estimate: (1,5) is 1.0
+    val j15 = Dedup.minHashNearDupPairsPortable(sh, "id", 16, 2, 0.5)
+      .filter(col("doc_a") === 1L && col("doc_b") === 5L)
+      .select("jaccard").collect()(0).getDouble(0)
+    j15 shouldBe 1.0
+  }
+
+  test("portable simHash: chunks in [0,65535], identical docs at distance 0") {
+    val sh = Dedup.shingleSet(docs, "id", "text", 3)
+    val fp = Dedup.simHashPortable(sh, "id")
+    fp.columns.toSeq shouldBe Seq("id", "c0", "c1", "c2", "c3")
+    val rows = fp.collect().map(r =>
+      r.getLong(0) -> (1 to 4).map(r.getLong(_)))
+    rows.foreach { case (_, cs) =>
+      cs.foreach(c => assert(c >= 0L && c <= 0xFFFFL, s"chunk out of domain: $c")) }
+    val m = rows.toMap
+    m(1L) shouldBe m(5L)
+    val pairs = Dedup.simHashNearDupPairsPortableFromFp(fp, "id", 3)
+      .select("doc_a", "doc_b", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 5L && p._3 == 0))
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.simHashNearDupPairsPortableFromFp(fp, "id", maxHamming = 4)
+  }
 }

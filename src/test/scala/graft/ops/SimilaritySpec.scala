@@ -115,4 +115,25 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
     out.foreach(r => r.getDouble(2) shouldBe brute(r.getLong(1)))
   }
+
+  test("projTopK: ranked bucket-mates, exact cosines, parallel vector caught") {
+    val out = Similarity.projTopK(vecs, "id", "v", col("id") === 0, 4,
+      tables = 4, bits = 4, flips = 1).collect()
+    out.foreach { r =>
+      r.getLong(0) shouldBe 0L
+      r.getLong(1) should not be 0L
+    }
+    // parallel vectors produce identical sign patterns in every table —
+    // id 1 is always a candidate, and its cosine is the exact 1.0
+    assert(out.exists(r => r.getLong(1) == 1L && r.getDouble(2) == 1.0))
+    val brute = Similarity.bruteForceTopK(vecs, "id", "v", col("id") === 0, 4)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    out.foreach(r => r.getDouble(2) shouldBe brute(r.getLong(1)))
+    // ranks are contiguous from 1 in cosine-desc order
+    val ranks = out.sortBy(_.getInt(3)).map(_.getInt(3)).toSeq
+    ranks shouldBe (1 to out.length)
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.projTopK(vecs, "id", "v", col("id") === 0, 4,
+        tables = 0, bits = 4, flips = 1)
+  }
 }
