@@ -333,6 +333,11 @@ object Bench {
           // pass + broadcast probe) and the three-length mask union
           // (3x the linear pass — growth must still track the corpus)
           "q137_decontaminate", "q139_multi_span_dedup",
+          // the all-lengths (suffix-array-semantics) pass: ONE window
+          // explode + one keyed groupBy like q132 — linear by
+          // construction; superlinear growth means the occurrence join
+          // or the coverage union degenerated
+          "q144_all_span_dedup",
           // the 68-feature trainer: featurization is artifact-built in
           // sample 1; the per-round aggregate carries 68 partial sums
           // over 10x rows and must amortize like q131's k=4
@@ -342,6 +347,12 @@ object Bench {
           // amortize too (LM model + decon window set artifact-/
           // broadcast-bounded, manifest joins keyed on doc_id)
           "q143_corpus_build",
+          // the incremental rebuild: at sf0.1 its machinery (delta diff,
+          // hash-table canon recompute, reuse joins) costs more than the
+          // toy-scale full rebuild it replaces — THIS is where the design
+          // pays: only the delta's text is re-read at 10x, so growth
+          // must land well under the rebuild's
+          "q145_incremental_corpus",
           "q122_audio_frames").filter(SparkEntry.queries.contains)
         // Min-of-3 for BOTH sides of the ratio, measured back-to-back in
         // the SAME session config: round 9's q122 growth read 4.6x on one
@@ -393,6 +404,8 @@ object Bench {
           "q132_span_dedup"           -> 15.0,
           "q137_decontaminate"        -> 15.0,
           "q139_multi_span_dedup"     -> 15.0,
+          "q144_all_span_dedup"       -> 15.0,
+          "q145_incremental_corpus"   -> 6.0,
           "q138_quality_ngram_perceptron" -> 6.0,
           "q143_corpus_build"         -> 6.0,
           "q122_audio_frames"         -> 15.0)

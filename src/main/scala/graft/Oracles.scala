@@ -217,6 +217,106 @@ object Oracles {
     // End-to-end corpus build: the full quality -> exact-dedup ->
     // decontamination -> LM-gate -> shard chain replayed stage by
     // stage, the decontaminated final_text included.
+    // The incremental build's equivalence proof IS this oracle: the
+    // Spark side assembles the manifest from the stored previous build +
+    // delta-only recomputation, while DuckDB replays the FULL q143 chain
+    // over the new snapshot (training universe = non-eval docs surviving
+    // the %19 removal; eval suite and LM model unchanged — q143's CTEs
+    // with one extra predicate). A hash match proves incremental ≡ full.
+    "q145_incremental_corpus" ->
+      """WITH q AS (
+        |  SELECT doc_id, text,
+        |    len(string_split_regex(trim(text), '\s+'))
+        |      BETWEEN 25 AND 90 AS pass_quality
+        |  FROM documents WHERE doc_id % 20 <> 0 AND doc_id % 19 <> 0),
+        |h AS (
+        |  SELECT doc_id,
+        |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS hh
+        |  FROM q WHERE pass_quality),
+        |c AS (SELECT hh, min(doc_id) AS canon FROM h GROUP BY hh),
+        |ex AS (
+        |  SELECT h.doc_id, h.doc_id = c.canon AS pass_exact
+        |  FROM h JOIN c USING (hh)),
+        |surv AS (
+        |  SELECT q.doc_id, q.text
+        |  FROM q JOIN ex USING (doc_id)
+        |  WHERE q.pass_quality AND ex.pass_exact),
+        |dtok AS (
+        |  SELECT doc_id, TRUE AS ev,
+        |    string_split_regex(trim(lower(text)), '\s+') AS ws
+        |  FROM documents WHERE doc_id % 20 = 0
+        |  UNION ALL
+        |  SELECT doc_id, FALSE,
+        |    string_split_regex(trim(lower(text)), '\s+')
+        |  FROM surv),
+        |ew AS (
+        |  SELECT DISTINCT array_to_string(ws[i+1 : i+8], ' ') AS key
+        |  FROM dtok CROSS JOIN unnest(generate_series(0, len(ws) - 8)) AS g(i)
+        |  WHERE ev AND len(ws) >= 8),
+        |m AS (
+        |  SELECT t.doc_id, i AS p
+        |  FROM dtok t CROSS JOIN unnest(generate_series(0, len(ws) - 8)) AS g(i)
+        |  WHERE NOT ev AND len(ws) >= 8
+        |    AND array_to_string(ws[i+1 : i+8], ' ') IN (SELECT key FROM ew)),
+        |dkept AS (
+        |  SELECT t.doc_id, i, t.ws[i] AS tokn
+        |  FROM dtok t CROSS JOIN unnest(generate_series(1, len(t.ws))) AS g(i)
+        |  WHERE NOT t.ev AND NOT EXISTS (SELECT 1 FROM m
+        |    WHERE m.doc_id = t.doc_id AND i BETWEEN m.p + 1 AND m.p + 8)),
+        |dagg AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(tokn, ' ' ORDER BY i) AS txt
+        |  FROM dkept GROUP BY doc_id),
+        |decon AS (
+        |  SELECT t.doc_id,
+        |    (len(t.ws) - coalesce(a.n_kept, 0)) * 100 <= len(t.ws) * 20
+        |      AS pass_decon,
+        |    CASE WHEN (len(t.ws) - coalesce(a.n_kept, 0)) * 100
+        |              <= len(t.ws) * 20
+        |         THEN coalesce(a.txt, '') ELSE '' END AS decon_text
+        |  FROM dtok t LEFT JOIN dagg a USING (doc_id) WHERE NOT t.ev),
+        |ltok AS (
+        |  SELECT doc_id, lang,
+        |    string_split_regex(trim(lower(text)), '\s+') AS ws
+        |  FROM documents),
+        |lbg AS (
+        |  SELECT doc_id, lang, z[1] || ' ' || z[2] AS bigram
+        |  FROM (SELECT doc_id, lang,
+        |          unnest(list_zip(ws[1:len(ws)-1], ws[2:len(ws)])) AS z
+        |        FROM ltok)),
+        |lm AS (
+        |  SELECT bigram, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM lbg WHERE lang = 'en' GROUP BY bigram),
+        |sbg AS (
+        |  SELECT doc_id, z[1] || ' ' || z[2] AS bigram
+        |  FROM (SELECT doc_id,
+        |          unnest(list_zip(ws2[1:len(ws2)-1], ws2[2:len(ws2)])) AS z
+        |        FROM (SELECT doc_id,
+        |                string_split_regex(trim(lower(decon_text)), '\s+') AS ws2
+        |              FROM decon WHERE pass_decon))),
+        |sc AS (
+        |  SELECT b.doc_id, CAST(count(*) AS BIGINT) AS nb,
+        |    CAST(count(l.cnt) AS BIGINT) AS nh
+        |  FROM sbg b LEFT JOIN lm l USING (bigram) GROUP BY b.doc_id),
+        |lmflag AS (SELECT doc_id, nh * 2 >= nb AND nb > 0 AS pass_lm FROM sc),
+        |man AS (
+        |  SELECT q.doc_id, q.pass_quality,
+        |    coalesce(ex.pass_exact, FALSE) AS pass_exact,
+        |    coalesce(d.pass_decon, FALSE) AS pass_decon,
+        |    coalesce(lf.pass_lm, FALSE) AS pass_lm,
+        |    (q.pass_quality AND coalesce(ex.pass_exact, FALSE)
+        |      AND coalesce(d.pass_decon, FALSE)
+        |      AND coalesce(lf.pass_lm, FALSE)) AS keep,
+        |    coalesce(d.decon_text, '') AS dtext
+        |  FROM q
+        |  LEFT JOIN ex ON q.doc_id = ex.doc_id
+        |  LEFT JOIN decon d ON q.doc_id = d.doc_id
+        |  LEFT JOIN lmflag lf ON q.doc_id = lf.doc_id)
+        |SELECT doc_id, pass_quality, pass_exact, pass_decon, pass_lm, keep,
+        |  CASE WHEN keep THEN dtext ELSE '' END AS final_text,
+        |  CAST(CASE WHEN keep THEN doc_id % 16 ELSE -1 END AS INT) AS shard
+        |FROM man""".stripMargin,
+
     "q143_corpus_build" ->
       """WITH q AS (
         |  SELECT doc_id, text,
@@ -2274,6 +2374,44 @@ object Oracles {
         |  FROM tok t CROSS JOIN unnest(generate_series(1, len(t.ws))) AS g(i)
         |  WHERE NOT EXISTS (SELECT 1 FROM m
         |    WHERE m.doc_id = t.doc_id AND i BETWEEN m.p + 1 AND m.p + 5)),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(tokn, ' ' ORDER BY i) AS txt
+        |  FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.ws) AS BIGINT) AS n_tokens,
+        |  CAST(len(t.ws) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+        |  coalesce(a.txt, '') AS deduped_text
+        |FROM tok t LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    // All-lengths exact-substring dedup: q132's window/canonical replay
+    // at L=4 plus the coverage-level keep rule — a token survives iff no
+    // non-canonical duplicated window covers it OR a canonical one does.
+    "q144_all_span_dedup" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+        |  FROM documents),
+        |win AS (
+        |  SELECT doc_id, i AS p, array_to_string(ws[i+1 : i+4], ' ') AS key
+        |  FROM tok CROSS JOIN unnest(generate_series(0, len(ws) - 4)) AS g(i)
+        |  WHERE len(ws) >= 4 AND len(ws) <= 1000000),
+        |occ AS (
+        |  SELECT key, count(*) AS n, min(doc_id * 1000000 + p) AS canon
+        |  FROM win GROUP BY key HAVING count(*) >= 2),
+        |m AS (
+        |  SELECT w.doc_id, w.p
+        |  FROM win w JOIN occ o ON w.key = o.key
+        |  WHERE w.doc_id * 1000000 + w.p <> o.canon),
+        |c AS (
+        |  SELECT w.doc_id, w.p
+        |  FROM win w JOIN occ o ON w.key = o.key
+        |  WHERE w.doc_id * 1000000 + w.p = o.canon),
+        |kept AS (
+        |  SELECT t.doc_id, i, t.ws[i] AS tokn
+        |  FROM tok t CROSS JOIN unnest(generate_series(1, len(t.ws))) AS g(i)
+        |  WHERE NOT EXISTS (SELECT 1 FROM m
+        |      WHERE m.doc_id = t.doc_id AND i BETWEEN m.p + 1 AND m.p + 4)
+        |    OR EXISTS (SELECT 1 FROM c
+        |      WHERE c.doc_id = t.doc_id AND i BETWEEN c.p + 1 AND c.p + 4)),
         |agg AS (
         |  SELECT doc_id, count(*) AS n_kept,
         |    string_agg(tokn, ' ' ORDER BY i) AS txt

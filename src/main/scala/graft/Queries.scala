@@ -2301,17 +2301,18 @@ object Queries {
       shiftleft(shiftright(col("xb"), i).bitwiseAND(lit(1)), 2 * i)
         .bitwiseOR(shiftleft(shiftright(col("yb"), i).bitwiseAND(lit(1)), 2 * i + 1))
     }.reduce(_ bitwiseOR _)
-    // BOTH audit branches read the SAME physically-clustered frame: the
-    // range exchange is the plan's one data movement, the two consumers
-    // canonicalize to the same exchange subtree, and ReuseExchange
-    // materializes it once — no persist (an earlier revision cached the
-    // narrow z-frame; at this width the cache barrier cost more than the
-    // re-read it saved, and exchange reuse makes it redundant anyway).
-    val clustered = b.withColumn("zv", zv)
+    // No persist (an earlier revision cached the narrow z-frame; at this
+    // width the cache barrier cost more than the re-read it saved): the
+    // LAYOUT audit is the only consumer that needs the physical
+    // clustering, so it alone pays the range exchange — column pruning
+    // reduces its shuffle to the bare zv — while the z-range stats read
+    // the pre-exchange narrow map directly. Each branch is one scan +
+    // one narrow map; the scan is the fact read any audit pays.
+    val withZ = b.withColumn("zv", zv)
+    val clustered = withZ
       .repartitionByRange(8, col("zv"))
       .sortWithinPartitions(col("zv"))
-      .select(col("zv"), col("xb"), col("yb"),
-        spark_partition_id().as("_pid"),
+      .select(col("zv"), spark_partition_id().as("_pid"),
         monotonically_increasing_id().as("_mid"))
 
     // Physical audit (q91's): partitions internally sorted + non-overlapping.
@@ -2329,7 +2330,7 @@ object Queries {
       .agg((coalesce(sum(when(!col("_no_overlap"), 1L)), lit(0L)) === 0L &&
         coalesce(sum(col("_disorder")), lit(0L)) === 0L).as("layout_ok"))
 
-    clustered
+    withZ
       .groupBy(shiftright(col("zv"), 5).as("z_range"))
       .agg(count(lit(1)).as("n_rows"),
         min(col("xb")).as("x_lo"), max(col("xb")).as("x_hi"),
@@ -3072,8 +3073,25 @@ object Queries {
     * chain's arithmetic bit-for-bit, while each stage's discriminating
     * behavior is pinned by its own operator gate (q18/q76 exact dedup,
     * q137 drop/rewrite, q141 scoring) and specs. */
-  def q143CorpusBuild(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents")
+  def q143CorpusBuild(s: SparkSession, dir: String): DataFrame =
+    corpusBuildCore(s, dir, t(s, dir, "documents"))
+      .select(col("doc_id"), col("pass_quality"), col("pass_exact"),
+        col("pass_decon"), col("pass_lm"), col("keep"), col("final_text"),
+        col("shard"))
+
+  /** The q143 chain over an arbitrary corpus snapshot `d` — shared by
+    * the full build (q143: d = the documents table) and the
+    * incremental-rebuild pair (q145: the synthesized old/new
+    * snapshots). Emits the q143 manifest plus `content_hash` (the
+    * exact-dedup key, null for quality-failers): the extra column is
+    * what makes a stored manifest REUSABLE as the previous build of an
+    * incremental run — stage 2's canonical choice can be recomputed
+    * against new hashes without re-reading unchanged text. The LM gate
+    * scores against the [[q141LmScore]] stored model (trained on the
+    * full documents table — a deployment constant, deliberately NOT
+    * per-snapshot). */
+  private[graft] def corpusBuildCore(s: SparkSession, dir: String,
+                                     d: DataFrame): DataFrame = {
     val isEval = col("doc_id") % 20 === 0
     // stage 1: quality band over the training universe (non-eval docs)
     val q = d.filter(!isEval)
@@ -3088,7 +3106,8 @@ object Queries {
     // referenced by the survivor filter AND the final manifest — each
     // reference would otherwise re-run the hash + groupBy subtree
     val exact = hashes.join(canon, "_h")
-      .select(col("doc_id"), (col("doc_id") === col("_canon")).as("pass_exact"))
+      .select(col("doc_id"), (col("doc_id") === col("_canon")).as("pass_exact"),
+        col("_h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // stage 3: decontamination on the quality+exact survivors (eval
     // docs ride along only to supply the window set)
@@ -3105,17 +3124,12 @@ object Queries {
       .select(col("doc_id"), col("keep").as("pass_decon"), col("decon_text"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // stage 4: LM hit-rate gate on the decontaminated text, against the
-    // SAME stored count model q141 serves
-    val sfTag = Tables.corpusTag(s, dir, "documents")
-    val path = s"${Tables.scratchDir(s)}/lm_bigram_v1/$sfTag"
-    val model = Tables.servedArtifact(s, path) {
-      graft.ops.LmScore.trainCounts(d, "doc_id", "text", col("lang") === "en")
-        .write.mode("overwrite").parquet(path)
-    }
+    // SAME stored count model q141 serves ([[lmModel]] — trained on the
+    // full table, a release constant shared by every snapshot's build)
     val lm = graft.ops.LmScore.score(
       decon.filter(col("pass_decon"))
         .select(col("doc_id"), col("decon_text").as("text")),
-      "doc_id", "text", model)
+      "doc_id", "text", lmModel(s, dir))
       .select(col("doc_id"),
         (col("n_hits") * 2 >= col("n_bigrams") && col("n_bigrams") > 0)
           .as("pass_lm"))
@@ -3129,7 +3143,7 @@ object Queries {
         coalesce(col("pass_exact"), lit(false)).as("pass_exact"),
         coalesce(col("pass_decon"), lit(false)).as("pass_decon"),
         coalesce(col("pass_lm"), lit(false)).as("pass_lm"),
-        col("decon_text"))
+        col("decon_text"), col("_h"))
       .withColumn("keep", col("pass_quality") && col("pass_exact") &&
         col("pass_decon") && col("pass_lm"))
       .select(col("doc_id"), col("pass_quality"), col("pass_exact"),
@@ -3139,7 +3153,8 @@ object Queries {
         // plain % (not pmod), matching the oracle's doc_id % 16 —
         // they differ on negative ids
         when(col("keep"), col("doc_id") % 16).otherwise(lit(-1L))
-          .cast("int").as("shard"))
+          .cast("int").as("shard"),
+        col("_h").as("content_hash"))
   }
 
   /** Temperature-scaled mixture weights — the T5/Pile mixing-design
@@ -3171,15 +3186,23 @@ object Queries {
     * a hash-partitioned equi-join on the bigram), every document's
     * bigrams contribute the bit length of their reference count, and
     * lm_score is the one-division average. */
-  def q141LmScore(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents")
+  def q141LmScore(s: SparkSession, dir: String): DataFrame =
+    graft.ops.LmScore.score(t(s, dir, "documents"), "doc_id", "text",
+      lmModel(s, dir))
+
+  /** Build-once bigram count model (trained on the full documents
+    * table's lang='en' subset) — the stored artifact q141 scores
+    * against, the q143 LM gate reads, and q145 reuses across snapshots.
+    * A deployed LM quality gate is a release constant: deliberately NOT
+    * derived per corpus snapshot. */
+  private def lmModel(s: SparkSession, dir: String): DataFrame = {
     val sfTag = Tables.corpusTag(s, dir, "documents")
     val path = s"${Tables.scratchDir(s)}/lm_bigram_v1/$sfTag"
-    val model = Tables.servedArtifact(s, path) {
-      graft.ops.LmScore.trainCounts(d, "doc_id", "text", col("lang") === "en")
+    Tables.servedArtifact(s, path) {
+      graft.ops.LmScore.trainCounts(t(s, dir, "documents"),
+          "doc_id", "text", col("lang") === "en")
         .write.mode("overwrite").parquet(path)
     }
-    graft.ops.LmScore.score(d, "doc_id", "text", model)
   }
 
   /** Corpus snapshot delta ([[graft.ops.SnapshotDelta.diff]]) — the
@@ -3209,6 +3232,224 @@ object Queries {
   def q139MultiSpanDedup(s: SparkSession, dir: String): DataFrame =
     graft.ops.ExactSpans.dedupSpansMulti(
       t(s, dir, "documents"), "doc_id", "text", spanLens = Seq(4, 6, 9))
+
+  /** ALL-LENGTHS exact-substring dedup ([[graft.ops.ExactSpans
+    * .dedupSpansAll]]) — the Lee et al. suffix-array semantics q139's
+    * fixed length list approximated, closed exactly: every duplicated
+    * substring of length >= 4 (5, 17, 1000 — any length) is cut from
+    * every fully-non-canonical occurrence, and canonical occurrences
+    * are cut-immune, so duplicated content always survives verbatim
+    * somewhere. Two linear passes (window explode + one keyed groupBy),
+    * no suffix array, no self-join; the oracle replays detection,
+    * canonical choice, coverage union AND the rewritten text, so the
+    * final corpus is hash-checked. */
+  def q144AllSpanDedup(s: SparkSession, dir: String): DataFrame =
+    graft.ops.ExactSpans.dedupSpansAll(
+      t(s, dir, "documents"), "doc_id", "text", minLen = 4)
+
+  /** Old/new corpus snapshots for the INCREMENTAL build pair (q145).
+    * Unlike q140's snapshots the EVAL suite (doc_id % 20 = 0) is pinned
+    * IDENTICAL across both: mutations (' v1' suffix on every 13th doc)
+    * and removals (%17 in old, %19 in new) touch only training docs. An
+    * eval suite is a release artifact between crawls — and its
+    * stability is exactly what makes per-doc decontamination results
+    * reusable across snapshots (the window set is unchanged). */
+  private[graft] def q145OldSnap(s: SparkSession, dir: String): DataFrame = {
+    val isEval = col("doc_id") % 20 === 0
+    t(s, dir, "documents").filter(col("doc_id") % 17 =!= 0 || isEval)
+      .withColumn("text", when(col("doc_id") % 13 === 0 && !isEval,
+        concat(col("text"), lit(" v1"))).otherwise(col("text")))
+  }
+
+  private[graft] def q145NewSnap(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(col("doc_id") % 19 =!= 0 || col("doc_id") % 20 === 0)
+
+  /** The PREVIOUS crawl's build manifest (q143 chain over the old
+    * snapshot, incl. content_hash) as a stored artifact — what an
+    * incremental system actually has on disk when the new crawl lands. */
+  private def prevCorpusBuild(s: SparkSession, dir: String): DataFrame = {
+    val sfTag = Tables.corpusTag(s, dir, "documents")
+    val path = s"${Tables.scratchDir(s)}/corpus_build_old_v1/$sfTag"
+    Tables.servedArtifact(s, path) {
+      corpusBuildCore(s, dir, q145OldSnap(s, dir))
+        .write.mode("overwrite").parquet(path)
+    }
+  }
+
+  /** Build-once 8-token eval window-key set — the decontamination
+    * probe table as a stored artifact: the eval suite is a release
+    * constant, so its window extraction + distinct is paid once per
+    * suite, not once per decontamination run (q137/q143 keep the live
+    * extraction in their cells; q145 serves this). */
+  private def evalWindowKeys(s: SparkSession, dir: String): DataFrame = {
+    val sfTag = Tables.corpusTag(s, dir, "documents")
+    val path = s"${Tables.scratchDir(s)}/eval_windows8_v1/$sfTag"
+    Tables.servedArtifact(s, path) {
+      val ws = TextStats.words(lower(col("text")))
+      t(s, dir, "documents").filter(col("doc_id") % 20 === 0)
+        .filter(size(ws) >= 8)
+        .select(ws.as("ws"),
+          explode(sequence(lit(0), size(ws) - 8)).as("p"))
+        .select(array_join(slice(col("ws"), col("p") + 1, lit(8)), " ")
+          .as("key"))
+        .distinct()
+        .write.mode("overwrite").parquet(path)
+    }
+  }
+
+  /** The previous crawl's FULL fingerprint table (doc_id, content_hash
+    * for every doc, eval included) — the ingest-layer artifact
+    * [[graft.ops.SnapshotDelta.diffHashed]] assumes: the delta against
+    * the next crawl never re-reads or re-hashes old text. */
+  private def prevSnapshotHashes(s: SparkSession, dir: String): DataFrame = {
+    val sfTag = Tables.corpusTag(s, dir, "documents")
+    val path = s"${Tables.scratchDir(s)}/corpus_hashes_old_v1/$sfTag"
+    Tables.servedArtifact(s, path) {
+      q145OldSnap(s, dir)
+        .select(col("doc_id"),
+          TextStats.contentHash(col("text")).as("content_hash"))
+        .write.mode("overwrite").parquet(path)
+    }
+  }
+
+  /** INCREMENTAL corpus build — [[q140SnapshotDelta]]'s `needs_processing`
+    * set finally CONSUMED: rebuild the q143 manifest for the new
+    * snapshot by reusing the stored previous build ([[prevCorpusBuild]])
+    * for unchanged documents and re-running the per-document stages only
+    * on the delta, while recomputing the one genuinely global stage
+    * (exact-dedup canonical choice) from stored hashes + delta hashes —
+    * unchanged text is never re-read, re-hashed, re-decontaminated or
+    * re-scored. The batch≡incremental proof is the ORACLE: the DuckDB
+    * side replays the FULL rebuild over the new snapshot (q143's chain),
+    * so a hash match IS the equivalence theorem, per cell, every round
+    * (q75/q113's pattern, promoted to the whole pipeline; the sbt spec
+    * asserts the same equality in-engine).
+    *
+    * Canonical-flip handling is the subtle part: a delta doc can steal
+    * (or vacate) an unchanged doc's canonical status, so `pass_exact` is
+    * recomputed globally (cheap — hashes only), and unchanged docs split
+    * three ways: same exact bit → previous row verbatim; true→false
+    * (canonical stolen) → downstream flags masked to the full chain's
+    * short-circuit values; false→true (promoted — its duplicate left the
+    * corpus) → stages 3-4 run for the first time, together with the
+    * delta docs, against the SAME stable eval windows and stored LM
+    * model. */
+  def q145IncrementalCorpusBuild(s: SparkSession, dir: String): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val isEval = col("doc_id") % 20 === 0
+    val newSnap = q145NewSnap(s, dir)
+    val prev = prevCorpusBuild(s, dir)
+    // Delta from the stored fingerprint table vs ONE hash pass over the
+    // new snapshot -- old text is never re-read. Persisted: the
+    // unchanged set, the needs_processing set and the manifest id
+    // universe all read it.
+    val delta = graft.ops.SnapshotDelta.diffHashed(
+      prevSnapshotHashes(s, dir),
+      newSnap.select(col("doc_id"),
+        TextStats.contentHash(col("text")).as("content_hash")))
+      .persist(lvl)
+    val unchangedIds = delta.filter(col("status") === "unchanged")
+      .select(col("doc_id"))
+    val changedIds = delta.filter(col("needs_processing")).select(col("doc_id"))
+
+    // Unchanged training docs' previous manifest rows (renamed prev_*).
+    val prevU = prev.join(unchangedIds, Seq("doc_id"), "leftsemi")
+      .select(col("doc_id"), col("pass_quality").as("prev_quality"),
+        col("pass_exact").as("prev_exact"),
+        col("pass_decon").as("prev_decon"), col("pass_lm").as("prev_lm"),
+        col("final_text").as("prev_final"), col("content_hash"))
+      .persist(lvl)
+    // Delta docs (added/changed): stage 1 + content hash recomputed.
+    val qDelta = newSnap.filter(!isEval)
+      .join(changedIds, Seq("doc_id"), "leftsemi")
+      .select(col("doc_id"), col("text"),
+        TextStats.wordCount(col("text")).cast("long").as("wc"))
+      .withColumn("d_quality", col("wc").between(25, 90))
+      .withColumn("content_hash",
+        when(col("d_quality"), TextStats.contentHash(col("text"))))
+      .persist(lvl)
+
+    // Stage 2, GLOBAL: canonical = min doc_id per hash over stored
+    // (unchanged) + recomputed (delta) hashes -- never the text.
+    val hashes = prevU.filter(col("prev_quality"))
+      .select(col("doc_id"), col("content_hash"))
+      .unionByName(qDelta.filter(col("d_quality"))
+        .select(col("doc_id"), col("content_hash")))
+    val canon = hashes.groupBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("_canon"))
+    val exactNew = hashes.join(canon, "content_hash")
+      .select(col("doc_id"), (col("doc_id") === col("_canon")).as("n_exact"))
+      .persist(lvl)
+
+    // Stages 3-4 rerun ONLY for delta survivors and unchanged docs
+    // PROMOTED to canonical (their duplicate left the corpus -- the prev
+    // row holds only short-circuit values for them). Demotions need no
+    // recompute: the full chain short-circuits them to false/''.
+    val promotedIds = prevU.join(exactNew, Seq("doc_id"))
+      .filter(col("n_exact") && !col("prev_exact")).select(col("doc_id"))
+    val rcSurv = qDelta.filter(col("d_quality"))
+      .join(exactNew, Seq("doc_id")).filter(col("n_exact"))
+      .select(col("doc_id"), col("text"))
+      .unionByName(newSnap.join(promotedIds, Seq("doc_id"), "leftsemi")
+        .select(col("doc_id"), col("text")))
+    // Eval probe table served from the stored artifact — the suite is
+    // identical across snapshots, so no per-run window extraction.
+    val decon = graft.ops.Decontaminate.removeEvalSpansWithKeys(
+      rcSurv, "doc_id", "text", evalWindowKeys(s, dir),
+      spanLen = 8, dropPct = 20)
+      .select(col("doc_id"), col("keep").as("d_decon"), col("decon_text"))
+      .persist(lvl)
+    val lm = graft.ops.LmScore.score(
+      decon.filter(col("d_decon"))
+        .select(col("doc_id"), col("decon_text").as("text")),
+      "doc_id", "text", lmModel(s, dir))
+      .select(col("doc_id"),
+        (col("n_hits") * 2 >= col("n_bigrams") && col("n_bigrams") > 0)
+          .as("d_lm"))
+
+    // ONE linear assembly chain (the earlier three-branch union cost a
+    // separate subtree per case -- measured stage count, not data, was
+    // the cell's floor): every training doc of the new snapshot left-
+    // joins its previous row and its recomputed pieces, and per-column
+    // CASE logic picks reuse vs recompute vs short-circuit.
+    // The manifest universe is just the new snapshot's training ids — a
+    // column-pruned scan, cheaper than deriving it through the delta.
+    val ids = newSnap.filter(!isEval).select(col("doc_id"))
+    val recomputed = col("d_quality").isNotNull ||
+      (col("pass_exact") && !coalesce(col("prev_exact"), lit(false)))
+    ids
+      .join(prevU, Seq("doc_id"), "left")
+      .join(qDelta.select(col("doc_id"), col("d_quality")), Seq("doc_id"), "left")
+      .join(exactNew, Seq("doc_id"), "left")
+      .join(decon, Seq("doc_id"), "left")
+      .join(lm, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("d_quality"), col("prev_quality"), lit(false))
+          .as("pass_quality"),
+        coalesce(col("n_exact"), lit(false)).as("pass_exact"),
+        col("prev_exact"), col("prev_decon"), col("prev_lm"),
+        col("prev_final"), col("d_quality"), col("d_decon"),
+        col("decon_text"), col("d_lm"))
+      .withColumn("_rc", recomputed)
+      .select(col("doc_id"), col("pass_quality"), col("pass_exact"),
+        when(!(col("pass_quality") && col("pass_exact")), lit(false))
+          .when(col("_rc"), coalesce(col("d_decon"), lit(false)))
+          .otherwise(coalesce(col("prev_decon"), lit(false))).as("pass_decon"),
+        when(!(col("pass_quality") && col("pass_exact")), lit(false))
+          .when(col("_rc"), coalesce(col("d_lm"), lit(false)))
+          .otherwise(coalesce(col("prev_lm"), lit(false))).as("pass_lm"),
+        col("_rc"), col("decon_text"), col("prev_final"))
+      .withColumn("keep", col("pass_quality") && col("pass_exact") &&
+        col("pass_decon") && col("pass_lm"))
+      .select(col("doc_id"), col("pass_quality"), col("pass_exact"),
+        col("pass_decon"), col("pass_lm"), col("keep"),
+        when(!col("keep"), lit(""))
+          .when(col("_rc"), coalesce(col("decon_text"), lit("")))
+          .otherwise(coalesce(col("prev_final"), lit(""))).as("final_text"),
+        when(col("keep"), col("doc_id") % 16).otherwise(lit(-1L))
+          .cast("int").as("shard"))
+  }
 
   /** Hashed-n-gram perceptron ([[graft.ops.QualityFilter
     * .trainPerceptronFeatures]]) — q131's trainer at the CCNet/fastText

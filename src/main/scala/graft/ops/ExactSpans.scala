@@ -33,13 +33,17 @@ import org.apache.spark.sql.functions._
   * the oracle's encoding constant). All strings and integers — the
   * oracle replays every stage exactly, including the rewritten text.
   *
-  * KEEP-ONE-CANONICAL is per WINDOW, not absolute per span content:
-  * when a DIFFERENT duplicated window's non-canonical occurrence
-  * overlaps a canonical occurrence, the canonical's tokens can still be
-  * partially cut — under heavy overlapping duplication a span's content
-  * can vanish from every document. That is the fixed-L sliding-anchor
-  * compromise (the suffix-array construction is what removes it), and
-  * the oracle replays the same semantics, so both engines agree.
+  * KEEP-ONE-CANONICAL in [[dedupSpans]] is per WINDOW, not absolute per
+  * span content: when a DIFFERENT duplicated window's non-canonical
+  * occurrence overlaps a canonical occurrence, the canonical's tokens
+  * can still be partially cut — under heavy overlapping duplication a
+  * span's content can vanish from every document. [[dedupSpansAll]]
+  * removes both limitations: its single detection length is an exact
+  * all-lengths THRESHOLD (coverage theorem in its doc), and its
+  * coverage-level canonical protection guarantees every duplicated
+  * span's content survives somewhere. The per-window semantics here are
+  * kept as the simpler primitive; each flavor's oracle replays its own
+  * semantics, so both engines agree either way.
   */
 object ExactSpans {
 
@@ -60,6 +64,21 @@ object ExactSpans {
     * row quadratic. */
   private[ops] def keptIdx(starts: Column, nTokens: Column, L: Int): Column = {
     val n = nTokens.cast("long")
+    val (los, his) = coveredBounds(starts, L)
+    // kept = the gaps: [1, lo1-1], [hi1+1, lo2-1], …, [hiK+1, nTokens]
+    val gapLo = concat(array(lit(1L)), transform(his, h => h + 1))
+    val gapHi = concat(transform(los, l => l - 1), array(n))
+    when(size(starts) === 0, sequence(lit(1L), n))
+      .otherwise(flatten(zip_with(gapLo, gapHi,
+        (a, b) => when(a <= b, sequence(a, b))
+          .otherwise(array().cast("array<bigint>")))))
+  }
+
+  /** Merged covered-interval bounds for length-`L` spans at the sorted
+    * distinct 0-based `starts`: (los, his), the k-th lo pairing with the
+    * k-th hi, both 1-based inclusive token indices. Shared by the kept-
+    * gap sweep ([[keptIdx]]) and the cover flattening ([[coverIdx]]). */
+  private[ops] def coveredBounds(starts: Column, L: Int): (Column, Column) = {
     // starts shifted right/left, with sentinels that always break a run:
     // prev sentinel -(L+1) makes s0-prev > L; next sentinel MaxValue-L
     // makes next-sLast > L without overflow (s >= 0).
@@ -75,13 +94,16 @@ object ExactSpans {
       x => x.isNotNull)
     val his = filter(zip_with(starts, sNext, (s, nx) => when(nx - s > L, s + L)),
       x => x.isNotNull)
-    // kept = the gaps: [1, lo1-1], [hi1+1, lo2-1], …, [hiK+1, nTokens]
-    val gapLo = concat(array(lit(1L)), transform(his, h => h + 1))
-    val gapHi = concat(transform(los, l => l - 1), array(n))
-    when(size(starts) === 0, sequence(lit(1L), n))
-      .otherwise(flatten(zip_with(gapLo, gapHi,
-        (a, b) => when(a <= b, sequence(a, b))
-          .otherwise(array().cast("array<bigint>")))))
+    (los, his)
+  }
+
+  /** The sorted 1-based token indices COVERED by length-`L` spans at the
+    * sorted distinct 0-based `starts` — [[keptIdx]]'s complement, same
+    * O(tokens + spans) interval merge. */
+  private[ops] def coverIdx(starts: Column, L: Int): Column = {
+    val (los, his) = coveredBounds(starts, L)
+    when(size(starts) === 0, array().cast("array<bigint>"))
+      .otherwise(flatten(zip_with(los, his, (a, b) => sequence(a, b))))
   }
 
   /** Per-document span-dedup manifest: (doc_id, n_tokens, n_removed,
@@ -115,6 +137,90 @@ object ExactSpans {
     val tok = docs.select(col(idCol).cast("long").as("doc_id"),
       TextStats.words(lower(col(textCol))).as("ws"))
     rewrite(tok, markedStarts(tok, spanLen, posRange), spanLen)
+  }
+
+  /** ALL-LENGTHS exact-substring dedup — the suffix-array semantics of
+    * Lee et al. 2022 without the suffix array, in two linear passes.
+    *
+    * COVERAGE THEOREM (what makes the fixed-window pass exact): a token
+    * position lies inside some occurrence of a duplicated substring of
+    * length >= L  ⇔  it is covered by a duplicated length-L window.
+    * (⇐: a duplicated L-window IS a duplicated substring of length >= L.
+    * ⇒: an occurrence of a duplicated substring of length m >= L has an
+    * L-window starting at every offset 0..m−L, each duplicated because
+    * the matching occurrence contains the same L tokens at the same
+    * offset, and together they cover all m positions.) So the UNION of
+    * duplicated-L-window occurrences equals the suffix-array removal set
+    * for every duplicated substring of length >= L — including lengths
+    * 5, 17, 1000: the single detection length is a THRESHOLD, not a
+    * sampled span size the way [[dedupSpansMulti]]'s fixed list is.
+    *
+    * KEEP-ONE is promoted from per-window to COVERAGE level: a covered
+    * token is kept iff some occurrence covering it is CANONICAL (the
+    * globally smallest (doc_id, position) of its window key). This fixes
+    * the documented [[dedupSpans]] flaw where overlapping foreign marks
+    * could shred a canonical occurrence until a span's content vanished
+    * from every document: here canonical occurrences are immune to cuts,
+    * so every duplicated window's content survives verbatim somewhere,
+    * while every fully-non-canonical occurrence region is cut whole.
+    *
+    * Scale shape identical to [[dedupSpans]]: window explode (one row
+    * per token), ONE map-side-combined groupBy on the window key with a
+    * min-encoded canonical (no per-key windows — the [[TopN]] skew
+    * lesson), one equi-join back, one per-doc aggregation collecting the
+    * marked AND canonical start lists together (conditional collect_set,
+    * single shuffle), then the O(tokens + spans) interval sweep: kept =
+    * gaps(marked) ∪ cover(canonical). Output the family manifest:
+    * (doc_id, n_tokens, n_removed, deduped_text). */
+  def dedupSpansAll(docs: DataFrame, idCol: String, textCol: String,
+                    minLen: Int): DataFrame =
+    dedupSpansAll(docs, idCol, textCol, minLen, PosRange)
+
+  /** [[dedupSpansAll]] with an explicit position-encoding bound — same
+    * contract as the [[dedupSpans]] overload. */
+  def dedupSpansAll(docs: DataFrame, idCol: String, textCol: String,
+                    minLen: Int, posRange: Long): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2; got $minLen")
+    require(posRange >= minLen,
+      s"posRange must be >= minLen ($minLen); got $posRange")
+    require(posRange <= Int.MaxValue,
+      s"posRange must be <= Int.MaxValue; got $posRange — chunk longer " +
+        "documents upstream instead")
+    val L = minLen
+    val tok = docs.select(col(idCol).cast("long").as("doc_id"),
+      TextStats.words(lower(col(textCol))).as("ws"))
+    val win = tok
+      .filter(size(col("ws")) >= L && size(col("ws")) <= lit(posRange))
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(0), size(col("ws")) - L)).as("p"))
+      .select(col("doc_id"), col("p"),
+        array_join(slice(col("ws"), col("p") + 1, lit(L)), " ").as("key"))
+    val occ = win
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n"),
+        min(col("doc_id") * posRange + col("p")).as("canon"))
+      .filter(col("n") >= 2)
+    // ONE per-doc pass collects both start lists (collect_set skips the
+    // nulls the when() leaves on the other branch's rows).
+    val enc = col("doc_id") * posRange + col("p")
+    val starts = win.join(occ, "key")
+      .groupBy(col("doc_id"))
+      .agg(
+        sort_array(collect_set(when(enc =!= col("canon"), col("p").cast("long"))))
+          .as("_ms"),
+        sort_array(collect_set(when(enc === col("canon"), col("p").cast("long"))))
+          .as("_cs"))
+    val kept = sort_array(array_union(
+      keptIdx(col("_ms"), size(col("ws")), L), coverIdx(col("_cs"), L)))
+    tok.join(starts, Seq("doc_id"), "left")
+      .withColumn("_ms", coalesce(col("_ms"), array().cast("array<long>")))
+      .withColumn("_cs", coalesce(col("_cs"), array().cast("array<long>")))
+      .withColumn("_kept", kept)
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_tokens"),
+        (size(col("ws")) - size(col("_kept"))).cast("long").as("n_removed"),
+        array_join(transform(col("_kept"),
+          t => element_at(col("ws"), t.cast("int"))), " ").as("deduped_text"))
   }
 
   /** MULTI-length span dedup — toward the paper's all-lengths exactness

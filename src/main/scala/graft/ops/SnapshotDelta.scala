@@ -28,11 +28,24 @@ object SnapshotDelta {
 
   def diff(oldSnap: DataFrame, newSnap: DataFrame,
            idCol: String, textCol: String): DataFrame = {
-    def hashed(df: DataFrame, as: String): DataFrame =
+    def hashed(df: DataFrame): DataFrame =
       df.select(col(idCol).cast("long").as("doc_id"),
-        TextStats.contentHash(col(textCol)).as(as))
-    hashed(oldSnap, "old_hash")
-      .join(hashed(newSnap, "new_hash"), Seq("doc_id"), "full_outer")
+        TextStats.contentHash(col(textCol)).as("content_hash"))
+    diffHashed(hashed(oldSnap), hashed(newSnap))
+  }
+
+  /** [[diff]] over pre-hashed snapshot fingerprint tables (doc_id,
+    * content_hash) — the production shape: an ingest layer persists each
+    * crawl's fingerprint table, so the NEXT crawl's delta never re-reads
+    * (or re-hashes) the previous snapshot's text at all — the old side
+    * is a stored-artifact scan of two skinny columns. Same output
+    * contract as [[diff]]. */
+  def diffHashed(oldHashes: DataFrame, newHashes: DataFrame): DataFrame = {
+    def side(df: DataFrame, as: String): DataFrame =
+      df.select(col("doc_id").cast("long").as("doc_id"),
+        col("content_hash").as(as))
+    side(oldHashes, "old_hash")
+      .join(side(newHashes, "new_hash"), Seq("doc_id"), "full_outer")
       .select(col("doc_id"), col("old_hash"), col("new_hash"),
         when(col("old_hash").isNull, "added")
           .when(col("new_hash").isNull, "removed")

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The q145 batch≡incremental theorem, asserted IN-ENGINE (the q75/q113
+  * pattern): the incremental manifest — stored previous build + delta-only
+  * recomputation + globally-recomputed canonical bits — must equal the
+  * full q143 chain re-run over the new snapshot, row for row. The DuckDB
+  * oracle proves the same equality cross-engine every round; this spec
+  * pins it at sbt time and localizes a failure to the Spark side.
+  */
+class IncrementalBuildSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q145 incremental manifest ≡ full rebuild over the new snapshot") {
+    val cols = Seq("doc_id", "pass_quality", "pass_exact", "pass_decon",
+      "pass_lm", "keep", "final_text", "shard").map(col)
+    val inc = Queries.q145IncrementalCorpusBuild(spark, dir).select(cols: _*)
+    val full = Queries.corpusBuildCore(spark, dir, Queries.q145NewSnap(spark, dir))
+      .select(cols: _*)
+    val n = inc.count()
+    n shouldBe full.count()
+    n should be > 0L
+    inc.exceptAll(full).count() shouldBe 0L
+    full.exceptAll(inc).count() shouldBe 0L
+    spark.catalog.clearCache()
+  }
+
+  test("the delta actually exercises every reuse case at sf0.001") {
+    // The snapshot arithmetic must produce added, changed, removed AND
+    // unchanged docs — otherwise the equivalence above is vacuous for
+    // the reuse paths.
+    val delta = graft.ops.SnapshotDelta.diff(
+      Queries.q145OldSnap(spark, dir), Queries.q145NewSnap(spark, dir),
+      "doc_id", "text")
+    val counts = delta.groupBy(col("status")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    Seq("added", "changed", "removed", "unchanged").foreach { st =>
+      withClue(s"status=$st: ") { counts.getOrElse(st, 0L) should be > 0L }
+    }
+    spark.catalog.clearCache()
+  }
+}

@@ -178,12 +178,16 @@ class PlanSpec extends SparkSpec {
     plan(Queries.q130MjpegFrames) should not include "Exchange"
   }
 
-  test("q106: dimension bounds broadcast; both audit branches read the cached z-frame") {
+  test("q106: dimension bounds broadcast; one range exchange, no cache barrier") {
     val p = plan(Queries.q106ZorderLayout)
     p should include("BroadcastNestedLoopJoin") // 1-row bounds frame
-    // the narrow (key, xb, yb, zv) frame is persisted: the stats branch and
-    // the physical-layout branch must both read the cache, not re-scan
-    p.split("\n").count(_.contains("InMemoryTableScan")) should be >= 2
+    // only the LAYOUT audit needs the physical clustering: exactly one
+    // rangepartitioning exchange (column-pruned to zv), the z-range
+    // stats branch reads the pre-exchange narrow map, and the round-12
+    // persist-drop means no InMemoryTableScan barrier anywhere
+    p.split("\n").count(l =>
+      l.contains("Exchange rangepartitioning")) shouldBe 1
+    p should not include "InMemoryTableScan"
   }
 
   test("q124: per-source top-N is a salted two-phase window (AQE cannot split window skew)") {

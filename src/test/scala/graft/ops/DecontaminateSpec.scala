@@ -62,12 +62,16 @@ class DecontaminateSpec extends SparkSpec {
     val d = docs(
       0L -> "a1 a2 a3 a4 a5 a6", 1L -> "b1 b2 b3 b4 b5 b6",
       2L -> "c1 c2 c3 c4 c5 c6", 11L -> "x1 x2 x3 x4 x5 x6")
-    val e = intercept[IllegalArgumentException] {
+    val e = intercept[Throwable] {
       Decontaminate.removeEvalSpans(d, "doc_id", "text",
         evalPred = col("doc_id") < 10, spanLen = 5, dropPct = 50,
         maxEvalWindows = 4L).collect()
     }
-    e.getMessage should include("maxEvalWindows")
+    // assert_true surfaces as a SparkRuntimeException (possibly wrapped)
+    // carrying the actionable message somewhere in the cause chain
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    msgs should include("maxEvalWindows")
     // same predicate under the default bound still runs
     Decontaminate.removeEvalSpans(d, "doc_id", "text",
       evalPred = col("doc_id") < 10, spanLen = 5, dropPct = 50)

@@ -127,4 +127,74 @@ class ExactSpansSpec extends SparkSpec {
       }
     }
   }
+
+  test("coverIdx is keptIdx's exact complement across boundary shapes") {
+    import org.apache.spark.sql.functions._
+    val L = 5
+    val n = 15
+    val cases: Seq[Seq[Long]] = Seq(
+      Seq(), Seq(0L), Seq(10L), Seq(0L, 2L), Seq(0L, 6L), Seq(2L, 3L, 9L))
+    cases.foreach { starts =>
+      val brute = (1 to n).filter(t =>
+        starts.exists(s => s + 1 <= t && t <= s + L)).map(_.toLong)
+      val df = spark.range(1).select(
+        ExactSpans.coverIdx(typedLit(starts), L).as("cov"))
+      withClue(s"starts=$starts: ") {
+        df.collect().head.getSeq[Long](0) shouldBe brute
+      }
+    }
+  }
+
+  private def runAll(minLen: Int, rows: (Long, String)*) =
+    ExactSpans.dedupSpansAll(docs(rows: _*), "doc_id", "text", minLen)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+
+  test("all-lengths: a 7-token duplicate is cut whole at minLen=4 (coverage theorem)") {
+    // "a b c d e f g" (7 tokens > L) duplicated across docs 1/2: every
+    // internal 4-window is duplicated, all canonical in doc 1 — so doc 1
+    // is untouched and doc 2 loses the ENTIRE 7-token occurrence, the
+    // suffix-array all-lengths removal set, not just one fixed window.
+    val out = runAll(4,
+      1L -> "a b c d e f g x1 x2",
+      2L -> "z1 a b c d e f g z2")
+    out(1L) shouldBe ((9L, 0L, "a b c d e f g x1 x2"))
+    out(2L) shouldBe ((9L, 7L, "z1 z2"))
+  }
+
+  test("canonical occurrences are cut-immune (the dedupSpans shredding case)") {
+    // doc 3's canonical "p q r s" overlaps a marked occurrence of
+    // "s t u v" (canonical in doc 0): per-window dedupSpans cuts tokens
+    // 4..7 of doc 3 — shredding the canonical to "p q r" — while the
+    // coverage-level rule protects it.
+    val rows = Seq(
+      0L -> "x s t u v y",
+      3L -> "p q r s t u v",
+      4L -> "m n p q r s w")
+    val all = runAll(4, rows: _*)
+    all(0L) shouldBe ((6L, 0L, "x s t u v y"))
+    all(3L) shouldBe ((7L, 3L, "p q r s")) // canonical span intact
+    all(4L) shouldBe ((7L, 4L, "m n w"))
+    // the divergence this operator exists for: per-window semantics
+    // shred the canonical
+    val old = ExactSpans.dedupSpans(docs(rows: _*), "doc_id", "text", 4)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    old(3L) shouldBe "p q r"
+    // every duplicated window's content survives somewhere under ALL
+    val survivors = all.values.map(_._3).mkString(" | ")
+    survivors should include("p q r s")
+    survivors should include("s t u v")
+  }
+
+  test("dedupSpansAll: short docs pass through; bounds validated") {
+    val out = runAll(4, 5L -> "a b c", 6L -> "a b c")
+    out(5L) shouldBe ((3L, 0L, "a b c"))
+    out(6L) shouldBe ((3L, 0L, "a b c"))
+    an[IllegalArgumentException] should be thrownBy
+      ExactSpans.dedupSpansAll(docs(5L -> "a b c"), "doc_id", "text", 1)
+    an[IllegalArgumentException] should be thrownBy
+      ExactSpans.dedupSpansAll(docs(5L -> "a b c"), "doc_id", "text", 4,
+        posRange = Int.MaxValue.toLong + 1)
+  }
 }
