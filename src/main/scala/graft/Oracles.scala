@@ -2421,6 +2421,31 @@ object Oracles {
         |  coalesce(a.txt, '') AS deduped_text
         |FROM tok t LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
+    // Maximal duplicated-span inventory: duplicated 4-window starts per
+    // doc, merged into maximal step-1 runs by gaps-and-islands
+    // (p - row_number() island key), span text sliced from the doc.
+    "q146_maximal_spans" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+        |  FROM documents),
+        |win AS (
+        |  SELECT doc_id, i AS p, array_to_string(ws[i+1 : i+4], ' ') AS key
+        |  FROM tok CROSS JOIN unnest(generate_series(0, len(ws) - 4)) AS g(i)
+        |  WHERE len(ws) >= 4 AND len(ws) <= 1000000),
+        |dup AS (SELECT key FROM win GROUP BY key HAVING count(*) >= 2),
+        |st AS (SELECT DISTINCT w.doc_id, w.p FROM win w JOIN dup USING (key)),
+        |isl AS (
+        |  SELECT doc_id, p,
+        |    p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+        |  FROM st),
+        |runs AS (
+        |  SELECT doc_id, min(p) AS s, max(p) - min(p) + 4 AS l
+        |  FROM isl GROUP BY doc_id, grp)
+        |SELECT r.doc_id, CAST(r.s AS BIGINT) AS span_start,
+        |  CAST(r.l AS BIGINT) AS span_len,
+        |  array_to_string(t.ws[r.s + 1 : r.s + r.l], ' ') AS span_text
+        |FROM runs r JOIN tok t USING (doc_id)""".stripMargin,
+
     // Batch-perceptron quality filter: pure integer recurrence, so the
     // oracle replays ALL three training rounds (w0=0 makes round 1 flag
     // every row; later rounds flag y*(w·x) <= 0) and the final per-doc

@@ -3247,6 +3247,16 @@ object Queries {
     graft.ops.ExactSpans.dedupSpansAll(
       t(s, dir, "documents"), "doc_id", "text", minLen = 4)
 
+  /** Maximal duplicated-span inventory ([[graft.ops.ExactSpans
+    * .maximalSpans]]) — the suffix-array REPORTING view beside q144's
+    * removal view: every maximal run of duplicated 4-token windows,
+    * located and extracted per document (all occurrences, canonical
+    * included). The oracle replays window detection and the gaps-and-
+    * islands run merge with the span text hash-checked. */
+  def q146MaximalSpans(s: SparkSession, dir: String): DataFrame =
+    graft.ops.ExactSpans.maximalSpans(
+      t(s, dir, "documents"), "doc_id", "text", minLen = 4)
+
   /** Old/new corpus snapshots for the INCREMENTAL build pair (q145).
     * Unlike q140's snapshots the EVAL suite (doc_id % 20 = 0) is pinned
     * IDENTICAL across both: mutations (' v1' suffix on every 13th doc)

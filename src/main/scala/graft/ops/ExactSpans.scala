@@ -223,6 +223,76 @@ object ExactSpans {
           t => element_at(col("ws"), t.cast("int"))), " ").as("deduped_text"))
   }
 
+  /** MAXIMAL duplicated-span INVENTORY — the reporting view a suffix
+    * array gives ("every maximal duplicated substring of length >= L,
+    * with its location"), over the same linear window pass as
+    * [[dedupSpansAll]]: per document, maximal RUNS of consecutive
+    * (step-1) duplicated L-window starts are merged by a gaps-and-
+    * islands sweep; a run [a..b] reports the span (start a, length
+    * b−a+L). ALL occurrences are inventoried (canonical included —
+    * this is analytics, not removal).
+    *
+    * SEMANTICS CAVEAT (the one place the window formulation is an
+    * upper envelope rather than exact): a run certifies every L-window
+    * inside it is duplicated SOMEWHERE, not that the whole run's text
+    * occurs twice as one contiguous string — two different partners
+    * can each match half of a run (chaining). Every true maximal
+    * duplicated substring of length >= L is contained in exactly one
+    * reported run, so the inventory never misses or splits one; it can
+    * only weld two abutting ones. The removal-set queries
+    * ([[dedupSpansAll]]) are unaffected — coverage is exact there.
+    *
+    * Output: (doc_id, span_start [0-based token], span_len [tokens],
+    * span_text) — one row per maximal run; span-free documents emit
+    * nothing. */
+  def maximalSpans(docs: DataFrame, idCol: String, textCol: String,
+                   minLen: Int): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2; got $minLen")
+    val L = minLen
+    val tok = docs.select(col(idCol).cast("long").as("doc_id"),
+      TextStats.words(lower(col(textCol))).as("ws"))
+    // Persisted: the exploded window table feeds the duplicate-key
+    // aggregation AND the join back — unpersisted, the explode (with
+    // its per-window key-string build, the pass's dominant cost) runs
+    // twice. Caching contract as the rest of the family: release with
+    // `spark.catalog.clearCache()`. At production scale this frame is
+    // the corpusShingles-style materialized artifact instead.
+    val win = tok
+      .filter(size(col("ws")) >= L && size(col("ws")) <= lit(PosRange))
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(0), size(col("ws")) - L)).as("p"))
+      .select(col("doc_id"), col("p"),
+        array_join(slice(col("ws"), col("p") + 1, lit(L)), " ").as("key"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dupKeys = win.groupBy(col("key"))
+      .agg(count(lit(1)).as("n")).filter(col("n") >= 2).select(col("key"))
+    val starts = win.join(dupKeys, "key")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("p").cast("long"))).as("_ss"))
+    // gaps-and-islands on the sorted start list: a start opens a run
+    // iff its gap to the previous start exceeds 1, closes one iff the
+    // next start is more than 1 away — the coveredBounds sweep at
+    // run-distance 1 instead of L
+    val ss = col("_ss")
+    val sPrev = concat(array(lit(-2L)), slice(ss, lit(1), size(ss) - 1))
+    val sNext = concat(slice(ss, lit(2), size(ss) - 1),
+      array(lit(Long.MaxValue - 1)))
+    val los = filter(zip_with(ss, sPrev, (s, p) => when(s - p > 1, s)),
+      x => x.isNotNull)
+    val his = filter(zip_with(ss, sNext, (s, nx) => when(nx - s > 1, s)),
+      x => x.isNotNull)
+    starts.join(tok, Seq("doc_id"))
+      .select(col("doc_id"), col("ws"),
+        explode(zip_with(los, his,
+          (a, b) => struct(a.as("s"), (b - a + L).as("l")))).as("sp"))
+      .select(col("doc_id"),
+        col("sp.s").as("span_start"),
+        col("sp.l").as("span_len"),
+        array_join(transform(
+          sequence(col("sp.s") + 1, col("sp.s") + col("sp.l")),
+          t => element_at(col("ws"), t.cast("int"))), " ").as("span_text"))
+  }
+
   /** MULTI-length span dedup — toward the paper's all-lengths exactness
     * without the suffix array: run the length-L detection at each of
     * `spanLens` independently (each length picks its own canonical

@@ -187,6 +187,34 @@ class ExactSpansSpec extends SparkSpec {
     survivors should include("s t u v")
   }
 
+  test("maximalSpans: locates full-length duplicated spans in every occurrence") {
+    val spans = ExactSpans.maximalSpans(docs(
+      1L -> "a b c d e f g x1 x2",
+      2L -> "z1 a b c d e f g z2"), "doc_id", "text", minLen = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    spans shouldBe Set(
+      (1L, 0L, 7L, "a b c d e f g"),
+      (2L, 1L, 7L, "a b c d e f g"))
+  }
+
+  test("maximalSpans: abutting runs weld (documented envelope semantics)") {
+    // doc 12's two duplicated windows have different partners (10 and
+    // 11); their step-1 starts weld into one 5-token run even though
+    // that 5-token string occurs nowhere else — the caveat the scaladoc
+    // pins, asserted so a silent semantics change is caught.
+    val spans = ExactSpans.maximalSpans(docs(
+      10L -> "x1 p q r s y1",
+      11L -> "x2 q r s t y2",
+      12L -> "p q r s t"), "doc_id", "text", minLen = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    spans shouldBe Set(
+      (10L, 1L, 4L, "p q r s"),
+      (11L, 1L, 4L, "q r s t"),
+      (12L, 0L, 5L, "p q r s t"))
+  }
+
   test("dedupSpansAll: short docs pass through; bounds validated") {
     val out = runAll(4, 5L -> "a b c", 6L -> "a b c")
     out(5L) shouldBe ((3L, 0L, "a b c"))
