@@ -158,6 +158,35 @@ class DedupSpec extends SparkSpec {
     j15 shouldBe 1.0
   }
 
+  test("portable simHash banding is EXACT at maxHamming<=3 (pigeonhole, 60-doc corpus)") {
+    // the q83b claim for the portable flavor: banded pairs must equal
+    // brute-force Hamming pairs — on a generated corpus with planted
+    // near-dups so the pair set is non-trivial
+    val base = Seq("the quick brown fox jumps over the lazy dog",
+      "pack my box with five dozen liquor jugs",
+      "how vexingly quick daft zebras jump today")
+    val rows = (0 until 60).map { i =>
+      val t = base(i % 3) + (if (i % 5 == 0) "" else s" tail${i / 5} word${i % 7} extra${i % 4}")
+      org.apache.spark.sql.Row(i.toLong, t)
+    }
+    val corpus = df("id BIGINT, text STRING", rows)
+    val fp = Dedup.simHashPortable(
+      Dedup.shingleSet(corpus, "id", "text", 3), "id")
+      .persist()
+    val banded = Dedup.simHashNearDupPairsPortableFromFp(fp, "id", 3)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val chunks = fp.collect().map(r => r.getLong(0) -> (1 to 4).map(r.getLong(_))).toMap
+    val brute = (for {
+      a <- chunks.keys; b <- chunks.keys if a < b
+      ham = (0 until 4).map(c =>
+        java.lang.Long.bitCount(chunks(a)(c) ^ chunks(b)(c))).sum
+      if ham <= 3
+    } yield (a, b)).toSet
+    banded shouldBe brute
+    brute.size should be > 0 // non-vacuous: the planted dups must pair
+    fp.unpersist()
+  }
+
   test("portable simHash: chunks in [0,65535], identical docs at distance 0") {
     val sh = Dedup.shingleSet(docs, "id", "text", 3)
     val fp = Dedup.simHashPortable(sh, "id")
