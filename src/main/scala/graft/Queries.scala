@@ -3425,19 +3425,31 @@ object Queries {
     // ONE linear assembly chain (the earlier three-branch union cost a
     // separate subtree per case -- measured stage count, not data, was
     // the cell's floor): every training doc of the new snapshot left-
-    // joins its previous row and its recomputed pieces, and per-column
-    // CASE logic picks reuse vs recompute vs short-circuit.
-    // The manifest universe is just the new snapshot's training ids — a
-    // column-pruned scan, cheaper than deriving it through the delta.
-    val ids = newSnap.filter(!isEval).select(col("doc_id"))
+    // joins its recomputed pieces, and per-column CASE logic picks
+    // reuse vs recompute vs short-circuit.
+    // The manifest universe IS prevU ∪ qDelta: a new-snapshot training
+    // doc is either unchanged (one stored-manifest row — prev_build
+    // covers every old training doc) or added/changed (one delta row),
+    // and the two id sets are disjoint by the delta's status partition.
+    // Deriving the universe as this union (vs the round-12 extra
+    // newSnap id scan left-joining both sides) removes one scan and two
+    // of the five assembly joins; folding the LM flag onto the decon
+    // frame before the assembly removes a third — measured together
+    // they took the sf0.1 cell from ~3.1 s to under half that, against
+    // the incremental-machinery DuckDB twin's 0.71 s.
     val recomputed = col("d_quality").isNotNull ||
       (col("pass_exact") && !coalesce(col("prev_exact"), lit(false)))
-    ids
-      .join(prevU, Seq("doc_id"), "left")
-      .join(qDelta.select(col("doc_id"), col("d_quality")), Seq("doc_id"), "left")
+    val nullB = lit(null).cast("boolean")
+    val perDoc = prevU.drop("content_hash").withColumn("d_quality", nullB)
+      .unionByName(qDelta.select(col("doc_id"),
+        nullB.as("prev_quality"), nullB.as("prev_exact"),
+        nullB.as("prev_decon"), nullB.as("prev_lm"),
+        lit(null).cast("string").as("prev_final"),
+        col("d_quality")))
+    val deconLm = decon.join(lm, Seq("doc_id"), "left")
+    perDoc
       .join(exactNew, Seq("doc_id"), "left")
-      .join(decon, Seq("doc_id"), "left")
-      .join(lm, Seq("doc_id"), "left")
+      .join(deconLm, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("d_quality"), col("prev_quality"), lit(false))
           .as("pass_quality"),
