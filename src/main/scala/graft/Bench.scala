@@ -314,6 +314,10 @@ object Bench {
           // stage; the merge rounds are vocabulary-sized, so total time
           // should grow far below 10x
           "q129_bpe_merges",
+          // the 32-merge production budget: a served artifact read (the
+          // iterative trainer runs once at build time) — the cell must
+          // stay flat at 10x like every artifact-serving plan
+          "q147_bpe_train32",
           // the perceptron trainer: per-round cost is one map-side-combined
           // aggregate over the checkpointed feature table — fixed job
           // overhead dominates small cells and must amortize at 10x
@@ -397,6 +401,7 @@ object Bench {
           "q109_curation_pipeline"    -> 4.0,
           "q124_source_caps"          -> 5.0,
           "q129_bpe_merges"           -> 4.0,
+          "q147_bpe_train32"          -> 4.0,
           "q131_quality_perceptron"   -> 4.0,
           "q112_png_decode"           -> 10.0,
           "q20_text_stats"            -> 15.0,

@@ -110,6 +110,67 @@ object Oracles {
         |  FROM dw JOIN v3 ON dw.word = v3.word
         |  GROUP BY dw.doc_id)"""
 
+  /** GENERATED `rounds`-round BPE training replay (q147) — the q129 CTE
+    * chain emitted by the same index loop [[graft.ops.Bpe]] iterates, so
+    * a bigger merge budget cannot drift the replay (the q138
+    * generated-SQL discipline). Two structural points vs the
+    * hand-written 3-round chain:
+    *   - every vocab CTE is MATERIALIZED: v(r−1) feeds both p(r) and
+    *     v(r), so the default inlining doubles the reference tree per
+    *     round — at 32 rounds that is a 2^32 expansion (observed as
+    *     "too many open files" on the documents scan before any row is
+    *     produced);
+    *   - t(r) CTEs stay inline (single consumer each, ≤1 row). */
+  private[graft] def bpeTrainSql(rounds: Int, topWords: Int): String = {
+    val head =
+      """WITH w AS (
+        |  SELECT lower(t) AS word
+        |  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS t
+        |        FROM documents)
+        |  WHERE regexp_matches(lower(t), '^[a-z]+$')),
+        |v0 AS MATERIALIZED (
+        |  SELECT word,
+        |    array_to_string(string_split(word, ''), ' ') AS sym,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM w GROUP BY word)""".stripMargin
+    val roundCtes = (1 to rounds).map { r =>
+      s""",
+         |p$r AS (
+         |  SELECT z[1] || ' ' || z[2] AS pair, CAST(sum(n) AS BIGINT) AS cnt
+         |  FROM (
+         |    SELECT n, unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS z
+         |    FROM (SELECT n, string_split(sym, ' ') AS l FROM v${r - 1}))
+         |  WHERE z[1] != z[2]
+         |  GROUP BY 1),
+         |t$r AS (
+         |  SELECT pair, replace(pair, ' ', '') AS merged, cnt
+         |  FROM p$r ORDER BY cnt DESC, pair LIMIT 1),
+         |v$r AS MATERIALIZED (
+         |  SELECT word,
+         |    CASE WHEN a IS NULL THEN sym0
+         |         ELSE array_to_string(list_transform(
+         |      list_filter(range(1, len(l) + 1),
+         |        p -> NOT (p >= 2 AND l[p-1] = a AND l[p] = b)),
+         |      p -> CASE WHEN p < len(l) AND l[p] = a AND l[p+1] = b
+         |                THEN m ELSE l[p] END), ' ') END AS sym, n
+         |  FROM (SELECT word, sym AS sym0, string_split(sym, ' ') AS l, n FROM v${r - 1})
+         |  LEFT JOIN (SELECT string_split(pair, ' ')[1] AS a,
+         |    string_split(pair, ' ')[2] AS b, merged AS m FROM t$r) ON TRUE)""".stripMargin
+    }.mkString
+    val mergeSelects = (1 to rounds).map { r =>
+      if (r == 1)
+        """SELECT 'merge' AS kind, pair AS key, merged AS value,
+          |    cnt AS weight, 1 AS ord FROM t1""".stripMargin
+      else s"SELECT 'merge', pair, merged, cnt, $r FROM t$r"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""$head$roundCtes
+       |SELECT kind, key, value, weight, ord FROM (
+       |  $mergeSelects
+       |  UNION ALL
+       |  SELECT 'word', word, sym, n, 0
+       |  FROM (SELECT * FROM v$rounds ORDER BY n DESC, word LIMIT $topWords))""".stripMargin
+  }
+
   /** q138: the q131 perceptron recurrence at k=68 — 4 standard features
     * plus 64 hashed-bigram bucket counts. The SQL is GENERATED by the
     * same index loops the Spark trainer unrolls with (68 update sums and
@@ -2386,6 +2447,10 @@ object Oracles {
     // All-lengths exact-substring dedup: q132's window/canonical replay
     // at L=4 plus the coverage-level keep rule — a token survives iff no
     // non-canonical duplicated window covers it OR a canonical one does.
+    // Production-budget BPE training: the 32-round generated replay
+    // (see bpeTrainSql — materialized vocab CTEs, generated rounds).
+    "q147_bpe_train32" -> bpeTrainSql(rounds = 32, topWords = 50),
+
     "q144_all_span_dedup" ->
       """WITH tok AS (
         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws

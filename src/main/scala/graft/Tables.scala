@@ -43,7 +43,14 @@ object Tables {
     * changes — the same immutability that makes [[table]] cacheable. */
   def servedArtifact(spark: SparkSession, path: String)(write: => Unit): DataFrame =
     memo(spark, s"artifact:$path") {
-      writePathIfAbsent(spark, path)(write)
+      // The build's terminal action (the parquet write) completes inside
+      // the block, so every multi-consumer frame an operator persisted
+      // during it (Bpe vocab rounds, Dedup signature frames — via
+      // CacheScope.scopedPersist) is released here instead of
+      // accumulating until a session-wide clearCache (VERDICT r12 #7).
+      CacheScope.withCachedFrames {
+        writePathIfAbsent(spark, path)(write)
+      }
       spark.read.parquet(path)
     }
 

@@ -115,6 +115,61 @@ class BpeSpec extends SparkSpec {
     out.toSeq shouldBe Seq((2L, 3L, "ab | c d"))
   }
 
+  // a corpus rich enough to sustain 32+ merges: ten repeated multi-char
+  // words, ~45 learnable pairs before exhaustion
+  private def richDocs = docs(
+    "alpha beta gamma delta epsilon zeta theta iota kappa lambda " +
+      "alpha beta gamma delta epsilon alpha beta gamma alpha beta alpha",
+    "lambda kappa iota theta zeta epsilon delta gamma beta alpha " +
+      "lambda kappa iota theta lambda kappa lambda")
+
+  test("iterative trainer is bit-identical to the unrolled plan on a shared budget") {
+    val wf = Bpe.wordFreq(richDocs, "text")
+    val unrolled = Bpe.trainFromWordFreq(wf, rounds = 5, topWords = 100)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val iterative = Bpe.trainIterative(wf, rounds = 5, topWords = 100)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    iterative shouldBe unrolled
+    spark.catalog.clearCache()
+  }
+
+  test("a 32-merge budget trains end-to-end and extends the unrolled prefix") {
+    // BPE is greedy: the first 6 merges of a 32-round run must equal the
+    // 6-round unrolled training exactly (prefix property), and the run
+    // must deliver all 32 rounds (the corpus sustains them).
+    val wf = Bpe.wordFreq(richDocs, "text")
+    val out32 = Bpe.trainFromWordFreq(wf, rounds = 32, topWords = 100)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getInt(4)))
+    val merges32 = out32.filter(_._1 == "merge").sortBy(_._5)
+    merges32.map(_._5).toSeq shouldBe (1 to 32)
+    val merges6 = Bpe.trainFromWordFreq(wf, rounds = 6, topWords = 1)
+      .collect().filter(_.getString(0) == "merge")
+      .map(r => (r.getInt(4), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1)
+    merges32.take(6).map(m => (m._5, m._2, m._3, m._4)).toSeq shouldBe
+      merges6.toSeq
+    // every ten-word symbol fully merged well before round 32: the top
+    // words' final segmentations must be single symbols
+    val words = out32.filter(_._1 == "word").map(w => w._2 -> w._3).toMap
+    words("alpha") shouldBe "alpha"
+    words("lambda") shouldBe "lambda"
+    spark.catalog.clearCache()
+  }
+
+  test("encodeVocab at a 32-merge budget reproduces the trainer's segmentations") {
+    import org.apache.spark.sql.functions.col
+    val wf = Bpe.wordFreq(richDocs, "text")
+    val trained = Bpe.trainFromWordFreq(wf, rounds = 32, topWords = 100)
+    val trainSegs = trained.filter(col("kind") === "word")
+      .collect().map(r => r.getString(1) -> r.getString(2)).toMap
+    val merges = trained.filter(col("kind") === "merge")
+    val vocabSegs = Bpe.encodeVocab(richDocs, "text", merges, nMerges = 32)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    vocabSegs shouldBe trainSegs
+    spark.catalog.clearCache()
+  }
+
   test("rounds beyond pair exhaustion are a no-op, not an empty result") {
     // one real merge exists (t,o); rounds 2..4 find nothing — the word
     // rows and the single merge row must survive all four rounds.
