@@ -110,6 +110,91 @@ object Oracles {
         |  FROM dw JOIN v3 ON dw.word = v3.word
         |  GROUP BY dw.doc_id)"""
 
+  /** GENERATED suffix-array maximal-span replay (q146) — the exact
+    * prefix-doubling + neighbor-LCP construction [[graft.ops.Suffix]]
+    * runs, emitted level by level (the q138/q147 generated-SQL
+    * discipline): `levels` rank CTEs (r0 ranks single tokens; r(k)
+    * dense-ranks the pair (r(k−1) at p, r(k−1) at p+2^(k−1)) with −1 —
+    * smaller than every real rank — padding positions past the
+    * document end), suffix-order adjacency by row_number over
+    * (rank, doc_id, p), then the greedy LCP walk high-to-low (acc +=
+    * 2^k when both sides' level-k blocks are fully in-bounds and their
+    * ranks agree), f = max LCP with either sort-neighbor, and the
+    * left-maximality filter (report p iff f(p) ≥ minLen and
+    * f(p−1) ≤ f(p); f falls by at most 1 per step, so
+    * immediate-predecessor containment is the only containment).
+    *
+    * `levels` must satisfy 2^levels ≥ the longest document's token
+    * count (testdata docs are ≤ 100 tokens at every SF; 2^8 = 256
+    * carries margin) — the Spark side iterates to the ACTUAL max
+    * length and the extra static levels here are no-ops (a block wider
+    * than every document is never in-bounds). Every rank and walk CTE
+    * is MATERIALIZED: each feeds two consumers, and default inlining
+    * would double the reference tree per level (the q147 lesson). */
+  private[graft] def suffixSpansSql(minLen: Int, levels: Int): String = {
+    val head =
+      """WITH tok AS MATERIALIZED (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+        |  FROM documents),
+        |pos AS MATERIALIZED (
+        |  SELECT doc_id, i - 1 AS p, len(ws) AS n, ws[i] AS tokn
+        |  FROM tok CROSS JOIN unnest(generate_series(1, len(ws))) AS g(i)
+        |  WHERE len(ws) <= 1000000),
+        |r0 AS MATERIALIZED (
+        |  SELECT doc_id, p, n, dense_rank() OVER (ORDER BY tokn) AS rank
+        |  FROM pos)""".stripMargin
+    val rankCtes = (1 to levels).map { k =>
+      val w = 1L << (k - 1)
+      s""",
+         |r$k AS MATERIALIZED (
+         |  SELECT a.doc_id, a.p, a.n,
+         |    dense_rank() OVER (ORDER BY a.rank, coalesce(b.rank, -1))
+         |      AS rank
+         |  FROM r${k - 1} a LEFT JOIN r${k - 1} b
+         |    ON b.doc_id = a.doc_id AND b.p = a.p + $w)""".stripMargin
+    }.mkString
+    val nbCte =
+      s""",
+         |ord AS MATERIALIZED (
+         |  SELECT doc_id, p, n,
+         |    row_number() OVER (ORDER BY rank, doc_id, p) AS seq
+         |  FROM r$levels),
+         |l${levels + 1} AS MATERIALIZED (
+         |  SELECT a.doc_id AS da, a.p AS pa, a.n AS na,
+         |    b.doc_id AS db, b.p AS pb, b.n AS nb,
+         |    CAST(0 AS BIGINT) AS acc
+         |  FROM ord a JOIN ord b ON b.seq = a.seq + 1)""".stripMargin
+    val walkCtes = (levels to 0 by -1).map { k =>
+      val w = 1L << k
+      s""",
+         |l$k AS MATERIALIZED (
+         |  SELECT t.da, t.pa, t.na, t.db, t.pb, t.nb,
+         |    CASE WHEN t.pa + t.acc + $w <= t.na
+         |              AND t.pb + t.acc + $w <= t.nb
+         |              AND ra.rank = rb.rank
+         |         THEN t.acc + $w ELSE t.acc END AS acc
+         |  FROM l${k + 1} t
+         |  LEFT JOIN r$k ra ON ra.doc_id = t.da AND ra.p = t.pa + t.acc
+         |  LEFT JOIN r$k rb ON rb.doc_id = t.db AND rb.p = t.pb + t.acc)""".stripMargin
+    }.mkString
+    s"""$head$rankCtes$nbCte$walkCtes,
+       |fpos AS MATERIALIZED (
+       |  SELECT doc_id, p, max(acc) AS f FROM (
+       |    SELECT da AS doc_id, pa AS p, acc FROM l0
+       |    UNION ALL
+       |    SELECT db, pb, acc FROM l0)
+       |  GROUP BY doc_id, p)
+       |SELECT c.doc_id, CAST(c.p AS BIGINT) AS span_start,
+       |  CAST(c.f AS BIGINT) AS span_len,
+       |  array_to_string(t.ws[c.p + 1 : c.p + c.f], ' ') AS span_text
+       |FROM (
+       |  SELECT c.doc_id, c.p, c.f
+       |  FROM fpos c LEFT JOIN fpos pr
+       |    ON pr.doc_id = c.doc_id AND pr.p = c.p - 1
+       |  WHERE c.f >= $minLen AND coalesce(pr.f, 0) <= c.f) c
+       |JOIN tok t USING (doc_id)""".stripMargin
+  }
+
   /** GENERATED `rounds`-round BPE training replay (q147) — the q129 CTE
     * chain emitted by the same index loop [[graft.ops.Bpe]] iterates, so
     * a bigger merge budget cannot drift the replay (the q138
@@ -2486,30 +2571,10 @@ object Oracles {
         |  coalesce(a.txt, '') AS deduped_text
         |FROM tok t LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
-    // Maximal duplicated-span inventory: duplicated 4-window starts per
-    // doc, merged into maximal step-1 runs by gaps-and-islands
-    // (p - row_number() island key), span text sliced from the doc.
-    "q146_maximal_spans" ->
-      """WITH tok AS (
-        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
-        |  FROM documents),
-        |win AS (
-        |  SELECT doc_id, i AS p, array_to_string(ws[i+1 : i+4], ' ') AS key
-        |  FROM tok CROSS JOIN unnest(generate_series(0, len(ws) - 4)) AS g(i)
-        |  WHERE len(ws) >= 4 AND len(ws) <= 1000000),
-        |dup AS (SELECT key FROM win GROUP BY key HAVING count(*) >= 2),
-        |st AS (SELECT DISTINCT w.doc_id, w.p FROM win w JOIN dup USING (key)),
-        |isl AS (
-        |  SELECT doc_id, p,
-        |    p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
-        |  FROM st),
-        |runs AS (
-        |  SELECT doc_id, min(p) AS s, max(p) - min(p) + 4 AS l
-        |  FROM isl GROUP BY doc_id, grp)
-        |SELECT r.doc_id, CAST(r.s AS BIGINT) AS span_start,
-        |  CAST(r.l AS BIGINT) AS span_len,
-        |  array_to_string(t.ws[r.s + 1 : r.s + r.l], ' ') AS span_text
-        |FROM runs r JOIN tok t USING (doc_id)""".stripMargin,
+    // EXACT maximal duplicated-span inventory: the suffix-array
+    // prefix-doubling + neighbor-LCP construction, generated level by
+    // level (see suffixSpansSql).
+    "q146_maximal_spans" -> suffixSpansSql(minLen = 4, levels = 8),
 
     // Batch-perceptron quality filter: pure integer recurrence, so the
     // oracle replays ALL three training rounds (w0=0 makes round 1 flag

@@ -232,15 +232,18 @@ object ExactSpans {
     * b−a+L). ALL occurrences are inventoried (canonical included —
     * this is analytics, not removal).
     *
-    * SEMANTICS CAVEAT (the one place the window formulation is an
-    * upper envelope rather than exact): a run certifies every L-window
-    * inside it is duplicated SOMEWHERE, not that the whole run's text
-    * occurs twice as one contiguous string — two different partners
-    * can each match half of a run (chaining). Every true maximal
-    * duplicated substring of length >= L is contained in exactly one
-    * reported run, so the inventory never misses or splits one; it can
-    * only weld two abutting ones. The removal-set queries
-    * ([[dedupSpansAll]]) are unaffected — coverage is exact there.
+    * SEMANTICS: this is the CHEAP TIER — an upper envelope, one linear
+    * window pass. A run certifies every L-window inside it is
+    * duplicated SOMEWHERE, not that the whole run's text occurs twice
+    * as one contiguous string — two different partners can each match
+    * half of a run (chaining). Every true maximal duplicated substring
+    * of length >= L is contained in exactly one reported run, so the
+    * inventory never misses or splits one; it can only weld two
+    * abutting ones. For EXACT reporting use [[Suffix.maximalSpansExact]]
+    * (distributed prefix-doubling suffix ranks + neighbor LCP — what
+    * q146 serves since round 13; O(log maxDocLen) rounds instead of
+    * one pass). The removal-set queries ([[dedupSpansAll]]) are
+    * unaffected — coverage is exact there.
     *
     * Output: (doc_id, span_start [0-based token], span_len [tokens],
     * span_text) — one row per maximal run; span-free documents emit

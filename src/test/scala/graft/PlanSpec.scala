@@ -228,16 +228,25 @@ class PlanSpec extends SparkSpec {
     p.split("\n").count(_.contains("Join")) should be <= 2
   }
 
-  test("q144/q146: all-lengths span family is window-free (min/gaps-and-islands, no per-key skew)") {
-    // same contract as q132: the canonical choice and the run merge are
-    // map-side-combined aggregates + array sweeps — a per-window-key
-    // row_number would serialize a stop-phrase key on one core at scale
+  test("q144/q146: all-lengths span family is window-free (no per-key skew)") {
+    // same contract as q132: a per-window-key row_number would
+    // serialize a stop-phrase key on one core at scale. q144's
+    // canonical choice is a map-side-combined aggregate + array sweep;
+    // q146 (exact suffix inventory since round 13) does its ranking in
+    // EAGER build-time rounds through the scale-safe two-phase
+    // denseRankKey (windows partitioned by spark_partition_id, never
+    // global) — the served plan reads the checkpointed LCP frame, so
+    // the final plan stays window-free too
     Seq(Queries.q144AllSpanDedup _, Queries.q146MaximalSpans _).foreach { q =>
       val p = plan(q)
       p.split("\n").filterNot(_.contains("WindowGroupLimit"))
         .count(_.contains("Window")) shouldBe 0
-      p should include("HashAggregate")
     }
+    // q144's canonical choice is the map-side-combined aggregate
+    plan(Queries.q144AllSpanDedup) should include("HashAggregate")
+    // q146's reporting plan reads the stored suffix index, never
+    // re-derives the doubling construction in-query
+    plan(Queries.q146MaximalSpans) should include("suffix_f_v1")
   }
 
   test("q25: portable LSH top-k runs the native projection kernel, queries broadcast") {

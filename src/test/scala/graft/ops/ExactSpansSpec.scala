@@ -198,21 +198,35 @@ class ExactSpansSpec extends SparkSpec {
       (2L, 1L, 7L, "a b c d e f g"))
   }
 
-  test("maximalSpans: abutting runs weld (documented envelope semantics)") {
+  test("maximalSpans welds where the exact suffix inventory splits (tier contract)") {
     // doc 12's two duplicated windows have different partners (10 and
-    // 11); their step-1 starts weld into one 5-token run even though
-    // that 5-token string occurs nowhere else — the caveat the scaladoc
-    // pins, asserted so a silent semantics change is caught.
-    val spans = ExactSpans.maximalSpans(docs(
+    // 11); the cheap envelope tier welds their step-1 starts into one
+    // 5-token run even though that 5-token string occurs nowhere else —
+    // still pinned, because the tier's documented contract is exactly
+    // this upper envelope. The EXACT tier (Suffix.maximalSpansExact,
+    // round 13 — what q146 now serves) must SPLIT the weld into the two
+    // true maximal spans on the same corpus: every reported span's text
+    // genuinely occurs twice as one contiguous string.
+    val corpus = docs(
       10L -> "x1 p q r s y1",
       11L -> "x2 q r s t y2",
-      12L -> "p q r s t"), "doc_id", "text", minLen = 4)
+      12L -> "p q r s t")
+    val envelope = ExactSpans.maximalSpans(corpus, "doc_id", "text", minLen = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
       .toSet
-    spans shouldBe Set(
+    envelope shouldBe Set(
       (10L, 1L, 4L, "p q r s"),
       (11L, 1L, 4L, "q r s t"),
-      (12L, 0L, 5L, "p q r s t"))
+      (12L, 0L, 5L, "p q r s t")) // the weld: "p q r s t" occurs once
+    val exact = Suffix.maximalSpansExact(corpus, "doc_id", "text", minLen = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    exact shouldBe Set(
+      (10L, 1L, 4L, "p q r s"),
+      (11L, 1L, 4L, "q r s t"),
+      (12L, 0L, 4L, "p q r s"),
+      (12L, 1L, 4L, "q r s t")) // split: both halves, each truly duplicated
+    spark.catalog.clearCache()
   }
 
   test("dedupSpansAll: short docs pass through; bounds validated") {
