@@ -357,6 +357,10 @@ object Bench {
           // pays: only the delta's text is re-read at 10x, so growth
           // must land well under the rebuild's
           "q145_incremental_corpus",
+          // the incremental MinHash index: delta-only re-signing +
+          // maintained-index banding — at 10x the reused majority is an
+          // artifact read, so growth must stay far below the rebuild's
+          "q148_incremental_minhash",
           "q122_audio_frames").filter(SparkEntry.queries.contains)
         // Min-of-3 for BOTH sides of the ratio, measured back-to-back in
         // the SAME session config: round 9's q122 growth read 4.6x on one
@@ -411,6 +415,7 @@ object Bench {
           "q139_multi_span_dedup"     -> 15.0,
           "q144_all_span_dedup"       -> 15.0,
           "q145_incremental_corpus"   -> 6.0,
+          "q148_incremental_minhash"  -> 6.0,
           "q138_quality_ngram_perceptron" -> 6.0,
           "q143_corpus_build"         -> 6.0,
           "q122_audio_frames"         -> 15.0)

@@ -836,6 +836,58 @@ object Oracles {
     // string pairs, candidates verified with the EXACT shingle
     // intersection (the same count Spark's array_intersect of the
     // carried shingle sets produces).
+    // Incremental MinHash index maintenance: the oracle replays the
+    // FULL index rebuild over the new snapshot (signatures for every
+    // doc, banding, the bucket-occupancy cap, exact-Jaccard
+    // verification) while Spark reuses the stored index for unchanged
+    // docs and re-signs only the delta — a hash match IS the
+    // batch≡incremental theorem for the pair set (q145's
+    // equivalence-as-oracle shape; q19's CTE structure with the
+    // snapshot predicate and the occupancy cap in place of the
+    // corpus-DF cap).
+    "q148_incremental_minhash" -> {
+      val mhs = (0 until 16)
+        .map(i => s"min(md5('$i:' || shingle)) AS mh_$i")
+        .mkString(",\n        |    ")
+      val bands = (0 until 8)
+        .map(b => s"SELECT doc_id, $b AS band_idx, " +
+          s"mh_${2 * b} || '|' || mh_${2 * b + 1} AS band_key FROM sigs")
+        .mkString("\n        |  UNION ALL ")
+      s"""WITH wrds AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+        |  FROM documents WHERE doc_id % 19 <> 0 OR doc_id % 20 = 0),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+        |  FROM wrds, LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i)),
+        |sigs AS (
+        |  SELECT doc_id,
+        |    $mhs,
+        |    CAST(count(*) AS BIGINT) AS m
+        |  FROM sh GROUP BY doc_id),
+        |bands AS (
+        |  $bands),
+        |bok AS (
+        |  SELECT doc_id, band_idx, band_key FROM bands
+        |  QUALIFY count(*) OVER (PARTITION BY band_idx, band_key) <= 64),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bok a JOIN bok b USING (band_idx, band_key)
+        |  WHERE a.doc_id < b.doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(count(*) AS BIGINT) AS i
+        |  FROM sh a
+        |  JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  CAST(i AS DOUBLE) / CAST(ca.m + cb.m - i AS DOUBLE) AS jaccard
+        |FROM inter
+        |JOIN sigs ca ON doc_a = ca.doc_id
+        |JOIN sigs cb ON doc_b = cb.doc_id
+        |WHERE CAST(i AS DOUBLE) / CAST(ca.m + cb.m - i AS DOUBLE) >= 0.5""".stripMargin
+    },
+
     "q19_minhash_neardup" -> {
       val mhs = (0 until 16)
         .map(i => s"min(md5('$i:' || shingle)) AS mh_$i")

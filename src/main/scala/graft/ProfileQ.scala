@@ -40,7 +40,7 @@ object ProfileQ {
       if (i == reps) {
         val wallSum = stages.map(_._3).sum
         println(f"   stage wall sum ${wallSum / 1e3}%.2f s")
-        stages.sortBy(-_._3).take(25).foreach { case (id, n, w, r) =>
+        stages.sortBy(_._1).take(45).foreach { case (id, n, w, r) =>
           println(f"   stage $id%4d wall ${w}%5d ms run ${r}%6d ms  $n")
         }
       }

@@ -3399,6 +3399,70 @@ object Queries {
     }
   }
 
+  /** The previous crawl's MinHash band index — the portable signature
+    * table ([[graft.ops.Dedup.minHashSignaturesPortable]], k=16) over
+    * the old snapshot's 3-gram shingles, stored. The maintained-index
+    * artifact q148 updates incrementally: signatures depend only on
+    * each document's own shingles, so this is the near-dup analog of
+    * [[prevCorpusBuild]]. */
+  private def prevMinhashIndex(s: SparkSession, dir: String): DataFrame = {
+    val sfTag = Tables.corpusTag(s, dir, "documents")
+    val path = s"${Tables.scratchDir(s)}/minhash_idx16_old_v1/$sfTag"
+    Tables.servedArtifact(s, path) {
+      Dedup.minHashSignaturesPortable(
+          Dedup.shingleSet(q145OldSnap(s, dir), "doc_id", "text", 3),
+          "doc_id", k = 16)
+        .write.mode("overwrite").parquet(path)
+    }
+  }
+
+  /** INCREMENTAL near-dup index maintenance (VERDICT r12 ask #5 — the
+    * q145 pattern applied to the MinHash band index): rebuild the new
+    * snapshot's near-dup PAIR SET by reusing the stored signature index
+    * ([[prevMinhashIndex]]) for unchanged documents and re-signing only
+    * the snapshot delta — unchanged text is never re-read, re-shingled
+    * or re-hashed on the indexing side. Signatures are per-document
+    * state (no corpus-global dependence), which is exactly what makes
+    * the index maintainable; the one corpus-dependent guard is the
+    * band-bucket occupancy cap, recomputed from the maintained index
+    * itself ([[graft.ops.Dedup.minHashPairsFromIndex]] — a local
+    * property, unlike the self-join family's corpus-wide DF cap whose
+    * every value can shift when any document changes). Candidate
+    * verification joins back to the candidate documents' text only.
+    *
+    * The batch≡incremental proof is the ORACLE (q145's
+    * equivalence-as-oracle shape): DuckDB replays the FULL recompute —
+    * signatures for every new-snapshot document, banding, the
+    * occupancy cap, and exact-Jaccard verification — so a hash match
+    * IS the equivalence theorem for the emitted pair set; the sbt spec
+    * asserts the same equality in-engine against a fresh full-index
+    * build. */
+  def q148IncrementalMinhash(s: SparkSession, dir: String): DataFrame = {
+    val newSnap = q145NewSnap(s, dir)
+    val delta = graft.ops.SnapshotDelta.diffHashed(
+      prevSnapshotHashes(s, dir),
+      newSnap.select(col("doc_id"),
+        graft.ops.TextStats.contentHash(col("text")).as("content_hash")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val unchangedIds = delta.filter(col("status") === "unchanged")
+      .select(col("doc_id"))
+    val changedIds = delta.filter(col("needs_processing"))
+      .select(col("doc_id"))
+    val reused = prevMinhashIndex(s, dir)
+      .join(unchangedIds, Seq("doc_id"), "leftsemi")
+    val reSigned = Dedup.minHashSignaturesPortable(
+      Dedup.shingleSet(newSnap.join(changedIds, Seq("doc_id"), "leftsemi"),
+        "doc_id", "text", 3),
+      "doc_id", k = 16)
+    // Persisted: the maintained index feeds the banding explode AND the
+    // two Jaccard-denominator joins — unpersisted, each consumer re-runs
+    // the reuse semi-join and the delta re-sign aggregation.
+    val index = reused.unionByName(reSigned)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Dedup.minHashPairsFromIndex(index, newSnap, "doc_id", "text", n = 3,
+      k = 16, rowsPerBand = 2, minJaccard = 0.5, bucketCap = 64)
+  }
+
   /** The previous crawl's FULL fingerprint table (doc_id, content_hash
     * for every doc, eval included) — the ingest-layer artifact
     * [[graft.ops.SnapshotDelta.diffHashed]] assumes: the delta against

@@ -26,6 +26,22 @@ class IncrementalBuildSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q148 incremental MinHash pair set ≡ full index rebuild over the new snapshot") {
+    val inc = Queries.q148IncrementalMinhash(spark, dir)
+    val newSnap = Queries.q145NewSnap(spark, dir)
+    val fullIndex = ops.Dedup.minHashSignaturesPortable(
+      ops.Dedup.shingleSet(newSnap, "doc_id", "text", 3), "doc_id", k = 16)
+    val full = ops.Dedup.minHashPairsFromIndex(fullIndex, newSnap,
+      "doc_id", "text", n = 3, k = 16, rowsPerBand = 2,
+      minJaccard = 0.5, bucketCap = 64)
+    val n = inc.count()
+    n shouldBe full.count()
+    n should be > 0L
+    inc.exceptAll(full).count() shouldBe 0L
+    full.exceptAll(inc).count() shouldBe 0L
+    spark.catalog.clearCache()
+  }
+
   test("the delta actually exercises every reuse case at sf0.001") {
     // The snapshot arithmetic must produce added, changed, removed AND
     // unchanged docs — otherwise the equivalence above is vacuous for
