@@ -342,6 +342,10 @@ object Bench {
           // construction; superlinear growth means the occurrence join
           // or the coverage union degenerated
           "q144_all_span_dedup",
+          // the chunked formulation: same linear window pass through
+          // chunk-local rows plus the reassembly aggregation — growth
+          // must track q132's
+          "q149_chunked_span_dedup",
           // the 68-feature trainer: featurization is artifact-built in
           // sample 1; the per-round aggregate carries 68 partial sums
           // over 10x rows and must amortize like q131's k=4
@@ -414,6 +418,7 @@ object Bench {
           "q137_decontaminate"        -> 15.0,
           "q139_multi_span_dedup"     -> 15.0,
           "q144_all_span_dedup"       -> 15.0,
+          "q149_chunked_span_dedup"   -> 15.0,
           "q145_incremental_corpus"   -> 6.0,
           "q148_incremental_minhash"  -> 6.0,
           "q138_quality_ngram_perceptron" -> 6.0,

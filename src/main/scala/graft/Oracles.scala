@@ -357,6 +357,38 @@ object Oracles {
        |FROM tok t LEFT JOIN agg a USING (doc_id)""".stripMargin
   }
 
+  /** q132's fixed-L (L=5) span-dedup replay — shared verbatim by
+    * q149 (the chunked formulation is provably equivalent, so one
+    * SQL gates both engine paths). */
+  private val SpanDedup5Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+      |  FROM documents),
+      |win AS (
+      |  SELECT doc_id, i AS p, array_to_string(ws[i+1 : i+5], ' ') AS key
+      |  FROM tok CROSS JOIN unnest(generate_series(0, len(ws) - 5)) AS g(i)
+      |  WHERE len(ws) >= 5 AND len(ws) <= 1000000),
+      |occ AS (
+      |  SELECT key, count(*) AS n, min(doc_id * 1000000 + p) AS canon
+      |  FROM win GROUP BY key HAVING count(*) >= 2),
+      |m AS (
+      |  SELECT w.doc_id, w.p
+      |  FROM win w JOIN occ o ON w.key = o.key
+      |  WHERE w.doc_id * 1000000 + w.p <> o.canon),
+      |kept AS (
+      |  SELECT t.doc_id, i, t.ws[i] AS tokn
+      |  FROM tok t CROSS JOIN unnest(generate_series(1, len(t.ws))) AS g(i)
+      |  WHERE NOT EXISTS (SELECT 1 FROM m
+      |    WHERE m.doc_id = t.doc_id AND i BETWEEN m.p + 1 AND m.p + 5)),
+      |agg AS (
+      |  SELECT doc_id, count(*) AS n_kept,
+      |    string_agg(tokn, ' ' ORDER BY i) AS txt
+      |  FROM kept GROUP BY doc_id)
+      |SELECT t.doc_id, CAST(len(t.ws) AS BIGINT) AS n_tokens,
+      |  CAST(len(t.ws) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+      |  coalesce(a.txt, '') AS deduped_text
+      |FROM tok t LEFT JOIN agg a USING (doc_id)""".stripMargin
+
   val parity: Map[String, String] = Map(
     "q139_multi_span_dedup" -> MultiSpanSql,
 
@@ -2553,40 +2585,15 @@ object Oracles {
     // selection, and the per-document rewrite — the deduped TEXT itself
     // is hash-compared.
     "q132_span_dedup" ->
-      """WITH tok AS (
-        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
-        |  FROM documents),
-        |win AS (
-        |  SELECT doc_id, i AS p, array_to_string(ws[i+1 : i+5], ' ') AS key
-        |  FROM tok CROSS JOIN unnest(generate_series(0, len(ws) - 5)) AS g(i)
-        |  WHERE len(ws) >= 5 AND len(ws) <= 1000000),
-        |occ AS (
-        |  SELECT key, count(*) AS n, min(doc_id * 1000000 + p) AS canon
-        |  FROM win GROUP BY key HAVING count(*) >= 2),
-        |m AS (
-        |  SELECT w.doc_id, w.p
-        |  FROM win w JOIN occ o ON w.key = o.key
-        |  WHERE w.doc_id * 1000000 + w.p <> o.canon),
-        |kept AS (
-        |  SELECT t.doc_id, i, t.ws[i] AS tokn
-        |  FROM tok t CROSS JOIN unnest(generate_series(1, len(t.ws))) AS g(i)
-        |  WHERE NOT EXISTS (SELECT 1 FROM m
-        |    WHERE m.doc_id = t.doc_id AND i BETWEEN m.p + 1 AND m.p + 5)),
-        |agg AS (
-        |  SELECT doc_id, count(*) AS n_kept,
-        |    string_agg(tokn, ' ' ORDER BY i) AS txt
-        |  FROM kept GROUP BY doc_id)
-        |SELECT t.doc_id, CAST(len(t.ws) AS BIGINT) AS n_tokens,
-        |  CAST(len(t.ws) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
-        |  coalesce(a.txt, '') AS deduped_text
-        |FROM tok t LEFT JOIN agg a USING (doc_id)""".stripMargin,
+      SpanDedup5Sql,
+
+    // Production-budget BPE training: the 32-round generated replay
+    // (see bpeTrainSql — materialized vocab CTEs, generated rounds).
+    "q147_bpe_train32" -> bpeTrainSql(rounds = 32, topWords = 50),
 
     // All-lengths exact-substring dedup: q132's window/canonical replay
     // at L=4 plus the coverage-level keep rule — a token survives iff no
     // non-canonical duplicated window covers it OR a canonical one does.
-    // Production-budget BPE training: the 32-round generated replay
-    // (see bpeTrainSql — materialized vocab CTEs, generated rounds).
-    "q147_bpe_train32" -> bpeTrainSql(rounds = 32, topWords = 50),
 
     "q144_all_span_dedup" ->
       """WITH tok AS (
@@ -3986,5 +3993,13 @@ object Oracles {
         |    PARTITION BY content_hash ORDER BY ts, event_id) AS rn
         |  FROM h)
         |SELECT event_id, ts, user_id, event_type, value, content_hash
-        |FROM r WHERE rn = 1""".stripMargin)
+        |FROM r WHERE rn = 1""".stripMargin,
+
+    // Chunked span dedup (q149): PROVABLY the same semantics as q132 on
+    // in-domain corpora (ExactSpansSpec asserts frame equality), so the
+    // oracle is q132's replay verbatim — the driver's hash match
+    // re-proves chunked ≡ direct on real data every round (the q145
+    // equivalence-as-oracle pattern; the chunking machinery is
+    // Spark-side only, with no SQL analog to drift).
+    "q149_chunked_span_dedup" -> SpanDedup5Sql)
 }

@@ -2928,6 +2928,21 @@ object Queries {
     graft.ops.ExactSpans.dedupSpans(
       t(s, dir, "documents"), "doc_id", "text", spanLen = 5)
 
+  /** CHUNKED span dedup ([[graft.ops.ExactSpans.dedupSpansChunked]] —
+    * VERDICT r12 ask #8): q132's semantics with the document-length
+    * domain bound REMOVED — chunks of 64 tokens overlapping by
+    * spanLen−1, exactly-once window ownership, per-chunk interval
+    * rewrite, chunk-ordered reassembly; no per-document row past the
+    * tokenize map, no position encoding to outgrow. The oracle is
+    * q132's replay VERBATIM (the operators are provably equivalent on
+    * in-domain corpora — ExactSpansSpec asserts frame equality with
+    * boundaries forced through spans), so the driver's hash match
+    * re-proves chunked ≡ direct on real data every round — the q145
+    * equivalence-as-oracle pattern. */
+  def q149ChunkedSpanDedup(s: SparkSession, dir: String): DataFrame =
+    graft.ops.ExactSpans.dedupSpansChunked(
+      t(s, dir, "documents"), "doc_id", "text", spanLen = 5, chunkLen = 64)
+
   /** Model-based quality filtering ([[graft.ops.QualityFilter
     * .trainPerceptron]]): train a batch perceptron to predict lang='en'
     * from integer document features (bias, word count, char count,

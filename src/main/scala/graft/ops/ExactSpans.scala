@@ -29,9 +29,11 @@ import org.apache.spark.sql.functions._
   * longer than PosRange (10^6) tokens are OUTSIDE the dedup domain:
   * they contribute no windows and pass through unrewritten (an explicit
   * bound, not a silent truncation — a corpus with multi-million-token
-  * documents should chunk them upstream or raise PosRange together with
-  * the oracle's encoding constant). All strings and integers — the
-  * oracle replays every stage exactly, including the rewritten text.
+  * documents should use [[dedupSpansChunked]], which removes the bound
+  * entirely via overlapping chunks with exactly-once window ownership,
+  * or raise PosRange together with the oracle's encoding constant).
+  * All strings and integers — the oracle replays every stage exactly,
+  * including the rewritten text.
   *
   * KEEP-ONE-CANONICAL in [[dedupSpans]] is per WINDOW, not absolute per
   * span content: when a DIFFERENT duplicated window's non-canonical
@@ -333,6 +335,115 @@ object ExactSpans {
   /** Detection at one length: (doc_id, starts) — the sorted distinct
     * 0-based starts of every NON-canonical occurrence of a duplicated
     * length-L window. */
+  /** [[dedupSpans]] WITHOUT the document-length domain bound — the
+    * chunk + boundary-overlap + reassemble formulation (VERDICT r12
+    * ask #8): documents of ANY token count are processed, because no
+    * per-document row ever carries more than `chunkLen` tokens past
+    * the initial tokenize+explode map and no position is ever encoded
+    * into a bounded integer.
+    *
+    * Construction (exactly-once window ownership):
+    *   - chunks start every `step = chunkLen − spanLen + 1` tokens and
+    *     carry `chunkLen` tokens, so consecutive chunks OVERLAP by
+    *     spanLen − 1 — every global L-window [g, g+L) lies whole inside
+    *     the chunk starting at floor(g/step)·step (g mod step ≤
+    *     chunkLen − L by construction), and emitting from each chunk
+    *     only the windows whose local offset is < step yields every
+    *     global window EXACTLY ONCE with its global position;
+    *   - the canonical occurrence is min(struct(doc_id, g)) — the same
+    *     lexicographic (doc_id, position) order as [[dedupSpans]]'
+    *     min-encoding, with no posRange constant to outgrow;
+    *   - each chunk OWNS global token positions [cs+1, cs+step]
+    *     (clipped to the document) — disjoint, exhaustive — and a
+    *     marked span's cut is routed to the ≤2 chunks whose owned
+    *     ranges it touches (span length L ≤ step + ... ≤ chunkLen, so
+    *     a span crosses at most one owner boundary); the per-chunk
+    *     rewrite is [[coveredBounds]]' interval sweep clipped to the
+    *     owned range, O(chunk tokens + chunk spans);
+    *   - reassembly concatenates each document's per-chunk kept token
+    *     lists in chunk order — one per-doc aggregation whose rows are
+    *     chunk-sized, never document-sized.
+    *
+    * Output and semantics are [[dedupSpans]]' EXACTLY for in-domain
+    * corpora (ExactSpansSpec asserts frame equality with chunk
+    * boundaries forced through spans; q149's oracle is q132's replay
+    * verbatim, so the driver's hash match proves chunked ≡ direct each
+    * round). The one divergence is the point of the operator: documents
+    * longer than [[dedupSpans]]' posRange are deduplicated here instead
+    * of passing through unrewritten. */
+  def dedupSpansChunked(docs: DataFrame, idCol: String, textCol: String,
+                        spanLen: Int, chunkLen: Int): DataFrame = {
+    require(spanLen >= 2, s"spanLen must be >= 2; got $spanLen")
+    require(chunkLen >= spanLen,
+      s"chunkLen ($chunkLen) must be >= spanLen ($spanLen)")
+    require(chunkLen <= Int.MaxValue / 2, s"chunkLen too large: $chunkLen")
+    val L = spanLen
+    val step = chunkLen - L + 1
+    val tok = docs.select(col(idCol).cast("long").as("doc_id"),
+      TextStats.words(lower(col(textCol))).as("ws"))
+    // Persisted: the chunk table feeds window extraction AND the final
+    // reassembly join (scope-released in servedArtifact builds).
+    val chunks = graft.CacheScope.scopedPersist(tok
+      .select(col("doc_id"), size(col("ws")).cast("long").as("n"),
+        explode(sequence(lit(0L), size(col("ws")).cast("long") - 1,
+          lit(step.toLong))).as("cs"), col("ws"))
+      .select(col("doc_id"), col("n"), col("cs"),
+        slice(col("ws"), col("cs").cast("int") + 1, lit(chunkLen)).as("cws")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wins = chunks
+      .filter(size(col("cws")) >= L)
+      .select(col("doc_id"), col("cs"), col("cws"),
+        explode(sequence(lit(0),
+          least(lit(step - 1), size(col("cws")) - L))).as("p"))
+      .select(col("doc_id"), (col("cs") + col("p")).as("g"),
+        array_join(slice(col("cws"), col("p") + 1, lit(L)), " ").as("key"))
+    val occ = wins.groupBy(col("key"))
+      .agg(count(lit(1)).as("_cnt"),
+        min(struct(col("doc_id").as("d"), col("g").as("g"))).as("canon"))
+      .filter(col("_cnt") >= 2)
+    val marked = wins.join(occ, "key")
+      .filter(!(col("doc_id") === col("canon.d") && col("g") === col("canon.g")))
+      .select(col("doc_id"), col("g"))
+    // Route each cut to the <= 2 chunks whose OWNED token ranges
+    // [c*step+1, c*step+step] it covers.
+    val spanChunks = marked
+      .select(col("doc_id"), col("g"),
+        explode(array_distinct(array(
+          floor(col("g") / step).cast("long"),
+          floor((col("g") + L - 1) / step).cast("long")))).as("ci"))
+      .select(col("doc_id"), (col("ci") * step).as("cs"), col("g"))
+      .groupBy(col("doc_id"), col("cs"))
+      .agg(sort_array(collect_set(col("g"))).as("starts"))
+    val ownLo = col("cs") + 1
+    val ownHi = least(col("cs") + step, col("n"))
+    val (los, his) = coveredBounds(col("starts"), L)
+    val clipped = filter(
+      zip_with(los, his, (a, b) => struct(a.as("lo"), b.as("hi"))),
+      pr => pr.getField("lo") <= ownHi && pr.getField("hi") >= ownLo)
+    val gapLo = concat(array(ownLo.cast("long")),
+      transform(clipped, pr => least(pr.getField("hi"), ownHi) + 1))
+    val gapHi = concat(
+      transform(clipped, pr => greatest(pr.getField("lo"), ownLo) - 1),
+      array(ownHi.cast("long")))
+    val keptG = when(coalesce(size(col("starts")), lit(0)) === 0,
+        sequence(ownLo.cast("long"), ownHi.cast("long")))
+      .otherwise(flatten(zip_with(gapLo, gapHi,
+        (a, b) => when(a <= b, sequence(a, b))
+          .otherwise(array().cast("array<bigint>")))))
+    val chunkKept = chunks.join(spanChunks, Seq("doc_id", "cs"), "left")
+      .withColumn("_kt", transform(keptG,
+        t => element_at(col("cws"), (t - col("cs")).cast("int"))))
+      .select(col("doc_id"), col("n"), col("cs"), col("_kt"))
+    chunkKept.groupBy(col("doc_id"))
+      .agg(max(col("n")).as("n_tokens"),
+        (max(col("n")) - sum(size(col("_kt")))).as("n_removed"),
+        array_join(flatten(transform(
+          sort_array(collect_list(struct(col("cs"), col("_kt").as("kt")))),
+          s => s.getField("kt"))), " ").as("deduped_text"))
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+        col("deduped_text"))
+  }
+
   private def markedStarts(tok: DataFrame, L: Int,
                            posRange: Long = PosRange): DataFrame = {
     // All stride-1 windows of length L: (doc_id, p [0-based], key).

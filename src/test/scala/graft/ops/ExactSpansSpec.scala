@@ -229,6 +229,52 @@ class ExactSpansSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("dedupSpansChunked ≡ dedupSpans with chunk boundaries forced through spans") {
+    // chunkLen barely above spanLen => step 2, many chunks, and the
+    // duplicated spans straddle owner boundaries — the routing, the
+    // clipped interval sweep and the reassembly all exercised. A second
+    // corpus with overlapping duplicated windows exercises the interval
+    // merge across chunk routes.
+    val corpora = Seq(
+      docs(
+        1L -> "a b c d e f g h i j k l m",
+        2L -> "x c d e f g y z w q r s t",
+        3L -> "m n o p q c d e f g h u v"),
+      docs(
+        1L -> "p q r p q r p q r p q r",
+        2L -> "z p q r p q r z z z z z"))
+    for (corpus <- corpora; l <- Seq(3, 4); cl <- Seq(l + 1, l + 3, 16)) {
+      val direct = ExactSpans.dedupSpans(corpus, "doc_id", "text", l)
+      val chunked = ExactSpans.dedupSpansChunked(corpus, "doc_id", "text",
+        l, chunkLen = cl)
+      withClue(s"L=$l chunkLen=$cl: ") {
+        chunked.exceptAll(direct).count() shouldBe 0L
+        direct.exceptAll(chunked).count() shouldBe 0L
+      }
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("dedupSpansChunked processes docs past dedupSpans' position bound") {
+    // with a tiny posRange, dedupSpans passes the long doc through
+    // unrewritten; the chunked flavor (no position encoding) dedups it
+    val corpus = docs(
+      1L -> "a b c d e f g h i j",
+      2L -> "z z a b c d z z z z")
+    val bounded = ExactSpans.dedupSpans(corpus, "doc_id", "text", 4,
+        posRange = 8) // doc 1 (10 tokens) is out of the bounded domain
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    bounded(1L) shouldBe 0L // passed through
+    bounded(2L) shouldBe 0L // its partner lost, nothing duplicated
+    val chunked = ExactSpans.dedupSpansChunked(corpus, "doc_id", "text", 4,
+        chunkLen = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    chunked.toSet shouldBe Set(
+      (1L, 0L, "a b c d e f g h i j"),   // canonical survives
+      (2L, 4L, "z z z z z z"))           // non-canonical occurrence cut
+    spark.catalog.clearCache()
+  }
+
   test("dedupSpansAll: short docs pass through; bounds validated") {
     val out = runAll(4, 5L -> "a b c", 6L -> "a b c")
     out(5L) shouldBe ((3L, 0L, "a b c"))
