@@ -114,9 +114,15 @@ object Suffix {
     // ties (identical full suffixes) ordered arbitrarily-but-totally by
     // position, which is irrelevant to LCP — then each suffix paired
     // with its successor.
+    // Checkpointed: the frame feeds BOTH sides of the adjacency
+    // self-join — materializing one copy makes the pairing
+    // read-consistent by construction (and was the probe that exposed
+    // the denseRankKey two-reader divergence this operator's sf0.1
+    // differential caught in round 13).
     val ord = SurrogateKeys.denseRankKey(last, "_seq",
         Seq("rank", "doc_id", "p"))
       .select(col("doc_id"), col("p"), col("n"), col("_seq"))
+      .localCheckpoint()
     val nb = ord.select(col("doc_id").as("da"), col("p").as("pa"),
         col("n").as("na"), col("_seq"))
       .join(ord.select(col("doc_id").as("db"), col("p").as("pb"),

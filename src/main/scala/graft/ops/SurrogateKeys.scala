@@ -34,9 +34,30 @@ object SurrogateKeys {
     * unique tiebreaker). Every stage is Catalyst-planned and codegen'd.
     */
   def denseRankKey(df: DataFrame, keyCol: String, orderCols: Seq[String]): DataFrame = {
+    // MATERIALIZED ranged layout (round-13 correctness fix): `_pid`
+    // must mean the same partition layout in the offsets pass and the
+    // row-number pass — but the range exchange feeds TWO readers, and
+    // each gets its own physical instance when exchange reuse doesn't
+    // fire (observed with checkpointed inputs under AQE at 270k rows):
+    // the two instances sample different range boundaries and/or
+    // coalesce differently, so offsets keyed on layout A were added to
+    // row numbers from layout B — keys came out with gaps (max 303k
+    // over 270k rows) or duplicates, while every small-input run stayed
+    // correct because the samplers happened to agree. The eager
+    // localCheckpoint freezes ONE layout that both passes then read —
+    // correctness by construction, at the cost of materializing the
+    // frame (at true fact scale substitute a storage-backed
+    // materialization, e.g. the bucketed-write path; the offsets
+    // technique fundamentally requires a read-consistent snapshot of
+    // the partitioning). The explicit partition count additionally
+    // pins the pre-checkpoint layout against AQE coalescing.
+    // SurrogateKeysSpec pins key density at a size that reproduced the
+    // divergence.
     val ranged = df
-      .repartitionByRange(orderCols.map(col): _*)
+      .repartitionByRange(df.sparkSession.sessionState.conf.numShufflePartitions,
+        orderCols.map(col): _*)
       .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
     val offsets = ranged
       .groupBy(col("_pid")).agg(count(lit(1)).as("_cnt"))
       .withColumn("_offset",

@@ -29,4 +29,25 @@ class SurrogateKeysSpec extends SparkSpec {
     val keyed = SurrogateKeys.denseRankKey(names(200), "k", Seq("name"))
     collectCol[Long](keyed.orderBy("k").select("k")) shouldBe (1L to 200L)
   }
+
+  test("denseRankKey: dense at 300k rows over a checkpointed input (two-reader divergence regression)") {
+    // Round-13 regression: with a LogicalRDD (checkpointed) input at
+    // ~270k rows, the offsets pass and the row-number pass could read
+    // the range exchange through DIVERGENT physical instances (different
+    // sampled boundaries / AQE coalescing), producing gapped or
+    // duplicated keys — every small-input run stayed correct, which is
+    // why only the q146 sf0.1 differential caught it. The fix freezes
+    // one ranged layout (localCheckpoint inside denseRankKey); this pins
+    // density at a size and input shape that reproduced the divergence.
+    import spark.implicits._
+    val big = (1 to 300000).map(i => (i * 2654435761L % 1000003, i))
+      .toDF("a", "b").localCheckpoint()
+    val keyed = SurrogateKeys.denseRankKey(big, "k", Seq("a", "b"))
+    val agg = keyed.agg(count(lit(1)), countDistinct(col("k")),
+      max(col("k")), min(col("k"))).head
+    agg.getLong(0) shouldBe 300000L
+    agg.getLong(1) shouldBe 300000L
+    agg.getLong(2) shouldBe 300000L
+    agg.getLong(3) shouldBe 1L
+  }
 }
