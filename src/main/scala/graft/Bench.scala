@@ -365,6 +365,14 @@ object Bench {
           // maintained-index banding — at 10x the reused majority is an
           // artifact read, so growth must stay far below the rebuild's
           "q148_incremental_minhash",
+          // cohesion diagnostics over the served pair/cluster artifacts:
+          // the 10x corpus is 10 disjoint shingle-spaces (per-copy word
+          // suffixes), so pairs/triangles grow exactly linearly and the
+          // degree-oriented wedge join must track them
+          "q150_dup_cohesion",
+          // systematic sampling: one range exchange over 10x rows plus
+          // fixed broadcast machinery — linear, amortizing
+          "q151_systematic_sample",
           "q122_audio_frames").filter(SparkEntry.queries.contains)
         // Min-of-3 for BOTH sides of the ratio, measured back-to-back in
         // the SAME session config: round 9's q122 growth read 4.6x on one
@@ -423,6 +431,8 @@ object Bench {
           "q148_incremental_minhash"  -> 6.0,
           "q138_quality_ngram_perceptron" -> 6.0,
           "q143_corpus_build"         -> 6.0,
+          "q150_dup_cohesion"         -> 6.0,
+          "q151_systematic_sample"    -> 6.0,
           "q122_audio_frames"         -> 15.0)
         val boundFor: String => Double =
           sys.env.get("SPARK_GRAFT_GROWTH_BOUND").map(_.toDouble) match {

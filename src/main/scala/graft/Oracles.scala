@@ -4001,5 +4001,92 @@ object Oracles {
     // re-proves chunked ≡ direct on real data every round (the q145
     // equivalence-as-oracle pattern; the chunking machinery is
     // Spark-side only, with no SQL analog to drift).
-    "q149_chunked_span_dedup" -> SpanDedup5Sql)
+    "q149_chunked_span_dedup" -> SpanDedup5Sql,
+
+    // Dup-cluster cohesion (q150): replays pair generation (q21's capped
+    // trigram Jaccard), the transitive closure (q40's recursive CTE) AND
+    // triangle enumeration from scratch. The triangle CTE is the direct
+    // 3-way join on canonical a<b pairs — a triangle x<y<z is the pair
+    // triple (x,y)(y,z)(x,z), each counted exactly once — independently
+    // written from Spark's degree-oriented wedge-join formulation, so a
+    // hash match cross-proves the orientation logic. sh/pairs/clu are
+    // MATERIALIZED (each feeds 2+ consumers; the inlining blowup rule).
+    "q150_dup_cohesion" ->
+      """WITH RECURSIVE
+        |wrds AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |sh0 AS (
+        |  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+        |  FROM wrds, LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i)),
+        |sh AS MATERIALIZED (
+        |  SELECT doc_id, shingle FROM sh0
+        |  QUALIFY count(*) OVER (PARTITION BY shingle) <= 200),
+        |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS m FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS i
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS MATERIALIZED (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN cnt ca ON doc_a = ca.doc_id
+        |  JOIN cnt cb ON doc_b = cb.doc_id
+        |  WHERE CAST(i AS DOUBLE) / CAST(ca.m + cb.m - i AS DOUBLE) >= 0.5),
+        |edges AS (
+        |  SELECT doc_a AS u, doc_b AS v FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u),
+        |labels AS (SELECT u, min(v) AS mv FROM reach GROUP BY u),
+        |clu AS MATERIALIZED (
+        |  SELECT d.doc_id,
+        |    CAST(LEAST(d.doc_id, COALESCE(l.mv, d.doc_id)) AS BIGINT) AS cluster_id
+        |  FROM documents d LEFT JOIN labels l ON d.doc_id = l.u),
+        |tri AS (
+        |  SELECT p1.doc_a AS x, p1.doc_b AS y, p2.doc_b AS z
+        |  FROM pairs p1
+        |  JOIN pairs p2 ON p2.doc_a = p1.doc_b
+        |  JOIN pairs p3 ON p3.doc_a = p1.doc_a AND p3.doc_b = p2.doc_b),
+        |nodes AS (
+        |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM clu GROUP BY 1 HAVING count(*) >= 2),
+        |edg AS (
+        |  SELECT c.cluster_id, CAST(count(*) AS BIGINT) AS n_edges
+        |  FROM pairs p JOIN clu c ON c.doc_id = p.doc_a GROUP BY 1),
+        |trc AS (
+        |  SELECT c.cluster_id, CAST(count(*) AS BIGINT) AS n_triangles
+        |  FROM tri t JOIN clu c ON c.doc_id = t.x GROUP BY 1)
+        |SELECT n.cluster_id, n.n_docs,
+        |  COALESCE(e.n_edges, 0) AS n_edges,
+        |  COALESCE(tc.n_triangles, 0) AS n_triangles,
+        |  (COALESCE(e.n_edges, 0) * 2 = n.n_docs * (n.n_docs - 1)) AS is_clique
+        |FROM nodes n
+        |LEFT JOIN edg e USING (cluster_id)
+        |LEFT JOIN trc tc USING (cluster_id)""".stripMargin,
+
+    // Systematic weighted sample (q151): all-BIGINT replay — md5
+    // permutation order, exclusive window prefix sum, closed-form
+    // ceil-div pick multiplicity. DuckDB `//` is floor division and
+    // Spark `div` truncates, identical on the all-positive operands;
+    // the k·W overflow guard is Spark-side only (a domain assert, not
+    // part of the result semantics).
+    "q151_systematic_sample" ->
+      """WITH p AS (
+        |  SELECT doc_id, source, n_chars, md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents WHERE n_chars > 0),
+        |ps AS (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST(COALESCE(SUM(n_chars) OVER (
+        |      ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prefix_w
+        |  FROM p),
+        |t AS (SELECT MAX(prefix_w + n_chars) AS w_total FROM ps)
+        |SELECT doc_id, source, n_chars, prefix_w, pick_mult
+        |FROM (
+        |  SELECT ps.*,
+        |    ((prefix_w + n_chars) * 100 + w_total - 1) // w_total
+        |      - (prefix_w * 100 + w_total - 1) // w_total AS pick_mult
+        |  FROM ps, t)
+        |WHERE pick_mult > 0""".stripMargin)
 }

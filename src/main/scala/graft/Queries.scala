@@ -2943,6 +2943,56 @@ object Queries {
     graft.ops.ExactSpans.dedupSpansChunked(
       t(s, dir, "documents"), "doc_id", "text", spanLen = 5, chunkLen = 64)
 
+  /** Dup-cluster COHESION diagnostics ([[graft.ops.Graph.triangles]] over
+    * the materialized near-dup pair table): per non-singleton cluster,
+    * node / edge / triangle counts and a clique flag. Why a pipeline
+    * wants it: transitive-closure clustering (q40) merges any two docs
+    * connected through a CHAIN of ≥0.5-Jaccard pairs — a chain with zero
+    * triangles is the classic false-merge signature (A~B~C where A and C
+    * share nothing), while an edge-complete clique is a true duplicate
+    * group; per-cluster triangle support is the standard QA signal
+    * separating the two before survivor selection trusts the manifest.
+    * Consumes the SAME served pair + cluster artifacts as q40/q76/q86,
+    * so the cell times triangle enumeration (degree-oriented wedge join,
+    * O(m^1.5)-bounded) + three cluster-sized aggregations; the oracle
+    * replays pair generation, transitive closure AND the triangle
+    * 3-way join from scratch. */
+  def q150DupCohesion(s: SparkSession, dir: String): DataFrame = {
+    val pairs = neardupPairs(s, dir).select(col("doc_a"), col("doc_b"))
+    val byDoc = neardupClusters(s, dir).select(col("doc_id"), col("cluster_id"))
+    val nodes = byDoc.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_docs")).filter(col("n_docs") >= 2)
+    val edges = pairs
+      .join(byDoc.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"))
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("n_edges"))
+    val tris = graft.ops.Graph.triangles(pairs, "doc_a", "doc_b")
+      .join(byDoc.withColumnRenamed("doc_id", "node_a"), Seq("node_a"))
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("n_triangles"))
+    nodes
+      .join(edges, Seq("cluster_id"), "left")
+      .join(tris, Seq("cluster_id"), "left")
+      .select(col("cluster_id"), col("n_docs"),
+        coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        (coalesce(col("n_edges"), lit(0L)) * 2 ===
+          col("n_docs") * (col("n_docs") - 1)).as("is_clique"))
+  }
+
+  /** Exact-budget weighted corpus sampling ([[graft.ops.Sampling
+    * .systematicWeighted]]): exactly k=100 picks proportional to
+    * n_chars — the "draw a fixed budget from a weighted corpus" step a
+    * mixture builder runs per source once q142's weights are known.
+    * Bernoulli keep-% (q68) can't hit an exact budget and float A-Res
+    * keys aren't bit-portable; the systematic sampler is all-BIGINT
+    * (md5-permutation order, one distributed prefix sum, closed-form
+    * pick multiplicity), so the oracle replays the identical sample. */
+  def q151SystematicSample(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.systematicWeighted(
+      t(s, dir, "documents").select(col("doc_id"), col("source"), col("n_chars")),
+      "doc_id", "n_chars", k = 100)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("prefix_w"), col("pick_mult"))
+
   /** Model-based quality filtering ([[graft.ops.QualityFilter
     * .trainPerceptron]]): train a batch perceptron to predict lang='en'
     * from integer document features (bias, word count, char count,

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deterministic corpus-curation sampling — train/val/test assignment and
@@ -14,7 +14,10 @@ import org.apache.spark.sql.functions._
   * document in the same fold; `rand()`-based sampling can't promise that
   * and silently leaks val/test into train on reruns.
   *
-  * All pure `Column` composition: narrow, shuffle-free, codegen'd.
+  * The hash-bucket family ([[hashBucket]]/[[split]]/[[keep]]) is pure
+  * `Column` composition: narrow, shuffle-free, codegen'd.
+  * [[systematicWeighted]] adds the one selection that NEEDS global state
+  * (an exact-k weighted budget) and pays exactly one range exchange.
   */
 object Sampling {
 
@@ -47,5 +50,66 @@ object Sampling {
   def keep(key: Column, pct: Int): Column = {
     require(pct >= 0 && pct <= 100, s"pct must be in [0,100]; got $pct")
     hashBucket(concat(lit("smp:"), key.cast("string"))) < pct
+  }
+
+  /** Deterministic SYSTEMATIC weighted sampling of exactly `k` picks
+    * (with multiplicity) proportional to an integer weight — the
+    * weighted counterpart of [[keep]], for "sample a fixed token/byte
+    * budget from a weighted corpus" selection where Bernoulli keep-%
+    * can't hit an exact budget and floating-point A-ES/A-Res keys
+    * (u^(1/w)) are libm-rounding-dependent and so never bit-portable.
+    *
+    * Classic systematic (cumulative-interval) sampling on a pseudo-random
+    * permutation: rows are laid on the integer line [0, W) in (md5(id),
+    * id) order, each owning the interval [prefix, prefix+w); the k
+    * equally-spaced pick points p_j = floor(j·W/k), j = 0..k-1, select
+    * whichever rows' intervals they land in. A row's multiplicity is
+    * counted in closed form — the number of integers j with
+    * prefix ≤ j·W/k < prefix+w, i.e.
+    *
+    *   mult = ceil((prefix+w)·k / W) − ceil(prefix·k / W)
+    *
+    * — no explode, no per-pick join: the selection pass is one map over
+    * the prefix-summed frame. ALL-INTEGER (BIGINT ceil-div), so the
+    * sample is bit-identical on any engine and any partitioning; the
+    * md5-permutation makes it unbiased-in-practice and independent of
+    * input order, and weights bound each row's advantage exactly
+    * (Σ mult = k always; a row can be picked more than once only when
+    * w > W/k). Scale shape: ONE range exchange ([[SurrogateKeys
+    * .prefixSum]]) + a broadcast 1-row total; linear, skew-free.
+    *
+    * Domain: weights must be positive (rows with w ≤ 0 are filtered out —
+    * they own an empty interval and can never be picked) and
+    * k·W must stay below 2^63 — guarded lazily in-plan (the same
+    * assert-riding-the-broadcast idiom as
+    * [[Decontaminate.removeEvalSpans]]'s size guard).
+    *
+    * Returns the SELECTED rows only: all input columns plus
+    * `prefixCol`/`multCol` (pick multiplicity ≥ 1).
+    */
+  def systematicWeighted(df: DataFrame, idCol: String, weightCol: String,
+                         k: Int, prefixCol: String = "prefix_w",
+                         multCol: String = "pick_mult"): DataFrame = {
+    require(k >= 1, s"k must be >= 1; got $k")
+    val pref = SurrogateKeys.prefixSum(
+      df.filter(col(weightCol) > 0)
+        .withColumn("_h", md5(col(idCol).cast("string"))),
+      weightCol, prefixCol, Seq("_h", idCol))
+    // Total weight W rides the plan as a broadcast 1-row frame (no eager
+    // driver action), carrying the k·W overflow guard with it.
+    val tot = pref.agg(max(col(prefixCol) + col(weightCol)).as("_W"))
+    val guardedTot = tot.filter(assert_true(
+      col("_W") <= Long.MaxValue / k,
+      concat(lit(s"systematicWeighted: k=$k times total weight "), col("_W"),
+        lit(" overflows BIGINT pick arithmetic — reduce k or rescale " +
+          "the weights (selection only needs their ratios)"))).isNull)
+    // Exact BIGINT ceil-div (a + W - 1) div W; `div` avoids Spark's
+    // double-routed `/` (same discipline as Graph.pageRank's shares).
+    pref.crossJoin(broadcast(guardedTot))
+      .withColumn("_ca", (col(prefixCol) + col(weightCol)) * k + col("_W") - 1)
+      .withColumn("_cb", col(prefixCol) * k + col("_W") - 1)
+      .withColumn(multCol, expr("_ca div _W") - expr("_cb div _W"))
+      .filter(col(multCol) > 0)
+      .drop("_h", "_W", "_ca", "_cb")
   }
 }

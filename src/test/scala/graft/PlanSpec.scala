@@ -271,6 +271,28 @@ class PlanSpec extends SparkSpec {
     // state — the artifact reads above are the load-bearing claim)
   }
 
+  test("q150: cohesion reports over the served dedup artifacts, window-free") {
+    val p = plan(Queries.q150DupCohesion)
+    // pair table and cluster manifest come from their parquet artifacts —
+    // the cell must never re-run the shingle self-join or the CC loop
+    p should include("neardup_pairs_n3_j05")
+    p should include("neardup_clusters_n3_j05")
+    // triangle enumeration is pure joins + aggregates: a Window here
+    // would mean a per-cluster rank sneaked in (skew magnet at scale)
+    p.split("\n").count(_.contains("Window")) shouldBe 0
+  }
+
+  test("q151: systematic sample is one range exchange + broadcast-only joins") {
+    val p = plan(Queries.q151SystematicSample)
+    // the prefix-summed frame joins its partition offsets and the 1-row
+    // total as broadcasts; any SortMergeJoin means the linear shape broke
+    p should not include "SortMergeJoin"
+    p.split("\n").count(_.contains("BroadcastHashJoin")) should be >= 1
+    // selection arithmetic is all-BIGINT `div` — a cast to double in the
+    // pick computation would silently break bit-portability
+    p should not include "CAST(pick_mult"
+  }
+
   test("no query plan contains a CollectLimit-to-driver loop or cartesian product") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = fn(spark, dir).queryExecution.executedPlan.toString

@@ -72,4 +72,50 @@ class GraphSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Graph.pageRank(edges((1L, 2L)), "src", "dst", 11)
   }
+
+  /** Driver-side reference: every 3-subset closed under the edge set. */
+  private def refTriangles(es: Seq[(Long, Long)]): Set[(Long, Long, Long)] = {
+    val und = es.flatMap(e => Seq(e, e.swap)).filter(e => e._1 != e._2).toSet
+    val vs = und.map(_._1).toSeq.sorted
+    (for {
+      a <- vs; b <- vs if b > a && und((a, b))
+      c <- vs if c > b && und((a, c)) && und((b, c))
+    } yield (a, b, c)).toSet
+  }
+
+  private def triSet(es: Seq[(Long, Long)]): Set[(Long, Long, Long)] =
+    Graph.triangles(edges(es: _*), "src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("triangles: K4 yields its four triangles, a path yields none") {
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    triSet(k4) shouldBe Set((1L, 2L, 3L), (1L, 2L, 4L), (1L, 3L, 4L), (2L, 3L, 4L))
+    triSet(Seq((1L, 2L), (2L, 3L), (3L, 4L))) shouldBe Set.empty
+  }
+
+  test("triangles: duplicate edges, reversed directions and self-loops canonicalize away") {
+    // same K3 listed messily: both directions, dups, a self-loop
+    triSet(Seq((1L, 2L), (2L, 1L), (2L, 3L), (1L, 3L), (3L, 1L), (2L, 2L))) shouldBe
+      Set((1L, 2L, 3L))
+  }
+
+  test("triangles matches an all-subsets brute force on random graphs incl. a hub") {
+    // deterministic pseudo-random graph + a hub node touching everything:
+    // the hub exercises the degree-orientation bound (its edges orient IN)
+    val rnd = (0L until 120L).map(i => ((i * 13) % 25, (i * 7 + 3) % 25))
+      .filter(e => e._1 != e._2)
+    val withHub = rnd ++ (0L until 25L).map(v => (99L, v))
+    triSet(rnd) shouldBe refTriangles(rnd)
+    triSet(withHub) shouldBe refTriangles(withHub)
+  }
+
+  test("triangles is partitioning-independent (pure order logic)") {
+    val es = (0L until 80L).map(i => ((i * 11) % 20, (i * 3 + 1) % 20))
+      .filter(e => e._1 != e._2)
+    val e1 = edges(es: _*)
+    val r1 = Graph.triangles(e1, "src", "dst")
+    val r2 = Graph.triangles(e1.repartition(13), "src", "dst")
+    r1.exceptAll(r2).count() shouldBe 0
+    r2.exceptAll(r1).count() shouldBe 0
+  }
 }

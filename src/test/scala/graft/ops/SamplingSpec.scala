@@ -49,4 +49,63 @@ class SamplingSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy Sampling.split(col("k"), 95, 10)
     an[IllegalArgumentException] should be thrownBy Sampling.keep(col("k"), 101)
   }
+
+  private def weighted(ws: (Long, Long)*) =
+    df("id BIGINT, w BIGINT", ws.map(e => Row(e._1, e._2)))
+
+  /** Driver-side reference: same md5 order, prefix sums and ceil-div
+    * multiplicities in plain Scala. */
+  private def refSystematic(ws: Seq[(Long, Long)], k: Long): Map[Long, Long] = {
+    def h(id: Long): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val pos = ws.filter(_._2 > 0).sortBy { case (id, _) => (h(id), id) }
+    val total = pos.map(_._2).sum
+    def ceilDiv(a: Long, b: Long): Long = (a + b - 1) / b
+    var prefix = 0L
+    pos.flatMap { case (id, w) =>
+      val m = ceilDiv((prefix + w) * k, total) - ceilDiv(prefix * k, total)
+      prefix += w
+      if (m > 0) Some(id -> m) else None
+    }.toMap
+  }
+
+  test("systematicWeighted: exactly k picks, matching the closed-form reference") {
+    val ws = (0L until 200L).map(i => (i, (i * 37) % 90 + 1))
+    val out = Sampling.systematicWeighted(weighted(ws: _*), "id", "w", k = 25)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("pick_mult")).toMap
+    out.values.sum shouldBe 25L
+    out shouldBe refSystematic(ws, 25)
+  }
+
+  test("systematicWeighted: a dominant weight is picked with multiplicity, zero weights never") {
+    // one row owns >half the mass: with k=10 it must take >= 5 picks;
+    // w=0 rows own empty intervals and must be absent
+    val ws = Seq((1L, 1000L), (2L, 100L), (3L, 100L), (4L, 0L), (5L, 300L))
+    val out = Sampling.systematicWeighted(weighted(ws: _*), "id", "w", k = 10)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("pick_mult")).toMap
+    out.values.sum shouldBe 10L
+    out(1L) should be >= 5L
+    out.contains(4L) shouldBe false
+    out shouldBe refSystematic(ws, 10)
+  }
+
+  test("systematicWeighted is partitioning-independent (all-BIGINT selection)") {
+    val ws = (0L until 500L).map(i => (i, (i * 13) % 40 + 1))
+    val d = weighted(ws: _*)
+    val r1 = Sampling.systematicWeighted(d, "id", "w", k = 40)
+    val r2 = Sampling.systematicWeighted(d.repartition(17), "id", "w", k = 40)
+    r1.exceptAll(r2).count() shouldBe 0
+    r2.exceptAll(r1).count() shouldBe 0
+  }
+
+  test("systematicWeighted fails fast when k times total weight would overflow") {
+    val e = intercept[Throwable] {
+      Sampling.systematicWeighted(
+        weighted((1L, Long.MaxValue / 4), (2L, Long.MaxValue / 4)),
+        "id", "w", k = 100).collect()
+    }
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    msgs should include("systematicWeighted")
+  }
 }

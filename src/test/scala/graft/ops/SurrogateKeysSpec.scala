@@ -30,6 +30,20 @@ class SurrogateKeysSpec extends SparkSpec {
     collectCol[Long](keyed.orderBy("k").select("k")) shouldBe (1L to 200L)
   }
 
+  test("prefixSum matches a single-partition window exclusive sum") {
+    import spark.implicits._
+    val d = (1 to 5000).map(i => ((i * 2654435761L) % 997, i.toLong, (i % 7 + 1).toLong))
+      .toDF("a", "b", "w")
+    val got = SurrogateKeys.prefixSum(d, "w", "pre", Seq("a", "b"))
+    val expected = d.withColumn("pre",
+      coalesce(sum(col("w")).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("a"), col("b"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        lit(0L)))
+    got.exceptAll(expected).count() shouldBe 0
+    expected.exceptAll(got).count() shouldBe 0
+  }
+
   test("denseRankKey: dense at 300k rows over a checkpointed input (two-reader divergence regression)") {
     // Round-13 regression: with a LogicalRDD (checkpointed) input at
     // ~270k rows, the offsets pass and the row-number pass could read
