@@ -373,6 +373,11 @@ object Bench {
           // systematic sampling: one range exchange over 10x rows plus
           // fixed broadcast machinery — linear, amortizing
           "q151_systematic_sample",
+          // bipartite projection: the fan guard makes join output linear
+          // in the incidence (≤ C(maxFan,2)/maxFan · rows), so the cell
+          // must track data growth — a superlinear reading means the
+          // guard stopped bounding the self-join
+          "q152_copurchase_project",
           "q122_audio_frames").filter(SparkEntry.queries.contains)
         // Min-of-3 for BOTH sides of the ratio, measured back-to-back in
         // the SAME session config: round 9's q122 growth read 4.6x on one
@@ -433,6 +438,9 @@ object Bench {
           "q143_corpus_build"         -> 6.0,
           "q150_dup_cohesion"         -> 6.0,
           "q151_systematic_sample"    -> 6.0,
+          // linear-in-incidence by the fan-guard theorem; pair count
+          // grows with the data so it sits in the linear regime
+          "q152_copurchase_project"   -> 15.0,
           "q122_audio_frames"         -> 15.0)
         val boundFor: String => Double =
           sys.env.get("SPARK_GRAFT_GROWTH_BOUND").map(_.toDouble) match {

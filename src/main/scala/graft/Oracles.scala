@@ -4088,5 +4088,18 @@ object Oracles {
         |    ((prefix_w + n_chars) * 100 + w_total - 1) // w_total
         |      - (prefix_w * 100 + w_total - 1) // w_total AS pick_mult
         |  FROM ps, t)
-        |WHERE pick_mult > 0""".stripMargin)
+        |WHERE pick_mult > 0""".stripMargin,
+
+    // Co-purchase projection (q152): distinct incidence, fan-guard
+    // filter, capped self-join, pair counts — pure set/count logic, so
+    // the replay is exact. kept feeds both join sides → MATERIALIZED.
+    "q152_copurchase_project" ->
+      """WITH il AS (
+        |  SELECT DISTINCT l_orderkey AS l, l_partkey AS r FROM lineitem),
+        |deg AS (SELECT l, count(*) AS d FROM il GROUP BY 1),
+        |kept AS MATERIALIZED (
+        |  SELECT il.l, il.r FROM il JOIN deg USING (l) WHERE d <= 20)
+        |SELECT a.r AS item_a, b.r AS item_b, CAST(count(*) AS BIGINT) AS cooc
+        |FROM kept a JOIN kept b ON a.l = b.l AND a.r < b.r
+        |GROUP BY 1, 2""".stripMargin)
 }

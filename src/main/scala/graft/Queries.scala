@@ -2993,6 +2993,20 @@ object Queries {
       .select(col("doc_id"), col("source"), col("n_chars"),
         col("prefix_w"), col("pick_mult"))
 
+  /** Co-purchase graph DERIVATION ([[graft.ops.Graph.bipartiteProject]]):
+    * project the order→part incidence onto part–part co-occurrence
+    * edges, hot orders (> 20 distinct parts) dropped by the fan guard —
+    * the step that builds the item graph q150's analytics (and
+    * pageRank/CC generally) consume. The guard keys the scale story: a
+    * context with d items emits C(d,2) pairs, so ONE viral key is a
+    * quadratic blowup no partitioning fixes; the cap makes the join
+    * output linear in the incidence with constant C(maxFan,2)/maxFan. */
+  def q152CopurchaseProject(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Graph.bipartiteProject(
+      t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+      "l_orderkey", "l_partkey", maxFan = 20)
+      .select(col("item_a"), col("item_b"), col("cooc"))
+
   /** Model-based quality filtering ([[graft.ops.QualityFilter
     * .trainPerceptron]]): train a batch perceptron to predict lang='en'
     * from integer document features (bias, word count, char count,

@@ -150,4 +150,49 @@ object Graph {
           least(col("t1"), col("t2"))).as("node_b"),
         greatest(col("s"), col("t1"), col("t2")).as("node_c"))
   }
+
+  /** Bipartite co-occurrence PROJECTION — how a pipeline derives an
+    * item–item graph in the first place: from (context, item) incidence
+    * rows (order→part, session→page, doc→entity), emit one row
+    * (item_a < item_b, cooc) per item pair sharing ≥1 context, weighted
+    * by the number of shared contexts. [[triangles]]/[[pageRank]]/CC then
+    * run on the projected edge list.
+    *
+    * The scale hazard is the hot context: a context containing d items
+    * contributes C(d,2) pairs, so one viral session with 10^6 items
+    * yields half a trillion pairs from a single key — quadratic blowup
+    * no partitioning fixes. `maxFan` is the standard guard: contexts
+    * with more than `maxFan` distinct items are DROPPED ENTIRELY before
+    * the self-join (deterministic, unlike sampling; the co-occurrence
+    * literature drops or truncates hot baskets for exactly this reason,
+    * and a hot context carries near-zero pairwise signal anyway). Every
+    * surviving key fans out ≤ C(maxFan, 2), so the join output is
+    * ≤ C(maxFan,2)/maxFan · |incidence| — linear in the input with a
+    * small constant, skew-free by construction. Callers auditing the
+    * drop re-aggregate the incidence frame against `maxFan` themselves
+    * (one groupBy — cheaper than this op carrying a side channel).
+    */
+  def bipartiteProject(incidence: DataFrame, contextCol: String,
+                       itemCol: String, maxFan: Int): DataFrame = {
+    require(maxFan >= 2, s"maxFan must be >= 2; got $maxFan")
+    // Distinct incidence feeds the degree aggregate and both self-join
+    // sides — materialize once (the triangles/pageRank discipline).
+    // Deliberately distinct-then-checkpoint, NOT repartition(l)-first:
+    // the checkpoint erases output partitioning anyway (downstream
+    // re-exchanges by l regardless), and distinct's map-side partial
+    // aggregate dedups BEFORE the shuffle — on heavy-dup incidence
+    // (re-crawled sessions, replayed logs) that shuffles far less than
+    // a repartition of the raw rows would. Measured equal at sf0.1.
+    val e = incidence.select(col(contextCol).as("l"), col(itemCol).as("r"))
+      .distinct()
+      .localCheckpoint()
+    val okKeys = e.groupBy(col("l")).agg(count(lit(1)).as("_d"))
+      .filter(col("_d") <= maxFan).select(col("l"))
+    val kept = e.join(okKeys, Seq("l"))
+    kept.select(col("l"), col("r").as("_ra"))
+      .join(kept.select(col("l"), col("r").as("_rb")), Seq("l"))
+      .filter(col("_ra") < col("_rb"))
+      .groupBy(col("_ra").as("item_a"), col("_rb").as("item_b"))
+      .agg(count(lit(1)).as("cooc"))
+  }
 }

@@ -118,4 +118,46 @@ class GraphSpec extends SparkSpec {
     r1.exceptAll(r2).count() shouldBe 0
     r2.exceptAll(r1).count() shouldBe 0
   }
+
+  private def incidence(es: (Long, Long)*) =
+    df("ctx BIGINT, item BIGINT", es.map(e => Row(e._1, e._2)))
+
+  /** Driver-side reference: pair counts over contexts within the fan cap. */
+  private def refProject(es: Seq[(Long, Long)], maxFan: Int): Map[(Long, Long), Long] =
+    es.distinct.groupBy(_._1).values
+      .filter(_.size <= maxFan)
+      .flatMap { rows =>
+        val items = rows.map(_._2).sorted
+        for (i <- items.indices; j <- (i + 1) until items.size)
+          yield (items(i), items(j))
+      }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+
+  test("bipartiteProject: co-occurrence counts match the brute force; dup incidence collapses") {
+    // ctx 1 {a,b,c}, ctx 2 {a,b}, ctx 3 {b,c} (+ a duplicate row)
+    val es = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 10L), (2L, 11L),
+      (3L, 11L), (3L, 12L), (3L, 12L))
+    val out = Graph.bipartiteProject(incidence(es: _*), "ctx", "item", maxFan = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    out shouldBe Map((10L, 11L) -> 2L, (10L, 12L) -> 1L, (11L, 12L) -> 2L)
+    out shouldBe refProject(es, 5)
+  }
+
+  test("bipartiteProject: a hot context is dropped entirely by the fan guard") {
+    // ctx 9 touches 6 items (> maxFan 5) and must contribute NO pairs;
+    // the small contexts still project
+    val hot = (0L until 6L).map(i => (9L, 100L + i))
+    val es = hot ++ Seq((1L, 10L), (1L, 11L))
+    val out = Graph.bipartiteProject(incidence(es: _*), "ctx", "item", maxFan = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    out shouldBe Map((10L, 11L) -> 1L)
+    out shouldBe refProject(es, 5)
+  }
+
+  test("bipartiteProject matches the brute force on a pseudo-random incidence") {
+    val es = (0L until 400L).map(i => ((i * 13) % 60, 100L + (i * 7 + 3) % 50))
+    val out = Graph.bipartiteProject(incidence(es: _*), "ctx", "item", maxFan = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    out shouldBe refProject(es, 8)
+  }
 }
