@@ -378,6 +378,11 @@ object Bench {
           // must track data growth — a superlinear reading means the
           // guard stopped bounding the self-join
           "q152_copurchase_project",
+          // incremental cluster maintenance: delta diff + affected-cluster
+          // closure + recompute on the delta subgraph — at 10x the reused
+          // majority is a manifest read, so growth must stay far below a
+          // full re-cluster's
+          "q153_incremental_clusters",
           "q122_audio_frames").filter(SparkEntry.queries.contains)
         // Min-of-3 for BOTH sides of the ratio, measured back-to-back in
         // the SAME session config: round 9's q122 growth read 4.6x on one
@@ -441,6 +446,7 @@ object Bench {
           // linear-in-incidence by the fan-guard theorem; pair count
           // grows with the data so it sits in the linear regime
           "q152_copurchase_project"   -> 15.0,
+          "q153_incremental_clusters" -> 6.0,
           "q122_audio_frames"         -> 15.0)
         val boundFor: String => Double =
           sys.env.get("SPARK_GRAFT_GROWTH_BOUND").map(_.toDouble) match {

@@ -4101,5 +4101,59 @@ object Oracles {
         |  SELECT il.l, il.r FROM il JOIN deg USING (l) WHERE d <= 20)
         |SELECT a.r AS item_a, b.r AS item_b, CAST(count(*) AS BIGINT) AS cooc
         |FROM kept a JOIN kept b ON a.l = b.l AND a.r < b.r
-        |GROUP BY 1, 2""".stripMargin)
+        |GROUP BY 1, 2""".stripMargin,
+
+    // Incremental cluster maintenance (q153): the oracle replays the
+    // FULL batch recompute over the new snapshot — old-snapshot frozen
+    // stop list, stop-filtered new-snapshot shingles, Jaccard pairs,
+    // recursive transitive closure, min-id labels, singleton attach —
+    // so a hash match IS the batch≡incremental equivalence theorem
+    // (the q145/q148 oracle shape, applied to the cluster layer).
+    // Snapshot CTEs mirror q145's: eval docs (%20=0) pinned, old
+    // removes %17 and suffixes ' v1' on %13, new removes %19. sh feeds
+    // three consumers and newsnap two → MATERIALIZED (q147 lesson).
+    "q153_incremental_clusters" ->
+      """WITH RECURSIVE
+        |oldsnap AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 13 = 0 AND doc_id % 20 <> 0
+        |    THEN text || ' v1' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 17 <> 0 OR doc_id % 20 = 0),
+        |stopsh AS MATERIALIZED (
+        |  SELECT shingle FROM (
+        |    SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+        |    FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |          FROM oldsnap),
+        |      LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i))
+        |  GROUP BY shingle HAVING count(*) > 200),
+        |newsnap AS MATERIALIZED (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id % 19 <> 0 OR doc_id % 20 = 0),
+        |sh AS MATERIALIZED (
+        |  SELECT doc_id, shingle FROM (
+        |    SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+        |    FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |          FROM newsnap),
+        |      LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i)) s
+        |  WHERE NOT EXISTS (SELECT 1 FROM stopsh st WHERE st.shingle = s.shingle)),
+        |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS m FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS i
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN cnt ca ON doc_a = ca.doc_id
+        |  JOIN cnt cb ON doc_b = cb.doc_id
+        |  WHERE CAST(i AS DOUBLE) / CAST(ca.m + cb.m - i AS DOUBLE) >= 0.5),
+        |edges AS (
+        |  SELECT doc_a AS u, doc_b AS v FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u),
+        |labels AS (SELECT u, min(v) AS mv FROM reach GROUP BY u)
+        |SELECT d.doc_id,
+        |  CAST(LEAST(d.doc_id, COALESCE(l.mv, d.doc_id)) AS BIGINT) AS cluster_id
+        |FROM newsnap d LEFT JOIN labels l ON d.doc_id = l.u""".stripMargin)
 }

@@ -3542,6 +3542,81 @@ object Queries {
       k = 16, rowsPerBand = 2, minJaccard = 0.5, bucketCap = 64)
   }
 
+  /** Frozen stop-shingle list ([[graft.ops.Dedup.stopShingles]] over the
+    * OLD snapshot, the reference crawl) — the release artifact that
+    * makes the incremental pair predicate a pure function of each doc
+    * pair: the live DF cap ([[graft.ops.Dedup.capShingleDf]]) couples
+    * every document's effective shingles to the whole corpus, which
+    * would invalidate [[q153IncrementalClusters]]'s component reuse. */
+  private def incStopShingles(s: SparkSession, dir: String): DataFrame = {
+    val sfTag = Tables.corpusTag(s, dir, "documents")
+    val path = s"${Tables.scratchDir(s)}/stop_shingles3_df${MaxShingleDf}_old_v1/$sfTag"
+    Tables.servedArtifact(s, path) {
+      Dedup.stopShingles(
+          Dedup.shingleSet(q145OldSnap(s, dir), "doc_id", "text", 3),
+          MaxShingleDf)
+        .write.mode("overwrite").parquet(path)
+    }
+  }
+
+  /** Per-snapshot near-dup pair table under the FROZEN stop-shingle
+    * list — the maintained edge artifact [[q153IncrementalClusters]]
+    * consumes (in deployment the new snapshot's table is produced by
+    * the q148-style incremental indexer; here both are built once in
+    * untimed setup, the q150 storage-symmetry protocol, so the timed
+    * cell is the manifest maintenance itself). */
+  private def incSnapPairs(s: SparkSession, dir: String,
+                           old: Boolean): DataFrame = {
+    val sfTag = Tables.corpusTag(s, dir, "documents")
+    val tag = if (old) "old" else "new"
+    val path =
+      s"${Tables.scratchDir(s)}/neardup_pairs_stop_j05_${tag}_v1/$sfTag"
+    Tables.servedArtifact(s, path) {
+      val snap = if (old) q145OldSnap(s, dir) else q145NewSnap(s, dir)
+      Dedup.ngramJaccardPairsFromShingles(
+          Dedup.removeStopShingles(
+            Dedup.shingleSet(snap, "doc_id", "text", 3),
+            incStopShingles(s, dir)),
+          "doc_id", minJaccard = 0.5)
+        .select(col("doc_a"), col("doc_b"))
+        .write.mode("overwrite").parquet(path)
+    }
+  }
+
+  /** The previous crawl's cluster manifest over [[incSnapPairs]] —
+    * what the maintenance pass has on disk when the new crawl lands. */
+  private def prevClustersInc(s: SparkSession, dir: String): DataFrame = {
+    val sfTag = Tables.corpusTag(s, dir, "documents")
+    val path = s"${Tables.scratchDir(s)}/neardup_clusters_stop_old_v1/$sfTag"
+    Tables.servedArtifact(s, path) {
+      Dedup.nearDupClustersFromPairs(
+          incSnapPairs(s, dir, old = true),
+          q145OldSnap(s, dir).select(col("doc_id")), "doc_id")
+        .write.mode("overwrite").parquet(path)
+    }
+  }
+
+  /** INCREMENTAL dup-cluster maintenance ([[graft.ops.Dedup
+    * .incrementalClusters]]) — the q145/q148 pattern completed for the
+    * CLUSTER layer: given the stored old/new pair tables and the old
+    * manifest, recompute connected components only inside clusters the
+    * pair delta can reach (deletion-safe: a removed bridge doc splits
+    * its cluster, so whole affected clusters re-cluster from surviving
+    * pairs) and reuse every untouched manifest row verbatim. The pair
+    * predicate is frozen-stop-list Jaccard ([[incStopShingles]]), pure
+    * per-doc-pair — the invariance the reuse proof needs. The
+    * batch≡incremental proof is the ORACLE: DuckDB replays the FULL
+    * recompute (old-snapshot stop list, new-snapshot pairs, recursive
+    * transitive closure, min-id labels, singleton attach), so a hash
+    * match IS the equivalence theorem; DedupSpec asserts the same
+    * equality in-engine, including forced split/merge/rep-steal cases. */
+  def q153IncrementalClusters(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.incrementalClusters(
+      incSnapPairs(s, dir, old = true),
+      incSnapPairs(s, dir, old = false),
+      prevClustersInc(s, dir),
+      q145NewSnap(s, dir).select(col("doc_id")), "doc_id")
+
   /** The previous crawl's FULL fingerprint table (doc_id, content_hash
     * for every doc, eval included) — the ingest-layer artifact
     * [[graft.ops.SnapshotDelta.diffHashed]] assumes: the delta against

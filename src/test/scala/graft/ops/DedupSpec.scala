@@ -204,4 +204,101 @@ class DedupSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Dedup.simHashNearDupPairsPortableFromFp(fp, "id", maxHamming = 4)
   }
+
+  test("stopShingles freezes the reference-hot list; removeStopShingles drops only it") {
+    val sh = df("id BIGINT, shingle STRING", Seq(
+      Row(1L, "a b c"), Row(2L, "a b c"), Row(3L, "a b c"),
+      Row(1L, "x y z"), Row(2L, "p q r")))
+    val stop = Dedup.stopShingles(sh, maxDf = 2)
+    stop.collect().map(_.getString(0)).toSeq shouldBe Seq("a b c")
+    val kept = Dedup.removeStopShingles(sh, stop)
+      .collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("shingle"))).toSet
+    kept shouldBe Set((1L, "x y z"), (2L, "p q r"))
+  }
+
+  private def manifest(pairs: Seq[(Long, Long)], ids: Seq[Long]) =
+    Dedup.nearDupClustersFromPairs(
+      df("doc_a BIGINT, doc_b BIGINT", pairs.map(p => Row(p._1, p._2))),
+      df("id BIGINT", ids.map(Row(_))), "id")
+
+  test("incrementalClusters equals a fresh recompute across split, merge, add, remove") {
+    // Old graph: bridge chain 1-2-3; clusters {10,11} and {20,21};
+    // untouched pair {60,61}; singletons 30, 40.
+    val oldPairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (60L, 61L))
+    val oldIds = Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L, 30L, 40L, 60L, 61L)
+    // New snapshot: bridge doc 2 REMOVED (splits {1,2,3} into {1} and
+    // {3}); pair 11-20 added (MERGES the 10- and 20-clusters); new doc
+    // 50 pairs with 3; singleton 40 removed; pairless doc 51 added;
+    // {60,61} and 30 untouched.
+    val newPairs = Seq((10L, 11L), (20L, 21L), (11L, 20L), (3L, 50L), (60L, 61L))
+    val newIds = Seq(1L, 3L, 10L, 11L, 20L, 21L, 30L, 50L, 51L, 60L, 61L)
+
+    val inc = Dedup.incrementalClusters(
+      df("doc_a BIGINT, doc_b BIGINT", oldPairs.map(p => Row(p._1, p._2))),
+      df("doc_a BIGINT, doc_b BIGINT", newPairs.map(p => Row(p._1, p._2))),
+      manifest(oldPairs, oldIds),
+      df("id BIGINT", newIds.map(Row(_))), "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fresh = manifest(newPairs, newIds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    inc shouldBe fresh
+    // Spot-check the semantics the equality encodes
+    inc(1L) shouldBe 1L; inc(3L) shouldBe 3L; inc(50L) shouldBe 3L // split
+    inc(21L) shouldBe 10L                                          // merge
+    inc(51L) shouldBe 51L                                          // new singleton
+    inc.contains(2L) shouldBe false; inc.contains(40L) shouldBe false
+  }
+
+  test("incrementalClusters reuses untouched manifest rows VERBATIM (not recomputed)") {
+    // Whitebox: corrupt the stored manifest row of an untouched cluster;
+    // if the row were recomputed the corruption would be repaired, so
+    // seeing it propagate proves verbatim reuse — the scale claim (the
+    // propagation loop never visits untouched clusters).
+    val oldPairs = Seq((1L, 2L), (60L, 61L))
+    val newPairs = Seq((1L, 2L), (1L, 3L), (60L, 61L)) // touches only cluster 1
+    val corrupted = df("id BIGINT, cluster_id BIGINT", Seq(
+      Row(1L, 1L), Row(2L, 1L), Row(3L, 3L),
+      Row(60L, 59L), Row(61L, 59L))) // 59 is wrong on purpose
+    val out = Dedup.incrementalClusters(
+      df("doc_a BIGINT, doc_b BIGINT", oldPairs.map(p => Row(p._1, p._2))),
+      df("doc_a BIGINT, doc_b BIGINT", newPairs.map(p => Row(p._1, p._2))),
+      corrupted,
+      df("id BIGINT", Seq(1L, 2L, 3L, 60L, 61L).map(Row(_))), "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out(60L) shouldBe 59L // reused verbatim
+    out(61L) shouldBe 59L
+    out(1L) shouldBe 1L; out(2L) shouldBe 1L; out(3L) shouldBe 1L // recomputed
+  }
+
+  test("incrementalClusters end-to-end over frozen-stop-list Jaccard pairs") {
+    // Doc corpus flavor of the q153 chain: pairs from shingleSet +
+    // frozen stop list on the OLD snapshot, then incremental ≡ fresh.
+    val oldDocs = df("id BIGINT, text STRING", Seq(
+      Row(1L, "the quick brown fox jumps over the lazy dog tonight"),
+      Row(2L, "the quick brown fox jumps over the lazy cat tonight"),
+      Row(3L, "entirely different words in this document body here"),
+      Row(4L, "another wholly unrelated text with private phrases inside")))
+    // New snapshot: doc 2 removed, doc 5 near-dups doc 1, doc 3 unchanged
+    val newDocs = df("id BIGINT, text STRING", Seq(
+      Row(1L, "the quick brown fox jumps over the lazy dog tonight"),
+      Row(3L, "entirely different words in this document body here"),
+      Row(4L, "another wholly unrelated text with private phrases inside"),
+      Row(5L, "the quick brown fox jumps over the lazy dog today")))
+    val stop = Dedup.stopShingles(Dedup.shingleSet(oldDocs, "id", "text", 3), 3)
+    def pairsOf(docs: org.apache.spark.sql.DataFrame) =
+      Dedup.ngramJaccardPairsFromShingles(
+        Dedup.removeStopShingles(Dedup.shingleSet(docs, "id", "text", 3), stop),
+        "id", minJaccard = 0.5).select(col("doc_a"), col("doc_b"))
+    val oldP = pairsOf(oldDocs)
+    val newP = pairsOf(newDocs)
+    val inc = Dedup.incrementalClusters(oldP, newP,
+      Dedup.nearDupClustersFromPairs(oldP, oldDocs.select(col("id")), "id"),
+      newDocs.select(col("id")), "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fresh = Dedup.nearDupClustersFromPairs(newP, newDocs.select(col("id")), "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    inc shouldBe fresh
+    inc(5L) shouldBe 1L // the new near-dup clustered with its survivor
+  }
 }
