@@ -383,6 +383,11 @@ object Bench {
           // majority is a manifest read, so growth must stay far below a
           // full re-cluster's
           "q153_incremental_clusters",
+          // DSIR scoring: one explode pass + two fixed-size broadcast
+          // model joins + per-doc agg + salted top-N — linear in the
+          // corpus by design; superlinear growth means a model join
+          // stopped broadcasting or the top-N salt stopped spreading
+          "q154_dsir_select",
           "q122_audio_frames").filter(SparkEntry.queries.contains)
         // Min-of-3 for BOTH sides of the ratio, measured back-to-back in
         // the SAME session config: round 9's q122 growth read 4.6x on one
@@ -447,6 +452,7 @@ object Bench {
           // grows with the data so it sits in the linear regime
           "q152_copurchase_project"   -> 15.0,
           "q153_incremental_clusters" -> 6.0,
+          "q154_dsir_select"          -> 15.0,
           "q122_audio_frames"         -> 15.0)
         val boundFor: String => Double =
           sys.env.get("SPARK_GRAFT_GROWTH_BOUND").map(_.toDouble) match {

@@ -4155,5 +4155,48 @@ object Oracles {
         |labels AS (SELECT u, min(v) AS mv FROM reach GROUP BY u)
         |SELECT d.doc_id,
         |  CAST(LEAST(d.doc_id, COALESCE(l.mv, d.doc_id)) AS BIGINT) AS cluster_id
-        |FROM newsnap d LEFT JOIN labels l ON d.doc_id = l.u""".stripMargin)
+        |FROM newsnap d LEFT JOIN labels l ON d.doc_id = l.u""".stripMargin,
+
+    // DSIR selection (q154): hashed-feature stream (lowercased unigrams
+    // + adjacent bigrams, md5-prefix 4096-bucket), bucket-count models
+    // over the %20 target/raw splits, integer bitlen(cnt+1) importance,
+    // per-source top 32. feats feeds three consumers → MATERIALIZED
+    // (the q147 lesson); bin() and md5() are bit-identical across
+    // engines, so the integer weight replays exactly.
+    "q154_dsir_select" ->
+      """WITH feats AS MATERIALIZED (
+        |  SELECT doc_id, substr(md5(f), 1, 3) AS bucket FROM (
+        |    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS f
+        |    FROM documents
+        |    UNION ALL
+        |    SELECT doc_id, w[i] || ' ' || w[i+1] AS f
+        |    FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |          FROM documents),
+        |      LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i))
+        |  WHERE length(trim(f)) > 0),
+        |tmodel AS (
+        |  SELECT bucket, CAST(count(*) AS BIGINT) AS tc FROM feats
+        |  WHERE doc_id % 20 = 0 GROUP BY bucket),
+        |rmodel AS (
+        |  SELECT bucket, CAST(count(*) AS BIGINT) AS rc FROM feats
+        |  WHERE doc_id % 20 <> 0 GROUP BY bucket),
+        |per AS (
+        |  SELECT f.doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_feats,
+        |    CAST(sum(length(bin(COALESCE(t.tc, 0) + 1))) AS BIGINT) AS tbits,
+        |    CAST(sum(length(bin(COALESCE(r.rc, 0) + 1))) AS BIGINT) AS rbits
+        |  FROM feats f
+        |  LEFT JOIN tmodel t USING (bucket)
+        |  LEFT JOIN rmodel r USING (bucket)
+        |  GROUP BY 1),
+        |scored AS (
+        |  SELECT d.doc_id, d.source,
+        |    COALESCE(p.n_feats, 0) AS n_feats,
+        |    COALESCE(p.tbits, 0) - COALESCE(p.rbits, 0) AS importance
+        |  FROM documents d LEFT JOIN per p USING (doc_id))
+        |SELECT doc_id, source, n_feats, importance, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY source ORDER BY importance DESC, doc_id) AS INT) AS rank
+        |  FROM scored)
+        |WHERE rank <= 32""".stripMargin)
 }

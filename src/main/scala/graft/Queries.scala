@@ -3617,6 +3617,44 @@ object Queries {
       prevClustersInc(s, dir),
       q145NewSnap(s, dir).select(col("doc_id")), "doc_id")
 
+  /** DSIR bucket-count model artifacts ([[graft.ops.Dsir
+    * .trainBucketCounts]]) — target = the eval/high-quality split
+    * (doc_id%20=0, the same pinned set q137/q145 treat as the quality
+    * reference), raw = everything else. ≤ 4096 rows each by
+    * construction, so they broadcast at any corpus size. */
+  private def dsirModel(s: SparkSession, dir: String,
+                        target: Boolean): DataFrame = {
+    val sfTag = Tables.corpusTag(s, dir, "documents")
+    val tag = if (target) "target" else "raw"
+    val path = s"${Tables.scratchDir(s)}/dsir_buckets3_${tag}_v1/$sfTag"
+    Tables.servedArtifact(s, path) {
+      graft.ops.Dsir.trainBucketCounts(t(s, dir, "documents"),
+          "doc_id", "text",
+          if (target) col("doc_id") % 20 === 0 else col("doc_id") % 20 =!= 0)
+        .write.mode("overwrite").parquet(path)
+    }
+  }
+
+  /** DSIR data selection ([[graft.ops.Dsir.importance]] +
+    * [[graft.ops.TopN.saltedTopNPerKey]]): integer hashed-n-gram
+    * importance weight of every document against the stored
+    * target/raw bucket models, then the per-source top 32 by
+    * (importance DESC, doc_id) — the importance-resampling selection
+    * step between absolute quality gates (q39/q131) and per-source
+    * mixture rates (q142). One corpus pass: two broadcast model joins
+    * + one map-side-combined per-doc aggregation + the salted top-N
+    * (no single-task mega-source window). */
+  def q154DsirSelect(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val scored = graft.ops.Dsir.importance(docs, "doc_id", "text",
+        dsirModel(s, dir, target = true), dsirModel(s, dir, target = false))
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+    graft.ops.TopN.saltedTopNPerKey(scored, Seq(col("source")),
+        Seq(col("importance").desc, col("doc_id").asc), col("doc_id"), n = 32)
+      .select(col("doc_id"), col("source"), col("n_feats"),
+        col("importance"), col("rank"))
+  }
+
   /** The previous crawl's FULL fingerprint table (doc_id, content_hash
     * for every doc, eval included) — the ingest-layer artifact
     * [[graft.ops.SnapshotDelta.diffHashed]] assumes: the delta against

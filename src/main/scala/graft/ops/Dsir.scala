@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data Selection via Importance Resampling (DSIR, Xie et al. 2023,
+  * public): score every raw document by how much more likely its
+  * hashed-n-gram features are under a TARGET distribution (a small
+  * high-quality / in-domain set) than under the RAW distribution, then
+  * select per-source top documents by that importance weight. This is
+  * the data-selection step between quality FILTERING
+  * ([[QualityFilter]] — absolute per-doc gates) and mixture RESAMPLING
+  * (q142 — per-source rates): it ranks individual documents by target
+  * affinity.
+  *
+  * Portability contract (same as [[LmScore]]): a float
+  * log-probability-ratio sum is order-dependent under distributed
+  * aggregation and can never hash-match another engine, so each feature
+  * occurrence contributes the BIT LENGTH of its smoothed bucket count —
+  * `length(bin(cnt + 1))` = floor(log2(cnt+1)) + 1, exact in every
+  * engine — and the document's importance weight is the exact integer
+  * `Σ bitlen(target_cnt+1) − Σ bitlen(raw_cnt+1)`, a monotone proxy for
+  * `Σ log p_target(f) − log p_raw(f)` with add-one smoothing.
+  *
+  * Scale shape — the reason DSIR hashes features at all: the model is
+  * NOT a vocabulary (unbounded, like [[LmScore]]'s bigram table, which
+  * must hash-partition-join) but a FIXED 4096-bucket histogram, so both
+  * models broadcast at any corpus size, and scoring is one corpus pass
+  * with two broadcast joins + one map-side-combined aggregation. The
+  * bucket is the first [[BucketHexChars]] hex chars of the feature's
+  * md5 — a string key another engine reproduces verbatim (the portable
+  * MinHash idiom; no hex→int conversion to get wrong).
+  */
+object Dsir {
+
+  /** Bucket key width in md5 hex chars: 3 → 16³ = 4096 buckets. */
+  val BucketHexChars = 3
+
+  /** Hashed feature stream WITH multiplicity (DSIR scores occurrence
+    * counts, not presence): lowercased word unigrams + adjacent bigrams
+    * of `textCol`, each mapped to its md5-prefix bucket. Empty/blank
+    * features (empty text splits to [""]) are dropped on both engines. */
+  private[ops] def features(df: DataFrame, idCol: String,
+                            textCol: String): DataFrame = {
+    // Materialize the split ONCE in a projection below the explode: the
+    // feature expression references the words array five times (unigram
+    // list + two slices + two sizes), and inlined into Generate each
+    // reference re-splits the text per row. CollapseProject keeps the
+    // alias because it is non-cheap and multiply-referenced.
+    val ws = col("_ws")
+    val bi = zip_with(
+      slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
+      (a, b) => concat_ws(" ", a, b))
+    df.select(col(idCol).cast("long").as("doc_id"),
+        TextStats.words(lower(col(textCol))).as("_ws"))
+      .select(col("doc_id"), explode(concat(ws, bi)).as("f"))
+      .filter(length(trim(col("f"))) > 0)
+      .select(col("doc_id"),
+        substring(md5(col("f")), 1, BucketHexChars).as("bucket"))
+  }
+
+  /** Train a bucket-count model over the docs matching `pred`:
+    * (bucket, cnt). ≤ 4096 rows by construction — a build-once stored
+    * artifact that stays broadcastable forever. */
+  def trainBucketCounts(docs: DataFrame, idCol: String, textCol: String,
+                        pred: Column): DataFrame =
+    features(docs.filter(pred), idCol, textCol)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+
+  /** Integer importance weight of EVERY document against the (stored)
+    * target and raw bucket models: (doc_id, n_feats, target_bits,
+    * raw_bits, importance). Buckets absent from a model count 0
+    * (smoothed to bitlen(1) = 1). Documents with no features score 0.
+    * Both model joins broadcast (≤ 4096 rows). */
+  def importance(docs: DataFrame, idCol: String, textCol: String,
+                 targetModel: DataFrame, rawModel: DataFrame): DataFrame = {
+    val t = broadcast(targetModel.select(col("bucket"), col("cnt").as("_tc")))
+    val r = broadcast(rawModel.select(col("bucket"), col("cnt").as("_rc")))
+    val per = features(docs, idCol, textCol)
+      .join(t, Seq("bucket"), "left")
+      .join(r, Seq("bucket"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_feats"),
+        sum(length(bin(coalesce(col("_tc"), lit(0L)) + 1)).cast("long"))
+          .as("target_bits"),
+        sum(length(bin(coalesce(col("_rc"), lit(0L)) + 1)).cast("long"))
+          .as("raw_bits"))
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("target_bits"), lit(0L)).as("target_bits"),
+        coalesce(col("raw_bits"), lit(0L)).as("raw_bits"),
+        (coalesce(col("target_bits"), lit(0L)) -
+          coalesce(col("raw_bits"), lit(0L))).as("importance"))
+  }
+}
