@@ -293,6 +293,34 @@ class PlanSpec extends SparkSpec {
     p should not include "CAST(pick_mult"
   }
 
+  test("q153: cluster maintenance serves the stored pair/manifest artifacts") {
+    val p = plan(Queries.q153IncrementalClusters)
+    // the timed cell consumes the maintained artifacts — it must never
+    // re-run shingling, the pair joins, or the old snapshot's CC loop
+    p should include("neardup_pairs_stop_j05_old")
+    p should include("neardup_pairs_stop_j05_new")
+    p should include("neardup_clusters_stop_old")
+    // delta closure + reuse are joins/aggregates only: a Window here
+    // would mean a per-cluster rank sneaked into the maintenance path
+    p.split("\n").count(_.contains("Window")) shouldBe 0
+  }
+
+  test("q154: DSIR models broadcast; selection is the salted two-window top-N") {
+    val p = plan(Queries.q154DsirSelect)
+    p should include("dsir_buckets3_target_v1")
+    p should include("dsir_buckets3_raw_v1")
+    // two fixed-4096-row model joins + the doc-spine join broadcast; a
+    // SortMergeJoin on `bucket` means a model stopped broadcasting and
+    // the corpus-sized feature stream is being sorted at 100 TB
+    p.split("\n").count(_.contains("BroadcastHashJoin")) should be >= 3
+    // exactly the salted top-N's two ranking windows — a third window
+    // means a global or per-source rank outside the salt spread
+    p.split("\n").count(_.contains("Window [")) shouldBe 2
+    // rank<=32 must push into the windows as group limits (partial keeps
+    // top-32 per task BEFORE the rank shuffle — the scale lever)
+    p.split("\n").count(_.contains("WindowGroupLimit")) should be >= 2
+  }
+
   test("no query plan contains a CollectLimit-to-driver loop or cartesian product") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = fn(spark, dir).queryExecution.executedPlan.toString
