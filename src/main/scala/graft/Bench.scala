@@ -388,6 +388,10 @@ object Bench {
           // corpus by design; superlinear growth means a model join
           // stopped broadcasting or the top-N salt stopped spreading
           "q154_dsir_select",
+          // incremental LM maintenance: delta-only bigram extraction +
+          // one model-sized combine — at 10x the reused majority is a
+          // stored-model read, so growth must stay far below a retrain's
+          "q155_incremental_lm",
           "q122_audio_frames").filter(SparkEntry.queries.contains)
         // Min-of-3 for BOTH sides of the ratio, measured back-to-back in
         // the SAME session config: round 9's q122 growth read 4.6x on one
@@ -453,6 +457,10 @@ object Bench {
           "q152_copurchase_project"   -> 15.0,
           "q153_incremental_clusters" -> 6.0,
           "q154_dsir_select"          -> 15.0,
+          // the model-sized combine grows with the corpus's distinct
+          // bigrams (linear in this synthetic corpus's copies), so the
+          // cell sits in the linear regime, not the amortizing one
+          "q155_incremental_lm"       -> 15.0,
           "q122_audio_frames"         -> 15.0)
         val boundFor: String => Double =
           sys.env.get("SPARK_GRAFT_GROWTH_BOUND").map(_.toDouble) match {

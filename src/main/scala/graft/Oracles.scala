@@ -4198,5 +4198,21 @@ object Oracles {
         |  SELECT *, CAST(row_number() OVER (
         |    PARTITION BY source ORDER BY importance DESC, doc_id) AS INT) AS rank
         |  FROM scored)
-        |WHERE rank <= 32""".stripMargin)
+        |WHERE rank <= 32""".stripMargin,
+
+    // Incremental LM maintenance (q155): the oracle replays the FULL
+    // retrain — bigram counts over the new snapshot's English docs —
+    // so a hash match is the batch≡incremental theorem for the
+    // abelian-group (count) model. New snapshot = q145's (%19 removes,
+    // eval %20=0 pinned).
+    "q155_incremental_lm" ->
+      """WITH ws AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |  FROM documents
+        |  WHERE (doc_id % 19 <> 0 OR doc_id % 20 = 0) AND lang = 'en'),
+        |bg AS (
+        |  SELECT w[i] || ' ' || w[i+1] AS bigram
+        |  FROM ws, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i))
+        |SELECT bigram, CAST(count(*) AS BIGINT) AS cnt
+        |FROM bg GROUP BY bigram""".stripMargin)
 }

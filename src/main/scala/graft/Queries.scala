@@ -3617,6 +3617,47 @@ object Queries {
       prevClustersInc(s, dir),
       q145NewSnap(s, dir).select(col("doc_id")), "doc_id")
 
+  /** The PREVIOUS crawl's reference LM count model (q141's
+    * [[graft.ops.LmScore.trainCounts]] over the OLD snapshot's English
+    * docs) — the stored artifact [[q155IncrementalLm]] maintains. */
+  private def prevLmModel(s: SparkSession, dir: String): DataFrame = {
+    val sfTag = Tables.corpusTag(s, dir, "documents")
+    val path = s"${Tables.scratchDir(s)}/lm_bigram_old_v1/$sfTag"
+    Tables.servedArtifact(s, path) {
+      graft.ops.LmScore.trainCounts(q145OldSnap(s, dir),
+          "doc_id", "text", col("lang") === "en")
+        .write.mode("overwrite").parquet(path)
+    }
+  }
+
+  /** INCREMENTAL reference-LM maintenance ([[graft.ops.LmScore
+    * .maintainCounts]]): the new crawl's bigram count model from the
+    * stored old model plus the snapshot delta only — counts are an
+    * abelian-group aggregate, so the maintenance is exactly
+    * prev − removed/changed-old bigrams + added/changed-new bigrams,
+    * and unchanged documents' text is never re-read or re-tokenized.
+    * Completes the incremental family across every stored artifact in
+    * the corpus-build chain: fingerprints/manifest (q145), MinHash
+    * index (q148), cluster manifest (q153), LM model (here). The
+    * oracle replays the FULL retrain over the new snapshot, so a hash
+    * match IS the batch≡incremental equivalence theorem. */
+  def q155IncrementalLm(s: SparkSession, dir: String): DataFrame = {
+    val newSnap = q145NewSnap(s, dir)
+    // Persisted (q148's discipline): the delta feeds BOTH the minus and
+    // plus semi-joins — unpersisted, each leg re-hashes the new snapshot
+    // and re-runs the full-outer diff.
+    val delta = graft.ops.SnapshotDelta.diffHashed(
+      prevSnapshotHashes(s, dir),
+      newSnap.select(col("doc_id"),
+        graft.ops.TextStats.contentHash(col("text")).as("content_hash")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.ops.LmScore.maintainCounts(
+      prevLmModel(s, dir),
+      q145OldSnap(s, dir).filter(col("lang") === "en"),
+      newSnap.filter(col("lang") === "en"),
+      "doc_id", "text", delta)
+  }
+
   /** DSIR bucket-count model artifacts ([[graft.ops.Dsir
     * .trainBucketCounts]]) — target = the eval/high-quality split
     * (doc_id%20=0, the same pinned set q137/q145 treat as the quality

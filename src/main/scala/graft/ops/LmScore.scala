@@ -42,6 +42,49 @@ object LmScore {
     bigrams(docs.filter(refPred), idCol, textCol)
       .groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))
 
+  /** INCREMENTAL count-model maintenance across corpus snapshots — the
+    * q145/q148/q153 pattern applied to the reference LM artifact, and
+    * the easiest member of the incremental family to prove: a count
+    * model is an ABELIAN-GROUP aggregate (per-bigram sums commute and
+    * have inverses), so the new model is EXACTLY
+    *
+    *   prev  −  bigrams(removed ∪ changed docs' OLD text)
+    *         +  bigrams(added ∪ changed docs' NEW text),
+    *
+    * with rows whose count reaches zero dropped (a full retrain never
+    * emits them). Unchanged documents' text is never re-read or
+    * re-tokenized — at 100 TB a crawl-over-crawl retrain re-reads the
+    * corpus; this pass reads the delta. One shuffle on the bigram
+    * combines all three legs (union → map-side-combined sum).
+    *
+    * `delta` is [[SnapshotDelta.diffHashed]] output (doc_id, status).
+    * `oldDocs`/`newDocs` are the two snapshots ALREADY FILTERED by the
+    * model's reference predicate. Domain requirement: the predicate
+    * must be stable for content-unchanged docs across snapshots (e.g.
+    * a language tag) — a doc that flips predicate with identical text
+    * reads 'unchanged' in the hash delta and would be missed; a
+    * predicate over the text itself is safe because any flip implies
+    * 'changed'. */
+  def maintainCounts(prevModel: DataFrame, oldDocs: DataFrame,
+                     newDocs: DataFrame, idCol: String, textCol: String,
+                     delta: DataFrame): DataFrame = {
+    val del = delta.select(col("doc_id").as(idCol), col("status"))
+    val minus = bigrams(
+        oldDocs.join(del.filter(col("status").isin("removed", "changed"))
+          .select(col(idCol)), Seq(idCol), "left_semi"),
+        idCol, textCol)
+      .groupBy(col("bigram")).agg((-count(lit(1))).as("d"))
+    val plus = bigrams(
+        newDocs.join(del.filter(col("status").isin("added", "changed"))
+          .select(col(idCol)), Seq(idCol), "left_semi"),
+        idCol, textCol)
+      .groupBy(col("bigram")).agg(count(lit(1)).as("d"))
+    prevModel.select(col("bigram"), col("cnt").as("d"))
+      .unionByName(minus).unionByName(plus)
+      .groupBy(col("bigram")).agg(sum(col("d")).as("cnt"))
+      .filter(col("cnt") > 0)
+  }
+
   /** Score EVERY document against the (possibly stored) count model:
     * (doc_id, n_bigrams, n_hits, total_bits, lm_score). Documents with
     * fewer than two words score 0 over 0 bigrams. */

@@ -32,4 +32,45 @@ class LmScoreSpec extends SparkSpec {
     // reference docs score against their own counts too
     out(2L) shouldBe ((2L, 2L, 3L, 1.5))
   }
+
+  private def statusDelta(rows: (Long, String)*) =
+    docs(rows.map { case (i, _) => (i, "") }: _*)
+      .select(col("doc_id"))
+      .join(
+        docs(rows: _*).select(col("doc_id"), col("text").as("status")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("status"))
+
+  test("maintainCounts equals a full retrain across add, remove, change, and count-to-zero") {
+    val old = docs(
+      1L -> "a b a b",   // unchanged
+      2L -> "a b c",     // changed: old text contributes -("a b","b c")
+      3L -> "z z",       // removed: "z z" count drops to ZERO -> row must vanish
+      4L -> "a b")       // unchanged
+    val neu = docs(
+      1L -> "a b a b",
+      2L -> "c d",       // new text of the changed doc
+      4L -> "a b",
+      5L -> "b c b c")   // added
+    val delta = statusDelta(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "unchanged", 5L -> "added")
+    val prev = LmScore.trainCounts(old, "doc_id", "text", lit(true))
+    val inc = LmScore.maintainCounts(prev, old, neu, "doc_id", "text", delta)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fresh = LmScore.trainCounts(neu, "doc_id", "text", lit(true))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    inc shouldBe fresh
+    // the zero-count row really vanished (not emitted as cnt=0)
+    inc.contains("z z") shouldBe false
+    inc("b c") shouldBe 2L // changed doc's old "b c" removed, added doc's x2
+  }
+
+  test("maintainCounts with an empty delta is the previous model verbatim") {
+    val old = docs(1L -> "a b c", 2L -> "a b")
+    val delta = statusDelta(1L -> "unchanged", 2L -> "unchanged")
+    val prev = LmScore.trainCounts(old, "doc_id", "text", lit(true))
+    val inc = LmScore.maintainCounts(prev, old, old, "doc_id", "text", delta)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    inc shouldBe prev.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
 }
