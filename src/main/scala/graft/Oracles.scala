@@ -4214,5 +4214,15 @@ object Oracles {
         |  SELECT w[i] || ' ' || w[i+1] AS bigram
         |  FROM ws, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i))
         |SELECT bigram, CAST(count(*) AS BIGINT) AS cnt
-        |FROM bg GROUP BY bigram""".stripMargin)
+        |FROM bg GROUP BY bigram""".stripMargin,
+
+    // XML round-trip (q156): the oracle replays ONLY the null-injection
+    // transform on the parquet source — a hash match proves the
+    // write→read XML cycle (markup escaping, omitted-element nulls) is
+    // lossless, q51's JSONL contract for the third text format.
+    "q156_xml_roundtrip" ->
+      """SELECT doc_id, text,
+        |  CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang,
+        |  source, n_chars
+        |FROM documents""".stripMargin)
 }

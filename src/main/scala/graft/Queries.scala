@@ -3658,6 +3658,26 @@ object Queries {
       "doc_id", "text", delta)
   }
 
+  /** XML round-trip ([[graft.sources.Xml]] — q51's JSONL shape for the
+    * third text format): null-inject lang on every 7th doc, write the
+    * corpus as `<doc>` records, read back through the explicit schema.
+    * Losslessness (markup escaping, omitted-element→null restoration)
+    * IS the assertion: the oracle replays only the null-injection on
+    * the parquet source, so any round-trip corruption hash-mismatches.
+    * No quarantine flavor BY DESIGN — XML records are not
+    * line-delimited and a malformed record swallows its split's
+    * remainder (see Xml.scala's scaladoc); drift-prone feeds belong to
+    * JSONL/CSV quarantine (q125/q126). */
+  def q156XmlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val sfTag = dir.replaceAll(".*/", "")
+    val path = s"${Tables.scratchDir(s)}/xml_roundtrip/$sfTag/documents"
+    val df = t(s, dir, "documents")
+      .withColumn("lang", when(col("doc_id") % 7 === 0, lit(null).cast("string"))
+        .otherwise(col("lang")))
+    graft.sources.Xml.write(df, path)
+    graft.sources.Xml.read(s, path, graft.schema.Schemas.documents)
+  }
+
   /** DSIR bucket-count model artifacts ([[graft.ops.Dsir
     * .trainBucketCounts]]) — target = the eval/high-quality split
     * (doc_id%20=0, the same pinned set q137/q145 treat as the quality
