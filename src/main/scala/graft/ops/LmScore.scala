@@ -69,16 +69,22 @@ object LmScore {
                      newDocs: DataFrame, idCol: String, textCol: String,
                      delta: DataFrame): DataFrame = {
     val del = delta.select(col("doc_id").as(idCol), col("status"))
+    // All three legs combine in ONE shuffle on the bigram: the raw ±1
+    // occurrence streams union with the stored model's (bigram, cnt)
+    // rows directly, and the partial (map-side) sum collapses each
+    // task's occurrences before the exchange — pre-aggregating the
+    // legs separately would pay two extra bigram shuffles for frames
+    // the final sum re-aggregates anyway.
     val minus = bigrams(
         oldDocs.join(del.filter(col("status").isin("removed", "changed"))
           .select(col(idCol)), Seq(idCol), "left_semi"),
         idCol, textCol)
-      .groupBy(col("bigram")).agg((-count(lit(1))).as("d"))
+      .select(col("bigram"), lit(-1L).as("d"))
     val plus = bigrams(
         newDocs.join(del.filter(col("status").isin("added", "changed"))
           .select(col(idCol)), Seq(idCol), "left_semi"),
         idCol, textCol)
-      .groupBy(col("bigram")).agg(count(lit(1)).as("d"))
+      .select(col("bigram"), lit(1L).as("d"))
     prevModel.select(col("bigram"), col("cnt").as("d"))
       .unionByName(minus).unionByName(plus)
       .groupBy(col("bigram")).agg(sum(col("d")).as("cnt"))
