@@ -392,6 +392,11 @@ object Bench {
           // one model-sized combine — at 10x the reused majority is a
           // stored-model read, so growth must stay far below a retrain's
           "q155_incremental_lm",
+          // CMS heavy hitters: the sketch build is one explode + a
+          // combine into <=16384 cells — linear in the token stream by
+          // construction; superlinear growth means the estimate join
+          // stopped broadcasting
+          "q157_cms_heavy_hitters",
           "q122_audio_frames").filter(SparkEntry.queries.contains)
         // Min-of-3 for BOTH sides of the ratio, measured back-to-back in
         // the SAME session config: round 9's q122 growth read 4.6x on one
@@ -461,6 +466,7 @@ object Bench {
           // bigrams (linear in this synthetic corpus's copies), so the
           // cell sits in the linear regime, not the amortizing one
           "q155_incremental_lm"       -> 15.0,
+          "q157_cms_heavy_hitters"    -> 15.0,
           "q122_audio_frames"         -> 15.0)
         val boundFor: String => Double =
           sys.env.get("SPARK_GRAFT_GROWTH_BOUND").map(_.toDouble) match {

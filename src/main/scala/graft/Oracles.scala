@@ -4224,5 +4224,33 @@ object Oracles {
       """SELECT doc_id, text,
         |  CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang,
         |  source, n_chars
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+
+    // CMS heavy hitters (q157): the oracle replays the SKETCH itself
+    // (seeded-md5 buckets, integer cell counts, min-over-rows
+    // estimates, N/200 support threshold) — false positives from
+    // bucket collisions must match too, which is exactly what makes a
+    // deterministic integer sketch hash-checkable. ww feeds three
+    // consumers → MATERIALIZED (the q147 lesson).
+    "q157_cms_heavy_hitters" ->
+      """WITH ww AS MATERIALIZED (
+        |  SELECT t AS word FROM (
+        |    SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+        |    FROM documents)
+        |  WHERE length(trim(t)) > 0),
+        |total AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ww),
+        |cells AS MATERIALIZED (
+        |  SELECT i, substr(md5(CAST(i AS VARCHAR) || ':' || word), 1, 3) AS bucket,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM ww, LATERAL (SELECT unnest(generate_series(0, 3)) AS i)
+        |  GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT word, i,
+        |    substr(md5(CAST(i AS VARCHAR) || ':' || word), 1, 3) AS bucket
+        |  FROM ww, LATERAL (SELECT unnest(generate_series(0, 3)) AS i)),
+        |est AS (
+        |  SELECT c.word, min(cl.cnt) AS est
+        |  FROM cand c JOIN cells cl ON cl.i = c.i AND cl.bucket = c.bucket
+        |  GROUP BY c.word)
+        |SELECT e.word, e.est FROM est e, total WHERE e.est * 200 >= n""".stripMargin)
 }

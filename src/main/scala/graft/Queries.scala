@@ -3678,6 +3678,26 @@ object Queries {
     graft.sources.Xml.read(s, path, graft.schema.Schemas.documents)
   }
 
+  /** Count-Min-Sketch heavy hitters ([[graft.ops.Cms]]): words whose
+    * CMS estimate reaches the classic N/200 support threshold — the
+    * bounded-memory flavor of q48's exact vocab top-k. The sketch is
+    * ≤ 4·4096 integer cells at ANY corpus size (the counter state a
+    * 100 TB stream can actually hold), merge = map-side combine, and
+    * estimates never undercount, so true heavy hitters are never
+    * missed (one-sided error only). Every step is integer/md5 — the
+    * oracle replays the sketch bit-for-bit, false positives included. */
+  def q157CmsHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val words = t(s, dir, "documents")
+      .select(explode(graft.ops.TextStats.words(lower(col("text")))).as("word"))
+      .filter(length(trim(col("word"))) > 0)
+    val total = words.agg(count(lit(1)).as("_n"))
+    graft.ops.Cms.estimates(words.distinct(), "word",
+        graft.ops.Cms.sketch(words, "word"))
+      .crossJoin(broadcast(total))
+      .filter(col("est") * 200 >= col("_n"))
+      .select(col("word"), col("est"))
+  }
+
   /** DSIR bucket-count model artifacts ([[graft.ops.Dsir
     * .trainBucketCounts]]) — target = the eval/high-quality split
     * (doc_id%20=0, the same pinned set q137/q145 treat as the quality

@@ -1,0 +1,46 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+class CmsSpec extends SparkSpec {
+
+  private def items(ws: String*) =
+    df("word STRING", ws.map(Row(_)))
+
+  test("sketch has at most Depth*4096 cells and cell sums equal Depth*N") {
+    val in = items(Seq.fill(50)("a") ++ Seq.fill(30)("b") ++
+      (1 to 20).map(i => s"w$i"): _*)
+    val cells = Cms.sketch(in, "word")
+    val byRow = cells.groupBy(col("i")).agg(sum(col("cnt")).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    byRow.keySet shouldBe (0 until Cms.Depth).toSet
+    byRow.values.foreach(_ shouldBe 100L) // every row counts every item
+    cells.count() should be <= (Cms.Depth * 4096).toLong
+  }
+
+  test("estimates never undercount, and are exact when no bucket collides") {
+    val in = items(Seq.fill(7)("alpha") ++ Seq.fill(3)("beta") ++
+      Seq("gamma"): _*)
+    val est = Cms.estimates(in.distinct(), "word", Cms.sketch(in, "word"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Map("alpha" -> 7L, "beta" -> 3L, "gamma" -> 1L)
+    exact.foreach { case (w, c) => est(w) should be >= c }
+    // 3 words over 4096 buckets: verify this corpus is collision-free
+    // per row, so the one-sided bound is tight here
+    val cellCount = Cms.sketch(in, "word").count()
+    if (cellCount == Cms.Depth * 3L) est shouldBe exact
+  }
+
+  test("merge is cell-wise addition: sketch(A ++ B) = sketch(A) + sketch(B)") {
+    val a = items("x", "x", "y")
+    val b = items("y", "z")
+    val merged = Cms.sketch(a.unionAll(b), "word")
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    val summed = Cms.sketch(a, "word").unionByName(Cms.sketch(b, "word"))
+      .groupBy(col("i"), col("bucket")).agg(sum(col("cnt")).as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    merged shouldBe summed
+  }
+}
