@@ -4252,5 +4252,31 @@ object Oracles {
         |  SELECT c.word, min(cl.cnt) AS est
         |  FROM cand c JOIN cells cl ON cl.i = c.i AND cl.bucket = c.bucket
         |  GROUP BY c.word)
-        |SELECT e.word, e.est FROM est e, total WHERE e.est * 200 >= n""".stripMargin)
+        |SELECT e.word, e.est FROM est e, total WHERE e.est * 200 >= n""".stripMargin,
+
+    // Stratified systematic sample (q158): q151's integer machinery per
+    // source — key-local prefix cumsum, per-key total, closed-form
+    // ceil-div multiplicity. The PARTITION BY here is the ORACLE's
+    // replay convenience; the Spark plan derives local prefixes from
+    // the global range exchange without any per-key window.
+    "q158_stratified_systematic" ->
+      """WITH p AS (
+        |  SELECT doc_id, source, n_chars, md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents WHERE n_chars > 0),
+        |ps AS (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST(COALESCE(SUM(n_chars) OVER (
+        |      PARTITION BY source ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS prefix_w
+        |  FROM p),
+        |t AS (SELECT source, CAST(MAX(prefix_w + n_chars) AS BIGINT) AS w_key
+        |      FROM ps GROUP BY source)
+        |SELECT doc_id, source, n_chars, prefix_w, pick_mult
+        |FROM (
+        |  SELECT ps.*,
+        |    ((prefix_w + n_chars) * 20 + w_key - 1) // w_key
+        |      - (prefix_w * 20 + w_key - 1) // w_key AS pick_mult
+        |  FROM ps JOIN t USING (source))
+        |WHERE pick_mult > 0""".stripMargin)
 }

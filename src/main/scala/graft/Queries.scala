@@ -3678,6 +3678,21 @@ object Queries {
     graft.sources.Xml.read(s, path, graft.schema.Schemas.documents)
   }
 
+  /** STRATIFIED systematic sampling ([[graft.ops.Sampling
+    * .systematicWeightedPerKey]]): exactly k=20 picks per source
+    * proportional to n_chars — q151's exact-budget sampler run once
+    * per stratum in ONE plan, the "draw each source's quota" step a
+    * mixture builder runs after q142's weights. Window-free per key
+    * (key-local prefixes derive from the global range-partitioned
+    * prefix sum), all-BIGINT, so the oracle replays the identical
+    * sample. */
+  def q158StratifiedSystematic(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.systematicWeightedPerKey(
+      t(s, dir, "documents").select(col("doc_id"), col("source"), col("n_chars")),
+      "source", "doc_id", "n_chars", k = 20)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("prefix_w"), col("pick_mult"))
+
   /** Count-Min-Sketch heavy hitters ([[graft.ops.Cms]]): words whose
     * CMS estimate reaches the classic N/200 support threshold — the
     * bounded-memory flavor of q48's exact vocab top-k. The sketch is

@@ -112,4 +112,47 @@ object Sampling {
       .filter(col(multCol) > 0)
       .drop("_h", "_W", "_ca", "_cb")
   }
+
+  /** STRATIFIED [[systematicWeighted]]: exactly k weighted picks PER KEY
+    * (Σ mult = k within every key with positive total weight) — the
+    * "draw each source's budget" step a mixture builder runs once per
+    * crawl, as ONE plan instead of a per-source loop.
+    *
+    * Same integer machinery, derived per key without a per-key window:
+    * the global prefix sum ranges on (key, md5(id), id), so each key's
+    * rows are CONTIGUOUS on the integer line and its local prefix is
+    * just `global − first-of-key` — one aggregate (min prefix, total
+    * weight per key) joined back on the key. No
+    * `Window.partitionBy(key)` anywhere, so a mega-key spreads across
+    * range partitions instead of serializing on one task (the q124
+    * lesson); the per-key totals frame is #keys rows and joins hash- or
+    * broadcast-side as the optimizer sees fit.
+    *
+    * Same domain rules per key: w > 0 rows only; k·W_key < 2^63,
+    * guarded lazily in-plan. `prefixCol` is the KEY-LOCAL prefix. */
+  def systematicWeightedPerKey(df: DataFrame, keyCol: String, idCol: String,
+                               weightCol: String, k: Int,
+                               prefixCol: String = "prefix_w",
+                               multCol: String = "pick_mult"): DataFrame = {
+    require(k >= 1, s"k must be >= 1; got $k")
+    val pref = SurrogateKeys.prefixSum(
+      df.filter(col(weightCol) > 0)
+        .withColumn("_h", md5(col(idCol).cast("string"))),
+      weightCol, "_gp", Seq(keyCol, "_h", idCol))
+    val perKey = pref.groupBy(col(keyCol))
+      .agg(min(col("_gp")).as("_base"), sum(col(weightCol)).as("_W"))
+      .filter(assert_true(
+        col("_W") <= Long.MaxValue / k,
+        concat(lit(s"systematicWeightedPerKey: k=$k times key weight "),
+          col("_W"),
+          lit(" overflows BIGINT pick arithmetic — reduce k or rescale " +
+            "the weights (selection only needs their ratios)"))).isNull)
+    pref.join(perKey, Seq(keyCol))
+      .withColumn(prefixCol, col("_gp") - col("_base"))
+      .withColumn("_ca", (col(prefixCol) + col(weightCol)) * k + col("_W") - 1)
+      .withColumn("_cb", col(prefixCol) * k + col("_W") - 1)
+      .withColumn(multCol, expr("_ca div _W") - expr("_cb div _W"))
+      .filter(col(multCol) > 0)
+      .drop("_h", "_gp", "_base", "_W", "_ca", "_cb")
+  }
 }

@@ -108,4 +108,48 @@ class SamplingSpec extends SparkSpec {
       .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
     msgs should include("systematicWeighted")
   }
+
+  private def keyed(ws: (Long, String, Long)*) =
+    df("id BIGINT, k STRING, w BIGINT", ws.map(e => Row(e._1, e._2, e._3)))
+
+  test("systematicWeightedPerKey: exactly k picks per key, each equal to a per-key global run") {
+    val rows = (0L until 300L).map(i => (i, s"s${i % 5}", (i * 37) % 90 + 1))
+    val out = Sampling.systematicWeightedPerKey(keyed(rows: _*),
+        "k", "id", "w", k = 12)
+      .collect()
+      .map(r => (r.getAs[String]("k"), r.getAs[Long]("id"),
+        r.getAs[Long]("pick_mult")))
+    out.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap shouldBe
+      (0 until 5).map(s => s"s$s" -> 12L).toMap
+    // Per key, the stratified picks must equal running the GLOBAL
+    // sampler on that key's slice alone (same order, same W_key) — the
+    // reference closed form replays each stratum independently.
+    (0 until 5).foreach { s =>
+      val key = s"s$s"
+      val slice = rows.filter(_._2 == key).map(r => (r._1, r._3))
+      val got = out.filter(_._1 == key).map(t => t._2 -> t._3).toMap
+      got shouldBe refSystematic(slice, 12)
+    }
+  }
+
+  test("systematicWeightedPerKey is partitioning-independent") {
+    val rows = (0L until 400L).map(i => (i, s"g${i % 3}", (i * 13) % 40 + 1))
+    val d = keyed(rows: _*)
+    val r1 = Sampling.systematicWeightedPerKey(d, "k", "id", "w", k = 15)
+    val r2 = Sampling.systematicWeightedPerKey(d.repartition(17), "k", "id", "w", k = 15)
+    r1.exceptAll(r2).count() shouldBe 0
+    r2.exceptAll(r1).count() shouldBe 0
+  }
+
+  test("systematicWeightedPerKey fails fast when one key's k*W overflows") {
+    val e = intercept[Throwable] {
+      Sampling.systematicWeightedPerKey(
+        keyed((1L, "big", Long.MaxValue / 4), (2L, "big", Long.MaxValue / 4),
+          (3L, "small", 10L)),
+        "k", "id", "w", k = 100).collect()
+    }
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    msgs should include("systematicWeightedPerKey")
+  }
 }
