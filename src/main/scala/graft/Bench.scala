@@ -397,6 +397,9 @@ object Bench {
           // construction; superlinear growth means the estimate join
           // stopped broadcasting
           "q157_cms_heavy_hitters",
+          // stratified sampling: q151's machinery per key — one range
+          // exchange + per-key agg join, fixed broadcast machinery
+          "q158_stratified_systematic",
           "q122_audio_frames").filter(SparkEntry.queries.contains)
         // Min-of-3 for BOTH sides of the ratio, measured back-to-back in
         // the SAME session config: round 9's q122 growth read 4.6x on one
@@ -467,6 +470,7 @@ object Bench {
           // cell sits in the linear regime, not the amortizing one
           "q155_incremental_lm"       -> 15.0,
           "q157_cms_heavy_hitters"    -> 15.0,
+          "q158_stratified_systematic" -> 6.0,
           "q122_audio_frames"         -> 15.0)
         val boundFor: String => Double =
           sys.env.get("SPARK_GRAFT_GROWTH_BOUND").map(_.toDouble) match {
