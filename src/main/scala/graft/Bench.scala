@@ -400,6 +400,11 @@ object Bench {
           // stratified sampling: q151's machinery per key — one range
           // exchange + per-key agg join, fixed broadcast machinery
           "q158_stratified_systematic",
+          // incremental IVF: presence joins + delta-only assignment +
+          // query-only probe ranks over the maintained lists — at 10x
+          // the reused majority is a list-artifact read, so growth must
+          // stay far below an assign-all's
+          "q159_incremental_ivf",
           "q122_audio_frames").filter(SparkEntry.queries.contains)
         // Min-of-3 for BOTH sides of the ratio, measured back-to-back in
         // the SAME session config: round 9's q122 growth read 4.6x on one
@@ -471,6 +476,7 @@ object Bench {
           "q155_incremental_lm"       -> 15.0,
           "q157_cms_heavy_hitters"    -> 15.0,
           "q158_stratified_systematic" -> 6.0,
+          "q159_incremental_ivf"      -> 6.0,
           "q122_audio_frames"         -> 15.0)
         val boundFor: String => Double =
           sys.env.get("SPARK_GRAFT_GROWTH_BOUND").map(_.toDouble) match {

@@ -4278,5 +4278,75 @@ object Oracles {
         |    ((prefix_w + n_chars) * 20 + w_key - 1) // w_key
         |      - (prefix_w * 20 + w_key - 1) // w_key AS pick_mult
         |  FROM ps JOIN t USING (source))
-        |WHERE pick_mult > 0""".stripMargin)
+        |WHERE pick_mult > 0""".stripMargin,
+
+    // Incremental IVF (q159): the oracle replays the FULL recompute —
+    // the q103 training CTEs verbatim over the full corpus (the frozen
+    // quantizer), then nearest-list assignment, probes, candidates and
+    // top-5 over the NEW SNAPSHOT only (vec_id%19≠0, immutable-by-id
+    // vectors) — so a hash match is the batch≡incremental theorem for
+    // the maintained list table and the stored-list serving path.
+    "q159_incremental_ivf" ->
+      """WITH pts_full AS (
+        |  SELECT vec_id AS id,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |pts AS (SELECT * FROM pts_full WHERE id % 19 <> 0),
+        |c0 AS (SELECT id AS cluster_id, qv AS cv FROM pts_full ORDER BY id LIMIT 8),
+        |a1 AS (
+        |  SELECT id, qv, cluster_id FROM (
+        |    SELECT p.id, p.qv, c.cluster_id,
+        |      row_number() OVER (PARTITION BY p.id ORDER BY
+        |        list_sum(list_transform(list_zip(p.qv, c.cv),
+        |          z -> (z[1]-z[2])*(z[1]-z[2]))), c.cluster_id) AS rn
+        |    FROM pts_full p CROSS JOIN c0 c)
+        |  WHERE rn = 1),
+        |u1 AS (
+        |  SELECT cluster_id, pos,
+        |    CAST(floor(CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS cv1
+        |  FROM (SELECT cluster_id, generate_subscripts(qv, 1) AS pos, unnest(qv) AS v FROM a1)
+        |  GROUP BY cluster_id, pos),
+        |c1 AS (SELECT cluster_id, list(cv1 ORDER BY pos) AS cv FROM u1 GROUP BY cluster_id),
+        |a2 AS (
+        |  SELECT id, qv, cluster_id FROM (
+        |    SELECT p.id, p.qv, c.cluster_id,
+        |      row_number() OVER (PARTITION BY p.id ORDER BY
+        |        list_sum(list_transform(list_zip(p.qv, c.cv),
+        |          z -> (z[1]-z[2])*(z[1]-z[2]))), c.cluster_id) AS rn
+        |    FROM pts_full p CROSS JOIN c1 c)
+        |  WHERE rn = 1),
+        |u2 AS (
+        |  SELECT cluster_id, pos,
+        |    CAST(floor(CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS cv1
+        |  FROM (SELECT cluster_id, generate_subscripts(qv, 1) AS pos, unnest(qv) AS v FROM a2)
+        |  GROUP BY cluster_id, pos),
+        |c2 AS (SELECT cluster_id, list(cv1 ORDER BY pos) AS cv FROM u2 GROUP BY cluster_id),
+        |ranked AS (
+        |  SELECT p.id, c.cluster_id,
+        |    row_number() OVER (PARTITION BY p.id ORDER BY
+        |      list_sum(list_transform(list_zip(p.qv, c.cv),
+        |        z -> (z[1]-z[2])*(z[1]-z[2]))), c.cluster_id) AS rn
+        |  FROM pts p CROSS JOIN c2 c),
+        |lists AS (SELECT id AS cand_id, cluster_id FROM ranked WHERE rn = 1),
+        |probes AS (
+        |  SELECT id AS query_id, cluster_id FROM ranked
+        |  WHERE rn <= 2 AND id % 50 = 0),
+        |cand AS (
+        |  SELECT DISTINCT query_id, cand_id
+        |  FROM probes JOIN lists USING (cluster_id)
+        |  WHERE query_id != cand_id),
+        |scored AS (
+        |  SELECT query_id, cand_id,
+        |    list_sum(list_transform(list_zip(a.qv, b.qv),
+        |      z -> (z[1]-z[2])*(z[1]-z[2]))) AS dist
+        |  FROM cand
+        |  JOIN pts a ON query_id = a.id
+        |  JOIN pts b ON cand_id = b.id)
+        |SELECT query_id, cand_id, CAST(dist AS BIGINT) AS dist, rank FROM (
+        |  SELECT query_id, cand_id, dist,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY dist, cand_id) AS INT) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5""".stripMargin)
 }

@@ -3678,6 +3678,50 @@ object Queries {
     graft.sources.Xml.read(s, path, graft.schema.Schemas.documents)
   }
 
+  /** The previous embedding snapshot's IVF list assignment
+    * (id → cluster_id) under the FROZEN trained quantizer
+    * ([[trainedCentroids]]) — the maintained ANN index artifact
+    * [[q159IncrementalIvf]] consumes. Old snapshot = vec_id%17≠0
+    * (vectors are immutable by id: an embedding row is
+    * content-addressed, so snapshots only add/remove ids). */
+  private def prevIvfLists(s: SparkSession, dir: String): DataFrame = {
+    val sfTag = Tables.corpusTag(s, dir, "embeddings")
+    val path = s"${Tables.scratchDir(s)}/ivf_lists_old_v1/$sfTag"
+    Tables.servedArtifact(s, path) {
+      Cluster.assignQ(quantizedPoints(s, dir).filter(col("id") % 17 =!= 0),
+          trainedCentroids(s, dir))
+        .select(col("id"), col("cluster_id"))
+        .write.mode("overwrite").parquet(path)
+    }
+  }
+
+  /** INCREMENTAL IVF index maintenance + stored-list serving
+    * ([[graft.ops.Cluster.ivfSearchStoredLists]]) — the incremental
+    * family extended to the ANN layer: the new snapshot's inverted
+    * lists reuse the stored assignment for every retained vector and
+    * assign ONLY the added ids against the frozen k-centroid quantizer
+    * (assignment is a pure function of the vector, the invariance the
+    * reuse needs; removed ids drop via the presence semi-join), then
+    * top-5 serving ranks ONLY the query vectors against the broadcast
+    * centroids and reads candidates from the maintained lists — the
+    * corpus-sized nearest-list pass q103 redoes per call never runs.
+    * The oracle replays the FULL recompute (train + assign-all +
+    * search over the new snapshot), so a hash match is the
+    * batch≡incremental theorem for the index AND the serving path. */
+  def q159IncrementalIvf(s: SparkSession, dir: String): DataFrame = {
+    val newPts = quantizedPoints(s, dir).filter(col("id") % 19 =!= 0)
+    val prev = prevIvfLists(s, dir)
+    val cents = trainedCentroids(s, dir)
+    val reused = prev.join(newPts.select(col("id")), Seq("id"), "left_semi")
+    val fresh = Cluster.assignQ(
+        newPts.join(prev.select(col("id")), Seq("id"), "left_anti"), cents)
+      .select(col("id"), col("cluster_id"))
+    Cluster.ivfSearchStoredLists(newPts, cents,
+      reused.unionByName(fresh),
+      newPts.filter(col("id") % 50 === 0).select(col("id")),
+      topK = 5, nProbe = 2)
+  }
+
   /** STRATIFIED systematic sampling ([[graft.ops.Sampling
     * .systematicWeightedPerKey]]): exactly k=20 picks per source
     * proportional to n_chars — q151's exact-budget sampler run once

@@ -226,4 +226,36 @@ object Cluster {
       .filter(col("rank") <= topK)
       .select(col("query_id"), col("cand_id"), col("dist"), col("rank"))
   }
+
+  /** [[ivfSearchQPts]] with the inverted LISTS supplied by the caller —
+    * the true serving path once the list table is a maintained stored
+    * artifact ([[assignQ]] output, (id → cluster_id)): at query time
+    * ONLY the query vectors rank against the k broadcast centroids;
+    * the corpus-sized nearest-list pass that [[ivfSearchQPts]] redoes
+    * per call is exactly what the stored index deletes. `lists` must
+    * be the assignment of `pts` under `cents` (same argmin tie-break —
+    * smallest centroid id), which [[assignQ]] guarantees; result is
+    * then bit-equal to [[ivfSearchQPts]] (ClusterSpec asserts it). */
+  def ivfSearchStoredLists(pts: DataFrame, cents: DataFrame,
+                           lists: DataFrame, queryIds: DataFrame,
+                           topK: Int, nProbe: Int): DataFrame = {
+    require(nProbe >= 1 && topK >= 1,
+      s"topK and nProbe must be >= 1; got topK=$topK nProbe=$nProbe")
+    val probes = rankCentroidsQ(pts.join(queryIds, Seq("id")), cents)
+      .filter(col("_r") <= nProbe)
+      .select(col("id").as("query_id"), col("cluster_id"))
+    val cands = lists.select(col("id").as("cand_id"), col("cluster_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist"), col("cand_id"))
+    probes.join(cands, Seq("cluster_id"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"))
+      .distinct()
+      .join(pts.select(col("id").as("query_id"), col("qv").as("_qa")), Seq("query_id"))
+      .join(pts.select(col("id").as("cand_id"), col("qv").as("_qb")), Seq("cand_id"))
+      .withColumn("dist", sqDistQ(col("_qa"), col("_qb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("cand_id"), col("dist"), col("rank"))
+  }
 }

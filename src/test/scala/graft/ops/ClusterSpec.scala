@@ -155,4 +155,46 @@ class ClusterSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Cluster.kMeans(data, "vec_id", "embedding", k = 1, iterations = 7)
   }
+
+  private def qpts(vs: (Long, Seq[Float])*) =
+    emb(vs: _*).select(col("vec_id").as("id"),
+      Cluster.quantize(col("embedding")).as("qv"))
+
+  private def blobPts = qpts((0L until 40L).map { i =>
+    val base = if (i % 2 == 0) 0.9f else 0.1f
+    (i, Seq(base + (i % 7) * 0.01f, 1.0f - base + (i % 5) * 0.01f))
+  }: _*)
+
+  test("ivfSearchStoredLists over assignQ lists equals the recomputing search") {
+    val pts = blobPts
+    val cents = Cluster.train(pts, k = 4, iterations = 2)
+    val lists = Cluster.assignQ(pts, cents).select(col("id"), col("cluster_id"))
+    val queries = pts.filter(col("id") % 10 === 0).select(col("id"))
+    val stored = Cluster.ivfSearchStoredLists(pts, cents, lists, queries,
+        topK = 3, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3))).toSet
+    val live = Cluster.ivfSearchQPts(pts, cents, queries, topK = 3, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3))).toSet
+    stored shouldBe live
+  }
+
+  test("incremental list maintenance (reuse + delta-assign) equals a fresh assignment") {
+    val all = blobPts
+    val cents = Cluster.train(all, k = 4, iterations = 2)
+    val oldPts = all.filter(col("id") % 17 =!= 0)
+    val newPts = all.filter(col("id") % 19 =!= 0)
+    val prev = Cluster.assignQ(oldPts, cents).select(col("id"), col("cluster_id"))
+    val maintained = prev
+      .join(newPts.select(col("id")), Seq("id"), "left_semi")
+      .unionByName(Cluster.assignQ(
+          newPts.join(prev.select(col("id")), Seq("id"), "left_anti"), cents)
+        .select(col("id"), col("cluster_id")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fresh = Cluster.assignQ(newPts, cents)
+      .select(col("id"), col("cluster_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    maintained shouldBe fresh
+  }
 }
