@@ -321,6 +321,36 @@ class PlanSpec extends SparkSpec {
     p.split("\n").count(_.contains("WindowGroupLimit")) should be >= 2
   }
 
+  test("q155: LM maintenance serves the stored model and combines in ONE bigram exchange") {
+    val p = plan(Queries.q155IncrementalLm)
+    p should include("lm_bigram_old_v1")
+    p should include("corpus_hashes_old_v1")
+    // the three legs (stored model + minus + plus occurrence streams)
+    // must meet in a single hash aggregation on the bigram: a second
+    // bigram exchange means a leg re-grew its own pre-aggregation
+    p.split("\n").count(l =>
+      l.contains("Exchange hashpartitioning(bigram")) shouldBe 1
+  }
+
+  test("q157: the CMS estimate join broadcasts the fixed-size cell table") {
+    val p = plan(Queries.q157CmsHeavyHitters)
+    // the sketch is <= Depth*4096 rows BY CONSTRUCTION — if this ever
+    // plans as a SortMergeJoin the corpus-vocab stream gets sorted
+    p should include("BroadcastHashJoin [i#")
+    p should not include "SortMergeJoin [i#"
+  }
+
+  test("q159: IVF serving reads the stored list artifact; only queries rank centroids") {
+    val p = plan(Queries.q159IncrementalIvf)
+    p should include("ivf_lists_old_v1")
+    p should include("kmeans_k8_i2_e6_v1")
+    // exactly TWO ranking windows run: the delta-only assignment argmin
+    // is an aggregate (no window), so windows = query-probe rank + the
+    // final top-k rank; a third means a corpus-wide nearest-list pass
+    // (the q103 recompute this cell exists to delete) sneaked back in
+    p.split("\n").count(_.contains("Window [")) shouldBe 2
+  }
+
   test("no query plan contains a CollectLimit-to-driver loop or cartesian product") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = fn(spark, dir).queryExecution.executedPlan.toString
