@@ -405,6 +405,9 @@ object Bench {
           // the reused majority is a list-artifact read, so growth must
           // stay far below an assign-all's
           "q159_incremental_ivf",
+          // incremental DSIR models: delta-only feature extraction +
+          // one fixed-size (≤4096-bucket) combine per model
+          "q160_incremental_dsir",
           "q122_audio_frames").filter(SparkEntry.queries.contains)
         // Min-of-3 for BOTH sides of the ratio, measured back-to-back in
         // the SAME session config: round 9's q122 growth read 4.6x on one
@@ -477,6 +480,7 @@ object Bench {
           "q157_cms_heavy_hitters"    -> 15.0,
           "q158_stratified_systematic" -> 6.0,
           "q159_incremental_ivf"      -> 6.0,
+          "q160_incremental_dsir"     -> 6.0,
           "q122_audio_frames"         -> 15.0)
         val boundFor: String => Double =
           sys.env.get("SPARK_GRAFT_GROWTH_BOUND").map(_.toDouble) match {

@@ -4348,5 +4348,30 @@ object Oracles {
         |    CAST(row_number() OVER (PARTITION BY query_id
         |      ORDER BY dist, cand_id) AS INT) AS rank
         |  FROM scored)
-        |WHERE rank <= 5""".stripMargin)
+        |WHERE rank <= 5""".stripMargin,
+
+    // Incremental DSIR models (q160): the oracle replays the FULL
+    // retrain of both histograms over the new snapshot — q154's
+    // feature/bucket definitions, the %20 target/raw splits — so a hash
+    // match is the batch≡incremental theorem for the selection models.
+    // feats feeds two consumers → MATERIALIZED.
+    "q160_incremental_dsir" ->
+      """WITH newsnap AS MATERIALIZED (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id % 19 <> 0 OR doc_id % 20 = 0),
+        |feats AS MATERIALIZED (
+        |  SELECT doc_id, substr(md5(f), 1, 3) AS bucket FROM (
+        |    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS f
+        |    FROM newsnap
+        |    UNION ALL
+        |    SELECT doc_id, w[i] || ' ' || w[i+1] AS f
+        |    FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |          FROM newsnap),
+        |      LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i))
+        |  WHERE length(trim(f)) > 0)
+        |SELECT 'target' AS model, bucket, CAST(count(*) AS BIGINT) AS cnt
+        |FROM feats WHERE doc_id % 20 = 0 GROUP BY bucket
+        |UNION ALL
+        |SELECT 'raw' AS model, bucket, CAST(count(*) AS BIGINT) AS cnt
+        |FROM feats WHERE doc_id % 20 <> 0 GROUP BY bucket""".stripMargin)
 }

@@ -3737,6 +3737,53 @@ object Queries {
       .select(col("doc_id"), col("source"), col("n_chars"),
         col("prefix_w"), col("pick_mult"))
 
+  /** The PREVIOUS crawl's DSIR bucket models (target/raw splits of the
+    * OLD snapshot) — the stored artifacts [[q160IncrementalDsir]]
+    * maintains. */
+  private def prevDsirModel(s: SparkSession, dir: String,
+                            target: Boolean): DataFrame = {
+    val sfTag = Tables.corpusTag(s, dir, "documents")
+    val tag = if (target) "target" else "raw"
+    val path = s"${Tables.scratchDir(s)}/dsir_buckets3_${tag}_old_v1/$sfTag"
+    Tables.servedArtifact(s, path) {
+      graft.ops.Dsir.trainBucketCounts(q145OldSnap(s, dir),
+          "doc_id", "text",
+          if (target) col("doc_id") % 20 === 0 else col("doc_id") % 20 =!= 0)
+        .write.mode("overwrite").parquet(path)
+    }
+  }
+
+  /** INCREMENTAL DSIR model maintenance ([[graft.ops.Dsir
+    * .maintainBucketCounts]]): both 4096-bucket histograms (target and
+    * raw splits) recomputed for the new crawl from the stored models
+    * plus the snapshot delta only — q155's abelian-group maintenance
+    * applied to the selection models, so with q145/q148/q153/q155/q159
+    * EVERY stored model and index in the pipeline is now maintained,
+    * never retrained. Output is both maintained models tagged by a
+    * `model` column; the oracle replays the FULL retrain over the new
+    * snapshot (hash match = batch≡incremental theorem). */
+  def q160IncrementalDsir(s: SparkSession, dir: String): DataFrame = {
+    val newSnap = q145NewSnap(s, dir)
+    // Persisted (q148/q155's discipline): the delta feeds all four
+    // maintenance semi-joins (minus/plus per model).
+    val delta = graft.ops.SnapshotDelta.diffHashed(
+      prevSnapshotHashes(s, dir),
+      newSnap.select(col("doc_id"),
+        graft.ops.TextStats.contentHash(col("text")).as("content_hash")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def side(target: Boolean): DataFrame = {
+      val pred =
+        if (target) col("doc_id") % 20 === 0 else col("doc_id") % 20 =!= 0
+      graft.ops.Dsir.maintainBucketCounts(
+          prevDsirModel(s, dir, target),
+          q145OldSnap(s, dir).filter(pred), newSnap.filter(pred),
+          "doc_id", "text", delta)
+        .select(lit(if (target) "target" else "raw").as("model"),
+          col("bucket"), col("cnt"))
+    }
+    side(target = true).unionByName(side(target = false))
+  }
+
   /** Count-Min-Sketch heavy hitters ([[graft.ops.Cms]]): words whose
     * CMS estimate reaches the classic N/200 support threshold — the
     * bounded-memory flavor of q48's exact vocab top-k. The sketch is

@@ -67,6 +67,31 @@ object Dsir {
     features(docs.filter(pred), idCol, textCol)
       .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
 
+  /** INCREMENTAL bucket-model maintenance across corpus snapshots —
+    * [[LmScore.maintainCounts]]'s abelian-group argument applied to the
+    * DSIR histograms: the new snapshot's model is exactly
+    * prev − features(removed/changed docs' OLD text) +
+    * features(added/changed docs' NEW text), zero-count buckets
+    * dropped; unchanged text never re-read or re-hashed. Same domain
+    * rule on the split predicate as there: it must be stable for
+    * content-unchanged docs across snapshots (the %-of-id split is).
+    * `delta` is [[SnapshotDelta.diffHashed]] output; `oldDocs`/`newDocs`
+    * are the snapshots ALREADY FILTERED by the model's split. */
+  def maintainBucketCounts(prevModel: DataFrame, oldDocs: DataFrame,
+                           newDocs: DataFrame, idCol: String,
+                           textCol: String, delta: DataFrame): DataFrame = {
+    val del = delta.select(col("doc_id").as(idCol), col("status"))
+    AdditiveCounts.maintain(prevModel, "bucket",
+      features(
+        oldDocs.join(del.filter(col("status").isin("removed", "changed"))
+          .select(col(idCol)), Seq(idCol), "left_semi"),
+        idCol, textCol),
+      features(
+        newDocs.join(del.filter(col("status").isin("added", "changed"))
+          .select(col(idCol)), Seq(idCol), "left_semi"),
+        idCol, textCol))
+  }
+
   /** Integer importance weight of EVERY document against the (stored)
     * target and raw bucket models: (doc_id, n_feats, target_bits,
     * raw_bits, importance). Buckets absent from a model count 0

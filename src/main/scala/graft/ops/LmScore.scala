@@ -69,26 +69,18 @@ object LmScore {
                      newDocs: DataFrame, idCol: String, textCol: String,
                      delta: DataFrame): DataFrame = {
     val del = delta.select(col("doc_id").as(idCol), col("status"))
-    // All three legs combine in ONE shuffle on the bigram: the raw ±1
-    // occurrence streams union with the stored model's (bigram, cnt)
-    // rows directly, and the partial (map-side) sum collapses each
-    // task's occurrences before the exchange — pre-aggregating the
-    // legs separately would pay two extra bigram shuffles for frames
-    // the final sum re-aggregates anyway.
-    val minus = bigrams(
+    // Single-shuffle combine via [[AdditiveCounts.maintain]] — see its
+    // scaladoc for the group-axioms proof and the measured cost of
+    // pre-aggregating the legs separately.
+    AdditiveCounts.maintain(prevModel, "bigram",
+      bigrams(
         oldDocs.join(del.filter(col("status").isin("removed", "changed"))
           .select(col(idCol)), Seq(idCol), "left_semi"),
-        idCol, textCol)
-      .select(col("bigram"), lit(-1L).as("d"))
-    val plus = bigrams(
+        idCol, textCol),
+      bigrams(
         newDocs.join(del.filter(col("status").isin("added", "changed"))
           .select(col(idCol)), Seq(idCol), "left_semi"),
-        idCol, textCol)
-      .select(col("bigram"), lit(1L).as("d"))
-    prevModel.select(col("bigram"), col("cnt").as("d"))
-      .unionByName(minus).unionByName(plus)
-      .groupBy(col("bigram")).agg(sum(col("d")).as("cnt"))
-      .filter(col("cnt") > 0)
+        idCol, textCol))
   }
 
   /** Score EVERY document against the (possibly stored) count model:

@@ -69,6 +69,28 @@ class DsirSpec extends SparkSpec {
     out(1L)._2 shouldBe 0L       // identical models cancel exactly
   }
 
+  test("maintainBucketCounts equals a fresh retrain across add, remove, change") {
+    val old = df("id BIGINT, text STRING", Seq(
+      Row(1L, "alpha beta gamma"),   // unchanged
+      Row(2L, "delta epsilon"),      // changed
+      Row(3L, "zeta zeta"),          // removed: its buckets drop to zero
+      Row(4L, "alpha beta")))        // unchanged
+    val neu = df("id BIGINT, text STRING", Seq(
+      Row(1L, "alpha beta gamma"),
+      Row(2L, "eta theta iota"),     // new text of the changed doc
+      Row(4L, "alpha beta"),
+      Row(5L, "beta gamma beta")))   // added
+    val delta = df("doc_id BIGINT, status STRING", Seq(
+      Row(1L, "unchanged"), Row(2L, "changed"), Row(3L, "removed"),
+      Row(4L, "unchanged"), Row(5L, "added")))
+    val prev = Dsir.trainBucketCounts(old, "id", "text", lit(true))
+    val inc = Dsir.maintainBucketCounts(prev, old, neu, "id", "text", delta)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fresh = Dsir.trainBucketCounts(neu, "id", "text", lit(true))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    inc shouldBe fresh
+  }
+
   test("target-affine docs outrank target-absent docs") {
     val target = (1 to 5).map(i =>
       Row(100L + i, "quality prose about careful analysis and methods"))
