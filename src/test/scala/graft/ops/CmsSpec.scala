@@ -33,6 +33,21 @@ class CmsSpec extends SparkSpec {
     if (cellCount == Cms.Depth * 3L) est shouldBe exact
   }
 
+  test("property: estimates never undercount on random multisets") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val corpus = Gen.chooseNum(1, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf((1 to 12).map(i => s"w$i"))))
+    val prop = Prop.forAll(corpus) { ws =>
+      val in = items(ws: _*)
+      val est = Cms.estimates(in.distinct(), "word", Cms.sketch(in, "word"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val exact = ws.groupBy(identity).view.mapValues(_.size.toLong)
+      exact.forall { case (w, c) => est(w) >= c }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("merge is cell-wise addition: sketch(A ++ B) = sketch(A) + sketch(B)") {
     val a = items("x", "x", "y")
     val b = items("y", "z")

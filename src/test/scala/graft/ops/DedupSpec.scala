@@ -271,6 +271,41 @@ class DedupSpec extends SparkSpec {
     out(1L) shouldBe 1L; out(2L) shouldBe 1L; out(3L) shouldBe 1L // recomputed
   }
 
+  test("property: incrementalClusters equals a fresh recompute on random graph deltas") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // Random old/new pair sets over a small id space + random membership
+    // churn: exercises splits, merges, bridge removals, singleton
+    // add/drop and rep-steals in arbitrary combination.
+    val ids = (1L to 12L).toVector
+    val pair = for {
+      a <- Gen.oneOf(ids); b <- Gen.oneOf(ids.filter(_ != a))
+    } yield (math.min(a, b), math.max(a, b))
+    val pairSet = Gen.chooseNum(0, 10).flatMap(n => Gen.listOfN(n, pair)).map(_.distinct)
+    val scenario = for {
+      oldP <- pairSet
+      newP <- pairSet
+      removedIds <- Gen.someOf(ids)
+    } yield (oldP, newP, removedIds.toSet)
+    val prop = Prop.forAll(scenario) { case (oldP0, newP0, removed) =>
+      val oldIds = ids
+      val newIds = ids.filterNot(removed)
+      // pairs must reference present docs on each side
+      val oldP = oldP0
+      val newP = newP0.filter(p => !removed(p._1) && !removed(p._2))
+      val pdf = (p: Seq[(Long, Long)]) =>
+        df("doc_a BIGINT, doc_b BIGINT", p.map(x => Row(x._1, x._2)))
+      val inc = Dedup.incrementalClusters(pdf(oldP), pdf(newP),
+          manifest(oldP, oldIds),
+          df("id BIGINT", newIds.map(Row(_))), "id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val fresh = manifest(newP, newIds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      inc == fresh
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(5), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("incrementalClusters end-to-end over frozen-stop-list Jaccard pairs") {
     // Doc corpus flavor of the q153 chain: pairs from shingleSet +
     // frozen stop list on the OLD snapshot, then incremental ≡ fresh.

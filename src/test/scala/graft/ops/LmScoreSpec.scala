@@ -65,6 +65,43 @@ class LmScoreSpec extends SparkSpec {
     inc("b c") shouldBe 2L // changed doc's old "b c" removed, added doc's x2
   }
 
+  test("property: maintainCounts equals a fresh retrain on random snapshot deltas") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val word = Gen.oneOf("a", "b", "c", "d", "e")
+    val text = Gen.chooseNum(0, 6).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    val corpus = Gen.chooseNum(2, 8).flatMap { n =>
+      Gen.listOfN(n, text).map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+    }
+    // random fate per doc: keep / change / remove, plus random additions
+    val scenario = for {
+      old <- corpus
+      fates <- Gen.listOfN(old.size, Gen.oneOf("unchanged", "changed", "removed"))
+      nAdd <- Gen.chooseNum(0, 3)
+      added <- Gen.listOfN(nAdd, text)
+    } yield (old, fates, added.zipWithIndex.map { case (t, i) => (100L + i, t) })
+    val prop = Prop.forAll(scenario) { case (old, fates, added) =>
+      val changedTexts = old.zip(fates).map {
+        case ((id, t), "changed") => (id, t + " z")
+        case ((id, t), _) => (id, t)
+      }
+      val neu = changedTexts.zip(fates).collect {
+        case ((id, t), f) if f != "removed" => (id, t)
+      } ++ added
+      val delta = old.zip(fates).map { case ((id, _), f) => (id, f) } ++
+        added.map { case (id, _) => (id, "added") }
+      val prev = LmScore.trainCounts(docs(old: _*), "doc_id", "text", lit(true))
+      val inc = LmScore.maintainCounts(prev, docs(old: _*), docs(neu: _*),
+          "doc_id", "text",
+          df("doc_id BIGINT, status STRING", delta.map(d => Row(d._1, d._2))))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val fresh = LmScore.trainCounts(docs(neu: _*), "doc_id", "text", lit(true))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      inc == fresh
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("maintainCounts with an empty delta is the previous model verbatim") {
     val old = docs(1L -> "a b c", 2L -> "a b")
     val delta = statusDelta(1L -> "unchanged", 2L -> "unchanged")

@@ -141,6 +141,27 @@ class SamplingSpec extends SparkSpec {
     r2.exceptAll(r1).count() shouldBe 0
   }
 
+  test("property: per-key multiplicities always sum to exactly k") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val scenario = for {
+      nKeys <- Gen.chooseNum(1, 4)
+      n <- Gen.chooseNum(nKeys, 30)
+      ws <- Gen.listOfN(n, Gen.chooseNum(1L, 500L))
+      k <- Gen.chooseNum(1, 9)
+    } yield (ws.zipWithIndex.map { case (w, i) =>
+      (i.toLong, s"k${i % nKeys}", w)
+    }, nKeys, k)
+    val prop = Prop.forAll(scenario) { case (rows, nKeys, k) =>
+      val sums = Sampling.systematicWeightedPerKey(keyed(rows: _*),
+          "k", "id", "w", k)
+        .groupBy(col("k")).agg(sum(col("pick_mult")).as("s"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      sums == (0 until nKeys).map(i => s"k$i" -> k.toLong).toMap
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("systematicWeightedPerKey fails fast when one key's k*W overflows") {
     val e = intercept[Throwable] {
       Sampling.systematicWeightedPerKey(
