@@ -48,6 +48,30 @@ class CmsSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("sketch maintained by a streaming aggregation equals the batch sketch") {
+    // The merge-by-addition property is exactly what makes the sketch a
+    // streaming aggregate: complete-mode groupBy over a MemoryStream
+    // must land on the identical cell table, microbatching included.
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val ws = Seq.fill(9)("alpha") ++ Seq.fill(4)("beta") ++ Seq("gamma", "delta")
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val q = Cms.sketch(ms.toDF().toDF("word"), "word")
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode("complete").start()
+    try {
+      ms.addData(ws.take(7): _*)  // two microbatches: merge must hold
+      q.processAllAvailable()
+      ms.addData(ws.drop(7): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("cms_stream")
+        .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+      val batch = Cms.sketch(items(ws: _*), "word")
+        .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+      streamed shouldBe batch
+    } finally q.stop()
+  }
+
   test("merge is cell-wise addition: sketch(A ++ B) = sketch(A) + sketch(B)") {
     val a = items("x", "x", "y")
     val b = items("y", "z")
