@@ -3764,24 +3764,18 @@ object Queries {
     * snapshot (hash match = batch≡incremental theorem). */
   def q160IncrementalDsir(s: SparkSession, dir: String): DataFrame = {
     val newSnap = q145NewSnap(s, dir)
-    // Persisted (q148/q155's discipline): the delta feeds all four
-    // maintenance semi-joins (minus/plus per model).
+    // Persisted (q148/q155's discipline): the delta feeds both the
+    // minus and plus legs of the fused maintenance.
     val delta = graft.ops.SnapshotDelta.diffHashed(
       prevSnapshotHashes(s, dir),
       newSnap.select(col("doc_id"),
         graft.ops.TextStats.contentHash(col("text")).as("content_hash")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def side(target: Boolean): DataFrame = {
-      val pred =
-        if (target) col("doc_id") % 20 === 0 else col("doc_id") % 20 =!= 0
-      graft.ops.Dsir.maintainBucketCounts(
-          prevDsirModel(s, dir, target),
-          q145OldSnap(s, dir).filter(pred), newSnap.filter(pred),
-          "doc_id", "text", delta)
-        .select(lit(if (target) "target" else "raw").as("model"),
-          col("bucket"), col("cnt"))
-    }
-    side(target = true).unionByName(side(target = false))
+    graft.ops.Dsir.maintainSplitModels(
+      prevDsirModel(s, dir, target = true),
+      prevDsirModel(s, dir, target = false),
+      q145OldSnap(s, dir), newSnap, "doc_id", "text", delta,
+      targetPred = col("doc_id") % 20 === 0)
   }
 
   /** Count-Min-Sketch heavy hitters ([[graft.ops.Cms]]): words whose

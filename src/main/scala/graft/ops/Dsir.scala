@@ -40,8 +40,8 @@ object Dsir {
     * counts, not presence): lowercased word unigrams + adjacent bigrams
     * of `textCol`, each mapped to its md5-prefix bucket. Empty/blank
     * features (empty text splits to [""]) are dropped on both engines. */
-  private[ops] def features(df: DataFrame, idCol: String,
-                            textCol: String): DataFrame = {
+  private[ops] def features(df: DataFrame, idCol: String, textCol: String,
+                            passthrough: Seq[String] = Nil): DataFrame = {
     // Materialize the split ONCE in a projection below the explode: the
     // feature expression references the words array five times (unigram
     // list + two slices + two sizes), and inlined into Generate each
@@ -51,12 +51,13 @@ object Dsir {
     val bi = zip_with(
       slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
       (a, b) => concat_ws(" ", a, b))
-    df.select(col(idCol).cast("long").as("doc_id"),
-        TextStats.words(lower(col(textCol))).as("_ws"))
-      .select(col("doc_id"), explode(concat(ws, bi)).as("f"))
+    val extra = passthrough.map(col)
+    df.select(col(idCol).cast("long").as("doc_id") +:
+        TextStats.words(lower(col(textCol))).as("_ws") +: extra: _*)
+      .select(col("doc_id") +: explode(concat(ws, bi)).as("f") +: extra: _*)
       .filter(length(trim(col("f"))) > 0)
-      .select(col("doc_id"),
-        substring(md5(col("f")), 1, BucketHexChars).as("bucket"))
+      .select(col("doc_id") +:
+        substring(md5(col("f")), 1, BucketHexChars).as("bucket") +: extra: _*)
   }
 
   /** Train a bucket-count model over the docs matching `pred`:
@@ -90,6 +91,37 @@ object Dsir {
         newDocs.join(del.filter(col("status").isin("added", "changed"))
           .select(col(idCol)), Seq(idCol), "left_semi"),
         idCol, textCol))
+  }
+
+  /** [[maintainBucketCounts]] for BOTH split models in one pass: the
+    * target/raw splits partition the SAME documents, so maintaining
+    * them separately scans the delta's text (and the corpus parquet
+    * behind it) twice and pays two combine shuffles for streams one
+    * `(model, bucket)` aggregation covers. Each leg extracts features
+    * once over ALL delta docs and tags rows by the split predicate;
+    * the stored models union in tagged, and ONE map-side-combined sum
+    * yields both maintained histograms: (model∈{target,raw}, bucket,
+    * cnt). Result is row-identical to running [[maintainBucketCounts]]
+    * per split (DsirSpec asserts it). */
+  def maintainSplitModels(prevTarget: DataFrame, prevRaw: DataFrame,
+                          oldDocs: DataFrame, newDocs: DataFrame,
+                          idCol: String, textCol: String,
+                          delta: DataFrame, targetPred: Column): DataFrame = {
+    val del = delta.select(col("doc_id").as(idCol), col("status"))
+    val tag = when(targetPred, "target").otherwise("raw")
+    def leg(docs: DataFrame, statuses: Seq[String], d: Long): DataFrame =
+      features(
+        docs.withColumn("_model", tag)
+          .join(del.filter(col("status").isin(statuses: _*))
+            .select(col(idCol)), Seq(idCol), "left_semi"),
+        idCol, textCol, passthrough = Seq("_model"))
+        .select(col("_model").as("model"), col("bucket"), lit(d).as("d"))
+    prevTarget.select(lit("target").as("model"), col("bucket"), col("cnt").as("d"))
+      .unionByName(prevRaw.select(lit("raw").as("model"), col("bucket"), col("cnt").as("d")))
+      .unionByName(leg(oldDocs, Seq("removed", "changed"), -1L))
+      .unionByName(leg(newDocs, Seq("added", "changed"), 1L))
+      .groupBy(col("model"), col("bucket")).agg(sum(col("d")).as("cnt"))
+      .filter(col("cnt") > 0)
   }
 
   /** Integer importance weight of EVERY document against the (stored)

@@ -91,6 +91,32 @@ class DsirSpec extends SparkSpec {
     inc shouldBe fresh
   }
 
+  test("maintainSplitModels equals per-split maintainBucketCounts") {
+    val old = df("id BIGINT, text STRING", Seq(
+      Row(20L, "alpha beta"), Row(1L, "gamma delta"),
+      Row(40L, "epsilon zeta"), Row(3L, "eta theta")))
+    val neu = df("id BIGINT, text STRING", Seq(
+      Row(20L, "alpha beta"), Row(1L, "iota kappa"),
+      Row(40L, "epsilon zeta"), Row(5L, "lambda mu")))
+    val delta = df("doc_id BIGINT, status STRING", Seq(
+      Row(20L, "unchanged"), Row(1L, "changed"), Row(3L, "removed"),
+      Row(40L, "unchanged"), Row(5L, "added")))
+    val isT = col("id") % 20 === 0
+    val pt = Dsir.trainBucketCounts(old, "id", "text", isT)
+    val pr = Dsir.trainBucketCounts(old, "id", "text", !isT)
+    val fused = Dsir.maintainSplitModels(pt, pr, old, neu, "id", "text",
+        delta, targetPred = isT)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    def per(target: Boolean) = {
+      val pred = if (target) isT else !isT
+      Dsir.maintainBucketCounts(if (target) pt else pr,
+          old.filter(pred), neu.filter(pred), "id", "text", delta)
+        .collect().map(r =>
+          ((if (target) "target" else "raw"), r.getString(0)) -> r.getLong(1))
+    }
+    fused shouldBe (per(true) ++ per(false)).toMap
+  }
+
   test("target-affine docs outrank target-absent docs") {
     val target = (1 to 5).map(i =>
       Row(100L + i, "quality prose about careful analysis and methods"))
