@@ -408,6 +408,9 @@ object Bench {
           // incremental DSIR models: delta-only feature extraction +
           // one fixed-size (≤4096-bucket) combine per model
           "q160_incremental_dsir",
+          // weighted percentile: one range exchange + per-key agg join,
+          // same amortizing machinery as q158
+          "q161_weighted_median_len",
           "q122_audio_frames").filter(SparkEntry.queries.contains)
         // Min-of-3 for BOTH sides of the ratio, measured back-to-back in
         // the SAME session config: round 9's q122 growth read 4.6x on one
@@ -481,6 +484,7 @@ object Bench {
           "q158_stratified_systematic" -> 6.0,
           "q159_incremental_ivf"      -> 6.0,
           "q160_incremental_dsir"     -> 6.0,
+          "q161_weighted_median_len"  -> 6.0,
           "q122_audio_frames"         -> 15.0)
         val boundFor: String => Double =
           sys.env.get("SPARK_GRAFT_GROWTH_BOUND").map(_.toDouble) match {

@@ -4373,5 +4373,29 @@ object Oracles {
         |FROM feats WHERE doc_id % 20 = 0 GROUP BY bucket
         |UNION ALL
         |SELECT 'raw' AS model, bucket, CAST(count(*) AS BIGINT) AS cnt
-        |FROM feats WHERE doc_id % 20 <> 0 GROUP BY bucket""".stripMargin)
+        |FROM feats WHERE doc_id % 20 <> 0 GROUP BY bucket""".stripMargin,
+
+    // Token-weighted median length (q161): key-local weight cumsum in
+    // (value, id) order, ceil-div threshold t = ceil(W/2), pick the row
+    // whose interval [prefix, prefix+w) contains t — the PARTITION BY
+    // window is the oracle's replay convenience; the Spark plan derives
+    // local prefixes from one global range exchange.
+    "q161_weighted_median_len" ->
+      """WITH base AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS wc
+        |  FROM documents),
+        |pos AS (SELECT * FROM base WHERE wc > 0),
+        |ps AS (
+        |  SELECT doc_id, source, wc,
+        |    CAST(COALESCE(SUM(wc) OVER (
+        |      PARTITION BY source ORDER BY wc, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS p
+        |  FROM pos),
+        |t AS (SELECT source, CAST(SUM(wc) AS BIGINT) AS w_key
+        |      FROM pos GROUP BY source)
+        |SELECT source, wc AS p50_tokens
+        |FROM ps JOIN t USING (source)
+        |WHERE p < ((w_key * 50) + 99) // 100
+        |  AND ((w_key * 50) + 99) // 100 <= p + wc""".stripMargin)
 }

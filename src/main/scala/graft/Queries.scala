@@ -3778,6 +3778,19 @@ object Queries {
       targetPred = col("doc_id") % 20 === 0)
   }
 
+  /** Token-weighted median document length per source ([[graft.ops
+    * .Percentiles.weightedPercentileByKey]]): the smallest length L
+    * such that half of the source's TOKENS live in docs of ≤ L tokens
+    * — the packing/curriculum diagnostic an unweighted median gets
+    * wrong whenever long docs dominate token mass. Window-free per key
+    * and all-BIGINT, so the oracle replays the identical pick. */
+  def q161WeightedMedianLen(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Percentiles.weightedPercentileByKey(
+      t(s, dir, "documents").select(col("doc_id"), col("source"),
+        graft.ops.TextStats.wordCount(col("text")).cast("long").as("wc")),
+      "source", "wc", "doc_id", "wc", pct = 50)
+      .select(col("source"), col("p50").as("p50_tokens"))
+
   /** Count-Min-Sketch heavy hitters ([[graft.ops.Cms]]): words whose
     * CMS estimate reaches the classic N/200 support threshold — the
     * bounded-memory flavor of q48's exact vocab top-k. The sketch is

@@ -193,4 +193,43 @@ object Percentiles {
     bounds.select(grp: _*).join(picked, partitionCols, "left")
       .select(grp :+ col(outCol): _*)
   }
+
+  /** Exact WEIGHTED percentile per key, window-free: the smallest value
+    * v (in (value, id) order) whose cumulative WEIGHT reaches
+    * ceil(pct·W_key/100) — e.g. the token-weighted median document
+    * length ("half this source's tokens sit in docs of ≤ L tokens"),
+    * the curation statistic the unweighted family can't express.
+    *
+    * Same machinery as [[Sampling.systematicWeightedPerKey]]: ONE
+    * global range exchange on (key, value, id) ([[SurrogateKeys
+    * .prefixSum]] — no `Window.partitionBy(key)`, so a mega-key spreads
+    * across range partitions), key-local prefixes as global − first-of-
+    * key, then the pick is a closed-form filter — exactly one row per
+    * key satisfies prefix < t ≤ prefix+w because weights are positive
+    * and t ∈ [1, W]. All-BIGINT (ceil-div via `div`), so another engine
+    * replays the identical pick; pct·W_key is overflow-guarded in-plan.
+    * Rows with weight ≤ 0 own an empty interval and are dropped; a key
+    * whose every weight is ≤ 0 disappears (no defined weighted
+    * percentile). */
+  def weightedPercentileByKey(df: DataFrame, keyCol: String, valueCol: String,
+                              idCol: String, weightCol: String,
+                              pct: Int): DataFrame = {
+    require(pct >= 1 && pct <= 100, s"pct must be in [1,100]; got $pct")
+    val pref = SurrogateKeys.prefixSum(
+      df.filter(col(weightCol) > 0),
+      weightCol, "_gp", Seq(keyCol, valueCol, idCol))
+    val perKey = pref.groupBy(col(keyCol))
+      .agg(min(col("_gp")).as("_base"), sum(col(weightCol)).as("_W"))
+      .filter(assert_true(
+        col("_W") <= Long.MaxValue / pct,
+        concat(lit(s"weightedPercentileByKey: pct=$pct times key weight "),
+          col("_W"),
+          lit(" overflows BIGINT threshold arithmetic — rescale the " +
+            "weights (the pick only needs their ratios)"))).isNull)
+    pref.join(perKey, Seq(keyCol))
+      .withColumn("_p", col("_gp") - col("_base"))
+      .withColumn("_t", expr(s"((_W * $pct) + 99) div 100"))
+      .filter(col("_p") < col("_t") && col("_t") <= col("_p") + col(weightCol))
+      .select(col(keyCol), col(valueCol).as(s"p$pct"))
+  }
 }

@@ -96,4 +96,58 @@ class PercentilesSpec extends SparkSpec {
       .collect().head
     out.getDouble(1) shouldBe 5.0 // rank 41 of 82 → still in the 5.0 run
   }
+
+  private def wrun(pct: Int, rows: (Long, String, Long, Long)*) =
+    Percentiles.weightedPercentileByKey(
+      df("id BIGINT, k STRING, v BIGINT, w BIGINT",
+        rows.map(r => Row(r._1, r._2, r._3, r._4))),
+      "k", "v", "id", "w", pct)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("weightedPercentileByKey: a dominant weight owns the median") {
+    // values 1..4, but value 4 holds 70% of the weight → weighted
+    // median is 4 while the unweighted median is 2
+    val rows = Seq((1L, "a", 1L, 10L), (2L, "a", 2L, 10L),
+      (3L, "a", 3L, 10L), (4L, "a", 4L, 70L))
+    wrun(50, rows: _*) shouldBe Map("a" -> 4L)
+    // p90 also 4; p10 falls in value 1's interval
+    wrun(90, rows: _*) shouldBe Map("a" -> 4L)
+    wrun(10, rows: _*) shouldBe Map("a" -> 1L)
+  }
+
+  test("weightedPercentileByKey: unit weights reduce to the discrete percentile") {
+    val rows = (1L to 4L).map(v => (v, "a", v, 1L))
+    wrun(25, rows: _*) shouldBe Map("a" -> 1L)
+    wrun(50, rows: _*) shouldBe Map("a" -> 2L)
+    wrun(51, rows: _*) shouldBe Map("a" -> 3L)
+    wrun(100, rows: _*) shouldBe Map("a" -> 4L)
+  }
+
+  test("weightedPercentileByKey: exactly one row per key, zero-weight rows never picked") {
+    val rows = Seq((1L, "a", 5L, 3L), (2L, "a", 7L, 0L), (3L, "b", 9L, 2L))
+    val out = wrun(50, rows: _*)
+    out shouldBe Map("a" -> 5L, "b" -> 9L)
+  }
+
+  test("property: weighted percentile matches a driver-side reference") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val scenario = for {
+      n <- Gen.chooseNum(1, 25)
+      rows <- Gen.listOfN(n, for {
+        v <- Gen.chooseNum(1L, 9L); w <- Gen.chooseNum(1L, 50L)
+      } yield (v, w))
+      pct <- Gen.chooseNum(1, 100)
+    } yield (rows.zipWithIndex.map { case ((v, w), i) => (i.toLong, v, w) }, pct)
+    val prop = Prop.forAll(scenario) { case (rows, pct) =>
+      val sorted = rows.sortBy { case (id, v, _) => (v, id) }
+      val total = sorted.map(_._3).sum
+      val t = (total * pct + 99) / 100
+      var acc = 0L
+      val expect = sorted.find { case (_, _, w) => acc += w; acc >= t }.get._2
+      wrun(pct, rows.map { case (id, v, w) => (id, "g", v, w) }: _*) ==
+        Map("g" -> expect)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
