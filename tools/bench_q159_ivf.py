@@ -85,7 +85,7 @@ probes AS (
       row_number() OVER (PARTITION BY p.id ORDER BY
         {SQDIST.format(a='p.qv', b='c.cv')}, c.cluster_id) AS rn
     FROM pts p CROSS JOIN centroids c
-    WHERE p.id % 50 = 0)
+    WHERE p.id % 50 = 0 AND p.id < 10000000)
   WHERE rn <= 2),
 cand AS (
   SELECT DISTINCT query_id, cand_id
