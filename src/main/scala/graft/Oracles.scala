@@ -3822,7 +3822,7 @@ object Oracles {
         |lists AS (SELECT id AS cand_id, cluster_id FROM ranked WHERE rn = 1),
         |probes AS (
         |  SELECT id AS query_id, cluster_id FROM ranked
-        |  WHERE rn <= 2 AND id % 50 = 0),
+        |  WHERE rn <= 2 AND id % 50 = 0 AND id < 10000000),
         |cand AS (
         |  SELECT DISTINCT query_id, cand_id
         |  FROM probes JOIN lists USING (cluster_id)
@@ -3880,7 +3880,7 @@ object Oracles {
         |    list_sum(list_transform(list_zip(s.sub, b.cw),
         |      z -> (z[1]-z[2])*(z[1]-z[2]))) AS d
         |  FROM subs s JOIN b2 b ON s.g = b.g
-        |  WHERE s.id % 50 = 0),
+        |  WHERE s.id % 50 = 0 AND s.id < 10000000),
         |adc AS (
         |  SELECT n.query_id, n.cand_id, CAST(sum(t.d) AS BIGINT) AS adc
         |  FROM cand n

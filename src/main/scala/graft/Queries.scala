@@ -2608,9 +2608,15 @@ object Queries {
     // codes trading a wider exact re-rank (320 rows/query — still
     // corpus-independent) is the same dial at a different setting. The
     // ADC scan, the pass that scales, is untouched.
+    // FIXED standing query panel (base-corpus ids only — q159's
+    // drill-shape lesson, caught by the round-13 growth gate reading
+    // 6.8× here: a panel that grows with the corpus multiplies into
+    // ADC lists that also grow, quadratic by construction; a serving
+    // benchmark's query set does not grow with the index).
     graft.ops.Pq.ivfPqTopK(pts, trainedCentroids(s, dir), pqBooks(s, dir),
       pqCodes(s, dir), m = 4,
-      queries = pts.filter(col("id") % 50 === 0).select(col("id")),
+      queries = pts.filter(col("id") % 50 === 0 && col("id") < 10000000L)
+        .select(col("id")),
       k = 5, nProbe = 2, oversample = 64)
   }
 
