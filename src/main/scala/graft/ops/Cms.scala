@@ -47,7 +47,11 @@ object Cms {
   /** Point estimates for every item in `candidates` (one column,
     * distinct): (item, est) with est = min over the Depth rows —
     * ≥ the true count, always. The sketch side broadcasts (≤ Depth·4096
-    * rows by construction). */
+    * rows by construction). A bucket with no cell row means zero
+    * increments ever hashed there, so the probe LEFT-joins and counts
+    * the miss as 0 — an inner join would drop never-seen candidates
+    * (contract: every candidate gets a row) and inflate estimates for
+    * items with some-but-not-all empty buckets (true CMS estimate: 0). */
   def estimates(candidates: DataFrame, itemCol: String,
                 cells: DataFrame): DataFrame =
     candidates
@@ -55,7 +59,7 @@ object Cms {
         explode(sequence(lit(0), lit(Depth - 1))).as("i"))
       .withColumn("bucket", bucketOf(col("i"), col(itemCol)))
       .join(broadcast(cells.select(col("i"), col("bucket"), col("cnt"))),
-        Seq("i", "bucket"))
+        Seq("i", "bucket"), "left")
       .groupBy(col(itemCol))
-      .agg(min(col("cnt")).as("est"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
 }

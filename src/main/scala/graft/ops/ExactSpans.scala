@@ -355,11 +355,16 @@ object ExactSpans {
     *     min-encoding, with no posRange constant to outgrow;
     *   - each chunk OWNS global token positions [cs+1, cs+step]
     *     (clipped to the document) — disjoint, exhaustive — and a
-    *     marked span's cut is routed to the ≤2 chunks whose owned
-    *     ranges it touches (span length L ≤ step + ... ≤ chunkLen, so
-    *     a span crosses at most one owner boundary); the per-chunk
-    *     rewrite is [[coveredBounds]]' interval sweep clipped to the
-    *     owned range, O(chunk tokens + chunk spans);
+    *     marked span's cut is routed to EVERY chunk whose owned range
+    *     it touches, i.e. owner indices g div step through
+    *     (g+L−1) div step inclusive. When chunkLen ≥ 2·spanLen − 1
+    *     that is at most 2 owners, but small chunkLen (step < L)
+    *     legitimately puts a span across ≥3 owners — routing only to
+    *     the first and last would silently keep the middle owners'
+    *     tokens, so the full owner sequence is exploded (still O(1)
+    *     amortized per marked token); the per-chunk rewrite is
+    *     [[coveredBounds]]' interval sweep clipped to the owned
+    *     range, O(chunk tokens + chunk spans);
     *   - reassembly concatenates each document's per-chunk kept token
     *     lists in chunk order — one per-doc aggregation whose rows are
     *     chunk-sized, never document-sized.
@@ -404,13 +409,16 @@ object ExactSpans {
     val marked = wins.join(occ, "key")
       .filter(!(col("doc_id") === col("canon.d") && col("g") === col("canon.g")))
       .select(col("doc_id"), col("g"))
-    // Route each cut to the <= 2 chunks whose OWNED token ranges
-    // [c*step+1, c*step+step] it covers.
+    // Route each cut to EVERY chunk whose OWNED token range
+    // [c*step+1, c*step+step] it covers: owner indices g div step
+    // through (g+L-1) div step inclusive (exact BIGINT division —
+    // floor(g/step) would round-trip through DOUBLE). With step < L a
+    // span covers >= 3 owners; first+last-only routing would leave the
+    // middle owners' tokens uncut.
     val spanChunks = marked
       .select(col("doc_id"), col("g"),
-        explode(array_distinct(array(
-          floor(col("g") / step).cast("long"),
-          floor((col("g") + L - 1) / step).cast("long")))).as("ci"))
+        explode(sequence(expr(s"g div ${step}L"),
+          expr(s"(g + ${L - 1}L) div ${step}L"))).as("ci"))
       .select(col("doc_id"), (col("ci") * step).as("cs"), col("g"))
       .groupBy(col("doc_id"), col("cs"))
       .agg(sort_array(collect_set(col("g"))).as("starts"))

@@ -125,7 +125,12 @@ object Graph {
       .localCheckpoint()
     val deg = e.select(col("u").as("n")).union(e.select(col("v").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
-    // Orient by (degree, id): s → t with (d_s, s) < (d_t, t).
+    // Orient by (degree, id): s → t with (d_s, s) < (d_t, t). The target's
+    // degree rides along — the wedge pair below must be canonicalized in
+    // the SAME (degree, id) order the edges are oriented in, or the
+    // closing edge of a triangle whose two out-neighbors' id order
+    // disagrees with their degree order exists only in the reverse
+    // direction and the join silently drops the triangle.
     val oriented = e
       .join(deg.select(col("n").as("u"), col("d").as("du")), Seq("u"))
       .join(deg.select(col("n").as("v"), col("d").as("dv")), Seq("v"))
@@ -135,12 +140,19 @@ object Graph {
           col("u")).otherwise(col("v")).as("s"),
         when(col("du") < col("dv") ||
              (col("du") === col("dv") && col("u") < col("v")),
-          col("v")).otherwise(col("u")).as("t"))
-    // Wedges at each minimum vertex (t1 < t2 canonicalizes the pair so
-    // each wedge is generated once), closed against the oriented edge.
-    val w1 = oriented.select(col("s"), col("t").as("t1"))
-    val w2 = oriented.select(col("s"), col("t").as("t2"))
-    w1.join(w2, Seq("s")).filter(col("t1") < col("t2"))
+          col("v")).otherwise(col("u")).as("t"),
+        when(col("du") < col("dv") ||
+             (col("du") === col("dv") && col("u") < col("v")),
+          col("dv")).otherwise(col("du")).as("dt"))
+    // Wedges at each minimum vertex, the pair canonicalized by the
+    // ORIENTATION order (d_t1, t1) < (d_t2, t2) — so each wedge is
+    // generated once AND the closing edge is guaranteed to be oriented
+    // t1 → t2, making the equi-join below complete.
+    val w1 = oriented.select(col("s"), col("t").as("t1"), col("dt").as("d1"))
+    val w2 = oriented.select(col("s"), col("t").as("t2"), col("dt").as("d2"))
+    w1.join(w2, Seq("s"))
+      .filter(col("d1") < col("d2") ||
+              (col("d1") === col("d2") && col("t1") < col("t2")))
       .join(oriented.select(col("s").as("_ws"), col("t").as("_wt")),
         col("t1") === col("_ws") && col("t2") === col("_wt"))
       // Report in plain id order (orientation order is an internal detail).

@@ -220,8 +220,11 @@ object Percentiles {
       weightCol, "_gp", Seq(keyCol, valueCol, idCol))
     val perKey = pref.groupBy(col(keyCol))
       .agg(min(col("_gp")).as("_base"), sum(col(weightCol)).as("_W"))
+      // Guard covers the FULL expression _W·pct + 99, not just the
+      // product — in non-ANSI mode a wrapped BIGINT picks silently
+      // wrong instead of failing loudly.
       .filter(assert_true(
-        col("_W") <= Long.MaxValue / pct,
+        col("_W") <= (Long.MaxValue - 99L) / pct,
         concat(lit(s"weightedPercentileByKey: pct=$pct times key weight "),
           col("_W"),
           lit(" overflows BIGINT threshold arithmetic — rescale the " +

@@ -98,8 +98,11 @@ object Sampling {
     // Total weight W rides the plan as a broadcast 1-row frame (no eager
     // driver action), carrying the k·W overflow guard with it.
     val tot = pref.agg(max(col(prefixCol) + col(weightCol)).as("_W"))
+    // Guard bounds the FULL pick expression (prefix+w)·k + _W − 1 ≤
+    // _W·(k+1) − 1, not just k·_W — a wrapped BIGINT in non-ANSI mode
+    // picks silently wrong rather than failing loudly.
     val guardedTot = tot.filter(assert_true(
-      col("_W") <= Long.MaxValue / k,
+      col("_W") <= Long.MaxValue / (k.toLong + 1L),
       concat(lit(s"systematicWeighted: k=$k times total weight "), col("_W"),
         lit(" overflows BIGINT pick arithmetic — reduce k or rescale " +
           "the weights (selection only needs their ratios)"))).isNull)
@@ -141,8 +144,10 @@ object Sampling {
       weightCol, "_gp", Seq(keyCol, "_h", idCol))
     val perKey = pref.groupBy(col(keyCol))
       .agg(min(col("_gp")).as("_base"), sum(col(weightCol)).as("_W"))
+      // k+1 divisor: the pick expression reaches _W·(k+1) − 1 (see
+      // systematicWeighted's guard note).
       .filter(assert_true(
-        col("_W") <= Long.MaxValue / k,
+        col("_W") <= Long.MaxValue / (k.toLong + 1L),
         concat(lit(s"systematicWeightedPerKey: k=$k times key weight "),
           col("_W"),
           lit(" overflows BIGINT pick arithmetic — reduce k or rescale " +

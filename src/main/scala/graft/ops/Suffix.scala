@@ -160,12 +160,17 @@ object Suffix {
     }
 
     // f(p) = max LCP with either sort-neighbor (the suffix-array
-    // adjacency property); positions whose both neighbors share nothing
-    // keep acc 0 rows, so every position lands in the output.
+    // adjacency property). The full position frame is unioned in at
+    // acc 0 so EVERY in-domain position keeps its row even when the
+    // adjacency join is empty — a one-position corpus has no
+    // (seq, seq+1) pair at all, and without the default the operator
+    // would emit nothing instead of (doc_id, 0, 1, f=0).
     cur.select(col("da").as("doc_id"), col("pa").as("p"),
         col("na").as("n"), col("acc"))
       .unionByName(cur.select(col("db").as("doc_id"), col("pb").as("p"),
         col("nb").as("n"), col("acc")))
+      .unionByName(ord.select(col("doc_id"), col("p"), col("n"),
+        lit(0L).as("acc")))
       .groupBy(col("doc_id"), col("p"), col("n"))
       .agg(max(col("acc")).as("f"))
   }

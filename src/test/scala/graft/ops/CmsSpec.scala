@@ -33,6 +33,21 @@ class CmsSpec extends SparkSpec {
     if (cellCount == Cms.Depth * 3L) est shouldBe exact
   }
 
+  test("never-seen candidates get est 0, not dropped or inflated") {
+    // An empty bucket has no cell row; the probe must count it as 0 —
+    // an inner join drops a fully-missing candidate and reports
+    // min-over-present-cells (inflated) when only some buckets miss.
+    val in = items(Seq.fill(5)("alpha") ++ Seq.fill(2)("beta"): _*)
+    val cands = items("alpha", "beta", "never_seen_1", "never_seen_2")
+    val est = Cms.estimates(cands, "word", Cms.sketch(in, "word"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    est.keySet shouldBe Set("alpha", "beta", "never_seen_1", "never_seen_2")
+    est("never_seen_1") shouldBe 0L
+    est("never_seen_2") shouldBe 0L
+    est("alpha") should be >= 5L
+    est("beta") should be >= 2L
+  }
+
   test("property: estimates never undercount on random multisets") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     val corpus = Gen.chooseNum(1, 40).flatMap(n =>

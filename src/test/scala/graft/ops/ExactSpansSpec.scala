@@ -255,6 +255,26 @@ class ExactSpansSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("dedupSpansChunked routes cuts through MIDDLE owner chunks (step < spanLen)") {
+    // spanLen=4, chunkLen=5 → step=2: doc 2's marked span at g=1 covers
+    // owner chunks 0..2 (three owners). Routing only to the first and
+    // last owner left chunk 1's owned tokens ("d e") silently kept —
+    // the round-13 regression this pins.
+    val corpus = docs(
+      1L -> "c d e f y y y y",
+      2L -> "z c d e f w w w")
+    val direct = ExactSpans.dedupSpans(corpus, "doc_id", "text", 4)
+    val chunked = ExactSpans.dedupSpansChunked(corpus, "doc_id", "text", 4,
+      chunkLen = 5)
+    chunked.exceptAll(direct).count() shouldBe 0L
+    direct.exceptAll(chunked).count() shouldBe 0L
+    val out = chunked.collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    out(1L) shouldBe "c d e f y y y y" // canonical occurrence survives
+    out(2L) shouldBe "z w w w"         // the whole span cut, middle included
+    spark.catalog.clearCache()
+  }
+
   test("dedupSpansChunked processes docs past dedupSpans' position bound") {
     // with a tiny posRange, dedupSpans passes the long doc through
     // unrewritten; the chunked flavor (no position encoding) dedups it

@@ -109,6 +109,32 @@ class GraphSpec extends SparkSpec {
     triSet(withHub) shouldBe refTriangles(withHub)
   }
 
+  test("triangles: wedge out-neighbors whose id order disagrees with degree order") {
+    // {1-2,1-3,2-3,2-4,2-5}: deg(2)=4 > deg(3)=2, so orientation order
+    // at the wedge vertex is (3, 2) while id order is (2, 3). A pair
+    // canonicalized by plain id would look for closing edge 2→3, which
+    // is oriented 3→2 — the regression that silently dropped {1,2,3}.
+    triSet(Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (2L, 5L))) shouldBe
+      Set((1L, 2L, 3L))
+  }
+
+  test("triangles matches brute force on random graphs that actually contain triangles") {
+    var total = 0
+    for (seed <- 1L to 6L) {
+      val es = (0L until 220L)
+        .map(i => ((i * (13 + seed)) % 28, (i * 7 + seed) % 28))
+        .filter(e => e._1 != e._2)
+      val ref = refTriangles(es)
+      total += ref.size
+      withClue(s"seed=$seed (${ref.size} expected triangles): ") {
+        triSet(es) shouldBe ref
+      }
+    }
+    // Guard against the round-13 blind spot: a differential over graphs
+    // with zero triangles proves nothing.
+    total should be > 20
+  }
+
   test("triangles is partitioning-independent (pure order logic)") {
     val es = (0L until 80L).map(i => ((i * 11) % 20, (i * 3 + 1) % 20))
       .filter(e => e._1 != e._2)

@@ -68,6 +68,16 @@ class SuffixSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("longestDupPrefix keeps rows for corpora with no suffix-order successor") {
+    // A one-position corpus has no (seq, seq+1) adjacency pair at all;
+    // the contract ("rows for every in-domain position") still demands
+    // the (doc_id, 0, 1, f=0) row.
+    val got = Suffix.longestDupPrefix(docs("solo"), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    got.toSet shouldBe Set((0L, 0L, 1L, 0L))
+    spark.catalog.clearCache()
+  }
+
   test("longestDupPrefix matches an all-lengths brute force on random corpora") {
     val rnd = new scala.util.Random(42)
     for (trial <- 1 to 3) {
