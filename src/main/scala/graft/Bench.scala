@@ -133,27 +133,46 @@ object Bench {
 
     // noop sink: fully executes the query (every projected column computed)
     // without count()'s column pruning, which would reduce map-shaped
-    // queries to a bare scan benchmark.
-    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // queries to a bare scan benchmark. Returns (seconds, errored): a
+    // Throwable is swallowed so the sweep continues, but the ERROR FLAG
+    // rides the result — a crashing cell finishes in ~0 s and, flagless,
+    // would publish growth ≈ 0 and silently PASS the 10x gate (the
+    // round-13 q152 hole: the scale corpus lacked the table the query
+    // reads, the read threw in 0.2 ms, and the gate counted it green).
+    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
+      val err =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); false }
+        catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); true }
       val dt = (System.nanoTime() - t0) / 1e9
       // drop frames persisted inside operators (LSH signature/shingle
       // caches) so later queries aren't taxed by earlier queries' memory
       spark.catalog.clearCache()
-      dt
+      (dt, err)
     }
     // One measurement = canary, query, canary: a stall overlapping the query
-    // almost always overlaps a bracket too. Returns (seconds, flagged).
-    def measure(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
+    // almost always overlaps a bracket too. Returns (seconds, flagged, err).
+    def measure(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean, Boolean) = {
       val before = canary()
-      val dt = timeOne(name, fn)
+      val (dt, err) = timeOne(name, fn)
       val after = canary()
-      (dt, math.max(before, after) > stallThreshold)
+      (dt, math.max(before, after) > stallThreshold, err)
+    }
+    // Merge two samples of one cell: the min time of the SUCCESSFUL
+    // samples (an errored run aborts in ~0 s — taking its min would
+    // publish a bogus time); err only if every sample errored.
+    def mergeSamples(ss: Seq[(Double, Boolean, Boolean)]): (Double, Boolean, Boolean) = {
+      val ok = ss.filterNot(_._3)
+      if (ok.nonEmpty) ok.minBy(_._1) else ss.minBy(_._1)
     }
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // Drill/iteration hook: restrict the swept queries (comma list).
+    // NEVER set on driver runs — totals are only comparable full-sweep.
+    val onlyFilter: String => Boolean =
+      sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').map(_.trim).toSet)
+        .map(s => (n: String) => s.contains(n))
+        .getOrElse(_ => true)
+    val names = SparkEntry.queries.keys.toSeq.filter(onlyFilter).sorted
     val pass1 = names.map { n => n -> measure(n, SparkEntry.queries(n)) }.toMap
     // Second full pass, reverse order: a stall window that covered
     // q40..q44 in pass 1 would, re-run forward, plausibly cover them
@@ -161,22 +180,15 @@ object Bench {
     // sits elsewhere.
     val pass2 = names.reverse.map { n => n -> measure(n, SparkEntry.queries(n)) }.toMap
 
-    val merged: Map[String, (Double, Boolean)] = names.map { n =>
-      (pass1.get(n), pass2.get(n)) match {
-        case (Some((t1, f1)), Some((t2, f2))) =>
-          if (t1 <= t2) n -> (t1, f1) else n -> (t2, f2)
-        case (Some(r), None) => n -> r
-        case _ => n -> (Double.NaN, true)
-      }
+    val merged: Map[String, (Double, Boolean, Boolean)] = names.map { n =>
+      n -> mergeSamples(Seq(pass1.get(n), pass2.get(n)).flatten)
     }.toMap
     // Third sample only where both measurements are untrustworthy.
-    val finalResults: Map[String, (Double, Boolean)] = names.map { n =>
-      val (t, flagged) = merged(n)
+    val finalResults: Map[String, (Double, Boolean, Boolean)] = names.map { n =>
+      val cur @ (t, _, _) = merged(n)
       val bothFlagged = pass2.contains(n) && pass1(n)._2 && pass2(n)._2
-      if (t > 3.0 && bothFlagged) {
-        val (t3, f3) = measure(n, SparkEntry.queries(n))
-        if (t3 < t) n -> (t3, f3) else n -> (t, flagged)
-      } else n -> (t, flagged)
+      if (t > 3.0 && bothFlagged) n -> mergeSamples(Seq(cur, measure(n, SparkEntry.queries(n))))
+      else n -> cur
     }.toMap
 
     // Baseline cells are sf0.1 measurements, so the ratios only mean
@@ -224,21 +236,24 @@ object Bench {
       baselines.get(n).exists(b =>
         b > 0 && finalResults(n)._1 > 1.0 && finalResults(n)._1 / b > 2.0)
     }
-    val results: Map[String, (Double, Boolean)] =
+    val results: Map[String, (Double, Boolean, Boolean)] =
       finalResults ++ weakCandidates.map { n =>
         System.err.println(
           s"[bench] weak candidate $n (${finalResults(n)._1} s) — " +
             "re-measuring (min of 3) to confirm")
-        val (t3, f3) = (1 to 3).map(_ => measure(n, SparkEntry.queries(n)))
-          .minBy(_._1)
-        val (t0, f0) = finalResults(n)
-        n -> (if (t3 < t0) (t3, f3) else (t0, f0))
+        n -> mergeSamples(
+          finalResults(n) +: (1 to 3).map(_ => measure(n, SparkEntry.queries(n))))
       }
 
     val qs = names.map { k => s"\"" + k + "\":" + results(k)._1 }
       .mkString("{", ",", "}")
     val stalled = names.filter(results(_)._2)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Cells whose every sample threw: their published seconds measure an
+    // abort, not the query — surfaced on both JSON lines so a reader (or
+    // the driver) never mistakes them for fast cells.
+    val errored = names.filter(results(_)._3)
+    val erroredJson = errored.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = names.map(results(_)._1).sum
     val cs = canaries.toSeq.sorted
     val canaryJson =
@@ -261,7 +276,7 @@ object Bench {
 
     // The gate-relevant line prints BEFORE the sf1 block runs: a driver
     // timeout during the scale pass must never lose the headline number.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","canary":$canaryJson,"stalled":$stalled,"ratio_vs_baseline":$ratioJson,"sf1":"see_sf1_line"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","canary":$canaryJson,"stalled":$stalled,"errors":$erroredJson,"ratio_vs_baseline":$ratioJson,"sf1":"see_sf1_line"}""")
     System.out.flush()
 
     // Set by the sf1 block when a scale cell breaches its declared
@@ -422,9 +437,15 @@ object Bench {
         // min-of-2) — noise the growth division amplifies. Three samples
         // each way and a same-config base make the published factor
         // reproducible.
-        def minOf3(n: String, dir: String): (Double, Boolean) =
-          (1 to 3).map(_ => measure(n, (sp, _) => SparkEntry.queries(n)(sp, dir)))
-            .minBy(_._1)
+        // Drill/iteration hook for the SCALE list (comma list filter);
+        // like SPARK_GRAFT_ONLY, never set on driver runs.
+        val scaleFilter: String => Boolean =
+          sys.env.get("SPARK_GRAFT_SCALEQS").map(_.split(',').map(_.trim).toSet)
+            .map(s => (n: String) => s.contains(n))
+            .getOrElse(_ => true)
+        def minOf3(n: String, dir: String): (Double, Boolean, Boolean) =
+          mergeSamples(
+            (1 to 3).map(_ => measure(n, (sp, _) => SparkEntry.queries(n)(sp, dir))))
         // REGRESSION GATE: declared per-cell growth bounds at 10x data;
         // any breach turns the run red (rc 3) after all JSON lines print.
         // Two regimes, calibrated over consecutive full runs (which
@@ -498,14 +519,24 @@ object Bench {
         // cells faster than this at sf0.1 get measured + published but
         // never gate (their growth factor divides by scheduler jitter).
         val minGateBase = 0.05
-        val firstPass = scaleQs.map { n =>
-          val (base, bFlag) = minOf3(n, sfDir)
-          val (t, tFlag) = minOf3(n, sf1Dir)
-          (n, base, bFlag, t, tFlag)
+        val firstPass = scaleQs.filter(scaleFilter).map { n =>
+          val (base, bFlag, bErr) = minOf3(n, sfDir)
+          val (t, tFlag, tErr) = minOf3(n, sf1Dir)
+          (n, base, bFlag, t, tFlag, bErr || tErr)
         }
         def breaches(n: String, base: Double, bFlag: Boolean,
                      t: Double, tFlag: Boolean): Boolean =
           !bFlag && !tFlag && base >= minGateBase && t / base > boundFor(n)
+        // UNMEASURED = RED: a cell whose samples all THREW on either side,
+        // or whose sf1 time is below the clock floor while its base is
+        // measurable (a real query on 10x data is never faster than the
+        // resolvable sf0.1 floor — a near-zero sf1 reading means the cell
+        // aborted without throwing). The round-13 hole was exactly this:
+        // q152's sf1 table was missing, the read threw in 0.2 ms, and
+        // growth ≈ 0 sailed under every bound. The gate's whole value is
+        // that it cannot be passed silently — an unmeasured cell fails it.
+        def unmeasured(base: Double, t: Double, err: Boolean): Boolean =
+          err || (base >= minGateBase && t < minGateBase)
         // CONFIRM BEFORE RED: wall-clock cells this small carry 2-5x
         // run-to-run variance under unseen box load (observed across
         // consecutive calibration runs — one run's q20 base read 0.28 s
@@ -515,26 +546,31 @@ object Bench {
         // REPRODUCED breach goes red; the published cell is the better
         // (second) measurement so the JSON reflects what was gated on.
         val measured = firstPass.map {
-          case (n, base, bFlag, t, tFlag) if breaches(n, base, bFlag, t, tFlag) =>
+          case (n, base, bFlag, t, tFlag, err)
+              if breaches(n, base, bFlag, t, tFlag) || unmeasured(base, t, err) =>
             System.err.println(
-              s"[bench] growth bound breach on $n (${t / base}x) — re-measuring to confirm")
+              s"[bench] growth gate suspect on $n " +
+                s"(${if (unmeasured(base, t, err)) "unmeasured" else s"${t / base}x"}) " +
+                "— re-measuring to confirm")
             System.gc()
-            val (b2, bf2) = minOf3(n, sfDir)
-            val (t2, tf2) = minOf3(n, sf1Dir)
-            (n, b2, bf2, t2, tf2)
+            val (b2, bf2, be2) = minOf3(n, sfDir)
+            val (t2, tf2, te2) = minOf3(n, sf1Dir)
+            (n, b2, bf2, t2, tf2, be2 || te2)
           case c => c
         }
         val violations = measured.collect {
-          case (n, base, bFlag, t, tFlag) if breaches(n, base, bFlag, t, tFlag) => n
+          case (n, base, bFlag, t, tFlag, err)
+              if breaches(n, base, bFlag, t, tFlag) || unmeasured(base, t, err) => n
         }
-        val cells = measured.map { case (n, base, bFlag, t, tFlag) =>
+        val cells = measured.map { case (n, base, bFlag, t, tFlag, err) =>
           // A missing/zero base would interpolate NaN/Infinity — not valid
           // JSON; emit null so a reader sees "no growth factor" instead of
-          // the driver's json.load rejecting the whole line.
-          val (baseJson, growthJson) =
-            if (base.isNaN || base <= 0.0) ("null", "null")
-            else (base.toString, (t / base).toString)
-          s""""$n":{"sec":$t,"sf01_sec":$baseJson,"growth_x":$growthJson,"bound_x":${boundFor(n)},"stall_suspect":${bFlag || tFlag}}"""
+          // the driver's json.load rejecting the whole line. An errored
+          // cell's growth is null too: its seconds measure an abort.
+          val baseJson = if (base.isNaN || base <= 0.0) "null" else base.toString
+          val growthJson =
+            if (base.isNaN || base <= 0.0 || err) "null" else (t / base).toString
+          s""""$n":{"sec":$t,"sf01_sec":$baseJson,"growth_x":$growthJson,"bound_x":${boundFor(n)},"stall_suspect":${bFlag || tFlag},"err":$err}"""
         }
         growthViolations = violations
         s"""{"copies":10,"dir":"$sf1Dir",""" +
@@ -554,7 +590,7 @@ object Bench {
     println(s"""{"sf1":$sf1Json}""")
     // `weak` rides the (short, tail-surviving) summary line: cells both
     // >1 s and >2x their DuckDB baseline cell, with the measured ratio.
-    println(s"""{"total_sec":$total,"n":${names.size},"stalled":$stalled,"canary":$canaryJson,"baseline_cells":${ratios.size},"weak":$weakJson}""")
+    println(s"""{"total_sec":$total,"n":${names.size},"stalled":$stalled,"errors":$erroredJson,"canary":$canaryJson,"baseline_cells":${ratios.size},"weak":$weakJson}""")
     spark.stop()
     if (growthViolations.nonEmpty) {
       System.err.println(
@@ -570,17 +606,25 @@ object Bench {
   * duplicate/near-dup structure is preserved exactly while cross-copy
   * shingles never collide — pair counts scale LINEARLY with the copy
   * count, the way a real corpus grows, instead of quadratically the way
-  * naive replication would. Built once per scratch dir via
-  * [[Tables.writePathIfAbsent]]. */
+  * naive replication would. `lineitem` rides along for the graph-family
+  * cells (q152 reads order→part incidence): copy k salts BOTH
+  * `l_orderkey` and `l_partkey` by k·idStep, so every copy preserves
+  * the per-order fan distribution exactly (the fan-guard theorem is
+  * exercised at 10x incidence) while cross-copy orders/parts never
+  * collide — incidence and co-occurrence pairs grow linearly.
+  * Built once per scratch dir via [[Tables.writePathIfAbsent]]. */
 object ScaleCorpus {
   def ensure(spark: SparkSession, srcDir: String, copies: Int): String = {
     import org.apache.spark.sql.functions._
     // Path salted with the SOURCE corpus identity (size+mtime, the
     // Tables.corpusTag contract): regenerated testdata must rebuild the
     // scale corpus, not benchmark a stale copy and publish bogus growth.
-    val out = s"${Tables.scratchDir(spark)}/scale10x_v3/" +
+    // _v4: lineitem added round 14 (the q152 gate measured nothing
+    // against _v3 dirs, which held only documents+embeddings).
+    val out = s"${Tables.scratchDir(spark)}/scale10x_v4/" +
       s"${Tables.corpusTag(spark, srcDir, "documents")}__" +
-      Tables.corpusTag(spark, srcDir, "embeddings")
+      s"${Tables.corpusTag(spark, srcDir, "embeddings")}__" +
+      Tables.corpusTag(spark, srcDir, "lineitem")
     val idStep = 10L * 1000 * 1000
     Tables.writePathIfAbsent(spark, s"$out/documents.parquet") {
       val src = spark.read.parquet(s"$srcDir/documents.parquet")
@@ -617,6 +661,17 @@ object ScaleCorpus {
       }.reduce(_.unionByName(_))
         .repartition(8)
         .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    }
+    Tables.writePathIfAbsent(spark, s"$out/lineitem.parquet") {
+      val src = spark.read.parquet(s"$srcDir/lineitem.parquet")
+      (0 until copies).map { k =>
+        if (k == 0) src
+        else src
+          .withColumn("l_orderkey", col("l_orderkey") + lit(k * idStep))
+          .withColumn("l_partkey", col("l_partkey") + lit(k * idStep))
+      }.reduce(_.unionByName(_))
+        .repartition(8)
+        .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
     }
     out
   }
