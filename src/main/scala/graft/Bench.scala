@@ -573,8 +573,48 @@ object Bench {
           s""""$n":{"sec":$t,"sf01_sec":$baseJson,"growth_x":$growthJson,"bound_x":${boundFor(n)},"stall_suspect":${bFlag || tFlag},"err":$err}"""
         }
         growthViolations = violations
+        // ---- IO evidence for the incremental family (VERDICT r13 ask
+        // #2): maintenance vs full-rebuild task metrics at BOTH scales.
+        // The claim under measurement is stage volume — maintenance
+        // shuffles delta-sized data where the rebuild shuffles the
+        // corpus — so `shuffle_ratio` (maint/rebuild, ~delta fraction)
+        // is the headline; scan-side bytes/records ride along (see
+        // IoEvidence's scaladoc for why the scan ratio is ~1 in this
+        // harness). Artifacts are already built by the growth cells
+        // above, so these runs measure serving+maintenance, not setup.
+        val ioCells =
+          if (sys.env.getOrElse("SPARK_GRAFT_IO", "1") == "0") Nil
+          else {
+            def fmtPair(maint: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                        rebuild: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                        dir: String): String = {
+              val m = IoEvidence.measure(spark, maint(spark, dir))
+              val r = IoEvidence.measure(spark, rebuild(spark, dir))
+              val ratio =
+                if (r.shuffleWrite > 0) r3(m.shuffleWrite.toDouble / r.shuffleWrite)
+                else "null"
+              s"""{"maint":${m.json},"rebuild":${r.json},"shuffle_ratio":$ratio}"""
+            }
+            Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                 (SparkSession, String) => org.apache.spark.sql.DataFrame)](
+              // q148 measured on the INDEX builds (the maintained
+              // artifact), not the whole cell: banding+verification is
+              // the serving side, identical and corpus-sized for both.
+              ("q148_incremental_minhash",
+                Queries.q148MaintainedIndex _, Queries.q148FullIndex _),
+              ("q153_incremental_clusters",
+                Queries.q153IncrementalClusters _, Queries.q153FullRecompute _))
+              .filter(p => scaleFilter(p._1))
+              .map { case (n, m, r) =>
+                try s""""$n":{"sf01":${fmtPair(m, r, sfDir)},"sf1":${fmtPair(m, r, sf1Dir)}}"""
+                catch { case e: Throwable =>
+                  System.err.println(s"[bench] io evidence $n: $e")
+                  s""""$n":null""" }
+              }
+          }
         s"""{"copies":10,"dir":"$sf1Dir",""" +
           s""""growth_violations":${violations.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+          s""""io":${ioCells.mkString("{", ",", "}")},""" +
           s""""queries":${cells.mkString("{", ",", "}")}}"""
       } catch {
         case e: Throwable =>

@@ -3523,6 +3523,24 @@ object Queries {
     * asserts the same equality in-engine against a fresh full-index
     * build. */
   def q148IncrementalMinhash(s: SparkSession, dir: String): DataFrame = {
+    // Persisted: the maintained index feeds the banding explode AND the
+    // two Jaccard-denominator joins — unpersisted, each consumer re-runs
+    // the reuse semi-join and the delta re-sign aggregation.
+    val index = q148MaintainedIndex(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Dedup.minHashPairsFromIndex(index, q145NewSnap(s, dir), "doc_id", "text",
+      n = 3, k = 16, rowsPerBand = 2, minJaccard = 0.5, bucketCap = 64)
+  }
+
+  /** q148's MAINTENANCE half in isolation — the new snapshot's signature
+    * index from the stored index + the delta only. Exposed (alongside
+    * [[q148FullIndex]]) so the IO claim is measurable on exactly the
+    * artifact it concerns: the downstream banding+verification
+    * ([[graft.ops.Dedup.minHashPairsFromIndex]]) is the SERVING side,
+    * identical for both index builds and corpus-sized in both, so
+    * measuring the whole q148 cell would drown the maintenance signal
+    * in shared query cost ([[graft.IoEvidence]], IncrementalIoSpec). */
+  def q148MaintainedIndex(s: SparkSession, dir: String): DataFrame = {
     val newSnap = q145NewSnap(s, dir)
     val delta = graft.ops.SnapshotDelta.diffHashed(
       prevSnapshotHashes(s, dir),
@@ -3539,14 +3557,28 @@ object Queries {
       Dedup.shingleSet(newSnap.join(changedIds, Seq("doc_id"), "leftsemi"),
         "doc_id", "text", 3),
       "doc_id", k = 16)
-    // Persisted: the maintained index feeds the banding explode AND the
-    // two Jaccard-denominator joins — unpersisted, each consumer re-runs
-    // the reuse semi-join and the delta re-sign aggregation.
-    val index = reused.unionByName(reSigned)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    Dedup.minHashPairsFromIndex(index, newSnap, "doc_id", "text", n = 3,
-      k = 16, rowsPerBand = 2, minJaccard = 0.5, bucketCap = 64)
+    reused.unionByName(reSigned)
   }
+
+  /** The rebuild twin of [[q148MaintainedIndex]]: every new-snapshot
+    * document re-shingled and re-signed from text. */
+  def q148FullIndex(s: SparkSession, dir: String): DataFrame =
+    Dedup.minHashSignaturesPortable(
+      Dedup.shingleSet(q145NewSnap(s, dir), "doc_id", "text", 3),
+      "doc_id", k = 16)
+
+  /** q148's FULL-REBUILD twin — the index built from scratch over the
+    * whole new snapshot (every document re-shingled and re-signed),
+    * then the identical banding+verification. Not a registered query:
+    * it exists so the batch≡incremental equality is assertable
+    * in-engine (IncrementalBuildSpec) and so [[graft.IoEvidence]] can
+    * publish the maintenance-vs-rebuild stage-volume ratio — the
+    * measured form of "unchanged documents are never re-shingled or
+    * re-signed". */
+  def q148FullRebuild(s: SparkSession, dir: String): DataFrame =
+    Dedup.minHashPairsFromIndex(q148FullIndex(s, dir), q145NewSnap(s, dir),
+      "doc_id", "text", n = 3, k = 16, rowsPerBand = 2, minJaccard = 0.5,
+      bucketCap = 64)
 
   /** Frozen stop-shingle list ([[graft.ops.Dedup.stopShingles]] over the
     * OLD snapshot, the reference crawl) — the release artifact that
@@ -3621,6 +3653,17 @@ object Queries {
       incSnapPairs(s, dir, old = true),
       incSnapPairs(s, dir, old = false),
       prevClustersInc(s, dir),
+      q145NewSnap(s, dir).select(col("doc_id")), "doc_id")
+
+  /** q153's FULL-RECOMPUTE twin — connected components from scratch over
+    * the whole new-snapshot pair table (every cluster re-derived).
+    * Not a registered query: the in-engine equality partner
+    * (DedupSpec / IncrementalBuildSpec) and [[graft.IoEvidence]]'s
+    * rebuild side — the measured form of "untouched clusters never
+    * enter the CC iterations". */
+  def q153FullRecompute(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.nearDupClustersFromPairs(
+      incSnapPairs(s, dir, old = false),
       q145NewSnap(s, dir).select(col("doc_id")), "doc_id")
 
   /** The PREVIOUS crawl's reference LM count model (q141's

@@ -28,12 +28,7 @@ class IncrementalBuildSpec extends SparkSpec {
 
   test("q148 incremental MinHash pair set ≡ full index rebuild over the new snapshot") {
     val inc = Queries.q148IncrementalMinhash(spark, dir)
-    val newSnap = Queries.q145NewSnap(spark, dir)
-    val fullIndex = ops.Dedup.minHashSignaturesPortable(
-      ops.Dedup.shingleSet(newSnap, "doc_id", "text", 3), "doc_id", k = 16)
-    val full = ops.Dedup.minHashPairsFromIndex(fullIndex, newSnap,
-      "doc_id", "text", n = 3, k = 16, rowsPerBand = 2,
-      minJaccard = 0.5, bucketCap = 64)
+    val full = Queries.q148FullRebuild(spark, dir)
     val n = inc.count()
     n shouldBe full.count()
     n should be > 0L
