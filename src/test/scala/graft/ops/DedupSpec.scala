@@ -78,6 +78,34 @@ class DedupSpec extends SparkSpec {
       40L -> 40L, 50L -> 40L, 60L -> 60L)
   }
 
+  test("single-task union-find fast path ≡ the distributed loop on random graphs") {
+    // The fast path (guards passed) and the iterative loop (fast path
+    // force-disabled via maxLocalNodes = 0) must land on the identical
+    // min-id labeling — chains (deep diameter), cliques, crossed merges
+    // and singletons all covered by seeded random graphs.
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 4) {
+      val n = 30 + rnd.nextInt(40)
+      val pairSeq = (0 until (n * 2)).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(p => p._1 != p._2) ++
+        // a guaranteed deep chain so pointer jumping is exercised
+        (100L until 130L).sliding(2).map(s => (s(0), s(1))).toSeq
+      val pairs = df("doc_a BIGINT, doc_b BIGINT",
+        pairSeq.map(p => Row(p._1, p._2)))
+      val ids = (pairSeq.flatMap(p => Seq(p._1, p._2)).distinct :+ 9999L)
+      val universe = df("id BIGINT", ids.map(Row(_)))
+      val fast = Dedup.nearDupClustersFromPairs(pairs, universe, "id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val loop = Dedup.nearDupClustersFromPairs(pairs, universe, "id",
+          maxLocalNodes = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      withClue(s"trial $trial (n=$n): ") { fast shouldBe loop }
+      fast(9999L) shouldBe 9999L // singleton attach on both paths
+      fast(129L) shouldBe 100L   // chain resolved to its min id
+    }
+  }
+
   test("capShingleDf kills the O(df²) blowup from one corpus-common shingle") {
     // Adversarial corpus: 1000 docs that all share one boilerplate 3-gram
     // but have unique tails. Uncapped, the shingle self-join emits
