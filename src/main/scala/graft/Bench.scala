@@ -429,6 +429,11 @@ object Bench {
           // weighted percentile: one range exchange + per-key agg join,
           // same amortizing machinery as q158
           "q161_weighted_median_len",
+          // the suffix-artifact REBUILD policy cell (full live
+          // construction on a fixed corpus slice): positions grow with
+          // the data, round count is pinned by document length — the
+          // declared-rebuild design holds only while growth tracks data
+          "q162_suffix_rebuild",
           "q122_audio_frames").filter(SparkEntry.queries.contains)
         // Min-of-3 for BOTH sides of the ratio, measured back-to-back in
         // the SAME session config: round 9's q122 growth read 4.6x on one
@@ -509,6 +514,11 @@ object Bench {
           "q159_incremental_ivf"      -> 15.0,
           "q160_incremental_dsir"     -> 6.0,
           "q161_weighted_median_len"  -> 6.0,
+          // live suffix construction: linear positions x fixed round
+          // count, but ~40 fixed-latency stages dominate the sf0.1 cell
+          // so amortization pulls growth DOWN while data pushes it up —
+          // the linear-regime bound catches a superlinear rank blowup
+          "q162_suffix_rebuild"       -> 12.0,
           "q122_audio_frames"         -> 15.0)
         val boundFor: String => Double =
           sys.env.get("SPARK_GRAFT_GROWTH_BOUND").map(_.toDouble) match {

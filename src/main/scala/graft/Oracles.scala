@@ -131,11 +131,12 @@ object Oracles {
     * than every document is never in-bounds). Every rank and walk CTE
     * is MATERIALIZED: each feeds two consumers, and default inlining
     * would double the reference tree per level (the q147 lesson). */
-  private[graft] def suffixSpansSql(minLen: Int, levels: Int): String = {
+  private[graft] def suffixSpansSql(minLen: Int, levels: Int,
+                                    where: String = ""): String = {
     val head =
-      """WITH tok AS MATERIALIZED (
-        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
-        |  FROM documents),
+      s"""WITH tok AS MATERIALIZED (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws
+        |  FROM documents$where),
         |pos AS MATERIALIZED (
         |  SELECT doc_id, i - 1 AS p, len(ws) AS n, ws[i] AS tokn
         |  FROM tok CROSS JOIN unnest(generate_series(1, len(ws))) AS g(i)
@@ -2634,6 +2635,12 @@ object Oracles {
     // prefix-doubling + neighbor-LCP construction, generated level by
     // level (see suffixSpansSql).
     "q146_maximal_spans" -> suffixSpansSql(minLen = 4, levels = 8),
+
+    // The rebuild-policy cell: the identical generated replay restricted
+    // to the 1-in-8 slice the Spark side rebuilds live (q162's scaladoc
+    // records why the suffix artifact is rebuilt, never maintained).
+    "q162_suffix_rebuild" ->
+      suffixSpansSql(minLen = 4, levels = 8, where = " WHERE doc_id % 8 = 0"),
 
     // Batch-perceptron quality filter: pure integer recurrence, so the
     // oracle replays ALL three training rounds (w0=0 makes round 1 flag

@@ -15,10 +15,23 @@ class SuffixSpec extends SparkSpec {
         texts.zipWithIndex.map { case (t, i) => Row(i.toLong, t) }, 2), schema)
   }
 
-  private def spans(d: org.apache.spark.sql.DataFrame, minLen: Int) =
-    Suffix.maximalSpansExact(d, "doc_id", "text", minLen)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-        r.getString(3))).toSet
+  /** Every semantic case runs through BOTH tiers — the one-task
+    * suffix-sort fast path (default guards) and the distributed prefix
+    * doubling (forced with maxLocalPositions = 0) — and the tiers must
+    * agree with each other as well as with the expectation. */
+  private def spans(d: org.apache.spark.sql.DataFrame, minLen: Int) = {
+    def run(local: Long) =
+      Suffix.maximalSpansExact(d, "doc_id", "text", minLen,
+          maxLocalPositions = local)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3))).toSet
+    val fast = run(2000000L)
+    val dist = run(0L)
+    withClue("local-tier vs distributed-tier divergence: ") {
+      fast shouldBe dist
+    }
+    fast
+  }
 
   test("a single cross-document duplicate reports one exact span per side") {
     val out = spans(docs("q w e r t y", "z q w e r x"), minLen = 2)
@@ -72,9 +85,14 @@ class SuffixSpec extends SparkSpec {
     // A one-position corpus has no (seq, seq+1) adjacency pair at all;
     // the contract ("rows for every in-domain position") still demands
     // the (doc_id, 0, 1, f=0) row.
-    val got = Suffix.longestDupPrefix(docs("solo"), "doc_id", "text")
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-    got.toSet shouldBe Set((0L, 0L, 1L, 0L))
+    for (local <- Seq(2000000L, 0L)) {
+      val got = Suffix.longestDupPrefix(docs("solo"), "doc_id", "text",
+          maxLocalPositions = local)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      withClue(s"maxLocalPositions=$local: ") {
+        got.toSet shouldBe Set((0L, 0L, 1L, 0L))
+      }
+    }
     spark.catalog.clearCache()
   }
 
@@ -106,6 +124,13 @@ class SuffixSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3))
         .toMap
       withClue(s"trial $trial corpus=$texts: ") { got shouldBe expected }
+      val gotDist = Suffix.longestDupPrefix(docs(texts: _*), "doc_id",
+          "text", maxLocalPositions = 0L)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3))
+        .toMap
+      withClue(s"trial $trial distributed tier, corpus=$texts: ") {
+        gotDist shouldBe expected
+      }
       spark.catalog.clearCache()
     }
   }
