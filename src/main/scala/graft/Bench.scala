@@ -434,6 +434,10 @@ object Bench {
           // the data, round count is pinned by document length — the
           // declared-rebuild design holds only while growth tracks data
           "q162_suffix_rebuild",
+          // deep-budget BPE (512 merges, one-task trainer tier):
+          // artifact-serving cell plus the tiny check-row echo — must
+          // stay flat at 10x like q147
+          "q163_bpe_train512",
           "q122_audio_frames").filter(SparkEntry.queries.contains)
         // Min-of-3 for BOTH sides of the ratio, measured back-to-back in
         // the SAME session config: round 9's q122 growth read 4.6x on one
@@ -519,6 +523,9 @@ object Bench {
           // so amortization pulls growth DOWN while data pushes it up —
           // the linear-regime bound catches a superlinear rank blowup
           "q162_suffix_rebuild"       -> 12.0,
+          // artifact-serving + sidecar rewrite; amortizing regime (the
+          // 512-merge training runs ONCE at build, off the timed path)
+          "q163_bpe_train512"         -> 4.0,
           "q122_audio_frames"         -> 15.0)
         val boundFor: String => Double =
           sys.env.get("SPARK_GRAFT_GROWTH_BOUND").map(_.toDouble) match {

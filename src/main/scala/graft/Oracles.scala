@@ -257,6 +257,97 @@ object Oracles {
        |  FROM (SELECT * FROM v$rounds ORDER BY n DESC, word LIMIT $topWords))""".stripMargin
   }
 
+  /** STORED-MERGE-REPLAY oracle for q163 (VERDICT r13 ask #4): unlike
+    * [[bpeTrainSql]], whose CTE chain grows with the merge budget, this
+    * replays from the TRAINED ARTIFACT — the merge table q163 sidecars
+    * to [[Tables.Bpe512Sidecar]] at query time — so its size is one
+    * VALUES list plus a fixed recursive CTE at ANY budget. The recursive
+    * CTE applies merge ord=i at iteration i (DuckDB's own list rewrite —
+    * the exact a≠b simultaneous semantics of [[bpeTrainSql]]'s v-CTEs),
+    * then the final top-50 segmentations and the sampled-rank argmax
+    * checks are derived from the replayed states. Evaluated LAZILY (a
+    * def read when the parity map materializes) — graft.Verify runs the
+    * queries first, so the sidecar reflects the corpus under test; if
+    * the sidecar is missing the SQL fails LOUDLY (never a silent pass).
+    */
+  private def bpe512ReplaySql(topWords: Int,
+                              checkOrds: Seq[Int]): String = {
+    val dir = new java.io.File(Tables.Bpe512Sidecar)
+    val parts = Option(dir.listFiles())
+      .map(_.filter(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".json")).toSeq)
+      .getOrElse(Nil)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val rows = parts.flatMap { f =>
+      val src = scala.io.Source.fromFile(f, "UTF-8")
+      try src.getLines().filter(_.nonEmpty).map { line =>
+        val n = om.readTree(line)
+        (n.path("ord").asInt(), n.path("key").asText(),
+          n.path("value").asText(), n.path("weight").asLong())
+      }.toList
+      finally src.close()
+    }.sortBy(_._1)
+    if (rows.isEmpty)
+      return "SELECT error('q163 merge sidecar missing or empty - run " +
+        "graft.Verify (q163 writes it) before dumping oracle SQL')"
+    def esc(s: String) = s.replace("'", "''")
+    val values = rows.map { case (o, k, v, w) =>
+      s"($o, '${esc(k)}', '${esc(v)}', CAST($w AS BIGINT))"
+    }.mkString(",\n    ")
+    val maxOrd = rows.last._1
+    val checks = checkOrds.filter(_ <= maxOrd).map { r =>
+      s"""
+         |  UNION ALL
+         |  SELECT 'check', pair, replace(pair, ' ', ''), cnt, $r FROM (
+         |    SELECT z[1] || ' ' || z[2] AS pair, CAST(sum(n) AS BIGINT) AS cnt
+         |    FROM (SELECT n, unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS z
+         |          FROM (SELECT n, string_split(sym, ' ') AS l
+         |                FROM state WHERE i = ${r - 1}))
+         |    WHERE z[1] != z[2]
+         |    GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 1)""".stripMargin
+    }.mkString
+    s"""WITH RECURSIVE m(ord, key, value, weight) AS (
+       |  SELECT * FROM (VALUES
+       |    $values) t(ord, key, value, weight)),
+       |u AS MATERIALIZED (
+       |  SELECT g AS word, CAST(count(*) AS BIGINT) AS n FROM (
+       |    SELECT ws[i] || '_' || ws[i+1] || '_' || ws[i+2] || '_' || ws[i+3] AS g
+       |    FROM (SELECT string_split_regex(trim(lower(text)), '\\s+') AS ws
+       |          FROM documents)
+       |    CROSS JOIN unnest(generate_series(1, len(ws) - 3)) AS t(i)
+       |    WHERE len(ws) >= 4)
+       |  WHERE regexp_matches(g, '^[a-z]+_[a-z]+_[a-z]+_[a-z]+$$')
+       |  GROUP BY g ORDER BY n DESC, g LIMIT 4096),
+       |v0 AS MATERIALIZED (
+       |  SELECT word,
+       |    array_to_string(string_split(word, ''), ' ') AS sym, n
+       |  FROM u),
+       |mm AS MATERIALIZED (
+       |  SELECT ord, string_split(key, ' ')[1] AS a,
+       |    string_split(key, ' ')[2] AS b, value AS mrg FROM m),
+       |state AS MATERIALIZED (
+       |  SELECT 0 AS i, word, sym, n FROM v0
+       |  UNION ALL
+       |  SELECT s.i + 1, s.word,
+       |    CASE WHEN mm.a IS NULL THEN s.sym
+       |         ELSE array_to_string(list_transform(
+       |      list_filter(range(1, len(s.l) + 1),
+       |        p -> NOT (p >= 2 AND s.l[p-1] = mm.a AND s.l[p] = mm.b)),
+       |      p -> CASE WHEN p < len(s.l) AND s.l[p] = mm.a AND s.l[p+1] = mm.b
+       |                THEN mm.mrg ELSE s.l[p] END), ' ') END,
+       |    s.n
+       |  FROM (SELECT i, word, sym, n, string_split(sym, ' ') AS l
+       |        FROM state) s
+       |  LEFT JOIN mm ON mm.ord = s.i + 1
+       |  WHERE s.i < $maxOrd)
+       |SELECT kind, key, value, weight, ord FROM (
+       |  SELECT 'merge' AS kind, key, value, weight, ord FROM m
+       |  UNION ALL
+       |  SELECT 'word', word, sym, n, 0
+       |  FROM (SELECT word, sym, n FROM state WHERE i = $maxOrd
+       |        ORDER BY n DESC, word LIMIT $topWords)$checks)""".stripMargin
+  }
+
   /** q138: the q131 perceptron recurrence at k=68 — 4 standard features
     * plus 64 hashed-bigram bucket counts. The SQL is GENERATED by the
     * same index loops the Spark trainer unrolls with (68 update sums and
@@ -2591,6 +2682,14 @@ object Oracles {
     // Production-budget BPE training: the 32-round generated replay
     // (see bpeTrainSql — materialized vocab CTEs, generated rounds).
     "q147_bpe_train32" -> bpeTrainSql(rounds = 32, topWords = 50),
+
+    // Deep-budget tier: replay from the STORED merge table (sidecar
+    // inlined as VALUES) — fixed SQL size at any budget; certifies
+    // 512-deep application densely and training argmax at sampled ranks
+    // (see bpe512ReplaySql). Lazy by parity-map materialization order:
+    // Verify dumps AFTER running q163, which writes the sidecar.
+    "q163_bpe_train512" ->
+      bpe512ReplaySql(topWords = 50, checkOrds = Queries.BpeCheckOrds),
 
     // All-lengths exact-substring dedup: q132's window/canonical replay
     // at L=4 plus the coverage-level keep rule — a token survives iff no

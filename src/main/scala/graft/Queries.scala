@@ -3097,14 +3097,91 @@ object Queries {
   def q147BpeTrain32(s: SparkSession, dir: String): DataFrame =
     trainedBpe32(s, dir)
 
+  /** Sampled merge ranks the q163 oracle re-derives from its replayed
+    * vocabulary state (argmax check at depth): Spark re-emits the
+    * artifact's merge rows at these ranks as kind='check'; the oracle
+    * computes them independently from the state after rank−1 merges, so
+    * a wrong argmax anywhere up to each sampled rank hash-mismatches. */
+  private[graft] val BpeCheckOrds: Seq[Int] = Seq(1, 32, 128, 256, 512)
+
+  /** DEEP-BUDGET BPE training (VERDICT r13 ask #4): 512 merges — the
+    * next tier above q147's 32 — with a STORED-MERGE-REPLAY oracle
+    * instead of a generated training-CTE chain (which grows with the
+    * budget and was the declared blocker for production vocabularies).
+    * The Spark side trains once (one-task tier: the whole merge loop in
+    * ONE job — [[graft.ops.Bpe.trainFromWordFreq]]'s guarded in-memory
+    * path; the distributed iterative trainer stays pinned by q147) and
+    * serves the artifact; the query also refreshes a fixed-path JSON
+    * sidecar of the merge rows, which [[Oracles]] inlines as VALUES
+    * into the replay SQL at dump time. The oracle then (a) re-derives
+    * the char-split vocabulary from `documents`, (b) applies all 512
+    * stored merges IN ORDER via one recursive CTE (DuckDB's own
+    * implementation of the a≠b simultaneous rewrite), (c) emits the
+    * top-50 final segmentations — which must hash-match Spark's — and
+    * (d) independently recomputes the argmax (pair, count) at the
+    * [[BpeCheckOrds]] sampled ranks from the replayed state, matching
+    * Spark's kind='check' echo rows. (c) certifies 512-deep merge
+    * APPLICATION; (d) certifies the training SELECTION at the sampled
+    * depths; q147's full 32-round replay still certifies every early
+    * rank densely. */
+  def q163BpeTrain512(s: SparkSession, dir: String): DataFrame = {
+    val art = trainedBpe512(s, dir)
+    art.filter(col("kind") === "merge")
+      .select(col("ord"), col("key"), col("value"), col("weight"))
+      .coalesce(1).write.mode("overwrite").json(Tables.Bpe512Sidecar)
+    val checks = art
+      .filter(col("kind") === "merge" &&
+        col("ord").isin(BpeCheckOrds.map(Integer.valueOf): _*))
+      .select(lit("check").as("kind"), col("key"), col("value"),
+        col("weight"), col("ord"))
+    art.unionByName(checks)
+  }
+
+  /** The deep tier's training units: SentencePiece-style
+    * boundary-marked sequences — 4-gram word windows joined by '_'
+    * (the ▁-marker idiom: merges may cross word boundaries, which is
+    * what a production subword tokenizer trains on) — capped to the
+    * top 4096 by (count desc, unit asc). The cap is the scale story:
+    * this corpus's WORD vocabulary is 31 lowercase words (BPE over it
+    * exhausts at ~67 merges — a 512 budget would be vacuous), while
+    * the boundary-marked units carry ~100k mergeable pairs; and a
+    * bounded, deterministically-selected unit table keeps the trainer
+    * input fixed-size at ANY corpus scale, exactly how production
+    * trainers sample their corpus before the merge loop. */
+  private def bpe512Units(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(graft.ops.TextStats.words(lower(col("text"))).as("ws"))
+      .filter(size(col("ws")) >= 4)
+      .select(explode(transform(sequence(lit(1), size(col("ws")) - 3),
+        i => concat_ws("_", slice(col("ws"), i, lit(4))))).as("word"))
+      .filter(col("word").rlike("^[a-z]+_[a-z]+_[a-z]+_[a-z]+$"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word")).limit(4096)
+
+  /** Build-once 512-merge training result — [[q163BpeTrain512]]'s
+    * stored artifact (train once, serve many; the tokenizer-release
+    * contract). */
+  private def trainedBpe512(s: SparkSession, dir: String): DataFrame = {
+    val sfTag = Tables.corpusTag(s, dir, "documents")
+    val path = s"${Tables.scratchDir(s)}/bpe_r512_units_v1/$sfTag"
+    Tables.servedArtifact(s, path) {
+      graft.ops.Bpe.trainFromWordFreq(bpe512Units(s, dir),
+          rounds = 512, topWords = 50)
+        .write.mode("overwrite").parquet(path)
+    }
+  }
+
   /** Build-once 32-merge training result (merge rows + top-50 word
     * segmentations) — [[q147BpeTrain32]]'s stored artifact. */
   private def trainedBpe32(s: SparkSession, dir: String): DataFrame = {
     val sfTag = Tables.corpusTag(s, dir, "documents")
     val path = s"${Tables.scratchDir(s)}/bpe_r32_v1/$sfTag"
     Tables.servedArtifact(s, path) {
+      // maxLocalWords = 0: q147 exists to pin the DISTRIBUTED iterative
+      // trainer in a hash-checked, growth-gated cell — the one-task
+      // tier has its own deep-budget cell (q163).
       graft.ops.Bpe.trainFromWordFreq(bpeWordFreq(s, dir),
-          rounds = 32, topWords = 50)
+          rounds = 32, topWords = 50, maxLocalWords = 0L)
         .write.mode("overwrite").parquet(path)
     }
   }

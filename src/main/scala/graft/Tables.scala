@@ -22,6 +22,19 @@ object Tables {
     spark.conf.getOption("spark.graft.scratchDir")
       .getOrElse(s"${System.getProperty("java.io.tmpdir")}/graft-scratch")
 
+  /** Fixed, session-INDEPENDENT sidecar dir for q163's stored-merge
+    * replay oracle: the query (re)writes its trained merge table here as
+    * JSON on every invocation, and [[Oracles]] — which has no
+    * SparkSession and therefore no conf — inlines it into the replay SQL
+    * when the oracle map is materialized. Works because graft.Verify
+    * runs every query BEFORE dumping oracle_sql.json (the dump happens
+    * in the same process, after q163 refreshed the sidecar from the
+    * corpus under test). Deliberately NOT salted with the corpus tag:
+    * the freshest write is by construction the corpus the dump
+    * describes. */
+  val Bpe512Sidecar: String =
+    s"${System.getProperty("java.io.tmpdir")}/graft-scratch/bpe512_sidecar_v1"
+
   /** Path-based build-once write: run `write` only when `path` has no
     * `_SUCCESS` marker (the committer drops it only after a COMPLETE write,
     * so a half-written directory from a killed JVM is rebuilt, not

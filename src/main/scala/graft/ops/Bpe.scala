@@ -130,12 +130,27 @@ object Bpe {
     * that serve it from a stored artifact pay the corpus scan once and
     * re-train at any `rounds`/`topWords` for vocabulary-sized cost. */
   def trainFromWordFreq(wf: DataFrame, rounds: Int,
-                        topWords: Int): DataFrame = {
+                        topWords: Int,
+                        maxLocalWords: Long = 200000L): DataFrame = {
     require(rounds >= 1 && rounds <= 65536,
       s"rounds must be in [1,65536]; got $rounds")
     require(topWords >= 1, s"topWords must be >= 1; got $topWords")
-    if (rounds > UnrollLimit)
+    if (rounds > UnrollLimit) {
+      // ONE-TASK TIER for deep budgets over one-task vocabularies (the
+      // q153 union-find / Suffix local-sort pattern): the distributed
+      // loop costs one vocab-sized aggregation JOB per round — 512
+      // rounds is 512 driver barriers on data measured in megabytes.
+      // When the vocabulary fits one task, the whole merge loop runs
+      // in-memory in ONE job with bit-identical semantics (BpeSpec
+      // asserts tier equality; self-pair filter, (cnt desc, pair asc)
+      // tie-break, and the simultaneous a≠b rewrite all replicated).
+      // Guard fails closed to the scale-proof iterative loop;
+      // maxLocalWords = 0 forces it (q147 pins the distributed tier in
+      // a gated cell, and specs use it for coverage).
+      if (maxLocalWords > 0 && wf.count() <= maxLocalWords)
+        return trainLocal(wf, rounds, topWords)
       return trainIterative(wf, rounds, topWords)
+    }
     // CACHING CONTRACT (the [[Similarity.ivfAssignment]] discipline):
     // every round's vocab frame feeds MULTIPLE consumers — the next
     // round's pair aggregation, and transitively every later merge
@@ -253,6 +268,94 @@ object Bpe {
     graft.CacheScope.scopedCheckpoint(vocab)
     merges.foreach(graft.CacheScope.scopedCheckpoint)
     report(merges, vocab, topWords)
+  }
+
+  /** The one-task trainer tier: the full merge loop in memory, emitting
+    * [[report]]'s exact row shape. O(rounds × total symbols) — a naive
+    * full recount per round, which at the guard bound (200k words) is
+    * well under a second per hundred rounds; the point is ONE job
+    * versus one job per round. Exhaustion (no countable pair left)
+    * stops the loop — the distributed path's no-op rounds emit no rows
+    * either, so the outputs agree. */
+  private[ops] def trainLocal(wf: DataFrame, rounds: Int,
+                              topWords: Int): DataFrame = {
+    val spark = wf.sparkSession
+    import spark.implicits._
+    wf.select(col("word"), col("n").cast("long")).as[(String, Long)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        val entries = it.toArray
+        val words = entries.map(_._1)
+        val ns = entries.map(_._2)
+        val syms: Array[Array[String]] =
+          words.map(w => w.map(_.toString).toArray)
+        val out =
+          scala.collection.mutable.ArrayBuffer.empty[(String, String, String, Long, Int)]
+        var r = 1
+        var exhausted = false
+        while (r <= rounds && !exhausted) {
+          val cnt = new java.util.HashMap[String, java.lang.Long]()
+          var wi = 0
+          while (wi < syms.length) {
+            val s = syms(wi); val n = ns(wi)
+            var i = 0
+            while (i < s.length - 1) {
+              if (s(i) != s(i + 1)) {
+                val key = s(i) + " " + s(i + 1)
+                val cur = cnt.get(key)
+                cnt.put(key, if (cur == null) n else cur + n)
+              }
+              i += 1
+            }
+            wi += 1
+          }
+          if (cnt.isEmpty) exhausted = true
+          else {
+            var bestPair: String = null
+            var bestCnt = -1L
+            val itr = cnt.entrySet().iterator()
+            while (itr.hasNext) {
+              val e = itr.next()
+              val c = e.getValue.longValue()
+              if (c > bestCnt ||
+                  (c == bestCnt && e.getKey.compareTo(bestPair) < 0)) {
+                bestPair = e.getKey; bestCnt = c
+              }
+            }
+            val sp = bestPair.split(" ", 2)
+            val a = sp(0); val b = sp(1)
+            val merged = a + b
+            out += (("merge", bestPair, merged, bestCnt, r))
+            wi = 0
+            while (wi < syms.length) {
+              val s = syms(wi)
+              var has = false
+              var i = 0
+              while (!has && i < s.length - 1) {
+                has = s(i) == a && s(i + 1) == b; i += 1
+              }
+              if (has) {
+                val nb = scala.collection.mutable.ArrayBuffer.empty[String]
+                i = 0
+                while (i < s.length) {
+                  if (i < s.length - 1 && s(i) == a && s(i + 1) == b) {
+                    nb += merged; i += 2
+                  } else { nb += s(i); i += 1 }
+                }
+                syms(wi) = nb.toArray
+              }
+              wi += 1
+            }
+          }
+          r += 1
+        }
+        val top = entries.indices
+          .sortBy(i => (-ns(i), words(i))).take(topWords)
+        top.foreach(i => out += (("word", words(i), syms(i).mkString(" "),
+          ns(i), 0)))
+        out.iterator
+      }
+      .toDF("kind", "key", "value", "weight", "ord")
   }
 
   /** Shared result shape: merge rows (one per round) + the `topWords`

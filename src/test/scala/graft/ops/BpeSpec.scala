@@ -133,6 +133,22 @@ class BpeSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("one-task trainer tier is bit-identical to the iterative loop at depth") {
+    // Same budget, both shapes: the in-memory tier (default guards) vs
+    // the distributed loop (maxLocalWords = 0 forces it) — the pair
+    // counts, the (cnt desc, pair asc) tie-break, the simultaneous a≠b
+    // rewrite, exhaustion behavior and the top-word report must all
+    // coincide row-for-row.
+    val wf = Bpe.wordFreq(richDocs, "text")
+    val local = Bpe.trainFromWordFreq(wf, rounds = 40, topWords = 100)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val dist = Bpe.trainFromWordFreq(wf, rounds = 40, topWords = 100,
+        maxLocalWords = 0L)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    local shouldBe dist
+    spark.catalog.clearCache()
+  }
+
   test("a 32-merge budget trains end-to-end and extends the unrolled prefix") {
     // BPE is greedy: the first 6 merges of a 32-round run must equal the
     // 6-round unrolled training exactly (prefix property), and the run
@@ -167,6 +183,20 @@ class BpeSpec extends SparkSpec {
     val vocabSegs = Bpe.encodeVocab(richDocs, "text", merges, nMerges = 32)
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     vocabSegs shouldBe trainSegs
+    spark.catalog.clearCache()
+  }
+
+  test("q163's unit table sustains the full 512-merge budget (never vacuous)") {
+    // The corpus's word vocabulary is ~31 words (plain word-BPE
+    // exhausts at ~67 merges); the boundary-marked 4-gram units exist
+    // exactly so the deep budget is real. A shrink in mergeable
+    // material would silently hollow out the q163 cell — pin it.
+    import org.apache.spark.sql.functions._
+    val out = graft.Queries.q163BpeTrain512(spark, "/root/testdata/sf0.001")
+      .filter(col("kind") === "merge")
+      .agg(count(lit(1)).as("m"), max(col("ord")).as("mo")).head
+    out.getLong(0) shouldBe 512L
+    out.getInt(1) shouldBe 512
     spark.catalog.clearCache()
   }
 
