@@ -183,11 +183,22 @@ object Bench {
     val merged: Map[String, (Double, Boolean, Boolean)] = names.map { n =>
       n -> mergeSamples(Seq(pass1.get(n), pass2.get(n)).flatten)
     }.toMap
-    // Third sample only where both measurements are untrustworthy.
+    // Third sample on two conditions (VERDICT r13 ask #7 — publish-side
+    // flicker control): (a) both measurements canary-flagged and slow —
+    // the original stall rule; (b) the two samples DISAGREE by more
+    // than 2x on a cell big enough to matter (>0.4 s min) — this box's
+    // documented 2-5x sub-second variance makes single-sample floor-
+    // straddlers (q154/q159/q160/q161) oscillate across driver records;
+    // one extra sample and min-of-3 keeps the published cell on the
+    // quiet-box band without re-running the whole table.
     val finalResults: Map[String, (Double, Boolean, Boolean)] = names.map { n =>
       val cur @ (t, _, _) = merged(n)
       val bothFlagged = pass2.contains(n) && pass1(n)._2 && pass2(n)._2
-      if (t > 3.0 && bothFlagged) n -> mergeSamples(Seq(cur, measure(n, SparkEntry.queries(n))))
+      val disagree = pass2.contains(n) && !pass1(n)._3 && !pass2(n)._3 &&
+        math.max(pass1(n)._1, pass2(n)._1) >
+          2.0 * math.min(pass1(n)._1, pass2(n)._1) && t > 0.4
+      if ((t > 3.0 && bothFlagged) || disagree)
+        n -> mergeSamples(Seq(cur, measure(n, SparkEntry.queries(n))))
       else n -> cur
     }.toMap
 
