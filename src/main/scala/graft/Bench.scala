@@ -449,6 +449,11 @@ object Bench {
           // artifact-serving cell plus the tiny check-row echo — must
           // stay flat at 10x like q147
           "q163_bpe_train512",
+          // as-of join: one range exchange + partition-local windows +
+          // a (#keys+#partitions)-row carry — linear in the event log
+          // by construction; superlinear growth means the carry frame
+          // or a per-key window went data-sized
+          "q164_asof_join",
           "q122_audio_frames").filter(SparkEntry.queries.contains)
         // Min-of-3 for BOTH sides of the ratio, measured back-to-back in
         // the SAME session config: round 9's q122 growth read 4.6x on one
@@ -537,6 +542,8 @@ object Bench {
           // artifact-serving + sidecar rewrite; amortizing regime (the
           // 512-merge training runs ONCE at build, off the timed path)
           "q163_bpe_train512"         -> 4.0,
+          // linear regime: the ranged union is 10x rows at 10x data
+          "q164_asof_join"            -> 12.0,
           "q122_audio_frames"         -> 15.0)
         val boundFor: String => Double =
           sys.env.get("SPARK_GRAFT_GROWTH_BOUND").map(_.toDouble) match {
@@ -688,11 +695,15 @@ object ScaleCorpus {
     // Tables.corpusTag contract): regenerated testdata must rebuild the
     // scale corpus, not benchmark a stale copy and publish bogus growth.
     // _v4: lineitem added round 14 (the q152 gate measured nothing
-    // against _v3 dirs, which held only documents+embeddings).
-    val out = s"${Tables.scratchDir(spark)}/scale10x_v4/" +
+    // against _v3 dirs, which held only documents+embeddings);
+    // _v5: events added for the as-of-join cell (q164) — copy k salts
+    // event_id AND user_id, preserving each user's event-per-user
+    // timeline shape while cross-copy users never collide.
+    val out = s"${Tables.scratchDir(spark)}/scale10x_v5/" +
       s"${Tables.corpusTag(spark, srcDir, "documents")}__" +
       s"${Tables.corpusTag(spark, srcDir, "embeddings")}__" +
-      Tables.corpusTag(spark, srcDir, "lineitem")
+      s"${Tables.corpusTag(spark, srcDir, "lineitem")}__" +
+      Tables.corpusTag(spark, srcDir, "events")
     val idStep = 10L * 1000 * 1000
     Tables.writePathIfAbsent(spark, s"$out/documents.parquet") {
       val src = spark.read.parquet(s"$srcDir/documents.parquet")
@@ -729,6 +740,17 @@ object ScaleCorpus {
       }.reduce(_.unionByName(_))
         .repartition(8)
         .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    }
+    Tables.writePathIfAbsent(spark, s"$out/events.parquet") {
+      val src = spark.read.parquet(s"$srcDir/events.parquet")
+      (0 until copies).map { k =>
+        if (k == 0) src
+        else src
+          .withColumn("event_id", col("event_id") + lit(k * idStep))
+          .withColumn("user_id", col("user_id") + lit(k * idStep))
+      }.reduce(_.unionByName(_))
+        .repartition(8)
+        .write.mode("overwrite").parquet(s"$out/events.parquet")
     }
     Tables.writePathIfAbsent(spark, s"$out/lineitem.parquet") {
       val src = spark.read.parquet(s"$srcDir/lineitem.parquet")

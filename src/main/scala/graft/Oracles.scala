@@ -2688,6 +2688,22 @@ object Oracles {
     // (see bpeTrainSql — materialized vocab CTEs, generated rounds).
     "q147_bpe_train32" -> bpeTrainSql(rounds = 32, topWords = 50),
 
+    // As-of join: DuckDB's NATIVE ASOF LEFT JOIN is the oracle — an
+    // independent built-in implementation of the operator, not a
+    // replay of our formulation. Right side pre-aggregated unique per
+    // (user, ts): the engines' tie-breaking is otherwise unspecified.
+    "q164_asof_join" ->
+      """WITH v AS (
+        |  SELECT user_id, ts, ts AS view_ts, max(value) AS view_value
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+        |p AS (
+        |  SELECT event_id, user_id, ts, value
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.ts, p.value,
+        |  v.view_ts, v.view_value
+        |FROM p ASOF LEFT JOIN v
+        |  ON p.user_id = v.user_id AND v.ts <= p.ts""".stripMargin,
+
     // Deep-budget tier: replay from the STORED merge table (sidecar
     // inlined as VALUES) — fixed SQL size at any budget; certifies
     // 512-deep application densely and training argmax at sampled ranks

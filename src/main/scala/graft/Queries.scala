@@ -3097,6 +3097,31 @@ object Queries {
   def q147BpeTrain32(s: SparkSession, dir: String): DataFrame =
     trainedBpe32(s, dir)
 
+  /** AS-OF JOIN ([[graft.ops.AsofJoin.backward]]): attach to every
+    * purchase event the LATEST prior (inclusive) view event's value for
+    * the same user — the temporal-alignment operator (Flink temporal
+    * join / kdb aj / pandas merge_asof) that a naive Spark theta-join
+    * makes quadratic in the hot key and the textbook union-window
+    * serializes onto one task per key. The house window-free shape: one
+    * range exchange on (key, time, side), partition-local last-known
+    * windows, and a (#keys + #partitions)-row boundary-carry frame.
+    * The right side is pre-aggregated unique per (user, ts) — the
+    * determinism contract ties would break in BOTH engines. The oracle
+    * is DuckDB's native ASOF LEFT JOIN, so the hash match checks our
+    * distributed formulation against an independent built-in
+    * implementation of the operator. */
+  def q164AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("view_value"))
+      .withColumn("view_ts", col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    graft.ops.AsofJoin.backward(purchases, views, "user_id", "ts",
+      Seq("view_ts", "view_value"))
+  }
+
   /** Sampled merge ranks the q163 oracle re-derives from its replayed
     * vocabulary state (argmax check at depth): Spark re-emits the
     * artifact's merge rows at these ranks as kind='check'; the oracle
