@@ -2704,6 +2704,44 @@ object Oracles {
         |FROM p ASOF LEFT JOIN v
         |  ON p.user_id = v.user_id AND v.ts <= p.ts""".stripMargin,
 
+    // BM25 retrieval: full replay — postings, (N, avgdl) stats, the
+    // integer-log2 idf via length(bin(..)), the exact-rational tf
+    // saturation term (x10·avgdl clears k1=1.2/b=0.75), and the
+    // windowed per-term top-10 with doc_id tiebreak.
+    "q165_bm25_topk" ->
+      """WITH tok AS MATERIALIZED (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+        |  FROM documents),
+        |post AS MATERIALIZED (
+        |  SELECT t AS term, doc_id, CAST(len(ws) AS BIGINT) AS dl,
+        |    CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, ws, unnest(ws) AS t FROM tok
+        |        WHERE len(ws) >= 1)
+        |  GROUP BY 1, 2, 3),
+        |stats AS (
+        |  SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n,
+        |    CAST(sum(tf) AS BIGINT) // count(DISTINCT doc_id) AS avgdl
+        |  FROM post),
+        |dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+        |        FROM post GROUP BY 1),
+        |q AS (SELECT term, df FROM (
+        |        SELECT term, df FROM dft ORDER BY df DESC, term LIMIT 12)
+        |      ORDER BY df ASC, term DESC LIMIT 8),
+        |scored AS (
+        |  SELECT p.term, p.doc_id,
+        |    (1000000 * length(bin((n + 1) // (df + 1))))
+        |      * ((22 * tf * avgdl * 1000000)
+        |         // (10 * avgdl * tf + 3 * avgdl + 9 * dl))
+        |      // 1000000 AS score
+        |  FROM post p JOIN q USING (term), stats)
+        |SELECT term, CAST(rnk AS INT) AS rank, doc_id,
+        |  CAST(score AS BIGINT) AS score
+        |FROM (SELECT term, doc_id, score,
+        |        row_number() OVER (PARTITION BY term
+        |          ORDER BY score DESC, doc_id) AS rnk
+        |      FROM scored)
+        |WHERE rnk <= 10""".stripMargin,
+
     // Deep-budget tier: replay from the STORED merge table (sidecar
     // inlined as VALUES) — fixed SQL size at any budget; certifies
     // 512-deep application densely and training argmax at sampled ranks

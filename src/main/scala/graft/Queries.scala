@@ -3122,6 +3122,28 @@ object Queries {
       Seq("view_ts", "view_value"))
   }
 
+  /** BM25 ranked retrieval ([[graft.ops.Bm25.topK]]): top-10 documents
+    * per query term by all-integer BM25 over the corpus inverted index.
+    * Query terms are picked deterministically from the corpus itself —
+    * document-frequency ranks 5–12 (mid-frequency: rank 1–4 are
+    * near-stopwords with idf ≈ floor 1) via TakeOrdered on the
+    * vocabulary-sized df table. The oracle replays postings, stats,
+    * integer idf (`length(bin(..))`), the exact-rational tf term and
+    * the windowed top-10 — so a drifted division, a wrong df, or a
+    * broken salted-top-N equivalence all hash-mismatch. */
+  def q165Bm25TopK(s: SparkSession, dir: String): DataFrame = {
+    val post = graft.ops.Bm25.postings(t(s, dir, "documents"),
+      "doc_id", "text")
+    val dfT = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val queries = dfT
+      .orderBy(col("df").desc, col("term"))
+      .limit(12)
+      .orderBy(col("df").asc, col("term").desc)
+      .limit(8)
+      .select(col("term"))
+    graft.ops.Bm25.topK(post, queries, k = 10)
+  }
+
   /** Sampled merge ranks the q163 oracle re-derives from its replayed
     * vocabulary state (argmax check at depth): Spark re-emits the
     * artifact's merge rows at these ranks as kind='check'; the oracle

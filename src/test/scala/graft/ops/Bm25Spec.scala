@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class Bm25Spec extends SparkSpec {
+
+  private def docs(texts: (Long, String)*) =
+    df("doc_id BIGINT, text STRING", texts.map(t => Row(t._1, t._2)))
+
+  private def terms(ts: String*) = df("term STRING", ts.map(Row(_)))
+
+  /** Driver-side reference of the exact integer formula. */
+  private def refScore(tf: Long, dl: Long, dfT: Long, n: Long,
+                       avg: Long): Long = {
+    val idf = Bm25.Scale *
+      java.lang.Long.toBinaryString((n + 1) / (dfT + 1)).length
+    val tfp = (22 * tf * avg * Bm25.Scale) /
+      (10 * avg * tf + 3 * avg + 9 * dl)
+    idf * tfp / Bm25.Scale
+  }
+
+  test("postings carry tf and doc length; scores match the integer reference") {
+    // corpus: N=3, tokens 4+4+2=10, avgdl = 10 div 3 = 3
+    val d = docs(
+      1L -> "cat dog cat bird",
+      2L -> "dog dog dog fish",
+      3L -> "cat fish")
+    val post = Bm25.postings(d, "doc_id", "text")
+    post.filter(col("term") === "cat" && col("doc_id") === 1L)
+      .head.getLong(3) shouldBe 2L // tf
+    val out = Bm25.topK(post, terms("cat"), k = 10)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(3)))
+    // df(cat)=2, n=3, avgdl=3
+    val s1 = refScore(tf = 2, dl = 4, dfT = 2, n = 3, avg = 3)
+    val s3 = refScore(tf = 1, dl = 2, dfT = 2, n = 3, avg = 3)
+    val expected = Seq((1L, s1), (3L, s3)).sortBy(x => (-x._2, x._1))
+      .zipWithIndex.map { case ((id, s), i) => (i + 1, id, s) }
+    out.toSet shouldBe expected.toSet
+    spark.catalog.clearCache()
+  }
+
+  test("rarer terms outrank common ones at equal tf/dl (idf monotonicity)") {
+    // 'rare' appears in 1 of 8 docs, 'common' in all 8; the probe doc
+    // holds both once at the same length — rare must score higher.
+    val filler = (2L to 8L).map(i => i -> "common pad pad pad")
+    val d = docs((1L -> "rare common pad pad") +: filler: _*)
+    val out = Bm25.topK(Bm25.postings(d, "doc_id", "text"),
+        terms("rare", "common"), k = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    out("rare") should be > out("common")
+    spark.catalog.clearCache()
+  }
+
+  test("salted top-k equals the single-window ranking (mega-term postings)") {
+    // one stop-word-like term present in every doc: the salted two-phase
+    // rank must equal a plain window ranking
+    val d = docs((1L to 60L).map(i =>
+      i -> s"stop tok$i ${"x " * (i % 7).toInt}trail"): _*)
+    val post = Bm25.postings(d, "doc_id", "text")
+    val got = Bm25.topK(post, terms("stop"), k = 5)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toSet
+    val stats = post.agg(count_distinct(col("doc_id")).cast("long"),
+      expr("sum(tf) div count(distinct doc_id)")).head
+    val (n, avg) = (stats.getLong(0), stats.getLong(1))
+    val dfStop = post.filter(col("term") === "stop").count()
+    val expected = post.filter(col("term") === "stop")
+      .collect().map(r => (r.getLong(1),
+        refScore(r.getLong(3), r.getLong(2), dfStop, n, avg)))
+      .sortBy(x => (-x._2, x._1)).take(5).zipWithIndex
+      .map { case ((id, _), i) => (i + 1, id) }.toSet
+    got shouldBe expected
+    spark.catalog.clearCache()
+  }
+}
