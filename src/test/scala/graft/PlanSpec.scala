@@ -351,6 +351,33 @@ class PlanSpec extends SparkSpec {
     p.split("\n").count(_.contains("Window [")) shouldBe 2
   }
 
+  test("q164: as-of join is one ranged union — no theta join, no key-wide window") {
+    val p = plan(Queries.q164AsofJoin)
+    // the quadratic failure mode: a (key, r.t <= l.t) theta join plans
+    // as BroadcastNestedLoop/Cartesian — must never appear
+    p should not include "BroadcastNestedLoopJoin"
+    p should not include "CartesianProduct"
+    // the range exchange on (key, time, side) lives inside the eager
+    // localCheckpoint (read-consistent layout), so the executed plan
+    // reads checkpoint blocks rather than showing the exchange; what
+    // MUST show: the main window is (partition, key)-scoped — bounded
+    // by partition size, never key size — and the only per-key window
+    // is the carry frame's (#keys + #partitions rows)
+    p.split("\n").count(_.contains("Window [")) shouldBe 2
+    p.split("\n").count(l => l.contains("Window [") &&
+      l.contains("windowspecdefinition(_pid")) shouldBe 1
+  }
+
+  test("q165: BM25 scores only query-term postings; query list broadcasts") {
+    val p = plan(Queries.q165Bm25TopK)
+    // the query-term semi side and the (N, avgdl) stats row broadcast
+    p.split("\n").count(_.contains("BroadcastHashJoin")) should be >= 1
+    p should not include "CartesianProduct"
+    // the salted top-N's two ranking windows with pushed group limits
+    p.split("\n").count(_.contains("Window [")) shouldBe 2
+    p.split("\n").count(_.contains("WindowGroupLimit")) should be >= 2
+  }
+
   test("no query plan contains a CollectLimit-to-driver loop or cartesian product") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = fn(spark, dir).queryExecution.executedPlan.toString
