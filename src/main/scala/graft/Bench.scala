@@ -457,6 +457,10 @@ object Bench {
           // BM25 retrieval: postings build + stats + query-join +
           // salted top-k — scan-bound linear in the token stream
           "q165_bm25_topk",
+          // interval lookback join: 2-bucket equi-join probes per left
+          // row — linear in events; superlinear means the binning
+          // degenerated into a per-key cross
+          "q166_lookback_join",
           "q122_audio_frames").filter(SparkEntry.queries.contains)
         // Min-of-3 for BOTH sides of the ratio, measured back-to-back in
         // the SAME session config: round 9's q122 growth read 4.6x on one
@@ -548,6 +552,7 @@ object Bench {
           // linear regime: the ranged union is 10x rows at 10x data
           "q164_asof_join"            -> 12.0,
           "q165_bm25_topk"            -> 15.0,
+          "q166_lookback_join"        -> 12.0,
           "q122_audio_frames"         -> 15.0)
         val boundFor: String => Double =
           sys.env.get("SPARK_GRAFT_GROWTH_BOUND").map(_.toDouble) match {

@@ -2704,6 +2704,26 @@ object Oracles {
         |FROM p ASOF LEFT JOIN v
         |  ON p.user_id = v.user_id AND v.ts <= p.ts""".stripMargin,
 
+    // Interval lookback join: the plain inequality-join replay (DuckDB
+    // optimizes it natively as IEJoin; Spark gets the binned equi-join
+    // — same result set by construction). max is order-independent so
+    // the double column hash-checks.
+    "q166_lookback_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'error'),
+        |v AS (
+        |  SELECT user_id, ts, value FROM events WHERE event_type = 'view'),
+        |m AS (
+        |  SELECT e.event_id, CAST(count(*) AS BIGINT) AS views_5m,
+        |    max(v.value) AS max_view
+        |  FROM e JOIN v ON e.user_id = v.user_id
+        |    AND v.ts > e.ts - INTERVAL 5 MINUTE AND v.ts <= e.ts
+        |  GROUP BY 1)
+        |SELECT e.event_id, e.user_id, e.ts,
+        |  coalesce(m.views_5m, 0) AS views_5m, m.max_view
+        |FROM e LEFT JOIN m USING (event_id)""".stripMargin,
+
     // BM25 retrieval: full replay — postings, (N, avgdl) stats, the
     // integer-log2 idf via length(bin(..)), the exact-rational tf
     // saturation term (x10·avgdl clears k1=1.2/b=0.75), and the

@@ -3097,29 +3097,50 @@ object Queries {
   def q147BpeTrain32(s: SparkSession, dir: String): DataFrame =
     trainedBpe32(s, dir)
 
-  /** AS-OF JOIN ([[graft.ops.AsofJoin.backward]]): attach to every
-    * purchase event the LATEST prior (inclusive) view event's value for
-    * the same user — the temporal-alignment operator (Flink temporal
-    * join / kdb aj / pandas merge_asof) that a naive Spark theta-join
-    * makes quadratic in the hot key and the textbook union-window
-    * serializes onto one task per key. The house window-free shape: one
-    * range exchange on (key, time, side), partition-local last-known
-    * windows, and a (#keys + #partitions)-row boundary-carry frame.
-    * The right side is pre-aggregated unique per (user, ts) — the
-    * determinism contract ties would break in BOTH engines. The oracle
-    * is DuckDB's native ASOF LEFT JOIN, so the hash match checks our
-    * distributed formulation against an independent built-in
-    * implementation of the operator. */
+  /** AS-OF JOIN against DuckDB's NATIVE implementation ([[graft.ops
+    * .AsOf.joinAsOf]] — q60's operator, second oracle style): attach to
+    * every purchase the LATEST prior (inclusive) view's value per user.
+    * q60's oracle replays the semantics as a correlated subquery; this
+    * cell's oracle is DuckDB's built-in ASOF LEFT JOIN — an independent
+    * engine-native implementation of the operator, so the hash match
+    * cross-checks our distributed formulation against a reference
+    * implementation rather than a replay of our own definition. The
+    * right side is pre-aggregated unique per (user, ts), the
+    * determinism contract ties would break in any engine. */
   def q164AsofJoin(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
     val views = ev.filter(col("event_type") === "view")
       .groupBy(col("user_id"), col("ts"))
       .agg(max(col("value")).as("view_value"))
-      .withColumn("view_ts", col("ts"))
+      .select(col("user_id"), col("ts").as("view_ts"), col("view_value"))
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("ts"), col("value"))
-    graft.ops.AsofJoin.backward(purchases, views, "user_id", "ts",
-      Seq("view_ts", "view_value"))
+    graft.ops.AsOf.joinAsOf(purchases, views, keys = Seq("user_id"),
+      leftTime = "ts", rightTime = "view_ts",
+      payload = Seq("view_value"), prefix = "")
+  }
+
+  /** Interval lookback join ([[graft.ops.RangeJoin.lookbackPairs]]):
+    * for every error event, the view activity of the SAME user in the
+    * preceding 5 minutes (inclusive end) — pair join via bucket
+    * binning (equi-join on (user, 5-min bucket) probing 2 buckets per
+    * error, never a theta join), then a per-error aggregate (count +
+    * max view value — max is order-independent, so the double
+    * hash-checks) left-joined back so zero-activity errors keep their
+    * row at count 0. */
+  def q166LookbackJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("value"))
+    val pairs = graft.ops.RangeJoin.lookbackPairs(
+      errors, views, "user_id", "ts", windowSec = 300, Seq("value"))
+    val agg = pairs.groupBy(col("event_id"))
+      .agg(count(lit(1)).as("views_5m"), max(col("value")).as("max_view"))
+    errors.join(agg, Seq("event_id"), "left")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        coalesce(col("views_5m"), lit(0L)).as("views_5m"), col("max_view"))
   }
 
   /** BM25 ranked retrieval ([[graft.ops.Bm25.topK]]): top-10 documents

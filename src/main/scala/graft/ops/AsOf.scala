@@ -10,19 +10,29 @@ import org.apache.spark.sql.functions._
   * `<=` the left time (backward, inclusive) within the same partition keys —
   * or the SMALLEST right time `>=` for forward mode.
   *
-  * Spark-first formulation: NOT a join at all. A join-based as-of either
-  * range-explodes (left ⋈ right on key + inequality, then argmax — the
-  * candidate set is O(|left|·|right|) per key) or falls to a broadcast
-  * nested-loop. Instead both sides are unioned, shuffled ONCE on the
-  * partition keys, sorted by (time, side) within each key, and the right
-  * payload is carried forward with a running `last(_, ignoreNulls)` window —
-  * O((|L|+|R|) log) per key, one Exchange, no candidate blow-up, and AQE
-  * still splits a skewed key's sort. This is the standard distributed
-  * as-of shape (same plan family as sessionization).
+  * Spark-first formulation: NOT a theta join (a join-based as-of either
+  * range-explodes to O(|L|·|R|) candidates per key or falls to a
+  * broadcast nested-loop). Both sides union and the right payload is
+  * carried in time order — but NOT with the textbook
+  * `Window.partitionBy(keys)`, which is the one skew shape AQE cannot
+  * mitigate: a window partition needs every row of a key in ONE task,
+  * so the mega-key every real event log has (the top user/domain)
+  * serializes — and can OOM — one core. Rewritten round 14 to the
+  * [[SurrogateKeys.prefixSum]] pattern: ONE range exchange on
+  * (keys, time, side) makes each key's timeline contiguous ACROSS
+  * partitions, a (partition, keys)-scoped window carries the local
+  * last-known payload (bounded by partition size, never key size), and
+  * a summary frame of ≈ one row per (partition, key-run) — #keys +
+  * #partitions rows, not data-sized — carries the boundary payload
+  * forward with one tiny per-key window. A mega-key spans many range
+  * partitions and parallelizes; the result is independent of the
+  * partition count (spec-asserted). The ranged frame is eagerly
+  * localCheckpoint-ed so `_pid` means ONE physical layout to both its
+  * readers (prefixSum's read-consistency lesson).
   *
   * Tie discipline: right rows must be unique per (keys, time) — enforce
   * upstream with an argmax pre-aggregation (see `latestPerKeyTime`) —
-  * otherwise which duplicate wins is sort-nondeterministic.
+  * otherwise which duplicate wins is nondeterministic in any engine.
   */
 object AsOf {
 
@@ -77,20 +87,51 @@ object AsOf {
         struct(payloadAll.map(col): _*).as("_p"),
         lit(0).as("_side")): _*)
 
-    // Within a key, order by time (reversed for forward) with right rows
+    // Within a key, time order (reversed for forward) with right rows
     // (side 0) before left rows at EQUAL time → inclusive match. The
-    // running last(ignoreNulls) is the carried nearest right payload.
+    // range exchange puts the keys' timelines contiguously across
+    // partitions; everything downstream is (partition, keys)-scoped.
+    val spark = left.sparkSession
     val timeOrd = direction match {
       case Backward => col("_t").asc
       case Forward  => col("_t").desc
     }
-    val w = Window.partitionBy(keys.map(col): _*)
+    val ranged = lSide.unionByName(rSide)
+      .repartitionByRange(
+        spark.sessionState.conf.numShufflePartitions,
+        keys.map(col(_).asc) ++ Seq(timeOrd, col("_side").asc): _*)
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
+    // Local carry: last right payload within (partition, keys) — window
+    // size bounded by the partition, never by the key.
+    val w = Window.partitionBy((col("_pid") +: keys.map(col)): _*)
       .orderBy(timeOrd, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-
-    val matched = lSide.unionByName(rSide)
-      .withColumn("_m", last(col("_p"), ignoreNulls = true).over(w))
+    val local = ranged
+      .withColumn("_loc", last(col("_p"), ignoreNulls = true).over(w))
+    // Boundary carry: per (partition, keys) the final right payload in
+    // time order, then for each (partition, keys) the latest payload
+    // from any EARLIER partition — a frame of ~(#keys + #partitions)
+    // rows (keys are contiguous in range order), so the per-key window
+    // here is over a handful of rows no matter how hot the key is.
+    val lastAgg = direction match {
+      case Backward => max_by(col("_p"), col("_t"))
+      case Forward  => min_by(col("_p"), col("_t"))
+    }
+    val summary = ranged.filter(col("_side") === 0)
+      .groupBy((col("_pid") +: keys.map(col)): _*)
+      .agg(lastAgg.as("_lastpl"))
+    val allPk = ranged.select((col("_pid") +: keys.map(col)): _*).distinct()
+    val carryW = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = allPk.join(summary, "_pid" +: keys, "left")
+      .withColumn("_cin", last(col("_lastpl"), ignoreNulls = true).over(carryW))
+      .select((col("_pid") +: keys.map(col)) :+ col("_cin"): _*)
+    val matched = local
+      .join(carry, "_pid" +: keys)
       .filter(col("_side") === 1)
+      .withColumn("_m", coalesce(col("_loc"), col("_cin")))
     val kept = tolerance match {
       case Some(keep) => matched.withColumn("_m",
         when(col("_m").isNotNull &&

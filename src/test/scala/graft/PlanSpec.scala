@@ -80,9 +80,15 @@ class PlanSpec extends SparkSpec {
     scans(p, "orders") shouldBe 1
   }
 
-  test("q60: as-of attribution plans as union+window — zero Join operators") {
+  test("q60: as-of attribution — no theta join; windows are (pid, key)-scoped") {
     val p = plan(Queries.q60AsofJoin)
-    p should not include "Join"
+    // round 14: the single key-wide window became range exchange +
+    // (partition, key)-local window + boundary-carry join — the join
+    // that must never appear is the quadratic nested-loop fallback
+    p should not include "BroadcastNestedLoopJoin"
+    p should not include "CartesianProduct"
+    p.split("\n").count(l => l.contains("Window [") &&
+      l.contains("windowspecdefinition(_pid")) shouldBe 1
   }
 
   test("q61: range join plans as a hash-partitioned equi-join, not a nested loop") {

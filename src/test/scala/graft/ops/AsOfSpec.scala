@@ -119,10 +119,16 @@ class AsOfSpec extends SparkSpec {
     out shouldBe Set((3, 7.0), (9, 1.0))
   }
 
-  test("plan: one exchange on the keys, window sort — never a join") {
+  test("plan: mega-key-safe shape — no theta join, local window is (pid, key)-scoped") {
+    // round 14: the textbook Window.partitionBy(key) (one task per key)
+    // was replaced by range exchange + (partition, key)-local windows +
+    // a small boundary-carry join; what must never appear is the
+    // quadratic fallback, and the data-sized window must carry _pid.
     val p = backward.queryExecution.executedPlan.toString
-    p should not include "Join"
+    p should not include "BroadcastNestedLoopJoin"
     p should not include "CartesianProduct"
-    p.split("\n").count(_.contains("Exchange hashpartitioning")) shouldBe 1
+    p.split("\n").count(l => l.contains("Window [") &&
+      l.contains("windowspecdefinition(_pid")) shouldBe 1
+    p.split("\n").count(_.contains("Window [")) shouldBe 2
   }
 }
