@@ -80,12 +80,19 @@ object AsOf {
         struct(left.columns.map(col): _*).as("_l"),
         lit(null).cast(pStructT).as("_p"),
         lit(1).as("_side")): _*)
-    val rSide = right.select(
-      keys.map(col) ++ Seq(
-        col(rightTime).as("_t"),
-        lit(null).cast(lStructT).as("_l"),
-        struct(payloadAll.map(col): _*).as("_p"),
-        lit(0).as("_side")): _*)
+    // SQL comparison semantics for NULLs (DuckDB-ASOF parity): a right
+    // row with a null key or time can never be anyone's match — drop it
+    // here (left rows with nulls stay, unmatched, via the left-outer
+    // contract below).
+    val rSide = right
+      .filter(keys.map(col(_).isNotNull).reduce(_ && _) &&
+        col(rightTime).isNotNull)
+      .select(
+        keys.map(col) ++ Seq(
+          col(rightTime).as("_t"),
+          lit(null).cast(lStructT).as("_l"),
+          struct(payloadAll.map(col): _*).as("_p"),
+          lit(0).as("_side")): _*)
 
     // Within a key, time order (reversed for forward) with right rows
     // (side 0) before left rows at EQUAL time → inclusive match. The
@@ -128,10 +135,19 @@ object AsOf {
     val carry = allPk.join(summary, "_pid" +: keys, "left")
       .withColumn("_cin", last(col("_lastpl"), ignoreNulls = true).over(carryW))
       .select((col("_pid") +: keys.map(col)) :+ col("_cin"): _*)
+    // LEFT join: null-keyed left rows fail the null-unsafe carry-join
+    // equality even though their (pid, keys) row exists in `allPk` — an
+    // inner join would silently drop them, violating the left-outer
+    // contract. A left row with a null key or time matches nothing
+    // (rights with nulls were dropped above; the explicit _t guard
+    // covers the forward direction, where nulls-last ordering would
+    // otherwise put a null-time left row AFTER every right row and
+    // hand it a bogus running match).
     val matched = local
-      .join(carry, "_pid" +: keys)
+      .join(carry, "_pid" +: keys, "left")
       .filter(col("_side") === 1)
-      .withColumn("_m", coalesce(col("_loc"), col("_cin")))
+      .withColumn("_m",
+        when(col("_t").isNotNull, coalesce(col("_loc"), col("_cin"))))
     val kept = tolerance match {
       case Some(keep) => matched.withColumn("_m",
         when(col("_m").isNotNull &&

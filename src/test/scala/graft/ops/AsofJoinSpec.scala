@@ -68,6 +68,25 @@ class AsofJoinSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", before)
   }
 
+  test("null key/time left rows survive unmatched; null right rows never match") {
+    val l = df("id BIGINT, k BIGINT, t TIMESTAMP", Seq(
+      Row(1L, 1L, ts(100)), Row(2L, null, ts(100)), Row(3L, 1L, null)))
+    val r = df("k BIGINT, rt TIMESTAMP, pay DOUBLE", Seq(
+      Row(1L, ts(50), 5.0), Row(null, ts(10), 9.0), Row(1L, null, 8.0)))
+    for (dirn <- Seq[AsOf.Direction](AsOf.Backward, AsOf.Forward)) {
+      val out = AsOf.joinAsOf(l, r, keys = Seq("k"), leftTime = "t",
+          rightTime = "rt", payload = Seq("pay"), direction = dirn,
+          prefix = "m_")
+        .collect().map(x => x.getLong(0) ->
+          (if (x.isNullAt(4)) None else Some(x.getDouble(4)))).toMap
+      withClue(s"direction=$dirn: ") {
+        out.keySet shouldBe Set(1L, 2L, 3L) // left-outer: all rows kept
+        out(2L) shouldBe None               // null key matches nothing
+        out(3L) shouldBe None               // null time matches nothing
+      }
+    }
+  }
+
   test("forward direction is exact across partition boundaries too") {
     val rnd = new scala.util.Random(41)
     val ls = (1L to 120L).map(i => (i, 1L + rnd.nextInt(2).toLong, rnd.nextInt(2000)))
