@@ -32,6 +32,19 @@ object Verify {
       // frames persisted inside operators (LSH caches etc.) are per-query
       spark.catalog.clearCache()
     }
+    // The q163 oracle inlines the merge sidecar at dump time, and the
+    // sidecar path is fixed (any q163 invocation — a spec run at
+    // sf0.001 included — overwrites it). A FILTERED run that skips
+    // q163 would therefore dump a replay of whatever corpus last wrote
+    // the sidecar; refresh it for THIS corpus before dumping (building
+    // the q163 DataFrame writes the sidecar eagerly; the artifact is
+    // build-once per corpus, so this is cheap when it already exists).
+    if (!only("q163_bpe_train512"))
+      try SparkEntry.queries("q163_bpe_train512")(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] q163 sidecar refresh failed: ${e.getMessage}")
+      }
+
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

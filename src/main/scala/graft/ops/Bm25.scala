@@ -58,9 +58,22 @@ object Bm25 {
   def topK(post: DataFrame, queryTerms: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1; got $k")
     val p = post.persist(StorageLevel.MEMORY_AND_DISK)
+    // In-plan overflow guard riding the broadcast stats (the
+    // Sampling/Percentiles discipline): the numerator 22·tf·avgdl·Scale
+    // with tf ≤ max(dl) needs max(dl)·avgdl ≤ Long.MaxValue/(22·Scale) —
+    // in non-ANSI mode a wrapped BIGINT ranks silently wrong while the
+    // oracle errors loudly; fail the same way on both sides instead.
     val stats = p.agg(
-      count_distinct(col("doc_id")).as("_n"),
-      expr("sum(tf) div count(distinct doc_id)").as("_avg"))
+        count_distinct(col("doc_id")).as("_n"),
+        expr("sum(tf) div count(distinct doc_id)").as("_avg"),
+        max(col("dl")).as("_maxdl"))
+      .filter(assert_true(
+        col("_maxdl") <= lit(Long.MaxValue / (22L * Scale)) / col("_avg"),
+        concat(lit("Bm25.topK: max doc length "), col("_maxdl"),
+          lit(" times avgdl "), col("_avg"),
+          lit(" overflows BIGINT score arithmetic — chunk the corpus " +
+            "or rescale Scale down"))).isNull)
+      .select(col("_n"), col("_avg"))
     val dfT = p.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val scored = p
       .join(broadcast(queryTerms.select(col("term"))), Seq("term"))

@@ -146,10 +146,15 @@ object Bpe {
       // tie-break, and the simultaneous a≠b rewrite all replicated).
       // Guard fails closed to the scale-proof iterative loop;
       // maxLocalWords = 0 forces it (q147 pins the distributed tier in
-      // a gated cell, and specs use it for coverage).
-      if (maxLocalWords > 0 && wf.count() <= maxLocalWords)
-        return trainLocal(wf, rounds, topWords)
-      return trainIterative(wf, rounds, topWords)
+      // a gated cell, and specs use it for coverage). The word-freq
+      // plan can be expensive (q163's unit derivation is a corpus scan
+      // + 4-gram explode + top-4096) — persist it so the guard's count
+      // and the trainer read one materialization, not two derivations.
+      val wfP = graft.CacheScope.scopedPersist(wf,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      if (maxLocalWords > 0 && wfP.count() <= maxLocalWords)
+        return trainLocal(wfP, rounds, topWords)
+      return trainIterative(wfP, rounds, topWords)
     }
     // CACHING CONTRACT (the [[Similarity.ivfAssignment]] discipline):
     // every round's vocab frame feeds MULTIPLE consumers — the next
@@ -277,6 +282,16 @@ object Bpe {
     * versus one job per round. Exhaustion (no countable pair left)
     * stops the loop — the distributed path's no-op rounds emit no rows
     * either, so the outputs agree. */
+  /** UTF-8 byte order — Spark compares strings as UTF8String binary
+    * (code points), while Java String.compareTo is UTF-16 code-unit
+    * order; the two DISAGREE between [U+E000, U+FFFF] and
+    * supplementary-plane characters, so a tie broken with compareTo
+    * could pick a different merge than the distributed tier. */
+  private def utf8Less(a: String, b: String): Boolean =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+
   private[ops] def trainLocal(wf: DataFrame, rounds: Int,
                               topWords: Int): DataFrame = {
     val spark = wf.sparkSession
@@ -318,7 +333,7 @@ object Bpe {
               val e = itr.next()
               val c = e.getValue.longValue()
               if (c > bestCnt ||
-                  (c == bestCnt && e.getKey.compareTo(bestPair) < 0)) {
+                  (c == bestCnt && utf8Less(e.getKey, bestPair))) {
                 bestPair = e.getKey; bestCnt = c
               }
             }
@@ -350,7 +365,9 @@ object Bpe {
           r += 1
         }
         val top = entries.indices
-          .sortBy(i => (-ns(i), words(i))).take(topWords)
+          .sortWith((x, y) => ns(x) > ns(y) ||
+            (ns(x) == ns(y) && utf8Less(words(x), words(y))))
+          .take(topWords)
         top.foreach(i => out += (("word", words(i), syms(i).mkString(" "),
           ns(i), 0)))
         out.iterator
