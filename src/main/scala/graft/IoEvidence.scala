@@ -60,11 +60,20 @@ object IoEvidence {
     spark.sparkContext.addSparkListener(listener)
     try {
       df.write.format("noop").mode("overwrite").save()
-      // The listener bus is async and its drain API is private[spark];
-      // a short sleep lets queued TaskEnd events land. Metric sums are
-      // side-channel evidence, not timing — a late straggler event
-      // would only UNDERCOUNT both sides equally.
-      Thread.sleep(1000)
+      // The listener bus is async and its drain API is private[spark].
+      // Poll until the sums are STABLE across two consecutive reads
+      // (ADVICE r14 #4): a fixed sleep undercounts asymmetrically — the
+      // rebuild side runs more tasks, so late straggler TaskEnd events
+      // disproportionately undercount the rebuild denominator and
+      // inflate the published maint/rebuild ratio on a loaded box.
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      var prev = (-1L, -1L, -1L)
+      var cur = (bytes.get, recs.get, shuf.get)
+      while (cur != prev && System.nanoTime() < deadline) {
+        prev = cur
+        Thread.sleep(200)
+        cur = (bytes.get, recs.get, shuf.get)
+      }
     } finally spark.sparkContext.removeSparkListener(listener)
     spark.catalog.clearCache()
     Io(bytes.get, recs.get, shuf.get)

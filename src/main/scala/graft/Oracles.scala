@@ -486,7 +486,13 @@ object Oracles {
       |  coalesce(a.txt, '') AS deduped_text
       |FROM tok t LEFT JOIN agg a USING (doc_id)""".stripMargin
 
-  val parity: Map[String, String] = Map(
+  // A DEF, not a val (ADVICE r14 #2): q163's entry inlines the /tmp merge
+  // sidecar, so a strict val would freeze whatever corpus's merges were on
+  // disk when ANY code path first touched Oracles — materializing the map
+  // per access keeps the sidecar read at DUMP time (Verify dumps after
+  // running the queries, which refresh the sidecar for the corpus under
+  // test). The per-access cost is string concatenation of prebuilt vals.
+  def parity: Map[String, String] = Map(
     "q139_multi_span_dedup" -> MultiSpanSql,
 
     // End-to-end corpus build: the full quality -> exact-dedup ->
@@ -2761,6 +2767,80 @@ object Oracles {
         |          ORDER BY score DESC, doc_id) AS rnk
         |      FROM scored)
         |WHERE rnk <= 10""".stripMargin,
+
+    // Whole-query BM25: q165's replay extended by the rank-window query
+    // assembly (df ranks 5-16, query_id = (rank-5) mod 4), the
+    // per-(query, doc) SUM of per-term integer scores (each term's
+    // score integer-divided BEFORE the sum, matching Spark), the
+    // distinct-matched-term count, and the per-query top-5 window.
+    "q167_bm25_query_score" ->
+      """WITH tok AS MATERIALIZED (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+        |  FROM documents),
+        |post AS MATERIALIZED (
+        |  SELECT t AS term, doc_id, CAST(len(ws) AS BIGINT) AS dl,
+        |    CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, ws, unnest(ws) AS t FROM tok
+        |        WHERE len(ws) >= 1)
+        |  GROUP BY 1, 2, 3),
+        |stats AS (
+        |  SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n,
+        |    CAST(sum(tf) AS BIGINT) // count(DISTINCT doc_id) AS avgdl
+        |  FROM post),
+        |dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+        |        FROM post GROUP BY 1),
+        |q AS (
+        |  SELECT CAST((rnk - 5) % 4 AS BIGINT) AS query_id, term, df
+        |  FROM (SELECT term, df,
+        |          row_number() OVER (ORDER BY df DESC, term) AS rnk
+        |        FROM dft ORDER BY df DESC, term LIMIT 16)
+        |  WHERE rnk >= 5),
+        |scored AS (
+        |  SELECT q.query_id, p.doc_id,
+        |    CAST(sum(
+        |      (1000000 * length(bin((n + 1) // (df + 1))))
+        |        * ((22 * tf * avgdl * 1000000)
+        |           // (10 * avgdl * tf + 3 * avgdl + 9 * dl))
+        |        // 1000000) AS BIGINT) AS score,
+        |    CAST(count(*) AS BIGINT) AS n_terms
+        |  FROM post p JOIN q USING (term), stats
+        |  GROUP BY 1, 2)
+        |SELECT query_id, CAST(rnk AS INT) AS rank, doc_id, score, n_terms
+        |FROM (SELECT query_id, doc_id, score, n_terms,
+        |        row_number() OVER (PARTITION BY query_id
+        |          ORDER BY score DESC, doc_id) AS rnk
+        |      FROM scored)
+        |WHERE rnk <= 5""".stripMargin,
+
+    // FORWARD + tolerance as-of: DuckDB's ASOF is backward-only, so
+    // Forward replays through the native ASOF LEFT JOIN on NEGATED
+    // epochs (largest -t' <= -t  <=>  smallest t' >= t, both ends
+    // inclusive); the 10-minute tolerance is a post-CASE on the matched
+    // pair (pandas semantics: a too-late match nulls, never falls back).
+    // Every 97th error's ts is nulled on BOTH sides to pin the
+    // null-time-forward edge.
+    "q168_asof_forward_tolerance" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id,
+        |    CASE WHEN event_id % 97 <> 0 THEN ts END AS ts
+        |  FROM events WHERE event_type = 'error'),
+        |v AS (
+        |  SELECT user_id, ts AS view_ts, max(value) AS view_value
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+        |en AS (SELECT event_id, user_id, ts,
+        |         -epoch_ns(ts) AS nts FROM e),
+        |vn AS (SELECT user_id, view_ts, view_value,
+        |         -epoch_ns(view_ts) AS nts FROM v),
+        |j AS (
+        |  SELECT en.event_id, en.user_id, en.ts, vn.view_ts, vn.view_value
+        |  FROM en ASOF LEFT JOIN vn
+        |    ON en.user_id = vn.user_id AND vn.nts <= en.nts)
+        |SELECT event_id, user_id, ts,
+        |  CASE WHEN view_ts <= ts + INTERVAL 10 MINUTE
+        |       THEN view_ts END AS view_ts,
+        |  CASE WHEN view_ts <= ts + INTERVAL 10 MINUTE
+        |       THEN view_value END AS view_value
+        |FROM j""".stripMargin,
 
     // Deep-budget tier: replay from the STORED merge table (sidecar
     // inlined as VALUES) — fixed SQL size at any budget; certifies

@@ -3120,6 +3120,53 @@ object Queries {
       payload = Seq("view_value"), prefix = "")
   }
 
+  /** q164's inputs through the FORCED distributed as-of path
+    * (smallInputMaxBytes = 0) — not a registered cell: PlanSpec pins the
+    * mega-key-safe plan shape on it, and AsofJoinSpec asserts it equals
+    * the tier q164 actually serves. */
+  private[graft] def q164AsofJoinDistributed(s: SparkSession,
+                                             dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("view_value"))
+      .select(col("user_id"), col("ts").as("view_ts"), col("view_value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    graft.ops.AsOf.joinAsOf(purchases, views, keys = Seq("user_id"),
+      leftTime = "ts", rightTime = "view_ts",
+      payload = Seq("view_value"), prefix = "", smallInputMaxBytes = 0L)
+  }
+
+  /** FORWARD + tolerance as-of join (VERDICT r14 ask #4 — the two
+    * [[graft.ops.AsOf.joinAsOf]] modes q164/q60 left oracle-uncovered):
+    * attach to every error event the EARLIEST view at-or-after it per
+    * user, nulled when it is more than 10 minutes late (pandas
+    * `tolerance` semantics — a too-late match does NOT fall back to a
+    * later one). Every 97th error's timestamp is nulled to pin the
+    * null-time-forward edge (desc nulls-last ordering would otherwise
+    * hand it a bogus running match — AsOf's explicit _t guard). DuckDB's
+    * ASOF is backward-only, so the oracle replays Forward by NEGATING
+    * both epochs (largest -t' ≤ -t ⇔ smallest t' ≥ t, both inclusive)
+    * through the native ASOF LEFT JOIN, then applies the tolerance as a
+    * post-CASE — an independent engine implementation again, not a
+    * replay of our definition. */
+  def q168AsofForwardTolerance(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"),
+        when(col("event_id") % 97 =!= 0, col("ts")).as("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("view_value"))
+      .select(col("user_id"), col("ts").as("view_ts"), col("view_value"))
+    graft.ops.AsOf.joinAsOf(errors, views, keys = Seq("user_id"),
+      leftTime = "ts", rightTime = "view_ts",
+      payload = Seq("view_value"), direction = graft.ops.AsOf.Forward,
+      prefix = "",
+      tolerance = Some((l, r) => r <= l + expr("INTERVAL 10 MINUTES")))
+  }
+
   /** Interval lookback join ([[graft.ops.RangeJoin.lookbackPairs]]):
     * for every error event, the view activity of the SAME user in the
     * preceding 5 minutes (inclusive end) — pair join via bucket
@@ -3153,16 +3200,67 @@ object Queries {
     * the windowed top-10 — so a drifted division, a wrong df, or a
     * broken salted-top-N equivalence all hash-mismatch. */
   def q165Bm25TopK(s: SparkSession, dir: String): DataFrame = {
-    val post = graft.ops.Bm25.postings(t(s, dir, "documents"),
-      "doc_id", "text")
-    val dfT = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val (post, dfT, stats) = bm25Index(s, dir)
     val queries = dfT
       .orderBy(col("df").desc, col("term"))
       .limit(12)
       .orderBy(col("df").asc, col("term").desc)
       .limit(8)
       .select(col("term"))
-    graft.ops.Bm25.topK(post, queries, k = 10)
+    graft.ops.Bm25.topK(post, queries, k = 10,
+      dfT = Some(dfT), stats = Some(stats))
+  }
+
+  /** The stored BM25 index (postings + df + stats artifacts — VERDICT
+    * r14 ask #1c): an inverted index is the canonical build-once/
+    * serve-many artifact (the q133/q159 pattern), so the retrieval
+    * cells measure RETRIEVAL — a broadcast-term probe of the stored
+    * postings — not a per-call index rebuild + three aggregates. The
+    * df/stats builds read the postings artifact, so the corpus text is
+    * scanned exactly once across all three. */
+  private def bm25Index(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val sfTag = Tables.corpusTag(s, dir, "documents")
+    val base = s"${Tables.scratchDir(s)}/bm25_idx_v1/$sfTag"
+    val post = Tables.servedArtifact(s, s"$base/postings") {
+      graft.ops.Bm25.postings(t(s, dir, "documents"), "doc_id", "text")
+        .write.mode("overwrite").parquet(s"$base/postings")
+    }
+    val dfT = Tables.servedArtifact(s, s"$base/df") {
+      graft.ops.Bm25.docFreq(post)
+        .write.mode("overwrite").parquet(s"$base/df")
+    }
+    val stats = Tables.servedArtifact(s, s"$base/stats") {
+      graft.ops.Bm25.corpusStats(post)
+        .write.mode("overwrite").parquet(s"$base/stats")
+    }
+    (post, dfT, stats)
+  }
+
+  /** Whole-QUERY BM25 retrieval ([[graft.ops.Bm25.topKQueries]] —
+    * VERDICT r14 ask #3): four 3-term queries assembled
+    * deterministically from document-frequency ranks 5–16 of the
+    * stored df artifact (rank r gets query_id (r−5) mod 4, so each
+    * query mixes frequency strata), scored as the per-(query, doc) SUM
+    * of the integer per-term BM25 scores over matching postings and
+    * ranked top-5 per query by the salted top-k. The oracle replays
+    * postings, stats, idf, the exact-rational tf term, the rank-window
+    * query assembly, the per-document sum AND the windowed top-5 — so
+    * a drifted division, a wrong query assignment, or a broken salted
+    * top-N all hash-mismatch. */
+  def q167Bm25QueryScore(s: SparkSession, dir: String): DataFrame = {
+    val (post, dfT, stats) = bm25Index(s, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("df").desc, col("term"))
+    // rank the TakeOrdered-limited 16-row frame, never the vocabulary:
+    // ranks 1..16 of the limited set are the global ranks 1..16
+    val queries = dfT
+      .orderBy(col("df").desc, col("term")).limit(16)
+      .withColumn("_r", row_number().over(w))
+      .filter(col("_r") >= 5)
+      .select(((col("_r") - 5) % 4).cast("long").as("query_id"), col("term"))
+    graft.ops.Bm25.topKQueries(post, queries, k = 5,
+      dfT = Some(dfT), stats = Some(stats))
   }
 
   /** Sampled merge ranks the q163 oracle re-derives from its replayed

@@ -62,11 +62,25 @@ object AsOf {
     * keep` applied AFTER the nearest match is found (pandas-`tolerance`
     * semantics: a too-old match becomes NULL, it does not fall back to an
     * older one).
-    */
+    *
+    * SMALL-INPUT TIER (VERDICT r14 ask #1b): when Catalyst's size
+    * estimate for both inputs together is at most `smallInputMaxBytes`,
+    * the textbook single-window formulation runs instead — union, ONE
+    * hash exchange on the keys, one sort, one running `last(payload)`
+    * window — because at that size the distributed machinery's range
+    * exchange + eager checkpoint + carry join are pure stage latency
+    * (the sf0.1 cell paid ~15 stages for 2 MB of events) and the
+    * mega-key hazard the range formulation exists for is bounded by the
+    * input bound itself. Semantically identical (AsOfSpec asserts tier
+    * equality incl. both directions, null keys/times and tolerance);
+    * the guard fails CLOSED — unknown or large estimates take the
+    * scale-proof range-exchange path, and `smallInputMaxBytes = 0`
+    * forces it (specs pin the distributed shape that way). */
   def joinAsOf(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTime: String, rightTime: String, payload: Seq[String],
                direction: Direction = Backward, prefix: String = "asof_",
-               tolerance: Option[(Column, Column) => Column] = None): DataFrame = {
+               tolerance: Option[(Column, Column) => Column] = None,
+               smallInputMaxBytes: Long = 64L << 20): DataFrame = {
     require(keys.nonEmpty, "as-of join needs at least one partition key")
     val payloadAll = (rightTime +: payload.filterNot(_ == rightTime)).distinct
 
@@ -103,6 +117,29 @@ object AsOf {
       case Backward => col("_t").asc
       case Forward  => col("_t").desc
     }
+    // Tier pick from Catalyst's size estimates — driver-side plan
+    // arithmetic, zero jobs. Estimates degrade toward HUGE (missing
+    // stats default to conf.defaultSizeInBytes = Long.Max), so an
+    // unknown size fails closed to the distributed path.
+    val estBytes = left.queryExecution.optimizedPlan.stats.sizeInBytes +
+      right.queryExecution.optimizedPlan.stats.sizeInBytes
+    val matched: DataFrame = if (smallInputMaxBytes > 0 &&
+        estBytes <= BigInt(smallInputMaxBytes)) {
+      // Textbook tier: one per-key running-last window. Null semantics
+      // line up with the distributed path for free: right null rows are
+      // already dropped; a null-KEYED left row's window partition holds
+      // only left rows (all _p null → no match); a null-TIME left row
+      // sorts before every right row under Backward (asc nulls-first)
+      // and the explicit _t guard covers Forward (desc nulls-last would
+      // otherwise hand it the running match).
+      val w = Window.partitionBy(keys.map(col): _*)
+        .orderBy(timeOrd, col("_side").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      lSide.unionByName(rSide)
+        .withColumn("_loc", last(col("_p"), ignoreNulls = true).over(w))
+        .filter(col("_side") === 1)
+        .withColumn("_m", when(col("_t").isNotNull, col("_loc")))
+    } else {
     val ranged = lSide.unionByName(rSide)
       .repartitionByRange(
         spark.sessionState.conf.numShufflePartitions,
@@ -143,11 +180,12 @@ object AsOf {
     // covers the forward direction, where nulls-last ordering would
     // otherwise put a null-time left row AFTER every right row and
     // hand it a bogus running match).
-    val matched = local
+    local
       .join(carry, "_pid" +: keys, "left")
       .filter(col("_side") === 1)
       .withColumn("_m",
         when(col("_t").isNotNull, coalesce(col("_loc"), col("_cin"))))
+    }
     val kept = tolerance match {
       case Some(keep) => matched.withColumn("_m",
         when(col("_m").isNotNull &&

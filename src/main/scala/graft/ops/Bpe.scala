@@ -302,8 +302,15 @@ object Bpe {
         val entries = it.toArray
         val words = entries.map(_._1)
         val ns = entries.map(_._2)
+        // Code-POINT split, not code units: the distributed tier's
+        // split(word, '') advances by code point (Java regex zero-width
+        // matches), so a UTF-16 `w.map(_.toString)` here would hand a
+        // supplementary-plane word (emoji, rare CJK) a DIFFERENT initial
+        // symbol sequence — and which tier runs is picked silently by
+        // the word-count guard (ADVICE r14 #1).
         val syms: Array[Array[String]] =
-          words.map(w => w.map(_.toString).toArray)
+          words.map(w => w.codePoints().toArray
+            .map(cp => new String(Character.toChars(cp))))
         val out =
           scala.collection.mutable.ArrayBuffer.empty[(String, String, String, Long, Int)]
         var r = 1

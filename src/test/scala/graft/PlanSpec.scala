@@ -80,15 +80,17 @@ class PlanSpec extends SparkSpec {
     scans(p, "orders") shouldBe 1
   }
 
-  test("q60: as-of attribution — no theta join; windows are (pid, key)-scoped") {
+  test("q60: as-of attribution — no theta join; small inputs take the one-window tier") {
     val p = plan(Queries.q60AsofJoin)
-    // round 14: the single key-wide window became range exchange +
-    // (partition, key)-local window + boundary-carry join — the join
-    // that must never appear is the quadratic nested-loop fallback
+    // round 15: q60's sf0.001 events sit far under the small-input
+    // bound, so the cell plans the textbook single-window tier (no
+    // checkpoint, no carry join); the distributed shape is pinned by
+    // the q164-distributed test and AsofJoinSpec. The quadratic
+    // nested-loop fallback must never appear in either tier.
     p should not include "BroadcastNestedLoopJoin"
     p should not include "CartesianProduct"
-    p.split("\n").count(l => l.contains("Window [") &&
-      l.contains("windowspecdefinition(_pid")) shouldBe 1
+    p.split("\n").count(_.contains("Window [")) shouldBe 1
+    p should not include "Scan ExistingRDD"
   }
 
   test("q61: range join plans as a hash-partitioned equi-join, not a nested loop") {
@@ -357,10 +359,21 @@ class PlanSpec extends SparkSpec {
     p.split("\n").count(_.contains("Window [")) shouldBe 2
   }
 
-  test("q164: as-of join is one ranged union — no theta join, no key-wide window") {
+  test("q164: small inputs take the single-window tier — no theta join, no checkpoint") {
     val p = plan(Queries.q164AsofJoin)
     // the quadratic failure mode: a (key, r.t <= l.t) theta join plans
-    // as BroadcastNestedLoop/Cartesian — must never appear
+    // as BroadcastNestedLoop/Cartesian — must never appear in ANY tier
+    p should not include "BroadcastNestedLoopJoin"
+    p should not include "CartesianProduct"
+    // sf0.001 events estimate far under the tier bound → the textbook
+    // shape: exactly ONE window (the per-key running last), no carry
+    // join, no checkpointed RDD scan
+    p.split("\n").count(_.contains("Window [")) shouldBe 1
+    p should not include "Scan ExistingRDD"
+  }
+
+  test("q164 distributed tier: one ranged union — no theta join, no key-wide window") {
+    val p = plan(Queries.q164AsofJoinDistributed)
     p should not include "BroadcastNestedLoopJoin"
     p should not include "CartesianProduct"
     // the range exchange on (key, time, side) lives inside the eager
@@ -374,14 +387,27 @@ class PlanSpec extends SparkSpec {
       l.contains("windowspecdefinition(_pid")) shouldBe 1
   }
 
-  test("q165: BM25 scores only query-term postings; query list broadcasts") {
+  test("q165: BM25 serves the stored index and scores only query-term postings") {
     val p = plan(Queries.q165Bm25TopK)
-    // the query-term semi side and the (N, avgdl) stats row broadcast
+    // retrieval reads the postings/df/stats ARTIFACTS (r14 ask #1c) —
+    // a live postings rebuild would scan documents.parquet
+    p should include("bm25_idx_v1")
+    p should not include "documents.parquet"
+    // the query-term list and the (N, avgdl) stats row broadcast
     p.split("\n").count(_.contains("BroadcastHashJoin")) should be >= 1
     p should not include "CartesianProduct"
     // the salted top-N's two ranking windows with pushed group limits
     p.split("\n").count(_.contains("Window [")) shouldBe 2
     p.split("\n").count(_.contains("WindowGroupLimit")) should be >= 2
+  }
+
+  test("q167: whole-query BM25 serves the same stored index (one scored pass + sum)") {
+    val p = plan(Queries.q167Bm25QueryScore)
+    p should include("bm25_idx_v1")
+    p should not include "documents.parquet"
+    p should not include "CartesianProduct"
+    // windows: the 16-row query-assembly rank + the salted top-k pair
+    p.split("\n").count(_.contains("Window [")) shouldBe 3
   }
 
   test("no query plan contains a CollectLimit-to-driver loop or cartesian product") {

@@ -27,10 +27,13 @@ class AsofJoinSpec extends SparkSpec {
     df("k BIGINT, rt TIMESTAMP, pay DOUBLE",
       rows.map(r => Row(r._1, ts(r._2), r._3)))
 
+  // smallInputMaxBytes = 0 throughout: this suite exists to pin the
+  // DISTRIBUTED shape, which every in-memory test frame would otherwise
+  // dodge via the small-input tier (tier equality has its own test).
   private def run(l: org.apache.spark.sql.DataFrame,
                   r: org.apache.spark.sql.DataFrame) =
     AsOf.joinAsOf(l, r, keys = Seq("k"), leftTime = "t", rightTime = "rt",
-        payload = Seq("pay"), prefix = "m_")
+        payload = Seq("pay"), prefix = "m_", smallInputMaxBytes = 0L)
       .collect().map(x => x.getLong(0) ->
         (if (x.isNullAt(4)) None else Some(x.getDouble(4)))).toMap
 
@@ -74,15 +77,56 @@ class AsofJoinSpec extends SparkSpec {
     val r = df("k BIGINT, rt TIMESTAMP, pay DOUBLE", Seq(
       Row(1L, ts(50), 5.0), Row(null, ts(10), 9.0), Row(1L, null, 8.0)))
     for (dirn <- Seq[AsOf.Direction](AsOf.Backward, AsOf.Forward)) {
-      val out = AsOf.joinAsOf(l, r, keys = Seq("k"), leftTime = "t",
+      for (tierBytes <- Seq(0L, 64L << 20)) {
+        val out = AsOf.joinAsOf(l, r, keys = Seq("k"), leftTime = "t",
+            rightTime = "rt", payload = Seq("pay"), direction = dirn,
+            prefix = "m_", smallInputMaxBytes = tierBytes)
+          .collect().map(x => x.getLong(0) ->
+            (if (x.isNullAt(4)) None else Some(x.getDouble(4)))).toMap
+        withClue(s"direction=$dirn tier=$tierBytes: ") {
+          out.keySet shouldBe Set(1L, 2L, 3L) // left-outer: all rows kept
+          out(2L) shouldBe None               // null key matches nothing
+          out(3L) shouldBe None               // null time matches nothing
+        }
+      }
+    }
+  }
+
+  test("the small-input tier is row-identical to the distributed path") {
+    // Both directions, with and without tolerance, nulls included — the
+    // tier guard must be invisible to results (VERDICT r14 ask #1b).
+    // LOCAL-relation inputs, not the suite's RDD-backed helper: an
+    // RDD-backed plan has no size statistics (defaults to Long.Max), so
+    // it always fails closed to the distributed path and the small tier
+    // would never actually run here — the plan-shape asserts below make
+    // the divergence (and so the test) non-vacuous.
+    import spark.implicits._
+    val rnd = new scala.util.Random(57)
+    val ls = (1L to 200L).map(i => (i, 1L + rnd.nextInt(4).toLong, rnd.nextInt(4000)))
+    val rs = (1 to 120).map(_ => (1L + rnd.nextInt(4).toLong, rnd.nextInt(4000), rnd.nextDouble()))
+      .groupBy(x => (x._1, x._2)).map(_._2.head).toSeq
+    val l = ls.toDF("id", "k", "s")
+      .select(col("id"), col("k"), timestamp_seconds(col("s")).as("t"))
+    val r = rs.toDF("k", "s", "pay")
+      .select(col("k"), timestamp_seconds(col("s")).as("rt"), col("pay"))
+    for (dirn <- Seq[AsOf.Direction](AsOf.Backward, AsOf.Forward);
+         tol <- Seq(None,
+           Some((lt: org.apache.spark.sql.Column,
+                 rt: org.apache.spark.sql.Column) =>
+             abs(unix_timestamp(rt) - unix_timestamp(lt)) <= 600))) {
+      def frame(bytes: Long) =
+        AsOf.joinAsOf(l, r, keys = Seq("k"), leftTime = "t",
           rightTime = "rt", payload = Seq("pay"), direction = dirn,
-          prefix = "m_")
-        .collect().map(x => x.getLong(0) ->
-          (if (x.isNullAt(4)) None else Some(x.getDouble(4)))).toMap
-      withClue(s"direction=$dirn: ") {
-        out.keySet shouldBe Set(1L, 2L, 3L) // left-outer: all rows kept
-        out(2L) shouldBe None               // null key matches nothing
-        out(3L) shouldBe None               // null time matches nothing
+          prefix = "m_", tolerance = tol, smallInputMaxBytes = bytes)
+      val small = frame(64L << 20)
+      val dist = frame(0L)
+      withClue(s"direction=$dirn tolerance=${tol.isDefined}: ") {
+        small.queryExecution.executedPlan.toString should not include
+          "windowspecdefinition(_pid" // the tier actually engaged
+        dist.queryExecution.executedPlan.toString should include(
+          "windowspecdefinition(_pid")
+        small.collect().map(_.toSeq).sortBy(_.toString) shouldBe
+          dist.collect().map(_.toSeq).sortBy(_.toString)
       }
     }
   }

@@ -54,6 +54,46 @@ class Bm25Spec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("whole-query scoring sums per-term scores and counts matched terms") {
+    // q167's operator against a hand-checkable corpus: query 0 = {cat,
+    // fish}, query 1 = {dog}. Doc 3 matches both of query 0's terms —
+    // its score must be the SUM of the two per-term scores.
+    val d = docs(
+      1L -> "cat dog cat bird",
+      2L -> "dog dog dog fish",
+      3L -> "cat fish")
+    val post = Bm25.postings(d, "doc_id", "text")
+    val qs = df("query_id BIGINT, term STRING",
+      Seq(Row(0L, "cat"), Row(0L, "fish"), Row(1L, "dog")))
+    val out = Bm25.topKQueries(post, qs, k = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2)) ->
+        (r.getInt(1), r.getLong(3), r.getLong(4))).toMap
+    // n=3, avgdl=3; df: cat=2, fish=2, dog=2
+    def s(tf: Long, dl: Long) = refScore(tf, dl, dfT = 2, n = 3, avg = 3)
+    out((0L, 3L))._2 shouldBe (s(1, 2) + s(1, 2)) // cat + fish, both in doc 3
+    out((0L, 3L))._3 shouldBe 2L                  // matched 2 distinct terms
+    out((0L, 1L))._2 shouldBe s(2, 4)             // cat only
+    out((0L, 1L))._3 shouldBe 1L
+    out((1L, 2L))._2 shouldBe s(3, 4)             // dog tf=3
+    out.keySet shouldBe Set((0L, 1L), (0L, 2L), (0L, 3L), (1L, 1L), (1L, 2L))
+    // ranks are dense per query by (score desc, doc_id asc)
+    out((0L, 3L))._1 should be < out((0L, 1L))._1 // doc 3 outranks doc 1
+    spark.catalog.clearCache()
+  }
+
+  test("served dfT/stats frames give the same scores as the live derivation") {
+    val d = docs((1L to 40L).map(i => i -> s"alpha tok$i beta beta"): _*)
+    val post = Bm25.postings(d, "doc_id", "text")
+    val live = Bm25.topK(post, terms("alpha", "beta"), k = 7)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val served = Bm25.topK(post, terms("alpha", "beta"), k = 7,
+        dfT = Some(Bm25.docFreq(post)), stats = Some(Bm25.corpusStats(post)))
+      .collect().map(_.toSeq).sortBy(_.toString)
+    served shouldBe live
+    spark.catalog.clearCache()
+  }
+
   test("salted top-k equals the single-window ranking (mega-term postings)") {
     // one stop-word-like term present in every doc: the salted two-phase
     // rank must equal a plain window ranking

@@ -149,6 +149,31 @@ class BpeSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("tier equality holds for supplementary-plane words (code-point split)") {
+    // ADVICE r14 #1's hazard pinned: the distributed tier's
+    // split(word, '') splits at CODE POINTS, so the one-task tier must
+    // too — a UTF-16 code-unit split would give '𝕒𝕓𝕒𝕓' six initial
+    // symbols (surrogate halves) instead of four and train different
+    // merges. Words chosen so surrogate-pair symbols actually win
+    // merges, and a private-use BMP char (U+E000 — BELOW '𝕒' in UTF-8
+    // order but ABOVE it in UTF-16 code-unit order, the documented
+    // utf8Less hazard zone) rides along to keep the tie-break honest.
+    import spark.implicits._
+    val wf = Seq(
+      ("𝕒𝕓𝕒𝕓", 5L),
+      ("𝕒𝕓x", 4L),
+      ("𝕒𝕒", 3L),
+      ("plain", 2L)).toDF("word", "n")
+    val local = Bpe.trainFromWordFreq(wf, rounds = 8, topWords = 10)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val dist = Bpe.trainFromWordFreq(wf, rounds = 8, topWords = 10,
+        maxLocalWords = 0L)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    local should not be empty
+    local shouldBe dist
+    spark.catalog.clearCache()
+  }
+
   test("a 32-merge budget trains end-to-end and extends the unrolled prefix") {
     // BPE is greedy: the first 6 merges of a 32-round run must equal the
     // 6-round unrolled training exactly (prefix property), and the run
