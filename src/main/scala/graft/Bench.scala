@@ -276,14 +276,10 @@ object Bench {
     def r3(x: Double): String = (math.rint(x * 1000) / 1000).toString
     val ratioJson = ratios
       .map { case (n, r) => "\"" + n + "\":" + r3(r) }.mkString("{", ",", "}")
-    val weak = ratios.filter { case (n, r) => r > 2.0 && results(n)._1 > 1.0 }
     // weak is NULL (not []) when no baseline cells were compared — an
-    // absent baseline file must be distinguishable from a clean pass
-    val weakJson =
-      if (ratios.isEmpty) "null"
-      else weak
-        .map { case (n, r) => s"""{"q":"$n","sec":${results(n)._1},"ratio":${r3(r)}}""" }
-        .mkString("[", ",", "]")
+    // absent baseline file must be distinguishable from a clean pass;
+    // serialization happens after the sf1 block (see weakAllJson).
+    val weak = ratios.filter { case (n, r) => r > 2.0 && results(n)._1 > 1.0 }
 
     // The gate-relevant line prints BEFORE the sf1 block runs: a driver
     // timeout during the scale pass must never lose the headline number.
@@ -295,6 +291,14 @@ object Bench {
     // have printed — the harness, not a human reading the JSON, catches
     // the next quadratic.
     var growthViolations: Seq[String] = Nil
+    // The sf1 block's per-cell sf0.1 bases (min-of-3, same session
+    // config) — the SECOND weak signal (VERDICT r14 ask #1a): the main
+    // table publishes the best of up to 5 samples, so one lucky
+    // sub-threshold dip on a noisy box permanently cleared a cell that
+    // reproducibly runs past both weak thresholds (q164/q165 in r14).
+    // A cell whose GATE BASE is >1 s and >2x its baseline is weak no
+    // matter what the main pass sampled. name -> (sec, stallFlag, err).
+    var gateBases: Map[String, (Double, Boolean, Boolean)] = Map.empty
 
     // ---- Scale evidence: the dedup/clustering family at 10x documents.
     // Every 100 TB argument in this repo is from plan shape; this block
@@ -617,6 +621,9 @@ object Bench {
           s""""$n":{"sec":$t,"sf01_sec":$baseJson,"growth_x":$growthJson,"bound_x":${boundFor(n)},"stall_suspect":${bFlag || tFlag},"err":$err}"""
         }
         growthViolations = violations
+        gateBases = measured.map { case (n, base, bFlag, _, _, err) =>
+          n -> (base, bFlag, err)
+        }.toMap
         // ---- IO evidence for the incremental family (VERDICT r13 ask
         // #2): maintenance vs full-rebuild task metrics at BOTH scales.
         // The claim under measurement is stage volume — maintenance
@@ -637,17 +644,41 @@ object Bench {
               val ratio =
                 if (r.shuffleWrite > 0) r3(m.shuffleWrite.toDouble / r.shuffleWrite)
                 else "null"
-              s"""{"maint":${m.json},"rebuild":${r.json},"shuffle_ratio":$ratio}"""
+              val cpuRatio =
+                if (r.cpuNs > 0) r3(m.cpuNs.toDouble / r.cpuNs) else "null"
+              s"""{"maint":${m.json},"rebuild":${r.json},""" +
+                s""""shuffle_ratio":$ratio,"cpu_ratio":$cpuRatio}"""
             }
             Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame,
                  (SparkSession, String) => org.apache.spark.sql.DataFrame)](
-              // q148 measured on the INDEX builds (the maintained
-              // artifact), not the whole cell: banding+verification is
-              // the serving side, identical and corpus-sized for both.
+              // All six theorems measured (VERDICT r14 ask #6). Two
+              // regimes, two headline ratios:
+              //  - EXCHANGE-BOUND family (q148/q153/q159): the rebuild
+              //    shuffles corpus-sized data (shingle signing, CC
+              //    rounds, vector re-assignment), so `shuffle_ratio`
+              //    carries the claim. Measured on the index/maintenance
+              //    halves where serving is shared and corpus-sized.
+              //  - MAP-SIDE-COMBINED MODEL family (q145/q155/q160): the
+              //    rebuild's shuffle is MODEL-sized by construction
+              //    (4096-bucket / bigram-vocab partial aggregation), so
+              //    maintenance — which must shuffle at least one stored
+              //    model — can never win on exchange bytes; the claim
+              //    lives in `cpu_ratio` (delta-only tokenization/
+              //    featurization vs a full-corpus re-featurize).
+              //    Measured from the STORED delta artifact (deployment
+              //    handoff shape — see Queries.servedSnapshotDelta).
+              ("q145_incremental_corpus",
+                Queries.q145MaintainedManifest _, Queries.q145FullRebuild _),
               ("q148_incremental_minhash",
                 Queries.q148MaintainedIndex _, Queries.q148FullIndex _),
               ("q153_incremental_clusters",
-                Queries.q153IncrementalClusters _, Queries.q153FullRecompute _))
+                Queries.q153IncrementalClusters _, Queries.q153FullRecompute _),
+              ("q155_incremental_lm",
+                Queries.q155MaintainedModel _, Queries.q155FullRetrain _),
+              ("q159_incremental_ivf",
+                Queries.q159MaintainedLists _, Queries.q159FullAssign _),
+              ("q160_incremental_dsir",
+                Queries.q160MaintainedModels _, Queries.q160FullRetrain _))
               .filter(p => scaleFilter(p._1))
               .map { case (n, m, r) =>
                 try s""""$n":{"sf01":${fmtPair(m, r, sfDir)},"sf1":${fmtPair(m, r, sf1Dir)}}"""
@@ -674,7 +705,27 @@ object Bench {
     println(s"""{"sf1":$sf1Json}""")
     // `weak` rides the (short, tail-surviving) summary line: cells both
     // >1 s and >2x their DuckDB baseline cell, with the measured ratio.
-    println(s"""{"total_sec":$total,"n":${names.size},"stalled":$stalled,"errors":$erroredJson,"canary":$canaryJson,"baseline_cells":${ratios.size},"weak":$weakJson}""")
+    // TWO signals (r14 ask #1a): the main-pass best sample ("main") OR
+    // the sf1 block's same-config min-of-3 base ("gate_base") — the
+    // latter immune to the best-sample lucky-dip blind spot. A cell is
+    // clean only when BOTH clear; stall-flagged or errored gate bases
+    // never flag (confirm-before-red discipline unchanged).
+    val gateWeak = gateBases.toSeq
+      .filter { case (n, (b, bf, err)) =>
+        !bf && !err && b > 1.0 &&
+          baselines.get(n).exists(bl => bl > 0 && b / bl > 2.0) &&
+          !weak.exists(_._1 == n)
+      }
+      .sortBy(_._1)
+      .map { case (n, (b, _, _)) =>
+        s"""{"q":"$n","sec":$b,"ratio":${r3(b / baselines(n))},"src":"gate_base"}"""
+      }
+    val weakAllJson =
+      if (ratios.isEmpty) "null"
+      else (weak.map { case (n, r) =>
+        s"""{"q":"$n","sec":${results(n)._1},"ratio":${r3(r)},"src":"main"}"""
+      } ++ gateWeak).mkString("[", ",", "]")
+    println(s"""{"total_sec":$total,"n":${names.size},"stalled":$stalled,"errors":$erroredJson,"canary":$canaryJson,"baseline_cells":${ratios.size},"weak":$weakAllJson}""")
     spark.stop()
     if (growthViolations.nonEmpty) {
       System.err.println(

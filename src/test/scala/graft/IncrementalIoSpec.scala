@@ -93,4 +93,71 @@ class IncrementalIoSpec extends SparkSpec {
       f"maintenance shuffle volume is $ratio%.2fx the recompute's — the " +
         "affected-cluster closure is clustering the untouched majority")
   }
+
+  test("q159 list maintenance shuffles a fraction of a full re-assignment") {
+    warm(Queries.q159IncrementalIvf(spark, dir))
+    val m = IoEvidence.measure(spark, Queries.q159MaintainedLists(spark, dir))
+    val r = IoEvidence.measure(spark, Queries.q159FullAssign(spark, dir))
+    val ratio = m.shuffleWrite.toDouble / r.shuffleWrite
+    info(f"q159 maint=$m rebuild=$r shuffle_ratio=$ratio%.3f")
+    r.shuffleWrite should be > 0L
+    // Measured ~0.1: only ADDED ids flow through the assignment
+    // argmin; retained ids are one stored-list semi-join.
+    assert(ratio < 0.5,
+      f"list maintenance shuffle is $ratio%.2fx the re-assignment's — " +
+        "the reuse semi-join is re-assigning retained vectors")
+  }
+
+  test("q145 manifest maintenance (stored delta) stays under the rebuild on both proxies") {
+    // The model family's regime (see Bench's io block): the rebuild's
+    // exchanges include real corpus-sized stages here (decon joins, LM
+    // scoring), so shuffle still bounds ~1; the sharper signal is CPU —
+    // delta-only re-decontamination/re-scoring vs the full chain.
+    // Measured at sf0.01: shuffle 0.86, cpu 0.67 (0.97/0.34 at sf0.1 —
+    // maintenance amortizes with scale); bounds leave variance room.
+    warm(Queries.q145MaintainedManifest(spark, dir))
+    val m = IoEvidence.measure(spark, Queries.q145MaintainedManifest(spark, dir))
+    val r = IoEvidence.measure(spark, Queries.q145FullRebuild(spark, dir))
+    info(f"q145 maint=$m rebuild=$r " +
+      f"shuffle=${m.shuffleWrite.toDouble / r.shuffleWrite}%.3f " +
+      f"cpu=${m.cpuNs.toDouble / r.cpuNs}%.3f")
+    r.shuffleWrite should be > 0L
+    assert(m.shuffleWrite.toDouble / r.shuffleWrite < 1.2,
+      "manifest maintenance shuffles more than the full rebuild")
+    assert(m.cpuNs.toDouble / r.cpuNs < 1.0,
+      "manifest maintenance burns more CPU than the full rebuild — " +
+        "the delta-only stage-3/4 recompute is processing the majority")
+  }
+
+  test("q155/q160 maintenance featurizes delta-sized text only (deterministic form)") {
+    // The abelian-model family's rebuilds are map-side-combined, so
+    // their shuffle is MODEL-sized by construction and maintenance —
+    // which must move at least one stored model — cannot win on
+    // exchange bytes (Bench publishes both ratios with that framing).
+    // The precise text-side claim is deterministic and asserted here:
+    // the token mass entering the maintenance legs' featurization (the
+    // minus leg's changed/removed old docs + the plus leg's changed/
+    // added new docs) is a delta-sized fraction of a full retrain's.
+    import org.apache.spark.sql.functions.{col, sum}
+    val old = Queries.q145OldSnap(spark, dir)
+    val neu = Queries.q145NewSnap(spark, dir)
+    val delta = ops.SnapshotDelta.diff(old, neu, "doc_id", "text")
+    def toks(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(sum(org.apache.spark.sql.functions.size(
+          ops.TextStats.words(col("text")))))
+        .head.getLong(0)
+    val minus = old.join(delta.filter(col("status").isin("changed", "removed"))
+      .select("doc_id"), Seq("doc_id"), "leftsemi")
+    val plus = neu.join(delta.filter(col("status").isin("changed", "added"))
+      .select("doc_id"), Seq("doc_id"), "leftsemi")
+    val deltaToks = toks(minus) + toks(plus)
+    val fullToks = toks(neu)
+    val ratio = deltaToks.toDouble / fullToks
+    info(f"delta-leg tokens=$deltaToks full=$fullToks ratio=$ratio%.3f")
+    deltaToks should be > 0L
+    assert(ratio < 0.5,
+      f"maintenance legs featurize $ratio%.2fx of the corpus — delta-only " +
+        "extraction should track the ~25%% two-leg snapshot delta")
+    spark.catalog.clearCache()
+  }
 }
