@@ -453,6 +453,10 @@ object Bench {
           // artifact-serving cell plus the tiny check-row echo — must
           // stay flat at 10x like q147
           "q163_bpe_train512",
+          // production-depth BPE (8192 merges): same artifact-serving
+          // shape; the capped unit table keeps trainer input fixed at
+          // any corpus scale, so the cell must stay flat too
+          "q169_bpe_train8k",
           // as-of join: one range exchange + partition-local windows +
           // a (#keys+#partitions)-row carry — linear in the event log
           // by construction; superlinear growth means the carry frame
@@ -526,7 +530,12 @@ object Bench {
           "q144_all_span_dedup"       -> 15.0,
           "q149_chunked_span_dedup"   -> 15.0,
           "q145_incremental_corpus"   -> 6.0,
-          "q148_incremental_minhash"  -> 6.0,
+          // round 15: the one-task tier moved this cell from the
+          // amortizing regime (stage-floor-dominated, observed 1.9x)
+          // to LINEAR single-task work (hash+sign+verify scale with
+          // the corpus; observed 5.2x at 10x) — bound sits between
+          // the linear data growth and the 12-15 linear-regime band
+          "q148_incremental_minhash"  -> 8.0,
           "q138_quality_ngram_perceptron" -> 6.0,
           "q143_corpus_build"         -> 6.0,
           "q150_dup_cohesion"         -> 6.0,
@@ -553,6 +562,7 @@ object Bench {
           // artifact-serving + sidecar rewrite; amortizing regime (the
           // 512-merge training runs ONCE at build, off the timed path)
           "q163_bpe_train512"         -> 4.0,
+          "q169_bpe_train8k"          -> 4.0,
           // linear regime: the ranged union is 10x rows at 10x data
           "q164_asof_join"            -> 12.0,
           "q165_bm25_topk"            -> 15.0,

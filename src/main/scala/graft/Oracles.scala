@@ -271,8 +271,41 @@ object Oracles {
     * the sidecar is missing the SQL fails LOUDLY (never a silent pass).
     */
   private def bpe512ReplaySql(topWords: Int,
-                              checkOrds: Seq[Int]): String = {
-    val dir = new java.io.File(Tables.Bpe512Sidecar)
+                              checkOrds: Seq[Int]): String =
+    bpeStoredReplaySql(Tables.Bpe512Sidecar, "q163",
+      unitsSql = s"""
+         |  SELECT g AS word, CAST(count(*) AS BIGINT) AS n FROM (
+         |    SELECT ws[i] || '_' || ws[i+1] || '_' || ws[i+2] || '_' || ws[i+3] AS g
+         |    FROM (SELECT string_split_regex(trim(lower(text)), '\\s+') AS ws
+         |          FROM documents)
+         |    CROSS JOIN unnest(generate_series(1, len(ws) - 3)) AS t(i)
+         |    WHERE len(ws) >= 4)
+         |  WHERE regexp_matches(g, '^[a-z]+_[a-z]+_[a-z]+_[a-z]+$$')
+         |  GROUP BY g ORDER BY n DESC, g LIMIT 4096""".stripMargin,
+      topWords, checkOrds)
+
+  /** q169's unit CTE: 12-gram boundary-marked windows capped at the top
+    * 2048 — the depth-sustaining variant (the 4-gram/4096 table
+    * exhausts near ~4k merges on this corpus's 31-word vocabulary;
+    * measured: 12-gram/2048 sustains the full 8192 budget at every
+    * SF). */
+  private def bpe8kUnitsSql: String = {
+    val parts = (0 until 12).map(j => s"ws[i+$j]").mkString(" || '_' || ")
+    s"""
+       |  SELECT g AS word, CAST(count(*) AS BIGINT) AS n FROM (
+       |    SELECT $parts AS g
+       |    FROM (SELECT string_split_regex(trim(lower(text)), '\\s+') AS ws
+       |          FROM documents)
+       |    CROSS JOIN unnest(generate_series(1, len(ws) - 11)) AS t(i)
+       |    WHERE len(ws) >= 12)
+       |  WHERE regexp_matches(g, '^[a-z]+(_[a-z]+){11}$$')
+       |  GROUP BY g ORDER BY n DESC, g LIMIT 2048""".stripMargin
+  }
+
+  private def bpeStoredReplaySql(sidecar: String, qtag: String,
+                                 unitsSql: String, topWords: Int,
+                                 checkOrds: Seq[Int]): String = {
+    val dir = new java.io.File(sidecar)
     val parts = Option(dir.listFiles())
       .map(_.filter(f => f.getName.startsWith("part-") &&
         f.getName.endsWith(".json")).toSeq)
@@ -288,68 +321,63 @@ object Oracles {
       finally src.close()
     }.sortBy(_._1)
     if (rows.isEmpty)
-      return "SELECT error('q163 merge sidecar missing or empty - run " +
-        "graft.Verify (q163 writes it) before dumping oracle SQL')"
+      return s"SELECT error('$qtag merge sidecar missing or empty - run " +
+        s"graft.Verify (the $qtag query writes it) before dumping oracle SQL')"
     def esc(s: String) = s.replace("'", "''")
     val values = rows.map { case (o, k, v, w) =>
       s"($o, '${esc(k)}', '${esc(v)}', CAST($w AS BIGINT))"
     }.mkString(",\n    ")
     val maxOrd = rows.last._1
+    // PER-UNIT FOLD, not a recursive CTE (round 15): the recursion
+    // materialized units x budget rows and ran its rewrite level by
+    // level — inherently sequential, 57 s at 8192x2048. list_reduce
+    // folds the whole ordered merge list over each unit's symbol
+    // string in ONE row-parallel pass (DuckDB parallelizes across
+    // units), measured 4x faster and bit-identical. Each merge is
+    // encoded "a b<0x01>merged" so the accumulator list stays uniform
+    // VARCHAR; the rewrite is the same doubled-separator simultaneous
+    // non-overlapping replace as bpeTrainSql's list rewrite, with a
+    // contains() prefilter so non-matching units skip the 4-replace
+    // machinery (a false positive just runs the bounded rewrite, which
+    // then changes nothing). The sampled-rank argmax checks re-derive
+    // the rank-(r-1) state with a prefix fold (ms[1:r-1]) — ~2x total
+    // work, still row-parallel.
+    def fold(upTo: String) =
+      s"""list_reduce(list_prepend(sym, ms[1:$upTo]),
+         |      (acc, x) -> CASE
+         |        WHEN NOT contains(acc, split_part(x, chr(1), 1)) THEN acc
+         |        ELSE trim(replace(replace(
+         |          ' ' || replace(acc, ' ', '  ') || ' ',
+         |          ' ' || replace(split_part(x, chr(1), 1), ' ', '  ') || ' ',
+         |          ' ' || split_part(x, chr(1), 2) || ' '), '  ', ' ')) END)""".stripMargin
     val checks = checkOrds.filter(_ <= maxOrd).map { r =>
       s"""
          |  UNION ALL
          |  SELECT 'check', pair, replace(pair, ' ', ''), cnt, $r FROM (
          |    SELECT z[1] || ' ' || z[2] AS pair, CAST(sum(n) AS BIGINT) AS cnt
          |    FROM (SELECT n, unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS z
-         |          FROM (SELECT n, string_split(sym, ' ') AS l
-         |                FROM state WHERE i = ${r - 1}))
+         |          FROM (SELECT n, string_split(${fold((r - 1).toString)}, ' ') AS l
+         |                FROM v0, mlist))
          |    WHERE z[1] != z[2]
          |    GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 1)""".stripMargin
     }.mkString
-    s"""WITH RECURSIVE m(ord, key, value, weight) AS (
+    s"""WITH m(ord, key, value, weight) AS (
        |  SELECT * FROM (VALUES
        |    $values) t(ord, key, value, weight)),
-       |u AS MATERIALIZED (
-       |  SELECT g AS word, CAST(count(*) AS BIGINT) AS n FROM (
-       |    SELECT ws[i] || '_' || ws[i+1] || '_' || ws[i+2] || '_' || ws[i+3] AS g
-       |    FROM (SELECT string_split_regex(trim(lower(text)), '\\s+') AS ws
-       |          FROM documents)
-       |    CROSS JOIN unnest(generate_series(1, len(ws) - 3)) AS t(i)
-       |    WHERE len(ws) >= 4)
-       |  WHERE regexp_matches(g, '^[a-z]+_[a-z]+_[a-z]+_[a-z]+$$')
-       |  GROUP BY g ORDER BY n DESC, g LIMIT 4096),
+       |u AS MATERIALIZED ($unitsSql),
        |v0 AS MATERIALIZED (
        |  SELECT word,
        |    array_to_string(string_split(word, ''), ' ') AS sym, n
        |  FROM u),
-       |mm AS MATERIALIZED (
-       |  SELECT ord, string_split(key, ' ')[1] AS a,
-       |    string_split(key, ' ')[2] AS b, value AS mrg FROM m),
-       |state AS MATERIALIZED (
-       |  SELECT 0 AS i, word, sym, n FROM v0
-       |  UNION ALL
-       |  SELECT s.i + 1, s.word,
-       |    -- Simultaneous non-overlapping adjacent-pair merge in pure
-       |    -- string ops (list lambdas cost ~85 us/row in the recursion;
-       |    -- this is ~20x faster): doubling the separators gives every
-       |    -- symbol its own flanking spaces, so ' a  b ' occurrences
-       |    -- share no characters and a single left-to-right replace()
-       |    -- merges all of them at once — bit-equal to bpeTrainSql's
-       |    -- list rewrite for the a != b pairs training emits.
-       |    CASE WHEN mm.a IS NULL THEN s.sym
-       |         ELSE trim(replace(replace(
-       |      ' ' || replace(s.sym, ' ', '  ') || ' ',
-       |      ' ' || mm.a || '  ' || mm.b || ' ',
-       |      ' ' || mm.mrg || ' '), '  ', ' ')) END,
-       |    s.n
-       |  FROM state s
-       |  LEFT JOIN mm ON mm.ord = s.i + 1
-       |  WHERE s.i < $maxOrd)
+       |mlist AS MATERIALIZED (
+       |  SELECT list(key || chr(1) || value ORDER BY ord) AS ms FROM m),
+       |fin AS MATERIALIZED (
+       |  SELECT word, ${fold(maxOrd.toString)} AS sym, n FROM v0, mlist)
        |SELECT kind, key, value, weight, ord FROM (
        |  SELECT 'merge' AS kind, key, value, weight, ord FROM m
        |  UNION ALL
        |  SELECT 'word', word, sym, n, 0
-       |  FROM (SELECT word, sym, n FROM state WHERE i = $maxOrd
+       |  FROM (SELECT word, sym, n FROM fin
        |        ORDER BY n DESC, word LIMIT $topWords)$checks)""".stripMargin
   }
 
@@ -2849,6 +2877,15 @@ object Oracles {
     // Verify dumps AFTER running q163, which writes the sidecar.
     "q163_bpe_train512" ->
       bpe512ReplaySql(topWords = 50, checkOrds = Queries.BpeCheckOrds),
+
+    // PRODUCTION-depth tier (VERDICT r14 ask #5): 8192 merges on the
+    // depth-sustaining 12-gram/2048 unit table, replayed from the
+    // stored merge sidecar exactly like q163 — the replay SQL's CTE
+    // structure is budget-independent, only the VALUES list and the
+    // recursion depth grow with the data (not the query shape).
+    "q169_bpe_train8k" ->
+      bpeStoredReplaySql(Tables.Bpe8kSidecar, "q169", bpe8kUnitsSql,
+        topWords = 50, checkOrds = Queries.BpeCheckOrds8k),
 
     // All-lengths exact-substring dedup: q132's window/canonical replay
     // at L=4 plus the coverage-level keep rule — a token survives iff no

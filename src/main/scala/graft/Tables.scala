@@ -35,6 +35,11 @@ object Tables {
   val Bpe512Sidecar: String =
     s"${System.getProperty("java.io.tmpdir")}/graft-scratch/bpe512_sidecar_v1"
 
+  /** q169's stored-merge sidecar — same contract as [[Bpe512Sidecar]]
+    * at the 8192-merge production budget. */
+  val Bpe8kSidecar: String =
+    s"${System.getProperty("java.io.tmpdir")}/graft-scratch/bpe8k_sidecar_v1"
+
   /** Path-based build-once write: run `write` only when `path` has no
     * `_SUCCESS` marker (the committer drops it only after a COMPLETE write,
     * so a half-written directory from a killed JVM is rebuilt, not

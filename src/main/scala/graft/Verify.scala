@@ -32,18 +32,20 @@ object Verify {
       // frames persisted inside operators (LSH caches etc.) are per-query
       spark.catalog.clearCache()
     }
-    // The q163 oracle inlines the merge sidecar at dump time, and the
-    // sidecar path is fixed (any q163 invocation — a spec run at
-    // sf0.001 included — overwrites it). A FILTERED run that skips
-    // q163 would therefore dump a replay of whatever corpus last wrote
-    // the sidecar; refresh it for THIS corpus before dumping (building
-    // the q163 DataFrame writes the sidecar eagerly; the artifact is
+    // The q163/q169 oracles inline their merge sidecars at dump time,
+    // and the sidecar paths are fixed (any invocation — a spec run at
+    // sf0.001 included — overwrites them). A FILTERED run that skips
+    // them would therefore dump a replay of whatever corpus last wrote
+    // the sidecar; refresh for THIS corpus before dumping (building
+    // the DataFrame writes the sidecar eagerly; the artifact is
     // build-once per corpus, so this is cheap when it already exists).
-    if (!only("q163_bpe_train512"))
-      try SparkEntry.queries("q163_bpe_train512")(spark, sfDir)
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] q163 sidecar refresh failed: ${e.getMessage}")
-      }
+    Seq("q163_bpe_train512", "q169_bpe_train8k").foreach { q =>
+      if (!only(q))
+        try SparkEntry.queries(q)(spark, sfDir)
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $q sidecar refresh failed: ${e.getMessage}")
+        }
+    }
 
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

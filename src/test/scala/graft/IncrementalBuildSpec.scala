@@ -27,6 +27,9 @@ class IncrementalBuildSpec extends SparkSpec {
   }
 
   test("q148 incremental MinHash pair set ≡ full index rebuild over the new snapshot") {
+    // The cell serves the ONE-TASK tier at this corpus size, so this
+    // equality is simultaneously the batch≡incremental theorem AND the
+    // cross-tier proof (local replica vs distributed rebuild).
     val inc = Queries.q148IncrementalMinhash(spark, dir)
     val full = Queries.q148FullRebuild(spark, dir)
     val n = inc.count()
@@ -34,6 +37,19 @@ class IncrementalBuildSpec extends SparkSpec {
     n should be > 0L
     inc.exceptAll(full).count() shouldBe 0L
     full.exceptAll(inc).count() shouldBe 0L
+    spark.catalog.clearCache()
+  }
+
+  test("q148's one-task tier ≡ the distributed maintenance chain, row for row") {
+    // maxLocalBytes = 0 forces the distributed chain on the same inputs;
+    // jaccard doubles must match BIT-for-bit (same division), so the
+    // comparison includes them.
+    val local = Queries.q148IncrementalMinhash(spark, dir)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val dist = Queries.q148IncrementalMinhash(spark, dir, maxLocalBytes = 0L)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    local should not be empty
+    local shouldBe dist
     spark.catalog.clearCache()
   }
 

@@ -225,6 +225,20 @@ class BpeSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q169's unit table sustains the full 8192-merge budget (never vacuous)") {
+    // q163's 4-gram/4096 table exhausts near ~4k merges on this
+    // corpus; the 12-gram/2048 table was measured to sustain 8192 at
+    // every SF — pin it so a unit-derivation change can't hollow out
+    // the production-depth cell.
+    import org.apache.spark.sql.functions._
+    val out = graft.Queries.q169BpeTrain8k(spark, "/root/testdata/sf0.001")
+      .filter(col("kind") === "merge")
+      .agg(count(lit(1)).as("m"), max(col("ord")).as("mo")).head
+    out.getLong(0) shouldBe 8192L
+    out.getInt(1) shouldBe 8192
+    spark.catalog.clearCache()
+  }
+
   test("rounds beyond pair exhaustion are a no-op, not an empty result") {
     // one real merge exists (t,o); rounds 2..4 find nothing — the word
     // rows and the single merge row must survive all four rounds.
