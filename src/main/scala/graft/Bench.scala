@@ -291,6 +291,11 @@ object Bench {
     // have printed — the harness, not a human reading the JSON, catches
     // the next quadratic.
     var growthViolations: Seq[String] = Nil
+    // The sf1 block retunes the session (shuffle partitions sized to
+    // the 10x data); the weak rule's thresholds are calibrated on the
+    // MAIN protocol's config, so the gate-base confirm step below must
+    // restore it first.
+    val mainShufflePartitions = spark.conf.get("spark.sql.shuffle.partitions")
     // The sf1 block's per-cell sf0.1 bases (min-of-3, same session
     // config) — the SECOND weak signal (VERDICT r14 ask #1a): the main
     // table publishes the best of up to 5 samples, so one lucky
@@ -533,9 +538,10 @@ object Bench {
           // round 15: the one-task tier moved this cell from the
           // amortizing regime (stage-floor-dominated, observed 1.9x)
           // to LINEAR single-task work (hash+sign+verify scale with
-          // the corpus; observed 5.2x at 10x) — bound sits between
-          // the linear data growth and the 12-15 linear-regime band
-          "q148_incremental_minhash"  -> 8.0,
+          // the corpus; observed 5.2-7.8x at 10x across runs as the
+          // fixed artifact-read floor amortizes) — the standard
+          // linear-regime bound: only a superlinear shape trips it
+          "q148_incremental_minhash"  -> 12.0,
           "q138_quality_ngram_perceptron" -> 6.0,
           "q143_corpus_build"         -> 6.0,
           "q150_dup_cohesion"         -> 6.0,
@@ -716,22 +722,42 @@ object Bench {
     // `weak` rides the (short, tail-surviving) summary line: cells both
     // >1 s and >2x their DuckDB baseline cell, with the measured ratio.
     // TWO signals (r14 ask #1a): the main-pass best sample ("main") OR
-    // the sf1 block's same-config min-of-3 base ("gate_base") — the
-    // latter immune to the best-sample lucky-dip blind spot. A cell is
-    // clean only when BOTH clear; stall-flagged or errored gate bases
-    // never flag (confirm-before-red discipline unchanged).
-    val gateWeak = gateBases.toSeq
+    // the sf1 block's min-of-3 base ("gate_base") — the latter immune
+    // to the best-sample lucky-dip blind spot. Gate bases are measured
+    // under the SCALE config (shuffle partitions sized to 10x data —
+    // ~4x per-stage overhead on megabyte cells), while the weak rule's
+    // 1 s/2x thresholds are calibrated on the main protocol's config —
+    // so a gate-base candidate is CONFIRMED with a fresh min-of-3
+    // under the restored main config before it may publish (the same
+    // confirm-before-flag discipline as the main signal; a genuinely
+    // slow cell like r14's q164/q165 confirms at either width, a
+    // config-sensitive small cell like q59 clears). Stall-flagged or
+    // errored gate bases never flag.
+    val gateCandidates = gateBases.toSeq
       .filter { case (n, (b, bf, err)) =>
         !bf && !err && b > 1.0 &&
           baselines.get(n).exists(bl => bl > 0 && b / bl > 2.0) &&
           !weak.exists(_._1 == n)
       }
       .sortBy(_._1)
-      .map { case (n, (b, _, _)) =>
-        s"""{"q":"$n","sec":$b,"ratio":${r3(b / baselines(n))},"src":"gate_base"}"""
-      }
+    if (gateCandidates.nonEmpty)
+      spark.conf.set("spark.sql.shuffle.partitions", mainShufflePartitions)
+    val gateWeak = gateCandidates.flatMap { case (n, (b, _, _)) =>
+      System.err.println(
+        s"[bench] gate-base weak candidate $n ($b s at scale config) — " +
+          "confirming (min of 3) under the main config")
+      val (c, cFlag, cErr) =
+        mergeSamples((1 to 3).map(_ => measure(n, SparkEntry.queries(n))))
+      if (!cFlag && !cErr && c > 1.0 && c / baselines(n) > 2.0)
+        Some(s"""{"q":"$n","sec":$c,"ratio":${r3(c / baselines(n))},"src":"gate_base"}""")
+      else None
+    }
+    // null (not []) only when NEITHER signal had baseline cells to
+    // compare — an absent baseline file must be distinguishable from a
+    // clean pass, but a gate-base finding must never be discarded just
+    // because the main sweep's cells lacked baselines.
     val weakAllJson =
-      if (ratios.isEmpty) "null"
+      if (ratios.isEmpty && gateWeak.isEmpty) "null"
       else (weak.map { case (n, r) =>
         s"""{"q":"$n","sec":${results(n)._1},"ratio":${r3(r)},"src":"main"}"""
       } ++ gateWeak).mkString("[", ",", "]")

@@ -4381,14 +4381,38 @@ object Queries {
     * corpus) → stages 3-4 run for the first time, together with the
     * delta docs, against the SAME stable eval windows and stored LM
     * model. */
-  def q145IncrementalCorpusBuild(s: SparkSession, dir: String): DataFrame = {
+  def q145IncrementalCorpusBuild(s: SparkSession, dir: String): DataFrame =
+    q145IncrementalCorpusBuild(s, dir, maxLocalBytes = 64L << 20)
+
+  /** ONE-TASK TIER (the q148 treatment applied to the manifest layer —
+    * the last latency-floor cell): under a Catalyst size-stats guard
+    * the whole incremental build runs as one task over the stored
+    * artifacts + new snapshot ([[graft.ops.CorpusMaintain
+    * .manifestLocal]] — the eval-key set and LM model ride the same
+    * tagged union into the task, no driver collect). Fails CLOSED to
+    * the distributed chain; `maxLocalBytes = 0` forces it (spec
+    * coverage, and IncrementalBuildSpec asserts cross-tier equality
+    * against the distributed full rebuild). */
+  private[graft] def q145IncrementalCorpusBuild(s: SparkSession, dir: String,
+                                                maxLocalBytes: Long): DataFrame = {
+    val newSnap = q145NewSnap(s, dir)
+    val est = newSnap.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (maxLocalBytes > 0 && est <= BigInt(maxLocalBytes) &&
+        newSnap.schema("doc_id").dataType ==
+          org.apache.spark.sql.types.LongType)
+      return graft.ops.CorpusMaintain.manifestLocal(
+        newSnap.filter(col("doc_id") % 20 =!= 0)
+          .select(col("doc_id"), col("text")),
+        prevSnapshotHashes(s, dir), prevCorpusBuild(s, dir),
+        evalWindowKeys(s, dir), lmModel(s, dir),
+        spanLen = 8, dropPct = 20, wcLo = 25L, wcHi = 90L, shards = 16)
     // Delta from the stored fingerprint table vs ONE hash pass over the
     // new snapshot -- old text is never re-read. Persisted: the
     // unchanged set, the needs_processing set and the manifest id
     // universe all read it.
     val delta = graft.ops.SnapshotDelta.diffHashed(
       prevSnapshotHashes(s, dir),
-      q145NewSnap(s, dir).select(col("doc_id"),
+      newSnap.select(col("doc_id"),
         TextStats.contentHash(col("text")).as("content_hash")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     q145BuildFromDelta(s, dir, delta)

@@ -13,6 +13,9 @@ class IncrementalBuildSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
   test("q145 incremental manifest ≡ full rebuild over the new snapshot") {
+    // The cell serves the ONE-TASK tier at this corpus size, so this
+    // equality is simultaneously the batch≡incremental theorem AND the
+    // cross-tier proof against the distributed rebuild.
     val cols = Seq("doc_id", "pass_quality", "pass_exact", "pass_decon",
       "pass_lm", "keep", "final_text", "shard").map(col)
     val inc = Queries.q145IncrementalCorpusBuild(spark, dir).select(cols: _*)
@@ -23,6 +26,19 @@ class IncrementalBuildSpec extends SparkSpec {
     n should be > 0L
     inc.exceptAll(full).count() shouldBe 0L
     full.exceptAll(inc).count() shouldBe 0L
+    spark.catalog.clearCache()
+  }
+
+  test("q145's one-task tier ≡ the distributed incremental chain, row for row") {
+    // maxLocalBytes = 0 forces the distributed maintenance chain on the
+    // same inputs — pins that BOTH halves of the incremental machinery
+    // (not just their common full-rebuild fixed point) agree.
+    val local = Queries.q145IncrementalCorpusBuild(spark, dir)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val dist = Queries.q145IncrementalCorpusBuild(spark, dir, maxLocalBytes = 0L)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    local should not be empty
+    local shouldBe dist
     spark.catalog.clearCache()
   }
 
