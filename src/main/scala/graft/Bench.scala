@@ -534,13 +534,14 @@ object Bench {
           "q139_multi_span_dedup"     -> 15.0,
           "q144_all_span_dedup"       -> 15.0,
           "q149_chunked_span_dedup"   -> 15.0,
-          "q145_incremental_corpus"   -> 6.0,
-          // round 15: the one-task tier moved this cell from the
-          // amortizing regime (stage-floor-dominated, observed 1.9x)
-          // to LINEAR single-task work (hash+sign+verify scale with
-          // the corpus; observed 5.2-7.8x at 10x across runs as the
-          // fixed artifact-read floor amortizes) — the standard
-          // linear-regime bound: only a superlinear shape trips it
+          // round 15: the one-task tiers moved these two cells from
+          // the amortizing regime (stage-floor-dominated) to LINEAR
+          // single-task work (hash+sign/decon/LM verify scale with the
+          // corpus; q148 observed 5.2-8.1x and q145 3.0-5.2x at 10x
+          // across runs as the fixed artifact-read floor amortizes) —
+          // the standard linear-regime bound: only a superlinear
+          // shape trips it
+          "q145_incremental_corpus"   -> 12.0,
           "q148_incremental_minhash"  -> 12.0,
           "q138_quality_ngram_perceptron" -> 6.0,
           "q143_corpus_build"         -> 6.0,
