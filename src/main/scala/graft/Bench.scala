@@ -292,10 +292,12 @@ object Bench {
     // the next quadratic.
     var growthViolations: Seq[String] = Nil
     // The sf1 block retunes the session (shuffle partitions sized to
-    // the 10x data); the weak rule's thresholds are calibrated on the
-    // MAIN protocol's config, so the gate-base confirm step below must
-    // restore it first.
+    // the 10x data, AQE re-pinned on); the weak rule's thresholds are
+    // calibrated on the MAIN protocol's config, so the gate-base
+    // confirm step below must restore BOTH knobs first (an
+    // SPARK_GRAFT_CONF AQE experiment included).
     val mainShufflePartitions = spark.conf.get("spark.sql.shuffle.partitions")
+    val mainAqe = spark.conf.get("spark.sql.adaptive.enabled")
     // The sf1 block's per-cell sf0.1 bases (min-of-3, same session
     // config) — the SECOND weak signal (VERDICT r14 ask #1a): the main
     // table publishes the best of up to 5 samples, so one lucky
@@ -656,6 +658,18 @@ object Bench {
             def fmtPair(maint: (SparkSession, String) => org.apache.spark.sql.DataFrame,
                         rebuild: (SparkSession, String) => org.apache.spark.sql.DataFrame,
                         dir: String): String = {
+              // Warm the maintenance side UNTIMED first (the spec's
+              // protocol): the model family's measured halves read the
+              // stored delta artifact, which no growth cell builds —
+              // on a fresh corpus tag its one-time build (full
+              // re-hash + diff + parquet write) would otherwise land
+              // inside the metered window and inflate the published
+              // ratios on exactly the first run the driver records.
+              try {
+                maint(spark, dir).write.format("noop").mode("overwrite").save()
+                spark.catalog.clearCache()
+              } catch { case e: Throwable =>
+                System.err.println(s"[bench] io warm: $e") }
               val m = IoEvidence.measure(spark, maint(spark, dir))
               val r = IoEvidence.measure(spark, rebuild(spark, dir))
               val ratio =
@@ -741,8 +755,10 @@ object Bench {
           !weak.exists(_._1 == n)
       }
       .sortBy(_._1)
-    if (gateCandidates.nonEmpty)
+    if (gateCandidates.nonEmpty) {
       spark.conf.set("spark.sql.shuffle.partitions", mainShufflePartitions)
+      spark.conf.set("spark.sql.adaptive.enabled", mainAqe)
+    }
     val gateWeak = gateCandidates.flatMap { case (n, (b, _, _)) =>
       System.err.println(
         s"[bench] gate-base weak candidate $n ($b s at scale config) — " +

@@ -3121,9 +3121,10 @@ object Queries {
   }
 
   /** q164's inputs through the FORCED distributed as-of path
-    * (smallInputMaxBytes = 0) — not a registered cell: PlanSpec pins the
-    * mega-key-safe plan shape on it, and AsofJoinSpec asserts it equals
-    * the tier q164 actually serves. */
+    * (smallInputMaxBytes = 0) — not a registered cell: PlanSpec pins
+    * the mega-key-safe plan shape on it, and AsofJoinSpec's
+    * "real inputs" test asserts it row-equals the tier q164 actually
+    * serves. */
   private[graft] def q164AsofJoinDistributed(s: SparkSession,
                                              dir: String): DataFrame = {
     val ev = t(s, dir, "events")

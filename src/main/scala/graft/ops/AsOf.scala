@@ -118,10 +118,12 @@ object AsOf {
       case Forward  => col("_t").desc
     }
     // Tier pick from Catalyst's size estimates — driver-side plan
-    // arithmetic, zero jobs. Estimates degrade toward HUGE (missing
-    // stats default to conf.defaultSizeInBytes = Long.Max), so an
-    // unknown size fails closed to the distributed path.
-    val estBytes = left.queryExecution.optimizedPlan.stats.sizeInBytes +
+    // arithmetic, zero jobs, and only paid when the tier is enabled
+    // (smallInputMaxBytes = 0 must not optimize both subtrees twice
+    // just to discard the answer). Estimates degrade toward HUGE
+    // (missing stats default to conf.defaultSizeInBytes = Long.Max),
+    // so an unknown size fails closed to the distributed path.
+    def estBytes = left.queryExecution.optimizedPlan.stats.sizeInBytes +
       right.queryExecution.optimizedPlan.stats.sizeInBytes
     val matched: DataFrame = if (smallInputMaxBytes > 0 &&
         estBytes <= BigInt(smallInputMaxBytes)) {

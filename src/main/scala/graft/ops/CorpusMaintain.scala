@@ -153,7 +153,9 @@ object CorpusMaintain {
           var tok = 1
           while (tok <= n) { if (!covered(tok)) kept += tok; tok += 1 }
           val nRemoved = n - kept.length
-          val keep = nRemoved * 100 <= n.toLong * dropPct
+          // Long arithmetic like the distributed rewrite's n_removed/
+          // n_tokens columns — Int*100 would wrap on a >21M-token doc
+          val keep = nRemoved.toLong * 100 <= n.toLong * dropPct
           val text2 =
             if (!keep) ""
             else kept.map(t => ws(t - 1)).mkString(" ")

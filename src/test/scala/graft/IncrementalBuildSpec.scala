@@ -32,11 +32,14 @@ class IncrementalBuildSpec extends SparkSpec {
   test("q145's one-task tier ≡ the distributed incremental chain, row for row") {
     // maxLocalBytes = 0 forces the distributed maintenance chain on the
     // same inputs — pins that BOTH halves of the incremental machinery
-    // (not just their common full-rebuild fixed point) agree.
-    val local = Queries.q145IncrementalCorpusBuild(spark, dir)
-      .collect().map(_.toSeq).sortBy(_.toString)
-    val dist = Queries.q145IncrementalCorpusBuild(spark, dir, maxLocalBytes = 0L)
-      .collect().map(_.toSeq).sortBy(_.toString)
+    // (not just their common full-rebuild fixed point) agree. Plan
+    // asserts keep the comparison non-vacuous (see the q148 twin).
+    val localF = Queries.q145IncrementalCorpusBuild(spark, dir)
+    val distF = Queries.q145IncrementalCorpusBuild(spark, dir, maxLocalBytes = 0L)
+    localF.queryExecution.executedPlan.toString should include("MapPartitions")
+    distF.queryExecution.executedPlan.toString should not include "MapPartitions"
+    val local = localF.collect().map(_.toSeq).sortBy(_.toString)
+    val dist = distF.collect().map(_.toSeq).sortBy(_.toString)
     local should not be empty
     local shouldBe dist
     spark.catalog.clearCache()
@@ -59,11 +62,16 @@ class IncrementalBuildSpec extends SparkSpec {
   test("q148's one-task tier ≡ the distributed maintenance chain, row for row") {
     // maxLocalBytes = 0 forces the distributed chain on the same inputs;
     // jaccard doubles must match BIT-for-bit (same division), so the
-    // comparison includes them.
-    val local = Queries.q148IncrementalMinhash(spark, dir)
-      .collect().map(_.toSeq).sortBy(_.toString)
-    val dist = Queries.q148IncrementalMinhash(spark, dir, maxLocalBytes = 0L)
-      .collect().map(_.toSeq).sortBy(_.toString)
+    // comparison includes them. Plan-shape asserts make the divergence
+    // (and so the test) non-vacuous: a stats/schema regression that
+    // silently disabled the local tier would otherwise green-light
+    // dist == dist forever.
+    val localF = Queries.q148IncrementalMinhash(spark, dir)
+    val distF = Queries.q148IncrementalMinhash(spark, dir, maxLocalBytes = 0L)
+    localF.queryExecution.executedPlan.toString should include("MapPartitions")
+    distF.queryExecution.executedPlan.toString should not include "MapPartitions"
+    val local = localF.collect().map(_.toSeq).sortBy(_.toString)
+    val dist = distF.collect().map(_.toSeq).sortBy(_.toString)
     local should not be empty
     local shouldBe dist
     spark.catalog.clearCache()

@@ -131,6 +131,20 @@ class AsofJoinSpec extends SparkSpec {
     }
   }
 
+  test("q164's distributed build ≡ the tier the cell actually serves, on its real inputs") {
+    // The synthetic tier-equality test above covers the operator; this
+    // one covers the CELL — q164's events-table inputs (pre-aggregated
+    // views, purchase probes) through both tiers, row for row.
+    val dir = "/root/testdata/sf0.001"
+    val served = graft.Queries.q164AsofJoin(spark, dir)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val dist = graft.Queries.q164AsofJoinDistributed(spark, dir)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    served should not be empty
+    served shouldBe dist
+    spark.catalog.clearCache()
+  }
+
   test("forward direction is exact across partition boundaries too") {
     val rnd = new scala.util.Random(41)
     val ls = (1L to 120L).map(i => (i, 1L + rnd.nextInt(2).toLong, rnd.nextInt(2000)))
