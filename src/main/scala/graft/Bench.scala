@@ -469,9 +469,16 @@ object Bench {
           // by construction; superlinear growth means the carry frame
           // or a per-key window went data-sized
           "q164_asof_join",
+          // forward+tolerance flavor: same union+window machinery on
+          // the error/view split — must track q164's linearity
+          "q168_asof_forward_tolerance",
           // BM25 retrieval: postings build + stats + query-join +
           // salted top-k — scan-bound linear in the token stream
           "q165_bm25_topk",
+          // whole-query scoring over the same stored index: one
+          // broadcast-probe pass + per-(query, doc) sum — must stay
+          // index-serving-shaped like q165
+          "q167_bm25_query_score",
           // interval lookback join: 2-bucket equi-join probes per left
           // row — linear in events; superlinear means the binning
           // degenerated into a per-key cross
@@ -574,7 +581,9 @@ object Bench {
           "q169_bpe_train8k"          -> 4.0,
           // linear regime: the ranged union is 10x rows at 10x data
           "q164_asof_join"            -> 12.0,
+          "q168_asof_forward_tolerance" -> 12.0,
           "q165_bm25_topk"            -> 15.0,
+          "q167_bm25_query_score"     -> 15.0,
           "q166_lookback_join"        -> 12.0,
           "q122_audio_frames"         -> 15.0)
         val boundFor: String => Double =
