@@ -479,6 +479,10 @@ object Bench {
           // broadcast-probe pass + per-(query, doc) sum — must stay
           // index-serving-shaped like q165
           "q167_bm25_query_score",
+          // hybrid RRF: the q167 probe + a fixed-panel brute-force
+          // cosine (4 broadcast queries x N candidates, linear) +
+          // tiny-list fusion — linear regime
+          "q170_hybrid_rrf",
           // interval lookback join: 2-bucket equi-join probes per left
           // row — linear in events; superlinear means the binning
           // degenerated into a per-key cross
@@ -584,6 +588,7 @@ object Bench {
           "q168_asof_forward_tolerance" -> 12.0,
           "q165_bm25_topk"            -> 15.0,
           "q167_bm25_query_score"     -> 15.0,
+          "q170_hybrid_rrf"           -> 15.0,
           "q166_lookback_join"        -> 12.0,
           "q122_audio_frames"         -> 15.0)
         val boundFor: String => Double =

@@ -2840,6 +2840,83 @@ object Oracles {
         |      FROM scored)
         |WHERE rnk <= 5""".stripMargin,
 
+    // Hybrid retrieval: BOTH rankers replayed (q167's integer BM25
+    // arithmetic + q24's double-cosine brute force) and the RRF fusion
+    // as exact integer division — D = lcm(61..70) is divisible by
+    // every reachable denominator, so D // (60 + rank) is exact and
+    // the fused BIGINT hash-matches.
+    "q170_hybrid_rrf" -> {
+      val D = (61 to 70).map(BigInt(_))
+        .foldLeft(BigInt(1))((a, b) => a / a.gcd(b) * b)
+      s"""WITH tok AS MATERIALIZED (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws
+        |  FROM documents),
+        |post AS MATERIALIZED (
+        |  SELECT t AS term, doc_id, CAST(len(ws) AS BIGINT) AS dl,
+        |    CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, ws, unnest(ws) AS t FROM tok
+        |        WHERE len(ws) >= 1)
+        |  GROUP BY 1, 2, 3),
+        |stats AS (
+        |  SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n,
+        |    CAST(sum(tf) AS BIGINT) // count(DISTINCT doc_id) AS avgdl
+        |  FROM post),
+        |dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+        |        FROM post GROUP BY 1),
+        |q AS (
+        |  SELECT CAST((rnk - 5) % 4 AS BIGINT) AS query_id, term, df
+        |  FROM (SELECT term, df,
+        |          row_number() OVER (ORDER BY df DESC, term) AS rnk
+        |        FROM dft ORDER BY df DESC, term LIMIT 16)
+        |  WHERE rnk >= 5),
+        |lexs AS (
+        |  SELECT q.query_id, p.doc_id,
+        |    CAST(sum(
+        |      (1000000 * length(bin((n + 1) // (df + 1))))
+        |        * ((22 * tf * avgdl * 1000000)
+        |           // (10 * avgdl * tf + 3 * avgdl + 9 * dl))
+        |        // 1000000) AS BIGINT) AS score
+        |  FROM post p JOIN q USING (term), stats
+        |  GROUP BY 1, 2),
+        |lex AS (
+        |  SELECT query_id, doc_id, rnk AS rank FROM (
+        |    SELECT query_id, doc_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY score DESC, doc_id) AS rnk
+        |    FROM lexs) WHERE rnk <= 10),
+        |qv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v
+        |       FROM embeddings WHERE vec_id < 4),
+        |cv AS (SELECT vec_id AS cand_id, embedding::DOUBLE[] AS v
+        |       FROM embeddings),
+        |sems AS (
+        |  SELECT query_id, cand_id,
+        |    list_dot_product(qv.v, cv.v)
+        |      / (sqrt(list_dot_product(qv.v, qv.v))
+        |         * sqrt(list_dot_product(cv.v, cv.v))) AS cosine
+        |  FROM cv, qv WHERE query_id != cand_id),
+        |sem AS (
+        |  SELECT query_id, cand_id AS doc_id, rnk AS rank FROM (
+        |    SELECT query_id, cand_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY cosine DESC, cand_id) AS rnk
+        |    FROM sems) WHERE rnk <= 10),
+        |u AS (
+        |  SELECT query_id, doc_id, rank, 'lex' AS src FROM lex
+        |  UNION ALL
+        |  SELECT query_id, doc_id, rank, 'sem' FROM sem),
+        |f AS (
+        |  SELECT query_id, doc_id,
+        |    CAST(sum($D // (60 + rank)) AS BIGINT) AS rrf_score,
+        |    CAST(min(CASE WHEN src = 'lex' THEN rank END) AS INT) AS lex_rank,
+        |    CAST(min(CASE WHEN src = 'sem' THEN rank END) AS INT) AS sem_rank
+        |  FROM u GROUP BY 1, 2)
+        |SELECT query_id, CAST(rnk AS INT) AS rank, doc_id, rrf_score,
+        |  lex_rank, sem_rank
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY rrf_score DESC, doc_id) AS rnk FROM f)
+        |WHERE rnk <= 10""".stripMargin
+    },
+
     // FORWARD + tolerance as-of: DuckDB's ASOF is backward-only, so
     // Forward replays through the native ASOF LEFT JOIN on NEGATED
     // epochs (largest -t' <= -t  <=>  smallest t' >= t, both ends

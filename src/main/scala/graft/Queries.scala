@@ -3251,17 +3251,47 @@ object Queries {
     * top-N all hash-mismatch. */
   def q167Bm25QueryScore(s: SparkSession, dir: String): DataFrame = {
     val (post, dfT, stats) = bm25Index(s, dir)
+    graft.ops.Bm25.topKQueries(post, bm25QueryPanel(dfT), k = 5,
+      dfT = Some(dfT), stats = Some(stats))
+  }
+
+  /** The deterministic 4×3-term query panel q167/q170 share: document-
+    * frequency ranks 5–16 of the stored df artifact, rank r assigned to
+    * query (r−5) mod 4 so each query mixes frequency strata. Ranks the
+    * TakeOrdered-limited 16-row frame, never the vocabulary — ranks
+    * 1..16 of the limited set ARE the global ranks 1..16. */
+  private def bm25QueryPanel(dfT: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("df").desc, col("term"))
-    // rank the TakeOrdered-limited 16-row frame, never the vocabulary:
-    // ranks 1..16 of the limited set are the global ranks 1..16
-    val queries = dfT
+    dfT
       .orderBy(col("df").desc, col("term")).limit(16)
       .withColumn("_r", row_number().over(w))
       .filter(col("_r") >= 5)
       .select(((col("_r") - 5) % 4).cast("long").as("query_id"), col("term"))
-    graft.ops.Bm25.topKQueries(post, queries, k = 5,
-      dfT = Some(dfT), stats = Some(stats))
+  }
+
+  /** HYBRID retrieval via Reciprocal-Rank Fusion ([[graft.ops.Fusion
+    * .rrf]]): the q167 lexical ranking (whole-query integer BM25 over
+    * the stored index, top-10) fused with a semantic ranking (exact
+    * cosine top-10 per stored probe vector — query q's embedding is
+    * the embeddings row vec_id = q, the deterministic probe-vector
+    * contract; doc_id and vec_id share one id space in this corpus) by
+    * the exact-integer RRF score Σ D div (60 + rank), D =
+    * lcm(61..70) — the standard two-ranker combination every
+    * decontamination/dedup probe over a modern corpus runs (lexical
+    * misses paraphrases, semantic misses rare exact strings). The
+    * oracle replays BOTH rankers (q167's arithmetic + q24's double
+    * cosine) and the fusion bit-for-bit. */
+  def q170HybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val (post, dfT, stats) = bm25Index(s, dir)
+    val lex = graft.ops.Bm25.topKQueries(post, bm25QueryPanel(dfT),
+        k = 10, dfT = Some(dfT), stats = Some(stats))
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val sem = graft.ops.Similarity.bruteForceTopK(t(s, dir, "embeddings"),
+        "vec_id", "embedding", col("vec_id") < 4, k = 10)
+      .select(col("query_id"), col("cand_id").as("doc_id"), col("rank"))
+    graft.ops.Fusion.rrf(Seq("lex" -> lex, "sem" -> sem),
+      kRrf = 60, maxRank = 10, topN = 10)
   }
 
   /** Sampled merge ranks the q163 oracle re-derives from its replayed

@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+class FusionSpec extends SparkSpec {
+
+  private def ranking(rows: (Long, Long, Int)*) = {
+    val schema = StructType(Seq(
+      StructField("query_id", LongType), StructField("doc_id", LongType),
+      StructField("rank", IntegerType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.map(r => Row(r._1, r._2, r._3)), 2), schema)
+  }
+
+  // D = lcm(61..70) — the exact-integer unit 1/(60+r) is scaled by
+  private val D = (61 to 70).map(BigInt(_))
+    .foldLeft(BigInt(1))((a, b) => a / a.gcd(b) * b).toLong
+  private def u(rank: Int): Long = D / (60 + rank)
+
+  test("rrf sums exact per-rank units and ranks by (score desc, doc_id)") {
+    // query 0: doc 5 is lex#1 only, doc 7 is sem#1 only, doc 9 is
+    // lex#2 AND sem#2 — the double-appearance must outrank both
+    // singles (1/62 + 1/62 > 1/61), the canonical RRF behavior.
+    val lex = ranking((0L, 5L, 1), (0L, 9L, 2))
+    val sem = ranking((0L, 7L, 1), (0L, 9L, 2))
+    val out = Fusion.rrf(Seq("lex" -> lex, "sem" -> sem), kRrf = 60,
+        maxRank = 10, topN = 10)
+      .collect()
+      .map(r => (r.getLong(2), r.getInt(1), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getInt(4)),
+        if (r.isNullAt(5)) None else Some(r.getInt(5))))
+      .sortBy(_._2)
+    out.length shouldBe 3
+    out(0) shouldBe ((9L, 1, u(2) + u(2), Some(2), Some(2)))
+    // doc 5 and doc 7 tie at u(1): doc_id ascending breaks it
+    out(1) shouldBe ((5L, 2, u(1), Some(1), None))
+    out(2) shouldBe ((7L, 3, u(1), None, Some(1)))
+  }
+
+  test("ranks past maxRank are ignored and queries fuse independently") {
+    val lex = ranking((0L, 1L, 1), (0L, 2L, 11), (1L, 3L, 1))
+    val sem = ranking((1L, 3L, 4), (1L, 4L, 1))
+    val out = Fusion.rrf(Seq("lex" -> lex, "sem" -> sem), kRrf = 60,
+        maxRank = 10, topN = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(3)).toMap
+    out.keySet shouldBe Set((0L, 1L), (1L, 3L), (1L, 4L)) // rank 11 dropped
+    out((1L, 3L)) shouldBe u(1) + u(4)
+    out((1L, 4L)) shouldBe u(1)
+  }
+
+  test("overflow and name guards refuse unsound configurations") {
+    val r = ranking((0L, 1L, 1))
+    an[IllegalArgumentException] should be thrownBy
+      Fusion.rrf(Seq("a" -> r, "a" -> r)) // duplicate names
+    an[IllegalArgumentException] should be thrownBy
+      Fusion.rrf(Seq("a" -> r), kRrf = 60, maxRank = 64) // lcm blows BIGINT
+  }
+}
