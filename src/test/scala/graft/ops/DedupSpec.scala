@@ -364,4 +364,59 @@ class DedupSpec extends SparkSpec {
     inc shouldBe fresh
     inc(5L) shouldBe 1L // the new near-dup clustered with its survivor
   }
+
+  test("property: one-task maintained MinHash pairs ≡ the distributed chain on nasty corpora") {
+    // Randomized cross-tier equality on the paths the testdata corpus
+    // never reaches: OVER-CAP buckets (a block of identical docs whose
+    // shared signature floods every band bucket past bucketCap — the
+    // banding must emit NO candidates among them), sub-n-word docs
+    // (absent from the index on both tiers), and an add/remove/change
+    // mix. The distributed side is composed exactly like
+    // Queries.q148MaintainedIndex + minHashPairsFromIndex.
+    val words = Array("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa")
+    val rnd = new scala.util.Random(73)
+    def mkText(n: Int) = (1 to n).map(_ => words(rnd.nextInt(10))).mkString(" ")
+    val base = (1L to 60L).map { i =>
+      if (i <= 12) (i, "flood flood common boiler plate text here now ok yes")
+      else if (i % 11 == 0) (i, mkText(2)) // sub-3-word: never indexed
+      else (i, mkText(8 + rnd.nextInt(6)))
+    }
+    val oldDocs = df("doc_id BIGINT, text STRING",
+      base.filter(_._1 % 17 != 0).map { case (i, t) =>
+        Row(i, if (i % 13 == 0) t + " vOne" else t) })
+    val newDocs = df("doc_id BIGINT, text STRING",
+      base.filter(_._1 % 19 != 0).map { case (i, t) => Row(i, t) })
+    val prevHashes = oldDocs.select(col("doc_id"),
+      TextStats.contentHash(col("text")).as("content_hash"))
+    val prevIndex = Dedup.minHashSignaturesPortable(
+      Dedup.shingleSet(oldDocs, "doc_id", "text", 3), "doc_id", k = 16)
+    val cap = 8 // 12 identical docs > cap: their buckets must be skipped
+    val local = Dedup.maintainedMinHashPairsLocal(prevIndex, prevHashes,
+        newDocs, "doc_id", "text", n = 3, k = 16, rowsPerBand = 2,
+        minJaccard = 0.5, bucketCap = cap)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    // distributed: hash-diff -> reuse ∪ re-sign -> banding/verify
+    val delta = SnapshotDelta.diffHashed(prevHashes,
+      newDocs.select(col("doc_id"),
+        TextStats.contentHash(col("text")).as("content_hash")))
+    val reused = prevIndex.join(
+      delta.filter(col("status") === "unchanged").select("doc_id"),
+      Seq("doc_id"), "leftsemi")
+    val reSigned = Dedup.minHashSignaturesPortable(
+      Dedup.shingleSet(newDocs.join(
+          delta.filter(col("needs_processing")).select("doc_id"),
+          Seq("doc_id"), "leftsemi"),
+        "doc_id", "text", 3), "doc_id", k = 16)
+    val dist = Dedup.minHashPairsFromIndex(reused.unionByName(reSigned),
+        newDocs, "doc_id", "text", n = 3, k = 16, rowsPerBand = 2,
+        minJaccard = 0.5, bucketCap = cap)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    local shouldBe dist
+    // the flood block produced no banding candidates among itself
+    local.count { r =>
+      r.head.asInstanceOf[Long] <= 12 && r(1).asInstanceOf[Long] <= 12
+    } shouldBe 0
+    spark.catalog.clearCache()
+  }
 }
