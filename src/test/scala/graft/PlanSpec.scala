@@ -410,6 +410,22 @@ class PlanSpec extends SparkSpec {
     p.split("\n").count(_.contains("Window [")) shouldBe 3
   }
 
+  test("q170: hybrid RRF fuses tiny top-k lists; heavy work stays in the rankers") {
+    val p = plan(Queries.q170HybridRrf)
+    // lexical side reads the stored index, never the corpus text
+    p should include("bm25_idx_v1")
+    p should not include "documents.parquet"
+    p should not include "CartesianProduct"
+    // exactly: query-panel rank (1) + lex salted top-k (2) + semantic
+    // rank (1) + fusion salted top-k (2) — a 7th window would mean the
+    // fusion grew a data-sized ranking pass
+    p.split("\n").count(_.contains("Window [")) shouldBe 6
+    // the only nested-loop joins are the broadcast SINGLETON/panel
+    // attachments (stats row, 4-query vector panel) — the sanctioned
+    // crossJoin(broadcast(...)) pattern, bounded by construction
+    p.split("\n").count(_.contains("BroadcastNestedLoopJoin")) should be <= 2
+  }
+
   test("no query plan contains a CollectLimit-to-driver loop or cartesian product") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = fn(spark, dir).queryExecution.executedPlan.toString
