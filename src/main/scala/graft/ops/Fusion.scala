@@ -46,8 +46,13 @@ object Fusion {
       "ranking names must be distinct")
     val d = (kRrf + 1 to kRrf + maxRank)
       .map(BigInt(_)).foldLeft(BigInt(1))(lcm)
-    // worst case: every ranker contributes its best rank
-    require(d / (kRrf + 1) * rankings.size <= BigInt(Long.MaxValue) / 4,
+    // Two bounds, both required (ADVICE r15): D itself must fit a Long
+    // (lcm(61..74) ≈ 2.74e19 > Long.MaxValue would silently truncate in
+    // d.toLong below even though the worst-case-sum bound passes), and
+    // the worst case — every ranker contributing its best rank — must
+    // stay far inside BIGINT.
+    require(d <= BigInt(Long.MaxValue) &&
+        d / (kRrf + 1) * rankings.size <= BigInt(Long.MaxValue) / 4,
       s"rrf denominator lcm $d overflows BIGINT score arithmetic — " +
         "lower maxRank or kRrf")
     val D = d.toLong

@@ -124,7 +124,13 @@ class IncrementalIoSpec extends SparkSpec {
     r.shuffleWrite should be > 0L
     assert(m.shuffleWrite.toDouble / r.shuffleWrite < 1.2,
       "manifest maintenance shuffles more than the full rebuild")
-    assert(m.cpuNs.toDouble / r.cpuNs < 1.0,
+    // Bound 1.2 like the shuffle proxy (ADVICE r15): the measured cpu
+    // ratio is ~0.67 at sf0.01 but executor CPU time on the smaller of
+    // two short runs carries load noise on this documented-noisy box —
+    // a hard <1.0 had only ~1.5x headroom and could flake under load.
+    // The sharp value stays visible in the info() line, and the scaling
+    // claim (0.34 at sf0.1) is published by Bench's io block per round.
+    assert(m.cpuNs.toDouble / r.cpuNs < 1.2,
       "manifest maintenance burns more CPU than the full rebuild — " +
         "the delta-only stage-3/4 recompute is processing the majority")
   }

@@ -299,6 +299,48 @@ class DedupSpec extends SparkSpec {
     out(1L) shouldBe 1L; out(2L) shouldBe 1L; out(3L) shouldBe 1L // recomputed
   }
 
+  test("incrementalClusters one-task tier ≡ forced-distributed chain, plans diverge") {
+    // The r15 split/merge/add/remove scenario run through BOTH tiers:
+    // the default call's size-stats guard admits these kilobyte local
+    // relations (one-task tier), maxLocalBytes = 0 forces the
+    // distributed chain. Equal results, PROVABLY different plans — the
+    // plan assertion keeps this test from going vacuous if the guard
+    // ever stops engaging (the q148/q164 tier-test discipline).
+    // LOCAL-relation inputs, not the suite's RDD-backed helper (the
+    // AsofJoinSpec tier lesson): an RDD-backed plan has no size stats
+    // (defaults to Long.Max) and always fails closed to the distributed
+    // path, so the tier would never actually run here. The manifest is
+    // materialized to a local relation for the same reason.
+    import spark.implicits._
+    val oldPairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (60L, 61L))
+    val oldIds = Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L, 30L, 40L, 60L, 61L)
+    val newPairs = Seq((10L, 11L), (20L, 21L), (11L, 20L), (3L, 50L), (60L, 61L))
+    val newIds = Seq(1L, 3L, 10L, 11L, 20L, 21L, 30L, 50L, 51L, 60L, 61L)
+    val man = manifest(oldPairs, oldIds)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      .toDF("id", "cluster_id")
+    def run(maxLocalBytes: Long) = Dedup.incrementalClusters(
+      oldPairs.toDF("doc_a", "doc_b"),
+      newPairs.toDF("doc_a", "doc_b"),
+      man,
+      newIds.toDF("id"), "id",
+      maxLocalBytes = maxLocalBytes)
+    val local = run(64L << 20)
+    val dist = run(0L)
+    // tier divergence: the one-task tier is a tagged union into ONE
+    // mapPartitions — no join anywhere; the distributed chain carries
+    // the delta/closure/reuse joins in its plan
+    val localPlan = local.queryExecution.executedPlan.toString
+    val distPlan = dist.queryExecution.executedPlan.toString
+    assert(!localPlan.toLowerCase.contains("join"),
+      s"one-task tier plan unexpectedly contains a join:\n$localPlan")
+    assert(distPlan.toLowerCase.contains("join"),
+      "forced-distributed plan lost its delta/closure joins — the " +
+        "maxLocalBytes=0 force stopped working and this test is vacuous")
+    local.collect().map(r => (r.getLong(0), r.getLong(1))).sorted shouldBe
+      dist.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+  }
+
   test("property: incrementalClusters equals a fresh recompute on random graph deltas") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     // Random old/new pair sets over a small id space + random membership
@@ -322,13 +364,27 @@ class DedupSpec extends SparkSpec {
       val newP = newP0.filter(p => !removed(p._1) && !removed(p._2))
       val pdf = (p: Seq[(Long, Long)]) =>
         df("doc_a BIGINT, doc_b BIGINT", p.map(x => Row(x._1, x._2)))
-      val inc = Dedup.incrementalClusters(pdf(oldP), pdf(newP),
+      // BOTH tiers against the fresh recompute: local-relation inputs
+      // (toDF + materialized manifest) so the default call's stats
+      // guard admits the one-task tier — the RDD-backed pdf frames
+      // have Long.Max stats and always fail closed; maxLocalBytes = 0
+      // keeps the distributed delta/closure chain covered on the SAME
+      // random scenario.
+      import spark.implicits._
+      val manLocal = manifest(oldP, oldIds)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        .toDF("id", "cluster_id")
+      val inc = Dedup.incrementalClusters(
+          oldP.toDF("doc_a", "doc_b"), newP.toDF("doc_a", "doc_b"),
+          manLocal, newIds.toDF("id"), "id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val incDist = Dedup.incrementalClusters(pdf(oldP), pdf(newP),
           manifest(oldP, oldIds),
-          df("id BIGINT", newIds.map(Row(_))), "id")
+          df("id BIGINT", newIds.map(Row(_))), "id", maxLocalBytes = 0L)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       val fresh = manifest(newP, newIds)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      inc == fresh
+      inc == fresh && incDist == fresh
     }
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(5), prop)
     assert(res.passed, res.status.toString)
