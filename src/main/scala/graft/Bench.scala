@@ -34,6 +34,44 @@ import org.apache.spark.sql.SparkSession
   * The JSON carries `canary` stats and the `stalled` list so a reader can
   * tell measurement artifacts from real regressions without re-running.
   */
+/** The weak-cell decision rules, extracted so the q153-profile drill is a
+  * deterministic unit test (BenchWeakSpec) instead of an unmanufacturable
+  * integration run: the straddle signal fires only on genuine
+  * bimodality (published best sample under 1 s, reproducible floor over
+  * it), which a live drill cannot plant on demand — but the rule can be
+  * fed the exact r15 q153 numbers and must flag them. */
+private[graft] object WeakRule {
+  /** The straddle band (VERDICT r15 ask #4): a baseline cell whose
+    * published best sample lands here gets a FRESH min-of-3 confirm
+    * under the main config no matter which side of 1 s it landed on. */
+  val StraddleLo = 0.8
+  val StraddleHi = 1.2
+
+  /** The publication rule all three signals share: reproducibly past
+    * BOTH thresholds (>1 s absolute, >2x the DuckDB baseline cell) on a
+    * clean (unstalled, unerrored) measurement. */
+  def isWeak(sec: Double, stallFlag: Boolean, err: Boolean,
+             baseline: Double): Boolean =
+    !stallFlag && !err && baseline > 0 && sec > 1.0 && sec / baseline > 2.0
+
+  /** Straddle candidacy: the published best sample sits in the band and
+    * the cell has a baseline to compare against. */
+  def straddleCandidate(bestSec: Double, baseline: Double,
+                        lo: Double = StraddleLo,
+                        hi: Double = StraddleHi): Boolean =
+    baseline > 0 && bestSec >= lo && bestSec <= hi
+
+  /** Gate-base candidacy (the r14 second signal): the sf1 block's
+    * min-of-3 sf0.1 base — measured under the SCALE config — is past
+    * both thresholds even though the main pass's best sample may not
+    * be. Candidates are confirmed under the main config before
+    * publishing. */
+  def gateCandidate(baseSec: Double, stallFlag: Boolean, err: Boolean,
+                    baseline: Double): Boolean =
+    !stallFlag && !err && baseline > 0 && baseSec > 1.0 &&
+      baseSec / baseline > 2.0
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -764,8 +802,7 @@ object Bench {
     // errored gate bases never flag.
     val gateCandidates = gateBases.toSeq
       .filter { case (n, (b, bf, err)) =>
-        !bf && !err && b > 1.0 &&
-          baselines.get(n).exists(bl => bl > 0 && b / bl > 2.0) &&
+        WeakRule.gateCandidate(b, bf, err, baselines.getOrElse(n, 0.0)) &&
           !weak.exists(_._1 == n)
       }
       .sortBy(_._1)
@@ -779,8 +816,47 @@ object Bench {
           "confirming (min of 3) under the main config")
       val (c, cFlag, cErr) =
         mergeSamples((1 to 3).map(_ => measure(n, SparkEntry.queries(n))))
-      if (!cFlag && !cErr && c > 1.0 && c / baselines(n) > 2.0)
+      if (WeakRule.isWeak(c, cFlag, cErr, baselines(n)))
         Some(s"""{"q":"$n","sec":$c,"ratio":${r3(c / baselines(n))},"src":"gate_base"}""")
+      else None
+    }
+    // STRADDLE-BAND CONFIRM — the THIRD weak signal (VERDICT r15 ask #4,
+    // the q153-profile hole): the main signal publishes the best of up
+    // to 5 samples, and the gate-base signal measures under the SCALE
+    // config only — so a cell whose sf1-config base dips under 1 s but
+    // whose MAIN-config floor sits above it clears both (r15's q153:
+    // judge min-of-3 >=1.0 s in two sessions while both signals read
+    // clean). Any baseline cell whose published best sample lands in
+    // the straddle band [0.8 s, 1.2 s] is re-measured FRESH min-of-3
+    // under the main config regardless of which side it landed on, and
+    // the weak rule is applied to the fresh floor — the historical best
+    // sample does NOT vote (it is exactly the lucky dip under test).
+    // Band override for drills: SPARK_GRAFT_STRADDLE="lo,hi" (e.g.
+    // "0,99" widens it so a planted-baseline drill can prove the flag
+    // fires on any cell — tools/runbench.sh notes the recipe).
+    val (straddleLo, straddleHi) =
+      sys.env.get("SPARK_GRAFT_STRADDLE").map(_.split(',')) match {
+        case Some(Array(lo, hi)) => (lo.trim.toDouble, hi.trim.toDouble)
+        case _ => (WeakRule.StraddleLo, WeakRule.StraddleHi)
+      }
+    val straddleCandidates = names.filter { n =>
+      WeakRule.straddleCandidate(results(n)._1, baselines.getOrElse(n, 0.0),
+        straddleLo, straddleHi) &&
+        !weak.exists(_._1 == n) &&
+        !gateWeak.exists(_.contains("\"" + n + "\""))
+    }
+    if (straddleCandidates.nonEmpty && gateCandidates.isEmpty) {
+      spark.conf.set("spark.sql.shuffle.partitions", mainShufflePartitions)
+      spark.conf.set("spark.sql.adaptive.enabled", mainAqe)
+    }
+    val straddleWeak = straddleCandidates.flatMap { n =>
+      System.err.println(
+        s"[bench] straddle-band cell $n (best sample ${results(n)._1} s) — " +
+          "confirming floor (fresh min of 3) under the main config")
+      val (c, cFlag, cErr) =
+        mergeSamples((1 to 3).map(_ => measure(n, SparkEntry.queries(n))))
+      if (WeakRule.isWeak(c, cFlag, cErr, baselines(n)))
+        Some(s"""{"q":"$n","sec":$c,"ratio":${r3(c / baselines(n))},"src":"straddle"}""")
       else None
     }
     // null (not []) only when NEITHER signal had baseline cells to
@@ -788,10 +864,10 @@ object Bench {
     // clean pass, but a gate-base finding must never be discarded just
     // because the main sweep's cells lacked baselines.
     val weakAllJson =
-      if (ratios.isEmpty && gateWeak.isEmpty) "null"
+      if (ratios.isEmpty && gateWeak.isEmpty && straddleWeak.isEmpty) "null"
       else (weak.map { case (n, r) =>
         s"""{"q":"$n","sec":${results(n)._1},"ratio":${r3(r)},"src":"main"}"""
-      } ++ gateWeak).mkString("[", ",", "]")
+      } ++ gateWeak ++ straddleWeak).mkString("[", ",", "]")
     println(s"""{"total_sec":$total,"n":${names.size},"stalled":$stalled,"errors":$erroredJson,"canary":$canaryJson,"baseline_cells":${ratios.size},"weak":$weakAllJson}""")
     spark.stop()
     if (growthViolations.nonEmpty) {
