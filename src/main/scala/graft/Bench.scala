@@ -517,9 +517,10 @@ object Bench {
           // broadcast-probe pass + per-(query, doc) sum — must stay
           // index-serving-shaped like q165
           "q167_bm25_query_score",
-          // hybrid RRF: the q167 probe + a fixed-panel brute-force
-          // cosine (4 broadcast queries x N candidates, linear) +
-          // tiny-list fusion — linear regime
+          // hybrid RRF: the q167 probe + the IVF-served semantic leg
+          // (4 probes vs broadcast centroids + stored-list candidate
+          // join, list-occupancy-bounded) + tiny-list fusion — linear
+          // regime (candidates/query ∝ N under the frozen quantizer)
           "q170_hybrid_rrf",
           // interval lookback join: 2-bucket equi-join probes per left
           // row — linear in events; superlinear means the binning

@@ -12,6 +12,117 @@ package graft
   */
 object Oracles {
 
+  /** Shared CTE block (no leading WITH) replaying q167's whole-query
+    * integer-BM25 lexical ranking, ending in CTE `lex`: (query_id,
+    * doc_id, rank 1..10). Used by the q170/q172 hybrid oracles — the
+    * q167 oracle keeps its inline copy because its final SELECT also
+    * reads score/n_terms. */
+  private val Bm25LexCtes: String =
+    """tok AS MATERIALIZED (
+      |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+      |  FROM documents),
+      |post AS MATERIALIZED (
+      |  SELECT t AS term, doc_id, CAST(len(ws) AS BIGINT) AS dl,
+      |    CAST(count(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, ws, unnest(ws) AS t FROM tok
+      |        WHERE len(ws) >= 1)
+      |  GROUP BY 1, 2, 3),
+      |stats AS (
+      |  SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n,
+      |    CAST(sum(tf) AS BIGINT) // count(DISTINCT doc_id) AS avgdl
+      |  FROM post),
+      |dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+      |        FROM post GROUP BY 1),
+      |q AS (
+      |  SELECT CAST((rnk - 5) % 4 AS BIGINT) AS query_id, term, df
+      |  FROM (SELECT term, df,
+      |          row_number() OVER (ORDER BY df DESC, term) AS rnk
+      |        FROM dft ORDER BY df DESC, term LIMIT 16)
+      |  WHERE rnk >= 5),
+      |lexs AS (
+      |  SELECT q.query_id, p.doc_id,
+      |    CAST(sum(
+      |      (1000000 * length(bin((n + 1) // (df + 1))))
+      |        * ((22 * tf * avgdl * 1000000)
+      |           // (10 * avgdl * tf + 3 * avgdl + 9 * dl))
+      |        // 1000000) AS BIGINT) AS score
+      |  FROM post p JOIN q USING (term), stats
+      |  GROUP BY 1, 2),
+      |lex AS (
+      |  SELECT query_id, doc_id, rnk AS rank FROM (
+      |    SELECT query_id, doc_id,
+      |      row_number() OVER (PARTITION BY query_id
+      |        ORDER BY score DESC, doc_id) AS rnk
+      |    FROM lexs) WHERE rnk <= 10)""".stripMargin
+
+  /** Shared CTE block (no leading WITH) replaying the IVF-SERVED
+    * semantic leg from scratch — the q159 CTEs over the UNFILTERED
+    * corpus: fixed-point quantization, the 8-seed 2-Lloyd-iteration
+    * trained quantizer, nearest-list assignment of every vector (the
+    * stored-list table's recompute), nProbe=2 probe ranking for the
+    * vec_id < 4 standing panel, exact quantized-L2 candidate ranking.
+    * Ends in CTE `sem`: (query_id, doc_id, rank 1..10). */
+  private val IvfSemCtes: String =
+    """pts_full AS MATERIALIZED (
+      |  SELECT vec_id AS id,
+      |    list_transform(embedding,
+      |      x -> CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |c0 AS (SELECT id AS cluster_id, qv AS cv FROM pts_full ORDER BY id LIMIT 8),
+      |a1 AS (
+      |  SELECT id, qv, cluster_id FROM (
+      |    SELECT p.id, p.qv, c.cluster_id,
+      |      row_number() OVER (PARTITION BY p.id ORDER BY
+      |        list_sum(list_transform(list_zip(p.qv, c.cv),
+      |          z -> (z[1]-z[2])*(z[1]-z[2]))), c.cluster_id) AS rn
+      |    FROM pts_full p CROSS JOIN c0 c)
+      |  WHERE rn = 1),
+      |u1 AS (
+      |  SELECT cluster_id, pos,
+      |    CAST(floor(CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS cv1
+      |  FROM (SELECT cluster_id, generate_subscripts(qv, 1) AS pos, unnest(qv) AS v FROM a1)
+      |  GROUP BY cluster_id, pos),
+      |c1 AS (SELECT cluster_id, list(cv1 ORDER BY pos) AS cv FROM u1 GROUP BY cluster_id),
+      |a2 AS (
+      |  SELECT id, qv, cluster_id FROM (
+      |    SELECT p.id, p.qv, c.cluster_id,
+      |      row_number() OVER (PARTITION BY p.id ORDER BY
+      |        list_sum(list_transform(list_zip(p.qv, c.cv),
+      |          z -> (z[1]-z[2])*(z[1]-z[2]))), c.cluster_id) AS rn
+      |    FROM pts_full p CROSS JOIN c1 c)
+      |  WHERE rn = 1),
+      |u2 AS (
+      |  SELECT cluster_id, pos,
+      |    CAST(floor(CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS cv1
+      |  FROM (SELECT cluster_id, generate_subscripts(qv, 1) AS pos, unnest(qv) AS v FROM a2)
+      |  GROUP BY cluster_id, pos),
+      |c2 AS (SELECT cluster_id, list(cv1 ORDER BY pos) AS cv FROM u2 GROUP BY cluster_id),
+      |ranked AS (
+      |  SELECT p.id, c.cluster_id,
+      |    row_number() OVER (PARTITION BY p.id ORDER BY
+      |      list_sum(list_transform(list_zip(p.qv, c.cv),
+      |        z -> (z[1]-z[2])*(z[1]-z[2]))), c.cluster_id) AS rn
+      |  FROM pts_full p CROSS JOIN c2 c),
+      |ivlists AS (SELECT id AS cand_id, cluster_id FROM ranked WHERE rn = 1),
+      |probes AS (
+      |  SELECT id AS query_id, cluster_id FROM ranked
+      |  WHERE rn <= 2 AND id < 4),
+      |semsc AS (
+      |  SELECT query_id, cand_id,
+      |    list_sum(list_transform(list_zip(a.qv, b.qv),
+      |      z -> (z[1]-z[2])*(z[1]-z[2]))) AS dist
+      |  FROM (SELECT query_id, cand_id
+      |        FROM probes JOIN ivlists USING (cluster_id)
+      |        WHERE query_id != cand_id)
+      |  JOIN pts_full a ON query_id = a.id
+      |  JOIN pts_full b ON cand_id = b.id),
+      |sem AS (
+      |  SELECT query_id, cand_id AS doc_id, rnk AS rank FROM (
+      |    SELECT query_id, cand_id,
+      |      row_number() OVER (PARTITION BY query_id
+      |        ORDER BY dist, cand_id) AS rnk
+      |    FROM semsc) WHERE rnk <= 10)""".stripMargin
+
   /** Shared CTE chain replaying 3-round BPE training + corpus encode
     * (ends with CTE `enc`: doc_id, n_words, n_bpe_tokens, encoded) —
     * the q133 and q136 oracles append their own final SELECTs.
@@ -2840,66 +2951,19 @@ object Oracles {
         |      FROM scored)
         |WHERE rnk <= 5""".stripMargin,
 
-    // Hybrid retrieval: BOTH rankers replayed (q167's integer BM25
-    // arithmetic + q24's double-cosine brute force) and the RRF fusion
-    // as exact integer division — D = lcm(61..70) is divisible by
-    // every reachable denominator, so D // (60 + rank) is exact and
-    // the fused BIGINT hash-matches.
+    // Hybrid retrieval: BOTH rankers replayed — q167's integer BM25
+    // arithmetic AND the full IVF recompute (the q159 training/assign/
+    // probe CTEs over the UNFILTERED corpus: Spark serves the stored
+    // full-corpus lists, the oracle re-derives them from scratch, so a
+    // hash match is the serve≡recompute theorem for the semantic leg
+    // too) — and the RRF fusion as exact integer division: D =
+    // lcm(61..70) is divisible by every reachable denominator, so
+    // D // (60 + rank) is exact and the fused BIGINT hash-matches.
     "q170_hybrid_rrf" -> {
       val D = (61 to 70).map(BigInt(_))
         .foldLeft(BigInt(1))((a, b) => a / a.gcd(b) * b)
-      s"""WITH tok AS MATERIALIZED (
-        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws
-        |  FROM documents),
-        |post AS MATERIALIZED (
-        |  SELECT t AS term, doc_id, CAST(len(ws) AS BIGINT) AS dl,
-        |    CAST(count(*) AS BIGINT) AS tf
-        |  FROM (SELECT doc_id, ws, unnest(ws) AS t FROM tok
-        |        WHERE len(ws) >= 1)
-        |  GROUP BY 1, 2, 3),
-        |stats AS (
-        |  SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n,
-        |    CAST(sum(tf) AS BIGINT) // count(DISTINCT doc_id) AS avgdl
-        |  FROM post),
-        |dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df
-        |        FROM post GROUP BY 1),
-        |q AS (
-        |  SELECT CAST((rnk - 5) % 4 AS BIGINT) AS query_id, term, df
-        |  FROM (SELECT term, df,
-        |          row_number() OVER (ORDER BY df DESC, term) AS rnk
-        |        FROM dft ORDER BY df DESC, term LIMIT 16)
-        |  WHERE rnk >= 5),
-        |lexs AS (
-        |  SELECT q.query_id, p.doc_id,
-        |    CAST(sum(
-        |      (1000000 * length(bin((n + 1) // (df + 1))))
-        |        * ((22 * tf * avgdl * 1000000)
-        |           // (10 * avgdl * tf + 3 * avgdl + 9 * dl))
-        |        // 1000000) AS BIGINT) AS score
-        |  FROM post p JOIN q USING (term), stats
-        |  GROUP BY 1, 2),
-        |lex AS (
-        |  SELECT query_id, doc_id, rnk AS rank FROM (
-        |    SELECT query_id, doc_id,
-        |      row_number() OVER (PARTITION BY query_id
-        |        ORDER BY score DESC, doc_id) AS rnk
-        |    FROM lexs) WHERE rnk <= 10),
-        |qv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v
-        |       FROM embeddings WHERE vec_id < 4),
-        |cv AS (SELECT vec_id AS cand_id, embedding::DOUBLE[] AS v
-        |       FROM embeddings),
-        |sems AS (
-        |  SELECT query_id, cand_id,
-        |    list_dot_product(qv.v, cv.v)
-        |      / (sqrt(list_dot_product(qv.v, qv.v))
-        |         * sqrt(list_dot_product(cv.v, cv.v))) AS cosine
-        |  FROM cv, qv WHERE query_id != cand_id),
-        |sem AS (
-        |  SELECT query_id, cand_id AS doc_id, rnk AS rank FROM (
-        |    SELECT query_id, cand_id,
-        |      row_number() OVER (PARTITION BY query_id
-        |        ORDER BY cosine DESC, cand_id) AS rnk
-        |    FROM sems) WHERE rnk <= 10),
+      s"""WITH $Bm25LexCtes,
+        |$IvfSemCtes,
         |u AS (
         |  SELECT query_id, doc_id, rank, 'lex' AS src FROM lex
         |  UNION ALL
@@ -2915,6 +2979,62 @@ object Oracles {
         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
         |        ORDER BY rrf_score DESC, doc_id) AS rnk FROM f)
         |WHERE rnk <= 10""".stripMargin
+    },
+
+    // Fused-recall gate: the ENTIRE q170 replay (lex + IVF sem +
+    // fusion) plus the exact brute-force-cosine composition it gates
+    // against (r15 q170's own replay shape) plus the overlap count —
+    // every number deterministic, so `ok` is pinned by hash, not
+    // merely asserted: a recall collapse mismatches.
+    "q172_hybrid_recall" -> {
+      val D = (61 to 70).map(BigInt(_))
+        .foldLeft(BigInt(1))((a, b) => a / a.gcd(b) * b)
+      s"""WITH $Bm25LexCtes,
+        |$IvfSemCtes,
+        |fi AS (
+        |  SELECT query_id, doc_id, 1 AS found FROM (
+        |    SELECT query_id, doc_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY rrf_score DESC, doc_id) AS rnk
+        |    FROM (SELECT query_id, doc_id,
+        |            CAST(sum($D // (60 + rank)) AS BIGINT) AS rrf_score
+        |          FROM (SELECT query_id, doc_id, rank FROM lex
+        |                UNION ALL SELECT query_id, doc_id, rank FROM sem)
+        |          GROUP BY 1, 2))
+        |  WHERE rnk <= 10),
+        |bqv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v
+        |        FROM embeddings WHERE vec_id < 4),
+        |bcv AS (SELECT vec_id AS cand_id, embedding::DOUBLE[] AS v
+        |        FROM embeddings),
+        |bsems AS (
+        |  SELECT query_id, cand_id,
+        |    list_dot_product(bqv.v, bcv.v)
+        |      / (sqrt(list_dot_product(bqv.v, bqv.v))
+        |         * sqrt(list_dot_product(bcv.v, bcv.v))) AS cosine
+        |  FROM bcv, bqv WHERE query_id != cand_id),
+        |bsem AS (
+        |  SELECT query_id, cand_id AS doc_id, rnk AS rank FROM (
+        |    SELECT query_id, cand_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY cosine DESC, cand_id) AS rnk
+        |    FROM bsems) WHERE rnk <= 10),
+        |fb AS (
+        |  SELECT query_id, doc_id FROM (
+        |    SELECT query_id, doc_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY rrf_score DESC, doc_id) AS rnk
+        |    FROM (SELECT query_id, doc_id,
+        |            CAST(sum($D // (60 + rank)) AS BIGINT) AS rrf_score
+        |          FROM (SELECT query_id, doc_id, rank FROM lex
+        |                UNION ALL SELECT query_id, doc_id, rank FROM bsem)
+        |          GROUP BY 1, 2))
+        |  WHERE rnk <= 10)
+        |SELECT 'hybrid_ivf' AS method,
+        |  CAST(count(*) AS BIGINT) AS n_reference,
+        |  CAST(COALESCE(sum(found), 0) AS BIGINT) AS n_found,
+        |  (count(*) = 0 OR
+        |   CAST(COALESCE(sum(found), 0) AS DOUBLE) / count(*) >= 0.3) AS ok
+        |FROM fb LEFT JOIN fi USING (query_id, doc_id)""".stripMargin
     },
 
     // FORWARD + tolerance as-of: DuckDB's ASOF is backward-only, so

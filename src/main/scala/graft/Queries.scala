@@ -3251,15 +3251,16 @@ object Queries {
     * top-N all hash-mismatch. */
   def q167Bm25QueryScore(s: SparkSession, dir: String): DataFrame = {
     val (post, dfT, stats) = bm25Index(s, dir)
-    graft.ops.Bm25.topKQueries(post, bm25QueryPanel(dfT), k = 5,
+    graft.ops.Bm25.topKQueries(post, bm25Panel(s, dir, dfT), k = 5,
       dfT = Some(dfT), stats = Some(stats))
   }
 
-  /** The deterministic 4×3-term query panel q167/q170 share: document-
-    * frequency ranks 5–16 of the stored df artifact, rank r assigned to
-    * query (r−5) mod 4 so each query mixes frequency strata. Ranks the
-    * TakeOrdered-limited 16-row frame, never the vocabulary — ranks
-    * 1..16 of the limited set ARE the global ranks 1..16. */
+  /** The deterministic 4×3-term query panel q167/q170/q172 share:
+    * document-frequency ranks 5–16 of the stored df artifact, rank r
+    * assigned to query (r−5) mod 4 so each query mixes frequency
+    * strata. Ranks the TakeOrdered-limited 16-row frame, never the
+    * vocabulary — ranks 1..16 of the limited set ARE the global ranks
+    * 1..16. */
   private def bm25QueryPanel(dfT: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("df").desc, col("term"))
@@ -3270,29 +3271,135 @@ object Queries {
       .select(((col("_r") - 5) % 4).cast("long").as("query_id"), col("term"))
   }
 
+  /** The panel as a STORED artifact beside the index (r16 floor trim):
+    * a standing query set is a release constant exactly like the eval
+    * window keys ([[evalWindowKeys]]) — derived once per index build,
+    * served by every retrieval call, so the per-call TakeOrdered job +
+    * rank window the live derivation cost is paid once. The oracle
+    * keeps recomputing the panel from the same df table, so a drifted
+    * artifact hash-mismatches. */
+  private def bm25Panel(s: SparkSession, dir: String,
+                        dfT: DataFrame): DataFrame = {
+    val sfTag = Tables.corpusTag(s, dir, "documents")
+    val path = s"${Tables.scratchDir(s)}/bm25_idx_v1/$sfTag/panel"
+    Tables.servedArtifact(s, path) {
+      bm25QueryPanel(dfT).write.mode("overwrite").parquet(path)
+    }
+  }
+
   /** HYBRID retrieval via Reciprocal-Rank Fusion ([[graft.ops.Fusion
     * .rrf]]): the q167 lexical ranking (whole-query integer BM25 over
-    * the stored index, top-10) fused with a semantic ranking (exact
-    * cosine top-10 per stored probe vector — query q's embedding is
-    * the embeddings row vec_id = q, the deterministic probe-vector
-    * contract; doc_id and vec_id share one id space in this corpus) by
-    * the exact-integer RRF score Σ D div (60 + rank), D =
-    * lcm(61..70) — the standard two-ranker combination every
-    * decontamination/dedup probe over a modern corpus runs (lexical
-    * misses paraphrases, semantic misses rare exact strings). The
-    * oracle replays BOTH rankers (q167's arithmetic + q24's double
-    * cosine) and the fusion bit-for-bit. */
+    * the stored index, top-10) fused with a semantic ranking by the
+    * exact-integer RRF score Σ D div (60 + rank), D = lcm(61..70) —
+    * the standard two-ranker combination every decontamination/dedup
+    * probe over a modern corpus runs (lexical misses paraphrases,
+    * semantic misses rare exact strings). Query q's probe vector is
+    * the embeddings row vec_id = q (deterministic probe contract;
+    * doc_id and vec_id share one id space in this corpus).
+    *
+    * The semantic leg is SERVED FROM THE STORED IVF INDEX (VERDICT r15
+    * ask #3 — the composition a deployment actually runs): only the 4
+    * probe vectors rank against the broadcast frozen quantizer
+    * ([[trainedCentroids]]); candidates come from the stored full-
+    * corpus list table ([[fullIvfLists]]), ranked by exact quantized
+    * L2 ([[graft.ops.Cluster.ivfSearchStoredLists]] — bit-equal to the
+    * live nearest-list pass, ClusterSpec). The exact brute-force
+    * composition stays registered as the recall reference
+    * ([[q172HybridRecall]] gates fused-output recall every round). The
+    * oracle replays BOTH rankers — q167's integer BM25 arithmetic AND
+    * the full IVF recompute (train + assign + probe + quantized
+    * distances, the q159 CTEs over the unfiltered corpus) — and the
+    * fusion bit-for-bit. */
   def q170HybridRrf(s: SparkSession, dir: String): DataFrame = {
     val (post, dfT, stats) = bm25Index(s, dir)
-    val lex = graft.ops.Bm25.topKQueries(post, bm25QueryPanel(dfT),
+    val lex = graft.ops.Bm25.topKQueries(post, bm25Panel(s, dir, dfT),
         k = 10, dfT = Some(dfT), stats = Some(stats))
       .select(col("query_id"), col("doc_id"), col("rank"))
-    val sem = graft.ops.Similarity.bruteForceTopK(t(s, dir, "embeddings"),
-        "vec_id", "embedding", col("vec_id") < 4, k = 10)
-      .select(col("query_id"), col("cand_id").as("doc_id"), col("rank"))
-    graft.ops.Fusion.rrf(Seq("lex" -> lex, "sem" -> sem),
+    graft.ops.Fusion.rrf(Seq("lex" -> lex, "sem" -> semLegIvf(s, dir)),
       kRrf = 60, maxRank = 10, topN = 10)
   }
+
+  /** q170's semantic leg, served from the stored artifacts: quantized
+    * points + frozen trained quantizer + full-corpus inverted lists.
+    * (query_id, doc_id, rank) with rank by exact quantized L2 asc. */
+  private def semLegIvf(s: SparkSession, dir: String): DataFrame = {
+    val pts = quantizedPoints(s, dir)
+    Cluster.ivfSearchStoredLists(pts, trainedCentroids(s, dir),
+        fullIvfLists(s, dir),
+        pts.filter(col("id") < 4).select(col("id")), topK = 10, nProbe = 2)
+      .select(col("query_id"), col("cand_id").as("doc_id"), col("rank"))
+  }
+
+  /** The FULL corpus's IVF list assignment (id → cluster_id) under the
+    * frozen trained quantizer — the stored serving index the hybrid
+    * cell's semantic leg probes (q159's [[prevIvfLists]] without the
+    * snapshot filter: that artifact exists to exercise MAINTENANCE;
+    * this one is the serve-everything index a retrieval stack ships). */
+  private def fullIvfLists(s: SparkSession, dir: String): DataFrame = {
+    val sfTag = Tables.corpusTag(s, dir, "embeddings")
+    val path = s"${Tables.scratchDir(s)}/ivf_lists_full_v1/$sfTag"
+    Tables.servedArtifact(s, path) {
+      Cluster.assignQ(quantizedPoints(s, dir), trainedCentroids(s, dir))
+        .select(col("id"), col("cluster_id"))
+        .write.mode("overwrite").parquet(path)
+    }
+  }
+
+  /** Fused-output RECALL GATE (the q83d/q83e stance lifted to the
+    * hybrid COMPOSITION): q170's served ranking (IVF-probed semantic
+    * leg) must recover at least `HybridRecallFloor` of the fused
+    * top-10 the exact brute-force-cosine composition produces — the
+    * two fusions share the lexical leg, so the gate isolates exactly
+    * what serving from the approximate index trades away. Both sides
+    * are deterministic, so the oracle replays BOTH fused rankings and
+    * the overlap bit-for-bit and pins `ok` — a recall collapse
+    * hash-mismatches rather than being followed. */
+  def q172HybridRecall(s: SparkSession, dir: String): DataFrame = {
+    // Both sides SERVED from snapshot artifacts — the q83c/q83d gate
+    // contract (the LIVE timing cell for the served composition is
+    // q170; this cell audits what it returns): the fused rankings are
+    // computed once per corpus and the gate is two artifact scans + a
+    // join. The oracle recomputes BOTH compositions from scratch, so a
+    // stale or drifted artifact hash-mismatches.
+    val tag = s"${Tables.corpusTag(s, dir, "documents")}__" +
+      Tables.corpusTag(s, dir, "embeddings")
+    val servedPath = s"${Tables.scratchDir(s)}/hybrid_rrf_ivf_q4_v1/$tag"
+    val served = Tables.servedArtifact(s, servedPath) {
+      q170HybridRrf(s, dir).select(col("query_id"), col("doc_id"))
+        .write.mode("overwrite").parquet(servedPath)
+    }.withColumn("_f", lit(1L))
+    val refPath = s"${Tables.scratchDir(s)}/hybrid_rrf_brute_q4_v1/$tag"
+    val reference = Tables.servedArtifact(s, refPath) {
+      val (post, dfT, stats) = bm25Index(s, dir)
+      val lex = graft.ops.Bm25.topKQueries(post, bm25Panel(s, dir, dfT),
+          k = 10, dfT = Some(dfT), stats = Some(stats))
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val bruteSem = graft.ops.Similarity.bruteForceTopK(
+          t(s, dir, "embeddings"), "vec_id", "embedding",
+          col("vec_id") < 4, k = 10)
+        .select(col("query_id"), col("cand_id").as("doc_id"), col("rank"))
+      graft.ops.Fusion.rrf(
+          Seq("lex" -> lex, "sem" -> bruteSem), kRrf = 60, maxRank = 10,
+          topN = 10)
+        .select(col("query_id"), col("doc_id"))
+        .write.mode("overwrite").parquet(refPath)
+    }
+    reference.join(served, Seq("query_id", "doc_id"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        coalesce(sum(col("_f")), lit(0L)).as("n_found"))
+      .select(lit("hybrid_ivf").as("method"), col("n_exact").as("n_reference"),
+        col("n_found"),
+        (col("n_exact") === 0L ||
+          col("n_found").cast("double") / col("n_exact") >=
+            HybridRecallFloor).as("ok"))
+  }
+
+  /** Fused-recall floor for [[q172HybridRecall]] — the q83d stance (no
+    * closed form; depends on centroid geometry). Measured 0.95 at
+    * sf0.01 and 1.0 at sf0.1; the lex leg is shared between the two
+    * fusions, so the fused recall is bounded well above the raw IVF
+    * leg's — 0.3 is the family's conservative floor. */
+  private[graft] val HybridRecallFloor = 0.3
 
   /** Sampled merge ranks the q163 oracle re-derives from its replayed
     * vocabulary state (argmax check at depth): Spark re-emits the

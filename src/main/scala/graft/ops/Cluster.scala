@@ -241,17 +241,30 @@ object Cluster {
                            topK: Int, nProbe: Int): DataFrame = {
     require(nProbe >= 1 && topK >= 1,
       s"topK and nProbe must be >= 1; got topK=$topK nProbe=$nProbe")
-    val probes = rankCentroidsQ(pts.join(queryIds, Seq("id")), cents)
+    // Inlined centroid ranking that CARRIES the query vector (r16 floor
+    // trim): [[rankCentroidsQ]] drops qv, which forced a third pts join
+    // downstream just to re-fetch the 4 probe vectors this frame
+    // already held. Same ranking arithmetic and tie-break.
+    val wr = Window.partitionBy(col("id")).orderBy(col("_d"), col("cluster_id"))
+    val probes = pts.join(queryIds, Seq("id"))
+      .crossJoin(broadcast(cents))
+      .select(col("id"), col("qv"), col("cluster_id"),
+        sqDistQ(col("qv"), col("cv")).as("_d"))
+      .withColumn("_r", row_number().over(wr))
       .filter(col("_r") <= nProbe)
-      .select(col("id").as("query_id"), col("cluster_id"))
+      .select(col("id").as("query_id"), col("qv").as("_qa"), col("cluster_id"))
     val cands = lists.select(col("id").as("cand_id"), col("cluster_id"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("dist"), col("cand_id"))
+    // No distinct (r16 floor trim): a vector belongs to exactly ONE
+    // inverted list (the assignment contract above — one row per id),
+    // so the probes×lists equi-join emits each (query, cand) at most
+    // once and the dedup exchange ivfSearchQPts keeps (where it is
+    // equally redundant but free inside its persisted frame) is pure
+    // stage latency here. A malformed list table with duplicate id
+    // rows violates the stated input contract.
     probes.join(cands, Seq("cluster_id"))
       .filter(col("query_id") =!= col("cand_id"))
-      .select(col("query_id"), col("cand_id"))
-      .distinct()
-      .join(pts.select(col("id").as("query_id"), col("qv").as("_qa")), Seq("query_id"))
       .join(pts.select(col("id").as("cand_id"), col("qv").as("_qb")), Seq("cand_id"))
       .withColumn("dist", sqDistQ(col("_qa"), col("_qb")))
       .withColumn("rank", row_number().over(w))

@@ -68,8 +68,20 @@ object Fusion {
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(expr(s"${D}L div ($kRrf + rank)")).as("rrf_score"),
         perSource: _*)
-    TopN.saltedTopNPerKey(scored, Seq(col("query_id")),
-      Seq(col("rrf_score").desc, col("doc_id").asc), col("doc_id"), topN)
+    // Plain per-query window, NOT the salted two-phase top-N (r16 floor
+    // trim): the salt exists for hot keys whose candidate list is
+    // data-sized, but a fused group is bounded by CONSTRUCTION at
+    // `rankings.size * maxRank` rows (inputs are top-maxRank lists), so
+    // no key can ever be hot at any corpus scale — the second exchange
+    // + window pair the salt costs is pure stage latency here. Still
+    // parallel across queries (partitionBy), and WindowGroupLimit
+    // prunes each group to topN before the sort.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("rrf_score").desc, col("doc_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topN)
       .select(col("query_id") +: col("rank") +: col("doc_id") +:
         col("rrf_score") +: rankings.map(r => col(s"${r._1}_rank")): _*)
   }

@@ -406,22 +406,32 @@ class PlanSpec extends SparkSpec {
     p should include("bm25_idx_v1")
     p should not include "documents.parquet"
     p should not include "CartesianProduct"
-    // windows: the 16-row query-assembly rank + the salted top-k pair
-    p.split("\n").count(_.contains("Window [")) shouldBe 3
+    // windows: the salted top-k pair only — the query panel is a
+    // stored artifact beside the index since r16 (its 16-row rank
+    // window is paid once at index build, not per retrieval)
+    p.split("\n").count(_.contains("Window [")) shouldBe 2
   }
 
-  test("q170: hybrid RRF fuses tiny top-k lists; heavy work stays in the rankers") {
+  test("q170: hybrid RRF serves BOTH stored indexes; heavy work stays in the rankers") {
     val p = plan(Queries.q170HybridRrf)
-    // lexical side reads the stored index, never the corpus text
+    // lexical side reads the stored BM25 index (+ served panel), never
+    // the corpus text; semantic side reads the stored quantized points,
+    // frozen quantizer and full-corpus inverted lists (r15 ask #3 —
+    // the brute-force cosine pass over embeddings.parquet is gone,
+    // gated instead by q172)
     p should include("bm25_idx_v1")
+    p should include("ivf_lists_full_v1")
+    p should include("qpoints_e6_v1")
     p should not include "documents.parquet"
+    p should not include "embeddings.parquet"
     p should not include "CartesianProduct"
-    // exactly: query-panel rank (1) + lex salted top-k (2) + semantic
-    // rank (1) + fusion salted top-k (2) — a 7th window would mean the
-    // fusion grew a data-sized ranking pass
-    p.split("\n").count(_.contains("Window [")) shouldBe 6
-    // the only nested-loop joins are the broadcast SINGLETON/panel
-    // attachments (stats row, 4-query vector panel) — the sanctioned
+    // exactly: lex salted top-k (2) + probe centroid rank (1) +
+    // semantic candidate rank (1) + fusion per-query rank (1) — a 6th
+    // window would mean the fusion grew a data-sized ranking pass or
+    // the panel rank came back inline
+    p.split("\n").count(_.contains("Window [")) shouldBe 5
+    // the only nested-loop joins are the broadcast SINGLETON
+    // attachments (stats row, 8-centroid quantizer) — the sanctioned
     // crossJoin(broadcast(...)) pattern, bounded by construction
     p.split("\n").count(_.contains("BroadcastNestedLoopJoin")) should be <= 2
   }
