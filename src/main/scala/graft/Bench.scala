@@ -517,6 +517,11 @@ object Bench {
           // broadcast-probe pass + per-(query, doc) sum — must stay
           // index-serving-shaped like q165
           "q167_bm25_query_score",
+          // incremental BM25 index maintenance + serving: one-task tier
+          // over (stored postings, stored hashes, new snapshot) — the
+          // hash+re-tokenize work scales with the corpus like q148's,
+          // so the cell sits in the linear regime
+          "q171_incremental_bm25",
           // hybrid RRF: the q167 probe + the IVF-served semantic leg
           // (4 probes vs broadcast centroids + stored-list candidate
           // join, list-occupancy-bounded) + tiny-list fusion — linear
@@ -627,6 +632,11 @@ object Bench {
           "q168_asof_forward_tolerance" -> 12.0,
           "q165_bm25_topk"            -> 15.0,
           "q167_bm25_query_score"     -> 15.0,
+          // one-task maintain-and-serve like q145/q148: single-task
+          // hash+tokenize+score work is linear in the corpus while the
+          // fixed artifact-read floor amortizes — the linear-regime
+          // bound catches only a superlinear shape
+          "q171_incremental_bm25"     -> 12.0,
           "q170_hybrid_rrf"           -> 15.0,
           "q166_lookback_join"        -> 12.0,
           "q122_audio_frames"         -> 15.0)
@@ -761,6 +771,14 @@ object Bench {
                 Queries.q155MaintainedModel _, Queries.q155FullRetrain _),
               ("q159_incremental_ivf",
                 Queries.q159MaintainedLists _, Queries.q159FullAssign _),
+              // q171 joins the EXCHANGE-BOUND family (measured 0.137 at
+              // sf0.01): the rebuild shuffles index-sized combined
+              // postings partials; the maintenance broadcasts the
+              // delta-sized id sets into the stored-postings scan and
+              // shuffles only the delta's fresh postings. cpu_ratio
+              // (delta-only tokenization, ~0.78) rides along.
+              ("q171_incremental_bm25",
+                Queries.q171MaintainedPostings _, Queries.q171FullPostings _),
               ("q160_incremental_dsir",
                 Queries.q160MaintainedModels _, Queries.q160FullRetrain _))
               .filter(p => scaleFilter(p._1))

@@ -2981,6 +2981,68 @@ object Oracles {
         |WHERE rnk <= 10""".stripMargin
     },
 
+    // Incremental BM25 index maintenance (q171): the oracle replays the
+    // FULL REINDEX over the new snapshot — postings, df, the (N, avgdl)
+    // stats, the df-rank query panel and the whole-query top-5 — and
+    // emits the same kind-tagged union, so a hash match is the
+    // batch≡incremental theorem for the maintained index (df exactly;
+    // postings tf/dl on every probed term; stats via avgdl/N riding
+    // every score).
+    "q171_incremental_bm25" ->
+      """WITH newsnap AS MATERIALIZED (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id % 19 <> 0 OR doc_id % 20 = 0),
+        |tok AS MATERIALIZED (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+        |  FROM newsnap),
+        |post AS MATERIALIZED (
+        |  SELECT t AS term, doc_id, CAST(len(ws) AS BIGINT) AS dl,
+        |    CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, ws, unnest(ws) AS t FROM tok
+        |        WHERE len(ws) >= 1)
+        |  GROUP BY 1, 2, 3),
+        |stats AS (
+        |  SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n,
+        |    CAST(sum(tf) AS BIGINT) // count(DISTINCT doc_id) AS avgdl
+        |  FROM post),
+        |dft AS MATERIALIZED (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS df
+        |  FROM post GROUP BY 1),
+        |q AS (
+        |  SELECT CAST((rnk - 5) % 4 AS BIGINT) AS query_id, term, df
+        |  FROM (SELECT term, df,
+        |          row_number() OVER (ORDER BY df DESC, term) AS rnk
+        |        FROM dft ORDER BY df DESC, term LIMIT 16)
+        |  WHERE rnk >= 5),
+        |scored AS (
+        |  SELECT q.query_id, p.doc_id,
+        |    CAST(sum(
+        |      (1000000 * length(bin((n + 1) // (df + 1))))
+        |        * ((22 * tf * avgdl * 1000000)
+        |           // (10 * avgdl * tf + 3 * avgdl + 9 * dl))
+        |        // 1000000) AS BIGINT) AS score,
+        |    CAST(count(*) AS BIGINT) AS n_terms
+        |  FROM post p JOIN q USING (term), stats
+        |  GROUP BY 1, 2),
+        |hits AS (
+        |  SELECT query_id, CAST(rnk AS INT) AS rank, doc_id, score, n_terms
+        |  FROM (SELECT query_id, doc_id, score, n_terms,
+        |          row_number() OVER (PARTITION BY query_id
+        |            ORDER BY score DESC, doc_id) AS rnk
+        |        FROM scored)
+        |  WHERE rnk <= 5)
+        |SELECT 'df' AS kind, term, CAST(NULL AS BIGINT) AS query_id,
+        |  CAST(NULL AS INT) AS rank, CAST(NULL AS BIGINT) AS doc_id,
+        |  df AS v1, CAST(NULL AS BIGINT) AS v2
+        |FROM dft
+        |UNION ALL
+        |SELECT 'stats', CAST(NULL AS VARCHAR), NULL, NULL, NULL, n, avgdl
+        |FROM stats
+        |UNION ALL
+        |SELECT 'hit', CAST(NULL AS VARCHAR), query_id, rank, doc_id,
+        |  score, n_terms
+        |FROM hits""".stripMargin,
+
     // Fused-recall gate: the ENTIRE q170 replay (lex + IVF sem +
     // fusion) plus the exact brute-force-cosine composition it gates
     // against (r15 q170's own replay shape) plus the overlap count —

@@ -155,4 +155,176 @@ object Bm25 {
       .select(col("query_id"), col("rank"), col("doc_id"), col("score"),
         col("n_terms"))
   }
+
+  // -------------------------------------------- incremental maintenance
+
+  /** INCREMENTAL index maintenance (VERDICT r15 ask #2 — the last stored
+    * index in the pipeline without a maintenance path): the new crawl's
+    * (postings, df, stats) from the STORED previous index plus the
+    * snapshot delta only.
+    *
+    *   - postings are PER-DOCUMENT state (term counts + dl depend only
+    *     on the document's own text), so unchanged documents reuse
+    *     their stored rows verbatim via one presence semi-join and only
+    *     the delta's text is ever re-tokenized — the q148 signature-
+    *     reuse shape;
+    *   - df is an abelian-group count (one unit per (term, doc) posting
+    *     row), so [[AdditiveCounts.maintain]] applies directly:
+    *     new df = prev − removed/changed-old term rows + added/
+    *     changed-new term rows, zero-count terms dropped (a full
+    *     reindex never emits them);
+    *   - the (N, avgdl) stats re-derive from the maintained postings —
+    *     one aggregate over the index, never the corpus text — through
+    *     [[corpusStats]], so the overflow guard rides the maintained
+    *     row exactly as it rides a fresh build's.
+    *
+    * `delta` is a [[SnapshotDelta.diffHashed]] frame. The fresh-postings
+    * leg feeds the maintained index AND the df plus-leg → scope-
+    * persisted. Returns (postings, df, stats); batch≡incremental is
+    * the q171 oracle's full-reindex replay and Bm25Spec's in-engine
+    * equality. */
+  def maintainIndex(prevPost: DataFrame, prevDf: DataFrame,
+                    newDocs: DataFrame, idCol: String, textCol: String,
+                    delta: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val unchanged = delta.filter(col("status") === "unchanged")
+      .select(col("doc_id"))
+    val changed = delta.filter(col("needs_processing"))
+      .select(col("doc_id").as(idCol))
+    val reused = prevPost.join(unchanged, Seq("doc_id"), "left_semi")
+    val fresh = graft.CacheScope.scopedPersist(
+      postings(newDocs.join(changed, Seq(idCol), "left_semi"),
+        idCol, textCol),
+      StorageLevel.MEMORY_AND_DISK)
+    val post = reused.unionByName(fresh)
+    val minus = prevPost
+      .join(delta.filter(col("status").isin("removed", "changed"))
+        .select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .select(col("term"))
+    val dfT = AdditiveCounts.maintain(
+        prevDf.select(col("term"), col("df").as("cnt")), "term",
+        minus, fresh.select(col("term")))
+      .select(col("term"), col("cnt").as("df"))
+    (post, dfT, corpusStats(post))
+  }
+
+  /** ONE-TASK maintain-and-serve tier (the q148/q153 treatment): the
+    * whole q171 chain — snapshot hash diff, postings reuse, delta
+    * re-tokenization, df maintenance, stats, the df-rank query panel
+    * and the whole-query top-`k` retrieval — as ONE task over the four
+    * inputs riding a tagged union, for callers whose Catalyst size
+    * stats prove everything fits (fail CLOSED to [[maintainIndex]]
+    * otherwise; the caller owns the guard). Exact JVM replicas of the
+    * plan's string semantics come from [[LocalText]]; all scoring is
+    * the same integer arithmetic ([[Scale]], bitlen idf, exact-rational
+    * tf term). Output: the q171 kind-tagged union —
+    * ('df', term, df) ∪ ('stats', N, avgdl) ∪
+    * ('hit', query_id, rank, doc_id, score, n_terms) over columns
+    * (kind, term, query_id, rank, doc_id, v1, v2).
+    *
+    * Panel contract (mirrors the distributed caller): df ranks
+    * `panelLo..panelHi` by (df desc, term asc), rank r → query
+    * (r − panelLo) mod `panelQueries`. */
+  def maintainAndServeLocal(prevPost: DataFrame,
+                            prevHashes: DataFrame, newDocs: DataFrame,
+                            idCol: String, textCol: String, k: Int,
+                            panelLo: Int = 5, panelHi: Int = 16,
+                            panelQueries: Int = 4): DataFrame = {
+    val spark = newDocs.sparkSession
+    import spark.implicits._
+    // tagged union: (_t, _id, _s, _a, _b)
+    //   0 = prev posting (doc, term, dl, tf);
+    //   2 = prev hash (doc, hash);  3 = new doc (doc, text).
+    // The stored df artifact is NOT an input: df re-derives from the
+    // maintained postings (the abelian-group theorem makes both forms
+    // identical; the distributed path keeps AdditiveCounts because
+    // re-deriving there would shuffle the whole maintained index a
+    // second time).
+    val tagged = prevPost.select(lit(0).as("_t"),
+        col("doc_id").cast("long").as("_id"), col("term").as("_s"),
+        col("dl").cast("long").as("_a"), col("tf").cast("long").as("_b"))
+      .unionByName(prevHashes.select(lit(2).as("_t"),
+        col("doc_id").cast("long").as("_id"),
+        col("content_hash").as("_s"), lit(0L).as("_a"), lit(0L).as("_b")))
+      .unionByName(newDocs.select(lit(3).as("_t"),
+        col(idCol).cast("long").as("_id"), col(textCol).as("_s"),
+        lit(0L).as("_a"), lit(0L).as("_b")))
+    tagged.as[(Int, Long, String, Long, Long)].coalesce(1).mapPartitions { it =>
+      import scala.collection.mutable
+      val prevRows = mutable.HashMap.empty[Long, mutable.ArrayBuffer[(String, Long, Long)]]
+      val hashes = mutable.HashMap.empty[Long, String]
+      val docs = mutable.ArrayBuffer.empty[(Long, String)]
+      it.foreach { case (t, id, s, a, b) =>
+        t match {
+          case 0 => prevRows.getOrElseUpdate(id, mutable.ArrayBuffer.empty) += ((s, a, b))
+          case 2 => hashes.update(id, s)
+          case _ => docs += ((id, s))
+        }
+      }
+      // maintained postings: (term, doc, dl, tf)
+      val post = mutable.ArrayBuffer.empty[(String, Long, Long, Long)]
+      docs.foreach { case (id, text) =>
+        val unchanged = text != null &&
+          hashes.get(id).contains(LocalText.contentHash(text))
+        if (unchanged) {
+          prevRows.get(id).foreach(_.foreach { case (term, dl, tf) =>
+            post += ((term, id, dl, tf)) })
+        } else if (text != null) {
+          val ws = LocalText.words(text.toLowerCase())
+          if (ws.nonEmpty) {
+            val tf = mutable.HashMap.empty[String, Long]
+            ws.foreach(w => tf.update(w, tf.getOrElse(w, 0L) + 1L))
+            val dl = ws.length.toLong
+            tf.foreach { case (term, c) => post += ((term, id, dl, c)) }
+          }
+        }
+      }
+      // df + stats from the maintained index
+      val dfM = mutable.HashMap.empty[String, Long]
+      val docSet = mutable.HashSet.empty[Long]
+      var sumTf = 0L
+      var maxDl = 0L
+      post.foreach { case (term, id, dl, tf) =>
+        dfM.update(term, dfM.getOrElse(term, 0L) + 1L)
+        docSet += id; sumTf += tf; if (dl > maxDl) maxDl = dl
+      }
+      val n = docSet.size.toLong
+      val out = mutable.ArrayBuffer.empty[(String, String, java.lang.Long, Integer, java.lang.Long, java.lang.Long, java.lang.Long)]
+      dfM.foreach { case (term, df) =>
+        out += (("df", term, null, null, null, Long.box(df), null)) }
+      if (n > 0) {
+        val avg = sumTf / n
+        require(avg == 0 || maxDl <= (Long.MaxValue / (22L * Scale)) / avg,
+          s"Bm25: max doc length $maxDl times avgdl $avg overflows BIGINT " +
+            "score arithmetic — chunk the corpus or rescale Scale down")
+        out += (("stats", null, null, null, null, Long.box(n), Long.box(avg)))
+        // panel: df ranks panelLo..panelHi by (df desc, term asc)
+        val ranked = dfM.toArray.sortBy { case (term, df) => (-df, term) }
+        val panel = (panelLo to math.min(panelHi, ranked.length))
+          .map(r => (((r - panelLo) % panelQueries).toLong, ranked(r - 1)._1))
+        val panelDf = panel.map { case (_, t) => t -> dfM(t) }.toMap
+        def bitlen(x: Long): Int = 64 - java.lang.Long.numberOfLeadingZeros(x)
+        // per-(query, doc) sum of integer per-term scores
+        val byTerm = post.groupBy(_._1)
+        val acc = mutable.HashMap.empty[(Long, Long), (Long, Long)]
+        panel.foreach { case (qid, term) =>
+          val idf = Scale * bitlen((n + 1) / (panelDf(term) + 1))
+          byTerm.getOrElse(term, Nil).foreach { case (_, id, dl, tf) =>
+            val tfp = (22L * tf * avg * Scale) /
+              (10L * avg * tf + 3L * avg + 9L * dl)
+            val sc = idf * tfp / Scale
+            val cur = acc.getOrElse((qid, id), (0L, 0L))
+            acc.update((qid, id), (cur._1 + sc, cur._2 + 1L))
+          }
+        }
+        acc.toArray.groupBy(_._1._1).foreach { case (qid, rows) =>
+          rows.sortBy { case ((_, id), (sc, _)) => (-sc, id) }
+            .take(k).zipWithIndex.foreach { case (((_, id), (sc, nt)), i) =>
+              out += (("hit", null, Long.box(qid), Int.box(i + 1),
+                Long.box(id), Long.box(sc), Long.box(nt)))
+            }
+        }
+      }
+      out.iterator
+    }.toDF("kind", "term", "query_id", "rank", "doc_id", "v1", "v2")
+  }
 }

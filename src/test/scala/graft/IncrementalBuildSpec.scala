@@ -77,6 +77,49 @@ class IncrementalBuildSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q171 incremental BM25 (df ∪ stats ∪ served hits) ≡ full reindex over the new snapshot") {
+    // The cell serves the ONE-TASK tier at this corpus size, so this
+    // equality — against a from-scratch reindex + serve — is
+    // simultaneously the batch≡incremental theorem for the maintained
+    // index (df exactly; postings on every probed term via the served
+    // hits; stats via avgdl/N riding every score) and the local-tier
+    // half of the cross-tier proof. The DuckDB oracle replays the same
+    // full reindex cross-engine every round.
+    val inc = Queries.q171IncrementalBm25(spark, dir)
+    val full = Queries.q171FullReindexServe(spark, dir)
+    val n = inc.count()
+    n shouldBe full.count()
+    n should be > 0L
+    inc.exceptAll(full).count() shouldBe 0L
+    full.exceptAll(inc).count() shouldBe 0L
+    // kind coverage: the vocabulary, the stats row, and served hits
+    val kinds = inc.groupBy(col("kind")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    kinds("stats") shouldBe 1L
+    kinds("df") should be > 0L
+    kinds("hit") should be > 0L
+    spark.catalog.clearCache()
+  }
+
+  test("q171's one-task tier ≡ the distributed maintenance chain, row for row") {
+    // maxLocalBytes = 0 forces the distributed chain (presence
+    // semi-joins + AdditiveCounts df maintenance + corpusStats +
+    // salted whole-query serving) on the same stored artifacts; the
+    // local tier re-derives df/stats from its maintained postings, so
+    // this equality ALSO proves the abelian-group df maintenance
+    // agrees with direct re-derivation. Plan asserts keep it
+    // non-vacuous.
+    val localF = Queries.q171IncrementalBm25(spark, dir)
+    val distF = Queries.q171IncrementalBm25(spark, dir, maxLocalBytes = 0L)
+    localF.queryExecution.executedPlan.toString should include("MapPartitions")
+    distF.queryExecution.executedPlan.toString should not include "MapPartitions"
+    val local = localF.collect().map(_.toSeq).sortBy(_.toString)
+    val dist = distF.collect().map(_.toSeq).sortBy(_.toString)
+    local should not be empty
+    local shouldBe dist
+    spark.catalog.clearCache()
+  }
+
   test("the delta actually exercises every reuse case at sf0.001") {
     // The snapshot arithmetic must produce added, changed, removed AND
     // unchanged docs — otherwise the equivalence above is vacuous for

@@ -135,6 +135,45 @@ class IncrementalIoSpec extends SparkSpec {
         "the delta-only stage-3/4 recompute is processing the majority")
   }
 
+  test("q171 postings maintenance re-tokenizes delta-sized text only") {
+    // Exchange-bound after all (measured 0.137 at sf0.01): the rebuild's
+    // map-side-combined postings groupBy still shuffles the index-sized
+    // partials, while the maintenance's reuse path broadcasts the
+    // delta-sized id sets into the stored-postings scan and shuffles
+    // only the delta's fresh postings. CPU rides along (~0.78 — the
+    // delta-only tokenization; sharper, deterministic form below).
+    warm(Queries.q171MaintainedPostings(spark, dir))
+    val m = IoEvidence.measure(spark, Queries.q171MaintainedPostings(spark, dir))
+    val r = IoEvidence.measure(spark, Queries.q171FullPostings(spark, dir))
+    info(f"q171 maint=$m rebuild=$r " +
+      f"shuffle=${m.shuffleWrite.toDouble / r.shuffleWrite}%.3f " +
+      f"cpu=${m.cpuNs.toDouble / r.cpuNs}%.3f")
+    r.shuffleWrite should be > 0L
+    assert(m.shuffleWrite.toDouble / r.shuffleWrite < 0.7,
+      "postings maintenance shuffles like a rebuild — the reuse " +
+        "semi-join is moving the stored index instead of the delta")
+    assert(m.cpuNs.toDouble / r.cpuNs < 1.2,
+      "postings maintenance burns more CPU than the full rebuild — " +
+        "the delta-only re-tokenize is processing the unchanged majority")
+    // The deterministic text-side claim: tokens entering the re-tokenize
+    // leg are the delta's only (~13% of the corpus by the snapshot
+    // arithmetic); a reuse regression puts this at 1.
+    import org.apache.spark.sql.functions.{col, sum}
+    val newSnap = Queries.q145NewSnap(spark, dir)
+    val deltaIds = ops.SnapshotDelta.diff(
+        Queries.q145OldSnap(spark, dir), newSnap, "doc_id", "text")
+      .filter(col("needs_processing")).select("doc_id")
+    def toks(d: org.apache.spark.sql.DataFrame): Long =
+      d.select(sum(org.apache.spark.sql.functions.size(
+          ops.TextStats.words(col("text"))))).head.getLong(0)
+    val ratio = toks(newSnap.join(deltaIds, Seq("doc_id"), "leftsemi"))
+      .toDouble / toks(newSnap)
+    info(f"q171 delta-token ratio=$ratio%.3f")
+    assert(ratio < 0.25,
+      f"the re-tokenize leg reads $ratio%.2fx of the corpus")
+    spark.catalog.clearCache()
+  }
+
   test("q155/q160 maintenance featurizes delta-sized text only (deterministic form)") {
     // The abelian-model family's rebuilds are map-side-combined, so
     // their shuffle is MODEL-sized by construction and maintenance —
