@@ -517,6 +517,10 @@ object Bench {
           // broadcast-probe pass + per-(query, doc) sum — must stay
           // index-serving-shaped like q165
           "q167_bm25_query_score",
+          // tokenizer-vocab maintenance: hash pass + delta-only window
+          // extraction + model-sized combine + top-2048 cap — the
+          // q155 shape over 12-gram units, linear in the corpus
+          "q173_vocab_maintain",
           // incremental BM25 index maintenance + serving: one-task tier
           // over (stored postings, stored hashes, new snapshot) — the
           // hash+re-tokenize work scales with the corpus like q148's,
@@ -637,6 +641,8 @@ object Bench {
           // fixed artifact-read floor amortizes — the linear-regime
           // bound catches only a superlinear shape
           "q171_incremental_bm25"     -> 12.0,
+          // hash pass + delta windows + model combine: q155's regime
+          "q173_vocab_maintain"       -> 15.0,
           "q170_hybrid_rrf"           -> 15.0,
           "q166_lookback_join"        -> 12.0,
           "q122_audio_frames"         -> 15.0)

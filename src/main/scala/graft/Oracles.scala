@@ -413,6 +413,47 @@ object Oracles {
        |  GROUP BY g ORDER BY n DESC, g LIMIT 2048""".stripMargin
   }
 
+  /** q173's oracle: FULL recompute of both snapshots' 12-gram unit
+    * counts, both top-2048 release tables, and the refresh-policy diff
+    * — so a hash match is the batch≡incremental theorem for the
+    * maintained unit-count model on every released unit plus the
+    * policy bits. */
+  private def vocabMaintainSql: String = {
+    val parts = (0 until 12).map(j => s"ws[i+$j]").mkString(" || '_' || ")
+    def units(src: String) =
+      s"""(SELECT word, CAST(count(*) AS BIGINT) AS n FROM (
+         |    SELECT g AS word FROM (
+         |      SELECT $parts AS g
+         |      FROM (SELECT string_split_regex(trim(lower(text)), '\\s+') AS ws
+         |            FROM $src)
+         |      CROSS JOIN unnest(generate_series(1, len(ws) - 11)) AS t(i)
+         |      WHERE len(ws) >= 12)
+         |    WHERE regexp_matches(g, '^[a-z]+(_[a-z]+){11}$$'))
+         |  GROUP BY word ORDER BY n DESC, word LIMIT 2048)""".stripMargin
+    s"""WITH oldsnap AS MATERIALIZED (
+       |  SELECT doc_id, CASE WHEN doc_id % 13 = 0 AND doc_id % 20 <> 0
+       |    THEN text || ' v1' ELSE text END AS text
+       |  FROM documents WHERE doc_id % 17 <> 0 OR doc_id % 20 = 0),
+       |newsnap AS MATERIALIZED (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE doc_id % 19 <> 0 OR doc_id % 20 = 0),
+       |oldu AS MATERIALIZED ${units("oldsnap")},
+       |newu AS MATERIALIZED ${units("newsnap")},
+       |diffc AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS changed FROM (
+       |    (SELECT word, n FROM newu EXCEPT SELECT word, n FROM oldu)
+       |    UNION ALL
+       |    (SELECT word, n FROM oldu EXCEPT SELECT word, n FROM newu)))
+       |SELECT 'unit' AS kind, word AS unit, n FROM newu
+       |UNION ALL
+       |SELECT 'policy_changed', CAST(NULL AS VARCHAR), changed FROM diffc
+       |UNION ALL
+       |SELECT 'policy_retrain', CAST(NULL AS VARCHAR),
+       |  CASE WHEN changed > 0 THEN CAST(1 AS BIGINT)
+       |       ELSE CAST(0 AS BIGINT) END
+       |FROM diffc""".stripMargin
+  }
+
   private def bpeStoredReplaySql(sidecar: String, qtag: String,
                                  unitsSql: String, topWords: Int,
                                  checkOrds: Seq[Int]): String = {
@@ -3042,6 +3083,11 @@ object Oracles {
         |SELECT 'hit', CAST(NULL AS VARCHAR), query_id, rank, doc_id,
         |  score, n_terms
         |FROM hits""".stripMargin,
+
+    // Tokenizer-vocab maintenance + refresh policy (q173): full
+    // recompute of both snapshots' unit counts, both release tables,
+    // and the symmetric-difference policy bits — see vocabMaintainSql.
+    "q173_vocab_maintain" -> vocabMaintainSql,
 
     // Fused-recall gate: the ENTIRE q170 replay (lex + IVF sem +
     // fusion) plus the exact brute-force-cosine composition it gates

@@ -49,6 +49,24 @@ object Bpe {
       .filter(col("word").rlike("^[a-z]+$"))
       .groupBy(col("word")).agg(count(lit(1)).as("n"))
 
+  /** INCREMENTAL trainer-unit-count maintenance (VERDICT r15 ask #6 —
+    * the tokenizer-release refresh policy's model half): the unit
+    * frequency model a BPE trainer consumes is an abelian-group count
+    * (one unit per extracted window occurrence), so the new crawl's
+    * model is prev − removed/changed-old windows + added/changed-new
+    * windows ([[AdditiveCounts.maintain]], the q155/q160/q171
+    * backbone), zero-count units dropped. `prevModel`: (word, n);
+    * `minusWords`/`plusWords`: one row per removed/added window
+    * occurrence (column `word`). The RELEASE table (top-k cap) and the
+    * retrain trigger derive from the maintained model — see the q173
+    * cell. */
+  def maintainUnitCounts(prevModel: DataFrame, minusWords: DataFrame,
+                         plusWords: DataFrame): DataFrame =
+    AdditiveCounts.maintain(
+        prevModel.select(col("word"), col("n").as("cnt")), "word",
+        minusWords.select(col("word")), plusWords.select(col("word")))
+      .select(col("word"), col("cnt").as("n"))
+
   /** Adjacent-pair counts over the weighted vocab (self-pairs excluded —
     * see the object doc). */
   private def pairCounts(v: DataFrame): DataFrame = {

@@ -120,6 +120,22 @@ class IncrementalBuildSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q173 maintained vocab table + refresh policy ≡ full recompute") {
+    // The abelian-group maintenance of the unit-count model, the
+    // top-2048 release cap and the policy bits must equal the
+    // from-scratch derivation (which is also what the oracle replays).
+    val inc = Queries.q173VocabMaintain(spark, dir)
+    val full = Queries.q173FullRecompute(spark, dir)
+    val n = inc.count()
+    n shouldBe full.count()
+    n should be > 2L // at least one released unit + the two policy rows
+    inc.exceptAll(full).count() shouldBe 0L
+    full.exceptAll(inc).count() shouldBe 0L
+    // the snapshot mutation guarantees the policy actually fires here
+    inc.filter(col("kind") === "policy_retrain").head.getLong(2) shouldBe 1L
+    spark.catalog.clearCache()
+  }
+
   test("the delta actually exercises every reuse case at sf0.001") {
     // The snapshot arithmetic must produce added, changed, removed AND
     // unchanged docs — otherwise the equivalence above is vacuous for
