@@ -297,8 +297,20 @@ object Bm25 {
           s"Bm25: max doc length $maxDl times avgdl $avg overflows BIGINT " +
             "score arithmetic — chunk the corpus or rescale Scale down")
         out += (("stats", null, null, null, null, Long.box(n), Long.box(avg)))
-        // panel: df ranks panelLo..panelHi by (df desc, term asc)
-        val ranked = dfM.toArray.sortBy { case (term, df) => (-df, term) }
+        // panel: df ranks panelLo..panelHi by (df desc, term asc) —
+        // term order is UTF-8 BINARY (what Spark's UTF8String sort and
+        // DuckDB's VARCHAR sort both use), NOT Java's UTF-16 code-unit
+        // order: the two diverge between supplementary-plane terms
+        // (4-byte UTF-8, high surrogate 0xD800-0xDBFF in UTF-16) and
+        // terms in U+E000..U+FFFF (3-byte UTF-8 but larger UTF-16
+        // units) — the same divergence the r15 BPE code-point fix
+        // closed on the trainer side.
+        val utf8 = java.nio.charset.StandardCharsets.UTF_8
+        val ranked = dfM.toArray.sortWith { case ((ta, da), (tb, db)) =>
+          if (da != db) da > db
+          else java.util.Arrays.compare(
+            ta.getBytes(utf8), tb.getBytes(utf8)) < 0
+        }
         val panel = (panelLo to math.min(panelHi, ranked.length))
           .map(r => (((r - panelLo) % panelQueries).toLong, ranked(r - 1)._1))
         val panelDf = panel.map { case (_, t) => t -> dfM(t) }.toMap

@@ -94,6 +94,80 @@ class Bm25Spec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("one-task maintain-and-serve tier ≡ distributed serve on non-ASCII tie terms") {
+    // The r15 BPE lesson applied to the q171 tier: the panel tie-break
+    // (df desc, term ASC) must use UTF-8 BINARY term order — Spark's
+    // UTF8String sort — not Java's UTF-16 code-unit order. U+FFFF
+    // (3-byte UTF-8, code unit 0xFFFF) sorts BELOW U+1F600 (4-byte
+    // UTF-8, high surrogate 0xD83D) in binary order but ABOVE it in
+    // UTF-16 order; planting both at EQUAL df on adjacent panel ranks
+    // with different query assignments makes any divergence flip the
+    // hit rows. All docs are "added" (empty stored artifacts), so the
+    // maintained index equals a fresh build and the distributed twin
+    // is the from-scratch serve.
+    val hi = "￿"     // U+FFFF
+    val lo = new String(Character.toChars(0x1F600)) // U+1F600
+    // build dfs by DOC presence: aa in 9 docs (1-9), bb in 8 (1-8),
+    // cc in 7 (1-7), dd in 6 (1-6), hi in docs 1,2; lo in docs 3,4;
+    // ee in doc 1, ff in doc 2 → df ranks: aa,bb,cc,dd then the tie
+    // pair at ranks 5,6 then ee,ff at 7,8.
+    def text(i: Long): String = {
+      val sb = new StringBuilder("aa")
+      if (i <= 8) sb.append(" bb")
+      if (i <= 7) sb.append(" cc")
+      if (i <= 6) sb.append(" dd")
+      if (i == 1 || i == 2) sb.append(" ").append(hi)
+      if (i == 3 || i == 4) sb.append(" ").append(lo)
+      if (i == 1) sb.append(" ee")
+      if (i == 2) sb.append(" ff")
+      sb.toString
+    }
+    val corpus = docs((1L to 9L).map(i => i -> text(i)): _*)
+    val emptyPost = df("term STRING, doc_id BIGINT, dl BIGINT, tf BIGINT", Nil)
+    val emptyHashes = df("doc_id BIGINT, content_hash STRING", Nil)
+    val local = Bm25.maintainAndServeLocal(emptyPost, emptyHashes, corpus,
+        "doc_id", "text", k = 5)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    // distributed twin: fresh build + the same df-rank panel + serve
+    val post = Bm25.postings(corpus, "doc_id", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfT = Bm25.docFreq(post)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = Bm25.corpusStats(post)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("df").desc, col("term"))
+    val panel = dfT.orderBy(col("df").desc, col("term")).limit(16)
+      .withColumn("_r", row_number().over(w))
+      .filter(col("_r") >= 5)
+      .select(((col("_r") - 5) % 4).cast("long").as("query_id"), col("term"))
+    val hits = Bm25.topKQueries(post, panel, k = 5,
+      dfT = Some(dfT), stats = Some(stats))
+    val nullL = lit(null).cast("long")
+    val dist = dfT.select(lit("df").as("kind"), col("term"),
+        nullL.as("query_id"), lit(null).cast("int").as("rank"),
+        nullL.as("doc_id"), col("df").as("v1"), nullL.as("v2"))
+      .unionByName(stats.select(lit("stats").as("kind"),
+        lit(null).cast("string").as("term"), nullL.as("query_id"),
+        lit(null).cast("int").as("rank"), nullL.as("doc_id"),
+        col("_n").as("v1"), col("_avg").as("v2")))
+      .unionByName(hits.select(lit("hit").as("kind"),
+        lit(null).cast("string").as("term"), col("query_id"),
+        col("rank").cast("int").as("rank"), col("doc_id"),
+        col("score").as("v1"), col("n_terms").as("v2")))
+      .collect().map(_.toSeq).sortBy(_.toString)
+    local should not be empty
+    local shouldBe dist
+    // pin the BINARY order explicitly so a UTF-16 regression fails
+    // loudly here even if both tiers drift together: U+FFFF takes
+    // panel rank 5 (query 0 — its postings live in docs 1,2)
+    val q0Docs = local.collect {
+      case Seq("hit", _, qid: java.lang.Long, _, did: java.lang.Long, _, _)
+        if qid == 0L => did.toLong
+    }.toSet
+    q0Docs shouldBe Set(1L, 2L)
+    spark.catalog.clearCache()
+  }
+
   test("salted top-k equals the single-window ranking (mega-term postings)") {
     // one stop-word-like term present in every doc: the salted two-phase
     // rank must equal a plain window ranking
