@@ -517,6 +517,11 @@ object Bench {
           // broadcast-probe pass + per-(query, doc) sum — must stay
           // index-serving-shaped like q165
           "q167_bm25_query_score",
+          // incremental SemDeDup manifest: one-task tier over the
+          // stored lists/manifest/points + frozen occupancy-16 model —
+          // delta-sized assignment + affected-cluster dominance; the
+          // single-task scan grows with the corpus (linear regime)
+          "q174_incremental_semdedup",
           // tokenizer-vocab maintenance: hash pass + delta-only window
           // extraction + model-sized combine + top-2048 cap — the
           // q155 shape over 12-gram units, linear in the corpus
@@ -643,6 +648,10 @@ object Bench {
           "q171_incremental_bm25"     -> 12.0,
           // hash pass + delta windows + model combine: q155's regime
           "q173_vocab_maintain"       -> 15.0,
+          // one-task maintain like q153: artifact scan + delta work —
+          // linear-regime bound (the occupancy-16 model keeps the
+          // dominance join linear in the corpus by construction)
+          "q174_incremental_semdedup" -> 12.0,
           "q170_hybrid_rrf"           -> 15.0,
           "q166_lookback_join"        -> 12.0,
           "q122_audio_frames"         -> 15.0)
@@ -786,7 +795,13 @@ object Bench {
               ("q171_incremental_bm25",
                 Queries.q171MaintainedPostings _, Queries.q171FullPostings _),
               ("q160_incremental_dsir",
-                Queries.q160MaintainedModels _, Queries.q160FullRetrain _))
+                Queries.q160MaintainedModels _, Queries.q160FullRetrain _),
+              // q174 mirrors q153's regime: the registered cell's
+              // one-task tier moves nothing through an exchange
+              // (shuffle_ratio ~0) while the full recompute pays the
+              // corpus-sized assignment + dominance exchanges.
+              ("q174_incremental_semdedup",
+                Queries.q174IncrementalSemdedup _, Queries.q174FullRecompute _))
               .filter(p => scaleFilter(p._1))
               .map { case (n, m, r) =>
                 try s""""$n":{"sf01":${fmtPair(m, r, sfDir)},"sf1":${fmtPair(m, r, sf1Dir)}}"""

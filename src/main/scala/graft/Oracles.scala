@@ -3898,6 +3898,79 @@ object Oracles {
         |  (dom.id IS NULL) AS kept
         |FROM fin LEFT JOIN dom ON fin.id = dom.id""".stripMargin,
 
+    // Incremental SemDeDup manifest (q174): the oracle replays the FULL
+    // recompute — the occupancy-16 quantizer trained on the OLD
+    // snapshot (k = (count+15)//16 via the same integer arithmetic, two
+    // unrolled Lloyd iterations), the NEW snapshot's nearest-centroid
+    // assignment, and the cluster-sharded exact-cosine dominance — so a
+    // hash match is the batch≡incremental theorem for the maintained
+    // survivor manifest.
+    "q174_incremental_semdedup" ->
+      """WITH pts AS MATERIALIZED (
+        |  SELECT vec_id AS id,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |pts_old AS MATERIALIZED (SELECT * FROM pts WHERE id % 97 <> 0),
+        |pts_new AS (SELECT * FROM pts WHERE id % 101 <> 0),
+        |kk AS (SELECT (count(*) + 15) // 16 AS k FROM pts_old),
+        |c0 AS (
+        |  SELECT id AS cluster_id, qv AS cv FROM (
+        |    SELECT id, qv, row_number() OVER (ORDER BY id) AS rn
+        |    FROM pts_old)
+        |  WHERE rn <= (SELECT k FROM kk)),
+        |a1 AS (
+        |  SELECT id, qv, cluster_id FROM (
+        |    SELECT p.id, p.qv, c.cluster_id,
+        |      row_number() OVER (PARTITION BY p.id ORDER BY
+        |        list_sum(list_transform(list_zip(p.qv, c.cv),
+        |          z -> (z[1]-z[2])*(z[1]-z[2]))), c.cluster_id) AS rn
+        |    FROM pts_old p CROSS JOIN c0 c)
+        |  WHERE rn = 1),
+        |u1 AS (
+        |  SELECT cluster_id, pos,
+        |    CAST(floor(CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS cv1
+        |  FROM (SELECT cluster_id, generate_subscripts(qv, 1) AS pos, unnest(qv) AS v FROM a1)
+        |  GROUP BY cluster_id, pos),
+        |c1 AS (SELECT cluster_id, list(cv1 ORDER BY pos) AS cv FROM u1 GROUP BY cluster_id),
+        |a2 AS (
+        |  SELECT id, qv, cluster_id FROM (
+        |    SELECT p.id, p.qv, c.cluster_id,
+        |      row_number() OVER (PARTITION BY p.id ORDER BY
+        |        list_sum(list_transform(list_zip(p.qv, c.cv),
+        |          z -> (z[1]-z[2])*(z[1]-z[2]))), c.cluster_id) AS rn
+        |    FROM pts_old p CROSS JOIN c1 c)
+        |  WHERE rn = 1),
+        |u2 AS (
+        |  SELECT cluster_id, pos,
+        |    CAST(floor(CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS cv1
+        |  FROM (SELECT cluster_id, generate_subscripts(qv, 1) AS pos, unnest(qv) AS v FROM a2)
+        |  GROUP BY cluster_id, pos),
+        |c2 AS MATERIALIZED (
+        |  SELECT cluster_id, list(cv1 ORDER BY pos) AS cv FROM u2 GROUP BY cluster_id),
+        |fin AS MATERIALIZED (
+        |  SELECT id, cluster_id FROM (
+        |    SELECT p.id, c.cluster_id,
+        |      row_number() OVER (PARTITION BY p.id ORDER BY
+        |        list_sum(list_transform(list_zip(p.qv, c.cv),
+        |          z -> (z[1]-z[2])*(z[1]-z[2]))), c.cluster_id) AS rn
+        |    FROM pts_new p CROSS JOIN c2 c)
+        |  WHERE rn = 1),
+        |e AS MATERIALIZED (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings WHERE vec_id % 101 <> 0),
+        |dom AS (
+        |  SELECT DISTINCT b.id AS id
+        |  FROM fin a JOIN fin b
+        |    ON a.cluster_id = b.cluster_id AND a.id < b.id
+        |  JOIN e x ON a.id = x.vec_id
+        |  JOIN e y ON b.id = y.vec_id
+        |  WHERE list_dot_product(x.v, y.v) / (x.nrm * y.nrm) >= 0.45)
+        |SELECT fin.id AS vec_id, fin.cluster_id,
+        |  (dom.id IS NULL) AS kept
+        |FROM fin LEFT JOIN dom ON fin.id = dom.id""".stripMargin,
+
     // q101's trained centroids (2 unrolled Lloyd iterations), then IVF:
     // nearest-list assignment (rn=1) builds the inverted lists, every 50th
     // vector probes its 2 nearest lists, candidates rank by exact

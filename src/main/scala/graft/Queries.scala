@@ -2177,26 +2177,11 @@ object Queries {
     * smaller-id members, kept or not, so the rule needs no iteration).
     * Assignments are exact fixed-point arithmetic and cosines exact
     * double folds, so the whole manifest hash-matches the oracle. */
-  def q102SemanticDedup(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings")
-    val assign = Cluster.assignQ(quantizedPoints(s, dir), trainedCentroids(s, dir))
-      .select(col("id").as("vec_id"), col("cluster_id"))
-    val e = emb.select(col("vec_id"),
-      col("embedding").as("_v"),
-      sqrt(Similarity.dot(col("embedding"), col("embedding"))).as("_n"))
-    val m = assign.join(e, Seq("vec_id"))
-    val dominated = m.select(col("cluster_id"), col("vec_id").as("id_a"),
-        col("_v").as("_va"), col("_n").as("_na"))
-      .join(m.select(col("cluster_id"), col("vec_id").as("id_b"),
-        col("_v").as("_vb"), col("_n").as("_nb")), Seq("cluster_id"))
-      .filter(col("id_a") < col("id_b") &&
-        Similarity.dot(col("_va"), col("_vb")) / (col("_na") * col("_nb")) >= 0.45)
-      .select(col("id_b").as("vec_id"))
-      .distinct()
-    assign
-      .join(dominated.withColumn("_dom", lit(1)), Seq("vec_id"), "left")
-      .select(col("vec_id"), col("cluster_id"), col("_dom").isNull.as("kept"))
-  }
+  def q102SemanticDedup(s: SparkSession, dir: String): DataFrame =
+    graft.ops.SemDedup.manifest(
+      Cluster.assignQ(quantizedPoints(s, dir), trainedCentroids(s, dir))
+        .select(col("id").as("vec_id"), col("cluster_id")),
+      t(s, dir, "embeddings"), "vec_id", "embedding", minCosine = 0.45)
 
   /** Trained-centroid IVF top-k ([[Cluster.ivfSearchQ]]): the k-means
     * quantizer (q101's training, k=8, 2 iterations) builds the inverted
@@ -4546,6 +4531,114 @@ object Queries {
         col("rank").cast("int").as("rank"), col("doc_id"),
         col("score").as("v1"), col("n_terms").as("v2")))
   }
+
+  /** The q174 family's FROZEN quantizer: occupancy-16 k-means (k =
+    * ceil(N_old / 16), 2 Lloyd iterations) trained on the OLD embedding
+    * snapshot — the reference crawl, like [[incStopShingles]]. Target
+    * OCCUPANCY (not k) is the production SemDeDup knob: it keeps the
+    * dominance join linear in the corpus (N·16 pairs) and cluster-level
+    * incremental reuse non-vacuous at a small delta at ANY scale
+    * ((1−2f)^16 is scale-free) — see [[graft.ops.SemDedup]]'s scale
+    * contract. k derives from one count at artifact-build time and is
+    * replayed by the oracle as (count+15)//16. */
+  private[graft] def trainedCentroidsSem(s: SparkSession, dir: String): DataFrame = {
+    val sfTag = Tables.corpusTag(s, dir, "embeddings")
+    val path = s"${Tables.scratchDir(s)}/kmeans_occ16_i2_e6_old_v1/$sfTag"
+    Tables.servedArtifact(s, path) {
+      val pts = quantizedPoints(s, dir).filter(col("id") % 97 =!= 0)
+      val k = math.max(1L, (pts.count() + 15L) / 16L).toInt
+      Cluster.train(pts, k, iterations = 2)
+        .write.mode("overwrite").parquet(path)
+    }
+  }
+
+  /** The old embedding snapshot's assignment under the frozen
+    * occupancy-16 model — the stored list table [[q174
+    * IncrementalSemdedup]] maintains from. Snapshots here use a ~1%
+    * crawl delta (%97 removes old-side, %101 removes new-side; vectors
+    * immutable by id) — the q159 %17/%19 delta is ~12%, which at
+    * occupancy 16 would touch nearly every cluster and make the reuse
+    * theorem vacuous as a demonstration. */
+  private[graft] def prevSemLists(s: SparkSession, dir: String): DataFrame = {
+    val sfTag = Tables.corpusTag(s, dir, "embeddings")
+    val path = s"${Tables.scratchDir(s)}/semdedup_lists_old_v1/$sfTag"
+    Tables.servedArtifact(s, path) {
+      Cluster.assignQ(quantizedPoints(s, dir).filter(col("id") % 97 =!= 0),
+          trainedCentroidsSem(s, dir))
+        .select(col("id"), col("cluster_id"))
+        .write.mode("overwrite").parquet(path)
+    }
+  }
+
+  /** The old snapshot's survivor manifest — the stored artifact the
+    * maintenance pass reuses untouched rows from. */
+  private def prevSemManifest(s: SparkSession, dir: String): DataFrame = {
+    val sfTag = Tables.corpusTag(s, dir, "embeddings")
+    val path = s"${Tables.scratchDir(s)}/semdedup_manifest_old_v1/$sfTag"
+    Tables.servedArtifact(s, path) {
+      graft.ops.SemDedup.manifest(
+          prevSemLists(s, dir).select(col("id").as("vec_id"),
+            col("cluster_id")),
+          t(s, dir, "embeddings").filter(col("vec_id") % 97 =!= 0),
+          "vec_id", "embedding", minCosine = 0.45)
+        .write.mode("overwrite").parquet(path)
+    }
+  }
+
+  /** INCREMENTAL SemDeDup manifest maintenance ([[graft.ops.SemDedup
+    * .incrementalManifest]]) — the incremental family at the SEMANTIC
+    * dedup layer, completing the survivor-manifest story q153 told for
+    * the lexical one: only ADDED vectors rank against the broadcast
+    * frozen quantizer, dominance recomputes only inside clusters an
+    * added or removed id touches (deletion-safe: removing a dominator
+    * must un-dominate its victims, so affected clusters recompute from
+    * surviving members), and every untouched cluster's manifest rows
+    * reuse VERBATIM. The oracle replays the FULL recompute — the
+    * occupancy-16 training recurrence over the old snapshot, the new
+    * snapshot's assignment, the cluster-sharded cosine dominance — so
+    * a hash match is the batch≡incremental theorem; SemDedupSpec
+    * asserts the same equality in-engine plus the non-vacuity counts
+    * (added, removed AND untouched clusters all > 0).
+    *
+    * SERVING TIER: under a fail-closed Catalyst size-stats guard over
+    * all five inputs the whole chain runs as ONE task
+    * ([[graft.ops.SemDedup.incrementalManifestLocal]] — the q153/q171
+    * treatment; the distributed chain is ~25 stages of scheduling
+    * latency on kilobyte deltas); `maxLocalBytes = 0` forces the
+    * distributed chain (spec coverage with plan-divergence asserts). */
+  def q174IncrementalSemdedup(s: SparkSession, dir: String): DataFrame =
+    q174IncrementalSemdedup(s, dir, maxLocalBytes = 64L << 20)
+
+  private[graft] def q174IncrementalSemdedup(s: SparkSession, dir: String,
+                                             maxLocalBytes: Long): DataFrame = {
+    val prevLists = prevSemLists(s, dir)
+    val prevManifest = prevSemManifest(s, dir)
+    val newPts = quantizedPoints(s, dir).filter(col("id") % 101 =!= 0)
+    val newEmb = t(s, dir, "embeddings").filter(col("vec_id") % 101 =!= 0)
+    val cents = trainedCentroidsSem(s, dir)
+    if (maxLocalBytes > 0 &&
+        Seq(prevLists, prevManifest, newPts, newEmb, cents)
+          .map(_.queryExecution.optimizedPlan.stats.sizeInBytes)
+          .sum <= BigInt(maxLocalBytes))
+      return graft.ops.SemDedup.incrementalManifestLocal(prevLists,
+        prevManifest, newPts, newEmb, cents, "vec_id", "embedding",
+        minCosine = 0.45)
+    graft.ops.SemDedup.incrementalManifest(
+      prevLists, prevManifest, newPts, newEmb, cents,
+      "vec_id", "embedding", minCosine = 0.45)
+  }
+
+  /** q174's FULL-RECOMPUTE twin — every new-snapshot vector re-assigned
+    * and every cluster's dominance re-derived (the in-engine equality
+    * partner; the oracle replays the same derivation cross-engine). */
+  private[graft] def q174FullRecompute(s: SparkSession,
+                                       dir: String): DataFrame =
+    graft.ops.SemDedup.manifest(
+      Cluster.assignQ(quantizedPoints(s, dir).filter(col("id") % 101 =!= 0),
+          trainedCentroidsSem(s, dir))
+        .select(col("id").as("vec_id"), col("cluster_id")),
+      t(s, dir, "embeddings").filter(col("vec_id") % 101 =!= 0),
+      "vec_id", "embedding", minCosine = 0.45)
 
   /** q173's FULL-RECOMPUTE twin — both release tables and the policy
     * bits derived from scratch window counts (the oracle's derivation
