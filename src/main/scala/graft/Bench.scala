@@ -54,12 +54,18 @@ private[graft] object WeakRule {
              baseline: Double): Boolean =
     !stallFlag && !err && baseline > 0 && sec > 1.0 && sec / baseline > 2.0
 
-  /** Straddle candidacy: the published best sample sits in the band and
-    * the cell has a baseline to compare against. */
+  /** Straddle candidacy: the published best sample sits in the band,
+    * the cell has a baseline to compare against, AND the baseline is
+    * small enough that a floor in the band's reach could actually
+    * flag — weak needs BOTH c > 1 s and c > 2·baseline, so for
+    * baseline ≥ hi/2 the convicting floor sits above the band's top
+    * and belongs to the main signal's territory, making the fresh
+    * confirm pure measurement churn (q19/q22/q44/q173 land in the
+    * band every run with 1.1-3.0 s twins and can never flag there). */
   def straddleCandidate(bestSec: Double, baseline: Double,
                         lo: Double = StraddleLo,
                         hi: Double = StraddleHi): Boolean =
-    baseline > 0 && bestSec >= lo && bestSec <= hi
+    baseline > 0 && baseline < hi / 2 && bestSec >= lo && bestSec <= hi
 
   /** Gate-base candidacy (the r14 second signal): the sf1 block's
     * min-of-3 sf0.1 base — measured under the SCALE config — is past

@@ -37,7 +37,14 @@ class BenchWeakSpec extends AnyFunSuite with Matchers {
     WeakRule.straddleCandidate(0.79, 0.1) shouldBe false // genuinely fast
     WeakRule.straddleCandidate(1.21, 0.1) shouldBe false // main signal's turf
     WeakRule.straddleCandidate(1.0, 0.0) shouldBe false  // no baseline cell
-    // drill override widens the band (SPARK_GRAFT_STRADDLE wiring)
+    // a big-baseline band cell can never flag inside the band's reach
+    // (weak needs c > 2·baseline > hi) — skip the confirm churn; a real
+    // multi-second regression publishes >hi and the main signal owns it
+    WeakRule.straddleCandidate(0.97, 1.7) shouldBe false  // r16's q44
+    WeakRule.straddleCandidate(1.05, 1.14) shouldBe false // r16's q173
+    WeakRule.straddleCandidate(1.0, 0.59) shouldBe true   // just inside reach
+    // drill override widens the band (SPARK_GRAFT_STRADDLE wiring) —
+    // the baseline bound scales with it (hi/2)
     WeakRule.straddleCandidate(0.3, 0.1, lo = 0.0, hi = 99.0) shouldBe true
   }
 
