@@ -3295,9 +3295,33 @@ object Queries {
     * the full IVF recompute (train + assign + probe + quantized
     * distances, the q159 CTEs over the unfiltered corpus) — and the
     * fusion bit-for-bit. */
-  def q170HybridRrf(s: SparkSession, dir: String): DataFrame = {
+  def q170HybridRrf(s: SparkSession, dir: String): DataFrame =
+    q170HybridRrf(s, dir, maxLocalBytes = 64L << 20)
+
+  /** SERVING TIER (late r16 — the q171/q174 treatment applied to the
+    * serving-node composition): when the seven stored artifacts'
+    * Catalyst size estimates all fit, the whole hybrid retrieval runs
+    * as ONE task ([[graft.ops.Fusion.hybridServeLocal]] — what a query
+    * node actually does: serve standing probes from in-memory index
+    * structures). Fails CLOSED to the distributed composition (whose
+    * shape PlanSpec pins on forced builds); `maxLocalBytes = 0` forces
+    * it. Cross-tier equality asserted by FusionSpec at sf0.01 and by
+    * the oracle's dual-ranker replay every round. */
+  private[graft] def q170HybridRrf(s: SparkSession, dir: String,
+                                   maxLocalBytes: Long): DataFrame = {
     val (post, dfT, stats) = bm25Index(s, dir)
-    val lex = graft.ops.Bm25.topKQueries(post, bm25Panel(s, dir, dfT),
+    val panel = bm25Panel(s, dir, dfT)
+    val pts = quantizedPoints(s, dir)
+    val cents = trainedCentroids(s, dir)
+    val lists = fullIvfLists(s, dir)
+    if (maxLocalBytes > 0 &&
+        Seq(post, dfT, stats, panel, pts, cents, lists)
+          .map(_.queryExecution.optimizedPlan.stats.sizeInBytes)
+          .sum <= BigInt(maxLocalBytes))
+      return graft.ops.Fusion.hybridServeLocal(post, dfT, stats, panel,
+        pts, cents, lists, kLex = 10, topKSem = 10, nProbe = 2,
+        kRrf = 60, maxRank = 10, topN = 10)
+    val lex = graft.ops.Bm25.topKQueries(post, panel,
         k = 10, dfT = Some(dfT), stats = Some(stats))
       .select(col("query_id"), col("doc_id"), col("rank"))
     graft.ops.Fusion.rrf(Seq("lex" -> lex, "sem" -> semLegIvf(s, dir)),

@@ -412,13 +412,31 @@ class PlanSpec extends SparkSpec {
     p.split("\n").count(_.contains("Window [")) shouldBe 2
   }
 
-  test("q170: hybrid RRF serves BOTH stored indexes; heavy work stays in the rankers") {
+  test("q170: the serving tier reads all seven stored artifacts in ONE task") {
     val p = plan(Queries.q170HybridRrf)
+    // the default build is the one-task serving tier (late r16): a
+    // tagged union of the stored BM25 index + panel and the stored
+    // IVF structures into a single MapPartitions — no join, no window,
+    // no corpus scan anywhere
+    p should include("MapPartitions")
+    p should include("bm25_idx_v1")
+    p should include("ivf_lists_full_v1")
+    p should include("qpoints_e6_v1")
+    p should not include "documents.parquet"
+    p should not include "embeddings.parquet"
+    p.split("\n").count(_.contains("Window [")) shouldBe 0
+    assert(!p.toLowerCase.contains("join"),
+      s"serving-tier plan unexpectedly contains a join:\n${p.take(2000)}")
+  }
+
+  test("q170 forced-distributed: hybrid RRF serves BOTH stored indexes; heavy work stays in the rankers") {
+    val p = plan((s, d) => Queries.q170HybridRrf(s, d, maxLocalBytes = 0L))
     // lexical side reads the stored BM25 index (+ served panel), never
     // the corpus text; semantic side reads the stored quantized points,
     // frozen quantizer and full-corpus inverted lists (r15 ask #3 —
     // the brute-force cosine pass over embeddings.parquet is gone,
     // gated instead by q172)
+    p should not include "MapPartitions"
     p should include("bm25_idx_v1")
     p should include("ivf_lists_full_v1")
     p should include("qpoints_e6_v1")

@@ -59,4 +59,23 @@ class FusionSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Fusion.rrf(Seq("a" -> r), kRrf = 60, maxRank = 64) // lcm blows BIGINT
   }
+
+  test("q170's one-task serving tier ≡ the distributed composition, row for row") {
+    // maxLocalBytes = 0 forces the distributed chain (stored-index
+    // probe + IVF stored-list search + rrf) on the same artifacts; the
+    // tier replicates integer BM25, the Long sqdist argmin/top-k and
+    // the exact-integer fusion in one task. Plan asserts keep the
+    // divergence (and so the test) non-vacuous; PlanSpec pins both
+    // shapes in detail.
+    val dir = "/root/testdata/sf0.01"
+    val localF = graft.Queries.q170HybridRrf(spark, dir)
+    val distF = graft.Queries.q170HybridRrf(spark, dir, maxLocalBytes = 0L)
+    localF.queryExecution.executedPlan.toString should include("MapPartitions")
+    distF.queryExecution.executedPlan.toString should not include "MapPartitions"
+    val local = localF.collect().map(_.toSeq).sortBy(_.toString)
+    val dist = distF.collect().map(_.toSeq).sortBy(_.toString)
+    local should not be empty
+    local shouldBe dist
+    spark.catalog.clearCache()
+  }
 }
