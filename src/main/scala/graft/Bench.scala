@@ -546,6 +546,14 @@ object Bench {
           // row — linear in events; superlinear means the binning
           // degenerated into a per-key cross
           "q166_lookback_join",
+          // chained LM maintenance: three hash-diff passes over the
+          // corpus + delta-sized bigram legs + model-sized combines —
+          // q155's linear regime, three-fold
+          "q175_stream_lm_chain",
+          // incremental span dedup: stored-index scans + delta-restricted
+          // window aggregates — q148's linear regime (the index grows
+          // with the corpus; the aggregates stay delta-keyed)
+          "q176_incremental_span_dedup",
           "q122_audio_frames").filter(SparkEntry.queries.contains)
         // Min-of-3 for BOTH sides of the ratio, measured back-to-back in
         // the SAME session config: round 9's q122 growth read 4.6x on one
@@ -660,6 +668,10 @@ object Bench {
           "q174_incremental_semdedup" -> 12.0,
           "q170_hybrid_rrf"           -> 15.0,
           "q166_lookback_join"        -> 12.0,
+          // three q155-shaped folds in one plan: same linear regime
+          "q175_stream_lm_chain"      -> 15.0,
+          // stored-index scan + delta-keyed aggregates: q148's regime
+          "q176_incremental_span_dedup" -> 12.0,
           "q122_audio_frames"         -> 15.0)
         val boundFor: String => Double =
           sys.env.get("SPARK_GRAFT_GROWTH_BOUND").map(_.toDouble) match {
@@ -807,7 +819,14 @@ object Bench {
               // (shuffle_ratio ~0) while the full recompute pays the
               // corpus-sized assignment + dominance exchanges.
               ("q174_incremental_semdedup",
-                Queries.q174IncrementalSemdedup _, Queries.q174FullRecompute _))
+                Queries.q174IncrementalSemdedup _, Queries.q174FullRecompute _),
+              // q176 joins the EXCHANGE-BOUND family: the rebuild
+              // shuffles corpus-sized window rows (occ groupBy + per-doc
+              // start collection) where the maintenance broadcasts
+              // delta-sized id/key sets into the stored-index scan and
+              // shuffles only delta-adjacent keys' occurrences.
+              ("q176_incremental_span_dedup",
+                Queries.q176IncrementalSpanDedup _, Queries.q176FullRecompute _))
               .filter(p => scaleFilter(p._1))
               .map { case (n, m, r) =>
                 try s""""$n":{"sf01":${fmtPair(m, r, sfDir)},"sf1":${fmtPair(m, r, sf1Dir)}}"""

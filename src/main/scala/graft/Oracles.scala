@@ -3971,6 +3971,137 @@ object Oracles {
         |  (dom.id IS NULL) AS kept
         |FROM fin LEFT JOIN dom ON fin.id = dom.id""".stripMargin,
 
+    // Streamed/chained LM maintenance (q175): the oracle replays the
+    // FULL retrain over the FINAL snapshot of the three-step crawl
+    // chain (closed-form universe + version-suffix text in doc_id), so
+    // a hash match certifies the COMPOSITION of three maintenance folds
+    // — and, by MaintainStreamSpec's batch-boundary theorem, the
+    // Structured-Streaming micro-batched run of the same feed.
+    "q175_stream_lm_chain" ->
+      """WITH s3 AS (
+        |  SELECT doc_id,
+        |    text
+        |      || CASE WHEN doc_id % 11 = 0 THEN ' v2' ELSE '' END
+        |      || CASE WHEN doc_id % 7 = 0 THEN ' v3' ELSE '' END AS text
+        |  FROM documents
+        |  WHERE lang = 'en' AND (
+        |    (((doc_id % 19 <> 0 OR doc_id % 20 = 0) AND doc_id % 23 <> 0)
+        |       OR doc_id % 37 = 0)
+        |    AND doc_id % 29 <> 0 OR doc_id % 41 = 0)),
+        |ws AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |  FROM s3),
+        |bg AS (
+        |  SELECT w[i] || ' ' || w[i+1] AS bigram
+        |  FROM ws, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i))
+        |SELECT bigram, CAST(count(*) AS BIGINT) AS cnt
+        |FROM bg GROUP BY bigram""".stripMargin,
+
+    // Incremental all-lengths span dedup (q176): the oracle replays the
+    // FULL recompute over the NEW snapshot (q145's %19-removal
+    // universe, eval %20=0 pinned) at the cell's L=8 production window
+    // length, so a hash match is the batch≡incremental theorem for the
+    // maintained manifest — including the affected-closure recomputes
+    // (untouched docs whose windows flipped unique↔duplicated or whose
+    // canonical moved).
+    "q176_incremental_span_dedup" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+        |  FROM documents
+        |  WHERE doc_id % 19 <> 0 OR doc_id % 20 = 0),
+        |win AS (
+        |  SELECT doc_id, i AS p, array_to_string(ws[i+1 : i+8], ' ') AS key
+        |  FROM tok CROSS JOIN unnest(generate_series(0, len(ws) - 8)) AS g(i)
+        |  WHERE len(ws) >= 8 AND len(ws) <= 1000000),
+        |occ AS (
+        |  SELECT key, count(*) AS n, min(doc_id * 1000000 + p) AS canon
+        |  FROM win GROUP BY key HAVING count(*) >= 2),
+        |m AS (
+        |  SELECT w.doc_id, w.p
+        |  FROM win w JOIN occ o ON w.key = o.key
+        |  WHERE w.doc_id * 1000000 + w.p <> o.canon),
+        |c AS (
+        |  SELECT w.doc_id, w.p
+        |  FROM win w JOIN occ o ON w.key = o.key
+        |  WHERE w.doc_id * 1000000 + w.p = o.canon),
+        |kept AS (
+        |  SELECT t.doc_id, i, t.ws[i] AS tokn
+        |  FROM tok t CROSS JOIN unnest(generate_series(1, len(t.ws))) AS g(i)
+        |  WHERE NOT EXISTS (SELECT 1 FROM m
+        |      WHERE m.doc_id = t.doc_id AND i BETWEEN m.p + 1 AND m.p + 8)
+        |    OR EXISTS (SELECT 1 FROM c
+        |      WHERE c.doc_id = t.doc_id AND i BETWEEN c.p + 1 AND c.p + 8)),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(tokn, ' ' ORDER BY i) AS txt
+        |  FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.ws) AS BIGINT) AS n_tokens,
+        |  CAST(len(t.ws) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+        |  coalesce(a.txt, '') AS deduped_text
+        |FROM tok t LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    // Interval-overlap join (q177): the oracle is the naive quadratic
+    // range predicate — DuckDB's optimizer may IEJoin it, but the
+    // semantics are the plain closed-interval overlap; the Spark side's
+    // bucket-join + canonical-bucket dedup must reproduce the exact
+    // pair set (a double-emit or a dropped boundary pair hash-fails).
+    "q177_interval_overlap_join" ->
+      """WITH a AS (
+        |  SELECT event_id AS a_id, ts AS a_s, ts + INTERVAL 2 HOUR AS a_e
+        |  FROM events WHERE event_type = 'purchase' AND event_id % 20 = 0),
+        |b AS (
+        |  SELECT event_id AS b_id, ts AS b_s, ts + INTERVAL 1 HOUR AS b_e
+        |  FROM events WHERE event_type = 'error' AND event_id % 29 = 0)
+        |SELECT a_id, a_s, a_e, b_id, b_s, b_e
+        |FROM a, b
+        |WHERE a_s <= b_e AND b_s <= a_e""".stripMargin,
+
+    // Cross-format media dedup (q178): the oracle re-derives every
+    // asset's pixel matrix from the shared closed-form formula (the
+    // q97/q112/q123 contract), folds the SAME order-dependent
+    // polynomial fingerprint over (y, x, channel) order, and replays
+    // the grouping + min-encoded canonical — so a decoder that flips
+    // row order, swaps the channel interleave, or drops padding
+    // changes the fingerprint and hash-fails, and the cross-format +
+    // cross-id (CRT-period) duplicate groups must match exactly.
+    "q178_cross_format_media_dedup" ->
+      """WITH a AS (
+        |  SELECT doc_id AS asset_id, 'image' AS media_type, doc_id AS seed,
+        |    CAST(4 + doc_id % 5 AS INT) AS w, CAST(4 + doc_id % 3 AS INT) AS h
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 'image/png', doc_id,
+        |    CAST(4 + doc_id % 5 AS INT), CAST(4 + doc_id % 3 AS INT)
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |v AS (
+        |  SELECT asset_id, media_type, w, h,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT), vals),
+        |      (acc, x) -> (acc * 1000003 + x) % 2147483647) AS pix_hash
+        |  FROM (
+        |    SELECT asset_id, media_type, w, h,
+        |      list(CAST(CASE c WHEN 0 THEN (seed + 11*x + 13*y) % 256
+        |                       WHEN 1 THEN (seed + 5*x + 7*y) % 256
+        |                       ELSE (seed + 2*x + 3*y) % 256 END AS BIGINT)
+        |        ORDER BY y, x, c) AS vals
+        |    FROM a,
+        |      LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y),
+        |      LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x),
+        |      LATERAL (SELECT unnest([0, 1, 2]) AS c)
+        |    GROUP BY 1, 2, 3, 4)),
+        |g AS (
+        |  SELECT w, h, pix_hash, CAST(count(*) AS BIGINT) AS n_copies,
+        |    min(asset_id * 2 +
+        |      CASE WHEN media_type = 'image/png' THEN 1 ELSE 0 END) AS canon
+        |  FROM v GROUP BY 1, 2, 3)
+        |SELECT v.asset_id, v.media_type, v.w AS width, v.h AS height,
+        |  v.pix_hash, g.n_copies,
+        |  (v.asset_id * 2 +
+        |    CASE WHEN v.media_type = 'image/png' THEN 1 ELSE 0 END) = g.canon
+        |    AS is_canonical
+        |FROM v
+        |JOIN g ON v.w = g.w AND v.h = g.h AND v.pix_hash = g.pix_hash""".stripMargin,
+
     // q101's trained centroids (2 unrolled Lloyd iterations), then IVF:
     // nearest-list assignment (rn=1) builds the inverted lists, every 50th
     // vector probes its 2 nearest lists, candidates rank by exact

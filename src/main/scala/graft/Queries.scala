@@ -3986,9 +3986,12 @@ object Queries {
     * eval suite is a release artifact between crawls — and its
     * stability is exactly what makes per-doc decontamination results
     * reusable across snapshots (the window set is unchanged). */
-  private[graft] def q145OldSnap(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def q145OldSnap(s: SparkSession, dir: String): DataFrame =
+    q145OldSnapOn(t(s, dir, "documents"))
+
+  private def q145OldSnapOn(base: DataFrame): DataFrame = {
     val isEval = col("doc_id") % 20 === 0
-    t(s, dir, "documents").filter(col("doc_id") % 17 =!= 0 || isEval)
+    base.filter(col("doc_id") % 17 =!= 0 || isEval)
       .withColumn("text", when(col("doc_id") % 13 === 0 && !isEval,
         concat(col("text"), lit(" v1"))).otherwise(col("text")))
   }
@@ -5181,5 +5184,260 @@ object Queries {
       .select(col("doc_id"), col("chunk_idx"),
         size(col("_c")).as("n_words"),
         array_join(col("_c"), " ").as("chunk_text"))
+  }
+
+  // ------------------------------------------------- round-16 additions
+
+  /** The crawl CHAIN for the streamed-maintenance family (q175): three
+    * successive snapshots past q145's old one. Universe and text are
+    * closed-form in doc_id — each step removes a stripe, RE-ADDS another
+    * (docs absent from the previous snapshot), and suffixes a version tag
+    * onto a third — so the DuckDB oracle can state the FINAL snapshot
+    * directly and the full-retrain replay certifies the whole chain.
+    * Step 1 is exactly [[q145NewSnap]] (so q155's stored artifacts are
+    * the chain's starting point). */
+  private def chainSnap(base: DataFrame, step: Int): DataFrame = {
+    val d = col("doc_id")
+    val u1 = d % 19 =!= 0 || d % 20 === 0
+    val u2 = (u1 && d % 23 =!= 0) || d % 37 === 0
+    val u3 = (u2 && d % 29 =!= 0) || d % 41 === 0
+    val t2 = when(d % 11 === 0, concat(col("text"), lit(" v2")))
+      .otherwise(col("text"))
+    val t3 = when(d % 7 === 0, concat(t2, lit(" v3"))).otherwise(t2)
+    step match {
+      case 1 => base.filter(u1)
+      case 2 => base.filter(u2).withColumn("text", t2)
+      case 3 => base.filter(u3).withColumn("text", t3)
+    }
+  }
+
+  /** STREAMED incremental LM maintenance, batch twin (q175 — the house
+    * streaming contract, q113's pattern at the incremental-family layer):
+    * THREE successive crawl deltas fold into the stored q155 model in one
+    * lazy plan via [[graft.ops.LmScore.maintainCounts]], and the oracle
+    * replays the full retrain over the FINAL snapshot — certifying the
+    * COMPOSITION theorem (maintenance steps chain, because per-key sums
+    * form an abelian group). The Structured-Streaming deployment of the
+    * same fold — [[graft.streaming.MaintainStream]], one micro-batch per
+    * delta file into an exactly-once versioned store — is asserted
+    * equal to a full retrain by MaintainStreamSpec, whose composition
+    * test is exactly this cell's shape: batch boundaries are immaterial,
+    * so the per-file split and this three-step plan reach the same
+    * model. */
+  def q175StreamLmChain(s: SparkSession, dir: String): DataFrame =
+    q175StreamLmChain(s, dir, maxLocalBytes = 64L << 20)
+
+  private[graft] def q175StreamLmChain(s: SparkSession, dir: String,
+                                       maxLocalBytes: Long): DataFrame = {
+    def hashes(df: DataFrame): DataFrame =
+      df.select(col("doc_id"),
+        TextStats.contentHash(col("text")).as("content_hash"))
+    def en(df: DataFrame): DataFrame =
+      df.filter(col("lang") === "en").select(col("doc_id"), col("text"))
+    // The tier's one task funnels every snapshot branch through a single
+    // reader — the RAW single-file table costs it 4 file opens where the
+    // multi-split wide layout would cost 64; the distributed chain keeps
+    // the wide layout's scan parallelism. Same rows either way.
+    def chainOf(base: DataFrame): Seq[DataFrame] =
+      (q145OldSnapOn(base) +: Seq(1, 2, 3).map(chainSnap(base, _))).map(en)
+    val m0 = prevLmModel(s, dir)
+    // ONE-TASK chain tier (the q153/q176 treatment): three hash-diff +
+    // combine steps are ~15 delta-sized stages of scheduling latency at
+    // serving scale (measured ~3.5 s at sf0.1 vs a 0.05 s retrain twin).
+    // Fail-CLOSED on Catalyst size stats; maxLocalBytes = 0 forces the
+    // distributed chain (spec coverage keeps the scale path pinned).
+    // Statuses re-derive per doc from content hashes inside the task —
+    // the same comparison diffHashed makes (MaintainStreamSpec and
+    // IncrementalBuildSpec pin tier equality; the oracle's full-retrain
+    // replay certifies both tiers).
+    val localChain = chainOf(Tables.table(s, dir, "documents"))
+    if (maxLocalBytes > 0 &&
+        (m0 +: localChain)
+          .map(_.queryExecution.optimizedPlan.stats.sizeInBytes)
+          .sum <= BigInt(maxLocalBytes))
+      return LmScore.maintainCountsChainLocal(m0, localChain,
+        "doc_id", "text")
+    val Seq(e0, e1, e2, e3) = chainOf(t(s, dir, "documents"))
+    val s1 = chainSnap(t(s, dir, "documents"), 1)
+    val s2 = chainSnap(t(s, dir, "documents"), 2)
+    val s3 = chainSnap(t(s, dir, "documents"), 3)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // Each delta feeds BOTH maintenance semi-joins (q155's discipline).
+    val d1 = SnapshotDelta.diffHashed(prevSnapshotHashes(s, dir), hashes(s1))
+      .persist(lvl)
+    val d2 = SnapshotDelta.diffHashed(hashes(s1), hashes(s2)).persist(lvl)
+    val d3 = SnapshotDelta.diffHashed(hashes(s2), hashes(s3)).persist(lvl)
+    val m1 = LmScore.maintainCounts(m0, e0, e1, "doc_id", "text", d1)
+    val m2 = LmScore.maintainCounts(m1, e1, e2, "doc_id", "text", d2)
+    LmScore.maintainCounts(m2, e2, e3, "doc_id", "text", d3)
+  }
+
+  /** q176's window length. Production span dedup runs LONG windows (Lee
+    * et al. use 50 tokens); L=8 is the longest this corpus's documents
+    * sustain with a non-vacuous duplicate set (~9.4k dup keys across
+    * ~430 docs at sf0.1). The q144 detection cell keeps L=4 — rich
+    * duplication exercises the removal semantics — but at L=4 this
+    * synthetic corpus's 4-gram density couples over half the documents
+    * to any crawl delta (measured: 2612 of 4750 docs in the affected
+    * closure), which tests the closure, not the incremental claim. */
+  private val SpanMaintL = 8
+
+  /** The previous crawl's window-occurrence INDEX ([[graft.ops.ExactSpans
+    * .spanIndex]]) — the stored fingerprint artifact that makes
+    * exact-substring dedup incremental. */
+  private def prevSpanIndex(s: SparkSession, dir: String): DataFrame = {
+    val sfTag = Tables.corpusTag(s, dir, "documents")
+    val path = s"${Tables.scratchDir(s)}/span_index_old_v2/$sfTag"
+    Tables.servedArtifact(s, path) {
+      ExactSpans.spanIndex(q145OldSnap(s, dir), "doc_id", "text", SpanMaintL)
+        .write.mode("overwrite").parquet(path)
+    }
+  }
+
+  /** The previous crawl's dup-key summary ([[graft.ops.ExactSpans
+    * .spanOcc]]) — the second stored artifact: old-side status is READ,
+    * never re-aggregated from the index. */
+  private def prevSpanOcc(s: SparkSession, dir: String): DataFrame = {
+    val sfTag = Tables.corpusTag(s, dir, "documents")
+    val path = s"${Tables.scratchDir(s)}/span_occ_old_v2/$sfTag"
+    Tables.servedArtifact(s, path) {
+      ExactSpans.spanOcc(prevSpanIndex(s, dir))
+        .write.mode("overwrite").parquet(path)
+    }
+  }
+
+  /** The previous crawl's all-lengths span-dedup manifest (q144's chain
+    * at L=[[SpanMaintL]] over the OLD snapshot) — the third stored
+    * artifact q176 maintains. */
+  private def prevSpanManifest(s: SparkSession, dir: String): DataFrame = {
+    val sfTag = Tables.corpusTag(s, dir, "documents")
+    val path = s"${Tables.scratchDir(s)}/span_manifest_old_v2/$sfTag"
+    Tables.servedArtifact(s, path) {
+      ExactSpans.dedupSpansAll(q145OldSnap(s, dir), "doc_id", "text",
+          SpanMaintL)
+        .write.mode("overwrite").parquet(path)
+    }
+  }
+
+  /** INCREMENTAL all-lengths exact-substring dedup ([[graft.ops
+    * .ExactSpans.maintainSpanDedupAll]]): q144's manifest rebuilt for the
+    * new crawl from the STORED window index + dup-key summary + manifest
+    * + the snapshot delta — the incremental family at the exact-substring
+    * layer, its subtlest member because duplication is GLOBAL: the
+    * maintenance must close over untouched documents whose windows
+    * flipped between unique and duplicated (or whose canonical moved)
+    * when delta text appeared or vanished, and reuse every other
+    * manifest row verbatim. The stored summary is what keeps the pass
+    * delta-sized: no aggregate anywhere in the maintenance touches the
+    * corpus-sized index (see the operator's scaladoc). The oracle
+    * replays the FULL recompute over the new snapshot, so a hash match
+    * IS the batch≡incremental theorem. */
+  def q176IncrementalSpanDedup(s: SparkSession, dir: String): DataFrame =
+    q176IncrementalSpanDedup(s, dir, maxLocalBytes = 64L << 20)
+
+  private[graft] def q176IncrementalSpanDedup(s: SparkSession, dir: String,
+                                              maxLocalBytes: Long): DataFrame = {
+    val newSnap = q145NewSnap(s, dir)
+    // ONE-TASK serving tier (the q153/q145/q148 treatment): the
+    // distributed maintenance is ~20 delta-sized stages of pure
+    // scheduling latency at serving scale (measured 13-18 s at sf0.1
+    // against the 1.4 s full rebuild — no single stage over 2 s, all
+    // driver/AQE floor). Fail-CLOSED on Catalyst size stats over all
+    // five stored inputs (missing stats default to Long.Max → the
+    // distributed chain); maxLocalBytes = 0 forces distributed (spec
+    // coverage keeps the scale path pinned). Cross-tier equality is
+    // asserted by ExactSpansSpec/IncrementalBuildSpec and by the
+    // oracle's full-recompute replay every round.
+    val inputs = Seq(prevSpanIndex(s, dir), prevSpanOcc(s, dir),
+      prevSpanManifest(s, dir), prevSnapshotHashes(s, dir), newSnap)
+    if (maxLocalBytes > 0 &&
+        inputs.map(_.queryExecution.optimizedPlan.stats.sizeInBytes)
+          .sum <= BigInt(maxLocalBytes))
+      return ExactSpans.maintainSpanDedupAllLocal(newSnap,
+        prevSnapshotHashes(s, dir), prevSpanIndex(s, dir),
+        prevSpanOcc(s, dir), prevSpanManifest(s, dir),
+        "doc_id", "text", SpanMaintL)
+    val delta = SnapshotDelta.diffHashed(
+      prevSnapshotHashes(s, dir),
+      newSnap.select(col("doc_id"),
+        TextStats.contentHash(col("text")).as("content_hash")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ExactSpans.maintainSpanDedupAll(prevSpanIndex(s, dir),
+      prevSpanOcc(s, dir), prevSpanManifest(s, dir), newSnap,
+      "doc_id", "text", delta, SpanMaintL)
+  }
+
+  /** q176's full-rebuild half for [[graft.IoEvidence]]: the full
+    * recompute over the new snapshot — what a non-incremental deployment
+    * pays per crawl. */
+  private[graft] def q176FullRecompute(s: SparkSession, dir: String): DataFrame =
+    ExactSpans.dedupSpansAll(q145NewSnap(s, dir), "doc_id", "text", SpanMaintL)
+
+  /** Interval-OVERLAP join ([[graft.ops.RangeJoin.intervalOverlapPairs]])
+    * — the third temporal-join shape beside point-in-interval (q61) and
+    * the keyed lookback (q166): every (fulfillment window, incident
+    * window) pair that ran CONCURRENTLY, closed-interval semantics.
+    * Both interval sets explode to covered time buckets, the join is a
+    * plain hash equi-join on the bucket (never a nested loop — PlanSpec
+    * shape shared with q61), and each pair survives only in its
+    * canonical meeting bucket (max of the start buckets), so
+    * exactly-once needs a filter, not a distinct. */
+  def q177IntervalOverlapJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val a = ev
+      .filter(col("event_type") === "purchase" && col("event_id") % 20 === 0)
+      .select(col("event_id").as("a_id"), col("ts").as("a_s"),
+        (col("ts") + expr("INTERVAL 2 HOUR")).as("a_e"))
+    val b = ev
+      .filter(col("event_type") === "error" && col("event_id") % 29 === 0)
+      .select(col("event_id").as("b_id"), col("ts").as("b_s"),
+        (col("ts") + expr("INTERVAL 1 HOUR")).as("b_e"))
+    RangeJoin.intervalOverlapPairs(a, b, "a_s", "a_e", "b_s", "b_e", 3600L)
+  }
+
+  /** CROSS-FORMAT media dedup — the multimodal twin of exact text dedup
+    * (q18), and the classic crawl duplicate text hashing can never
+    * catch: the same image re-encoded in another container has
+    * different FILE bytes, so the fingerprint must be computed over the
+    * DECODED pixels. Every document's BMP asset plus a PNG re-encode of
+    * every third document's pixels (same closed-form pixel matrix, real
+    * codecs both ways) flow through format dispatch →
+    * `graft_bmp_pixels`/`graft_png_pixels` (one shared layout: top-down
+    * row-major RGB) → an exact polynomial fold over the pixel array
+    * (order-dependent, so a flipped row or swapped channel interleave
+    * hash-mismatches — q123's contract promoted to a content
+    * fingerprint) → groupBy fingerprint with a min-encoded canonical.
+    * Duplicate groups span FORMATS (bmp↔png of the same id) and also
+    * distinct ids (the pixel formula is periodic in the CRT modulus
+    * lcm(256,5,3)=3840, so ids 3840 apart with equal dims are true
+    * pixel-level dups — the oracle replays them too). Scale shape:
+    * narrow decode map (no shuffle) + ONE map-side-combined groupBy on
+    * the fingerprint + a broadcast-size group join back. */
+  def q178CrossFormatMediaDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val bmp = Multimodal.imageAssets(docs, "doc_id")
+    val png = docs.filter(col("doc_id") % 3 === 0).select(
+      col("doc_id").as("asset_id"), lit("image/png").as("media_type"),
+      call_function("graft_png_encode", col("doc_id").cast("long"),
+        (lit(4) + pmod(col("doc_id"), lit(5))).cast("int"),
+        (lit(4) + pmod(col("doc_id"), lit(3))).cast("int")).as("payload"))
+    val pix = bmp.unionByName(png).select(
+      col("asset_id").cast("long").as("asset_id"), col("media_type"),
+      when(col("media_type") === "image",
+        call_function("graft_bmp_pixels", col("payload")))
+        .otherwise(call_function("graft_png_pixels", col("payload"))).as("d"))
+    val keyEnc = col("asset_id") * 2 +
+      when(col("media_type") === "image/png", 1L).otherwise(0L)
+    val fp = pix.select(col("asset_id"), col("media_type"),
+      col("d.width").as("width"), col("d.height").as("height"),
+      aggregate(col("d.pix"), lit(0L),
+        (acc, v) => pmod(acc * lit(1000003L) + v, lit(2147483647L)))
+        .as("pix_hash"))
+    val groups = fp.groupBy(col("width"), col("height"), col("pix_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(keyEnc).as("_canon"))
+    fp.join(groups, Seq("width", "height", "pix_hash"))
+      .select(col("asset_id"), col("media_type"), col("width"),
+        col("height"), col("pix_hash"), col("n_copies"),
+        (keyEnc === col("_canon")).as("is_canonical"))
   }
 }

@@ -38,6 +38,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.pngEncode)
     ext.injectFunction(GraftExtensions.pngStats)
     ext.injectFunction(GraftExtensions.pngResize)
+    ext.injectFunction(GraftExtensions.pngPixels)
     ext.injectFunction(GraftExtensions.jpegEncode)
     ext.injectFunction(GraftExtensions.jpegStats)
     ext.injectFunction(GraftExtensions.projEntries)
@@ -219,6 +220,12 @@ object GraftExtensions {
     new ExpressionInfo(classOf[PngResize].getName, null, "graft_png_resize",
       "graft_png_resize(payload, w, h) - nearest-neighbor downscale through the full PNG decode path, re-encoded as a real PNG", ""),
     (children: Seq[Expression]) => PngResize(children.head, children(1), children(2)))
+
+  val pngPixels: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier("graft_png_pixels"),
+    new ExpressionInfo(classOf[PngPixels].getName, null, "graft_png_pixels",
+      "graft_png_pixels(payload) - decoded RGB pixel array of a supported PNG in graft_bmp_pixels' layout: struct(width, height, pix), NULL if malformed", ""),
+    (children: Seq[Expression]) => PngPixels(children.head))
 
   val jpegEncode: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     new FunctionIdentifier("graft_jpeg_encode"),

@@ -174,6 +174,22 @@ object PngCodec {
     InternalRow(img.width, img.height, sumR, sumG, sumB)
   }
 
+  /** Decoded RGB pixel ARRAY of a PNG — [[MediaCodec.bmpPixels]]'s layout
+    * (flattened row-major top-down RGB interleave, pixel (x, y) channel c
+    * at index (y·w + x)·3 + c) so every downstream image consumer
+    * (patchify, fingerprinting, dedup) sees ONE shape regardless of the
+    * container format. Full [[decodeRgb]] validation; null on malformed
+    * input. */
+  def pngPixels(b: Array[Byte]): InternalRow = {
+    val img = decodeRgb(b)
+    if (img == null) return null
+    val pix = new Array[Int](img.raw.length)
+    var i = 0
+    while (i < pix.length) { pix(i) = img.raw(i) & 0xff; i += 1 }
+    InternalRow(img.width, img.height,
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(pix))
+  }
+
   /** Nearest-neighbor downscale of a PNG, re-encoded as a REAL PNG — the
     * compressed-format counterpart of [[MediaCodec.bmpResize]]: dst pixel
     * (x, y) samples src pixel (x·srcW div dstW, y·srcH div dstH), integer
@@ -375,6 +391,26 @@ case class PngStats(child: Expression)
     nullSafeCodeGen(ctx, ev, b =>
       s"""
          |${ev.value} = graft.functions.PngCodec.pngStats($b);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(newChild)
+}
+
+/** `graft_png_pixels(payload)` → STRUCT(width, height, pix ARRAY<INT>):
+  * decoded RGB pixel array in [[MediaCodec.bmpPixels]]'s layout; NULL
+  * when the payload is not a well-formed supported PNG. */
+case class PngPixels(child: Expression)
+  extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = MediaCodec.bmpPixelsType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_png_pixels"
+  override def nullSafeEval(b: Any): Any =
+    PngCodec.pngPixels(b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b =>
+      s"""
+         |${ev.value} = graft.functions.PngCodec.pngPixels($b);
          |${ev.isNull} = ${ev.value} == null;
        """.stripMargin)
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(newChild)

@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   * Pre-aggregating the legs separately would pay extra key shuffles for
   * frames the final sum re-aggregates anyway (measured on q155: 3
   * shuffles → 1, 2.3 s → 0.94 s). */
-private[ops] object AdditiveCounts {
+private[graft] object AdditiveCounts {
 
   /** `prevModel`: (keyCol, cnt). `minusKeys`/`plusKeys`: one row per
     * REMOVED/ADDED occurrence (multiplicity = row count). */

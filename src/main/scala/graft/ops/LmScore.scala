@@ -27,8 +27,8 @@ import org.apache.spark.sql.functions._
 object LmScore {
 
   /** Lowercased adjacent word pairs of `textCol`: (id, bigram). */
-  private[ops] def bigrams(df: DataFrame, idCol: String,
-                           textCol: String): DataFrame = {
+  private[graft] def bigrams(df: DataFrame, idCol: String,
+                             textCol: String): DataFrame = {
     val ws = TextStats.words(lower(col(textCol)))
     df.select(col(idCol).cast("long").as("doc_id"),
         explode(zip_with(
@@ -81,6 +81,88 @@ object LmScore {
         newDocs.join(del.filter(col("status").isin("added", "changed"))
           .select(col(idCol)), Seq(idCol), "left_semi"),
         idCol, textCol))
+  }
+
+  /** [[maintainCounts]]'s guarded ONE-TASK multi-step tier — the
+    * q153/q145/q176 treatment for the CHAINED maintenance cell (q175):
+    * each distributed step is a hash-diff join plus a model-sized
+    * combine, so a three-step chain is ~15 delta-sized stages of pure
+    * scheduling latency at serving scale (measured ~3.5 s at sf0.1
+    * against a 0.05 s twin — stage floor, not data). The model and each
+    * step's (old, new) reference-predicate-filtered snapshots ride a
+    * tagged union (no driver collect) into one `mapPartitions` task
+    * that folds every step's delta into a count map:
+    *
+    *   - statuses re-derive per step from [[LocalText.contentHash]]
+    *     equality (exactly the stored-hash comparison the distributed
+    *     [[graft.ops.SnapshotDelta.diffHashed]] makes — a doc's status
+    *     is a pure function of its own old/new text);
+    *   - bigrams replicate [[bigrams]] bit-for-bit (lower → Spark-trim →
+    *     split, adjacent pairs joined by one space);
+    *   - zero/negative counts carry ACROSS steps in the map and are
+    *     dropped once at the end — equivalent to the distributed
+    *     per-step `cnt > 0` filter because with true snapshot deltas
+    *     the running per-bigram sum always equals the intermediate
+    *     corpus's true count (never negative), and a key at zero that
+    *     reappears later re-counts identically either way.
+    *
+    * Same contract as [[maintainCounts]]: the reference predicate must
+    * be stable for content-unchanged docs. `snapshots` is the
+    * CONSECUTIVE crawl chain (first = the stored model's snapshot, each
+    * later one folds as a step against its predecessor) — one tagged
+    * branch per snapshot, so each is scanned exactly once. Callers
+    * guard fail-CLOSED on Catalyst size stats (see the q175 cell). */
+  def maintainCountsChainLocal(prevModel: DataFrame,
+                               snapshots: Seq[DataFrame],
+                               idCol: String, textCol: String): DataFrame = {
+    require(snapshots.size >= 2, "maintainCountsChainLocal needs >= 2 snapshots")
+    val spark = prevModel.sparkSession
+    import spark.implicits._
+    val nullL = lit(null).cast("long")
+    val nSnaps = snapshots.size
+    val modelRows = prevModel.select(lit(-1).as("_snap"), nullL.as("_id"),
+      col("bigram").as("_s"), col("cnt").cast("long").as("_cnt"))
+    val snapRows = snapshots.zipWithIndex.map { case (df, i) =>
+      df.select(lit(i).as("_snap"), col(idCol).cast("long").as("_id"),
+        col(textCol).as("_s"), nullL.as("_cnt"))
+    }.reduce(_ unionByName _)
+    modelRows.unionByName(snapRows).coalesce(1).mapPartitions { it =>
+      import scala.collection.mutable
+      val model = mutable.HashMap.empty[String, Long]
+      val snaps = Array.fill(nSnaps)(mutable.HashMap.empty[Long, String])
+      it.foreach { row =>
+        val tag = row.getInt(0)
+        if (tag < 0) model.update(row.getString(2), row.getLong(3))
+        else snaps(tag).update(row.getLong(1),
+          if (row.isNullAt(2)) "" else row.getString(2))
+      }
+      def addBigrams(text: String, sign: Long): Unit = {
+        val ws = LocalText.words(text.toLowerCase())
+        var i = 0
+        while (i < ws.length - 1) {
+          val bg = ws(i) + " " + ws(i + 1)
+          model.update(bg, model.getOrElse(bg, 0L) + sign)
+          i += 1
+        }
+      }
+      var k = 0
+      while (k < nSnaps - 1) {
+        val old = snaps(k); val neu = snaps(k + 1)
+        neu.foreach { case (id, t) =>
+          old.get(id) match {
+            case None => addBigrams(t, 1L) // added
+            case Some(ot) =>
+              if (LocalText.contentHash(ot) != LocalText.contentHash(t)) {
+                addBigrams(ot, -1L); addBigrams(t, 1L) // changed
+              }
+          }
+        }
+        old.foreach { case (id, t) =>
+          if (!neu.contains(id)) addBigrams(t, -1L) } // removed
+        k += 1
+      }
+      model.iterator.filter(_._2 > 0L)
+    }.toDF("bigram", "cnt")
   }
 
   /** Score EVERY document against the (possibly stored) count model:

@@ -58,6 +58,44 @@ object RangeJoin {
       .drop("_bkt")
   }
 
+  /** All (a, b) pairs whose closed intervals OVERLAP:
+    * `a.start <= b.end AND b.start <= a.end` — the third temporal-join
+    * shape (concurrent sessions, co-running experiments, incident
+    * windows crossing deploy windows), completing [[pointInInterval]]
+    * (no key, point probe) and [[lookbackPairs]] (keyed, fixed
+    * window). Column sets must be disjoint; every overlapping pair is
+    * emitted exactly once.
+    *
+    * Both sides EXPLODE to the buckets they cover, the join is an
+    * equi-join on the bucket, and the exact predicate re-checks. An
+    * overlapping pair shares every bucket in
+    * [max(startBuckets), min(endBuckets)] — potentially MANY — so
+    * emitting on the bucket join alone would duplicate; the pair is
+    * kept only in its CANONICAL meeting bucket, max of the two start
+    * buckets (the first bucket both cover — always inside the shared
+    * range when an overlap exists, never otherwise). A filter, not a
+    * distinct: dedup costs nothing and the output needs no shuffle.
+    * Replication per row ≈ len/width + 1; pick `bucketWidthSeconds`
+    * near the typical interval length. */
+  def intervalOverlapPairs(a: DataFrame, b: DataFrame,
+                           aStart: String, aEnd: String,
+                           bStart: String, bEnd: String,
+                           bucketWidthSeconds: Long): DataFrame = {
+    require(bucketWidthSeconds > 0, "bucket width must be positive")
+    require(a.columns.toSet.intersect(b.columns.toSet).isEmpty,
+      "a/b column names must be disjoint")
+    val w = lit(bucketWidthSeconds)
+    def bkt(c: String) = floor(unix_timestamp(col(c)) / w)
+    val ae = a.withColumn("_sba", bkt(aStart))
+      .withColumn("_bkt", explode(sequence(col("_sba"), bkt(aEnd))))
+    val be = b.withColumn("_sbb", bkt(bStart))
+      .withColumn("_bkt", explode(sequence(col("_sbb"), bkt(bEnd))))
+    ae.join(be, Seq("_bkt"))
+      .filter(col("_bkt") === greatest(col("_sba"), col("_sbb")) &&
+        col(aStart) <= col(bEnd) && col(bStart) <= col(aEnd))
+      .drop("_bkt", "_sba", "_sbb")
+  }
+
   /** All (left × matching right) pairs for the KEYED inclusive-end
     * lookback window: same `keyCol`, right.`timeCol` ∈ (left.t −
     * `windowSec`, left.t]. Returns every `left` column followed by

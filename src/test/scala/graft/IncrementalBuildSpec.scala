@@ -120,6 +120,54 @@ class IncrementalBuildSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q176 incremental span dedup ≡ full recompute over the new snapshot") {
+    // The cell serves the ONE-TASK tier at this corpus size, so this
+    // equality is simultaneously the batch≡incremental theorem AND a
+    // cross-tier proof against the from-scratch dedupSpansAll.
+    val inc = Queries.q176IncrementalSpanDedup(spark, dir)
+    val full = Queries.q176FullRecompute(spark, dir)
+    val n = inc.count()
+    n shouldBe full.count()
+    n should be > 0L
+    inc.exceptAll(full).count() shouldBe 0L
+    full.exceptAll(inc).count() shouldBe 0L
+    spark.catalog.clearCache()
+  }
+
+  test("q176's one-task tier ≡ the distributed maintenance chain, row for row") {
+    // maxLocalBytes = 0 forces the distributed chain (hash diff, delta
+    // windows, affected-key aggregate vs the stored summary, closure
+    // semi-joins, verbatim manifest reuse) on the same stored
+    // artifacts. Plan asserts keep the comparison non-vacuous.
+    val localF = Queries.q176IncrementalSpanDedup(spark, dir)
+    val distF = Queries.q176IncrementalSpanDedup(spark, dir, maxLocalBytes = 0L)
+    localF.queryExecution.executedPlan.toString should include("MapPartitions")
+    distF.queryExecution.executedPlan.toString should not include "MapPartitions"
+    val local = localF.collect().map(_.toSeq).sortBy(_.toString)
+    val dist = distF.collect().map(_.toSeq).sortBy(_.toString)
+    local should not be empty
+    local shouldBe dist
+    spark.catalog.clearCache()
+  }
+
+  test("q175's one-task chain tier ≡ the distributed three-step chain, row for row") {
+    // maxLocalBytes = 0 forces the distributed chain (three hash-diff
+    // deltas + three chained maintainCounts combines) on the same
+    // snapshots; the local tier re-derives every status from content
+    // hashes inside one task, so this equality also proves the
+    // in-task diff agrees with diffHashed. Plan asserts keep it
+    // non-vacuous.
+    val localF = Queries.q175StreamLmChain(spark, dir)
+    val distF = Queries.q175StreamLmChain(spark, dir, maxLocalBytes = 0L)
+    localF.queryExecution.executedPlan.toString should include("MapPartitions")
+    distF.queryExecution.executedPlan.toString should not include "MapPartitions"
+    val local = localF.collect().map(_.toSeq).sortBy(_.toString)
+    val dist = distF.collect().map(_.toSeq).sortBy(_.toString)
+    local should not be empty
+    local shouldBe dist
+    spark.catalog.clearCache()
+  }
+
   test("q173 maintained vocab table + refresh policy ≡ full recompute") {
     // The abelian-group maintenance of the unit-count model, the
     // top-2048 release cap and the policy bits must equal the

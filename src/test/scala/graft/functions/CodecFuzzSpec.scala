@@ -37,7 +37,8 @@ class CodecFuzzSpec extends SparkSpec {
     ("aviStats", MediaCodec.aviStats _),
     ("mjpegStats", MediaCodec.mjpegStats _),
     ("wavSamples", MediaCodec.wavSamples _),
-    ("bmpPixels", MediaCodec.bmpPixels _))
+    ("bmpPixels", MediaCodec.bmpPixels _),
+    ("pngPixels", PngCodec.pngPixels _))
 
   test("fuzz: decoders are total on arbitrary byte blobs") {
     totalOn(Gen.choose(0, 512).flatMap(n =>

@@ -235,4 +235,27 @@ class PngCodecSpec extends SparkSpec {
       row.getLong(5) shouldBe b
     }
   }
+
+  test("pngPixels matches the closed form AND bmpPixels' layout bit-for-bit") {
+    // The cross-format dedup contract (q178): the same (seed, w, h)
+    // encoded as PNG and as BMP must decode to IDENTICAL pixel arrays —
+    // same row order, same channel interleave.
+    for (seed <- Seq(0L, 9L, 255L, 1000L); (w, h) <- Seq((5, 4), (6, 7))) {
+      val p = PngCodec.pngPixels(PngCodec.pngEncode(seed, w, h))
+      val m = MediaCodec.bmpPixels(MediaCodec.bmpEncode(seed, w, h))
+      p should not be null
+      p.getInt(0) shouldBe w
+      p.getInt(1) shouldBe h
+      val pPix = p.getArray(2).toIntArray()
+      pPix shouldBe m.getArray(2).toIntArray()
+      // closed form: pixel (x, y) channel c at (y·w + x)·3 + c
+      for (y <- 0 until h; x <- 0 until w) {
+        val o = (y * w + x) * 3
+        pPix(o) shouldBe java.lang.Math.floorMod(seed + 11 * x + 13 * y, 256L).toInt
+        pPix(o + 1) shouldBe java.lang.Math.floorMod(seed + 5 * x + 7 * y, 256L).toInt
+        pPix(o + 2) shouldBe java.lang.Math.floorMod(seed + 2 * x + 3 * y, 256L).toInt
+      }
+    }
+    PngCodec.pngPixels("notapng".getBytes) shouldBe null
+  }
 }

@@ -305,4 +305,154 @@ class ExactSpansSpec extends SparkSpec {
       ExactSpans.dedupSpansAll(docs(5L -> "a b c"), "doc_id", "text", 4,
         posRange = Int.MaxValue.toLong + 1)
   }
+
+  // ------------------------------------------- incremental maintenance
+
+  // OLD corpus: "a b c d" occurs in d1 (canonical), d2, d7; "e f g h"
+  // and "p q r s" are unique; d6 is below the window length.
+  private val oldCorpus = Seq(
+    1L -> "a b c d x1 x2",
+    2L -> "y1 a b c d y2",
+    3L -> "p q r s t",
+    4L -> "m n o w z",
+    5L -> "e f g h",
+    6L -> "k l m",
+    7L -> "z1 z2 a b c d",
+    10L -> "g1 g2 g3 g4 h1",
+    11L -> "z9 g1 g2 g3 g4")
+  // DELTA: d1 removed (canonical of "a b c d" moves to d2 — an UNTOUCHED
+  // doc regains its text), d4 changed, d0 added (duplicates d5's whole
+  // text with a SMALLER id — an untouched doc becomes fully cut), d8
+  // added (duplicates d3's prefix — d3 turns canonical, d8 is cut), d12
+  // added (a THIRD occurrence of d10/d11's key: count changes, canonical
+  // does not — its holders reuse verbatim while the summary row updates).
+  private val newCorpus = Seq(
+    0L -> "e f g h",
+    2L -> "y1 a b c d y2",
+    3L -> "p q r s t",
+    4L -> "m n o w z q2 q3",
+    5L -> "e f g h",
+    6L -> "k l m",
+    7L -> "z1 z2 a b c d",
+    8L -> "p q r s v",
+    10L -> "g1 g2 g3 g4 h1",
+    11L -> "z9 g1 g2 g3 g4",
+    12L -> "x9 x8 g1 g2 g3 g4")
+
+  private def hashes(rows: Seq[(Long, String)]) =
+    docs(rows: _*).select(org.apache.spark.sql.functions.col("doc_id"),
+      TextStats.contentHash(org.apache.spark.sql.functions.col("text"))
+        .as("content_hash"))
+
+  private def oldIndex() =
+    ExactSpans.spanIndex(docs(oldCorpus: _*), "doc_id", "text", 4)
+
+  private def maintained() = {
+    val delta = SnapshotDelta.diffHashed(hashes(oldCorpus), hashes(newCorpus))
+    ExactSpans.maintainSpanDedupAll(
+      oldIndex(), ExactSpans.spanOcc(oldIndex()),
+      ExactSpans.dedupSpansAll(docs(oldCorpus: _*), "doc_id", "text", 4),
+      docs(newCorpus: _*), "doc_id", "text", delta, 4)
+  }
+
+  test("maintainSpanDedupAll ≡ dedupSpansAll over the new snapshot (batch≡incremental)") {
+    val inc = maintained()
+    val full = ExactSpans.dedupSpansAll(docs(newCorpus: _*), "doc_id", "text", 4)
+    inc.exceptAll(full).count() shouldBe 0L
+    full.exceptAll(inc).count() shouldBe 0L
+  }
+
+  test("maintenance recomputes UNTOUCHED docs whose windows flipped status") {
+    val out = maintained().collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    // d2: was cut under d1's canonical; d1's removal hands it ownership
+    out(2L) shouldBe ((0L, "y1 a b c d y2"))
+    // d5: untouched text, but the added d0 (smaller id) steals canonical
+    // for its whole text — fully cut
+    out(5L) shouldBe ((4L, ""))
+    // d7: canonical MOVED (d1→d2) while staying duplicated — recomputed,
+    // still cut
+    out(7L) shouldBe ((4L, "z1 z2"))
+    // d8: added duplicate of d3's prefix — cut, suffix survives
+    out(8L) shouldBe ((4L, "v"))
+    out(3L) shouldBe ((0L, "p q r s t")) // turned canonical: kept whole
+    out.contains(1L) shouldBe false      // removed doc leaves the manifest
+    // d12: third occurrence of d10's canonical key — cut, prefix survives;
+    // the untouched holders d10/d11 keep their rows (reuse, asserted
+    // corruption-proof in the whitebox test)
+    out(12L) shouldBe ((4L, "x9 x8"))
+    out(11L) shouldBe ((4L, "z9"))
+  }
+
+  test("untouched docs outside the closure reuse their manifest rows VERBATIM") {
+    import org.apache.spark.sql.functions._
+    val delta = SnapshotDelta.diffHashed(hashes(oldCorpus), hashes(newCorpus))
+    val corrupted = ExactSpans
+      .dedupSpansAll(docs(oldCorpus: _*), "doc_id", "text", 4)
+      .withColumn("deduped_text",
+        when(col("doc_id").isin(6L, 11L), lit("CORRUPT-REUSED"))
+          .otherwise(col("deduped_text")))
+    val out = ExactSpans.maintainSpanDedupAll(oldIndex(),
+        ExactSpans.spanOcc(oldIndex()), corrupted,
+        docs(newCorpus: _*), "doc_id", "text", delta, 4)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    // d6 (short, untouched, no affected keys): the corrupted row SURVIVES
+    // — proof the maintenance never recomputed it
+    out(6L) shouldBe "CORRUPT-REUSED"
+    // d11 holds a key whose COUNT changed but whose (dup, canonical)
+    // status did not — still outside the closure, still verbatim
+    out(11L) shouldBe "CORRUPT-REUSED"
+    // d2 is inside the affected closure: recomputed, corruption-immune
+    out(2L) shouldBe "y1 a b c d y2"
+  }
+
+  test("maintainSpanIndex ≡ spanIndex over the new snapshot") {
+    val delta = SnapshotDelta.diffHashed(hashes(oldCorpus), hashes(newCorpus))
+    val inc = ExactSpans.maintainSpanIndex(oldIndex(),
+      docs(newCorpus: _*), "doc_id", "text", delta, 4)
+    val full = ExactSpans.spanIndex(docs(newCorpus: _*), "doc_id", "text", 4)
+    inc.exceptAll(full).count() shouldBe 0L
+    full.exceptAll(inc).count() shouldBe 0L
+  }
+
+  test("one-task tier ≡ the distributed maintenance chain, row for row") {
+    val localF = ExactSpans.maintainSpanDedupAllLocal(docs(newCorpus: _*),
+      hashes(oldCorpus), oldIndex(), ExactSpans.spanOcc(oldIndex()),
+      ExactSpans.dedupSpansAll(docs(oldCorpus: _*), "doc_id", "text", 4),
+      "doc_id", "text", 4)
+    localF.queryExecution.executedPlan.toString should include("MapPartitions")
+    val distF = maintained()
+    distF.queryExecution.executedPlan.toString should not include "MapPartitions"
+    val local = localF.collect().map(_.toSeq).sortBy(_.toString)
+    val dist = distF.collect().map(_.toSeq).sortBy(_.toString)
+    local should not be empty
+    local shouldBe dist
+  }
+
+  test("one-task tier reuses untouched manifest rows VERBATIM too") {
+    import org.apache.spark.sql.functions._
+    val corrupted = ExactSpans
+      .dedupSpansAll(docs(oldCorpus: _*), "doc_id", "text", 4)
+      .withColumn("deduped_text",
+        when(col("doc_id").isin(6L, 11L), lit("CORRUPT-REUSED"))
+          .otherwise(col("deduped_text")))
+    val out = ExactSpans.maintainSpanDedupAllLocal(docs(newCorpus: _*),
+        hashes(oldCorpus), oldIndex(), ExactSpans.spanOcc(oldIndex()),
+        corrupted, "doc_id", "text", 4)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    out(6L) shouldBe "CORRUPT-REUSED"
+    out(11L) shouldBe "CORRUPT-REUSED"
+    out(2L) shouldBe "y1 a b c d y2" // closure member: recomputed
+  }
+
+  test("maintainSpanOcc ≡ spanOcc over the new snapshot (incl. count-only changes)") {
+    val delta = SnapshotDelta.diffHashed(hashes(oldCorpus), hashes(newCorpus))
+    val inc = ExactSpans.maintainSpanOcc(oldIndex(),
+      ExactSpans.spanOcc(oldIndex()),
+      docs(newCorpus: _*), "doc_id", "text", delta, 4)
+    val full = ExactSpans.spanOcc(
+      ExactSpans.spanIndex(docs(newCorpus: _*), "doc_id", "text", 4))
+    inc.exceptAll(full).count() shouldBe 0L
+    full.exceptAll(inc).count() shouldBe 0L
+  }
 }

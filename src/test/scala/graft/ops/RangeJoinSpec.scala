@@ -129,4 +129,86 @@ class RangeJoinSpec extends SparkSpec {
       .collect().map(x => (x.getLong(0), x.getString(3), x.getDouble(4)))
     out.toSeq shouldBe Seq((1L, "alpha", 9.0))
   }
+
+  // ------------------- intervalOverlapPairs (the interval × interval flavor)
+
+  private def aDf(rows: (Int, String, String)*) =
+    df("aid INT, astart TIMESTAMP, aend TIMESTAMP",
+      rows.map(r => Row(r._1, tsS(r._2), tsS(r._3))))
+
+  private def bDf(rows: (Int, String, String)*) =
+    df("bid INT, bstart TIMESTAMP, bend TIMESTAMP",
+      rows.map(r => Row(r._1, tsS(r._2), tsS(r._3))))
+
+  private def runOverlap(a: org.apache.spark.sql.DataFrame,
+                         b: org.apache.spark.sql.DataFrame, w: Long) = {
+    val out = RangeJoin.intervalOverlapPairs(a, b,
+      "astart", "aend", "bstart", "bend", w)
+    out.columns.toSeq shouldBe Seq("aid", "astart", "aend", "bid", "bstart", "bend")
+    out.collect().map(r => (r.getInt(0), r.getInt(3)))
+  }
+
+  private val aSet = aDf(
+    (1, "2024-01-01 00:00:00", "2024-01-03 00:00:00"),
+    (2, "2024-01-05 00:00:00", "2024-01-05 06:00:00"),
+    (3, "2024-01-08 00:00:00", "2024-01-20 00:00:00")) // long: many buckets
+  private val bSet = bDf(
+    (10, "2024-01-02 12:00:00", "2024-01-06 00:00:00"), // a1 (tail), a2 (whole)
+    (20, "2024-01-03 00:00:00", "2024-01-04 00:00:00"), // touches a1's end
+    (30, "2024-01-10 00:00:00", "2024-01-11 00:00:00"), // inside a3
+    (40, "2024-02-01 00:00:00", "2024-02-02 00:00:00")) // none
+
+  private val expectedOverlap =
+    Set((1, 10), (2, 10), (1, 20), (3, 30))
+
+  test("intervalOverlapPairs: closed-interval semantics, touching endpoints overlap") {
+    runOverlap(aSet, bSet, 86400).toSet shouldBe expectedOverlap
+  }
+
+  test("intervalOverlapPairs emits each pair exactly once across shared buckets") {
+    // a3 × b30 share 2+ buckets at width=1h; the canonical-bucket filter
+    // must keep exactly one copy — count WITH duplicates.
+    val pairs = runOverlap(aSet, bSet, 3600)
+    pairs.length shouldBe pairs.toSet.size
+    pairs.toSet shouldBe expectedOverlap
+  }
+
+  test("intervalOverlapPairs is width-invariant") {
+    Seq(60L, 3600L, 86400L, 30L * 86400).foreach { w =>
+      runOverlap(aSet, bSet, w).toSet shouldBe expectedOverlap
+    }
+  }
+
+  test("intervalOverlapPairs equals a brute-force cross check on random data") {
+    val r = new scala.util.Random(7)
+    val base = tsS("2024-01-01 00:00:00").getTime
+    def mk(n: Int) = (1 to n).map { i =>
+      val s = base + r.nextInt(2000) * 3600000L
+      (i, new Timestamp(s), new Timestamp(s + (1 + r.nextInt(96)) * 3600000L))
+    }
+    val a = df("aid INT, astart TIMESTAMP, aend TIMESTAMP",
+      mk(120).map(x => Row(x._1, x._2, x._3)))
+    val b = df("bid INT, bstart TIMESTAMP, bend TIMESTAMP",
+      mk(150).map(x => Row(x._1, x._2, x._3)))
+    val got = RangeJoin.intervalOverlapPairs(a, b, "astart", "aend", "bstart", "bend", 7200)
+      .select("aid", "bid").collect().map(x => (x.getInt(0), x.getInt(1)))
+    val want = a.crossJoin(b)
+      .filter(col("astart") <= col("bend") && col("bstart") <= col("aend"))
+      .select("aid", "bid").collect().map(x => (x.getInt(0), x.getInt(1)))
+    got.length shouldBe want.length // exactly-once, not just same set
+    got.toSet shouldBe want.toSet
+  }
+
+  test("intervalOverlapPairs plan: hash equi-join, no nested loop / cartesian") {
+    val p = RangeJoin
+      .intervalOverlapPairs(aSet, bSet, "astart", "aend", "bstart", "bend", 86400)
+      .queryExecution.executedPlan.toString
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("intervalOverlapPairs rejects overlapping column names") {
+    an[IllegalArgumentException] should be thrownBy
+      RangeJoin.intervalOverlapPairs(aSet, aSet, "astart", "aend", "astart", "aend", 60)
+  }
 }

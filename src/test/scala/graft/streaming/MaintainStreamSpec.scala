@@ -1,0 +1,145 @@
+package graft.streaming
+
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ops.LmScore
+
+/** One change-feed row: a removed doc carries (old, null), an added doc
+  * (null, new), a changed doc (old, new). */
+case class ChangeEvent(doc_id: Long, minus_text: String, plus_text: String)
+
+class MaintainStreamSpec extends SparkSpec {
+
+  private val schema = Encoders.product[ChangeEvent].schema
+
+  private def doc(id: Long, text: String): (Long, String) = (id, text)
+
+  /** Corpus v0 and a 3-step change feed exercising every delta shape:
+    * removal (doc 2 — its unique bigram must COUNT TO ZERO and drop),
+    * change (doc 3, then doc 1), addition (docs 6 and 7). */
+  private val corpus0 = Seq(
+    doc(1, "alpha beta gamma"),
+    doc(2, "omega psi"),
+    doc(3, "alpha beta delta"),
+    doc(4, "beta gamma beta gamma"),
+    doc(5, "solo"))
+  private val feed = Seq(
+    Seq(ChangeEvent(2, "omega psi", null),
+      ChangeEvent(3, "alpha beta delta", "delta beta alpha")),
+    Seq(ChangeEvent(6, null, "gamma delta epsilon")),
+    Seq(ChangeEvent(1, "alpha beta gamma", "alpha beta gamma zeta"),
+      ChangeEvent(7, null, "beta gamma")))
+  private val corpusFinal = Seq(
+    doc(1, "alpha beta gamma zeta"),
+    doc(3, "delta beta alpha"),
+    doc(4, "beta gamma beta gamma"),
+    doc(5, "solo"),
+    doc(6, "gamma delta epsilon"),
+    doc(7, "beta gamma"))
+
+  private def docsDf(rows: Seq[(Long, String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private def retrain(rows: Seq[(Long, String)]): DataFrame =
+    LmScore.trainCounts(docsDf(rows), "doc_id", "text", lit(true))
+
+  /** Drive the full feed through a REAL file-source stream, one file per
+    * step, maxFilesPerTrigger=1 forcing one micro-batch per file. Returns
+    * (storeDir, srcDir). */
+  private def runStream(): (String, String) = {
+    import spark.implicits._
+    val base = s"${graft.Tables.scratchDir(spark)}/maintain_stream_spec/" +
+      UUID.randomUUID().toString
+    val (srcDir, storeDir, ckptDir) = (s"$base/src", s"$base/store", s"$base/ckpt")
+    MaintainStream.writeInit(retrain(corpus0), storeDir)
+    feed.foreach(step =>
+      step.toDF().coalesce(1).write.mode("append").parquet(srcDir))
+    val q = MaintainStream.maintainCountsStream(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(srcDir),
+      storeDir, ckptDir)
+    assert(q.awaitTermination(120000), "stream did not drain in 120 s")
+    (storeDir, srcDir)
+  }
+
+  test("streamed micro-batch maintenance equals the full retrain over the final corpus") {
+    val (storeDir, _) = runStream()
+    val streamed = MaintainStream.latestModel(spark, storeDir)
+    val expected = retrain(corpusFinal)
+    streamed.exceptAll(expected).count() shouldBe 0L
+    expected.exceptAll(streamed).count() shouldBe 0L
+    // the removed doc's unique bigram counted to zero and DROPPED —
+    // a retrain never emits it, so neither may the maintained store
+    streamed.filter(col("bigram") === "omega psi").count() shouldBe 0L
+  }
+
+  test("the feed split into micro-batches (versioned store holds the full chain)") {
+    val (storeDir, _) = runStream()
+    // v0 = init + one version per file-batch: maxFilesPerTrigger=1 over
+    // 3 files → at least versions v0..v3 (AvailableNow may add an empty
+    // final batch; every version must be readable)
+    val vs = (0 to 3).map(v =>
+      spark.read.parquet(MaintainStream.versionPath(storeDir, v.toLong)))
+    vs.foreach(m => m.columns.toSeq shouldBe Seq("bigram", "cnt"))
+    // intermediate versions differ — the chain really advanced per batch
+    vs(0).exceptAll(vs(3)).count() should be > 0L
+  }
+
+  test("micro-batch replay is idempotent — the exactly-once contract") {
+    import spark.implicits._
+    val (storeDir, _) = runStream()
+    def snap(v: Long): Set[Seq[Any]] =
+      spark.read.parquet(MaintainStream.versionPath(storeDir, v))
+        .collect().map(_.toSeq).toSet
+    val latestBefore = MaintainStream.latestModel(spark, storeDir)
+      .collect().map(_.toSeq).toSet
+    val v3Before = snap(feed.size.toLong)
+    // Structured Streaming replays a failed batch under the SAME batchId:
+    // re-apply the LAST file-batch verbatim — it re-reads the intact
+    // version below it and must rewrite ITS version with identical
+    // content, leaving the whole chain unmoved.
+    MaintainStream.applyBatch(feed.last.toDF(), feed.size - 1L, storeDir)
+    snap(feed.size.toLong) shouldBe v3Before
+    MaintainStream.latestModel(spark, storeDir)
+      .collect().map(_.toSeq).toSet shouldBe latestBefore
+  }
+
+  test("the one-task chain tier reaches the streamed store's model (tier ≡ stream ≡ retrain)") {
+    // The same three steps as the stream, folded by LmScore's local
+    // chain tier — its in-task hash-diff statuses and bigram fold must
+    // land exactly where the micro-batched store does.
+    val corpus1 = Seq(doc(1, "alpha beta gamma"), doc(3, "delta beta alpha"),
+      doc(4, "beta gamma beta gamma"), doc(5, "solo"))
+    val corpus2 = corpus1 :+ doc(6, "gamma delta epsilon")
+    val tiered = LmScore.maintainCountsChainLocal(retrain(corpus0),
+      Seq(docsDf(corpus0), docsDf(corpus1), docsDf(corpus2),
+        docsDf(corpusFinal)),
+      "doc_id", "text")
+    tiered.queryExecution.executedPlan.toString should include("MapPartitions")
+    val expected = retrain(corpusFinal)
+    tiered.exceptAll(expected).count() shouldBe 0L
+    expected.exceptAll(tiered).count() shouldBe 0L
+  }
+
+  test("batch boundaries are immaterial — one-batch feed reaches the same model (composition)") {
+    import spark.implicits._
+    val base = s"${graft.Tables.scratchDir(spark)}/maintain_stream_spec/" +
+      UUID.randomUUID().toString
+    MaintainStream.writeInit(retrain(corpus0), s"$base/store")
+    feed.flatten.toDF().coalesce(1).write.mode("append").parquet(s"$base/src")
+    val q = MaintainStream.maintainCountsStream(
+      spark.readStream.schema(schema).parquet(s"$base/src"),
+      s"$base/store", s"$base/ckpt")
+    assert(q.awaitTermination(120000), "stream did not drain in 120 s")
+    val oneBatch = MaintainStream.latestModel(spark, s"$base/store")
+    val expected = retrain(corpusFinal)
+    oneBatch.exceptAll(expected).count() shouldBe 0L
+    expected.exceptAll(oneBatch).count() shouldBe 0L
+  }
+}
