@@ -554,6 +554,9 @@ object Bench {
           // window aggregates — q148's linear regime (the index grows
           // with the corpus; the aggregates stay delta-keyed)
           "q176_incremental_span_dedup",
+          // IVF-PQ from maintained lists + codes: q117/q159's serving
+          // regime (fixed panel, list-occupancy-bounded candidates)
+          "q179_incremental_ivfpq",
           "q122_audio_frames").filter(SparkEntry.queries.contains)
         // Min-of-3 for BOTH sides of the ratio, measured back-to-back in
         // the SAME session config: round 9's q122 growth read 4.6x on one
@@ -672,6 +675,8 @@ object Bench {
           "q175_stream_lm_chain"      -> 15.0,
           // stored-index scan + delta-keyed aggregates: q148's regime
           "q176_incremental_span_dedup" -> 12.0,
+          // maintained-artifact ANN serving: q117/q159's regime
+          "q179_incremental_ivfpq"    -> 15.0,
           "q122_audio_frames"         -> 15.0)
         val boundFor: String => Double =
           sys.env.get("SPARK_GRAFT_GROWTH_BOUND").map(_.toDouble) match {
@@ -826,7 +831,13 @@ object Bench {
               // delta-sized id/key sets into the stored-index scan and
               // shuffles only delta-adjacent keys' occurrences.
               ("q176_incremental_span_dedup",
-                Queries.q176IncrementalSpanDedup _, Queries.q176FullRecompute _))
+                Queries.q176IncrementalSpanDedup _, Queries.q176FullRecompute _),
+              // q179's code-table halves (q159's regime): the rebuild
+              // re-runs the per-(id, subspace) argmin aggregate over the
+              // whole snapshot; the maintenance's reuse leg is one
+              // stored-table semi-join and only ADDED ids pay the argmin.
+              ("q179_incremental_ivfpq",
+                Queries.q179MaintainedCodes _, Queries.q179FullEncode _))
               .filter(p => scaleFilter(p._1))
               .map { case (n, m, r) =>
                 try s""""$n":{"sf01":${fmtPair(m, r, sfDir)},"sf1":${fmtPair(m, r, sf1Dir)}}"""

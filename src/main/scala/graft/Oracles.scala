@@ -4589,6 +4589,144 @@ object Oracles {
     // probes, cand) bounds the candidates; q116's fine PQ replay (b0..b2,
     // codes, dtab — its a/u CTEs renamed q*) ADC-scores only those
     // candidates; shortlist 20, exact re-rank 5. Every stage fixed-point.
+    // Incremental IVF-PQ (q179): q117's FULL replay — both trainers
+    // over the full corpus (the frozen models), assignment + encoding +
+    // ADC + shortlist + exact re-rank — restricted to the NEW embedding
+    // snapshot (%19 removals) on the lists, the probe panel and the
+    // distance tables; a hash match is the batch≡incremental theorem
+    // for the maintained lists AND the maintained code table AND the
+    // stored-artifact serving path at once.
+    "q179_incremental_ivfpq" ->
+      """WITH pts AS (
+        |  SELECT vec_id AS id,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |c0 AS (SELECT id AS cluster_id, qv AS cv FROM pts ORDER BY id LIMIT 8),
+        |a1 AS (
+        |  SELECT id, qv, cluster_id FROM (
+        |    SELECT p.id, p.qv, c.cluster_id,
+        |      row_number() OVER (PARTITION BY p.id ORDER BY
+        |        list_sum(list_transform(list_zip(p.qv, c.cv),
+        |          z -> (z[1]-z[2])*(z[1]-z[2]))), c.cluster_id) AS rn
+        |    FROM pts p CROSS JOIN c0 c)
+        |  WHERE rn = 1),
+        |u1 AS (
+        |  SELECT cluster_id, pos,
+        |    CAST(floor(CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS cv1
+        |  FROM (SELECT cluster_id, generate_subscripts(qv, 1) AS pos, unnest(qv) AS v FROM a1)
+        |  GROUP BY cluster_id, pos),
+        |c1 AS (SELECT cluster_id, list(cv1 ORDER BY pos) AS cv FROM u1 GROUP BY cluster_id),
+        |a2 AS (
+        |  SELECT id, qv, cluster_id FROM (
+        |    SELECT p.id, p.qv, c.cluster_id,
+        |      row_number() OVER (PARTITION BY p.id ORDER BY
+        |        list_sum(list_transform(list_zip(p.qv, c.cv),
+        |          z -> (z[1]-z[2])*(z[1]-z[2]))), c.cluster_id) AS rn
+        |    FROM pts p CROSS JOIN c1 c)
+        |  WHERE rn = 1),
+        |u2 AS (
+        |  SELECT cluster_id, pos,
+        |    CAST(floor(CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS cv1
+        |  FROM (SELECT cluster_id, generate_subscripts(qv, 1) AS pos, unnest(qv) AS v FROM a2)
+        |  GROUP BY cluster_id, pos),
+        |c2 AS (SELECT cluster_id, list(cv1 ORDER BY pos) AS cv FROM u2 GROUP BY cluster_id),
+        |ranked AS (
+        |  SELECT p.id, c.cluster_id,
+        |    row_number() OVER (PARTITION BY p.id ORDER BY
+        |      list_sum(list_transform(list_zip(p.qv, c.cv),
+        |        z -> (z[1]-z[2])*(z[1]-z[2]))), c.cluster_id) AS rn
+        |  FROM pts p CROSS JOIN c2 c),
+        |lists AS (SELECT id AS cand_id, cluster_id FROM ranked
+        |  WHERE rn = 1 AND id % 19 <> 0),
+        |probes AS (
+        |  SELECT id AS query_id, cluster_id FROM ranked
+        |  WHERE rn <= 2 AND id % 50 = 0 AND id < 10000000 AND id % 19 <> 0),
+        |cand AS (
+        |  SELECT DISTINCT query_id, cand_id
+        |  FROM probes JOIN lists USING (cluster_id)
+        |  WHERE query_id != cand_id),
+        |subs AS (
+        |  SELECT id, g, qv[(g*s+1):(g*s+s)] AS sub
+        |  FROM (SELECT id, qv, len(qv)//4 AS s FROM pts WHERE len(qv) % 4 = 0),
+        |       (SELECT unnest(generate_series(0, 3)) AS g)),
+        |seeds AS (SELECT id FROM pts ORDER BY id LIMIT 8),
+        |b0 AS (
+        |  SELECT g, s.id AS code_id, sub AS cw
+        |  FROM subs s JOIN seeds USING (id)),
+        |qa1 AS (
+        |  SELECT id, g, code_id FROM (
+        |    SELECT s.id, s.g, b.code_id,
+        |      row_number() OVER (PARTITION BY s.id, s.g ORDER BY
+        |        list_sum(list_transform(list_zip(s.sub, b.cw),
+        |          z -> (z[1]-z[2])*(z[1]-z[2]))), b.code_id) AS rn
+        |    FROM subs s JOIN b0 b ON s.g = b.g)
+        |  WHERE rn = 1),
+        |qu1 AS (
+        |  SELECT g, code_id, pos,
+        |    CAST(floor(CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS cv1
+        |  FROM (
+        |    SELECT a.g, a.code_id, generate_subscripts(s.sub, 1) AS pos, unnest(s.sub) AS v
+        |    FROM qa1 a JOIN subs s ON a.id = s.id AND a.g = s.g)
+        |  GROUP BY g, code_id, pos),
+        |b1 AS (SELECT g, code_id, list(cv1 ORDER BY pos) AS cw FROM qu1 GROUP BY g, code_id),
+        |qa2 AS (
+        |  SELECT id, g, code_id FROM (
+        |    SELECT s.id, s.g, b.code_id,
+        |      row_number() OVER (PARTITION BY s.id, s.g ORDER BY
+        |        list_sum(list_transform(list_zip(s.sub, b.cw),
+        |          z -> (z[1]-z[2])*(z[1]-z[2]))), b.code_id) AS rn
+        |    FROM subs s JOIN b1 b ON s.g = b.g)
+        |  WHERE rn = 1),
+        |qu2 AS (
+        |  SELECT g, code_id, pos,
+        |    CAST(floor(CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS cv1
+        |  FROM (
+        |    SELECT a.g, a.code_id, generate_subscripts(s.sub, 1) AS pos, unnest(s.sub) AS v
+        |    FROM qa2 a JOIN subs s ON a.id = s.id AND a.g = s.g)
+        |  GROUP BY g, code_id, pos),
+        |b2 AS (SELECT g, code_id, list(cv1 ORDER BY pos) AS cw FROM qu2 GROUP BY g, code_id),
+        |codes AS (
+        |  SELECT id, g, code_id FROM (
+        |    SELECT s.id, s.g, b.code_id,
+        |      row_number() OVER (PARTITION BY s.id, s.g ORDER BY
+        |        list_sum(list_transform(list_zip(s.sub, b.cw),
+        |          z -> (z[1]-z[2])*(z[1]-z[2]))), b.code_id) AS rn
+        |    FROM subs s JOIN b2 b ON s.g = b.g)
+        |  WHERE rn = 1),
+        |dtab AS (
+        |  SELECT s.id AS query_id, s.g, b.code_id,
+        |    list_sum(list_transform(list_zip(s.sub, b.cw),
+        |      z -> (z[1]-z[2])*(z[1]-z[2]))) AS d
+        |  FROM subs s JOIN b2 b ON s.g = b.g
+        |  WHERE s.id % 50 = 0 AND s.id < 10000000 AND s.id % 19 <> 0),
+        |adc AS (
+        |  SELECT n.query_id, n.cand_id, CAST(sum(t.d) AS BIGINT) AS adc
+        |  FROM cand n
+        |  JOIN codes c ON c.id = n.cand_id
+        |  JOIN dtab t ON t.query_id = n.query_id
+        |    AND t.g = c.g AND t.code_id = c.code_id
+        |  GROUP BY n.query_id, n.cand_id),
+        |shortlist AS (
+        |  SELECT query_id, cand_id FROM (
+        |    SELECT query_id, cand_id,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY adc, cand_id) AS rn
+        |    FROM adc)
+        |  WHERE rn <= 320),
+        |scored AS (
+        |  SELECT query_id, cand_id,
+        |    list_sum(list_transform(list_zip(a.qv, b.qv),
+        |      z -> (z[1]-z[2])*(z[1]-z[2]))) AS dist
+        |  FROM shortlist
+        |  JOIN pts a ON query_id = a.id
+        |  JOIN pts b ON cand_id = b.id)
+        |SELECT query_id, cand_id, CAST(dist AS BIGINT) AS dist, rank FROM (
+        |  SELECT query_id, cand_id, dist,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY dist, cand_id) AS INT) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5""".stripMargin,
+
     "q117_ivfpq_topk" ->
       """WITH pts AS (
         |  SELECT vec_id AS id,

@@ -5440,4 +5440,65 @@ object Queries {
         col("height"), col("pix_hash"), col("n_copies"),
         (keyEnc === col("_canon")).as("is_canonical"))
   }
+
+  /** The previous embedding snapshot's PQ code table under the FROZEN
+    * codebooks ([[pqBooks]]) — the compressed-serving artifact
+    * [[q179IncrementalIvfpq]] maintains (old snapshot = vec_id%17≠0,
+    * q159's convention: embeddings are content-addressed by id, so
+    * snapshots only add/remove ids). */
+  private def prevPqCodes(s: SparkSession, dir: String): DataFrame = {
+    val sfTag = Tables.corpusTag(s, dir, "embeddings")
+    val path = s"${Tables.scratchDir(s)}/pq_codes_old_m4_k8_i2_e6_v1/$sfTag"
+    Tables.servedArtifact(s, path) {
+      graft.ops.Pq.encode(
+          quantizedPoints(s, dir).filter(col("id") % 17 =!= 0),
+          pqBooks(s, dir), m = 4)
+        .write.mode("overwrite").parquet(path)
+    }
+  }
+
+  /** q179's CODE-TABLE maintenance half in isolation (the q159
+    * MaintainedLists pattern): stored codes reuse verbatim for every
+    * retained id — encoding is a pure function of the vector under the
+    * frozen codebooks — and only ADDED ids pay the subvector argmin;
+    * removed ids drop via the presence semi-join. */
+  private[graft] def q179MaintainedCodes(s: SparkSession, dir: String): DataFrame = {
+    val newPts = quantizedPoints(s, dir).filter(col("id") % 19 =!= 0)
+    val prev = prevPqCodes(s, dir)
+    val reused = prev.join(newPts.select(col("id")), Seq("id"), "left_semi")
+    val fresh = graft.ops.Pq.encode(
+      newPts.join(prev.select(col("id")).distinct(), Seq("id"), "left_anti"),
+      pqBooks(s, dir), m = 4)
+    reused.unionByName(fresh)
+  }
+
+  /** The rebuild twin of [[q179MaintainedCodes]]: every retained vector
+    * re-encoded against the frozen codebooks. */
+  private[graft] def q179FullEncode(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Pq.encode(
+      quantizedPoints(s, dir).filter(col("id") % 19 =!= 0),
+      pqBooks(s, dir), m = 4)
+
+  /** INCREMENTAL IVF-PQ — the production ANN composition served
+    * entirely from MAINTAINED artifacts ([[graft.ops.Pq
+    * .ivfPqTopKStored]]): q159's maintained inverted lists bound the
+    * search, the maintained PQ code table ([[q179MaintainedCodes]])
+    * feeds the compressed ADC scan, and only the oversampled shortlist
+    * pays an exact distance — with this cell EVERY artifact of the ANN
+    * serving stack (coarse lists, fine codes) is maintained across
+    * embedding snapshots, never recomputed per crawl. Fixed standing
+    * query panel (q159's drill-shape lesson). The oracle replays the
+    * FULL recompute — both trainers, assignment of the whole new
+    * snapshot, encoding, ADC, shortlist, exact re-rank — so a hash
+    * match is the batch≡incremental theorem for lists AND codes AND
+    * the serving path at once. */
+  def q179IncrementalIvfpq(s: SparkSession, dir: String): DataFrame = {
+    val newPts = quantizedPoints(s, dir).filter(col("id") % 19 =!= 0)
+    graft.ops.Pq.ivfPqTopKStored(newPts, trainedCentroids(s, dir),
+      pqBooks(s, dir), q179MaintainedCodes(s, dir),
+      q159MaintainedLists(s, dir), m = 4,
+      queries = newPts.filter(col("id") % 50 === 0 && col("id") < 10000000L)
+        .select(col("id")),
+      k = 5, nProbe = 2, oversample = 64)
+  }
 }

@@ -200,7 +200,51 @@ object Pq {
       .filter(col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"))
       .distinct()
+    adcRerank(pts, books, codes, cand, m, queries, k, oversample)
+  }
 
+  /** [[ivfPqTopK]] SERVED from STORED artifacts — the incremental ANN
+    * deployment: the MAINTAINED inverted lists (q159's artifact)
+    * replace the per-call corpus×k coarse ranking, and the MAINTAINED
+    * code table replaces re-encoding, so a query batch costs the probe
+    * ranking (queries × broadcast centroids), one list-occupancy-bounded
+    * candidate equi-join, the broadcast-ADC sum over the candidates'
+    * stored codes, and the oversampled exact re-rank — no corpus-sized
+    * pass anywhere. Input contract: `lists` holds exactly ONE row per id
+    * (the assignment contract — no candidate dedup runs, q159's trim);
+    * `codes` holds M rows per id. Same fixed-point arithmetic, tie-break
+    * and output as [[ivfPqTopK]]. */
+  def ivfPqTopKStored(pts: DataFrame, cents: DataFrame, books: DataFrame,
+                      codes: DataFrame, lists: DataFrame, m: Int,
+                      queries: DataFrame, k: Int, nProbe: Int,
+                      oversample: Int = 4): DataFrame = {
+    require(k >= 1 && nProbe >= 1 && oversample >= 1,
+      s"need k>=1, nProbe>=1, oversample>=1; got $k/$nProbe/$oversample")
+    // Query-only centroid ranking (the ivfSearchStoredLists idiom):
+    // identical arithmetic and (distance, cluster_id) tie-break to the
+    // full rankCentroidsQ pass ivfPqTopK pays, on |Q| rows instead of N.
+    val wr = Window.partitionBy(col("id")).orderBy(col("_d"), col("cluster_id"))
+    val probes = pts.join(broadcast(queries), Seq("id"))
+      .crossJoin(broadcast(cents))
+      .select(col("id"), col("cluster_id"),
+        Cluster.sqDistQ(col("qv"), col("cv")).as("_d"))
+      .withColumn("_r", row_number().over(wr))
+      .filter(col("_r") <= nProbe)
+      .select(col("id").as("query_id"), col("cluster_id"))
+    val cand = probes
+      .join(lists.select(col("id").as("cand_id"), col("cluster_id")),
+        Seq("cluster_id"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"))
+    adcRerank(pts, books, codes, cand, m, queries, k, oversample)
+  }
+
+  /** The shared ADC → shortlist → exact-re-rank tail of [[ivfPqTopK]] /
+    * [[ivfPqTopKStored]] (stages 2-4 of [[topKQ]]'s scaladoc, given the
+    * candidate pairs). */
+  private def adcRerank(pts: DataFrame, books: DataFrame, codes: DataFrame,
+                        cand: DataFrame, m: Int, queries: DataFrame,
+                        k: Int, oversample: Int): DataFrame = {
     val qsubs = subvectors(pts.join(broadcast(queries), Seq("id")), m)
       .select(col("id").as("query_id"), col("g"), col("sub"))
     val dtab = qsubs.join(broadcast(books), Seq("g"))

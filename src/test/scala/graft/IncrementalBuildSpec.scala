@@ -168,6 +168,20 @@ class IncrementalBuildSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q179 maintained PQ codes ≡ full re-encode over the new snapshot") {
+    // Encoding is a pure per-vector function under the frozen codebooks,
+    // so stored-row reuse + added-only encoding must equal re-encoding
+    // everything (the q159 list-maintenance theorem at the CODE layer).
+    val inc = Queries.q179MaintainedCodes(spark, dir)
+    val full = Queries.q179FullEncode(spark, dir)
+    val n = inc.count()
+    n shouldBe full.count()
+    n should be > 0L
+    inc.exceptAll(full).count() shouldBe 0L
+    full.exceptAll(inc).count() shouldBe 0L
+    spark.catalog.clearCache()
+  }
+
   test("q173 maintained vocab table + refresh policy ≡ full recompute") {
     // The abelian-group maintenance of the unit-count model, the
     // top-2048 release cap and the policy bits must equal the

@@ -169,4 +169,30 @@ class PqSpec extends SparkSpec {
     got shouldBe exact
     p.sparkSession.catalog.clearCache()
   }
+
+  test("ivfPqTopKStored from derived lists+codes ≡ ivfPqTopK, row for row") {
+    // The stored-artifact serving path (q179) must reproduce the
+    // recomputing composition exactly when handed the artifacts the
+    // latter derives internally: lists = the rn=1 coarse assignment,
+    // codes = the trained-book encoding. Also covers the tie-break
+    // parity of the query-only probe ranking vs the full corpus pass.
+    val vs = (0L until 30L).map { i =>
+      i -> Seq.tabulate(8)(j => ((i * 2654435761L + j * 40503L) % 1000L) - 500L)
+    }
+    val p = pts(vs: _*)
+    val cents = Cluster.train(p, k = 3, iterations = 2)
+    val books = Pq.trainCodebooks(p, m = 2, k = 4, iterations = 2)
+    val codes = Pq.encode(p, books, m = 2)
+    val lists = Cluster.assignQ(p, cents).select(col("id"), col("cluster_id"))
+    val queries = p.filter(col("id") % 7 === 0).select(col("id"))
+    val stored = Pq.ivfPqTopKStored(p, cents, books, codes, lists, m = 2,
+        queries = queries, k = 3, nProbe = 2, oversample = 4)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val recomputed = Pq.ivfPqTopK(p, cents, books, codes, m = 2,
+        queries = queries, k = 3, nProbe = 2, oversample = 4)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    stored should not be empty
+    stored shouldBe recomputed
+    p.sparkSession.catalog.clearCache()
+  }
 }
