@@ -557,6 +557,10 @@ object Bench {
           // IVF-PQ from maintained lists + codes: q117/q159's serving
           // regime (fixed panel, list-occupancy-bounded candidates)
           "q179_incremental_ivfpq",
+          // maintained CMS cells + fixed probe panel: the hash-diff +
+          // delta tokenization is linear in the corpus (q155's regime);
+          // the sketch itself is cell-bounded at any scale
+          "q180_incremental_cms",
           "q122_audio_frames").filter(SparkEntry.queries.contains)
         // Min-of-3 for BOTH sides of the ratio, measured back-to-back in
         // the SAME session config: round 9's q122 growth read 4.6x on one
@@ -682,6 +686,8 @@ object Bench {
           "q176_incremental_span_dedup" -> 15.0,
           // maintained-artifact ANN serving: q117/q159's regime
           "q179_incremental_ivfpq"    -> 15.0,
+          // hash-diff + delta-tokenize: q155's linear regime
+          "q180_incremental_cms"      -> 15.0,
           "q122_audio_frames"         -> 15.0)
         val boundFor: String => Double =
           sys.env.get("SPARK_GRAFT_GROWTH_BOUND").map(_.toDouble) match {
@@ -842,7 +848,14 @@ object Bench {
               // whole snapshot; the maintenance's reuse leg is one
               // stored-table semi-join and only ADDED ids pay the argmin.
               ("q179_incremental_ivfpq",
-                Queries.q179MaintainedCodes _, Queries.q179FullEncode _))
+                Queries.q179MaintainedCodes _, Queries.q179FullEncode _),
+              // q180 sits in the MODEL family (q155/q160's regime): both
+              // sides' shuffles are cell-bounded (≤ Depth·4096 rows) by
+              // the sketch's construction, so the claim lives in
+              // cpu_ratio — delta-only tokenization + hashing vs the
+              // full-corpus re-sketch.
+              ("q180_incremental_cms",
+                Queries.q180IncrementalCms _, Queries.q180FullRecompute _))
               .filter(p => scaleFilter(p._1))
               .map { case (n, m, r) =>
                 try s""""$n":{"sf01":${fmtPair(m, r, sfDir)},"sf1":${fmtPair(m, r, sf1Dir)}}"""

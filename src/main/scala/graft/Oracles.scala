@@ -4040,6 +4040,40 @@ object Oracles {
         |  coalesce(a.txt, '') AS deduped_text
         |FROM tok t LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
+    // Incremental CMS (q180): the oracle replays the FULL sketch over
+    // the new snapshot — seeded-md5 buckets, integer cells, the
+    // min-over-rows estimates with the zero-miss left join, the
+    // maintained total's N/200 flag — probed by the same standing
+    // panel. A hash match is the batch≡incremental theorem for the
+    // cells AND the total AND the serving path, collision false
+    // positives included.
+    "q180_incremental_cms" ->
+      """WITH ww AS MATERIALIZED (
+        |  SELECT doc_id, t AS word FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+        |    FROM documents WHERE doc_id % 19 <> 0 OR doc_id % 20 = 0)
+        |  WHERE length(trim(t)) > 0),
+        |total AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ww),
+        |cells AS MATERIALIZED (
+        |  SELECT i, substr(md5(CAST(i AS VARCHAR) || ':' || word), 1, 3) AS bucket,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM ww, LATERAL (SELECT unnest(generate_series(0, 3)) AS i)
+        |  GROUP BY 1, 2),
+        |panel AS (
+        |  SELECT DISTINCT word FROM ww
+        |  WHERE doc_id % 101 = 0 AND doc_id < 10000000),
+        |cand AS (
+        |  SELECT word, i,
+        |    substr(md5(CAST(i AS VARCHAR) || ':' || word), 1, 3) AS bucket
+        |  FROM panel, LATERAL (SELECT unnest(generate_series(0, 3)) AS i)),
+        |est AS (
+        |  SELECT c.word, CAST(min(COALESCE(cl.cnt, 0)) AS BIGINT) AS est
+        |  FROM cand c LEFT JOIN cells cl ON cl.i = c.i AND cl.bucket = c.bucket
+        |  GROUP BY c.word)
+        |SELECT e.word, e.est, e.est * 200 >= t.n AS is_heavy
+        |FROM est e, total t""".stripMargin,
+
     // Interval-overlap join (q177): the oracle is the naive quadratic
     // range predicate — DuckDB's optimizer may IEJoin it, but the
     // semantics are the plain closed-interval overlap; the Spark side's

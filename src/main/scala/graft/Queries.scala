@@ -3997,8 +3997,10 @@ object Queries {
   }
 
   private[graft] def q145NewSnap(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .filter(col("doc_id") % 19 =!= 0 || col("doc_id") % 20 === 0)
+    q145NewSnapOn(t(s, dir, "documents"))
+
+  private def q145NewSnapOn(base: DataFrame): DataFrame =
+    base.filter(col("doc_id") % 19 =!= 0 || col("doc_id") % 20 === 0)
 
   /** The PREVIOUS crawl's build manifest (q143 chain over the old
     * snapshot, incl. content_hash) as a stored artifact — what an
@@ -5500,5 +5502,111 @@ object Queries {
       queries = newPts.filter(col("id") % 50 === 0 && col("id") < 10000000L)
         .select(col("id")),
       k = 5, nProbe = 2, oversample = 64)
+  }
+
+  /** q157's word stream ((doc_id, word), lowercased, empties dropped)
+    * over an arbitrary snapshot — shared by the q180 sketch-maintenance
+    * family. */
+  private def snapWords(snap: DataFrame): DataFrame =
+    snap.select(col("doc_id"),
+        explode(TextStats.words(lower(col("text")))).as("word"))
+      .filter(length(trim(col("word"))) > 0)
+
+  /** The previous crawl's CMS cell table + its 1-row total — the stored
+    * sketch state [[q180IncrementalCms]] maintains (counter state is
+    * exactly what a 100 TB stream deployment persists between crawls). */
+  private def prevCmsCells(s: SparkSession, dir: String): DataFrame = {
+    val sfTag = Tables.corpusTag(s, dir, "documents")
+    val path = s"${Tables.scratchDir(s)}/cms_cells_old_v1/$sfTag"
+    Tables.servedArtifact(s, path) {
+      Cms.sketch(snapWords(q145OldSnap(s, dir)), "word")
+        .write.mode("overwrite").parquet(path)
+    }
+  }
+
+  /** The probe+flag serving tail shared by q180's maintenance and its
+    * rebuild twin: point estimates for `panel` against `cells`, flagged
+    * at the N/200 support threshold where N is read FROM the sketch
+    * itself (every occurrence increments exactly one row-0 bucket, so
+    * the row-0 cell sum IS the stream total — no separate counter to
+    * maintain). */
+  private def cmsServe(panel: DataFrame, cells: DataFrame): DataFrame = {
+    val nNew = cells.filter(col("i") === 0)
+      .agg(sum(col("cnt")).as("_n"))
+    Cms.estimates(panel, "word", cells)
+      .crossJoin(broadcast(nNew))
+      .select(col("word"), col("est"),
+        (col("est") * 200 >= col("_n")).as("is_heavy"))
+  }
+
+  /** INCREMENTAL Count-Min-Sketch maintenance + point-query serving
+    * ([[graft.ops.Cms.maintainSketch]]) — the incremental family at the
+    * SKETCH layer, completing it across every sketch the suite carries
+    * (counts q155, histograms q160, postings q171, MinHash q148, CMS
+    * here): each cell is an abelian occurrence count, so the new
+    * crawl's sketch is prev − removed/changed-old cells +
+    * added/changed-new cells with zero cells dropped — unchanged text
+    * is never re-tokenized or re-hashed — and the stream total rides
+    * the sketch itself (row-0 cell sum). Serving is what a sketch is
+    * FOR: point estimates for a FIXED standing probe panel (distinct
+    * words of the %101 base docs — the q159 panel discipline) against
+    * the maintained cells, with the N/200 heavy flag. A guarded
+    * one-task tier ([[graft.ops.Cms.maintainServeLocal]], the
+    * q153/q175/q176 treatment) serves small inputs; fail-closed,
+    * forced-distributed spec'd. The oracle replays the FULL sketch over
+    * the new snapshot plus the same probe, so a hash match is the
+    * batch≡incremental theorem for the cells AND the total AND the
+    * serving path — collision false positives included. */
+  def q180IncrementalCms(s: SparkSession, dir: String): DataFrame =
+    q180IncrementalCms(s, dir, maxLocalBytes = 64L << 20)
+
+  private[graft] def q180IncrementalCms(s: SparkSession, dir: String,
+                                        maxLocalBytes: Long): DataFrame = {
+    val newSnap = q145NewSnap(s, dir)
+    val oldSnap = q145OldSnap(s, dir)
+    val inputs = Seq(prevCmsCells(s, dir), prevSnapshotHashes(s, dir),
+      oldSnap, newSnap)
+    if (maxLocalBytes > 0 &&
+        inputs.map(_.queryExecution.optimizedPlan.stats.sizeInBytes)
+          .sum <= BigInt(maxLocalBytes))
+      return Cms.maintainServeLocal(prevCmsCells(s, dir),
+        prevSnapshotHashes(s, dir),
+        q145OldSnapOn(Tables.table(s, dir, "documents")),
+        q145NewSnapOn(Tables.table(s, dir, "documents")),
+        "doc_id", "text",
+        col("doc_id") % 101 === 0 && col("doc_id") < 10000000L)
+    val delta = SnapshotDelta.diffHashed(
+      prevSnapshotHashes(s, dir),
+      newSnap.select(col("doc_id"),
+        TextStats.contentHash(col("text")).as("content_hash")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val minus = snapWords(oldSnap.join(
+      delta.filter(col("status").isin("removed", "changed"))
+        .select("doc_id"), Seq("doc_id"), "left_semi"))
+    val plus = snapWords(newSnap.join(
+      delta.filter(col("status").isin("added", "changed"))
+        .select("doc_id"), Seq("doc_id"), "left_semi"))
+    // Two consumers (the estimate probe + the row-0 total) → persisted;
+    // cell-bounded (≤ Depth·4096 rows) by construction.
+    val cells = graft.CacheScope.scopedPersist(
+      Cms.maintainSketch(prevCmsCells(s, dir), minus, plus, "word"),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val panel = snapWords(
+      newSnap.filter(col("doc_id") % 101 === 0 && col("doc_id") < 10000000L))
+      .select("word").distinct()
+    cmsServe(panel, cells)
+  }
+
+  /** q180's full-rebuild twin for [[graft.IoEvidence]]: sketch re-built
+    * from the whole new snapshot, probed by the same panel. */
+  private[graft] def q180FullRecompute(s: SparkSession, dir: String): DataFrame = {
+    val words = snapWords(q145NewSnap(s, dir))
+    val panel = snapWords(q145NewSnap(s, dir)
+        .filter(col("doc_id") % 101 === 0 && col("doc_id") < 10000000L))
+      .select("word").distinct()
+    val cells = graft.CacheScope.scopedPersist(
+      Cms.sketch(words, "word"),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cmsServe(panel, cells)
   }
 }

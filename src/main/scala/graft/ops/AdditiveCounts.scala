@@ -20,9 +20,14 @@ private[graft] object AdditiveCounts {
     * REMOVED/ADDED occurrence (multiplicity = row count). */
   def maintain(prevModel: DataFrame, keyCol: String,
                minusKeys: DataFrame, plusKeys: DataFrame): DataFrame =
-    prevModel.select(col(keyCol), col("cnt").as("d"))
-      .unionByName(minusKeys.select(col(keyCol), lit(-1L).as("d")))
-      .unionByName(plusKeys.select(col(keyCol), lit(1L).as("d")))
-      .groupBy(col(keyCol)).agg(sum(col("d")).as("cnt"))
+    maintain(prevModel, Seq(keyCol), minusKeys, plusKeys)
+
+  /** Composite-key flavor (the CMS cell table's (i, bucket) — q180). */
+  def maintain(prevModel: DataFrame, keyCols: Seq[String],
+               minusKeys: DataFrame, plusKeys: DataFrame): DataFrame =
+    prevModel.select(keyCols.map(col) :+ col("cnt").as("d"): _*)
+      .unionByName(minusKeys.select(keyCols.map(col) :+ lit(-1L).as("d"): _*))
+      .unionByName(plusKeys.select(keyCols.map(col) :+ lit(1L).as("d"): _*))
+      .groupBy(keyCols.map(col): _*).agg(sum(col("d")).as("cnt"))
       .filter(col("cnt") > 0)
 }

@@ -32,17 +32,140 @@ object Cms {
   private def bucketOf(i: Column, item: Column): Column =
     substring(md5(concat(i.cast("string"), lit(":"), item)), 1, BucketHexChars)
 
+  /** The Depth cell keys of every occurrence: (i, bucket), Depth rows
+    * per input row — [[sketch]]'s pre-aggregation stream and the ±
+    * occurrence legs of [[maintainSketch]]. */
+  private def cellKeys(items: DataFrame, itemCol: String): DataFrame =
+    items
+      .select(explode(sequence(lit(0), lit(Depth - 1))).as("i"),
+        col(itemCol).as("_it"))
+      .select(col("i"), bucketOf(col("i"), col("_it")).as("bucket"))
+
   /** Build the sketch over an item stream WITH multiplicity (one input
     * row = one increment): (i, bucket, cnt), at most Depth·4096 rows.
     * One explode (Depth rows per item) + one map-side-combined count —
     * the combine is the sketch MERGE, so partitions/streams union for
     * free. */
   def sketch(items: DataFrame, itemCol: String): DataFrame =
-    items
-      .select(explode(sequence(lit(0), lit(Depth - 1))).as("i"),
-        col(itemCol).as("_it"))
-      .select(col("i"), bucketOf(col("i"), col("_it")).as("bucket"))
+    cellKeys(items, itemCol)
       .groupBy(col("i"), col("bucket")).agg(count(lit(1)).as("cnt"))
+
+  /** INCREMENTAL sketch maintenance across corpus snapshots (q180 — the
+    * q155/q160 abelian-group shape at the SKETCH layer): every CMS cell
+    * is an integer occurrence count, so the new crawl's sketch is
+    * EXACTLY prev − removed/changed-old occurrences' cells +
+    * added/changed-new occurrences' cells, zero cells dropped (a fresh
+    * build never emits them). Unchanged documents are never re-tokenized
+    * or re-hashed; one map-side-combined sum over (stored cells ∪ the ±
+    * delta legs) — cell-bounded output (≤ Depth·4096 rows) at any corpus
+    * size. `minusItems`/`plusItems`: one row per removed/added
+    * occurrence. */
+  def maintainSketch(prevCells: DataFrame, minusItems: DataFrame,
+                     plusItems: DataFrame, itemCol: String): DataFrame =
+    AdditiveCounts.maintain(prevCells, Seq("i", "bucket"),
+      cellKeys(minusItems, itemCol), cellKeys(plusItems, itemCol))
+
+  /** The q180 maintain-and-serve chain as ONE guarded task — the
+    * q153/q175/q176 treatment: the distributed chain (hash diff, two
+    * delta word legs, the cell combine, the panel probe) is ~10
+    * delta-sized stages of pure scheduling latency at serving scale
+    * (measured 2.3-2.6 s at sf0.1 against a ~0.3 s twin). The five
+    * stored inputs ride a tagged union (no driver collect) into one
+    * `mapPartitions` task that mirrors it step for step:
+    * [[LocalText.contentHash]] statuses, Spark-semantics word
+    * extraction (lower → trim → split, empties dropped), the ± cell
+    * fold with zero cells dropped once at the end (sums commute), the
+    * row-0 total, and the min-over-rows panel estimates with the
+    * zero-miss contract. Callers guard fail-CLOSED on Catalyst size
+    * stats; cross-tier equality is spec'd and the oracle replays the
+    * full rebuild. Output: (word, est, is_heavy). */
+  def maintainServeLocal(prevCells: DataFrame, prevHashes: DataFrame,
+                         oldDocs: DataFrame, newDocs: DataFrame,
+                         idCol: String, textCol: String,
+                         panelPred: Column): DataFrame = {
+    val spark = prevCells.sparkSession
+    import spark.implicits._
+    val nullL = lit(null).cast("long")
+    val nullI = lit(null).cast("int")
+    val tagged = prevCells.select(lit("c").as("_t"), col("i").as("_i"),
+        col("bucket").as("_s"), col("cnt").cast("long").as("_l"),
+        nullL.as("_id"), lit(false).as("_p"))
+      .unionByName(prevHashes.select(lit("h").as("_t"), nullI.as("_i"),
+        col("content_hash").as("_s"), nullL.as("_l"),
+        col("doc_id").cast("long").as("_id"), lit(false).as("_p")))
+      .unionByName(oldDocs.select(lit("o").as("_t"), nullI.as("_i"),
+        col(textCol).as("_s"), nullL.as("_l"),
+        col(idCol).cast("long").as("_id"), lit(false).as("_p")))
+      .unionByName(newDocs.select(lit("n").as("_t"), nullI.as("_i"),
+        col(textCol).as("_s"), nullL.as("_l"),
+        col(idCol).cast("long").as("_id"), panelPred.as("_p")))
+    val depth = Depth
+    val hexChars = BucketHexChars
+    tagged.coalesce(1).mapPartitions { it =>
+      import scala.collection.mutable
+      val cells = mutable.HashMap.empty[(Int, String), Long]
+      val prevHash = mutable.HashMap.empty[Long, String]
+      val oldText = mutable.HashMap.empty[Long, String]
+      val newText = mutable.HashMap.empty[Long, String]
+      val panelIds = mutable.HashSet.empty[Long]
+      it.foreach { row =>
+        row.getString(0) match {
+          case "c" => cells.update((row.getInt(1), row.getString(2)),
+            row.getLong(3))
+          case "h" => prevHash.update(row.getLong(4), row.getString(2))
+          case "o" => oldText.update(row.getLong(4),
+            if (row.isNullAt(2)) "" else row.getString(2))
+          case _ =>
+            newText.update(row.getLong(4),
+              if (row.isNullAt(2)) "" else row.getString(2))
+            if (row.getBoolean(5)) panelIds += row.getLong(4)
+        }
+      }
+      // Spark-semantics word stream: words(lower(text)), empties dropped.
+      def wordsOf(text: String): Array[String] =
+        LocalText.words(text.toLowerCase())
+          .filter(w => LocalText.trimSpaces(w).nonEmpty)
+      def bucket(i: Int, w: String): String =
+        LocalText.md5Hex(i.toString + ":" + w).substring(0, hexChars)
+      def fold(text: String, sign: Long): Unit =
+        wordsOf(text).foreach { w =>
+          var i = 0
+          while (i < depth) {
+            val k = (i, bucket(i, w))
+            cells.update(k, cells.getOrElse(k, 0L) + sign)
+            i += 1
+          }
+        }
+      // Hash-diff statuses (diffHashed's comparison, per doc).
+      newText.foreach { case (id, t) =>
+        prevHash.get(id) match {
+          case None => fold(t, 1L) // added
+          case Some(h) =>
+            if (h != LocalText.contentHash(t)) { // changed
+              fold(oldText.getOrElse(id, ""), -1L); fold(t, 1L)
+            }
+        }
+      }
+      prevHash.keysIterator.foreach(id =>
+        if (!newText.contains(id)) fold(oldText.getOrElse(id, ""), -1L))
+      // Zero cells drop ONCE at the end (per-key sums commute, and with
+      // true deltas the running value equals the true cell count).
+      val live = cells.filter(_._2 > 0L)
+      var n = 0L
+      live.foreach { case ((i, _), c) => if (i == 0) n += c }
+      val panel = mutable.HashSet.empty[String]
+      panelIds.foreach(id => wordsOf(newText(id)).foreach(panel += _))
+      panel.iterator.map { w =>
+        var est = Long.MaxValue
+        var i = 0
+        while (i < depth) {
+          est = math.min(est, live.getOrElse((i, bucket(i, w)), 0L))
+          i += 1
+        }
+        (w, est, est * 200 >= n)
+      }
+    }.toDF("word", "est", "is_heavy")
+  }
 
   /** Point estimates for every item in `candidates` (one column,
     * distinct): (item, est) with est = min over the Depth rows —

@@ -182,6 +182,37 @@ class IncrementalBuildSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q180's one-task tier ≡ the distributed maintenance chain, row for row") {
+    // maxLocalBytes = 0 forces the distributed chain (hash-diff delta,
+    // ± word legs, AdditiveCounts cell combine, row-0 total, panel
+    // probe) on the same stored artifacts; the tier re-derives all of
+    // it in one task with LocalText's bit-exact hash/word replicas.
+    // Plan asserts keep the comparison non-vacuous.
+    val localF = Queries.q180IncrementalCms(spark, dir)
+    val distF = Queries.q180IncrementalCms(spark, dir, maxLocalBytes = 0L)
+    localF.queryExecution.executedPlan.toString should include("MapPartitions")
+    distF.queryExecution.executedPlan.toString should not include "MapPartitions"
+    val local = localF.collect().map(_.toSeq).sortBy(_.toString)
+    val dist = distF.collect().map(_.toSeq).sortBy(_.toString)
+    local should not be empty
+    local shouldBe dist
+    spark.catalog.clearCache()
+  }
+
+  test("q180 maintained CMS (cells + total + panel serving) ≡ full re-sketch") {
+    // Every CMS cell and the stream total are abelian occurrence
+    // counts, so maintenance must reproduce the full rebuild exactly —
+    // including collision false positives in the heavy flags.
+    val inc = Queries.q180IncrementalCms(spark, dir)
+    val full = Queries.q180FullRecompute(spark, dir)
+    val n = inc.count()
+    n shouldBe full.count()
+    n should be > 0L
+    inc.exceptAll(full).count() shouldBe 0L
+    full.exceptAll(inc).count() shouldBe 0L
+    spark.catalog.clearCache()
+  }
+
   test("q173 maintained vocab table + refresh policy ≡ full recompute") {
     // The abelian-group maintenance of the unit-count model, the
     // top-2048 release cap and the policy bits must equal the

@@ -97,4 +97,20 @@ class CmsSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
     merged shouldBe summed
   }
+
+  test("maintainSketch ≡ fresh sketch over the new stream (incl. count-to-zero drop)") {
+    // old stream: x×3, y×2, z×1; delta removes one x, removes z entirely
+    // (its cells must COUNT TO ZERO and drop — a fresh build never emits
+    // them), and adds two w. New stream: x×2, y×2, w×2.
+    val oldItems = items("x", "x", "x", "y", "y", "z")
+    val minus = items("x", "z")
+    val plus = items("w", "w")
+    val newItems = items("x", "x", "y", "y", "w", "w")
+    val inc = Cms.maintainSketch(Cms.sketch(oldItems, "word"),
+        minus, plus, "word")
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    val fresh = Cms.sketch(newItems, "word")
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    inc shouldBe fresh
+  }
 }
