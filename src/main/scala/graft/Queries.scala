@@ -5424,10 +5424,18 @@ object Queries {
         (lit(4) + pmod(col("doc_id"), lit(5))).cast("int"),
         (lit(4) + pmod(col("doc_id"), lit(3))).cast("int")).as("payload"))
     val pix = bmp.unionByName(png).select(
-      col("asset_id").cast("long").as("asset_id"), col("media_type"),
-      when(col("media_type") === "image",
-        call_function("graft_bmp_pixels", col("payload")))
-        .otherwise(call_function("graft_png_pixels", col("payload"))).as("d"))
+        col("asset_id").cast("long").as("asset_id"), col("media_type"),
+        when(col("media_type") === "image",
+          call_function("graft_bmp_pixels", col("payload")))
+          .otherwise(call_function("graft_png_pixels", col("payload"))).as("d"))
+      // FAIL CLOSED on an undecodable payload (the lazy in-plan
+      // assert_true-in-a-filter idiom — Decontaminate's guard): a null
+      // decode would otherwise carry null fingerprint keys that the
+      // group join silently DROPS, vanishing the asset from the
+      // manifest and surfacing only as an opaque oracle mismatch.
+      .filter(assert_true(col("d").isNotNull,
+        concat(lit("q178: undecodable media payload, asset_id="),
+          col("asset_id"), lit(" type="), col("media_type"))).isNull)
     val keyEnc = col("asset_id") * 2 +
       when(col("media_type") === "image/png", 1L).otherwise(0L)
     val fp = pix.select(col("asset_id"), col("media_type"),

@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.ops.{AdditiveCounts, LmScore}
+import graft.ops.LmScore
 
 /** The incremental count-model family under STRUCTURED STREAMING — the
   * continuous-ingestion deployment of [[graft.ops.LmScore.maintainCounts]]
@@ -26,9 +26,18 @@ import graft.ops.{AdditiveCounts, LmScore}
   *     micro-batches yields the same final model, and the q175 cell's
   *     DuckDB oracle (a full retrain over the final snapshot) certifies
   *     the whole chain with one hash.
-  *   - ORDER-INDEPENDENCE within a batch: a micro-batch's events fold as
-  *     one unordered union, so the file source's intra-batch row order
-  *     (never guaranteed by Spark) is immaterial.
+  *   - ORDER-INDEPENDENCE, within AND across batches: the store carries
+  *     SIGNED partial sums (only exact zeros drop — never the negative
+  *     partials a reordered feed can create), so the fold is a plain
+  *     group sum and ANY assignment of change events to micro-batches —
+  *     including a file source breaking modification-time ties
+  *     arbitrarily, or a feed that delivers a document's removal before
+  *     the addition it supersedes — reaches the same final state. The
+  *     batch family's per-step `cnt > 0` drop would clamp such a
+  *     negative partial and lose information; here the positive-count
+  *     MODEL view is taken once, at [[latestModel]]. (With an in-order
+  *     feed every version's positive view equals the batch-maintained
+  *     model, so nothing is given up.)
   *
   * EXACTLY-ONCE is the versioned-store pattern: micro-batch b reads model
   * version b and idempotently overwrites version b+1. Structured Streaming
@@ -70,11 +79,20 @@ object MaintainStream {
   def applyBatch(batch: DataFrame, batchId: Long, storeDir: String): Unit = {
     val s = batch.sparkSession
     val prev = s.read.parquet(versionPath(storeDir, batchId))
-    AdditiveCounts.maintain(prev, "bigram",
-        LmScore.bigrams(batch.filter(col("minus_text").isNotNull),
-          "doc_id", "minus_text"),
-        LmScore.bigrams(batch.filter(col("plus_text").isNotNull),
-          "doc_id", "plus_text"))
+    // The SIGNED fold (see the order-independence note above): one
+    // map-side-combined sum over (stored sums ∪ ± occurrence legs),
+    // dropping only exact zeros — [[AdditiveCounts.maintain]]'s shape
+    // minus its per-step positive clamp, which would break
+    // commutativity for a reordered feed's negative partials.
+    prev.select(col("bigram"), col("cnt").as("d"))
+      .unionByName(LmScore.bigrams(batch.filter(col("minus_text").isNotNull),
+          "doc_id", "minus_text")
+        .select(col("bigram"), lit(-1L).as("d")))
+      .unionByName(LmScore.bigrams(batch.filter(col("plus_text").isNotNull),
+          "doc_id", "plus_text")
+        .select(col("bigram"), lit(1L).as("d")))
+      .groupBy(col("bigram")).agg(sum(col("d")).as("cnt"))
+      .filter(col("cnt") =!= 0)
       .write.mode("overwrite").parquet(versionPath(storeDir, batchId + 1))
   }
 
@@ -91,13 +109,18 @@ object MaintainStream {
         applyBatch(batch, batchId, storeDir))
       .start()
 
-  /** The highest version the store holds (the current model). */
+  /** The highest version's positive-count MODEL view (the signed
+    * partial sums are the store's internal representation — see the
+    * order-independence note; a consumer never sees a non-positive
+    * count, exactly as the batch family's maintain guarantees). */
   def latestModel(s: SparkSession, storeDir: String): DataFrame = {
     val p = new Path(storeDir)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"empty model store at $storeDir — writeInit first")
     val vs = fs.listStatus(p).toSeq.map(_.getPath.getName)
       .filter(_.matches("v\\d+")).map(_.drop(1).toLong)
     require(vs.nonEmpty, s"empty model store at $storeDir — writeInit first")
     s.read.parquet(versionPath(storeDir, vs.max))
+      .filter(col("cnt") > 0)
   }
 }

@@ -39,15 +39,20 @@ class IncrementalIoSpec extends SparkSpec {
       (ok: (IoEvidence.Io, IoEvidence.Io) => Boolean)
       : (IoEvidence.Io, IoEvidence.Io) = {
     var best: Option[(IoEvidence.Io, IoEvidence.Io)] = None
+    var done = false
     var pass = 0
-    while (pass < 3 && !best.exists(ok.tupled)) {
+    while (pass < 3 && !done) {
       pass += 1
       val (m, r) = (maint, rebuild)
       info(f"$tag pass$pass maint=$m rebuild=$r " +
         f"shuffle=${m.shuffleWrite.toDouble / r.shuffleWrite}%.3f " +
         f"cpu=${m.cpuNs.toDouble / r.cpuNs}%.3f")
       r.shuffleWrite should be > 0L
-      if (!best.exists { case (bm, br) =>
+      // A pass satisfying the bounds ALWAYS wins and stops the loop
+      // (judging the current pass, not `best` — a min-cpu keeper that
+      // failed on shuffle must never shadow a later clean pass).
+      if (ok(m, r)) { best = Some((m, r)); done = true }
+      else if (!best.exists { case (bm, br) =>
           bm.cpuNs.toDouble / br.cpuNs <= m.cpuNs.toDouble / r.cpuNs })
         best = Some((m, r))
     }

@@ -31,11 +31,15 @@ class MaintainStreamSpec extends SparkSpec {
     Seq(ChangeEvent(2, "omega psi", null),
       ChangeEvent(3, "alpha beta delta", "delta beta alpha")),
     Seq(ChangeEvent(6, null, "gamma delta epsilon")),
+    // doc 3 changes a SECOND time: its step-3 minus leg removes text
+    // that only step 1 added — under a reversed feed this is the
+    // negative-partial case the signed store exists for
     Seq(ChangeEvent(1, "alpha beta gamma", "alpha beta gamma zeta"),
+      ChangeEvent(3, "delta beta alpha", "delta beta alpha omega"),
       ChangeEvent(7, null, "beta gamma")))
   private val corpusFinal = Seq(
     doc(1, "alpha beta gamma zeta"),
-    doc(3, "delta beta alpha"),
+    doc(3, "delta beta alpha omega"),
     doc(4, "beta gamma beta gamma"),
     doc(5, "solo"),
     doc(6, "gamma delta epsilon"),
@@ -50,16 +54,27 @@ class MaintainStreamSpec extends SparkSpec {
     LmScore.trainCounts(docsDf(rows), "doc_id", "text", lit(true))
 
   /** Drive the full feed through a REAL file-source stream, one file per
-    * step, maxFilesPerTrigger=1 forcing one micro-batch per file. Returns
-    * (storeDir, srcDir). */
-  private def runStream(): (String, String) = {
+    * step, maxFilesPerTrigger=1 forcing one micro-batch per file. File
+    * modification times are pinned (optionally REVERSED) so the
+    * file→batch assignment — which the source derives from mtime with
+    * arbitrary tie-breaks — is deterministic for the per-version
+    * assertions. Returns (storeDir, srcDir). */
+  private def runStream(reverseOrder: Boolean = false): (String, String) = {
     import spark.implicits._
     val base = s"${graft.Tables.scratchDir(spark)}/maintain_stream_spec/" +
       UUID.randomUUID().toString
     val (srcDir, storeDir, ckptDir) = (s"$base/src", s"$base/store", s"$base/ckpt")
     MaintainStream.writeInit(retrain(corpus0), storeDir)
-    feed.foreach(step =>
-      step.toDF().coalesce(1).write.mode("append").parquet(srcDir))
+    var seen = Set.empty[String]
+    feed.zipWithIndex.foreach { case (step, i) =>
+      step.toDF().coalesce(1).write.mode("append").parquet(srcDir)
+      val parts = new java.io.File(srcDir).listFiles()
+        .filter(_.getName.startsWith("part-"))
+      val slot = if (reverseOrder) feed.size - 1 - i else i
+      parts.filter(f => !seen(f.getName))
+        .foreach(_.setLastModified(1700000000000L + slot * 60000L))
+      seen ++= parts.map(_.getName)
+    }
     val q = MaintainStream.maintainCountsStream(
       spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
         .parquet(srcDir),
@@ -77,6 +92,20 @@ class MaintainStreamSpec extends SparkSpec {
     // the removed doc's unique bigram counted to zero and DROPPED —
     // a retrain never emits it, so neither may the maintained store
     streamed.filter(col("bigram") === "omega psi").count() shouldBe 0L
+  }
+
+  test("a REORDERED feed reaches the same model — the signed store's order independence") {
+    // The file source folds step 3's events BEFORE step 1's (reversed
+    // mtimes): doc 1's removal-of-old-text arrives before the change
+    // that preceded it, driving bigram partials negative mid-chain. The
+    // signed store carries them (a per-step positive clamp would lose
+    // exactly that information) and the final positive view must still
+    // equal the retrain.
+    val (storeDir, _) = runStream(reverseOrder = true)
+    val streamed = MaintainStream.latestModel(spark, storeDir)
+    val expected = retrain(corpusFinal)
+    streamed.exceptAll(expected).count() shouldBe 0L
+    expected.exceptAll(streamed).count() shouldBe 0L
   }
 
   test("the feed split into micro-batches (versioned store holds the full chain)") {
