@@ -510,10 +510,14 @@ object Queries {
     * l_extendedprice (virtually no repeats — the histogram path would
     * degenerate) via the sketch-bracketed three-pass order statistic. */
   def q37PercentileContinuous(s: SparkSession, dir: String): DataFrame =
-    // round 10: the two-level-histogram formulation — same exact output
-    // as percentileDiscContinuous, ONE corpus shuffle instead of three
-    // barriers (bucket width 1000 on prices ~900-110k → ~110 buckets).
-    Percentiles.percentileDiscTwoLevel(
+    // round 17: the ONE-PASS bucketed formulation — same exact output as
+    // percentileDiscTwoLevel/Continuous, but the pick is closed-form on
+    // the histogram row itself, so the whole query is scan → agg → one
+    // tiny window pass (two-level's level-2 re-scan + broadcast join +
+    // window serialized behind the histogram kept it on the 1 s line
+    // from rounds 9-16; bucket width 1000 on prices ~900-110k → ~110
+    // buckets, ~2k rows/bucket at sf0.1).
+    Percentiles.percentileDiscOnePass(
       t(s, dir, "lineitem"), "l_extendedprice", 0.5, Seq("l_returnflag"),
       "price_median", bucketWidth = 1000.0)
 
@@ -1046,21 +1050,24 @@ object Queries {
         valueColumnName = "val")
 
   /** TF-IDF top terms per document — the classic relevance weighting a
-    * corpus pipeline uses for keyword extraction / topic labeling. Fully
-    * distributed: tf is a (doc,term) hash agg, df a term hash agg, N a
-    * 1-row agg cross-joined in (broadcast — never a driver collect). The
-    * idf log and the final product run in one fixed scalar order on both
-    * engines and the score is rounded before the per-doc top-3 rank, so
+    * corpus pipeline uses for keyword extraction / topic labeling.
+    * SERVED from the stored BM25 index (VERDICT r16 ask #2): tf is
+    * literally a column of the postings artifact ((term, doc_id, dl,
+    * tf), same tokenization — `TextStats.words(lower(text))`) and df a
+    * column of the df artifact, so ranking terms never re-tokenizes the
+    * corpus — one artifact scan + a broadcast df join + the per-doc
+    * top-3 window, the production shape (q165's contract makes the
+    * artifact bit-identical to the from-text derivation the oracle
+    * replays). N is the full document count (incl. empty docs, which
+    * the postings drop but the idf denominator counts). The idf log and
+    * the final product run in one fixed scalar order on both engines
+    * and the score is rounded before the per-doc top-3 rank, so
     * ordering (and therefore the row set) is engine-portable. */
   def q67TfidfTopterms(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    val tf = docs
-      .select(col("doc_id"), explode(TextStats.words(lower(col("text")))).as("term"))
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val total = docs.agg(count(lit(1)).as("n_docs"))
-    val scored = tf.join(dfreq, "term")
+    val (post, dfT, _) = bm25Index(s, dir)
+    val total = t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+    val scored = post.select(col("doc_id"), col("term"), col("tf"))
+      .join(broadcast(dfT), "term")
       .crossJoin(broadcast(total))
       .withColumn("tfidf", round(
         col("tf").cast("double") *
@@ -5489,6 +5496,31 @@ object Queries {
       quantizedPoints(s, dir).filter(col("id") % 19 =!= 0),
       pqBooks(s, dir), m = 4)
 
+  /** [[q179MaintainedCodes]] as a STORED artifact (VERDICT r16 ask #1):
+    * the maintained PQ code table is exactly what a deployment persists
+    * between crawls — maintenance (semi-join reuse + delta-only encode)
+    * runs once per snapshot at artifact-build time, and every serving
+    * call reads the parquet store. Path carries the snapshot convention
+    * (%19 retention) + PQ parameters + schema version. */
+  private def q179StoredCodes(s: SparkSession, dir: String): DataFrame = {
+    val sfTag = Tables.corpusTag(s, dir, "embeddings")
+    val path = s"${Tables.scratchDir(s)}/pq_codes_maint_m4_k8_i2_e6_n19_v1/$sfTag"
+    Tables.servedArtifact(s, path) {
+      q179MaintainedCodes(s, dir).write.mode("overwrite").parquet(path)
+    }
+  }
+
+  /** [[q159MaintainedLists]] as a STORED artifact — the coarse half of
+    * the maintained ANN serving stack, persisted beside the fine codes
+    * ([[q179StoredCodes]]) under the same snapshot convention. */
+  private def q179StoredLists(s: SparkSession, dir: String): DataFrame = {
+    val sfTag = Tables.corpusTag(s, dir, "embeddings")
+    val path = s"${Tables.scratchDir(s)}/ivf_lists_maint_k8_i2_e6_n19_v1/$sfTag"
+    Tables.servedArtifact(s, path) {
+      q159MaintainedLists(s, dir).write.mode("overwrite").parquet(path)
+    }
+  }
+
   /** INCREMENTAL IVF-PQ — the production ANN composition served
     * entirely from MAINTAINED artifacts ([[graft.ops.Pq
     * .ivfPqTopKStored]]): q159's maintained inverted lists bound the
@@ -5501,15 +5533,37 @@ object Queries {
     * FULL recompute — both trainers, assignment of the whole new
     * snapshot, encoding, ADC, shortlist, exact re-rank — so a hash
     * match is the batch≡incremental theorem for lists AND codes AND
-    * the serving path at once. */
-  def q179IncrementalIvfpq(s: SparkSession, dir: String): DataFrame = {
+    * the serving path at once.
+    *
+    * Both maintained artifacts are READ FROM THE STORE
+    * ([[q179StoredCodes]]/[[q179StoredLists]] — maintenance runs once
+    * per snapshot at artifact-build time, the operator's own thesis),
+    * and under a fail-closed Catalyst size-stats guard over (codes,
+    * lists, new snapshot) the whole serve runs as ONE task
+    * ([[graft.ops.Pq.serveStoredLocal]] — the q148/q153/q171/q180
+    * treatment); `maxLocalBytes = 0` forces the distributed serve
+    * (IncrementalBuildSpec pins tier equality). */
+  def q179IncrementalIvfpq(s: SparkSession, dir: String): DataFrame =
+    q179IncrementalIvfpq(s, dir, maxLocalBytes = 64L << 20)
+
+  private[graft] def q179IncrementalIvfpq(s: SparkSession, dir: String,
+                                          maxLocalBytes: Long): DataFrame = {
     val newPts = quantizedPoints(s, dir).filter(col("id") % 19 =!= 0)
-    graft.ops.Pq.ivfPqTopKStored(newPts, trainedCentroids(s, dir),
-      pqBooks(s, dir), q179MaintainedCodes(s, dir),
-      q159MaintainedLists(s, dir), m = 4,
-      queries = newPts.filter(col("id") % 50 === 0 && col("id") < 10000000L)
-        .select(col("id")),
-      k = 5, nProbe = 2, oversample = 64)
+    val codes = q179StoredCodes(s, dir)
+    val lists = q179StoredLists(s, dir)
+    val panel = newPts.filter(col("id") % 50 === 0 && col("id") < 10000000L)
+      .select(col("id"))
+    if (maxLocalBytes > 0 &&
+        Seq(codes, lists, newPts)
+          .map(_.queryExecution.optimizedPlan.stats.sizeInBytes)
+          .sum <= BigInt(maxLocalBytes))
+      graft.ops.Pq.serveStoredLocal(newPts, trainedCentroids(s, dir),
+        pqBooks(s, dir), codes, lists, m = 4, queries = panel,
+        k = 5, nProbe = 2, oversample = 64)
+    else
+      graft.ops.Pq.ivfPqTopKStored(newPts, trainedCentroids(s, dir),
+        pqBooks(s, dir), codes, lists, m = 4, queries = panel,
+        k = 5, nProbe = 2, oversample = 64)
   }
 
   /** q157's word stream ((doc_id, word), lowercased, empties dropped)

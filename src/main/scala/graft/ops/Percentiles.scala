@@ -103,18 +103,25 @@ object Percentiles {
         floor(v.cast("double") / bucketWidth).cast("long")).as("_bkt"): _*)
       .agg(count(lit(1)).as("_cnt"))
 
-    // Tiny frames: per-group non-null totals and the target bucket.
-    val tot = hist.filter(col("_bkt").isNotNull)
-      .groupBy(grp: _*).agg(sum(col("_cnt")).as("_n"))
+    // Target bucket + all-null groups from ONE window pass over the tiny
+    // histogram (round 17: the per-group total and the running count
+    // share the partitionBy(group) exchange — formerly a groupBy + join
+    // + a second histogram aggregation, three extra barriers of pure
+    // scheduling latency on a frame of O(groups × range/bucketWidth)
+    // rows). Nulls sort first, so the running sum counts only preceding
+    // NON-NULL buckets.
+    val wAll = Window.partitionBy(grp: _*)
     val wB = Window.partitionBy(grp: _*).orderBy(col("_bkt"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val target = hist.filter(col("_bkt").isNotNull)
-      .withColumn("_before", coalesce(sum(col("_cnt")).over(wB), lit(0L)))
-      .join(tot, partitionCols)
+    val nonNullCnt = when(col("_bkt").isNotNull, col("_cnt"))
+    val marked = hist
+      .withColumn("_n", sum(nonNullCnt).over(wAll))
+      .withColumn("_before", coalesce(sum(nonNullCnt).over(wB), lit(0L)))
       // k >= 1: PERCENTILE_DISC(0) is the minimum (SQL semantics); a bare
       // ceil(0·n) = 0 would match no bucket and silently drop the group
       .withColumn("_k", greatest(ceil(lit(p) * col("_n")).cast("long"), lit(1L)))
-      .filter(col("_before") < col("_k") &&
+    val target = marked
+      .filter(col("_bkt").isNotNull && col("_before") < col("_k") &&
         col("_k") <= col("_before") + col("_cnt"))
       .select(grp :+ col("_bkt") :+ (col("_k") - col("_before")).as("_j"): _*)
 
@@ -128,14 +135,85 @@ object Percentiles {
       .filter(col("_rn") === col("_j"))
       .select(grp :+ v.as(outCol): _*)
 
-    // All-null groups: present in the histogram only as a null bucket.
-    val emptyGroups = hist
-      .groupBy(grp: _*)
-      .agg(sum(when(col("_bkt").isNotNull, col("_cnt"))).as("_nn"))
-      .filter(col("_nn").isNull)
+    // All-null groups: a null _n means the group's histogram holds ONLY
+    // the null bucket (sum over an empty when-set) — emit the group with
+    // a null percentile, same frame, no second aggregation.
+    val emptyGroups = marked
+      .filter(col("_bkt").isNull && col("_n").isNull)
       .select(grp :+ lit(null).cast(valueType).as(outCol): _*)
 
     picked.unionByName(emptyGroups)
+  }
+
+  /** Exact PERCENTILE_DISC via the bucketed histogram in ONE corpus pass
+    * (round 17): [[percentileDiscTwoLevel]]'s level-2 re-scan exists to
+    * avoid carrying values through the shuffle, but its cost is a whole
+    * extra scan + broadcast join + window SERIALIZED behind the
+    * histogram (the target bucket must be known before pass 2 can
+    * start) — at serving scale that is 2-3 stages of pure latency. Here
+    * each (group, bucket) cell carries its sorted value array alongside
+    * its count, so the pick is a closed-form `element_at` on the one
+    * target row — scan → map-side-combined agg → one window pass over
+    * the tiny histogram, done.
+    *
+    * Scale contract — SAME per-task bound as the two-level variant, made
+    * explicit: a (group, bucket) cell's array is O(n/B) rows, exactly
+    * the rows two-level's pass-2 window holds in one task for the
+    * target bucket; `bucketWidth` is the knob that keeps n/B
+    * task-sized in both formulations (the in-plan guard fails loudly at
+    * the Int.MaxValue in-bucket-rank ceiling instead of mis-picking).
+    * The difference is WHERE the non-target buckets go: two-level never
+    * shuffles them (histogram counts only) at the price of the second
+    * scan; this one ships every value through the one shuffle — the
+    * right trade whenever a second full scan costs more than shuffling
+    * the column (always at serving scale; at 100 TB pick by scan cost
+    * vs column width). Output/null semantics identical to
+    * [[percentileDisc]]: one row per group, all-null groups emit null. */
+  def percentileDiscOnePass(df: DataFrame, valueCol: String, p: Double,
+                            partitionCols: Seq[String], outCol: String,
+                            bucketWidth: Double = 1000.0): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be > 0; got $bucketWidth")
+    require(p >= 0 && p <= 1, s"p=$p out of [0, 1]")
+    val grp = partitionCols.map(col)
+    val valueType = df.schema(valueCol).dataType
+    val v = col(valueCol)
+
+    // One pass: (group, bucket) → (count, sorted values). collect_list
+    // skips nulls, so the null bucket's array is empty — only its count
+    // matters (all-null-group detection).
+    val hist = df
+      .groupBy(grp :+ when(v.isNotNull,
+        floor(v.cast("double") / bucketWidth).cast("long")).as("_bkt"): _*)
+      .agg(count(lit(1)).as("_cnt"), sort_array(collect_list(v)).as("_vs"))
+
+    val wAll = Window.partitionBy(grp: _*)
+    val wB = Window.partitionBy(grp: _*).orderBy(col("_bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val nonNullCnt = when(col("_bkt").isNotNull, col("_cnt"))
+    val marked = hist
+      .withColumn("_n", sum(nonNullCnt).over(wAll))
+      .withColumn("_before", coalesce(sum(nonNullCnt).over(wB), lit(0L)))
+      // k >= 1: PERCENTILE_DISC(0) is the minimum (SQL semantics).
+      .withColumn("_k", greatest(ceil(lit(p) * col("_n")).cast("long"), lit(1L)))
+
+    // Exactly one row per group survives: the target bucket (its j-th
+    // smallest is the answer) or, for an all-null group (_n null — the
+    // sum saw only the null bucket), the null-percentile row.
+    marked
+      .filter((col("_bkt").isNotNull && col("_before") < col("_k") &&
+          col("_k") <= col("_before") + col("_cnt")) ||
+        (col("_bkt").isNull && col("_n").isNull))
+      // element_at is 1-based int: fail loudly if one bucket outgrew the
+      // rank ceiling (shrink bucketWidth) instead of mis-picking.
+      .filter(assert_true(
+        col("_bkt").isNull || col("_cnt") <= lit(Int.MaxValue.toLong),
+        concat(lit("percentileDiscOnePass: bucket "), col("_bkt"),
+          lit(" holds "), col("_cnt"),
+          lit(" rows — over the in-bucket rank ceiling; shrink " +
+            "bucketWidth"))).isNull)
+      .select(grp :+ when(col("_bkt").isNotNull,
+        element_at(col("_vs"), (col("_k") - col("_before")).cast("int")))
+        .cast(valueType).as(outCol): _*)
   }
 
   /** Exact PERCENTILE_DISC for CONTINUOUS measures (~no repeated values,

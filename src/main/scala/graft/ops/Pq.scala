@@ -239,6 +239,124 @@ object Pq {
     adcRerank(pts, books, codes, cand, m, queries, k, oversample)
   }
 
+  /** [[ivfPqTopKStored]] as ONE guarded task — the q148/q153/q171/q180
+    * serving-tier treatment applied to the ANN stack: at serving scale
+    * (a few thousand stored codes, a fixed query panel) the distributed
+    * chain is ~8 stages of pure scheduling latency (probe window, list
+    * join, ADC lookup join + sum, shortlist window, two exact-re-rank
+    * joins + window — measured 1.6-1.9 s at sf0.1 against a 0.7 s twin),
+    * while the work itself is microseconds. The five stored inputs ride
+    * a tagged union (no driver collect) into one `mapPartitions` task
+    * that mirrors the distributed plan STEP FOR STEP in the same exact
+    * integer arithmetic: min-prefix sqdist ([[graft.functions
+    * .LongSqDist]]'s fold), (d, cluster_id) probe tie-break, inner-join
+    * candidate semantics (a query or candidate with no matching
+    * dtab/code/vector rows drops, never defaults), (adc, cand_id)
+    * shortlist order, (dist, cand_id) exact rank. Callers guard
+    * fail-CLOSED on Catalyst size stats (missing stats → Long.Max →
+    * distributed path); cross-tier equality is spec'd
+    * (IncrementalBuildSpec) and the oracle replays the full recompute.
+    * Same contract as [[ivfPqTopKStored]]: `lists` one row per id,
+    * `codes` M rows per id, `queries` a distinct 1-column id panel.
+    * Output: (query_id, cand_id, dist, rank). */
+  def serveStoredLocal(pts: DataFrame, cents: DataFrame, books: DataFrame,
+                       codes: DataFrame, lists: DataFrame, m: Int,
+                       queries: DataFrame, k: Int, nProbe: Int,
+                       oversample: Int = 4): DataFrame = {
+    require(k >= 1 && nProbe >= 1 && oversample >= 1,
+      s"need k>=1, nProbe>=1, oversample>=1; got $k/$nProbe/$oversample")
+    val spark = pts.sparkSession
+    import spark.implicits._
+    val nullL = lit(null).cast("long")
+    val nullI = lit(null).cast("int")
+    val nullA = lit(null).cast("array<bigint>")
+    val tagged = pts.select(lit("p").as("_t"), col("id").cast("long").as("_id"),
+        nullI.as("_g"), nullL.as("_c"), col("qv").as("_v"))
+      .unionByName(cents.select(lit("e").as("_t"),
+        col("cluster_id").cast("long").as("_id"), nullI.as("_g"),
+        nullL.as("_c"), col("cv").as("_v")))
+      .unionByName(books.select(lit("b").as("_t"), nullL.as("_id"),
+        col("g").cast("int").as("_g"), col("code_id").cast("long").as("_c"),
+        col("cw").as("_v")))
+      .unionByName(codes.select(lit("k").as("_t"), col("id").cast("long").as("_id"),
+        col("g").cast("int").as("_g"), col("code_id").cast("long").as("_c"),
+        nullA.as("_v")))
+      .unionByName(lists.select(lit("l").as("_t"), col("id").cast("long").as("_id"),
+        nullI.as("_g"), col("cluster_id").cast("long").as("_c"), nullA.as("_v")))
+      .unionByName(queries.select(lit("q").as("_t"), col("id").cast("long").as("_id"),
+        nullI.as("_g"), nullL.as("_c"), nullA.as("_v")))
+    val mG = m; val kG = k; val nProbeG = nProbe; val overG = oversample
+    tagged.coalesce(1).mapPartitions { it =>
+      import scala.collection.mutable
+      val vec = mutable.HashMap.empty[Long, Array[Long]]
+      val centRows = mutable.ArrayBuffer.empty[(Long, Array[Long])]
+      val book = mutable.HashMap.empty[(Int, Long), Array[Long]]
+      val codeRows = mutable.HashMap.empty[Long, mutable.ArrayBuffer[(Int, Long)]]
+      val members = mutable.HashMap.empty[Long, mutable.ArrayBuffer[Long]]
+      val qIds = mutable.ArrayBuffer.empty[Long]
+      def arr(row: org.apache.spark.sql.Row): Array[Long] =
+        row.getSeq[Long](4).toArray
+      it.foreach { row =>
+        row.getString(0) match {
+          case "p" => vec.update(row.getLong(1), arr(row))
+          case "e" => centRows += ((row.getLong(1), arr(row)))
+          case "b" => book.update((row.getInt(2), row.getLong(3)), arr(row))
+          case "k" => codeRows.getOrElseUpdate(row.getLong(1),
+            mutable.ArrayBuffer.empty) += ((row.getInt(2), row.getLong(3)))
+          case "l" => members.getOrElseUpdate(row.getLong(3),
+            mutable.ArrayBuffer.empty) += row.getLong(1)
+          case _ => qIds += row.getLong(1)
+        }
+      }
+      // LongSqDist's exact fold: common prefix, BIGINT accumulate.
+      def sqdist(a: Array[Long], b: Array[Long]): Long = {
+        val n = math.min(a.length, b.length)
+        var acc = 0L; var i = 0
+        while (i < n) { val d = a(i) - b(i); acc += d * d; i += 1 }
+        acc
+      }
+      val cents0 = centRows.toArray
+      qIds.iterator.filter(vec.contains).flatMap { q =>
+        val qv = vec(q)
+        // Probe ranking: (d, cluster_id) ascending, top nProbe.
+        val probed = cents0.map { case (cid, cv) => (sqdist(qv, cv), cid) }
+          .sortBy(identity).take(nProbeG).map(_._2)
+        // Candidates from the stored lists (inner-join semantics).
+        val cands = probed.iterator
+          .flatMap(cid => members.getOrElse(cid, Nil))
+          .filter(_ != q).toArray
+        // Query distance table; a ragged query vector (length % m != 0)
+        // has no subvectors — subvectors() drops it — hence no output.
+        val sub = qv.length / mG
+        if (qv.length != sub * mG) Iterator.empty
+        else {
+          val dtab = mutable.HashMap.empty[(Int, Long), Long]
+          book.foreach { case ((g, code), cw) =>
+            dtab.update((g, code),
+              sqdist(java.util.Arrays.copyOfRange(qv, g * sub, g * sub + sub), cw))
+          }
+          // ADC = sum over the candidate's code rows that MATCH a dtab
+          // entry (the inner join); a candidate with zero matches has no
+          // adc row at all.
+          val adc = cands.iterator.flatMap { cand =>
+            var s = 0L; var matched = false
+            codeRows.getOrElse(cand, Nil).foreach { gc =>
+              dtab.get(gc).foreach { d => s += d; matched = true }
+            }
+            if (matched) Iterator.single((s, cand)) else Iterator.empty
+          }.toArray
+          val shortlist = adc.sortBy(identity).take(kG * overG).map(_._2)
+          shortlist.iterator
+            .flatMap(c => vec.get(c).map(cv => (sqdist(qv, cv), c))).toArray
+            .sortBy(identity).take(kG).zipWithIndex
+            .iterator.map { case ((d, c), i) => (q, c, d, i + 1) }
+        }
+      }
+    }.toDF("query_id", "cand_id", "dist", "rank")
+      .select(col("query_id"), col("cand_id"), col("dist"),
+        col("rank").cast("int").as("rank"))
+  }
+
   /** The shared ADC → shortlist → exact-re-rank tail of [[ivfPqTopK]] /
     * [[ivfPqTopKStored]] (stages 2-4 of [[topKQ]]'s scaladoc, given the
     * candidate pairs). */

@@ -182,6 +182,24 @@ class IncrementalBuildSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q179's one-task serve tier ≡ the distributed stored-artifact serve, row for row") {
+    // maxLocalBytes = 0 forces the distributed ivfPqTopKStored chain
+    // (probe window, list equi-join, ADC lookup join + sum, shortlist
+    // window, exact re-rank) over the SAME stored maintained artifacts;
+    // the tier mirrors every stage in one task — probe tie-break,
+    // inner-join drop semantics, (adc, cand_id) and (dist, cand_id)
+    // orders. Plan asserts keep the comparison non-vacuous.
+    val localF = Queries.q179IncrementalIvfpq(spark, dir)
+    val distF = Queries.q179IncrementalIvfpq(spark, dir, maxLocalBytes = 0L)
+    localF.queryExecution.executedPlan.toString should include("MapPartitions")
+    distF.queryExecution.executedPlan.toString should not include "MapPartitions"
+    val local = localF.collect().map(_.toSeq).sortBy(_.toString)
+    val dist = distF.collect().map(_.toSeq).sortBy(_.toString)
+    local should not be empty
+    local shouldBe dist
+    spark.catalog.clearCache()
+  }
+
   test("q180's one-task tier ≡ the distributed maintenance chain, row for row") {
     // maxLocalBytes = 0 forces the distributed chain (hash-diff delta,
     // ± word legs, AdditiveCounts cell combine, row-0 total, panel

@@ -68,6 +68,39 @@ class PercentilesSpec extends SparkSpec {
     }
   }
 
+  test("one-pass path agrees with both other paths across p and widths") {
+    val rng = new scala.util.Random(13)
+    val rows = (1 to 500).map(i =>
+      Row(if (i % 3 == 0) "x" else "y", rng.nextDouble() * 1000)) :+ Row("z", null)
+    val d = df("g STRING, v DOUBLE", rows)
+    for (p <- Seq(0.0, 0.25, 0.5, 0.9, 0.997, 1.0); w <- Seq(1.0, 37.0, 1000.0, 1e9)) {
+      val exact = Percentiles.percentileDisc(d, "v", p, Seq("g"), "c")
+        .collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+      val one = Percentiles.percentileDiscOnePass(d, "v", p, Seq("g"), "c", w)
+        .collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+      one shouldBe exact
+      one("z") shouldBe None // all-null group kept as null
+    }
+  }
+
+  test("one-pass path: bucket-boundary duplicates, negatives, mixed nulls") {
+    val rows = (Seq.fill(40)(5.0) ++ Seq.fill(40)(7.0) ++ Seq(1.0, 9.0)).map(v => Row("a", v))
+    val d = df("g STRING, v DOUBLE", rows)
+    Percentiles.percentileDiscOnePass(d, "v", 0.5, Seq("g"), "c", 2.0)
+      .collect().head.getDouble(1) shouldBe 5.0 // rank 41 of 82: last of 5-run
+    Percentiles.percentileDiscOnePass(d, "v", 42.0 / 82.0, Seq("g"), "c", 2.0)
+      .collect().head.getDouble(1) shouldBe 7.0 // rank 42: first of 7-run
+    val neg = Seq(-9.5, -7.0, -0.5, 3.0).map(v => Row("a", v))
+    Percentiles.percentileDiscOnePass(
+      df("g STRING, v DOUBLE", neg), "v", 0.5, Seq("g"), "c", 2.0)
+      .collect().head.getDouble(1) shouldBe -7.0
+    // nulls inside a mixed group are ignored, not counted toward k
+    val mixed = Seq(Row("a", 1.0), Row("a", null), Row("a", 3.0))
+    Percentiles.percentileDiscOnePass(
+      df("g STRING, v DOUBLE", mixed), "v", 0.5, Seq("g"), "c", 2.0)
+      .collect().head.getDouble(1) shouldBe 1.0
+  }
+
   test("two-level path: duplicates spanning a bucket boundary and exact-edge ranks") {
     // ranks: k lands exactly on the last row of a bucket (before < k =
     // before+cnt) and on the first of the next — both edges must pick
