@@ -76,6 +76,20 @@ private[graft] object WeakRule {
                     baseline: Double): Boolean =
     !stallFlag && !err && baseline > 0 && baseSec > 1.0 &&
       baseSec / baseline > 2.0
+
+  /** Pre-warm-band candidacy — the FOURTH signal (VERDICT r16 ask #5,
+    * the q179-profile hole): the sweep measures cells in an order that
+    * pre-warms shared artifacts/subtrees, so a cell whose in-sweep best
+    * sample lands just UNDER the 2x line (but over 1 s and over 1.5x)
+    * can hide a standalone floor well past it (r16's q179: in-sweep
+    * best 1.394 s vs a 0.697 s twin = 2.0x published clean; standalone
+    * min-of-3 1.96 s = 2.8x). Any such cell is re-measured FRESH
+    * min-of-3 under the main config and the weak rule applied to the
+    * fresh floor — the straddle machinery with a RATIO band instead of
+    * a seconds band (cells >2x && >1 s are the main signal's; the band
+    * is half-open so the boundary sample 2.0x lands here, not nowhere). */
+  def prewarmCandidate(sec: Double, baseline: Double): Boolean =
+    baseline > 0 && sec > 1.0 && sec / baseline > 1.5 && sec / baseline <= 2.0
 }
 
 object Bench {
@@ -561,6 +575,12 @@ object Bench {
           // delta tokenization is linear in the corpus (q155's regime);
           // the sketch itself is cell-bounded at any scale
           "q180_incremental_cms",
+          // chained CMS maintenance: three q180-shaped folds in one
+          // plan — q175's linear regime at the sketch layer
+          "q181_stream_cms_chain",
+          // chained DSIR maintenance: three fused split combines —
+          // q160's linear regime, three-fold
+          "q182_stream_dsir_chain",
           "q122_audio_frames").filter(SparkEntry.queries.contains)
         // Min-of-3 for BOTH sides of the ratio, measured back-to-back in
         // the SAME session config: round 9's q122 growth read 4.6x on one
@@ -688,6 +708,9 @@ object Bench {
           "q179_incremental_ivfpq"    -> 15.0,
           // hash-diff + delta-tokenize: q155's linear regime
           "q180_incremental_cms"      -> 15.0,
+          // three chained folds each: q175's linear regime
+          "q181_stream_cms_chain"     -> 15.0,
+          "q182_stream_dsir_chain"    -> 15.0,
           "q122_audio_frames"         -> 15.0)
         val boundFor: String => Double =
           sys.env.get("SPARK_GRAFT_GROWTH_BOUND").map(_.toDouble) match {
@@ -953,16 +976,74 @@ object Bench {
         Some(s"""{"q":"$n","sec":$c,"ratio":${r3(c / baselines(n))},"src":"straddle"}""")
       else None
     }
+    // PRE-WARM-BAND CONFIRM — the FOURTH signal (VERDICT r16 ask #5, the
+    // q179-profile hole): ratio in (1.5x, 2x] AND sec > 1 s — an
+    // in-sweep best sample that cleared the 2x line only because the
+    // sweep pre-warmed its shared subtrees. Fresh min-of-3 under the
+    // main config; the historical best does NOT vote (it is exactly the
+    // lucky dip under test). See [[WeakRule.prewarmCandidate]].
+    val prewarmCandidates = names.filter { n =>
+      WeakRule.prewarmCandidate(results(n)._1, baselines.getOrElse(n, 0.0)) &&
+        !weak.exists(_._1 == n) &&
+        !gateWeak.exists(_.contains("\"" + n + "\"")) &&
+        !straddleWeak.exists(_.contains("\"" + n + "\""))
+    }
+    if (prewarmCandidates.nonEmpty && gateCandidates.isEmpty &&
+        straddleCandidates.isEmpty) {
+      spark.conf.set("spark.sql.shuffle.partitions", mainShufflePartitions)
+      spark.conf.set("spark.sql.adaptive.enabled", mainAqe)
+    }
+    val prewarmWeak = prewarmCandidates.flatMap { n =>
+      System.err.println(
+        s"[bench] pre-warm-band cell $n (best sample ${results(n)._1} s, " +
+          s"ratio ${r3(results(n)._1 / baselines(n))}) — " +
+          "confirming standalone floor (fresh min of 3) under the main config")
+      val (c, cFlag, cErr) =
+        mergeSamples((1 to 3).map(_ => measure(n, SparkEntry.queries(n))))
+      if (WeakRule.isWeak(c, cFlag, cErr, baselines(n)))
+        Some(s"""{"q":"$n","sec":$c,"ratio":${r3(c / baselines(n))},"src":"prewarm"}""")
+      else None
+    }
     // null (not []) only when NEITHER signal had baseline cells to
     // compare — an absent baseline file must be distinguishable from a
     // clean pass, but a gate-base finding must never be discarded just
     // because the main sweep's cells lacked baselines.
     val weakAllJson =
-      if (ratios.isEmpty && gateWeak.isEmpty && straddleWeak.isEmpty) "null"
+      if (ratios.isEmpty && gateWeak.isEmpty && straddleWeak.isEmpty &&
+          prewarmWeak.isEmpty) "null"
       else (weak.map { case (n, r) =>
         s"""{"q":"$n","sec":${results(n)._1},"ratio":${r3(r)},"src":"main"}"""
-      } ++ gateWeak ++ straddleWeak).mkString("[", ",", "]")
-    println(s"""{"total_sec":$total,"n":${names.size},"stalled":$stalled,"errors":$erroredJson,"canary":$canaryJson,"baseline_cells":${ratios.size},"weak":$weakAllJson}""")
+      } ++ gateWeak ++ straddleWeak ++ prewarmWeak).mkString("[", ",", "]")
+    // Canary verdict (VERDICT r16 ask #4): a contended host run must be
+    // LEGIBLE as such from the summary alone — r16's driver record read
+    // 82.99 s against a quiet-box 58.20 s on the same tree, and the only
+    // tell was canary max 4.62 s vs 0.061 s median buried in the canary
+    // object. max > 20x median is far past this box's healthy jitter.
+    // Recomputed over ALL canaries (the sf1 block + confirm passes ran
+    // since the record line's snapshot) so the verdict covers the run.
+    val csF = canaries.toSeq.sorted
+    val canaryStalled = csF.nonEmpty && csF.last > 20 * csF(csF.size / 2)
+    // Per-cell record file (VERDICT r16 ask #4): the full per-query line
+    // above outlives the driver's stdout tail capture only sometimes, so
+    // round-over-round per-cell regressions weren't diffable without a
+    // re-run. One sorted line per cell, written into the repo (the
+    // driver commits it with the round) — stable key order, 3-decimal
+    // ratios, so a git diff shows exactly which cells moved.
+    val cellsPath = sys.env.getOrElse("SPARK_GRAFT_CELLS_OUT", "bench_cells.json")
+    try {
+      val pw = new java.io.PrintWriter(cellsPath, "UTF-8")
+      pw.println("[")
+      names.zipWithIndex.foreach { case (n, i) =>
+        val sep = if (i == names.size - 1) "" else ","
+        val ratio = baselines.get(n).filter(_ > 0)
+          .map(b => r3(results(n)._1 / b)).getOrElse("null")
+        pw.println(s"""{"q":"$n","sec":${r3(results(n)._1)},"ratio":$ratio}$sep""")
+      }
+      pw.println("]")
+      pw.close()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] cells file: $e") }
+    println(s"""{"total_sec":$total,"n":${names.size},"stalled":$stalled,"errors":$erroredJson,"canary":$canaryJson,"canary_stalled":$canaryStalled,"cells":"$cellsPath","baseline_cells":${ratios.size},"weak":$weakAllJson}""")
     spark.stop()
     if (growthViolations.nonEmpty) {
       System.err.println(
