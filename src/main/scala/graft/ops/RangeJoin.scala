@@ -76,7 +76,13 @@ object RangeJoin {
     * range when an overlap exists, never otherwise). A filter, not a
     * distinct: dedup costs nothing and the output needs no shuffle.
     * Replication per row ≈ len/width + 1; pick `bucketWidthSeconds`
-    * near the typical interval length. */
+    * near the typical interval length.
+    *
+    * Inverted intervals (start > end) FAIL FAST in-plan (the q178
+    * assert-in-a-filter idiom): `sequence(hi, lo)` silently generates a
+    * DESCENDING bucket range, so a malformed row would still explode,
+    * join, and could emit pairs the closed-interval predicate never
+    * sanctioned — an invalid input is caller error and must be loud. */
   def intervalOverlapPairs(a: DataFrame, b: DataFrame,
                            aStart: String, aEnd: String,
                            bStart: String, bEnd: String,
@@ -86,9 +92,17 @@ object RangeJoin {
       "a/b column names must be disjoint")
     val w = lit(bucketWidthSeconds)
     def bkt(c: String) = floor(unix_timestamp(col(c)) / w)
-    val ae = a.withColumn("_sba", bkt(aStart))
+    // coalesce: a null endpoint is NOT an inversion — it drops at the
+    // explode exactly as before (null sequence → no buckets), matching
+    // the SQL predicate's null semantics; only a definite start > end
+    // fails.
+    def checked(df: DataFrame, start: String, end: String): DataFrame =
+      df.filter(assert_true(coalesce(col(start) <= col(end), lit(true)),
+        concat(lit("intervalOverlapPairs: inverted interval "),
+          col(start), lit(" > "), col(end))).isNull)
+    val ae = checked(a, aStart, aEnd).withColumn("_sba", bkt(aStart))
       .withColumn("_bkt", explode(sequence(col("_sba"), bkt(aEnd))))
-    val be = b.withColumn("_sbb", bkt(bStart))
+    val be = checked(b, bStart, bEnd).withColumn("_sbb", bkt(bStart))
       .withColumn("_bkt", explode(sequence(col("_sbb"), bkt(bEnd))))
     ae.join(be, Seq("_bkt"))
       .filter(col("_bkt") === greatest(col("_sba"), col("_sbb")) &&

@@ -211,4 +211,21 @@ class RangeJoinSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       RangeJoin.intervalOverlapPairs(aSet, aSet, "astart", "aend", "astart", "aend", 60)
   }
+
+  test("intervalOverlapPairs fails fast on an inverted interval (start > end)") {
+    // sequence(hi, lo) would silently generate a DESCENDING bucket range
+    // for the malformed row — the guard makes it loud instead.
+    val inverted = aDf((9, "2024-01-05 00:00:00", "2024-01-01 00:00:00"))
+    val ex = intercept[Exception] {
+      RangeJoin.intervalOverlapPairs(inverted, bSet,
+        "astart", "aend", "bstart", "bend", 86400).collect()
+    }
+    ex.getMessage should include("inverted interval")
+    // a null endpoint is NOT an inversion: the row drops at the explode
+    // (null bucket sequence), exactly the SQL predicate's null semantics
+    val withNull = df("aid INT, astart TIMESTAMP, aend TIMESTAMP",
+      Seq(Row(1, tsS("2024-01-01 00:00:00"), null)))
+    RangeJoin.intervalOverlapPairs(withNull, bSet,
+      "astart", "aend", "bstart", "bend", 86400).count() shouldBe 0L
+  }
 }
