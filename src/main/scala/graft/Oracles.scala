@@ -4074,6 +4074,79 @@ object Oracles {
         |SELECT e.word, e.est, e.est * 200 >= t.n AS is_heavy
         |FROM est e, total t""".stripMargin,
 
+    // Streamed CMS chain, batch twin (q181): the oracle replays the
+    // FULL sketch + standing-panel probe over the chain's FINAL
+    // snapshot (q175's s3 universe without its lang filter) — a hash
+    // match certifies the composition theorem at the sketch layer:
+    // three chained maintenance folds ≡ one fresh build.
+    "q181_stream_cms_chain" ->
+      """WITH s3 AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    text
+        |      || CASE WHEN doc_id % 11 = 0 THEN ' v2' ELSE '' END
+        |      || CASE WHEN doc_id % 7 = 0 THEN ' v3' ELSE '' END AS text
+        |  FROM documents
+        |  WHERE
+        |    (((doc_id % 19 <> 0 OR doc_id % 20 = 0) AND doc_id % 23 <> 0)
+        |       OR doc_id % 37 = 0)
+        |    AND doc_id % 29 <> 0 OR doc_id % 41 = 0),
+        |ww AS MATERIALIZED (
+        |  SELECT doc_id, t AS word FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+        |    FROM s3)
+        |  WHERE length(trim(t)) > 0),
+        |total AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ww),
+        |cells AS MATERIALIZED (
+        |  SELECT i, substr(md5(CAST(i AS VARCHAR) || ':' || word), 1, 3) AS bucket,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM ww, LATERAL (SELECT unnest(generate_series(0, 3)) AS i)
+        |  GROUP BY 1, 2),
+        |panel AS (
+        |  SELECT DISTINCT word FROM ww
+        |  WHERE doc_id % 101 = 0 AND doc_id < 10000000),
+        |cand AS (
+        |  SELECT word, i,
+        |    substr(md5(CAST(i AS VARCHAR) || ':' || word), 1, 3) AS bucket
+        |  FROM panel, LATERAL (SELECT unnest(generate_series(0, 3)) AS i)),
+        |est AS (
+        |  SELECT c.word, CAST(min(COALESCE(cl.cnt, 0)) AS BIGINT) AS est
+        |  FROM cand c LEFT JOIN cells cl ON cl.i = c.i AND cl.bucket = c.bucket
+        |  GROUP BY c.word)
+        |SELECT e.word, e.est, e.est * 200 >= t.n AS is_heavy
+        |FROM est e, total t""".stripMargin,
+
+    // Streamed DSIR chain, batch twin (q182): both split histograms
+    // retrained from scratch over the chain's final snapshot — the
+    // composition theorem at the selection-model layer (q160's feature
+    // replay over q175's s3 universe, full corpus).
+    "q182_stream_dsir_chain" ->
+      """WITH s3 AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    text
+        |      || CASE WHEN doc_id % 11 = 0 THEN ' v2' ELSE '' END
+        |      || CASE WHEN doc_id % 7 = 0 THEN ' v3' ELSE '' END AS text
+        |  FROM documents
+        |  WHERE
+        |    (((doc_id % 19 <> 0 OR doc_id % 20 = 0) AND doc_id % 23 <> 0)
+        |       OR doc_id % 37 = 0)
+        |    AND doc_id % 29 <> 0 OR doc_id % 41 = 0),
+        |feats AS MATERIALIZED (
+        |  SELECT doc_id, substr(md5(f), 1, 3) AS bucket FROM (
+        |    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS f
+        |    FROM s3
+        |    UNION ALL
+        |    SELECT doc_id, w[i] || ' ' || w[i+1] AS f
+        |    FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |          FROM s3),
+        |      LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i))
+        |  WHERE length(trim(f)) > 0)
+        |SELECT 'target' AS model, bucket, CAST(count(*) AS BIGINT) AS cnt
+        |FROM feats WHERE doc_id % 20 = 0 GROUP BY bucket
+        |UNION ALL
+        |SELECT 'raw' AS model, bucket, CAST(count(*) AS BIGINT) AS cnt
+        |FROM feats WHERE doc_id % 20 <> 0 GROUP BY bucket""".stripMargin,
+
     // Interval-overlap join (q177): the oracle is the naive quadratic
     // range predicate — DuckDB's optimizer may IEJoin it, but the
     // semantics are the plain closed-interval overlap; the Spark side's

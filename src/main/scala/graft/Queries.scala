@@ -5671,4 +5671,131 @@ object Queries {
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cmsServe(panel, cells)
   }
+
+  /** The q181/q182 snapshot chain over the FULL corpus — q175's 3-crawl
+    * chain without its en-filter (the CMS/DSIR stores cover every doc):
+    * the stored models' snapshot first, then the three crawl steps.
+    * `base` selects the layout (raw single-file table for the one-task
+    * tier — 4 file opens instead of 64; wide for the distributed
+    * chain — q175's trick). */
+  private def fullChainOf(base: DataFrame): Seq[DataFrame] =
+    (q145OldSnapOn(base) +: Seq(1, 2, 3).map(chainSnap(base, _)))
+      .map(_.select(col("doc_id"), col("text")))
+
+  private def contentHashes(df: DataFrame): DataFrame =
+    df.select(col("doc_id"),
+      TextStats.contentHash(col("text")).as("content_hash"))
+
+  /** q180's panel predicate — the fixed %101 standing probe set. */
+  private val CmsPanelPred =
+    col("doc_id") % 101 === 0 && col("doc_id") < 10000000L
+
+  /** STREAMED CMS maintenance, batch twin (q181 — the q175 contract at
+    * the SKETCH layer, completing VERDICT r16 "what's missing" #1):
+    * THREE successive crawl deltas fold into the stored q180 cell table
+    * in one lazy plan via [[graft.ops.Cms.maintainSketch]], then the
+    * final cells serve the standing %101 probe panel. The oracle
+    * replays the full sketch + probe over the FINAL snapshot —
+    * certifying the COMPOSITION theorem (cell sums form an abelian
+    * group, so maintenance steps chain) for the sketch layer exactly as
+    * q175 certifies it for the LM model. The Structured-Streaming
+    * deployment of the same fold — [[graft.streaming.MaintainStream
+    * .maintainKeyedStream]] with [[graft.streaming.MaintainStream
+    * .cmsCellLegs]], one micro-batch per delta file into the
+    * exactly-once versioned store — is asserted equal to a fresh batch
+    * sketch by MaintainStreamSpec, whose composition test is exactly
+    * this cell's shape.
+    *
+    * ONE-TASK chain tier ([[graft.ops.Cms.maintainServeChainLocal]],
+    * the q175 treatment): three hash-diff + cell-combine + probe steps
+    * are ~15 delta-sized stages of scheduling latency at serving scale.
+    * Fail-CLOSED on Catalyst size stats; `maxLocalBytes = 0` forces the
+    * distributed chain (spec coverage pins tier equality). */
+  def q181StreamCmsChain(s: SparkSession, dir: String): DataFrame =
+    q181StreamCmsChain(s, dir, maxLocalBytes = 64L << 20)
+
+  private[graft] def q181StreamCmsChain(s: SparkSession, dir: String,
+                                        maxLocalBytes: Long): DataFrame = {
+    val localChain = fullChainOf(Tables.table(s, dir, "documents"))
+    if (maxLocalBytes > 0 &&
+        (prevCmsCells(s, dir) +: localChain)
+          .map(_.queryExecution.optimizedPlan.stats.sizeInBytes)
+          .sum <= BigInt(maxLocalBytes))
+      return Cms.maintainServeChainLocal(prevCmsCells(s, dir), localChain,
+        "doc_id", "text", CmsPanelPred)
+    val Seq(c0, c1, c2, c3) = fullChainOf(t(s, dir, "documents"))
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // Each delta feeds BOTH maintenance semi-joins (q155's discipline);
+    // step 1 diffs against the STORED hash artifact — the deployment
+    // handoff — and later steps against in-plan hashes of their
+    // predecessor snapshot.
+    val d1 = SnapshotDelta.diffHashed(prevSnapshotHashes(s, dir),
+      contentHashes(c1)).persist(lvl)
+    val d2 = SnapshotDelta.diffHashed(contentHashes(c1), contentHashes(c2))
+      .persist(lvl)
+    val d3 = SnapshotDelta.diffHashed(contentHashes(c2), contentHashes(c3))
+      .persist(lvl)
+    def minus(snap: DataFrame, delta: DataFrame): DataFrame =
+      snapWords(snap.join(delta.filter(col("status").isin("removed", "changed"))
+        .select("doc_id"), Seq("doc_id"), "left_semi"))
+    def plus(snap: DataFrame, delta: DataFrame): DataFrame =
+      snapWords(snap.join(delta.filter(col("status").isin("added", "changed"))
+        .select("doc_id"), Seq("doc_id"), "left_semi"))
+    val m1 = Cms.maintainSketch(prevCmsCells(s, dir), minus(c0, d1),
+      plus(c1, d1), "word")
+    val m2 = Cms.maintainSketch(m1, minus(c1, d2), plus(c2, d2), "word")
+    val m3 = graft.CacheScope.scopedPersist(
+      Cms.maintainSketch(m2, minus(c2, d3), plus(c3, d3), "word"), lvl)
+    val panel = snapWords(c3.filter(CmsPanelPred)).select("word").distinct()
+    cmsServe(panel, m3)
+  }
+
+  /** STREAMED DSIR maintenance, batch twin (q182 — the q175 contract at
+    * the selection-model layer): THREE successive crawl deltas fold
+    * into BOTH stored q160 split histograms in one lazy plan via
+    * [[graft.ops.Dsir.maintainSplitModels]] (each step one fused
+    * target+raw combine), output the final tagged models. The oracle
+    * replays both retrains over the FINAL snapshot — the composition
+    * theorem at the histogram layer. The streaming deployment
+    * ([[graft.streaming.MaintainStream.dsirSplitLegs]] into the
+    * versioned store) is asserted equal to the retrain by
+    * MaintainStreamSpec.
+    *
+    * ONE-TASK chain tier ([[graft.ops.Dsir.maintainSplitChainLocal]]);
+    * fail-CLOSED size-stats guard, `maxLocalBytes = 0` forces the
+    * distributed chain (spec-pinned tier equality). */
+  def q182StreamDsirChain(s: SparkSession, dir: String): DataFrame =
+    q182StreamDsirChain(s, dir, maxLocalBytes = 64L << 20)
+
+  private[graft] def q182StreamDsirChain(s: SparkSession, dir: String,
+                                         maxLocalBytes: Long): DataFrame = {
+    val targetPred = col("doc_id") % 20 === 0
+    val prevT = prevDsirModel(s, dir, target = true)
+    val prevR = prevDsirModel(s, dir, target = false)
+    val localChain = fullChainOf(Tables.table(s, dir, "documents"))
+    if (maxLocalBytes > 0 &&
+        (Seq(prevT, prevR) ++ localChain)
+          .map(_.queryExecution.optimizedPlan.stats.sizeInBytes)
+          .sum <= BigInt(maxLocalBytes))
+      return graft.ops.Dsir.maintainSplitChainLocal(prevT, prevR, localChain,
+        "doc_id", "text", targetPred)
+    val Seq(c0, c1, c2, c3) = fullChainOf(t(s, dir, "documents"))
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val d1 = SnapshotDelta.diffHashed(prevSnapshotHashes(s, dir),
+      contentHashes(c1)).persist(lvl)
+    val d2 = SnapshotDelta.diffHashed(contentHashes(c1), contentHashes(c2))
+      .persist(lvl)
+    val d3 = SnapshotDelta.diffHashed(contentHashes(c2), contentHashes(c3))
+      .persist(lvl)
+    def split(m: DataFrame, tag: String): DataFrame =
+      m.filter(col("model") === tag).select(col("bucket"), col("cnt"))
+    val m1 = graft.CacheScope.scopedPersist(
+      graft.ops.Dsir.maintainSplitModels(prevT, prevR, c0, c1,
+        "doc_id", "text", d1, targetPred), lvl)
+    val m2 = graft.CacheScope.scopedPersist(
+      graft.ops.Dsir.maintainSplitModels(split(m1, "target"), split(m1, "raw"),
+        c1, c2, "doc_id", "text", d2, targetPred), lvl)
+    graft.ops.Dsir.maintainSplitModels(split(m2, "target"), split(m2, "raw"),
+      c2, c3, "doc_id", "text", d3, targetPred)
+  }
 }

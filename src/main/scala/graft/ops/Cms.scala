@@ -65,6 +65,18 @@ object Cms {
     AdditiveCounts.maintain(prevCells, Seq("i", "bucket"),
       cellKeys(minusItems, itemCol), cellKeys(plusItems, itemCol))
 
+  /** Signed cell legs for a streaming micro-batch ([[graft.streaming
+    * .MaintainStream]]'s generic keyed fold — the CMS instantiation of
+    * the versioned exactly-once store): one (i, bucket, d = ±1) row per
+    * removed/added occurrence, [[maintainSketch]]'s ± legs in
+    * change-feed form. The micro-batch fold then sums them into the
+    * stored cells — cell-bounded state (≤ Depth·4096 rows) no matter
+    * how long the stream runs. */
+  def signedCellLegs(minusItems: DataFrame, plusItems: DataFrame,
+                     itemCol: String): DataFrame =
+    cellKeys(minusItems, itemCol).withColumn("d", lit(-1L))
+      .unionByName(cellKeys(plusItems, itemCol).withColumn("d", lit(1L)))
+
   /** The q180 maintain-and-serve chain as ONE guarded task — the
     * q153/q175/q176 treatment: the distributed chain (hash diff, two
     * delta word legs, the cell combine, the panel probe) is ~10
@@ -96,9 +108,14 @@ object Cms {
       .unionByName(oldDocs.select(lit("o").as("_t"), nullI.as("_i"),
         col(textCol).as("_s"), nullL.as("_l"),
         col(idCol).cast("long").as("_id"), lit(false).as("_p")))
+      // coalesce: a null predicate value (e.g. a null doc attribute)
+      // means NOT in the panel on both tiers — the distributed serve's
+      // filter drops null the same way; a bare getBoolean on a null
+      // would NPE here instead, a tier divergence on edge-case input.
       .unionByName(newDocs.select(lit("n").as("_t"), nullI.as("_i"),
         col(textCol).as("_s"), nullL.as("_l"),
-        col(idCol).cast("long").as("_id"), panelPred.as("_p")))
+        col(idCol).cast("long").as("_id"),
+        coalesce(panelPred, lit(false)).as("_p")))
     val depth = Depth
     val hexChars = BucketHexChars
     tagged.coalesce(1).mapPartitions { it =>
@@ -125,13 +142,19 @@ object Cms {
       def wordsOf(text: String): Array[String] =
         LocalText.words(text.toLowerCase())
           .filter(w => LocalText.trimSpaces(w).nonEmpty)
-      def bucket(i: Int, w: String): String =
-        LocalText.md5Hex(i.toString + ":" + w).substring(0, hexChars)
+      // Buckets memoized per DISTINCT word: the fold hashes every
+      // occurrence otherwise (Depth md5s each) and word streams repeat
+      // heavily — the cache turns ~10^6 digests into vocabulary-many.
+      val bucketCache = mutable.HashMap.empty[String, Array[String]]
+      def bucketsOf(w: String): Array[String] =
+        bucketCache.getOrElseUpdate(w, Array.tabulate(depth)(i =>
+          LocalText.md5Hex(i.toString + ":" + w).substring(0, hexChars)))
       def fold(text: String, sign: Long): Unit =
         wordsOf(text).foreach { w =>
+          val bs = bucketsOf(w)
           var i = 0
           while (i < depth) {
-            val k = (i, bucket(i, w))
+            val k = (i, bs(i))
             cells.update(k, cells.getOrElse(k, 0L) + sign)
             i += 1
           }
@@ -156,10 +179,114 @@ object Cms {
       val panel = mutable.HashSet.empty[String]
       panelIds.foreach(id => wordsOf(newText(id)).foreach(panel += _))
       panel.iterator.map { w =>
+        val bs = bucketsOf(w)
         var est = Long.MaxValue
         var i = 0
         while (i < depth) {
-          est = math.min(est, live.getOrElse((i, bucket(i, w)), 0L))
+          est = math.min(est, live.getOrElse((i, bs(i)), 0L))
+          i += 1
+        }
+        (w, est, est * 200 >= n)
+      }
+    }.toDF("word", "est", "is_heavy")
+  }
+
+  /** The q181 CHAIN tier: [[maintainServeLocal]] generalized to a
+    * CONSECUTIVE crawl chain (the [[graft.ops.LmScore
+    * .maintainCountsChainLocal]] treatment at the sketch layer) — n−1
+    * maintenance steps folded in ONE task. Statuses re-derive per doc
+    * from content hashes in-task ([[LocalText.contentHash]], the same
+    * comparison diffHashed makes); signed partials carry ACROSS steps
+    * and zeros drop once at the end — equivalent to the per-step drop
+    * because with true snapshot deltas the running cell value equals
+    * the intermediate stream's true count. `snapshots`: first = the
+    * stored cells' snapshot, each later one folds as a step against its
+    * predecessor; `panelPred` selects the probe panel docs on the FINAL
+    * snapshot. Callers guard fail-CLOSED on Catalyst size stats.
+    * Output: (word, est, is_heavy) — [[maintainServeLocal]]'s serve. */
+  def maintainServeChainLocal(prevCells: DataFrame,
+                              snapshots: Seq[DataFrame],
+                              idCol: String, textCol: String,
+                              panelPred: Column): DataFrame = {
+    require(snapshots.size >= 2, "maintainServeChainLocal needs >= 2 snapshots")
+    val spark = prevCells.sparkSession
+    import spark.implicits._
+    val nullL = lit(null).cast("long")
+    val nullS = lit(null).cast("string")
+    val nSnaps = snapshots.size
+    val cellRows = prevCells.select(lit(-1).as("_snap"),
+      col("i").as("_i"), col("bucket").as("_b"),
+      col("cnt").cast("long").as("_cnt"), nullL.as("_id"),
+      nullS.as("_s"), lit(false).as("_p"))
+    val snapRows = snapshots.zipWithIndex.map { case (df, k) =>
+      df.select(lit(k).as("_snap"), lit(null).cast("int").as("_i"),
+        nullS.as("_b"), nullL.as("_cnt"), col(idCol).cast("long").as("_id"),
+        col(textCol).as("_s"), coalesce(panelPred, lit(false)).as("_p"))
+    }.reduce(_ unionByName _)
+    val depth = Depth
+    val hexChars = BucketHexChars
+    cellRows.unionByName(snapRows).coalesce(1).mapPartitions { it =>
+      import scala.collection.mutable
+      val cells = mutable.HashMap.empty[(Int, String), Long]
+      val snaps = Array.fill(nSnaps)(mutable.HashMap.empty[Long, String])
+      val panelIds = mutable.HashSet.empty[Long]
+      it.foreach { row =>
+        val tag = row.getInt(0)
+        if (tag < 0) cells.update((row.getInt(1), row.getString(2)),
+          row.getLong(3))
+        else {
+          snaps(tag).update(row.getLong(4),
+            if (row.isNullAt(5)) "" else row.getString(5))
+          if (tag == nSnaps - 1 && row.getBoolean(6))
+            panelIds += row.getLong(4)
+        }
+      }
+      def wordsOf(text: String): Array[String] =
+        LocalText.words(text.toLowerCase())
+          .filter(w => LocalText.trimSpaces(w).nonEmpty)
+      // Buckets memoized per DISTINCT word ([[maintainServeLocal]]'s
+      // cache): three chained folds re-hash occurrences ~3x harder.
+      val bucketCache = mutable.HashMap.empty[String, Array[String]]
+      def bucketsOf(w: String): Array[String] =
+        bucketCache.getOrElseUpdate(w, Array.tabulate(depth)(i =>
+          LocalText.md5Hex(i.toString + ":" + w).substring(0, hexChars)))
+      def fold(text: String, sign: Long): Unit =
+        wordsOf(text).foreach { w =>
+          val bs = bucketsOf(w)
+          var i = 0
+          while (i < depth) {
+            val k = (i, bs(i))
+            cells.update(k, cells.getOrElse(k, 0L) + sign)
+            i += 1
+          }
+        }
+      var k = 0
+      while (k < nSnaps - 1) {
+        val old = snaps(k); val neu = snaps(k + 1)
+        neu.foreach { case (id, t) =>
+          old.get(id) match {
+            case None => fold(t, 1L) // added
+            case Some(ot) =>
+              if (LocalText.contentHash(ot) != LocalText.contentHash(t)) {
+                fold(ot, -1L); fold(t, 1L) // changed
+              }
+          }
+        }
+        old.foreach { case (id, t) =>
+          if (!neu.contains(id)) fold(t, -1L) } // removed
+        k += 1
+      }
+      val live = cells.filter(_._2 > 0L)
+      var n = 0L
+      live.foreach { case ((i, _), c) => if (i == 0) n += c }
+      val panel = mutable.HashSet.empty[String]
+      panelIds.foreach(id => wordsOf(snaps(nSnaps - 1)(id)).foreach(panel += _))
+      panel.iterator.map { w =>
+        val bs = bucketsOf(w)
+        var est = Long.MaxValue
+        var i = 0
+        while (i < depth) {
+          est = math.min(est, live.getOrElse((i, bs(i)), 0L))
           i += 1
         }
         (w, est, est * 200 >= n)

@@ -124,6 +124,118 @@ object Dsir {
       .filter(col("cnt") > 0)
   }
 
+  /** Signed split-model feature legs for a streaming micro-batch
+    * ([[graft.streaming.MaintainStream]]'s generic keyed fold — the
+    * DSIR instantiation of the versioned exactly-once store):
+    * [[maintainSplitModels]]'s ± legs in change-feed form — one
+    * (model ∈ {target, raw}, bucket, d = ±1) row per removed/added
+    * feature occurrence, both split histograms maintained by ONE fold.
+    * Same domain rule as the batch maintainers: `targetPred` must be
+    * stable for content-unchanged docs across snapshots (the %-of-id
+    * splits are). A removed doc carries (old, null), an added doc
+    * (null, new), a changed doc (old, new). */
+  def signedSplitLegs(batch: DataFrame, idCol: String, minusCol: String,
+                      plusCol: String, targetPred: Column): DataFrame = {
+    val tag = when(targetPred, "target").otherwise("raw")
+    def leg(textCol: String, d: Long): DataFrame =
+      features(batch.filter(col(textCol).isNotNull).withColumn("_model", tag),
+        idCol, textCol, passthrough = Seq("_model"))
+        .select(col("_model").as("model"), col("bucket"), lit(d).as("d"))
+    leg(minusCol, -1L).unionByName(leg(plusCol, 1L))
+  }
+
+  /** The q182 CHAIN tier: [[maintainSplitModels]] generalized to a
+    * CONSECUTIVE crawl chain (the [[LmScore.maintainCountsChainLocal]]
+    * treatment at the selection-model layer) — n−1 fused target+raw
+    * maintenance steps folded in ONE task. Statuses re-derive per doc
+    * from content hashes in-task; the in-task feature stream replicates
+    * [[features]] bit-for-bit (lowercase → Spark-trim split → unigrams
+    * + adjacent space-joined bigrams, trim-empty features dropped,
+    * md5-prefix buckets); signed partials carry across steps and
+    * non-positives drop once at the end (equivalent to the per-step
+    * clamp for true snapshot deltas). `targetPred` rides the tagged
+    * union as a per-doc boolean — same stability contract as the batch
+    * maintainers. Output: (model ∈ {target, raw}, bucket, cnt). */
+  def maintainSplitChainLocal(prevTarget: DataFrame, prevRaw: DataFrame,
+                              snapshots: Seq[DataFrame],
+                              idCol: String, textCol: String,
+                              targetPred: Column): DataFrame = {
+    require(snapshots.size >= 2, "maintainSplitChainLocal needs >= 2 snapshots")
+    val spark = prevTarget.sparkSession
+    import spark.implicits._
+    val nullL = lit(null).cast("long")
+    val nullS = lit(null).cast("string")
+    val nSnaps = snapshots.size
+    def modelRows(m: DataFrame, tag: String): DataFrame =
+      m.select(lit(-1).as("_snap"), lit(tag).as("_m"),
+        col("bucket").as("_b"), col("cnt").cast("long").as("_cnt"),
+        nullL.as("_id"), nullS.as("_s"), lit(false).as("_t"))
+    val snapRows = snapshots.zipWithIndex.map { case (df, k) =>
+      df.select(lit(k).as("_snap"), nullS.as("_m"), nullS.as("_b"),
+        nullL.as("_cnt"), col(idCol).cast("long").as("_id"),
+        col(textCol).as("_s"), coalesce(targetPred, lit(false)).as("_t"))
+    }.reduce(_ unionByName _)
+    val hexChars = BucketHexChars
+    modelRows(prevTarget, "target").unionByName(modelRows(prevRaw, "raw"))
+      .unionByName(snapRows).coalesce(1).mapPartitions { it =>
+      import scala.collection.mutable
+      val model = mutable.HashMap.empty[(String, String), Long]
+      val snaps = Array.fill(nSnaps)(mutable.HashMap.empty[Long, String])
+      val isTarget = mutable.HashMap.empty[Long, Boolean]
+      it.foreach { row =>
+        val tag = row.getInt(0)
+        if (tag < 0) model.update((row.getString(1), row.getString(2)),
+          row.getLong(3))
+        else {
+          snaps(tag).update(row.getLong(4),
+            if (row.isNullAt(5)) "" else row.getString(5))
+          isTarget.update(row.getLong(4), row.getBoolean(6))
+        }
+      }
+      // features() bit-for-bit: unigrams + adjacent bigrams of the
+      // lowercased Spark-split word array, trim-empty features dropped.
+      // Buckets memoized per DISTINCT feature (the Cms-tier cache): the
+      // fold hashes every occurrence otherwise and feature streams
+      // repeat heavily — the cache turns ~10^6 digests into
+      // feature-vocabulary-many.
+      val bucketCache = mutable.HashMap.empty[String, String]
+      def bucketOf(f: String): String =
+        bucketCache.getOrElseUpdate(f,
+          LocalText.md5Hex(f).substring(0, hexChars))
+      def bucketsOf(text: String): Array[String] = {
+        val ws = LocalText.words(text.toLowerCase())
+        val feats = ws.iterator ++
+          ws.iterator.zip(ws.iterator.drop(1)).map { case (a, b) => a + " " + b }
+        feats.filter(f => LocalText.trimSpaces(f).nonEmpty)
+          .map(bucketOf).toArray
+      }
+      def fold(id: Long, text: String, sign: Long): Unit = {
+        val m = if (isTarget.getOrElse(id, false)) "target" else "raw"
+        bucketsOf(text).foreach { b =>
+          model.update((m, b), model.getOrElse((m, b), 0L) + sign)
+        }
+      }
+      var k = 0
+      while (k < nSnaps - 1) {
+        val old = snaps(k); val neu = snaps(k + 1)
+        neu.foreach { case (id, t) =>
+          old.get(id) match {
+            case None => fold(id, t, 1L) // added
+            case Some(ot) =>
+              if (LocalText.contentHash(ot) != LocalText.contentHash(t)) {
+                fold(id, ot, -1L); fold(id, t, 1L) // changed
+              }
+          }
+        }
+        old.foreach { case (id, t) =>
+          if (!neu.contains(id)) fold(id, t, -1L) } // removed
+        k += 1
+      }
+      model.iterator.filter(_._2 > 0L)
+        .map { case ((m, b), c) => (m, b, c) }
+    }.toDF("model", "bucket", "cnt")
+  }
+
   /** Integer importance weight of EVERY document against the (stored)
     * target and raw bucket models: (doc_id, n_feats, target_bits,
     * raw_bits, importance). Buckets absent from a model count 0

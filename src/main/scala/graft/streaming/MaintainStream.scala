@@ -67,59 +67,120 @@ object MaintainStream {
   def writeInit(initModel: DataFrame, storeDir: String): Unit =
     initModel.write.mode("overwrite").parquet(versionPath(storeDir, 0L))
 
-  /** One micro-batch's maintenance fold — exposed (not inlined in the
-    * foreachBatch closure) so specs can replay a batch under its own
-    * batchId and assert the store is bit-identical (the exactly-once
-    * contract made testable).
+  /** The GENERIC keyed micro-batch fold every maintained abelian
+    * artifact shares (round 17 — VERDICT r16 "what's missing" #1): the
+    * LM bigram table, the CMS cell table and the DSIR split histograms
+    * are all keyed integer-sum stores, so ONE versioned-store fold
+    * serves them; `legs(batch)` supplies the artifact-specific ±
+    * occurrence rows (keyCols..., d) and everything else — versioning,
+    * exactly-once replay, the signed no-clamp sum — is shared.
     *
     * `batch`: (doc_id LONG, minus_text STRING?, plus_text STRING?) — one
-    * row per changed document, already filtered to the model's reference
-    * predicate; a removed doc carries (old, null), an added doc
-    * (null, new), a changed doc (old, new). */
-  def applyBatch(batch: DataFrame, batchId: Long, storeDir: String): Unit = {
+    * row per changed document; a removed doc carries (old, null), an
+    * added doc (null, new), a changed doc (old, new). */
+  def applyKeyedBatch(batch: DataFrame, batchId: Long, storeDir: String,
+                      keyCols: Seq[String],
+                      legs: DataFrame => DataFrame): Unit = {
     val s = batch.sparkSession
     val prev = s.read.parquet(versionPath(storeDir, batchId))
-    // The SIGNED fold (see the order-independence note above): one
-    // map-side-combined sum over (stored sums ∪ ± occurrence legs),
-    // dropping only exact zeros — [[AdditiveCounts.maintain]]'s shape
-    // minus its per-step positive clamp, which would break
-    // commutativity for a reordered feed's negative partials.
-    prev.select(col("bigram"), col("cnt").as("d"))
-      .unionByName(LmScore.bigrams(batch.filter(col("minus_text").isNotNull),
-          "doc_id", "minus_text")
-        .select(col("bigram"), lit(-1L).as("d")))
+    // The batch frame feeds BOTH ± legs; an unpersisted foreachBatch
+    // frame re-reads its source files once per consumer (the documented
+    // foreachBatch caveat), so pin it for the fold's duration.
+    val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // The SIGNED fold (see the order-independence note above): one
+      // map-side-combined sum over (stored sums ∪ ± occurrence legs),
+      // dropping only exact zeros — [[AdditiveCounts.maintain]]'s shape
+      // minus its per-step positive clamp, which would break
+      // commutativity for a reordered feed's negative partials.
+      prev.select(keyCols.map(col) :+ col("cnt").as("d"): _*)
+        .unionByName(legs(b))
+        .groupBy(keyCols.map(col): _*).agg(sum(col("d")).as("cnt"))
+        .filter(col("cnt") =!= 0)
+        .write.mode("overwrite").parquet(versionPath(storeDir, batchId + 1))
+    } finally b.unpersist()
+  }
+
+  /** One LM micro-batch's maintenance fold — exposed (not inlined in the
+    * foreachBatch closure) so specs can replay a batch under its own
+    * batchId and assert the store is bit-identical (the exactly-once
+    * contract made testable). */
+  def applyBatch(batch: DataFrame, batchId: Long, storeDir: String): Unit =
+    applyKeyedBatch(batch, batchId, storeDir, Seq("bigram"), lmLegs)
+
+  /** The LM bigram ± legs ([[graft.ops.LmScore.bigrams]] per side). */
+  def lmLegs(batch: DataFrame): DataFrame =
+    LmScore.bigrams(batch.filter(col("minus_text").isNotNull),
+        "doc_id", "minus_text")
+      .select(col("bigram"), lit(-1L).as("d"))
       .unionByName(LmScore.bigrams(batch.filter(col("plus_text").isNotNull),
           "doc_id", "plus_text")
         .select(col("bigram"), lit(1L).as("d")))
-      .groupBy(col("bigram")).agg(sum(col("d")).as("cnt"))
-      .filter(col("cnt") =!= 0)
-      .write.mode("overwrite").parquet(versionPath(storeDir, batchId + 1))
+
+  /** The CMS cell ± legs ([[graft.ops.Cms.signedCellLegs]]): the q180
+    * word stream (lower → split → empties dropped) per side; store keys
+    * (i, bucket) — state stays cell-bounded (≤ Depth·4096 rows) no
+    * matter how long the stream runs. */
+  def cmsCellLegs(batch: DataFrame): DataFrame = {
+    def words(textCol: String): DataFrame =
+      batch.filter(col(textCol).isNotNull)
+        .select(explode(graft.ops.TextStats.words(lower(col(textCol))))
+          .as("word"))
+        .filter(length(trim(col("word"))) > 0)
+    graft.ops.Cms.signedCellLegs(words("minus_text"), words("plus_text"),
+      "word")
   }
 
-  /** Run the maintenance stream over a change feed until the source is
-    * drained (Trigger.AvailableNow — the catch-up/backfill mode; a live
-    * deployment would use a processing-time trigger on the same query).
-    * [[writeInit]] must have seeded `storeDir` first. */
-  def maintainCountsStream(deltaEvents: DataFrame, storeDir: String,
-                           checkpointDir: String): StreamingQuery =
+  /** The DSIR split-histogram ± legs ([[graft.ops.Dsir
+    * .signedSplitLegs]]): both 4096-bucket models maintained by one
+    * fold; store keys (model, bucket). `targetPred` must be stable for
+    * content-unchanged docs (the %-of-id splits are). */
+  def dsirSplitLegs(targetPred: org.apache.spark.sql.Column)
+                   (batch: DataFrame): DataFrame =
+    graft.ops.Dsir.signedSplitLegs(batch, "doc_id", "minus_text",
+      "plus_text", targetPred)
+
+  /** Run a keyed maintenance stream over a change feed until the source
+    * is drained (Trigger.AvailableNow — the catch-up/backfill mode; a
+    * live deployment would use a processing-time trigger on the same
+    * query). [[writeInit]] must have seeded `storeDir` first. */
+  def maintainKeyedStream(deltaEvents: DataFrame, storeDir: String,
+                          checkpointDir: String, keyCols: Seq[String],
+                          legs: DataFrame => DataFrame): StreamingQuery =
     deltaEvents.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch((batch: DataFrame, batchId: Long) =>
-        applyBatch(batch, batchId, storeDir))
+        applyKeyedBatch(batch, batchId, storeDir, keyCols, legs))
       .start()
 
-  /** The highest version's positive-count MODEL view (the signed
-    * partial sums are the store's internal representation — see the
-    * order-independence note; a consumer never sees a non-positive
-    * count, exactly as the batch family's maintain guarantees). */
+  /** [[maintainKeyedStream]] for the LM bigram model (q175's stream). */
+  def maintainCountsStream(deltaEvents: DataFrame, storeDir: String,
+                           checkpointDir: String): StreamingQuery =
+    maintainKeyedStream(deltaEvents, storeDir, checkpointDir,
+      Seq("bigram"), lmLegs)
+
+  /** The highest COMMITTED version's positive-count MODEL view (the
+    * signed partial sums are the store's internal representation — see
+    * the order-independence note; a consumer never sees a non-positive
+    * count, exactly as the batch family's maintain guarantees).
+    *
+    * Committed = the version directory carries Hadoop's `_SUCCESS`
+    * marker, written after the last task commits. The stream's own
+    * replay lineage tolerates a torn v{b+1} (the replayed batch
+    * rewrites it from the intact v{b}), but a CONSUMER reading between
+    * the crash and the restart must not trust the torn directory —
+    * skipping back to the newest committed version serves the last
+    * consistent model instead of partial (or unreadable) data. */
   def latestModel(s: SparkSession, storeDir: String): DataFrame = {
     val p = new Path(storeDir)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     require(fs.exists(p), s"empty model store at $storeDir — writeInit first")
     val vs = fs.listStatus(p).toSeq.map(_.getPath.getName)
       .filter(_.matches("v\\d+")).map(_.drop(1).toLong)
-    require(vs.nonEmpty, s"empty model store at $storeDir — writeInit first")
+      .filter(v => fs.exists(new Path(versionPath(storeDir, v), "_SUCCESS")))
+    require(vs.nonEmpty,
+      s"no committed model version at $storeDir — writeInit first")
     s.read.parquet(versionPath(storeDir, vs.max))
       .filter(col("cnt") > 0)
   }

@@ -182,6 +182,40 @@ class IncrementalBuildSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q181's one-task chain tier ≡ the distributed 3-step CMS chain, row for row") {
+    // maxLocalBytes = 0 forces the distributed chain (three hash-diffs,
+    // three cell combines, the panel probe) on the same stored cells;
+    // the tier folds all three steps in one task with LocalText's
+    // bit-exact hash/word replicas, signed partials carried across
+    // steps. Plan asserts keep the comparison non-vacuous.
+    val localF = Queries.q181StreamCmsChain(spark, dir)
+    val distF = Queries.q181StreamCmsChain(spark, dir, maxLocalBytes = 0L)
+    localF.queryExecution.executedPlan.toString should include("MapPartitions")
+    distF.queryExecution.executedPlan.toString should not include "MapPartitions"
+    val local = localF.collect().map(_.toSeq).sortBy(_.toString)
+    val dist = distF.collect().map(_.toSeq).sortBy(_.toString)
+    local should not be empty
+    local shouldBe dist
+    spark.catalog.clearCache()
+  }
+
+  test("q182's one-task chain tier ≡ the distributed 3-step DSIR chain, row for row") {
+    // Same proof at the selection-model layer: three fused target+raw
+    // combines vs one task replicating features() bit-for-bit
+    // (unigrams + space-joined bigrams, trim-empty drop, md5 buckets).
+    val localF = Queries.q182StreamDsirChain(spark, dir)
+    val distF = Queries.q182StreamDsirChain(spark, dir, maxLocalBytes = 0L)
+    localF.queryExecution.executedPlan.toString should include("MapPartitions")
+    distF.queryExecution.executedPlan.toString should not include "MapPartitions"
+    val local = localF.collect().map(_.toSeq).sortBy(_.toString)
+    val dist = distF.collect().map(_.toSeq).sortBy(_.toString)
+    local should not be empty
+    local shouldBe dist
+    // both splits present in both tiers
+    local.map(_.head).distinct.size shouldBe 2
+    spark.catalog.clearCache()
+  }
+
   test("q179's one-task serve tier ≡ the distributed stored-artifact serve, row for row") {
     // maxLocalBytes = 0 forces the distributed ivfPqTopKStored chain
     // (probe window, list equi-join, ADC lookup join + sum, shortlist

@@ -113,4 +113,23 @@ class CmsSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
     inc shouldBe fresh
   }
+
+  test("maintainServeLocal treats a NULL panel predicate as not-in-panel (no NPE)") {
+    // A null predicate value (e.g. a null doc attribute) must behave
+    // exactly as the distributed tier's filter — the row is simply not
+    // in the panel — instead of NPE-ing inside the one-task fold.
+    val prevCells = df("i INT, bucket STRING, cnt BIGINT", Seq.empty)
+    val prevHashes = df("doc_id BIGINT, content_hash STRING", Seq.empty)
+    val oldDocs = df("doc_id BIGINT, text STRING", Seq.empty)
+    val newDocs = df("doc_id BIGINT, text STRING, flag BOOLEAN", Seq(
+      Row(1L, "alpha beta", java.lang.Boolean.TRUE),
+      Row(2L, "gamma", null),
+      Row(3L, "delta", java.lang.Boolean.FALSE)))
+    val out = Cms.maintainServeLocal(prevCells, prevHashes, oldDocs, newDocs,
+        "doc_id", "text", col("flag"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // Panel = words of the flag=true doc only; every word of all three
+    // docs still entered the sketch (est counts the full stream).
+    out shouldBe Map("alpha" -> 1L, "beta" -> 1L)
+  }
 }
