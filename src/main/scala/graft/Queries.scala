@@ -3574,8 +3574,27 @@ object Queries {
     * AND the policy bits. No separate io pair: the maintenance IS
     * [[graft.ops.AdditiveCounts]], whose delta-sized-IO claim is
     * measured on q155/q160/q171 every round. */
-  def q173VocabMaintain(s: SparkSession, dir: String): DataFrame = {
+  def q173VocabMaintain(s: SparkSession, dir: String): DataFrame =
+    q173VocabMaintain(s, dir, maxLocalBytes = 64L << 20)
+
+  private[graft] def q173VocabMaintain(s: SparkSession, dir: String,
+                                       maxLocalBytes: Long): DataFrame = {
     val newSnap = q145NewSnap(s, dir)
+    // ONE-TASK maintain-and-serve tier (round 17 — the q171/q180
+    // treatment; the cell sat at 1.3-1.9 s standalone against a 0.38 s
+    // twin, all delta-sized stage latency). Fail-CLOSED on Catalyst
+    // size stats over all four stored inputs; maxLocalBytes = 0 forces
+    // the distributed chain (spec-pinned tier equality).
+    val inputs = Seq(prevUnitCounts(s, dir), prevSnapshotHashes(s, dir),
+      q145OldSnap(s, dir), newSnap)
+    if (maxLocalBytes > 0 &&
+        inputs.map(_.queryExecution.optimizedPlan.stats.sizeInBytes)
+          .sum <= BigInt(maxLocalBytes))
+      return graft.ops.Bpe.maintainVocabServeLocal(prevUnitCounts(s, dir),
+        prevSnapshotHashes(s, dir),
+        q145OldSnapOn(Tables.table(s, dir, "documents")),
+        q145NewSnapOn(Tables.table(s, dir, "documents")),
+        "doc_id", "text", cap = 2048)
     // Persisted (the family discipline): the delta feeds both legs.
     val delta = graft.ops.SnapshotDelta.diffHashed(
       prevSnapshotHashes(s, dir),

@@ -67,6 +67,133 @@ object Bpe {
         minusWords.select(col("word")), plusWords.select(col("word")))
       .select(col("word"), col("cnt").as("n"))
 
+  /** The q173 maintain-and-serve chain as ONE guarded task (the
+    * q148/q153/q171/q180 treatment at the tokenizer-release layer): the
+    * distributed chain (hash diff, two 12-gram window legs, the model
+    * combine, two TakeOrdered caps, a two-`except` policy diff) is ~12
+    * delta-sized stages of scheduling latency at serving scale
+    * (measured 1.3-1.9 s standalone at sf0.1 against a 0.38 s twin).
+    * The four stored inputs ride a tagged union into one
+    * `mapPartitions` task mirroring it step for step:
+    * [[graft.ops.LocalText.contentHash]] statuses, the exact window
+    * stream (lowercased Spark-split words, every 12-window joined by
+    * '_', the `^[a-z]+(_[a-z]+){11}$` full-match — `rlike`'s anchored
+    * pattern on newline-free strings equals Java `matches`), the
+    * signed fold with non-positives dropped at the end
+    * ([[AdditiveCounts]] true-delta equivalence), both release tables
+    * by (n desc, word) capped at `cap`, and the (word, n)-pair
+    * symmetric-difference policy count. Callers guard fail-CLOSED on
+    * Catalyst size stats; `maxLocalBytes = 0` on the cell forces the
+    * distributed chain (spec-pinned tier equality). Output: the q173
+    * kind-tagged union — ('unit', word, n) rows for the new release
+    * table, ('policy_changed', null, |Δ|), ('policy_retrain', null,
+    * 0/1). */
+  def maintainVocabServeLocal(prevModel: DataFrame, prevHashes: DataFrame,
+                              oldDocs: DataFrame, newDocs: DataFrame,
+                              idCol: String, textCol: String,
+                              cap: Int): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1; got $cap")
+    val spark = prevModel.sparkSession
+    import spark.implicits._
+    val nullL = lit(null).cast("long")
+    val tagged = prevModel.select(lit("m").as("_t"), col("word").as("_s"),
+        col("n").cast("long").as("_l"), nullL.as("_id"))
+      .unionByName(prevHashes.select(lit("h").as("_t"),
+        col("content_hash").as("_s"), nullL.as("_l"),
+        col("doc_id").cast("long").as("_id")))
+      .unionByName(oldDocs.select(lit("o").as("_t"), col(textCol).as("_s"),
+        nullL.as("_l"), col(idCol).cast("long").as("_id")))
+      .unionByName(newDocs.select(lit("n").as("_t"), col(textCol).as("_s"),
+        nullL.as("_l"), col(idCol).cast("long").as("_id")))
+    val capG = cap
+    // coalesce(1) (the family funnel): measured equal to a
+    // repartition(1) exchange here — the model decode dominates either
+    // way and the zero-shuffle funnel skips the extra 194k-row
+    // write+read.
+    tagged.coalesce(1).mapPartitions { it =>
+      import scala.collection.mutable
+      // The model is corpus-VOCABULARY-sized (hundreds of thousands of
+      // 12-gram strings), so the task never builds a model-sized hash
+      // map or sorts the model: rows buffer once (append-only), the
+      // delta fold runs over a SMALL map keyed only by the delta docs'
+      // windows, and both release tables come from ONE streaming pass
+      // over the buffer through bounded (cap-sized) heaps — O(model)
+      // scan, O(model log cap) compares, no O(model log model) sort and
+      // no model-sized string hashing.
+      val modelRows = mutable.ArrayBuffer.empty[(String, Long)]
+      val prevHash = mutable.HashMap.empty[Long, String]
+      val oldText = mutable.HashMap.empty[Long, String]
+      val newText = mutable.HashMap.empty[Long, String]
+      it.foreach { row =>
+        row.getString(0) match {
+          case "m" => modelRows += ((row.getString(1), row.getLong(2)))
+          case "h" => prevHash.update(row.getLong(3), row.getString(1))
+          case "o" => oldText.update(row.getLong(3),
+            if (row.isNullAt(1)) "" else row.getString(1))
+          case _ => newText.update(row.getLong(3),
+            if (row.isNullAt(1)) "" else row.getString(1))
+        }
+      }
+      val unitRe = java.util.regex.Pattern.compile("^[a-z]+(_[a-z]+){11}$")
+      val delta = mutable.HashMap.empty[String, Long]
+      def fold(text: String, sign: Long): Unit = {
+        val ws = LocalText.words(text.toLowerCase())
+        var i = 0
+        while (i <= ws.length - 12) {
+          val w = ws.slice(i, i + 12).mkString("_")
+          if (unitRe.matcher(w).matches())
+            delta.update(w, delta.getOrElse(w, 0L) + sign)
+          i += 1
+        }
+      }
+      newText.foreach { case (id, t) =>
+        prevHash.get(id) match {
+          case None => fold(t, 1L) // added
+          case Some(h) =>
+            if (h != LocalText.contentHash(t)) { // changed
+              fold(oldText.getOrElse(id, ""), -1L); fold(t, 1L)
+            }
+        }
+      }
+      prevHash.keysIterator.foreach(id =>
+        if (!newText.contains(id)) fold(oldText.getOrElse(id, ""), -1L))
+      // Bounded release-table heap: head = the WORST kept entry under
+      // (n desc, word asc) — a total order, so top-cap is a unique set.
+      val worstFirst: Ordering[(String, Long)] =
+        Ordering.by { case (w, n) => (-n, w) }
+      class TopCap {
+        val pq = mutable.PriorityQueue.empty[(String, Long)](worstFirst)
+        def add(w: String, n: Long): Unit = {
+          if (pq.size < capG) pq.enqueue((w, n))
+          else if (worstFirst.lt((w, n), pq.head)) {
+            pq.dequeue(); pq.enqueue((w, n))
+          }
+        }
+        def result(): Set[(String, Long)] = pq.toSet
+      }
+      val oldTop = new TopCap
+      val newTop = new TopCap
+      // One streaming pass: the stored count feeds the OLD release
+      // table (pre-fold state — exactly the distributed cell's
+      // TakeOrdered over the artifact), the delta-adjusted count the
+      // NEW one; consumed delta keys are removed so the leftovers are
+      // exactly the brand-new units.
+      modelRows.foreach { case (w, n) =>
+        oldTop.add(w, n)
+        val nn = n + delta.remove(w).getOrElse(0L)
+        if (nn > 0) newTop.add(w, nn)
+      }
+      delta.foreach { case (w, d) => if (d > 0) newTop.add(w, d) }
+      val oldSet = oldTop.result()
+      val newSet = newTop.result()
+      val changed =
+        (newSet.diff(oldSet).size + oldSet.diff(newSet).size).toLong
+      newSet.iterator.map { case (w, n) => ("unit", w, n) } ++
+        Iterator(("policy_changed", null: String, changed),
+          ("policy_retrain", null: String, if (changed > 0) 1L else 0L))
+    }.toDF("kind", "unit", "n")
+  }
+
   /** Adjacent-pair counts over the weighted vocab (self-pairs excluded —
     * see the object doc). */
   private def pairCounts(v: DataFrame): DataFrame = {

@@ -41,28 +41,61 @@ object Opportunity {
   def opportunityRank(orders: DataFrame, lineitem: DataFrame,
                       part: DataFrame, customer: DataFrame,
                       excludePattern: String = "%old%"): DataFrame = {
-    // trial_priority — aact_gold_layer.sql:264-275 (A4 min-CASE best-of).
-    // Columns pruned/renamed per branch: lineitem feeds both this aggregate
-    // and the fan-out below, and distinct attribute sets keep the two reads
-    // unambiguous (and let each scan prune to just the columns it needs).
-    val priority = lineitem
-      .select(col("l_orderkey").as("tp_orderkey"), col("l_returnflag"))
-      .groupBy(col("tp_orderkey"))
-      .agg(min(
-        when(col("l_returnflag") === "R", 1)
-          .when(col("l_returnflag") === "A", 2)
-          .otherwise(3)).as("best_priority"))
+    // trial_priority + relevant_trials + the fan-out re-join
+    // (aact_gold_layer.sql:264-305: A4 min-CASE best-of, J5 left join +
+    // fallback filter, J6 M:N re-join) — fused into ONE co-partitioned
+    // exchange (round 17). The reference shape aggregates lineitem,
+    // joins orders, then joins lineitem AGAIN: at any scale that is a
+    // fact-sized aggregation exchange plus a fact⋈fact join shuffle
+    // PAIR (and at bench scale, 3-4 serialized stage boundaries of pure
+    // latency — the cell sat on the 1 s weak line from r15 on). Both
+    // facts key on orderkey, so ONE tagged union groupBy co-locates
+    // them: per order, the best priority (min over its line rows), the
+    // order attributes (max over the single order row — F-filtered
+    // before the union, so a surviving group with a null custkey means
+    // a non-F or absent order), and the line set itself rides through
+    // as collect_list (bounded by lines-per-order — single digits in
+    // any order-lines schema — so the carried array is never a skew or
+    // memory hazard). The filter then replays the reference's
+    // semantics: bp ≤ 2 (null bp — an order with NO lines — fails the
+    // comparison exactly as coalesce(bp, 99) does) AND an order row
+    // present; exploding the carried lines reproduces the re-join's
+    // fan-out rows without touching lineitem again (OpportunitySpec
+    // pins the equality against the reference-shaped agg+rejoin on the
+    // no-lines / all-priority-3 / non-F / mixed-line edge cases; the
+    // q17 oracle replays the reference CTE structure wholesale).
+    val lineLeg = lineitem.select(col("l_orderkey").as("_ok"),
+      when(col("l_returnflag") === "R", 1)
+        .when(col("l_returnflag") === "A", 2)
+        .otherwise(3).as("_pri"),
+      lit(null).cast("long").as("_ck"),
+      lit(null).cast("timestamp").as("_od"),
+      struct(col("l_partkey"), col("l_quantity")).as("_ln"))
+    val lnType = new org.apache.spark.sql.types.StructType()
+      .add("l_partkey", lineitem.schema("l_partkey").dataType)
+      .add("l_quantity", lineitem.schema("l_quantity").dataType)
+    val orderLeg = orders.filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey").as("_ok"),
+        lit(null).cast("int").as("_pri"),
+        col("o_custkey").as("_ck"),
+        col("o_orderdate").as("_od"),
+        lit(null).cast(lnType).as("_ln"))
+    val perOrder = lineLeg.unionByName(orderLeg)
+      .groupBy(col("_ok"))
+      .agg(min(col("_pri")).as("best_priority"),
+        max(col("_ck")).as("o_custkey"),
+        max(col("_od")).as("o_orderdate"),
+        collect_list(col("_ln")).as("_lines"))
+      .filter(col("best_priority") <= 2 && col("o_custkey").isNotNull)
 
-    // relevant_trials — aact_gold_layer.sql:278-290 (J5 left join + fallback filter)
-    val relevant = orders
-      .join(priority, col("o_orderkey") === col("tp_orderkey"), "left")
-      .filter(coalesce(col("best_priority"), lit(99)) <= 2 && col("o_orderstatus") === "F")
-      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
-
-    // M:N fan-out trials ⋈ conditions — aact_gold_layer.sql:302-305 (J6)
-    val items = lineitem.select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
-    val fanout = relevant
-      .join(items, col("o_orderkey") === col("l_orderkey"))
+    // M:N fan-out trials ⋈ conditions — aact_gold_layer.sql:302-305
+    // (J6), served from the carried line sets.
+    val fanout = perOrder
+      .select(col("o_custkey"), col("o_orderdate"),
+        explode(col("_lines")).as("_ln"))
+      .select(col("o_custkey"), col("o_orderdate"),
+        col("_ln.l_partkey").as("l_partkey"),
+        col("_ln.l_quantity").as("l_quantity"))
       .join(part.select(col("p_partkey"), col("p_name")),
         col("l_partkey") === col("p_partkey"))
 

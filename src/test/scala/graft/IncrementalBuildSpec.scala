@@ -182,6 +182,23 @@ class IncrementalBuildSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q173's one-task tier ≡ the distributed vocab-maintenance chain, row for row") {
+    // maxLocalBytes = 0 forces the distributed chain (hash diff, two
+    // 12-gram window legs, model combine, TakeOrdered caps, except
+    // policy diff) on the same stored artifacts; the tier mirrors it in
+    // one task — window regex, release-cap order, (word, n) symmetric
+    // diff. Plan asserts keep the comparison non-vacuous.
+    val localF = Queries.q173VocabMaintain(spark, dir)
+    val distF = Queries.q173VocabMaintain(spark, dir, maxLocalBytes = 0L)
+    localF.queryExecution.executedPlan.toString should include("MapPartitions")
+    distF.queryExecution.executedPlan.toString should not include "MapPartitions"
+    val local = localF.collect().map(_.toSeq).sortBy(_.toString)
+    val dist = distF.collect().map(_.toSeq).sortBy(_.toString)
+    local should not be empty
+    local shouldBe dist
+    spark.catalog.clearCache()
+  }
+
   test("q181's one-task chain tier ≡ the distributed 3-step CMS chain, row for row") {
     // maxLocalBytes = 0 forces the distributed chain (three hash-diffs,
     // three cell combines, the panel probe) on the same stored cells;
