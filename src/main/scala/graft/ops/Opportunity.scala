@@ -44,58 +44,63 @@ object Opportunity {
     // trial_priority + relevant_trials + the fan-out re-join
     // (aact_gold_layer.sql:264-305: A4 min-CASE best-of, J5 left join +
     // fallback filter, J6 M:N re-join) — fused into ONE co-partitioned
-    // exchange (round 17). The reference shape aggregates lineitem,
-    // joins orders, then joins lineitem AGAIN: at any scale that is a
-    // fact-sized aggregation exchange plus a fact⋈fact join shuffle
-    // PAIR (and at bench scale, 3-4 serialized stage boundaries of pure
-    // latency — the cell sat on the 1 s weak line from r15 on). Both
-    // facts key on orderkey, so ONE tagged union groupBy co-locates
-    // them: per order, the best priority (min over its line rows), the
+    // exchange (round 17; round 18 swapped the per-order collect_list
+    // aggregate for a WINDOW over the same union). The reference shape
+    // aggregates lineitem, joins orders, then joins lineitem AGAIN: at
+    // any scale that is a fact-sized aggregation exchange plus a
+    // fact⋈fact join shuffle PAIR (and at bench scale, 3-4 serialized
+    // stage boundaries of pure latency — the cell sat on the 1 s weak
+    // line from r15 on). Both facts key on orderkey, so ONE tagged
+    // union co-locates them, and partition-local window functions per
+    // order compute: the best priority (min over its line rows) and the
     // order attributes (max over the single order row — F-filtered
-    // before the union, so a surviving group with a null custkey means
-    // a non-F or absent order), and the line set itself rides through
-    // as collect_list (bounded by lines-per-order — single digits in
-    // any order-lines schema — so the carried array is never a skew or
-    // memory hazard). The filter then replays the reference's
-    // semantics: bp ≤ 2 (null bp — an order with NO lines — fails the
-    // comparison exactly as coalesce(bp, 99) does) AND an order row
-    // present; exploding the carried lines reproduces the re-join's
-    // fan-out rows without touching lineitem again (OpportunitySpec
-    // pins the equality against the reference-shaped agg+rejoin on the
-    // no-lines / all-priority-3 / non-F / mixed-line edge cases; the
-    // q17 oracle replays the reference CTE structure wholesale).
+    // before the union, with an EXPLICIT presence marker `_ord` so a
+    // surviving group is kept iff its order row exists; keying presence
+    // off o_custkey would silently drop an F-status order whose custkey
+    // is null, where the reference shape — left join + bp filter, then
+    // re-join; the customer join is downstream and LEFT — keeps its
+    // fan-out rows in every count). A surviving order's LINE rows are
+    // then the reference re-join's fan-out set verbatim — no second
+    // lineitem pass, and (vs the r17 formulation) no ObjectHashAggregate
+    // materializing a per-order struct array only for explode to flatten
+    // it back: the window sorts each shuffle partition once and streams
+    // (~0.35 s off the cell's standalone floor at sf0.1).
+    // (OpportunitySpec pins the equality against the reference-shaped
+    // agg+rejoin on the no-lines / all-priority-3 / non-F / null-custkey
+    // / mixed-line edge cases; the q17 oracle replays the reference CTE
+    // structure wholesale.)
     val lineLeg = lineitem.select(col("l_orderkey").as("_ok"),
       when(col("l_returnflag") === "R", 1)
         .when(col("l_returnflag") === "A", 2)
         .otherwise(3).as("_pri"),
       lit(null).cast("long").as("_ck"),
       lit(null).cast("timestamp").as("_od"),
-      struct(col("l_partkey"), col("l_quantity")).as("_ln"))
-    val lnType = new org.apache.spark.sql.types.StructType()
-      .add("l_partkey", lineitem.schema("l_partkey").dataType)
-      .add("l_quantity", lineitem.schema("l_quantity").dataType)
+      lit(null).cast("int").as("_ord"),
+      col("l_partkey"), col("l_quantity"))
     val orderLeg = orders.filter(col("o_orderstatus") === "F")
       .select(col("o_orderkey").as("_ok"),
         lit(null).cast("int").as("_pri"),
         col("o_custkey").as("_ck"),
         col("o_orderdate").as("_od"),
-        lit(null).cast(lnType).as("_ln"))
-    val perOrder = lineLeg.unionByName(orderLeg)
-      .groupBy(col("_ok"))
-      .agg(min(col("_pri")).as("best_priority"),
-        max(col("_ck")).as("o_custkey"),
-        max(col("_od")).as("o_orderdate"),
-        collect_list(col("_ln")).as("_lines"))
-      .filter(col("best_priority") <= 2 && col("o_custkey").isNotNull)
-
-    // M:N fan-out trials ⋈ conditions — aact_gold_layer.sql:302-305
-    // (J6), served from the carried line sets.
-    val fanout = perOrder
+        lit(1).as("_ord"),
+        lit(null).cast(lineitem.schema("l_partkey").dataType).as("l_partkey"),
+        lit(null).cast(lineitem.schema("l_quantity").dataType).as("l_quantity"))
+    val w = Window.partitionBy(col("_ok"))
+    val fanout = lineLeg.unionByName(orderLeg)
+      .select(col("_pri"), col("l_partkey"), col("l_quantity"),
+        min(col("_pri")).over(w).as("best_priority"),
+        max(col("_ck")).over(w).as("o_custkey"),
+        max(col("_od")).over(w).as("o_orderdate"),
+        max(col("_ord")).over(w).as("_ordp"))
+      // null best_priority (an order with NO lines) fails <= exactly as
+      // coalesce(bp, 99) does; null _ordp = no order row; _pri NOT null
+      // selects the LINE rows — which, for a surviving order, ARE the
+      // reference re-join's fan-out rows (aact_gold_layer.sql:302-305,
+      // J6), already carrying the order attributes via the window.
+      .filter(col("best_priority") <= 2 && col("_ordp").isNotNull &&
+        col("_pri").isNotNull)
       .select(col("o_custkey"), col("o_orderdate"),
-        explode(col("_lines")).as("_ln"))
-      .select(col("o_custkey"), col("o_orderdate"),
-        col("_ln.l_partkey").as("l_partkey"),
-        col("_ln.l_quantity").as("l_quantity"))
+        col("l_partkey"), col("l_quantity"))
       .join(part.select(col("p_partkey"), col("p_name")),
         col("l_partkey") === col("p_partkey"))
 

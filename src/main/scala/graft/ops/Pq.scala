@@ -331,9 +331,16 @@ object Pq {
         if (qv.length != sub * mG) Iterator.empty
         else {
           val dtab = mutable.HashMap.empty[(Int, Long), Long]
+          // Book rows with g outside [0, m) get NO dtab entry — the
+          // distributed tier's subvector inner join drops them (the
+          // query has exactly m subvectors, g 0..m-1), and an unchecked
+          // copyOfRange here would zero-pad past the vector end and
+          // silently diverge from that drop on a contract-violating
+          // (corrupted) stored artifact.
           book.foreach { case ((g, code), cw) =>
-            dtab.update((g, code),
-              sqdist(java.util.Arrays.copyOfRange(qv, g * sub, g * sub + sub), cw))
+            if (g >= 0 && g < mG)
+              dtab.update((g, code),
+                sqdist(java.util.Arrays.copyOfRange(qv, g * sub, g * sub + sub), cw))
           }
           // ADC = sum over the candidate's code rows that MATCH a dtab
           // entry (the inner join); a candidate with zero matches has no

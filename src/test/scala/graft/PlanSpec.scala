@@ -29,14 +29,24 @@ class PlanSpec extends SparkSpec {
     plan(Queries.q16TopK) should include("TakeOrderedAndProject")
   }
 
-  test("q17: single-pass — each base table is scanned at most twice, dims broadcast") {
+  test("q17: single-pass — each base table scanned once, dims broadcast, 4 shuffles") {
     val p = plan(Queries.q17OpportunityScore)
-    // lineitem legitimately feeds two branches (priority agg + fan-out);
-    // the old double-aggregation shape scanned it four times.
-    scans(p, "lineitem") should be <= 2
+    // The r18 window fusion reads each fact exactly once (the reference
+    // CTE shape re-joined lineitem — 2 scans; the pre-r17 double
+    // aggregation read it four times).
+    scans(p, "lineitem") shouldBe 1
     scans(p, "orders") shouldBe 1
     scans(p, "part") shouldBe 1
     p should include("BroadcastHashJoin")
+    // Exchange budget (VERDICT r17 ask #4): the whole dataflow is FOUR
+    // shuffles — union→per-order window, the countDistinct expand pair
+    // (p_name, c_custkey) + (p_name), and the SinglePartition rank over
+    // the small final frame. Re-introducing the fact⋈fact join pair (or
+    // un-fusing the two gold aggregations) adds shuffles and must trip
+    // here, not in a bench round.
+    p.split("\n").count(l =>
+      l.contains("Exchange") && !l.contains("Broadcast")) should be <= 4
+    p.split("\n").count(_.contains("BroadcastExchange")) shouldBe 2
   }
 
   test("q28: all three dims broadcast into the fact build") {

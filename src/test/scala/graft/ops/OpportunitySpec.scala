@@ -22,7 +22,11 @@ class OpportunitySpec extends SparkSpec {
   // Orders: 1 = F, mixed-priority 11-line set (kept — has an R line; its
   // N lines must ride too), 2 = F but every line priority 3 (dropped),
   // 3 = F with NO lines (dropped either shape), 4 = O status with an R
-  // line (dropped), 5 = F with an A line (kept via priority 2).
+  // line (dropped), 5 = F with an A line (kept via priority 2), 6 = F
+  // with a NULL custkey and an R line (KEPT — the reference shape's
+  // customer join is downstream and LEFT, so a null-key order still
+  // counts in total/recent/older; a presence proxy keyed on custkey
+  // would silently drop it — ADVICE r17).
   private def orders = df(
     "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, o_orderdate TIMESTAMP",
     Seq(
@@ -30,7 +34,8 @@ class OpportunitySpec extends SparkSpec {
       Row(2L, 11L, "F", ts("1997-06-01 00:00:00")),
       Row(3L, 12L, "F", ts("1997-06-01 00:00:00")),
       Row(4L, 13L, "O", ts("1997-06-01 00:00:00")),
-      Row(5L, 14L, "F", ts("1995-06-01 00:00:00"))))
+      Row(5L, 14L, "F", ts("1995-06-01 00:00:00")),
+      Row(6L, null, "F", ts("1997-07-01 00:00:00"))))
 
   private def lineitem = df(
     "l_orderkey BIGINT, l_partkey BIGINT, l_quantity BIGINT, l_returnflag STRING",
@@ -39,7 +44,8 @@ class OpportunitySpec extends SparkSpec {
       Seq(
         Row(2L, 100L, 35L, "N"), Row(2L, 102L, 5L, "N"),
         Row(4L, 100L, 50L, "R"),
-        Row(5L, 101L, 31L, "A"), Row(5L, 101L, 2L, "N")))
+        Row(5L, 101L, 31L, "A"), Row(5L, 101L, 2L, "N"),
+        Row(6L, 100L, 33L, "R"), Row(6L, 103L, 4L, "N")))
 
   // One shared name: the qualifying fan-out (11 + 2 lines) clears the
   // >10-trials floor as a single group.
@@ -67,11 +73,12 @@ class OpportunitySpec extends SparkSpec {
   test("windowed priority filter keeps exactly the reference shape's fan-out rows") {
     val rows = referenceFanout.collect()
       .map(r => (r.getLong(0), r.getLong(4), r.getLong(5))).toSet
-    // orders 1 and 5 only, with ALL their lines (incl. every N line)
-    rows.map(_._1) shouldBe Set(1L, 5L)
-    rows.size shouldBe 13
+    // orders 1, 5 and 6 only, with ALL their lines (incl. every N line)
+    rows.map(_._1) shouldBe Set(1L, 5L, 6L)
+    rows.size shouldBe 15
     rows should contain((1L, 101L, 31L)) // an N line of the R order rides
     rows should contain((5L, 101L, 2L))  // the N line of the A order rides
+    rows should contain((6L, 103L, 4L))  // the null-custkey order's lines ride
   }
 
   test("opportunityRank output matches the reference-shaped derivation end to end") {

@@ -195,4 +195,40 @@ class PqSpec extends SparkSpec {
     stored shouldBe recomputed
     p.sparkSession.catalog.clearCache()
   }
+
+  test("out-of-range codebook groups drop identically on both serving tiers") {
+    // A stored artifact violating the g ∈ [0, m) contract (corruption):
+    // the distributed tier's subvector inner join silently drops such
+    // rows (the query has exactly m subvectors), so the one-task tier
+    // must drop them too — an unchecked copyOfRange there would
+    // zero-pad past the query vector's end and score phantom distances
+    // the distributed plan never computes (ADVICE r17).
+    val vs = (0L until 30L).map { i =>
+      i -> Seq.tabulate(8)(j => ((i * 2654435761L + j * 40503L) % 1000L) - 500L)
+    }
+    val p = pts(vs: _*)
+    val cents = Cluster.train(p, k = 3, iterations = 2)
+    val books = Pq.trainCodebooks(p, m = 2, k = 4, iterations = 2)
+    val codes = Pq.encode(p, books, m = 2)
+    val lists = Cluster.assignQ(p, cents).select(col("id"), col("cluster_id"))
+    val queries = p.filter(col("id") % 7 === 0).select(col("id"))
+    // Corrupt BOTH artifacts with g = 2 (= m) rows: g*sub lands exactly
+    // at the vector end, where copyOfRange zero-pads instead of throwing.
+    val badBooks = books.unionByName(books.limit(1)
+      .select(lit(2).cast("int").as("g"), col("code_id"), col("cw")))
+    val badCodes = codes.unionByName(codes.filter(col("g") === 0)
+      .select(col("id"), lit(2).cast("int").as("g"), lit(0L).as("code_id")))
+    val clean = Pq.ivfPqTopKStored(p, cents, books, codes, lists, m = 2,
+        queries = queries, k = 3, nProbe = 2, oversample = 4)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val dist = Pq.ivfPqTopKStored(p, cents, badBooks, badCodes, lists, m = 2,
+        queries = queries, k = 3, nProbe = 2, oversample = 4)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val local = Pq.serveStoredLocal(p, cents, badBooks, badCodes, lists, m = 2,
+        queries = queries, k = 3, nProbe = 2, oversample = 4)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    dist shouldBe clean
+    local shouldBe dist
+    p.sparkSession.catalog.clearCache()
+  }
 }
