@@ -581,6 +581,11 @@ object Bench {
           // chained DSIR maintenance: three fused split combines —
           // q160's linear regime, three-fold
           "q182_stream_dsir_chain",
+          // chained BM25-df / tokenizer-unit maintenance: three
+          // AdditiveCounts folds over delta-restricted term/window legs
+          // — q175's linear regime at the index-df and tokenizer layers
+          "q183_stream_bm25df_chain",
+          "q184_stream_bpe_units_chain",
           "q122_audio_frames").filter(SparkEntry.queries.contains)
         // Min-of-3 for BOTH sides of the ratio, measured back-to-back in
         // the SAME session config: round 9's q122 growth read 4.6x on one
@@ -711,6 +716,8 @@ object Bench {
           // three chained folds each: q175's linear regime
           "q181_stream_cms_chain"     -> 15.0,
           "q182_stream_dsir_chain"    -> 15.0,
+          "q183_stream_bm25df_chain"  -> 15.0,
+          "q184_stream_bpe_units_chain" -> 15.0,
           "q122_audio_frames"         -> 15.0)
         val boundFor: String => Double =
           sys.env.get("SPARK_GRAFT_GROWTH_BOUND").map(_.toDouble) match {

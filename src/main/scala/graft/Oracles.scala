@@ -413,6 +413,23 @@ object Oracles {
        |  GROUP BY g ORDER BY n DESC, g LIMIT 2048""".stripMargin
   }
 
+  /** The q181-family chain's FINAL snapshot (q175's s3 universe without
+    * its lang filter) — shared by the q183/q184 twins so all chain
+    * cells provably replay the same corpus. Interpolated into
+    * stripMargin'd strings, so no emitted line may START with a `|`
+    * (the outer stripMargin would eat it — hence `||` at line ends). */
+  private def chainFinalSnapSql: String =
+    """
+      |  SELECT doc_id,
+      |    text ||
+      |      CASE WHEN doc_id % 11 = 0 THEN ' v2' ELSE '' END ||
+      |      CASE WHEN doc_id % 7 = 0 THEN ' v3' ELSE '' END AS text
+      |  FROM documents
+      |  WHERE
+      |    (((doc_id % 19 <> 0 OR doc_id % 20 = 0) AND doc_id % 23 <> 0)
+      |       OR doc_id % 37 = 0)
+      |    AND doc_id % 29 <> 0 OR doc_id % 41 = 0""".stripMargin
+
   /** q173's oracle: FULL recompute of both snapshots' 12-gram unit
     * counts, both top-2048 release tables, and the refresh-policy diff
     * — so a hash match is the batch≡incremental theorem for the
@@ -4146,6 +4163,44 @@ object Oracles {
         |UNION ALL
         |SELECT 'raw' AS model, bucket, CAST(count(*) AS BIGINT) AS cnt
         |FROM feats WHERE doc_id % 20 <> 0 GROUP BY bucket""".stripMargin,
+
+    // Streamed BM25-df chain, batch twin (q183): the oracle replays the
+    // FULL document-frequency derivation (q171's postings/df idiom —
+    // per-doc distinct terms, one unit per (term, doc)) over the
+    // chain's FINAL snapshot (q181's s3 universe) — a hash match
+    // certifies the composition theorem at the retrieval-index df
+    // layer: three chained maintenance folds over the stored artifact
+    // ≡ one fresh docFreq.
+    "q183_stream_bm25df_chain" ->
+      s"""WITH s3 AS MATERIALIZED ($chainFinalSnapSql),
+         |tok AS MATERIALIZED (
+         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws
+         |  FROM s3),
+         |post AS (
+         |  SELECT t AS term, doc_id
+         |  FROM (SELECT doc_id, unnest(ws) AS t FROM tok WHERE len(ws) >= 1)
+         |  GROUP BY 1, 2)
+         |SELECT term, CAST(count(*) AS BIGINT) AS df
+         |FROM post GROUP BY 1""".stripMargin,
+
+    // Streamed tokenizer-unit chain, batch twin (q184): full 12-gram
+    // window recount + top-2048 release cap over the chain's FINAL
+    // snapshot (q173's units idiom over q175's s3 universe) — the
+    // composition theorem at the unit-count layer, on every released
+    // unit.
+    "q184_stream_bpe_units_chain" -> {
+      val parts = (0 until 12).map(j => s"ws[i+$j]").mkString(" || '_' || ")
+      s"""WITH s3 AS MATERIALIZED ($chainFinalSnapSql)
+         |SELECT word, CAST(count(*) AS BIGINT) AS n FROM (
+         |  SELECT g AS word FROM (
+         |    SELECT $parts AS g
+         |    FROM (SELECT string_split_regex(trim(lower(text)), '\\s+') AS ws
+         |          FROM s3)
+         |    CROSS JOIN unnest(generate_series(1, len(ws) - 11)) AS t(i)
+         |    WHERE len(ws) >= 12)
+         |  WHERE regexp_matches(g, '^[a-z]+(_[a-z]+){11}$$'))
+         |GROUP BY word ORDER BY n DESC, word LIMIT 2048""".stripMargin
+    },
 
     // Interval-overlap join (q177): the oracle is the naive quadratic
     // range predicate — DuckDB's optimizer may IEJoin it, but the

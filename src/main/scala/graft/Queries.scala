@@ -3524,12 +3524,7 @@ object Queries {
     * shared by [[bpe8kUnits]] (grouped + capped) and [[q173
     * VocabMaintain]]'s ±occurrence maintenance legs. */
   private def bpe8kUnitWindows(docs: DataFrame): DataFrame =
-    docs
-      .select(graft.ops.TextStats.words(lower(col("text"))).as("ws"))
-      .filter(size(col("ws")) >= 12)
-      .select(explode(transform(sequence(lit(1), size(col("ws")) - 11),
-        i => concat_ws("_", slice(col("ws"), i, lit(12))))).as("word"))
-      .filter(col("word").rlike("^[a-z]+(_[a-z]+){11}$"))
+    graft.ops.Bpe.unitWindows(docs, "text")
 
   /** q169's training units: 12-gram boundary-marked word windows, top
     * 2048 — see [[q169BpeTrain8k]] for why this shape (depth
@@ -5816,5 +5811,125 @@ object Queries {
         c1, c2, "doc_id", "text", d2, targetPred), lvl)
     graft.ops.Dsir.maintainSplitModels(split(m2, "target"), split(m2, "raw"),
       c2, c3, "doc_id", "text", d3, targetPred)
+  }
+
+  /** The three persisted chain deltas every q181-family cell folds:
+    * step 1 diffs against the STORED hash artifact (the deployment
+    * handoff), later steps against in-plan hashes of their predecessor
+    * snapshot. Caller's chain is c0..c3 = [[fullChainOf]]. */
+  private def chainDeltas(s: SparkSession, dir: String,
+                          chain: Seq[DataFrame]): Seq[DataFrame] = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    (SnapshotDelta.diffHashed(prevSnapshotHashes(s, dir),
+      contentHashes(chain(1))) +:
+      Seq(1, 2).map(i => SnapshotDelta.diffHashed(contentHashes(chain(i)),
+        contentHashes(chain(i + 1))))).map(_.persist(lvl))
+  }
+
+  private def minusDocs(snap: DataFrame, delta: DataFrame): DataFrame =
+    snap.join(delta.filter(col("status").isin("removed", "changed"))
+      .select("doc_id"), Seq("doc_id"), "left_semi")
+
+  private def plusDocs(snap: DataFrame, delta: DataFrame): DataFrame =
+    snap.join(delta.filter(col("status").isin("added", "changed"))
+      .select("doc_id"), Seq("doc_id"), "left_semi")
+
+  /** STREAMED BM25-df maintenance, batch twin (q183 — the q175/q181
+    * contract at the retrieval-index layer, closing VERDICT r17
+    * "what's missing" #1): THREE successive crawl deltas fold into the
+    * stored q171 df artifact via [[graft.ops.AdditiveCounts.maintain]]
+    * with [[graft.ops.Bm25.docTerms]] legs (df is one unit per (term,
+    * doc) posting row — a changed doc subtracts its old text's distinct
+    * terms, adds its new text's), output the final (term, df) table.
+    * The oracle replays [[graft.ops.Bm25.docFreq]] over the chain's
+    * FINAL snapshot — the composition theorem at the df layer. The
+    * Structured-Streaming deployment of the same fold
+    * ([[graft.streaming.MaintainStream.bm25DfLegs]] into the versioned
+    * exactly-once store) is asserted equal to a fresh derivation by
+    * MaintainStreamSpec. The index's OTHER halves need no stream twin:
+    * postings are per-document state (reuse rows, re-tokenize the
+    * delta — [[graft.ops.Bm25.maintainIndex]], q171's cell) and stats
+    * are a one-pass aggregate OF the postings; both maintain
+    * batch-per-crawl by construction.
+    *
+    * ONE-TASK chain tier ([[graft.ops.AdditiveCounts
+    * .maintainChainLocal]] with the [[graft.ops.Bm25.localDocTerms]]
+    * replica); fail-CLOSED size-stats guard, `maxLocalBytes = 0`
+    * forces the distributed chain (spec-pinned tier equality). */
+  def q183StreamBm25DfChain(s: SparkSession, dir: String): DataFrame =
+    q183StreamBm25DfChain(s, dir, maxLocalBytes = 64L << 20)
+
+  private[graft] def q183StreamBm25DfChain(s: SparkSession, dir: String,
+                                           maxLocalBytes: Long): DataFrame = {
+    val prevDf = prevBm25Df(s, dir).select(col("term"), col("df").as("cnt"))
+    val localChain = fullChainOf(Tables.table(s, dir, "documents"))
+    if (maxLocalBytes > 0 &&
+        (prevDf +: localChain)
+          .map(_.queryExecution.optimizedPlan.stats.sizeInBytes)
+          .sum <= BigInt(maxLocalBytes))
+      return graft.ops.AdditiveCounts.maintainChainLocal(prevDf, "term",
+          localChain, "doc_id", "text", graft.ops.Bm25.localDocTerms _)
+        .select(col("term"), col("cnt").as("df"))
+    val chain = fullChainOf(t(s, dir, "documents"))
+    val Seq(d1, d2, d3) = chainDeltas(s, dir, chain)
+    def terms(df: DataFrame): DataFrame = graft.ops.Bm25.docTerms(df, "text")
+    val m1 = graft.ops.AdditiveCounts.maintain(prevDf, "term",
+      terms(minusDocs(chain(0), d1)), terms(plusDocs(chain(1), d1)))
+    val m2 = graft.ops.AdditiveCounts.maintain(m1, "term",
+      terms(minusDocs(chain(1), d2)), terms(plusDocs(chain(2), d2)))
+    graft.ops.AdditiveCounts.maintain(m2, "term",
+        terms(minusDocs(chain(2), d3)), terms(plusDocs(chain(3), d3)))
+      .select(col("term"), col("cnt").as("df"))
+  }
+
+  /** STREAMED tokenizer unit-count maintenance, batch twin (q184 — the
+    * q175/q181 contract at the tokenizer layer): THREE successive crawl
+    * deltas fold into the stored q173 unit-count model via
+    * [[graft.ops.Bpe.maintainUnitCounts]]'s kernel with
+    * [[graft.ops.Bpe.unitWindows]] legs, then the final model serves
+    * the RELEASE table (top-2048 by (n desc, word) — the q173
+    * contract). The oracle replays the full 12-gram window count + cap
+    * over the chain's FINAL snapshot — the composition theorem at the
+    * unit-count layer; the streaming deployment ([[graft.streaming
+    * .MaintainStream.bpeUnitLegs]]) is asserted equal by
+    * MaintainStreamSpec.
+    *
+    * ONE-TASK chain tier (the shared [[graft.ops.AdditiveCounts
+    * .maintainChainLocal]] with [[graft.ops.Bpe.localUnitWindows]]);
+    * fail-CLOSED guard, `maxLocalBytes = 0` forces the distributed
+    * chain. The cap rides OUTSIDE the tier choice (TakeOrdered over
+    * the model either way), so tier equality covers the model and the
+    * cap covers the release contract. */
+  def q184StreamBpeUnitsChain(s: SparkSession, dir: String): DataFrame =
+    q184StreamBpeUnitsChain(s, dir, maxLocalBytes = 64L << 20)
+
+  private[graft] def q184StreamBpeUnitsChain(s: SparkSession, dir: String,
+                                             maxLocalBytes: Long): DataFrame = {
+    val prev = prevUnitCounts(s, dir).select(col("word"), col("n").as("cnt"))
+    val localChain = fullChainOf(Tables.table(s, dir, "documents"))
+    if (maxLocalBytes > 0 &&
+        (prev +: localChain)
+          .map(_.queryExecution.optimizedPlan.stats.sizeInBytes)
+          .sum <= BigInt(maxLocalBytes))
+      // cap applied IN-task (bounded heap) — the tier-equality spec
+      // compares against the distributed TakeOrdered through the same
+      // (n desc, word) total order.
+      return graft.ops.AdditiveCounts.maintainChainLocal(prev, "word",
+          localChain, "doc_id", "text", graft.ops.Bpe.localUnitWindows _,
+          changedKeys = Some(graft.ops.Bpe.localUnitWindowsDelta _),
+          cap = 2048)
+        .select(col("word"), col("cnt").as("n"))
+    val chain = fullChainOf(t(s, dir, "documents"))
+    val Seq(d1, d2, d3) = chainDeltas(s, dir, chain)
+    def wins(df: DataFrame): DataFrame =
+      graft.ops.Bpe.unitWindows(df, "text")
+    val m1 = graft.ops.AdditiveCounts.maintain(prev, "word",
+      wins(minusDocs(chain(0), d1)), wins(plusDocs(chain(1), d1)))
+    val m2 = graft.ops.AdditiveCounts.maintain(m1, "word",
+      wins(minusDocs(chain(1), d2)), wins(plusDocs(chain(2), d2)))
+    graft.ops.AdditiveCounts.maintain(m2, "word",
+        wins(minusDocs(chain(2), d3)), wins(plusDocs(chain(3), d3)))
+      .select(col("word"), col("cnt").as("n"))
+      .orderBy(col("n").desc, col("word")).limit(2048)
   }
 }

@@ -1,0 +1,89 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+/** SCALE-REGIME correctness dump (VERDICT r17 "what's missing" #2): the
+  * incremental-maintenance family, hash-checked at the 10× corpus. The
+  * sf1 growth gate ([[Bench]]'s scale block) TIMES these cells at 10×
+  * data but nothing hash-matches there, and maintenance behavior is
+  * density-dependent (the q176 L=4 closure phenomenon) — a closure bug
+  * that only manifests at higher window density would pass every
+  * sf0.001/sf0.01/sf0.1 differential. This main synthesizes the same
+  * deterministic 10× corpus the growth gate measures
+  * ([[ScaleCorpus.ensure]] — word-suffix-salted documents, rotated
+  * embeddings), runs each incremental cell against it, and dumps
+  * results + oracle SQL exactly like [[Verify]]; `tools/check_scale.py`
+  * then replays the oracles in DuckDB over the SAME 10× parquet and
+  * hash-compares → `SCALECHECK_r{N}.json`.
+  *
+  * Usage: VerifyScale <sf0.1-dir> <outDir> [queryPrefixes]
+  */
+object VerifyScale {
+
+  /** The incremental/maintenance cells whose batch≡incremental oracles
+    * are worth re-proving at 10× density (VERDICT r17 names the first
+    * twelve; the q181–q184 chains share the same machinery). */
+  val ScaleChecked: Seq[String] = Seq(
+    "q145_incremental_corpus", "q148_incremental_minhash",
+    "q153_incremental_clusters", "q155_incremental_lm",
+    "q159_incremental_ivf", "q160_incremental_dsir",
+    "q171_incremental_bm25", "q173_vocab_maintain",
+    "q174_incremental_semdedup", "q176_incremental_span_dedup",
+    "q179_incremental_ivfpq", "q180_incremental_cms",
+    "q181_stream_cms_chain", "q182_stream_dsir_chain",
+    "q183_stream_bm25df_chain", "q184_stream_bpe_units_chain")
+
+  def main(args: Array[String]): Unit = {
+    val (sfDir, outDir) = (args(0), args(1))
+    val only: String => Boolean = args.lift(2) match {
+      case Some(pfx) =>
+        val ps = pfx.split(",").toSeq; name => ps.exists(name.startsWith)
+      case None => _ => true
+    }
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      // sized to the 10x data (the growth gate's setting), not the
+      // small-cell tuning
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val scaleDir = ScaleCorpus.ensure(spark, sfDir, copies = 10)
+    println(s"[verify-scale] corpus: $scaleDir")
+    new java.io.File(outDir).mkdirs()
+    ScaleChecked.filter(only).foreach { name =>
+      val t0 = System.nanoTime()
+      try {
+        SparkEntry.queries(name)(spark, scaleDir).coalesce(1)
+          .write.mode("overwrite").parquet(s"$outDir/$name")
+        println(f"[verify-scale] $name: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify-scale] $name failed: ${e.getMessage}")
+      }
+      spark.catalog.clearCache()
+    }
+    // Verify's JSON escape, verbatim.
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val json = SparkEntry.oracleSql.view
+      .filterKeys(k => ScaleChecked.contains(k) && only(k)).toMap
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/scale_dir.txt"), scaleDir)
+    spark.stop()
+  }
+}

@@ -60,6 +60,25 @@ object Bm25 {
   def docFreq(post: DataFrame): DataFrame =
     post.groupBy(col("term")).agg(count(lit(1)).as("df"))
 
+  /** One row per DISTINCT term per document — [[postings]]'s (term,
+    * doc) key set without the tf/dl payload: the exact unit the df
+    * count is additive over, so it is the ± occurrence leg of every df
+    * maintenance fold (q183's chain, [[graft.streaming.MaintainStream
+    * .bm25DfLegs]]'s micro-batches). Same tokenization and same
+    * degenerate-row semantics as [[postings]] (null text drops; empty
+    * text contributes its single empty-string token). */
+  def docTerms(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(TextStats.words(lower(col(textCol))).as("ws"))
+      .filter(size(col("ws")) >= 1)
+      .select(explode(array_distinct(col("ws"))).as("term"))
+
+  /** JVM replica of [[docTerms]]'s per-document term set (the
+    * [[LocalText]] contract — one-task tiers must match the plan's
+    * string semantics bit for bit). */
+  def localDocTerms(text: String): Iterator[String] =
+    if (text == null) Iterator.empty
+    else LocalText.words(text.toLowerCase()).distinct.iterator
+
   /** The (N, avgdl) corpus stats — ONE row, with the in-plan overflow
     * guard riding it (the Sampling/Percentiles discipline): the scoring
     * numerator 22·tf·avgdl·Scale with tf ≤ max(dl) needs max(dl)·avgdl

@@ -49,6 +49,79 @@ object Bpe {
       .filter(col("word").rlike("^[a-z]+$"))
       .groupBy(col("word")).agg(count(lit(1)).as("n"))
 
+  /** 12-gram boundary-marked window stream — ONE ROW PER OCCURRENCE
+    * (column `word`) — the training unit the q169/q173/q184 family
+    * counts: every 12 consecutive lowercased words joined by '_',
+    * alphabetic windows only. The ± occurrence leg of every unit-count
+    * maintenance fold ([[maintainUnitCounts]], [[graft.streaming
+    * .MaintainStream.bpeUnitLegs]]'s micro-batches). */
+  def unitWindows(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(TextStats.words(lower(col(textCol))).as("ws"))
+      .filter(size(col("ws")) >= 12)
+      .select(explode(transform(sequence(lit(1), size(col("ws")) - 11),
+        i => concat_ws("_", slice(col("ws"), i, lit(12))))).as("word"))
+      .filter(col("word").rlike("^[a-z]+(_[a-z]+){11}$"))
+
+  /** `^[a-z]+$` per word — a 12-window's joined string matches
+    * `^[a-z]+(_[a-z]+){11}$` iff EVERY word in it is a nonempty
+    * all-[a-z] token: the join contributes exactly 11 underscores, the
+    * pattern admits exactly 11, so a word carrying its own '_' (or any
+    * other char, or emptiness) disqualifies the window. Checking words
+    * once beats regexing every window (each word sits in up to 12). */
+  private def allLowerAlpha(w: String): Boolean = {
+    if (w.isEmpty) return false
+    var i = 0
+    while (i < w.length) {
+      val c = w.charAt(i)
+      if (c < 'a' || c > 'z') return false
+      i += 1
+    }
+    true
+  }
+
+  /** The qualifying window stream of `ws` from window index `from` —
+    * shared by [[localUnitWindows]] and [[localUnitWindowsDelta]]. */
+  private def winStream(ws: Array[String], from: Int): Iterator[String] = {
+    val ok = ws.map(allLowerAlpha)
+    (math.max(0, from) to ws.length - 12).iterator
+      .filter { i =>
+        var j = i; var good = true
+        while (good && j < i + 12) { good = ok(j); j += 1 }
+        good
+      }
+      .map(i => ws.slice(i, i + 12).mkString("_"))
+  }
+
+  /** JVM replica of [[unitWindows]]'s per-document window stream (the
+    * [[LocalText]] contract; the per-word [[allLowerAlpha]] test is
+    * exactly the anchored `rlike` on the joined string — see its
+    * scaladoc). */
+  def localUnitWindows(text: String): Iterator[String] =
+    if (text == null) Iterator.empty
+    else winStream(LocalText.words(text.toLowerCase()), 0)
+
+  /** SIGNED pairwise window delta for a CHANGED document — the ± legs
+    * `fold(old, -1) ∪ fold(new, +1)` minus the provably-canceling pairs:
+    * a window lying entirely inside the texts' common word PREFIX (and
+    * inside both windowable ranges) produces the identical key in both
+    * legs, so skipping it from both leaves the group sum unchanged (the
+    * abelian cancellation, applied before the strings are ever built).
+    * For the dominant real-world edit — a suffix append/trim — this
+    * folds ~12 windows instead of two full documents. */
+  def localUnitWindowsDelta(oldText: String, newText: String): Iterator[(String, Long)] = {
+    val ow = if (oldText == null) Array.empty[String]
+      else LocalText.words(oldText.toLowerCase())
+    val nw = if (newText == null) Array.empty[String]
+      else LocalText.words(newText.toLowerCase())
+    val minLen = math.min(ow.length, nw.length)
+    var p = 0
+    while (p < minLen && ow(p) == nw(p)) p += 1
+    // windows i < skip are valid in BOTH texts and word-identical
+    val skip = math.max(0, math.min(p - 11, minLen - 11))
+    winStream(ow, skip).map((_, -1L)) ++ winStream(nw, skip).map((_, 1L))
+  }
+
   /** INCREMENTAL trainer-unit-count maintenance (VERDICT r15 ask #6 —
     * the tokenizer-release refresh policy's model half): the unit
     * frequency model a BPE trainer consumes is an abelian-group count

@@ -140,6 +140,36 @@ object MaintainStream {
     graft.ops.Dsir.signedSplitLegs(batch, "doc_id", "minus_text",
       "plus_text", targetPred)
 
+  /** The BM25 document-frequency ± legs ([[graft.ops.Bm25.docTerms]]
+    * per side — instantiation #4, closing VERDICT r17 "what's missing"
+    * #1): df counts one unit per (term, doc) posting row, so a changed
+    * document subtracts its OLD text's distinct terms and adds its NEW
+    * text's; store key `term`. The store converges on [[graft.ops.Bm25
+    * .docFreq]] of the cumulative corpus — the q171 maintenance fold in
+    * change-feed form (the postings/stats halves of that index are
+    * per-document state and a one-pass derivation of the postings, not
+    * additive models; they maintain batch-per-crawl via
+    * [[graft.ops.Bm25.maintainIndex]]). */
+  def bm25DfLegs(batch: DataFrame): DataFrame = {
+    def terms(textCol: String): DataFrame =
+      graft.ops.Bm25.docTerms(batch.filter(col(textCol).isNotNull), textCol)
+    terms("minus_text").select(col("term"), lit(-1L).as("d"))
+      .unionByName(terms("plus_text").select(col("term"), lit(1L).as("d")))
+  }
+
+  /** The tokenizer unit-count ± legs ([[graft.ops.Bpe.unitWindows]] per
+    * side — instantiation #5): the q169/q173 trainer's 12-gram window
+    * model is one unit per extracted window occurrence; store key
+    * `word`. The release table (top-2048 cap) and the q173 refresh
+    * policy derive from the maintained model exactly as in the batch
+    * deployment. */
+  def bpeUnitLegs(batch: DataFrame): DataFrame = {
+    def windows(textCol: String): DataFrame =
+      graft.ops.Bpe.unitWindows(batch.filter(col(textCol).isNotNull), textCol)
+    windows("minus_text").select(col("word"), lit(-1L).as("d"))
+      .unionByName(windows("plus_text").select(col("word"), lit(1L).as("d")))
+  }
+
   /** Run a keyed maintenance stream over a change feed until the source
     * is drained (Trigger.AvailableNow — the catch-up/backfill mode; a
     * live deployment would use a processing-time trigger on the same

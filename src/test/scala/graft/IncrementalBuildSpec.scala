@@ -233,6 +233,38 @@ class IncrementalBuildSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q183's one-task chain tier ≡ the distributed 3-step BM25-df chain, row for row") {
+    // maxLocalBytes = 0 forces the distributed chain (three hash-diffs,
+    // three AdditiveCounts folds over docTerms legs) on the same stored
+    // df artifact; the generic chain tier folds all three steps in one
+    // task with the localDocTerms replica. Plan asserts keep the
+    // comparison non-vacuous.
+    val localF = Queries.q183StreamBm25DfChain(spark, dir)
+    val distF = Queries.q183StreamBm25DfChain(spark, dir, maxLocalBytes = 0L)
+    localF.queryExecution.executedPlan.toString should include("MapPartitions")
+    distF.queryExecution.executedPlan.toString should not include "MapPartitions"
+    val local = localF.collect().map(_.toSeq).sortBy(_.toString)
+    val dist = distF.collect().map(_.toSeq).sortBy(_.toString)
+    local should not be empty
+    local shouldBe dist
+    spark.catalog.clearCache()
+  }
+
+  test("q184's one-task chain tier ≡ the distributed 3-step unit-count chain, row for row") {
+    // Same proof at the tokenizer layer: the cap (top-2048 release
+    // table) rides OUTSIDE the tier choice, so the equality covers the
+    // maintained model through the cap's total order.
+    val localF = Queries.q184StreamBpeUnitsChain(spark, dir)
+    val distF = Queries.q184StreamBpeUnitsChain(spark, dir, maxLocalBytes = 0L)
+    localF.queryExecution.executedPlan.toString should include("MapPartitions")
+    distF.queryExecution.executedPlan.toString should not include "MapPartitions"
+    val local = localF.collect().map(_.toSeq).sortBy(_.toString)
+    val dist = distF.collect().map(_.toSeq).sortBy(_.toString)
+    local should not be empty
+    local shouldBe dist
+    spark.catalog.clearCache()
+  }
+
   test("q179's one-task serve tier ≡ the distributed stored-artifact serve, row for row") {
     // maxLocalBytes = 0 forces the distributed ivfPqTopKStored chain
     // (probe window, list equi-join, ADC lookup join + sum, shortlist

@@ -62,18 +62,19 @@ class MaintainStreamSpec extends SparkSpec {
   private def driveFeed(init: DataFrame,
                         start: (DataFrame, String, String) =>
                           org.apache.spark.sql.streaming.StreamingQuery,
-                        reverseOrder: Boolean = false): (String, String) = {
+                        reverseOrder: Boolean = false,
+                        feedArg: Seq[Seq[ChangeEvent]] = feed): (String, String) = {
     import spark.implicits._
     val base = s"${graft.Tables.scratchDir(spark)}/maintain_stream_spec/" +
       UUID.randomUUID().toString
     val (srcDir, storeDir, ckptDir) = (s"$base/src", s"$base/store", s"$base/ckpt")
     MaintainStream.writeInit(init, storeDir)
     var seen = Set.empty[String]
-    feed.zipWithIndex.foreach { case (step, i) =>
+    feedArg.zipWithIndex.foreach { case (step, i) =>
       step.toDF().coalesce(1).write.mode("append").parquet(srcDir)
       val parts = new java.io.File(srcDir).listFiles()
         .filter(_.getName.startsWith("part-"))
-      val slot = if (reverseOrder) feed.size - 1 - i else i
+      val slot = if (reverseOrder) feedArg.size - 1 - i else i
       parts.filter(f => !seen(f.getName))
         .foreach(_.setLastModified(1700000000000L + slot * 60000L))
       seen ++= parts.map(_.getName)
@@ -244,6 +245,59 @@ class MaintainStreamSpec extends SparkSpec {
     // both splits really present (the tagged store maintains them in one
     // fold — a broken tag would collapse everything into one model)
     streamed.select("model").distinct().count() shouldBe 2L
+  }
+
+  test("BM25 df store maintained by the stream equals docFreq over the final corpus") {
+    import graft.ops.Bm25
+    def dfOf(rows: Seq[(Long, String)]): DataFrame =
+      Bm25.docFreq(Bm25.postings(docsDf(rows), "doc_id", "text"))
+        .select(col("term"), col("df").as("cnt"))
+    val (storeDir, _) = driveFeed(dfOf(corpus0),
+      (src, store, ckpt) => MaintainStream.maintainKeyedStream(src, store,
+        ckpt, Seq("term"), MaintainStream.bm25DfLegs))
+    val streamed = MaintainStream.latestModel(spark, storeDir)
+    val expected = dfOf(corpusFinal)
+    streamed.exceptAll(expected).count() shouldBe 0L
+    expected.exceptAll(streamed).count() shouldBe 0L
+    // doc 2's removal counted its unique term's df to zero and dropped
+    // it ("psi" appears nowhere else; "omega" survives via doc 3's
+    // final text — covered by the equality, spelled out for the
+    // count-to-zero contract)
+    streamed.filter(col("term") === "psi").count() shouldBe 0L
+  }
+
+  // ——— the tokenizer unit-count instantiation needs ≥12-word docs ———
+
+  private def sent(tail: String): String =
+    "the quick brown fox jumps over the lazy dog near a " + tail // 11 + tail
+
+  private val unitCorpus0 = Seq(
+    doc(1, sent("tall tree")),          // 13 words → 2 windows
+    doc(2, sent("red barn today")))     // 14 words → 3 windows
+  private val unitFeed = Seq(
+    Seq(ChangeEvent(2, sent("red barn today"), null),          // removal
+      ChangeEvent(1, sent("tall tree"), sent("tall oak tree"))), // change
+    Seq(ChangeEvent(3, null, sent("green hill"))))             // addition
+  private val unitCorpusFinal = Seq(
+    doc(1, sent("tall oak tree")),
+    doc(3, sent("green hill")))
+
+  test("BPE unit-count store maintained by the stream equals the window recount") {
+    import graft.ops.Bpe
+    def unitsOf(rows: Seq[(Long, String)]): DataFrame =
+      Bpe.unitWindows(docsDf(rows), "text")
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    val (storeDir, _) = driveFeed(unitsOf(unitCorpus0),
+      (src, store, ckpt) => MaintainStream.maintainKeyedStream(src, store,
+        ckpt, Seq("word"), MaintainStream.bpeUnitLegs),
+      feedArg = unitFeed)
+    val streamed = MaintainStream.latestModel(spark, storeDir)
+    val expected = unitsOf(unitCorpusFinal)
+    expected.count() should be > 0L // non-vacuous: windows really exist
+    streamed.exceptAll(expected).count() shouldBe 0L
+    expected.exceptAll(streamed).count() shouldBe 0L
+    // the removed doc's windows (unique via "barn") counted to zero
+    streamed.filter(col("word").contains("barn")).count() shouldBe 0L
   }
 
   test("batch boundaries are immaterial — one-batch feed reaches the same model (composition)") {
