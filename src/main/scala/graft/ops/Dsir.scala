@@ -222,7 +222,13 @@ object Dsir {
           old.get(id) match {
             case None => fold(id, t, 1L) // added
             case Some(ot) =>
-              if (LocalText.contentHash(ot) != LocalText.contentHash(t)) {
+              // Raw equality short-circuits the hash (the
+              // AdditiveCounts.maintainChainLocal discipline): equal
+              // strings have equal content hashes by definition, so the
+              // UNCHANGED majority pays one string compare per step and
+              // only raw-differing pairs ever pay an md5.
+              if (ot != t &&
+                  LocalText.contentHash(ot) != LocalText.contentHash(t)) {
                 fold(id, ot, -1L); fold(id, t, 1L) // changed
               }
           }

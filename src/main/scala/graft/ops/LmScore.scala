@@ -152,7 +152,13 @@ object LmScore {
           old.get(id) match {
             case None => addBigrams(t, 1L) // added
             case Some(ot) =>
-              if (LocalText.contentHash(ot) != LocalText.contentHash(t)) {
+              // Raw equality short-circuits the hash (the
+              // AdditiveCounts.maintainChainLocal discipline): equal
+              // strings have equal content hashes by definition, so the
+              // UNCHANGED majority pays one string compare per step and
+              // only raw-differing pairs ever pay an md5.
+              if (ot != t &&
+                  LocalText.contentHash(ot) != LocalText.contentHash(t)) {
                 addBigrams(ot, -1L); addBigrams(t, 1L) // changed
               }
           }
