@@ -3056,10 +3056,16 @@ object Queries {
     * pass is the word count — amortized into the artifact, the
     * train-once contract's other half; every round is vocabulary-sized
     * (adjacent-pair aggregation, in-plan top-1 broadcast back, per-word
-    * exact array rewrite — no driver actions, no collect). The oracle
+    * exact array rewrite — no driver actions, no collect). Round 18:
+    * when the vocabulary provably fits one task (Catalyst size stats
+    * over the artifact, fail-closed), the whole 3-round loop runs as
+    * the guarded one-task trainer instead — the unrolled plan is ~20
+    * vocabulary-sized stages of pure scheduler latency on a KB
+    * vocabulary (the cell drew a contention-window weak flag at 7.7×
+    * its 0.19 s twin); tier equality is BpeSpec-pinned and the oracle
     * replays the word count AND all three rounds, so a wrong pair
     * count, tie-break, or a boundary-crossing merge (the classic naive
-    * string-replace bug) hash-mismatches. */
+    * string-replace bug) hash-mismatches on either tier. */
   def q129BpeMerges(s: SparkSession, dir: String): DataFrame =
     graft.ops.Bpe.trainFromWordFreq(bpeWordFreq(s, dir),
       rounds = 3, topWords = 20)

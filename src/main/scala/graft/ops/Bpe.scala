@@ -353,7 +353,21 @@ object Bpe {
     require(rounds >= 1 && rounds <= 65536,
       s"rounds must be in [1,65536]; got $rounds")
     require(topWords >= 1, s"topWords must be >= 1; got $topWords")
-    if (rounds > UnrollLimit) {
+    // ONE-TASK tier at SMALL budgets too (round 18): a 3-round unrolled
+    // plan is still ~20 vocabulary-sized stages of scheduler latency
+    // when the vocabulary is KB-scale (q129 measured 0.6-1.5 s of pure
+    // stage latency against a 0.19 s twin). Guarded on Catalyst size
+    // stats — NOT a count() — so the unrolled path's zero-actions-
+    // inside-train contract is untouched, and fail-CLOSED (missing
+    // stats read huge → unrolled plan). `maxLocalWords = 0` forces the
+    // distributed/unrolled shape (spec + q147 coverage); tier equality
+    // is BpeSpec-pinned at shared budgets.
+    if (rounds <= UnrollLimit) {
+      if (maxLocalWords > 0 &&
+          wf.queryExecution.optimizedPlan.stats.sizeInBytes <=
+            BigInt(8L << 20))
+        return trainLocal(wf, rounds, topWords)
+    } else {
       // ONE-TASK TIER for deep budgets over one-task vocabularies (the
       // q153 union-find / Suffix local-sort pattern): the distributed
       // loop costs one vocab-sized aggregation JOB per round — 512

@@ -125,11 +125,29 @@ class BpeSpec extends SparkSpec {
 
   test("iterative trainer is bit-identical to the unrolled plan on a shared budget") {
     val wf = Bpe.wordFreq(richDocs, "text")
-    val unrolled = Bpe.trainFromWordFreq(wf, rounds = 5, topWords = 100)
+    // maxLocalWords = 0 pins the UNROLLED plan (the r18 small-budget
+    // one-task tier would otherwise take this small vocabulary).
+    val unrolled = Bpe.trainFromWordFreq(wf, rounds = 5, topWords = 100,
+        maxLocalWords = 0L)
       .collect().map(_.toSeq).sortBy(_.toString)
     val iterative = Bpe.trainIterative(wf, rounds = 5, topWords = 100)
       .collect().map(_.toSeq).sortBy(_.toString)
     iterative shouldBe unrolled
+    spark.catalog.clearCache()
+  }
+
+  test("small-budget one-task tier is bit-identical to the unrolled plan") {
+    // The r18 tier (q129 straddle protection): Catalyst-stats-guarded
+    // trainLocal at rounds <= UnrollLimit must reproduce the unrolled
+    // in-plan training row for row — merges, exhaustion, word report.
+    val wf = Bpe.wordFreq(richDocs, "text")
+    val local = Bpe.trainFromWordFreq(wf, rounds = 3, topWords = 100)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val unrolled = Bpe.trainFromWordFreq(wf, rounds = 3, topWords = 100,
+        maxLocalWords = 0L)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    local should not be empty
+    local shouldBe unrolled
     spark.catalog.clearCache()
   }
 
@@ -184,7 +202,8 @@ class BpeSpec extends SparkSpec {
         r.getLong(3), r.getInt(4)))
     val merges32 = out32.filter(_._1 == "merge").sortBy(_._5)
     merges32.map(_._5).toSeq shouldBe (1 to 32)
-    val merges6 = Bpe.trainFromWordFreq(wf, rounds = 6, topWords = 1)
+    val merges6 = Bpe.trainFromWordFreq(wf, rounds = 6, topWords = 1,
+        maxLocalWords = 0L) // pin the unrolled prefix reference
       .collect().filter(_.getString(0) == "merge")
       .map(r => (r.getInt(4), r.getString(1), r.getString(2), r.getLong(3)))
       .sortBy(_._1)
