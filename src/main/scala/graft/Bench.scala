@@ -826,11 +826,16 @@ object Bench {
                  (SparkSession, String) => org.apache.spark.sql.DataFrame)](
               // All six theorems measured (VERDICT r14 ask #6). Two
               // regimes, two headline ratios:
-              //  - EXCHANGE-BOUND family (q148/q153/q159): the rebuild
+              //  - EXCHANGE-BOUND family (q148/q153): the rebuild
               //    shuffles corpus-sized data (shingle signing, CC
-              //    rounds, vector re-assignment), so `shuffle_ratio`
-              //    carries the claim. Measured on the index/maintenance
-              //    halves where serving is shared and corpus-sized.
+              //    rounds), so `shuffle_ratio` carries the claim.
+              //    Measured on the index/maintenance halves where
+              //    serving is shared and corpus-sized. (q159 left this
+              //    family in r18: the fold assignment removed the
+              //    corpus exchange from BOTH sides, so its
+              //    shuffle_ratio reads ~1 over the shared k-row
+              //    centroid-fold constant — IncrementalIoSpec pins
+              //    that neither side shuffles the corpus.)
               //  - MAP-SIDE-COMBINED MODEL family (q145/q155/q160): the
               //    rebuild's shuffle is MODEL-sized by construction
               //    (4096-bucket / bigram-vocab partial aggregation), so
@@ -873,10 +878,13 @@ object Bench {
               // shuffles only delta-adjacent keys' occurrences.
               ("q176_incremental_span_dedup",
                 Queries.q176IncrementalSpanDedup _, Queries.q176FullRecompute _),
-              // q179's code-table halves (q159's regime): the rebuild
-              // re-runs the per-(id, subspace) argmin aggregate over the
-              // whole snapshot; the maintenance's reuse leg is one
-              // stored-table semi-join and only ADDED ids pay the argmin.
+              // q179's code-table halves (q159's regime, incl. its r18
+              // shift): the rebuild re-computes the per-(id, subspace)
+              // argmin over the whole snapshot — since r18 as an
+              // in-place fold, no N×M exchange — while the maintenance's
+              // reuse leg is one stored-table semi-join and only ADDED
+              // ids pay the argmin; shuffle_ratio reads ~constant-over-
+              // constant, the compute claim lives in cpu_ratio.
               ("q179_incremental_ivfpq",
                 Queries.q179MaintainedCodes _, Queries.q179FullEncode _),
               // q180 sits in the MODEL family (q155/q160's regime): both

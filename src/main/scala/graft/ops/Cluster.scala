@@ -46,20 +46,38 @@ object Cluster {
   def sqDistQ(a: Column, b: Column): Column =
     call_function("graft_sqdist_q", a, b)
 
-  /** Nearest-centroid assignment: (id, qv, cluster_id, dist). Centroids are
-    * broadcast; the argmin is `min(struct(dist, cluster_id))` — lexicographic
-    * struct ordering gives a deterministic smallest-centroid tie-break, and
-    * min is partially aggregable so the shuffle is N rows. `first(qv)` is
-    * safe: qv is functionally dependent on the grouping key. */
+  /** Nearest-centroid assignment: (id, qv, cluster_id, dist). NARROW
+    * (round 18): the k centroids fold into ONE static cluster_id-sorted
+    * struct-array row (the [[assignStreaming]] idiom — same bytes the
+    * per-centroid broadcast carried) and the argmin is a per-row strict
+    * less-than fold, which on the sorted array reproduces the old
+    * `min(struct(dist, cluster_id))` tie-break exactly (smallest dist,
+    * then smallest centroid id). The previous shape exchanged N rows
+    * (with their vectors, via `first(qv)`) through a groupBy — pure
+    * shuffle cost for a value computable where the row sits. Zero
+    * exchanges now; every assignQ consumer (q101/q102/q159/SemDedup/
+    * the maintenance family) drops one corpus-sized shuffle. */
   def assignQ(pts: DataFrame, cents: DataFrame): DataFrame = assign(pts, cents)
 
-  private def assign(pts: DataFrame, cents: DataFrame): DataFrame =
-    pts.crossJoin(broadcast(cents))
-      .select(col("id"), col("qv"),
-        struct(sqDistQ(col("qv"), col("cv")).as("d"), col("cluster_id").as("cid")).as("dc"))
-      .groupBy(col("id"))
-      .agg(min(col("dc")).as("m"), first(col("qv")).as("qv"))
-      .select(col("id"), col("qv"), col("m.cid").as("cluster_id"), col("m.d").as("dist"))
+  private def assign(pts: DataFrame, cents: DataFrame): DataFrame = {
+    val centsRow = cents.agg(
+      array_sort(collect_list(struct(col("cluster_id"), col("cv")))).as("_cents"))
+    val best = aggregate(col("_cents"),
+      struct(lit(Long.MaxValue).as("d"), lit(Long.MinValue).as("cid")),
+      (acc, c) => {
+        val d = sqDistQ(col("qv"), c.getField("cv"))
+        when(d < acc.getField("d"),
+          struct(d.as("d"), c.getField("cluster_id").as("cid")))
+          .otherwise(acc)
+      })
+    pts.crossJoin(broadcast(centsRow))
+      // empty-centroid frame → empty assignment (the old crossJoin
+      // semantics), never a MinValue sentinel row
+      .filter(size(col("_cents")) > 0)
+      .select(col("id"), col("qv"), best.as("_b"))
+      .select(col("id"), col("qv"), col("_b.cid").as("cluster_id"),
+        col("_b.d").as("dist"))
+  }
 
   /** Fixed-iteration Lloyd's k-means. Returns the FINAL assignment
     * (`idCol`, cluster_id, dist) — cluster_id is the seed row's id, dist the
@@ -185,16 +203,34 @@ object Cluster {
       emb.filter(queryPred).select(col(idCol).as("id")), topK, nProbe)
   }
 
-  /** Per-vector centroid ranking (id, cluster_id, _r), _r = 1 the nearest
-    * trained centroid in exact quantized L2 — one broadcast N×k pass, the
-    * shared front half of every inverted-file consumer ([[ivfSearchQPts]]
-    * builds lists AND probes from it; [[Pq.ivfPqTopK]] the same). Callers
-    * that read it more than once persist it themselves. */
-  def rankCentroidsQ(pts: DataFrame, cents: DataFrame): DataFrame = {
-    val wr = Window.partitionBy(col("id")).orderBy(col("_d"), col("cluster_id"))
-    pts.crossJoin(broadcast(cents))
-      .select(col("id"), col("cluster_id"), sqDistQ(col("qv"), col("cv")).as("_d"))
-      .withColumn("_r", row_number().over(wr))
+  /** Per-vector centroid ranking (id, [qv,] cluster_id, _r), _r = 1 the
+    * nearest trained centroid in exact quantized L2, capped at `maxR`
+    * ranks — the shared front half of every inverted-file consumer
+    * ([[ivfSearchQPts]] builds lists AND probes from it; [[Pq.ivfPqTopK]]
+    * the same). Callers that read it more than once persist it themselves.
+    *
+    * NARROW (round 18, the [[graft.ops.Similarity]] assignment shape):
+    * centroids fold into one sorted struct-array row; each vector ranks
+    * them in-task (ascending (dist, cluster_id) struct sort — exact
+    * integer distances, identical tie-break to the old window) and
+    * explodes only its top `maxR`. The previous shape shuffled all N×k
+    * ranked rows through a window exchange for consumers that never read
+    * past rank nProbe. `keepVec = true` carries qv through — free here,
+    * and it saves the downstream pair-set from re-joining pts just to
+    * fetch vectors. */
+  def rankCentroidsQ(pts: DataFrame, cents: DataFrame, maxR: Int,
+                     keepVec: Boolean = false): DataFrame = {
+    require(maxR >= 1, s"maxR must be >= 1; got $maxR")
+    val centsRow = cents.agg(
+      array_sort(collect_list(struct(col("cluster_id"), col("cv")))).as("_cents"))
+    val ranked = array_sort(transform(col("_cents"), c =>
+      struct(sqDistQ(col("qv"), c.getField("cv")).as("_d"),
+        c.getField("cluster_id").as("cluster_id"))))
+    val keep = Seq(col("id")) ++ (if (keepVec) Seq(col("qv")) else Nil)
+    pts.crossJoin(broadcast(centsRow))
+      .select(keep :+ posexplode(slice(ranked, lit(1), lit(maxR))): _*)
+      .select(keep ++ Seq(col("col.cluster_id").as("cluster_id"),
+        (col("pos") + 1).cast("int").as("_r")): _*)
   }
 
   /** [[ivfSearchQ]] with the quantized points AND the trained centroids
@@ -205,22 +241,24 @@ object Cluster {
                     queryIds: DataFrame, topK: Int, nProbe: Int): DataFrame = {
     require(nProbe >= 1 && topK >= 1,
       s"topK and nProbe must be >= 1; got topK=$topK nProbe=$nProbe")
-    val ranked = rankCentroidsQ(pts, cents)
+    // Lists carry their member's vector and probes the query's (free in
+    // the narrow ranking) so the bucket join scores distances directly —
+    // no pair-set re-joins on pts. And lists take `_r === 1` only, so a
+    // (query, cand) pair surfaces at most once: the old pair-level
+    // `.distinct()` was a redundant exchange (the ivfSearchStoredLists
+    // r16 argument, now applied at the source).
+    val ranked = rankCentroidsQ(pts, cents, maxR = nProbe, keepVec = true)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val lists = ranked.filter(col("_r") === 1)
-      .select(col("id").as("cand_id"), col("cluster_id"))
+      .select(col("id").as("cand_id"), col("cluster_id"), col("qv").as("_qb"))
     val probes = ranked
       .join(queryIds, Seq("id"))
       .filter(col("_r") <= nProbe)
-      .select(col("id").as("query_id"), col("cluster_id"))
+      .select(col("id").as("query_id"), col("cluster_id"), col("qv").as("_qa"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("dist"), col("cand_id"))
     probes.join(lists, Seq("cluster_id"))
       .filter(col("query_id") =!= col("cand_id"))
-      .select(col("query_id"), col("cand_id"))
-      .distinct()
-      .join(pts.select(col("id").as("query_id"), col("qv").as("_qa")), Seq("query_id"))
-      .join(pts.select(col("id").as("cand_id"), col("qv").as("_qb")), Seq("cand_id"))
       .withColumn("dist", sqDistQ(col("_qa"), col("_qb")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)

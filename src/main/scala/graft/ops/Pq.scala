@@ -56,16 +56,35 @@ object Pq {
         slice(col("qv"), col("g") * col("_sub") + 1, col("_sub")).as("sub"))
   }
 
-  /** Per-subspace argmin assignment: (id, g, code_id, dist). `books` is
-    * (g, code_id, cw), broadcast — M·K codewords is bytes, never data. */
-  private def assignCodes(subs: DataFrame, books: DataFrame): DataFrame =
-    subs.join(broadcast(books), Seq("g"))
-      .select(col("id"), col("g"),
-        struct(Cluster.sqDistQ(col("sub"), col("cw")).as("d"),
-          col("code_id").as("c")).as("dc"))
-      .groupBy(col("id"), col("g"))
-      .agg(min(col("dc")).as("m"))
-      .select(col("id"), col("g"), col("m.c").as("code_id"), col("m.d").as("dist"))
+  /** Per-subspace argmin assignment: (id, g, [sub,] code_id, dist).
+    * `books` is (g, code_id, cw) — M·K codewords is bytes, never data.
+    *
+    * NARROW (round 18, the [[Cluster.assignQ]] fold shape): each
+    * subspace's codewords fold into one code_id-sorted struct array (M
+    * rows total, broadcast into the g equi-join) and the argmin is a
+    * per-row strict less-than fold — identical tie-break to the old
+    * `min(struct(d, code_id))`. The previous shape exchanged all N×M
+    * subvector rows through a groupBy for a value computable in place.
+    * `keepSub = true` carries the subvector through for callers that
+    * would otherwise re-join subs on (id, g) just to fetch it
+    * ([[trainCodebooks]]'s per-iteration update). */
+  private def assignCodes(subs: DataFrame, books: DataFrame,
+                          keepSub: Boolean = false): DataFrame = {
+    val booksArr = books.groupBy(col("g"))
+      .agg(array_sort(collect_list(struct(col("code_id"), col("cw")))).as("_cws"))
+    val best = aggregate(col("_cws"),
+      struct(lit(Long.MaxValue).as("d"), lit(Long.MinValue).as("c")),
+      (acc, b) => {
+        val d = Cluster.sqDistQ(col("sub"), b.getField("cw"))
+        when(d < acc.getField("d"),
+          struct(d.as("d"), b.getField("code_id").as("c")))
+          .otherwise(acc)
+      })
+    val keep = Seq(col("id"), col("g")) ++ (if (keepSub) Seq(col("sub")) else Nil)
+    subs.join(broadcast(booksArr), Seq("g"))
+      .select(keep :+ best.as("_b"): _*)
+      .select(keep ++ Seq(col("_b.c").as("code_id"), col("_b.d").as("dist")): _*)
+  }
 
   /** M interleaved Lloyd loops in one lazy plan: per subspace `g`, k
     * codewords seeded from the k smallest ids' subvectors and refined
@@ -82,7 +101,9 @@ object Pq {
     var books = subs.join(broadcast(seedIds), Seq("id"))
       .select(col("g"), col("id").as("code_id"), col("sub").as("cw"))
     for (_ <- 1 to iterations) {
-      val a = assignCodes(subs, books).join(subs, Seq("id", "g"))
+      // keepSub carries the subvector with the assignment — the old
+      // shape re-joined subs on (id, g), one exchange per iteration
+      val a = assignCodes(subs, books, keepSub = true)
       books = a
         .select(col("g"), col("code_id"), posexplode(col("sub")).as(Seq("pos", "v")))
         .groupBy(col("g"), col("code_id"), col("pos"))
@@ -189,7 +210,11 @@ object Pq {
                 k: Int, nProbe: Int, oversample: Int = 4): DataFrame = {
     require(k >= 1 && nProbe >= 1 && oversample >= 1,
       s"need k>=1, nProbe>=1, oversample>=1; got $k/$nProbe/$oversample")
-    val ranked = Cluster.rankCentroidsQ(pts, cents)
+    // Narrow bounded ranking (round 18): consumers below never read past
+    // rank max(nProbe, 1). Lists take `_r === 1` only, so each candidate
+    // lives in exactly one list and a (query, cand) pair surfaces at most
+    // once — the old pair-level `.distinct()` was a redundant exchange.
+    val ranked = Cluster.rankCentroidsQ(pts, cents, maxR = nProbe)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lists = ranked.filter(col("_r") === 1)
       .select(col("id").as("cand_id"), col("cluster_id"))
@@ -199,7 +224,6 @@ object Pq {
     val cand = probes.join(lists, Seq("cluster_id"))
       .filter(col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"))
-      .distinct()
     adcRerank(pts, books, codes, cand, m, queries, k, oversample)
   }
 

@@ -113,8 +113,25 @@ object Similarity {
     * probe lists → persisted; release with `spark.catalog.clearCache()`.
     */
   /** Centroid-distance ranking per vector: (id, centroid_id, _r) with _r=1
-    * the nearest centroid. One N×C pass, centroids broadcast; persisted
-    * because every IVF consumer reads it at least twice.
+    * the nearest centroid, capped at `maxRFor(C)` ranks (C = the in-plan
+    * centroid count). Persisted because every IVF consumer reads it at
+    * least twice.
+    *
+    * NARROW by construction (round 18): the C centroids fold into ONE
+    * static row (centroid_id-sorted struct array — the same bytes the
+    * per-centroid broadcast carried), and each vector ranks them with an
+    * in-task `transform` → `array_sort` → `slice` → `posexplode`: sort
+    * ascending on struct(-cos, centroid_id) ≡ the old window's
+    * (cos DESC, centroid_id ASC), ties and -0.0 included
+    * (Double.compare(-0.0,0.0)<0 on both paths). The previous shape
+    * materialized all N×C ranked rows through a window EXCHANGE and
+    * persisted them — at 10⁹ vectors × √N centroids that shuffle (and
+    * cache) is ~3×10¹³ rows for a consumer set that never reads past
+    * rank max(nProbe, assignProbe, ceil(frac·C)); it also cost 2 stages
+    * of latency that put q52 at ~3 s on a 2k-vector frame. Output is
+    * N×maxR rows, zero exchanges. (Zero-norm vectors: cos = NaN ranks
+    * first under a DESC window but last here — the corpus contract
+    * forbids zero vectors and every IVF cell is oracle-hashed.)
     *
     * `centroidEvery > 0` pins the seed stride explicitly (tests, fixed
     * small frames). `centroidEvery == 0` is AUTO: stride =
@@ -126,7 +143,9 @@ object Similarity {
     * aggregate broadcast back), deterministic IEEE arithmetic any engine
     * reproduces. */
   private def ivfAssignment(emb: DataFrame, idCol: String, vecCol: String,
-                            centroidEvery: Int): DataFrame = {
+                            centroidEvery: Int,
+                            maxRFor: Column => Column,
+                            keepVec: Boolean = false): DataFrame = {
     val seeds =
       if (centroidEvery > 0) emb.filter(col(idCol) % centroidEvery === 0)
       else {
@@ -137,18 +156,30 @@ object Similarity {
           .filter(col(idCol) % col("_stride") === 0)
           .drop("_stride")
       }
-    val cents = seeds
+    val centsRow = seeds
       .select(col(idCol).as("centroid_id"), col(vecCol).as("_cv"),
         sqrt(dot(col(vecCol), col(vecCol))).as("_cn"))
-    val wAssign = Window.partitionBy(col(idCol))
-      .orderBy(col("_cos").desc, col("centroid_id"))
+      .agg(array_sort(collect_list(
+        struct(col("centroid_id"), col("_cv"), col("_cn")))).as("_cs"))
+    val ranked = array_sort(transform(col("_cs"), c =>
+      struct(
+        (-(dot(col("_v"), c.getField("_cv")) /
+          (col("_n") * c.getField("_cn")))).as("_negcos"),
+        c.getField("centroid_id").as("centroid_id"))))
+    // keepVec: carry (_v, _n) through — free in the narrow pipeline, and
+    // it lets ivfTopKCore's lists/probes score cosines at the bucket join
+    // without re-reading emb. The persisted footprint grows from ids-only
+    // to maxR× the vector column — still maxR/C of what the pre-r18 N×C
+    // window shape cached.
+    val keep = col(idCol) +: (if (keepVec) Seq(col("_v"), col("_n")) else Nil)
     emb
       .select(col(idCol), col(vecCol).as("_v"),
         sqrt(dot(col(vecCol), col(vecCol))).as("_n"))
-      .crossJoin(broadcast(cents.select(col("centroid_id"), col("_cv"), col("_cn"))))
-      .withColumn("_cos", dot(col("_v"), col("_cv")) / (col("_n") * col("_cn")))
-      .withColumn("_r", row_number().over(wAssign))
-      .select(col(idCol), col("centroid_id"), col("_r"))
+      .crossJoin(broadcast(centsRow))
+      .select(keep :+ posexplode(slice(ranked, lit(1),
+          greatest(lit(1), maxRFor(size(col("_cs"))).cast("int")))): _*)
+      .select(keep ++ Seq(col("col.centroid_id").as("centroid_id"),
+        (col("pos") + 1).cast("int").as("_r")): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
@@ -184,10 +215,29 @@ object Similarity {
   private def ivfTopKCore(emb: DataFrame, idCol: String, vecCol: String,
                           queryPred: Column, k: Int, centroidEvery: Int,
                           probe: Either[Int, (Double, Int)]): DataFrame = {
-    val assigned = ivfAssignment(emb, idCol, vecCol, centroidEvery)
+    // Assignment rank cap: all any consumer below reads. The frac path's
+    // FILTER threshold counts non-empty lists (countDistinct ≤ C), so the
+    // C-based slice cap here is always ≥ it — the cap never drops a row
+    // the filter would keep.
+    val maxRFor: Column => Column = probe match {
+      case Left(nProbe) => _ => lit(math.max(nProbe, 1))
+      case Right((frac, nProbeMin)) => c =>
+        greatest(lit(math.max(nProbeMin, 1)), ceil(lit(frac) * c))
+    }
+    val assigned = ivfAssignment(emb, idCol, vecCol, centroidEvery, maxRFor,
+      keepVec = true)
 
+    // The faithful inverted-FILE shape (round 18): list rows CARRY their
+    // member's vector and probe rows the query's — both ride the narrow
+    // assignment for free — so the centroid-bucket join scores cosines
+    // directly instead of shuffling the pair set twice more through
+    // vector join-backs on emb. And because lists take `_r === 1` only,
+    // every candidate lives in exactly ONE list, so a (query, cand) pair
+    // can surface at most once — the old pair-level `.distinct()` was a
+    // provably-redundant third exchange and is gone.
     val lists = assigned.filter(col("_r") === 1)
-      .select(col(idCol).as("cand_id"), col("centroid_id"))
+      .select(col(idCol).as("cand_id"), col("centroid_id"),
+        col("_v").as("_cv2"), col("_n").as("_cn2"))
     val probes = (probe match {
       case Left(nProbe) =>
         assigned.filter(queryPred).filter(col("_r") <= nProbe)
@@ -198,21 +248,14 @@ object Similarity {
           .crossJoin(broadcast(cCount))
           .filter(col("_r") <= greatest(lit(nProbeMin.toLong),
             ceil(lit(frac) * col("_c")).cast("long")))
-    }).select(col(idCol).as("query_id"), col("centroid_id"))
+    }).select(col(idCol).as("query_id"), col("centroid_id"),
+      col("_v").as("_qv"), col("_n").as("_qn"))
 
-    val qv = emb.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
-      sqrt(dot(col(vecCol), col(vecCol))).as("_qn"))
-    val cv = emb.select(col(idCol).as("cand_id"), col(vecCol).as("_cv2"),
-      sqrt(dot(col(vecCol), col(vecCol))).as("_cn2"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("cand_id"))
     probes
       .join(lists, Seq("centroid_id"))
       .filter(col("query_id") =!= col("cand_id"))
-      .select(col("query_id"), col("cand_id"))
-      .distinct()
-      .join(qv, Seq("query_id"))
-      .join(cv, Seq("cand_id"))
       .withColumn("cosine", dot(col("_qv"), col("_cv2")) / (col("_qn") * col("_cn2")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -230,7 +273,8 @@ object Similarity {
   def ivfNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                       minCosine: Double, centroidEvery: Int,
                       assignProbe: Int = 2): DataFrame = {
-    val assigned = ivfAssignment(emb, idCol, vecCol, centroidEvery)
+    val assigned = ivfAssignment(emb, idCol, vecCol, centroidEvery,
+        _ => lit(math.max(assignProbe, 1)))
       .filter(col("_r") <= assignProbe)
       .select(col(idCol), col("centroid_id"))
     val candidates = assigned.select(col(idCol).as("id_a"), col("centroid_id"))

@@ -125,18 +125,29 @@ class IncrementalIoSpec extends SparkSpec {
         "affected-cluster closure is clustering the untouched majority")
   }
 
-  test("q159 list maintenance shuffles a fraction of a full re-assignment") {
+  test("q159: neither list maintenance nor a full re-assignment shuffles the corpus") {
     warm(Queries.q159IncrementalIvf(spark, dir))
     val m = IoEvidence.measure(spark, Queries.q159MaintainedLists(spark, dir))
     val r = IoEvidence.measure(spark, Queries.q159FullAssign(spark, dir))
     val ratio = m.shuffleWrite.toDouble / r.shuffleWrite
     info(f"q159 maint=$m rebuild=$r shuffle_ratio=$ratio%.3f")
     r.shuffleWrite should be > 0L
-    // Measured ~0.1: only ADDED ids flow through the assignment
-    // argmin; retained ids are one stored-list semi-join.
-    assert(ratio < 0.5,
-      f"list maintenance shuffle is $ratio%.2fx the re-assignment's — " +
-        "the reuse semi-join is re-assigning retained vectors")
+    // Until r18 this asserted maint/rebuild < 0.5: the rebuild paid an
+    // N-row groupBy exchange (with vectors) that maintenance's
+    // delta-only argmin skipped. The r18 fold assignment removed the
+    // corpus exchange from BOTH sides — assignQ now computes the argmin
+    // where the row sits — so the remaining shuffle on each side is the
+    // k-row centroid fold constant (measured identical at sf0.01: the
+    // reuse joins broadcast). The pin inverts accordingly: maintenance
+    // must stay within a small factor of the rebuild's constant — a
+    // regression that shuffles retained VECTORS (or reintroduces the
+    // N-row assignment exchange on either side) lands orders of
+    // magnitude over it. Delta-only ranking itself stays pinned
+    // functionally: ClusterSpec's maintained≡fresh equality and q159's
+    // full-rebuild replay oracle.
+    assert(ratio < 1.5,
+      f"list maintenance shuffle is $ratio%.2fx the re-assignment's " +
+        "centroid-fold constant — something corpus-sized is shuffling")
   }
 
   test("q145 manifest maintenance (stored delta) stays under the rebuild on both proxies") {

@@ -81,7 +81,17 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q52: IVF assignment broadcasts the centroids (never shuffles N against C)") {
-    plan(Queries.q52AnnIvfTopk) should include("BroadcastNestedLoopJoin")
+    val p = plan(Queries.q52AnnIvfTopk)
+    p should include("BroadcastNestedLoopJoin")
+    // r18 narrow-assignment budget: the N×C ranking is an in-task
+    // array sort (zero exchanges — the old window shape shuffled all
+    // N×C ranked rows), so the whole query is the two 1-row aggs
+    // (stride, centroid fold), the bucket join's two sides, and the
+    // final top-k window. Re-introducing the ranking window, the
+    // pair-level distinct, or the emb join-backs adds exchanges and
+    // must trip here.
+    p.split("\n").count(l =>
+      l.contains("Exchange") && !l.contains("Broadcast")) should be <= 5
   }
 
   test("q53: ROLLUP expands grouping sets inside ONE aggregation, not three scans") {
@@ -177,6 +187,11 @@ class PlanSpec extends SparkSpec {
     p should include("BroadcastNestedLoopJoin") // N x k centroid ranking
     p should include("BroadcastHashJoin")       // codes |X| broadcast dtab
     p should not include "CartesianProduct"
+    // r18 budget: narrow bounded ranking (no N×k window exchange), no
+    // pair-level distinct — ADC sum, shortlist window, exact-rerank
+    // joins + window over the shortlist only.
+    p.split("\n").count(l =>
+      l.contains("Exchange") && !l.contains("Broadcast")) should be <= 4
   }
 
   test("q101/q103: k-means assignment broadcasts the centroids and sqdist is codegen'd") {
@@ -186,6 +201,17 @@ class PlanSpec extends SparkSpec {
       // native expression resolved (not an interpreted zip_with fold)
       p should include("graft_sqdist_q")
     }
+    // r18 fold-assignment pin: assignQ computes the argmin where the row
+    // sits, so q101's ONLY shuffle is the k-row centroid fold aggregate —
+    // the corpus itself never exchanges. The pre-r18 groupBy(id) shape
+    // shuffled all N rows WITH their vectors; re-introducing it trips
+    // this bound.
+    plan(Queries.q101KmeansCluster).split("\n").count(l =>
+      l.contains("Exchange") && !l.contains("Broadcast")) should be <= 1
+    // q103 adds the bucket join (two sides) + final top-k window over
+    // the bounded narrow ranking.
+    plan(Queries.q103TrainedIvfTopk).split("\n").count(l =>
+      l.contains("Exchange") && !l.contains("Broadcast")) should be <= 3
   }
 
   test("q104/q122/q123: chunk/frame/patch windows are a pure narrow map — no shuffle") {
