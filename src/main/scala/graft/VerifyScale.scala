@@ -24,7 +24,15 @@ object VerifyScale {
 
   /** The incremental/maintenance cells whose batch≡incremental oracles
     * are worth re-proving at 10× density (VERDICT r17 names the first
-    * twelve; the q181–q184 chains share the same machinery). */
+    * twelve; the q181–q184 chains share the same machinery), plus —
+    * since the round-18 narrow-assignment reshape — the ANN family
+    * whose physical paths changed wholesale (fold argmin, bounded
+    * in-task ranking, carried vectors, no pair distinct): tie-break
+    * and cap arithmetic are exactly the kind of logic whose bugs are
+    * density-dependent (more centroids at 10× ⇒ more near-ties, a
+    * frac-path cap that rounds differently, a slice bound that clips
+    * a rank the filter wanted), so each reshaped cell's full-replay
+    * oracle is re-proved at the 10× corpus too. */
   val ScaleChecked: Seq[String] = Seq(
     "q145_incremental_corpus", "q148_incremental_minhash",
     "q153_incremental_clusters", "q155_incremental_lm",
@@ -33,7 +41,11 @@ object VerifyScale {
     "q174_incremental_semdedup", "q176_incremental_span_dedup",
     "q179_incremental_ivfpq", "q180_incremental_cms",
     "q181_stream_cms_chain", "q182_stream_dsir_chain",
-    "q183_stream_bm25df_chain", "q184_stream_bpe_units_chain")
+    "q183_stream_bm25df_chain", "q184_stream_bpe_units_chain",
+    // r18 ANN-reshape regression set (run with prefix filters to scope)
+    "q52_ann_ivf_topk", "q83d_ivf_recall", "q101_kmeans_cluster",
+    "q102_semantic_dedup", "q103_trained_ivf_topk", "q116_pq_topk",
+    "q117_ivfpq_topk")
 
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
