@@ -180,6 +180,28 @@ class ClusterSpec extends SparkSpec {
     stored shouldBe live
   }
 
+  test("assignQ over an empty centroid frame is empty, never a sentinel row") {
+    // The r18 fold assignment seeds its argmin with a
+    // (Long.MaxValue, Long.MinValue) struct; an empty centroid array
+    // must reproduce the old crossJoin semantics (no output rows), not
+    // leak the seed as a phantom assignment.
+    val pts = blobPts
+    val cents = Cluster.train(pts, k = 4, iterations = 2).filter(lit(false))
+    Cluster.assignQ(pts, cents).count() shouldBe 0L
+  }
+
+  test("rankCentroidsQ maxR cap is a strict prefix of the full ranking") {
+    val pts = blobPts
+    val cents = Cluster.train(pts, k = 4, iterations = 2)
+    def rows(maxR: Int) = Cluster.rankCentroidsQ(pts, cents, maxR)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val full = rows(4)
+    val capped = rows(2)
+    capped shouldBe full.filter(_._3 <= 2)
+    // and a cap past k returns everything, no phantom ranks
+    rows(9) shouldBe full
+  }
+
   test("incremental list maintenance (reuse + delta-assign) equals a fresh assignment") {
     val all = blobPts
     val cents = Cluster.train(all, k = 4, iterations = 2)

@@ -68,6 +68,35 @@ class SimilaritySpec extends SparkSpec {
     out.map(_.getLong(1)).toSet should not contain 2L  // unprobed list skipped
   }
 
+  test("ivfTopKFrac: the slice cap honors nProbeMin past the frac bound") {
+    // r18 narrow assignment: the in-task ranking is SLICED at
+    // greatest(nProbeMin, ceil(frac*C)) before the probe filter reads
+    // it. With frac tiny and nProbeMin = 3 the filter wants rank 3 —
+    // a cap that drops the greatest(min, ...) (slicing at
+    // ceil(0.1*3) = 1) would clip the rank-3 list this query's only
+    // far candidate lives in, and the outputs diverge from the fixed
+    // nProbe = 3 formulation. Geometry: centroids {0, 2, 4}; query 1
+    // ranks them c0 > c2 > c4, and id 5 (near c4's axis) is only
+    // reachable through the rank-3 probe.
+    val v6 = df("id BIGINT, v ARRAY<FLOAT>", Seq(
+      Row(0L, Seq(1.0f, 0.0f, 0.0f)),
+      Row(1L, Seq(1.0f, 0.05f, 0.0f)),
+      Row(2L, Seq(0.9f, 0.44f, 0.0f)),
+      Row(3L, Seq(0.0f, 1.0f, 0.0f)),
+      Row(4L, Seq(0.0f, 0.0f, 1.0f)),
+      Row(5L, Seq(0.1f, 0.05f, 1.0f))))
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).sortBy(_._4).toSeq
+    val frac = rows(Similarity.ivfTopKFrac(v6, "id", "v", col("id") === 1,
+      k = 5, centroidEvery = 2, probeFrac = 0.1, nProbeMin = 3))
+    val fixed = rows(Similarity.ivfTopK(v6, "id", "v", col("id") === 1,
+      k = 5, centroidEvery = 2, nProbe = 3))
+    frac.map(_._2) should contain(5L) // the rank-3-list candidate
+    frac shouldBe fixed
+    spark.catalog.clearCache()
+  }
+
   test("ivfNearDupPairs finds co-bucketed near-dups with exact cosines, bounded candidates") {
     // vecs 0 and 1 are parallel (cosine 1.0) and share centroid 0's list;
     // 2 is orthogonal to both — not a near-dup even when co-bucketed
