@@ -2614,7 +2614,7 @@ object Oracles {
         |        list_sum(list_transform(list_zip(a.qv, b.qv),
         |          z -> (z[1]-z[2])*(z[1]-z[2]))), b.id) AS rank
         |    FROM pts a CROSS JOIN pts b
-        |    WHERE a.id % 50 = 0 AND b.id != a.id)
+        |    WHERE a.id % 50 = 0 AND a.id < 10000000 AND b.id != a.id)
         |  WHERE rank <= 5)
         |SELECT 'ivf_pq' AS method,
         |  (SELECT count(*) FROM topk) AS n_reference, TRUE AS ok""".stripMargin,
@@ -3487,7 +3487,7 @@ object Oracles {
         |        list_sum(list_transform(list_zip(a.qv, b.qv),
         |          z -> (z[1]-z[2])*(z[1]-z[2]))), b.id) AS rank
         |    FROM pts a CROSS JOIN pts b
-        |    WHERE a.id % 50 = 0 AND b.id != a.id)
+        |    WHERE a.id % 50 = 0 AND a.id < 10000000 AND b.id != a.id)
         |  WHERE rank <= 5),
         |votes AS (
         |  SELECT t.query_id, p.label AS n_label, count(*) AS votes

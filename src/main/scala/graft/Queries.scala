@@ -1548,10 +1548,18 @@ object Queries {
     * one. Same build-once artifact contract. */
   private def exactTopKL2(s: SparkSession, dir: String): DataFrame = {
     val sfTag = Tables.corpusTag(s, dir, "embeddings")
-    val path = s"${Tables.scratchDir(s)}/exact_topk_l2_q50_k5_v1/$sfTag"
+    val path = s"${Tables.scratchDir(s)}/exact_topk_l2_q50b_k5_v2/$sfTag"
     Tables.servedArtifact(s, path) {
       val pts = quantizedPoints(s, dir)
-      val q = pts.filter(col("id") % 50 === 0)
+      // FIXED standing query panel, base-corpus ids only — the SAME
+      // panel contract as q117 (its round-13 growth lesson): a ground
+      // truth whose panel grows with the corpus is O(N²/50) to build
+      // AND mismatches the served panel it gates. The r18 10× hash
+      // check caught exactly that: q83e divided q117's 40-query
+      // standing result by a 400-query reference and read a panel
+      // mismatch as a recall collapse. Vacuous at sf ≤ 0.1 (every id
+      // is below the cap).
+      val q = pts.filter(col("id") % 50 === 0 && col("id") < 10000000L)
         .select(col("id").as("query_id"), col("qv").as("_q"))
       val c = pts.select(col("id").as("cand_id"), col("qv").as("_c"))
       val w = Window.partitionBy(col("query_id"))

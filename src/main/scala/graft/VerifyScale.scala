@@ -42,10 +42,27 @@ object VerifyScale {
     "q179_incremental_ivfpq", "q180_incremental_cms",
     "q181_stream_cms_chain", "q182_stream_dsir_chain",
     "q183_stream_bm25df_chain", "q184_stream_bpe_units_chain",
-    // r18 ANN-reshape regression set (run with prefix filters to scope)
-    "q52_ann_ivf_topk", "q83d_ivf_recall", "q101_kmeans_cluster",
-    "q102_semantic_dedup", "q103_trained_ivf_topk", "q116_pq_topk",
-    "q117_ivfpq_topk")
+    // r18 ANN-reshape regression set (run with prefix filters to scope).
+    // q83e is deliberately ABSENT: running it here caught two things.
+    // (1) A real panel bug — exactTopKL2's ground-truth panel lacked
+    // q117's base-corpus standing-panel cap, so at 10× the gate divided
+    // a 40-query serving result by a 400-query reference (fixed: the
+    // cap now matches, oracle mirrored). (2) With the panels aligned,
+    // q117's recall genuinely falls below the 0.3 floor at 10× — the
+    // ADC shortlist is k·oversample = 320 rows/query BY DESIGN (the
+    // corpus-independent rerank is the 100 TB serving shape), so its
+    // share of the probed candidates drops 10× and the deliberately
+    // low-resolution 3-bit codebooks can't rank the true neighbors
+    // into it. That is the documented property of the tiny
+    // oracle-replayable model (q117's comment: production holds recall
+    // with 8-bit codebooks, not a corpus-proportional shortlist), the
+    // same decay q83d's frac-probing fix addressed for the ROUTER —
+    // and q83d passes here, confirming the scale-stable half. q117's
+    // full hash match above pins the 10× DERIVATION; the gate's floor
+    // stays calibrated to the serving regime (≤ sf0.1).
+    "q52_ann_ivf_topk", "q83d_ivf_recall",
+    "q101_kmeans_cluster", "q102_semantic_dedup", "q103_trained_ivf_topk",
+    "q116_pq_topk", "q117_ivfpq_topk")
 
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
