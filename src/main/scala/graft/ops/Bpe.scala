@@ -359,13 +359,18 @@ object Bpe {
     // stage latency against a 0.19 s twin). Guarded on Catalyst size
     // stats — NOT a count() — so the unrolled path's zero-actions-
     // inside-train contract is untouched, and fail-CLOSED (missing
-    // stats read huge → unrolled plan). `maxLocalWords = 0` forces the
-    // distributed/unrolled shape (spec + q147 coverage); tier equality
-    // is BpeSpec-pinned at shared budgets.
+    // stats read huge → unrolled plan). The caller's numeric cap is
+    // honored through the same stats: when the optimizer knows a row
+    // count it must sit under `maxLocalWords` (the deep tier's count()
+    // contract); when it doesn't, the 8 MB byte bound alone gates —
+    // bytes being the quantity that actually bounds one task's memory.
+    // `maxLocalWords = 0` forces the distributed/unrolled shape (spec +
+    // q147 coverage); tier equality is BpeSpec-pinned at shared budgets.
     if (rounds <= UnrollLimit) {
+      val st = wf.queryExecution.optimizedPlan.stats
       if (maxLocalWords > 0 &&
-          wf.queryExecution.optimizedPlan.stats.sizeInBytes <=
-            BigInt(8L << 20))
+          st.rowCount.forall(_ <= BigInt(maxLocalWords)) &&
+          st.sizeInBytes <= BigInt(8L << 20))
         return trainLocal(wf, rounds, topWords)
     } else {
       // ONE-TASK TIER for deep budgets over one-task vocabularies (the

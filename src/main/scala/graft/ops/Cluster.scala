@@ -46,6 +46,23 @@ object Cluster {
   def sqDistQ(a: Column, b: Column): Column =
     call_function("graft_sqdist_q", a, b)
 
+  /** Lexicographic argmin over a broadcast struct-array of candidates:
+    * one struct(dist, id) per element, each distance evaluated ONCE;
+    * `array_min`'s struct ordering reproduces the old
+    * `min(struct(dist, id))` groupBy-argmin tie-break exactly (smallest
+    * distance, then smallest id) and returns NULL on an empty array —
+    * callers filter, instead of special-casing a sentinel seed. The one
+    * shared argmin for the batch ([[assignQ]]), streaming
+    * ([[assignStreaming]]) and PQ ([[Pq]] codes) tiers, whose
+    * bit-equality the specs pin — fix tie-break semantics HERE, once.
+    * `vecField`/`idField` name the struct fields ("cv"/"cluster_id" for
+    * centroids, "cw"/"code_id" for codewords). */
+  private[ops] def argminStruct(arr: Column, vec: Column,
+                                vecField: String, idField: String): Column =
+    array_min(transform(arr, c =>
+      struct(sqDistQ(vec, c.getField(vecField)).as("d"),
+        c.getField(idField).as("cid"))))
+
   /** Nearest-centroid assignment: (id, qv, cluster_id, dist). NARROW
     * (round 18): the k centroids fold into ONE static cluster_id-sorted
     * struct-array row (the [[assignStreaming]] idiom — same bytes the
@@ -59,25 +76,16 @@ object Cluster {
     * the maintenance family) drops one corpus-sized shuffle. */
   def assignQ(pts: DataFrame, cents: DataFrame): DataFrame = assign(pts, cents)
 
-  private def assign(pts: DataFrame, cents: DataFrame): DataFrame = {
-    val centsRow = cents.agg(
-      array_sort(collect_list(struct(col("cluster_id"), col("cv")))).as("_cents"))
-    val best = aggregate(col("_cents"),
-      struct(lit(Long.MaxValue).as("d"), lit(Long.MinValue).as("cid")),
-      (acc, c) => {
-        val d = sqDistQ(col("qv"), c.getField("cv"))
-        when(d < acc.getField("d"),
-          struct(d.as("d"), c.getField("cluster_id").as("cid")))
-          .otherwise(acc)
-      })
-    pts.crossJoin(broadcast(centsRow))
-      // empty-centroid frame → empty assignment (the old crossJoin
-      // semantics), never a MinValue sentinel row
-      .filter(size(col("_cents")) > 0)
-      .select(col("id"), col("qv"), best.as("_b"))
+  private def assign(pts: DataFrame, cents: DataFrame): DataFrame =
+    pts.crossJoin(broadcast(cents.agg(
+        collect_list(struct(col("cluster_id"), col("cv"))).as("_cents"))))
+      .select(col("id"), col("qv"),
+        argminStruct(col("_cents"), col("qv"), "cv", "cluster_id").as("_b"))
+      // empty-centroid frame → null argmin → empty assignment (the old
+      // crossJoin semantics), never a sentinel row
+      .filter(col("_b").isNotNull)
       .select(col("id"), col("qv"), col("_b.cid").as("cluster_id"),
         col("_b.d").as("dist"))
-  }
 
   /** Fixed-iteration Lloyd's k-means. Returns the FINAL assignment
     * (`idCol`, cluster_id, dist) — cluster_id is the seed row's id, dist the
@@ -154,31 +162,24 @@ object Cluster {
 
   /** Nearest-centroid assignment with NO aggregation over the input — the
     * streaming-safe form of the assignment pass (semantic routing at
-    * ingest). The k centroids are folded into ONE static row (sorted
-    * array of (cluster_id, cv) structs) and cross-joined into every
-    * micro-batch; the argmin is a per-row left fold over that array, so
-    * the query is a stream-static join plus a stateless projection — no
-    * watermark, no state store, identical output on a batch frame and a
-    * readStream frame. Strict less-than over the cluster_id-sorted array
-    * reproduces the batch tie-break (smallest centroid wins). k is small
-    * by construction, so the interpreted fold costs k sqdists per row. */
+    * ingest). The k centroids are folded into ONE static row (an array
+    * of (cluster_id, cv) structs) and cross-joined into every
+    * micro-batch; the argmin is [[argminStruct]] — the SAME per-row
+    * struct-min the batch [[assignQ]] runs, so batch/stream bit-equality
+    * holds by construction, not by parallel-maintained copies. The query
+    * is a stream-static join plus a stateless projection — no watermark,
+    * no state store, identical output on a batch frame and a readStream
+    * frame. k is small by construction, so the argmin costs k sqdists
+    * per row. */
   def assignStreaming(emb: DataFrame, idCol: String, vecCol: String,
-                      cents: DataFrame): DataFrame = {
-    val centsRow = cents.agg(
-      array_sort(collect_list(struct(col("cluster_id"), col("cv")))).as("_cents"))
-    val best = aggregate(col("_cents"),
-      struct(lit(Long.MaxValue).as("d"), lit(Long.MinValue).as("cid")),
-      (acc, c) => {
-        val d = sqDistQ(col("qv"), c.getField("cv"))
-        when(d < acc.getField("d"),
-          struct(d.as("d"), c.getField("cluster_id").as("cid")))
-          .otherwise(acc)
-      })
+                      cents: DataFrame): DataFrame =
     emb.select(col(idCol), quantize(col(vecCol)).as("qv"))
-      .crossJoin(centsRow)
-      .select(col(idCol), best.as("_b"))
+      .crossJoin(cents.agg(
+        collect_list(struct(col("cluster_id"), col("cv"))).as("_cents")))
+      .select(col(idCol),
+        argminStruct(col("_cents"), col("qv"), "cv", "cluster_id").as("_b"))
+      .filter(col("_b").isNotNull)
       .select(col(idCol), col("_b.cid").as("cluster_id"), col("_b.d").as("dist"))
-  }
 
   /** TRAINED-centroid IVF top-k in quantized L2 space — [[kMeans]]'s
     * quantizer feeding an inverted-file search (the composition
@@ -251,8 +252,11 @@ object Cluster {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val lists = ranked.filter(col("_r") === 1)
       .select(col("id").as("cand_id"), col("cluster_id"), col("qv").as("_qb"))
+    // panel-sized dedup: the old pair-level distinct also collapsed a
+    // panel with duplicate ids; without it a dup id would double its
+    // probe rows and burn top-K slots on duplicate candidates
     val probes = ranked
-      .join(queryIds, Seq("id"))
+      .join(queryIds.select(col("id")).distinct(), Seq("id"))
       .filter(col("_r") <= nProbe)
       .select(col("id").as("query_id"), col("cluster_id"), col("qv").as("_qa"))
     val w = Window.partitionBy(col("query_id"))
@@ -284,7 +288,10 @@ object Cluster {
     // downstream just to re-fetch the 4 probe vectors this frame
     // already held. Same ranking arithmetic and tie-break.
     val wr = Window.partitionBy(col("id")).orderBy(col("_d"), col("cluster_id"))
-    val probes = pts.join(queryIds, Seq("id"))
+    // panel-sized dedup: a duplicate panel id inside the ranking window
+    // would interleave each centroid twice and probe the nearest list
+    // repeatedly instead of the top nProbe lists
+    val probes = pts.join(queryIds.select(col("id")).distinct(), Seq("id"))
       .crossJoin(broadcast(cents))
       .select(col("id"), col("qv"), col("cluster_id"),
         sqDistQ(col("qv"), col("cv")).as("_d"))

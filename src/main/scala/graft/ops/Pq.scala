@@ -59,10 +59,10 @@ object Pq {
   /** Per-subspace argmin assignment: (id, g, [sub,] code_id, dist).
     * `books` is (g, code_id, cw) — M·K codewords is bytes, never data.
     *
-    * NARROW (round 18, the [[Cluster.assignQ]] fold shape): each
-    * subspace's codewords fold into one code_id-sorted struct array (M
-    * rows total, broadcast into the g equi-join) and the argmin is a
-    * per-row strict less-than fold — identical tie-break to the old
+    * NARROW (round 18, the [[Cluster.assignQ]] shape): each subspace's
+    * codewords fold into one struct array (M rows total, broadcast into
+    * the g equi-join) and the argmin is the shared
+    * [[Cluster.argminStruct]] — identical tie-break to the old
     * `min(struct(d, code_id))`. The previous shape exchanged all N×M
     * subvector rows through a groupBy for a value computable in place.
     * `keepSub = true` carries the subvector through for callers that
@@ -71,19 +71,13 @@ object Pq {
   private def assignCodes(subs: DataFrame, books: DataFrame,
                           keepSub: Boolean = false): DataFrame = {
     val booksArr = books.groupBy(col("g"))
-      .agg(array_sort(collect_list(struct(col("code_id"), col("cw")))).as("_cws"))
-    val best = aggregate(col("_cws"),
-      struct(lit(Long.MaxValue).as("d"), lit(Long.MinValue).as("c")),
-      (acc, b) => {
-        val d = Cluster.sqDistQ(col("sub"), b.getField("cw"))
-        when(d < acc.getField("d"),
-          struct(d.as("d"), b.getField("code_id").as("c")))
-          .otherwise(acc)
-      })
+      .agg(collect_list(struct(col("code_id"), col("cw"))).as("_cws"))
     val keep = Seq(col("id"), col("g")) ++ (if (keepSub) Seq(col("sub")) else Nil)
     subs.join(broadcast(booksArr), Seq("g"))
-      .select(keep :+ best.as("_b"): _*)
-      .select(keep ++ Seq(col("_b.c").as("code_id"), col("_b.d").as("dist")): _*)
+      .select(keep :+
+        Cluster.argminStruct(col("_cws"), col("sub"), "cw", "code_id").as("_b"): _*)
+      .filter(col("_b").isNotNull)
+      .select(keep ++ Seq(col("_b.cid").as("code_id"), col("_b.d").as("dist")): _*)
   }
 
   /** M interleaved Lloyd loops in one lazy plan: per subspace `g`, k
@@ -147,7 +141,10 @@ object Pq {
   def topKQ(pts: DataFrame, books: DataFrame, codes: DataFrame, m: Int,
             queries: DataFrame, k: Int, oversample: Int = 4): DataFrame = {
     require(k >= 1 && oversample >= 1, s"need k>=1, oversample>=1; got $k/$oversample")
-    val qsubs = subvectors(pts.join(broadcast(queries), Seq("id")), m)
+    // panel-sized dedup: a duplicate panel id would double its distance-
+    // table rows and corrupt every ADC sum for that query
+    val qsubs = subvectors(
+      pts.join(broadcast(queries.select(col("id")).distinct()), Seq("id")), m)
       .select(col("id").as("query_id"), col("g"), col("sub"))
     val dtab = qsubs.join(broadcast(books), Seq("g"))
       .select(col("query_id"), col("g"), col("code_id"),
@@ -216,15 +213,20 @@ object Pq {
     // once — the old pair-level `.distinct()` was a redundant exchange.
     val ranked = Cluster.rankCentroidsQ(pts, cents, maxR = nProbe)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // panel-sized dedup (covers the rerank half too, where a duplicate
+    // panel id would double every ADC distance-table row and corrupt
+    // the sums; the removed pair-level distinct used to mask the
+    // candidate half of that)
+    val qIds = queries.select(col("id")).distinct()
     val lists = ranked.filter(col("_r") === 1)
       .select(col("id").as("cand_id"), col("cluster_id"))
-    val probes = ranked.join(broadcast(queries), Seq("id"))
+    val probes = ranked.join(broadcast(qIds), Seq("id"))
       .filter(col("_r") <= nProbe)
       .select(col("id").as("query_id"), col("cluster_id"))
     val cand = probes.join(lists, Seq("cluster_id"))
       .filter(col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"))
-    adcRerank(pts, books, codes, cand, m, queries, k, oversample)
+    adcRerank(pts, books, codes, cand, m, qIds, k, oversample)
   }
 
   /** [[ivfPqTopK]] SERVED from STORED artifacts — the incremental ANN
@@ -247,8 +249,13 @@ object Pq {
     // Query-only centroid ranking (the ivfSearchStoredLists idiom):
     // identical arithmetic and (distance, cluster_id) tie-break to the
     // full rankCentroidsQ pass ivfPqTopK pays, on |Q| rows instead of N.
+    // panel-sized dedup: a duplicate panel id inside the ranking window
+    // would interleave each centroid twice, so `_r <= nProbe` probes the
+    // nearest list repeatedly instead of the top nProbe lists — and the
+    // rerank would double its ADC rows
+    val qIds = queries.select(col("id")).distinct()
     val wr = Window.partitionBy(col("id")).orderBy(col("_d"), col("cluster_id"))
-    val probes = pts.join(broadcast(queries), Seq("id"))
+    val probes = pts.join(broadcast(qIds), Seq("id"))
       .crossJoin(broadcast(cents))
       .select(col("id"), col("cluster_id"),
         Cluster.sqDistQ(col("qv"), col("cv")).as("_d"))
@@ -260,7 +267,7 @@ object Pq {
         Seq("cluster_id"))
       .filter(col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"))
-    adcRerank(pts, books, codes, cand, m, queries, k, oversample)
+    adcRerank(pts, books, codes, cand, m, qIds, k, oversample)
   }
 
   /** [[ivfPqTopKStored]] as ONE guarded task — the q148/q153/q171/q180
@@ -317,7 +324,9 @@ object Pq {
       val book = mutable.HashMap.empty[(Int, Long), Array[Long]]
       val codeRows = mutable.HashMap.empty[Long, mutable.ArrayBuffer[(Int, Long)]]
       val members = mutable.HashMap.empty[Long, mutable.ArrayBuffer[Long]]
-      val qIds = mutable.ArrayBuffer.empty[Long]
+      // set, not buffer: the distributed tiers dedup their query panel,
+      // so a duplicate panel id must not duplicate output rows here
+      val qIds = mutable.LinkedHashSet.empty[Long]
       def arr(row: org.apache.spark.sql.Row): Array[Long] =
         row.getSeq[Long](4).toArray
       it.foreach { row =>

@@ -189,9 +189,11 @@ class PlanSpec extends SparkSpec {
     p should not include "CartesianProduct"
     // r18 budget: narrow bounded ranking (no N×k window exchange), no
     // pair-level distinct — ADC sum, shortlist window, exact-rerank
-    // joins + window over the shortlist only.
+    // joins + window over the shortlist only, plus the two PANEL-sized
+    // query-dedup aggregates (|Q| rows each, feeding the probe join and
+    // the rerank's distance table — robustness, not corpus exchanges).
     p.split("\n").count(l =>
-      l.contains("Exchange") && !l.contains("Broadcast")) should be <= 4
+      l.contains("Exchange") && !l.contains("Broadcast")) should be <= 6
   }
 
   test("q101/q103: k-means assignment broadcasts the centroids and sqdist is codegen'd") {
@@ -209,9 +211,11 @@ class PlanSpec extends SparkSpec {
     plan(Queries.q101KmeansCluster).split("\n").count(l =>
       l.contains("Exchange") && !l.contains("Broadcast")) should be <= 1
     // q103 adds the bucket join (two sides) + final top-k window over
-    // the bounded narrow ranking.
+    // the bounded narrow ranking, plus the PANEL-sized query-dedup
+    // aggregate (|Q| rows — robustness against duplicate panel ids,
+    // not a corpus exchange).
     plan(Queries.q103TrainedIvfTopk).split("\n").count(l =>
-      l.contains("Exchange") && !l.contains("Broadcast")) should be <= 3
+      l.contains("Exchange") && !l.contains("Broadcast")) should be <= 4
   }
 
   test("q104/q122/q123: chunk/frame/patch windows are a pure narrow map — no shuffle") {

@@ -140,7 +140,24 @@ class BpeSpec extends SparkSpec {
     // The r18 tier (q129 straddle protection): Catalyst-stats-guarded
     // trainLocal at rounds <= UnrollLimit must reproduce the unrolled
     // in-plan training row for row — merges, exhaustion, word report.
-    val wf = Bpe.wordFreq(richDocs, "text")
+    // The word-freq table rides PARQUET like the deployed artifact
+    // (Queries.bpeWordFreq): a live aggregation's Catalyst stats read
+    // 8 EiB (fail-closed → unrolled) and the tier under test would
+    // never run — this test originally compared unrolled against
+    // unrolled until the guard assertion below caught it.
+    val wfDir = java.nio.file.Files
+      .createTempDirectory("bpe_tier_wf").toString
+    Bpe.wordFreq(richDocs, "text").write.mode("overwrite").parquet(wfDir)
+    val wf = spark.read.parquet(wfDir)
+    // NOT vacuous: the guard must actually fire on this frame — if the
+    // stats estimate ever drifts past the tier bound, the default call
+    // below would silently take the unrolled path and the equality
+    // would hold forever for the wrong reason. Fail loudly instead.
+    val st = wf.queryExecution.optimizedPlan.stats
+    assert(st.sizeInBytes <= BigInt(8L << 20) &&
+        st.rowCount.forall(_ <= BigInt(200000L)),
+      s"tier guard no longer fires on the test frame (stats: $st) — " +
+        "the equality below would be vacuous")
     val local = Bpe.trainFromWordFreq(wf, rounds = 3, topWords = 100)
       .collect().map(_.toSeq).sortBy(_.toString)
     val unrolled = Bpe.trainFromWordFreq(wf, rounds = 3, topWords = 100,

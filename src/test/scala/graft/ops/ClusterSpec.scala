@@ -219,4 +219,35 @@ class ClusterSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     maintained shouldBe fresh
   }
+
+  test("list maintenance never re-ranks a retained id (poisoned stored row passes through)") {
+    // The q159 delta-only claim, pinned where cpu/shuffle proxies can't
+    // discriminate (see IncrementalIoSpec's q159 note): poison one
+    // retained id's STORED cluster to a value a re-rank would correct.
+    // Delta-only maintenance serves the stored row verbatim — only
+    // ADDED ids pay the argmin — so the poison must survive; a
+    // maintenance path that re-assigns retained vectors overwrites it
+    // and fails here deterministically.
+    val all = blobPts
+    val cents = Cluster.train(all, k = 4, iterations = 2)
+    val newPts = all.filter(col("id") % 19 =!= 0)
+    val truth = Cluster.assignQ(newPts, cents)
+      .select(col("id"), col("cluster_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val victim = truth.keys.min
+    val wrong = cents.select(col("cluster_id")).collect().map(_.getLong(0))
+      .find(_ != truth(victim)).get
+    val prev = Cluster.assignQ(all, cents)
+      .select(col("id"),
+        when(col("id") === victim, lit(wrong))
+          .otherwise(col("cluster_id")).as("cluster_id"))
+    val maintained = prev
+      .join(newPts.select(col("id")), Seq("id"), "left_semi")
+      .unionByName(Cluster.assignQ(
+          newPts.join(prev.select(col("id")), Seq("id"), "left_anti"), cents)
+        .select(col("id"), col("cluster_id")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    maintained(victim) shouldBe wrong          // stored row served verbatim
+    (maintained - victim) shouldBe (truth - victim)
+  }
 }
