@@ -5751,24 +5751,14 @@ object Queries {
           .sum <= BigInt(maxLocalBytes))
       return Cms.maintainServeChainLocal(prevCmsCells(s, dir), localChain,
         "doc_id", "text", CmsPanelPred)
-    val Seq(c0, c1, c2, c3) = fullChainOf(t(s, dir, "documents"))
+    val chain = fullChainOf(t(s, dir, "documents"))
+    val Seq(c0, c1, c2, c3) = chain
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    // Each delta feeds BOTH maintenance semi-joins (q155's discipline);
-    // step 1 diffs against the STORED hash artifact — the deployment
-    // handoff — and later steps against in-plan hashes of their
-    // predecessor snapshot.
-    val d1 = SnapshotDelta.diffHashed(prevSnapshotHashes(s, dir),
-      contentHashes(c1)).persist(lvl)
-    val d2 = SnapshotDelta.diffHashed(contentHashes(c1), contentHashes(c2))
-      .persist(lvl)
-    val d3 = SnapshotDelta.diffHashed(contentHashes(c2), contentHashes(c3))
-      .persist(lvl)
+    val Seq(d1, d2, d3) = chainDeltas(s, dir, chain)
     def minus(snap: DataFrame, delta: DataFrame): DataFrame =
-      snapWords(snap.join(delta.filter(col("status").isin("removed", "changed"))
-        .select("doc_id"), Seq("doc_id"), "left_semi"))
+      snapWords(minusDocs(snap, delta))
     def plus(snap: DataFrame, delta: DataFrame): DataFrame =
-      snapWords(snap.join(delta.filter(col("status").isin("added", "changed"))
-        .select("doc_id"), Seq("doc_id"), "left_semi"))
+      snapWords(plusDocs(snap, delta))
     val m1 = Cms.maintainSketch(prevCmsCells(s, dir), minus(c0, d1),
       plus(c1, d1), "word")
     val m2 = Cms.maintainSketch(m1, minus(c1, d2), plus(c2, d2), "word")
@@ -5807,14 +5797,10 @@ object Queries {
           .sum <= BigInt(maxLocalBytes))
       return graft.ops.Dsir.maintainSplitChainLocal(prevT, prevR, localChain,
         "doc_id", "text", targetPred)
-    val Seq(c0, c1, c2, c3) = fullChainOf(t(s, dir, "documents"))
+    val chain = fullChainOf(t(s, dir, "documents"))
+    val Seq(c0, c1, c2, c3) = chain
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val d1 = SnapshotDelta.diffHashed(prevSnapshotHashes(s, dir),
-      contentHashes(c1)).persist(lvl)
-    val d2 = SnapshotDelta.diffHashed(contentHashes(c1), contentHashes(c2))
-      .persist(lvl)
-    val d3 = SnapshotDelta.diffHashed(contentHashes(c2), contentHashes(c3))
-      .persist(lvl)
+    val Seq(d1, d2, d3) = chainDeltas(s, dir, chain)
     def split(m: DataFrame, tag: String): DataFrame =
       m.filter(col("model") === tag).select(col("bucket"), col("cnt"))
     val m1 = graft.CacheScope.scopedPersist(

@@ -32,7 +32,19 @@ object VerifyScale {
     * density-dependent (more centroids at 10× ⇒ more near-ties, a
     * frac-path cap that rounds differently, a slice bound that clips
     * a rank the filter wanted), so each reshaped cell's full-replay
-    * oracle is re-proved at the 10× corpus too. */
+    * oracle is re-proved at the 10× corpus too.
+    *
+    * COVERAGE CAVEAT (r18 self-review): [[ScaleCorpus]] salts copied
+    * words with a `_k` suffix, which the all-lowercase 12-gram window
+    * filter rejects — so for the window-unit cells (q173, q184) this
+    * gate re-proves the maintenance arithmetic over 10× the DOCUMENTS,
+    * but the qualifying-window population (and hence window DENSITY)
+    * is unchanged from 1×. The density-dependent closure class is
+    * still covered for the span family by q176, whose window keys
+    * tokenize without the alpha filter and do grow here (its 10×
+    * oracle is a minutes-long recompute); a q173-family density regime
+    * would need salted words that stay all-lowercase — noted rather
+    * than silently claimed. */
   val ScaleChecked: Seq[String] = Seq(
     "q145_incremental_corpus", "q148_incremental_minhash",
     "q153_incremental_clusters", "q155_incremental_lm",
@@ -98,19 +110,10 @@ object VerifyScale {
       }
       spark.catalog.clearCache()
     }
-    // Verify's JSON escape, verbatim.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
     val json = SparkEntry.oracleSql.view
       .filterKeys(k => ScaleChecked.contains(k) && only(k)).toMap
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${Verify.q(k)}: ${Verify.q(v)}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     Files.writeString(Paths.get(s"$outDir/scale_dir.txt"), scaleDir)
     spark.stop()

@@ -93,12 +93,18 @@ private[graft] object AdditiveCounts {
         val tag = row.getInt(0)
         if (tag < 0) stored += ((row.getString(1), row.getLong(2)))
         else snaps(tag).update(row.getLong(3),
-          if (row.isNullAt(4)) "" else row.getString(4))
+          if (row.isNullAt(4)) null else row.getString(4))
       }
       def add(key: String, d: Long): Unit =
         delta.update(key, delta.getOrElse(key, 0L) + d)
+      // NULL text contributes nothing, mirroring the distributed chain:
+      // a null hash reads "added"/"removed" in diffHashed and the
+      // occurrence legs' tokenizers drop null rows, so a null-text doc
+      // never moves a count there — coercing null to "" here used to
+      // fold the EMPTY-STRING key's legs instead (a real divergence for
+      // q183's df, where empty text is a counted term but null drops).
       def fold(text: String, sign: Long): Unit =
-        keysOf(text).foreach(add(_, sign))
+        if (text != null) keysOf(text).foreach(add(_, sign))
       var k = 0
       while (k < nSnaps - 1) {
         val old = snaps(k); val neu = snaps(k + 1)
@@ -106,14 +112,25 @@ private[graft] object AdditiveCounts {
           old.get(id) match {
             case None => fold(t, 1L) // added
             case Some(ot) =>
-              // Raw equality short-circuits the hash: equal strings have
-              // equal content hashes by definition, so only docs whose
-              // raw text differs (the delta) ever pay an md5 — the
-              // UNCHANGED majority is one string compare per step. The
-              // hash comparison stays for raw-unequal pairs: diffHashed
-              // treats normalize-equal texts (case/whitespace-only
-              // edits) as unchanged, and so must the tier.
-              if (ot != t &&
+              // NULL-involving transitions first (distributed mirror: a
+              // null hash reads "added"/"removed", so text→null
+              // subtracts the old terms, null→text adds the new, and
+              // null→null is no change). The changedKeys fast path is a
+              // text→text contract — null pairs take the plain legs,
+              // where fold's null guard gives the exact distributed
+              // outcome.
+              if ((ot == null) != (t == null)) {
+                fold(ot, -1L); fold(t, 1L)
+              } else if (ot != null && t != null &&
+                  // Raw equality short-circuits the hash: equal strings
+                  // have equal content hashes by definition, so only
+                  // docs whose raw text differs (the delta) ever pay an
+                  // md5 — the UNCHANGED majority is one string compare
+                  // per step. The hash comparison stays for raw-unequal
+                  // pairs: diffHashed treats normalize-equal texts
+                  // (case/whitespace-only edits) as unchanged, and so
+                  // must the tier.
+                  ot != t &&
                   LocalText.contentHash(ot) != LocalText.contentHash(t)) {
                 changedKeys match { // changed
                   case Some(f) => f(ot, t).foreach { case (key, d) =>

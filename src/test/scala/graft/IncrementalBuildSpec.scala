@@ -250,6 +250,49 @@ class IncrementalBuildSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("the generic chain tier mirrors the distributed null-text semantics (df legs)") {
+    // Adversarial tier equality on data the corpus never produces: a
+    // null hash reads "added"/"removed" in diffHashed and the docTerms
+    // leg drops null rows, so null→text adds, text→null subtracts, and
+    // null→null (or null present only on one side) moves nothing. The
+    // local tier used to coerce null to "" and fold the EMPTY-STRING
+    // term's legs — a real df divergence since empty text IS a counted
+    // term ("") in the Bm25 tokenization.
+    import org.apache.spark.sql.Row
+    def snap(rows: (Long, String)*) =
+      df("doc_id BIGINT, text STRING", rows.map(r => Row(r._1, r._2)))
+    val c0 = snap(1L -> null, 2L -> "alpha beta", 3L -> "", 4L -> "gamma")
+    val c1 = snap(1L -> "alpha", 2L -> null, 3L -> "", 5L -> null)
+    val c2 = snap(1L -> "alpha", 3L -> null, 5L -> "beta beta")
+    val prev = graft.ops.Bm25.docTerms(c0, "text")
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val chain = Seq(c0, c1, c2)
+    val local = graft.ops.AdditiveCounts.maintainChainLocal(prev, "term",
+        chain, "doc_id", "text", graft.ops.Bm25.localDocTerms _)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    // distributed composition, the q183 dataflow inline
+    def step(m: org.apache.spark.sql.DataFrame,
+             o: org.apache.spark.sql.DataFrame,
+             n: org.apache.spark.sql.DataFrame) = {
+      val d = graft.ops.SnapshotDelta.diff(o, n, "doc_id", "text")
+      def leg(s: org.apache.spark.sql.DataFrame, sts: Seq[String]) =
+        graft.ops.Bm25.docTerms(
+          s.join(d.filter(col("status").isin(sts: _*)).select("doc_id"),
+            Seq("doc_id"), "left_semi"), "text")
+      graft.ops.AdditiveCounts.maintain(m, "term",
+        leg(o, Seq("removed", "changed")), leg(n, Seq("added", "changed")))
+    }
+    val dist = step(step(prev, c0, c1), c1, c2)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    // the final model must also equal a fresh docFreq of the last snap
+    val fresh = graft.ops.Bm25.docTerms(c2, "text")
+      .groupBy(col("term")).agg(count(lit(1)).cast("long").as("cnt"))
+      .collect().map(_.toSeq).sortBy(_.toString)
+    local shouldBe dist
+    local.filter(_(1) != 0L) shouldBe fresh
+    spark.catalog.clearCache()
+  }
+
   test("q184's one-task chain tier ≡ the distributed 3-step unit-count chain, row for row") {
     // Same proof at the tokenizer layer: the cap (top-2048 release
     // table) rides OUTSIDE the tier choice, so the equality covers the

@@ -13,28 +13,14 @@ Usage: python3 tools/check_scale.py <verifyScaleOutDir> [out.json]
 import sys, json, glob, os, hashlib, time
 import duckdb
 
+# The ONE canonicalization/hash implementation: a fix to the t2 gate's
+# canon/frame_hash must reach this gate too, or the two hash checks
+# disagree on identical frames.
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from check_oracle import canon, frame_hash  # noqa: E402
+
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
-
-
-def canon(val):
-    if val is None:
-        return "\0NULL"
-    if isinstance(val, float):
-        return repr(val)
-    if isinstance(val, bool):
-        return str(val)
-    return str(val)
-
-
-def frame_hash(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    mat = sorted(tuple(canon(r[i]) for i in order) for r in rows)
-    h = hashlib.sha256()
-    for row in mat:
-        h.update("\x1f".join(row).encode())
-        h.update(b"\x1e")
-    return h.hexdigest()
 
 
 def main(out_dir, out_json=None):
