@@ -5004,7 +5004,7 @@ object Oracles {
         |    SELECT query_id, cand_id,
         |      row_number() OVER (PARTITION BY query_id ORDER BY adc, cand_id) AS rn
         |    FROM adc)
-        |  WHERE rn <= 320),
+        |  WHERE rn <= (SELECT greatest(320, (count(*)*16 + 99) // 100) FROM pts)),
         |scored AS (
         |  SELECT query_id, cand_id,
         |    list_sum(list_transform(list_zip(a.qv, b.qv),

@@ -2613,11 +2613,19 @@ object Queries {
     // 6.8× here: a panel that grows with the corpus multiplies into
     // ADC lists that also grow, quadratic by construction; a serving
     // benchmark's query set does not grow with the index).
+    // shortlistPct = 16 (r18 SCALECHECK lesson, the q83d doctrine at the
+    // fine quantizer): the shortlist bound is max(320, ceil(N*16/100)) —
+    // at the base corpus (N=2000: ceil = 320) the fixed 64x bound is
+    // UNCHANGED bit-for-bit, while at higher density the shortlist holds
+    // its 16% corpus share instead of decaying (N=20000 at the 10x
+    // corpus: 3200), which is what keeps the q83e recall gate above its
+    // 0.3 floor at BOTH densities with the same 3-bit codebooks. The
+    // oracle replays the derived bound from its own count.
     graft.ops.Pq.ivfPqTopK(pts, trainedCentroids(s, dir), pqBooks(s, dir),
       pqCodes(s, dir), m = 4,
       queries = pts.filter(col("id") % 50 === 0 && col("id") < 10000000L)
         .select(col("id")),
-      k = 5, nProbe = 2, oversample = 64)
+      k = 5, nProbe = 2, oversample = 64, shortlistPct = 16)
   }
 
   def q115JpegDecode(s: SparkSession, dir: String): DataFrame = {
@@ -5897,9 +5905,12 @@ object Queries {
     * ONE-TASK chain tier (the shared [[graft.ops.AdditiveCounts
     * .maintainChainLocal]] with [[graft.ops.Bpe.localUnitWindows]]);
     * fail-CLOSED guard, `maxLocalBytes = 0` forces the distributed
-    * chain. The cap rides OUTSIDE the tier choice (TakeOrdered over
-    * the model either way), so tier equality covers the model and the
-    * cap covers the release contract. */
+    * chain. The top-2048 cap is applied PER TIER through the same
+    * (n desc, word) total order — an in-task bounded heap in the local
+    * tier, TakeOrdered over the maintained model in the distributed
+    * chain — with the cross-tier equality of the capped output
+    * spec-pinned (IncrementalBuildSpec's q184 tier test), so both
+    * tiers release the same table. */
   def q184StreamBpeUnitsChain(s: SparkSession, dir: String): DataFrame =
     q184StreamBpeUnitsChain(s, dir, maxLocalBytes = 64L << 20)
 

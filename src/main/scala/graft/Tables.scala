@@ -140,7 +140,21 @@ object Tables {
       val st = fs.getFileStatus(p)
       val bytes =
         if (st.isFile) st.getLen else fs.getContentSummary(p).getLength
-      s"${dir.replaceAll(".*/", "")}_${bytes}_${st.getModificationTime}"
+      // Tags COMPOSE: derived artifacts key their paths by one or more
+      // corpus tags, and a derived CORPUS (ScaleCorpus's 10× dir) bakes
+      // four source tags into its own dir name — so an uncapped dir
+      // part compounds geometrically and a two-tag artifact over the
+      // scale corpus exceeds the filesystem's 255-byte path-segment
+      // limit (observed r19: q172's hybrid_rrf artifact failed mkdir at
+      // the 10× corpus). Long dir parts collapse to a deterministic
+      // digest; identity is preserved, short base tags are unchanged.
+      val dirPart = dir.replaceAll(".*/", "")
+      val dp =
+        if (dirPart.length <= 80) dirPart
+        else "h" + java.security.MessageDigest.getInstance("MD5")
+          .digest(dirPart.getBytes("UTF-8")).map("%02x".format(_))
+          .mkString.take(16)
+      s"${dp}_${bytes}_${st.getModificationTime}"
     })
 
   def wide(spark: SparkSession, dir: String, name: String): DataFrame =

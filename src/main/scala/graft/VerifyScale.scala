@@ -55,26 +55,47 @@ object VerifyScale {
     "q181_stream_cms_chain", "q182_stream_dsir_chain",
     "q183_stream_bm25df_chain", "q184_stream_bpe_units_chain",
     // r18 ANN-reshape regression set (run with prefix filters to scope).
-    // q83e is deliberately ABSENT: running it here caught two things.
-    // (1) A real panel bug — exactTopKL2's ground-truth panel lacked
-    // q117's base-corpus standing-panel cap, so at 10× the gate divided
-    // a 40-query serving result by a 400-query reference (fixed: the
-    // cap now matches, oracle mirrored). (2) With the panels aligned,
-    // q117's recall genuinely falls below the 0.3 floor at 10× — the
-    // ADC shortlist is k·oversample = 320 rows/query BY DESIGN (the
-    // corpus-independent rerank is the 100 TB serving shape), so its
-    // share of the probed candidates drops 10× and the deliberately
-    // low-resolution 3-bit codebooks can't rank the true neighbors
-    // into it. That is the documented property of the tiny
-    // oracle-replayable model (q117's comment: production holds recall
-    // with 8-bit codebooks, not a corpus-proportional shortlist), the
-    // same decay q83d's frac-probing fix addressed for the ROUTER —
-    // and q83d passes here, confirming the scale-stable half. q117's
-    // full hash match above pins the 10× DERIVATION; the gate's floor
-    // stays calibrated to the serving regime (≤ sf0.1).
-    "q52_ann_ivf_topk", "q83d_ivf_recall",
+    // q83e RETURNED to checked (r19, VERDICT r18 ask #3): the r18 run
+    // here caught q117's fixed 320-row ADC shortlist decaying recall
+    // through the 0.3 floor at 10× density (a corpus-independent
+    // shortlist's candidate share drops with N). The production lever
+    // named in that disposition is now implemented: q117 derives the
+    // shortlist bound in-plan as max(320, ceil(N·16/100)) — q83d's
+    // constant-probed-fraction doctrine applied to the fine quantizer
+    // — so at the base corpus the bound (and every recorded hash) is
+    // unchanged bit-for-bit while at 10× the shortlist holds its 16%
+    // corpus share and the gate passes at BOTH densities with the same
+    // 3-bit codebooks. The oracle replays the derived bound from its
+    // own count; PqSpec pins floor-binding equality and the
+    // above-floor collapse to the exhaustive shortlist.
+    "q52_ann_ivf_topk", "q83d_ivf_recall", "q83e_pq_recall",
     "q101_kmeans_cluster", "q102_semantic_dedup", "q103_trained_ivf_topk",
-    "q116_pq_topk", "q117_ivfpq_topk")
+    "q116_pq_topk", "q117_ivfpq_topk",
+    // r19 extension (VERDICT r18 ask #2): the remaining density-
+    // sensitive families, previously only growth-TIMED at 10×.
+    // Span dedup — the family whose L=4 closure phenomenon motivated
+    // this gate; ExactSpans tokenizes by whitespace (no alpha filter),
+    // so the salted copies DO grow the qualifying-window population
+    // linearly and the 10× regime is a real density change:
+    "q132_span_dedup", "q139_multi_span_dedup", "q144_all_span_dedup",
+    "q146_maximal_spans", "q149_chunked_span_dedup",
+    // Retrieval — stored-index serving over the 10× postings (df, N,
+    // avgdl, and the candidate sets all shift with density):
+    "q165_bm25_topk", "q167_bm25_query_score", "q170_hybrid_rrf",
+    "q172_hybrid_recall",
+    // Sketches — CMS width is fixed by construction, so 10× the
+    // vocabulary is 10× the collision pressure per cell. At 10× the
+    // salted corpus has NO heavy hitters (every word's count is flat
+    // while n grows 10×), so q157's hash match is 0 ≡ 0 rows — a
+    // one-sided check that still trips any false POSITIVE (a sketch
+    // overestimate crossing n/200 on one engine only), while the
+    // sketch-cell arithmetic itself is hash-proved at 10× with real
+    // rows by q180/q181's maintained-cell outputs:
+    "q157_cms_heavy_hitters",
+    // Banded near-dup — bucket occupancy and band-collision counts are
+    // the density-dependent arithmetic:
+    "q19_minhash_neardup", "q21_ngram_jaccard", "q22_simhash_neardup",
+    "q59_embedding_neardup_ivf")
 
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
@@ -99,6 +120,11 @@ object VerifyScale {
     val scaleDir = ScaleCorpus.ensure(spark, sfDir, copies = 10)
     println(s"[verify-scale] corpus: $scaleDir")
     new java.io.File(outDir).mkdirs()
+    // Fail-VISIBLE on its own (ADVICE r18): a cell that crashes here is
+    // recorded in failures.txt AND fails the exit code — previously main
+    // exited 0 with the failed cell still listed in oracle_sql.json, so
+    // only check_scale.py's no_spark_output caught it downstream.
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     ScaleChecked.filter(only).foreach { name =>
       val t0 = System.nanoTime()
       try {
@@ -107,6 +133,7 @@ object VerifyScale {
         println(f"[verify-scale] $name: ${(System.nanoTime() - t0) / 1e9}%.1f s")
       } catch { case e: Throwable =>
         System.err.println(s"[verify-scale] $name failed: ${e.getMessage}")
+        failed += name
       }
       spark.catalog.clearCache()
     }
@@ -116,6 +143,13 @@ object VerifyScale {
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     Files.writeString(Paths.get(s"$outDir/scale_dir.txt"), scaleDir)
+    Files.writeString(Paths.get(s"$outDir/failures.txt"),
+      failed.mkString("", "\n", if (failed.isEmpty) "" else "\n"))
     spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(
+        s"[verify-scale] ${failed.size} cell(s) FAILED: ${failed.mkString(", ")}")
+      sys.exit(2)
+    }
   }
 }

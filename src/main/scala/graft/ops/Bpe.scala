@@ -362,15 +362,22 @@ object Bpe {
     // stats read huge → unrolled plan). The caller's numeric cap is
     // honored through the same stats: when the optimizer knows a row
     // count it must sit under `maxLocalWords` (the deep tier's count()
-    // contract); when it doesn't, the 8 MB byte bound alone gates —
-    // bytes being the quantity that actually bounds one task's memory.
+    // contract); when it doesn't (ADVICE r18 — Catalyst rarely carries
+    // rowCount for parquet scans), the byte bound TIGHTENS to
+    // maxLocalWords × 12 bytes — a conservative floor on one (word, n)
+    // row's width (8-byte count + ≥4 bytes of string payload/overhead)
+    // — so a frame under 8 MB can never smuggle more than ~maxLocalWords
+    // minimum-width rows past the numeric cap.
     // `maxLocalWords = 0` forces the distributed/unrolled shape (spec +
     // q147 coverage); tier equality is BpeSpec-pinned at shared budgets.
     if (rounds <= UnrollLimit) {
       val st = wf.queryExecution.optimizedPlan.stats
+      val byteCap = BigInt(8L << 20)
+        .min(if (st.rowCount.isDefined) BigInt(8L << 20)
+             else BigInt(12L * maxLocalWords))
       if (maxLocalWords > 0 &&
           st.rowCount.forall(_ <= BigInt(maxLocalWords)) &&
-          st.sizeInBytes <= BigInt(8L << 20))
+          st.sizeInBytes <= byteCap)
         return trainLocal(wf, rounds, topWords)
     } else {
       // ONE-TASK TIER for deep budgets over one-task vocabularies (the

@@ -204,7 +204,8 @@ object Pq {
     * with `spark.catalog.clearCache()`. */
   def ivfPqTopK(pts: DataFrame, cents: DataFrame, books: DataFrame,
                 codes: DataFrame, m: Int, queries: DataFrame,
-                k: Int, nProbe: Int, oversample: Int = 4): DataFrame = {
+                k: Int, nProbe: Int, oversample: Int = 4,
+                shortlistPct: Int = 0): DataFrame = {
     require(k >= 1 && nProbe >= 1 && oversample >= 1,
       s"need k>=1, nProbe>=1, oversample>=1; got $k/$nProbe/$oversample")
     // Narrow bounded ranking (round 18): consumers below never read past
@@ -226,7 +227,7 @@ object Pq {
     val cand = probes.join(lists, Seq("cluster_id"))
       .filter(col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"))
-    adcRerank(pts, books, codes, cand, m, qIds, k, oversample)
+    adcRerank(pts, books, codes, cand, m, qIds, k, oversample, shortlistPct)
   }
 
   /** [[ivfPqTopK]] SERVED from STORED artifacts — the incremental ANN
@@ -399,10 +400,27 @@ object Pq {
 
   /** The shared ADC → shortlist → exact-re-rank tail of [[ivfPqTopK]] /
     * [[ivfPqTopKStored]] (stages 2-4 of [[topKQ]]'s scaladoc, given the
-    * candidate pairs). */
+    * candidate pairs).
+    *
+    * `shortlistPct` (VERDICT r18 ask — the q83d doctrine at the FINE
+    * quantizer): when > 0, the ADC shortlist bound becomes
+    * max(k·oversample, ⌈N·pct/100⌉) with N = the corpus (pts) row
+    * count, derived IN-PLAN (a 1-row count aggregate broadcast into the
+    * shortlist filter — no driver action). A fixed k·oversample
+    * shortlist is corpus-independent, so its share of the probed
+    * candidates — and hence recall under low-resolution codebooks —
+    * decays as the corpus grows (the r18 10× run measured q117 through
+    * the 0.3 floor); holding the shortlist at a constant corpus share
+    * is how production holds a recall target when codebook bits are
+    * fixed. Integer ceil-division on both engines (N·pct ≪ 2^53, the
+    * double division below is exact), so the oracle replays the bound
+    * bit-for-bit. The floor keeps small corpora exactly at the
+    * k·oversample bound — base-regime results are unchanged wherever
+    * ⌈N·pct/100⌉ ≤ k·oversample. */
   private def adcRerank(pts: DataFrame, books: DataFrame, codes: DataFrame,
                         cand: DataFrame, m: Int, queries: DataFrame,
-                        k: Int, oversample: Int): DataFrame = {
+                        k: Int, oversample: Int,
+                        shortlistPct: Int = 0): DataFrame = {
     val qsubs = subvectors(pts.join(broadcast(queries), Seq("id")), m)
       .select(col("id").as("query_id"), col("g"), col("sub"))
     val dtab = qsubs.join(broadcast(books), Seq("g"))
@@ -418,9 +436,15 @@ object Pq {
 
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").asc, col("cand_id"))
-    val shortlist = adc
-      .withColumn("_r", row_number().over(wAdc))
-      .filter(col("_r") <= k * oversample)
+    val ranked = adc.withColumn("_r", row_number().over(wAdc))
+    val shortlist = (if (shortlistPct > 0)
+        // exact ceil-div kept in integer domain: N·pct ≪ 2^53 so the
+        // double division of (N·pct + 99) by 100 is exact and floor
+        // recovers the integer quotient — no 0.16-style FP-literal edge
+        ranked.crossJoin(broadcast(pts.agg(count(lit(1)).as("_n"))))
+          .filter(col("_r") <= greatest(lit(k.toLong * oversample),
+            floor((col("_n") * shortlistPct + 99) / 100).cast("long")))
+      else ranked.filter(col("_r") <= k * oversample))
       .select(col("query_id"), col("cand_id"))
 
     val qv = pts.select(col("id").as("query_id"), col("qv").as("_q"))

@@ -170,6 +170,39 @@ class PqSpec extends SparkSpec {
     p.sparkSession.catalog.clearCache()
   }
 
+  test("shortlistPct: derived bound floors at k·oversample, holds corpus share above it") {
+    // The scale-stable recall lever (q117 / the q83e gate): the ADC
+    // shortlist bound is max(k·oversample, ceil(N·pct/100)), derived
+    // in-plan from the corpus count. (a) While the density term sits
+    // under the floor, results are BIT-IDENTICAL to the fixed bound —
+    // the base-regime contract that keeps q117's recorded hashes
+    // unchanged. (b) When it dominates (pct=100 ⇒ bound = N), the
+    // shortlist admits every routed candidate, so the same tiny
+    // oversample collapses to the exhaustive-shortlist result — the
+    // recall the fixed bound loses at density is recovered by the
+    // derived one.
+    val vs = (0L until 30L).map { i =>
+      i -> Seq.tabulate(8)(j => ((i * 2654435761L + j * 40503L) % 1000L) - 500L)
+    }
+    val p = pts(vs: _*)
+    val cents = Cluster.train(p, k = 2, iterations = 2)
+    val books = Pq.trainCodebooks(p, m = 2, k = 4, iterations = 2)
+    val codes = Pq.encode(p, books, m = 2)
+    val queries = p.filter(col("id") % 10 === 0).select(col("id"))
+    def run(oversample: Int, pct: Int) =
+      Pq.ivfPqTopK(p, cents, books, codes, m = 2, queries = queries,
+          k = 3, nProbe = 2, oversample = oversample, shortlistPct = pct)
+        .collect().map(_.toSeq).sortBy(_.toString)
+    // (a) ceil(30·10/100) = 3 <= k·oversample = 6: floor binds, identical
+    run(oversample = 2, pct = 10) shouldBe run(oversample = 2, pct = 0)
+    // (b) pct=100 ⇒ bound 30 covers the corpus: equals the exhaustive
+    // shortlist (oversample 10: 3·10 >= N) at the SAME oversample=2
+    val derived = run(oversample = 2, pct = 100)
+    derived shouldBe run(oversample = 10, pct = 0)
+    derived should not be run(oversample = 2, pct = 0) // the lever is live
+    p.sparkSession.catalog.clearCache()
+  }
+
   test("ivfPqTopKStored from derived lists+codes ≡ ivfPqTopK, row for row") {
     // The stored-artifact serving path (q179) must reproduce the
     // recomputing composition exactly when handed the artifacts the
