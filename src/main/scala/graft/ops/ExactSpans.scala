@@ -696,11 +696,23 @@ object ExactSpans {
     * occurrences) and UNION the cut masks, so a token survives only if
     * NO length marks it. Catches both the short boilerplate a long
     * window straddles and the long near-template runs a short window
-    * under-reports. Cost is the linear single-length pass times
-    * |spanLens| (each length is its own window explode + one
-    * map-side-combined groupBy); the per-doc mask union is an ordered
-    * array intersection of the per-length kept sets — still
-    * O(lengths · (tokens + spans)). */
+    * under-reports.
+    *
+    * TAGGED-UNION shape (r19, guide §2.3/§2.4 — the q17 window-fusion
+    * trick applied to window DETECTION): all lengths' windows ride ONE
+    * explode tagged with `_l`, so detection is a single corpus pass +
+    * ONE map-side-combined groupBy on (_l, key) + one probe join, and
+    * the per-(doc, length) start lists come out of ONE per-doc
+    * aggregation with |spanLens| conditional collect_sets — replacing
+    * |spanLens| independent explode+groupBy+join+doc-join chains
+    * (2·|lengths|+1 corpus passes → 3, 2·|lengths|+1 exchanges of
+    * corpus-sized rows → 3). Per-length semantics are UNCHANGED:
+    * (_l, key) grouping cannot merge windows of different lengths (a
+    * space-joined L-token window has exactly L−1 separators and tokens
+    * carry no spaces), each length's canonical is still the min-encoded
+    * (doc_id, p), and a length that never marks a document contributes
+    * the same empty start list the old left joins coalesced to
+    * (ExactSpansSpec pins fused ≡ per-length composition). */
   def dedupSpansMulti(docs: DataFrame, idCol: String, textCol: String,
                       spanLens: Seq[Int]): DataFrame = {
     require(spanLens.nonEmpty && spanLens.forall(_ >= 2),
@@ -709,10 +721,32 @@ object ExactSpans {
       s"spanLens must be distinct; got $spanLens")
     val tok = docs.select(col(idCol).cast("long").as("doc_id"),
       TextStats.words(lower(col(textCol))).as("ws"))
-    val joined = spanLens.zipWithIndex.foldLeft(tok) { case (df, (l, i)) =>
-      df.join(markedStarts(tok, l).withColumnRenamed("starts", s"_st$i"),
-        Seq("doc_id"), "left")
+    // One window table for ALL lengths: explode the (tiny, literal)
+    // length array first, then the per-length start range — both
+    // generators codegen, and the per-length domain filter
+    // (L <= |ws| <= posRange) matches markedStarts' exactly.
+    val win = tok
+      .select(col("doc_id"), col("ws"),
+        explode(array(spanLens.map(l => lit(l)): _*)).as("_l"))
+      .filter(size(col("ws")) >= col("_l") &&
+        size(col("ws")) <= lit(PosRange))
+      .select(col("doc_id"), col("_l"), col("ws"),
+        explode(sequence(lit(0), size(col("ws")) - col("_l"))).as("p"))
+      .select(col("doc_id"), col("_l"), col("p"),
+        array_join(slice(col("ws"), col("p") + 1, col("_l")), " ").as("key"))
+    val enc = col("doc_id") * PosRange + col("p")
+    val occ = win.groupBy(col("_l"), col("key"))
+      .agg(count(lit(1)).as("n"), min(enc).as("canon"))
+      .filter(col("n") >= 2)
+    val startAggs = spanLens.zipWithIndex.map { case (l, i) =>
+      sort_array(collect_set(when(col("_l") === l, col("p").cast("long"))))
+        .as(s"_st$i")
     }
+    val starts = win.join(occ, Seq("_l", "key"))
+      .filter(enc =!= col("canon"))
+      .groupBy(col("doc_id"))
+      .agg(startAggs.head, startAggs.tail: _*)
+    val joined = tok.join(starts, Seq("doc_id"), "left")
     val kept = spanLens.zipWithIndex.map { case (l, i) =>
       keptIdx(coalesce(col(s"_st$i"), array().cast("array<long>")),
         size(col("ws")), l)

@@ -109,6 +109,27 @@ class ExactSpansSpec extends SparkSpec {
     out(102L) shouldBe ((16L, 13L, "z1 z2 z3"))
   }
 
+  test("fused multi-length detection equals the single-length operator " +
+    "at each length (r19 tagged-union reshape)") {
+    // Corpus exercising the fused pass's edge cases: docs in-domain for
+    // the short length but below the long one (5-token doc vs L=6),
+    // cross-doc and in-doc duplicates at both lengths, a doc marked at
+    // one length only, and an untouched doc.
+    val corpus = docs(
+      1L -> "a b c d e",
+      2L -> "x a b c d e y",
+      3L -> "p q r s t u p q r s t u",
+      4L -> "a b c d e p q r s t u",
+      5L -> "lone tokens only here none repeat")
+    Seq(4, 6).foreach { l =>
+      val single = ExactSpans.dedupSpans(corpus, "doc_id", "text", l)
+        .orderBy("doc_id").collect().toSeq
+      val fused = ExactSpans.dedupSpansMulti(corpus, "doc_id", "text", Seq(l))
+        .orderBy("doc_id").collect().toSeq
+      withClue(s"L=$l: ") { fused shouldBe single }
+    }
+  }
+
   test("keptIdx gap arithmetic matches brute force across boundary shapes") {
     import org.apache.spark.sql.functions._
     val L = 5
