@@ -187,24 +187,39 @@ object Graph {
   def bipartiteProject(incidence: DataFrame, contextCol: String,
                        itemCol: String, maxFan: Int): DataFrame = {
     require(maxFan >= 2, s"maxFan must be >= 2; got $maxFan")
-    // Distinct incidence feeds the degree aggregate and both self-join
-    // sides — materialize once (the triangles/pageRank discipline).
-    // Deliberately distinct-then-checkpoint, NOT repartition(l)-first:
-    // the checkpoint erases output partitioning anyway (downstream
-    // re-exchanges by l regardless), and distinct's map-side partial
-    // aggregate dedups BEFORE the shuffle — on heavy-dup incidence
-    // (re-crawled sessions, replayed logs) that shuffles far less than
-    // a repartition of the raw rows would. Measured equal at sf0.1.
+    // Distinct incidence feeds the degree aggregate and the guarded
+    // collect — distinct's map-side partial aggregate dedups BEFORE the
+    // shuffle (on heavy-dup incidence that shuffles far less than the
+    // raw rows).
     val e = incidence.select(col(contextCol).as("l"), col(itemCol).as("r"))
       .distinct()
-      .localCheckpoint()
     val okKeys = e.groupBy(col("l")).agg(count(lit(1)).as("_d"))
       .filter(col("_d") <= maxFan).select(col("l"))
     val kept = e.join(okKeys, Seq("l"))
-    kept.select(col("l"), col("r").as("_ra"))
-      .join(kept.select(col("l"), col("r").as("_rb")), Seq("l"))
-      .filter(col("_ra") < col("_rb"))
-      .groupBy(col("_ra").as("item_a"), col("_rb").as("item_b"))
+    // r19 reshape (guide §2.3/§2.4): pairs are generated IN-TASK from a
+    // per-context sorted item array instead of a context-keyed self-join
+    // — one groupBy(l) exchange of the kept incidence replaces the
+    // self-join (which either broadcast the whole kept side or paid two
+    // more context-keyed exchanges at scale), and the C(d,2) pair rows
+    // never cross a join, only the final map-side-combined aggregate.
+    // The degree guard still runs FIRST, so no collected array exceeds
+    // maxFan elements — a viral context never concentrates its payload
+    // in one task (the reason the guard cannot ride the collect itself).
+    // localCheckpoint dropped with the self-join: `e` now has exactly
+    // two consumers whose shared distinct subtree Spark's exchange reuse
+    // dedups, and the checkpoint's eager materialization job + lineage
+    // scan (an ExistingRDD that blocked parquet column pruning) cost
+    // more than the reuse saves. Pair order: items sorted ascending and
+    // distinct, each element paired with its strict successors — exactly
+    // the self-join's (_ra < _rb).
+    val grouped = kept.groupBy(col("l"))
+      .agg(sort_array(collect_set(col("r"))).as("_items"))
+    grouped
+      .select(posexplode(col("_items")).as(Seq("_i", "item_a")), col("_items"))
+      .select(col("item_a"),
+        explode(slice(col("_items"), col("_i") + 2,
+          greatest(size(col("_items")) - col("_i") - 1, lit(0)))).as("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
       .agg(count(lit(1)).as("cooc"))
   }
 }
