@@ -2597,7 +2597,6 @@ object Queries {
     * vectors. Fixed-point end to end; the oracle replays both trainers
     * and the full search, distances AND ranks hash-checked. */
   def q117IvfpqTopk(s: SparkSession, dir: String): DataFrame = {
-    val pts = quantizedPoints(s, dir)
     // oversample 64, not q116's 4: the testdata embeddings are
     // near-random — PQ's adversarial case, where 8 codewords per 16-dim
     // subspace (3-bit codes, kept tiny so the oracle can replay both
@@ -2621,11 +2620,40 @@ object Queries {
     // corpus: 3200), which is what keeps the q83e recall gate above its
     // 0.3 floor at BOTH densities with the same 3-bit codebooks. The
     // oracle replays the derived bound from its own count.
-    graft.ops.Pq.ivfPqTopK(pts, trainedCentroids(s, dir), pqBooks(s, dir),
-      pqCodes(s, dir), m = 4,
-      queries = pts.filter(col("id") % 50 === 0 && col("id") < 10000000L)
-        .select(col("id")),
-      k = 5, nProbe = 2, oversample = 64, shortlistPct = 16)
+    q117IvfpqTopk(s, dir, maxLocalBytes = 64L << 20)
+  }
+
+  /** q117's tiered body — the q179 serving-tier treatment applied to
+    * the LIVE composition (r19): under the fail-closed Catalyst
+    * size-stats guard over (pts, codes) the whole route→ADC→re-rank
+    * runs as the ONE [[graft.ops.Pq.serveStoredLocal]] task, with the
+    * inverted lists derived in-plan by [[graft.ops.Cluster.assignQ]]
+    * (the zero-exchange broadcast-centroid argmin — bit-equal to
+    * [[graft.ops.Cluster.rankCentroidsQ]]'s rank-1 rows, the equality
+    * ClusterSpec pins), so the distributed chain's ~12 serving stages
+    * of scheduler latency collapse while the arithmetic, tie-breaks and
+    * the density-stable shortlist bound stay step-for-step identical
+    * (PqSpec pins tier equality incl. a pct-binding corpus;
+    * `maxLocalBytes = 0` forces the distributed chain). */
+  private[graft] def q117IvfpqTopk(s: SparkSession, dir: String,
+                                   maxLocalBytes: Long): DataFrame = {
+    val pts = quantizedPoints(s, dir)
+    val codes = pqCodes(s, dir)
+    val panel = pts.filter(col("id") % 50 === 0 && col("id") < 10000000L)
+      .select(col("id"))
+    if (maxLocalBytes > 0 &&
+        Seq(pts, codes)
+          .map(_.queryExecution.optimizedPlan.stats.sizeInBytes)
+          .sum <= BigInt(maxLocalBytes))
+      graft.ops.Pq.serveStoredLocal(pts, trainedCentroids(s, dir),
+        pqBooks(s, dir), codes,
+        graft.ops.Cluster.assignQ(pts, trainedCentroids(s, dir)),
+        m = 4, queries = panel, k = 5, nProbe = 2, oversample = 64,
+        shortlistPct = 16)
+    else
+      graft.ops.Pq.ivfPqTopK(pts, trainedCentroids(s, dir), pqBooks(s, dir),
+        codes, m = 4, queries = panel,
+        k = 5, nProbe = 2, oversample = 64, shortlistPct = 16)
   }
 
   def q115JpegDecode(s: SparkSession, dir: String): DataFrame = {

@@ -36,33 +36,34 @@ object Percentiles {
   def percentileDisc(df: DataFrame, valueCol: String, p: Double,
                      partitionCols: Seq[String], outCol: String): DataFrame = {
     val grp = partitionCols.map(col)
-    val valueType = df.schema(valueCol).dataType
 
-    // Non-null count per group (0 for all-null groups — kept, null result).
-    val totals = df.groupBy(grp: _*).agg(count(col(valueCol)).as("_n"))
-
-    // Pass 1: per-(group, value) histogram.
+    // ONE linear chain (r19, guide §2.3/§2.4): the old shape scanned the
+    // data twice (per-group totals + histogram) and re-joined/unioned the
+    // histogram against itself — and because exchange reuse does not
+    // dedup those branches at runtime, the corpus aggregation actually
+    // ran once PER consumer. Now: one corpus-sized histogram keyed by
+    // (group, value) with null values kept as a null-keyed row, one
+    // window pass over the TINY histogram carrying both the per-group
+    // non-null total (whole-partition frame) and the running count, and
+    // one final per-group min over the qualifying values — which is also
+    // the all-null-group branch (no qualifying row ⇒ SQL min = null), so
+    // no join, no union, no second corpus pass. The final groupBy rides
+    // the window's partitioning — no extra exchange. Integer rank
+    // comparison as before (no float-division boundary sensitivity);
+    // null histogram rows sort first and contribute 0 to the running
+    // count, so non-null rows' _cum is exactly the old null-filtered one.
     val hist = df
-      .filter(col(valueCol).isNotNull)
       .groupBy((partitionCols :+ valueCol).map(col): _*)
       .agg(count(lit(1)).as("_cnt"))
-
-    // Pass 2: cumulative count over the (small) histogram, then pick the
-    // smallest value with _cum >= ceil(p * n). Integer comparison — no
-    // float-division boundary sensitivity.
-    val w = Window.partitionBy(grp: _*).orderBy(col(valueCol))
-    val picked = hist
-      .withColumn("_cum", sum(col("_cnt")).over(w))
-      .join(totals, partitionCols)
-      .filter(col("_cum") >= ceil(lit(p) * col("_n")))
+    val nnCnt = when(col(valueCol).isNotNull, col("_cnt")).otherwise(lit(0L))
+    val wAll = Window.partitionBy(grp: _*)
+    val wOrd = Window.partitionBy(grp: _*).orderBy(col(valueCol))
+    hist
+      .withColumn("_n", sum(nnCnt).over(wAll))
+      .withColumn("_cum", sum(nnCnt).over(wOrd))
       .groupBy(grp: _*)
-      .agg(min(col(valueCol)).as(outCol))
-
-    val emptyGroups = totals
-      .filter(col("_n") === 0)
-      .select(grp :+ lit(null).cast(valueType).as(outCol): _*)
-
-    picked.unionByName(emptyGroups)
+      .agg(min(when(col(valueCol).isNotNull &&
+        col("_cum") >= ceil(lit(p) * col("_n")), col(valueCol))).as(outCol))
   }
 
   /** Exact PERCENTILE_DISC via a TWO-LEVEL histogram — one corpus-sized

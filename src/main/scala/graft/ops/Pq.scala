@@ -290,11 +290,16 @@ object Pq {
     * (IncrementalBuildSpec) and the oracle replays the full recompute.
     * Same contract as [[ivfPqTopKStored]]: `lists` one row per id,
     * `codes` M rows per id, `queries` a distinct 1-column id panel.
+    * `shortlistPct` mirrors [[ivfPqTopK]]'s density-stable shortlist
+    * bound max(k·oversample, ⌈N·pct/100⌉) over the same N (raw `pts`
+    * ROW count, exactly the `pts.agg(count(*))` the distributed tier
+    * broadcasts — counted here before the id dedup so a contract-
+    * violating duplicate-id frame cannot diverge the tiers).
     * Output: (query_id, cand_id, dist, rank). */
   def serveStoredLocal(pts: DataFrame, cents: DataFrame, books: DataFrame,
                        codes: DataFrame, lists: DataFrame, m: Int,
                        queries: DataFrame, k: Int, nProbe: Int,
-                       oversample: Int = 4): DataFrame = {
+                       oversample: Int = 4, shortlistPct: Int = 0): DataFrame = {
     require(k >= 1 && nProbe >= 1 && oversample >= 1,
       s"need k>=1, nProbe>=1, oversample>=1; got $k/$nProbe/$oversample")
     val spark = pts.sparkSession
@@ -318,6 +323,7 @@ object Pq {
       .unionByName(queries.select(lit("q").as("_t"), col("id").cast("long").as("_id"),
         nullI.as("_g"), nullL.as("_c"), nullA.as("_v")))
     val mG = m; val kG = k; val nProbeG = nProbe; val overG = oversample
+    val pctG = shortlistPct
     tagged.coalesce(1).mapPartitions { it =>
       import scala.collection.mutable
       val vec = mutable.HashMap.empty[Long, Array[Long]]
@@ -325,6 +331,7 @@ object Pq {
       val book = mutable.HashMap.empty[(Int, Long), Array[Long]]
       val codeRows = mutable.HashMap.empty[Long, mutable.ArrayBuffer[(Int, Long)]]
       val members = mutable.HashMap.empty[Long, mutable.ArrayBuffer[Long]]
+      var nPts = 0L
       // set, not buffer: the distributed tiers dedup their query panel,
       // so a duplicate panel id must not duplicate output rows here
       val qIds = mutable.LinkedHashSet.empty[Long]
@@ -332,7 +339,7 @@ object Pq {
         row.getSeq[Long](4).toArray
       it.foreach { row =>
         row.getString(0) match {
-          case "p" => vec.update(row.getLong(1), arr(row))
+          case "p" => nPts += 1; vec.update(row.getLong(1), arr(row))
           case "e" => centRows += ((row.getLong(1), arr(row)))
           case "b" => book.update((row.getInt(2), row.getLong(3)), arr(row))
           case "k" => codeRows.getOrElseUpdate(row.getLong(1),
@@ -350,6 +357,11 @@ object Pq {
         acc
       }
       val cents0 = centRows.toArray
+      // The distributed shortlist bound, same integer ceil-division:
+      // max(k·oversample, ⌈N·pct/100⌉) when pct > 0, else k·oversample.
+      val shortBound =
+        if (pctG > 0) math.max(kG.toLong * overG, (nPts * pctG + 99) / 100)
+        else kG.toLong * overG
       qIds.iterator.filter(vec.contains).flatMap { q =>
         val qv = vec(q)
         // Probe ranking: (d, cluster_id) ascending, top nProbe.
@@ -386,7 +398,8 @@ object Pq {
             }
             if (matched) Iterator.single((s, cand)) else Iterator.empty
           }.toArray
-          val shortlist = adc.sortBy(identity).take(kG * overG).map(_._2)
+          val shortlist = adc.sortBy(identity)
+            .take(math.min(shortBound, Int.MaxValue.toLong).toInt).map(_._2)
           shortlist.iterator
             .flatMap(c => vec.get(c).map(cv => (sqdist(qv, cv), c))).toArray
             .sortBy(identity).take(kG).zipWithIndex

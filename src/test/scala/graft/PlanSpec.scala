@@ -190,7 +190,9 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q117: IVF-PQ broadcasts every model table; raw vectors never self-join") {
-    val p = plan(Queries.q117IvfpqTopk)
+    // The distributed chain (the 100 TB shape), forced past the r19
+    // one-task serving guard.
+    val p = plan((s, d) => Queries.q117IvfpqTopk(s, d, maxLocalBytes = 0L))
     // centroids, query ids, codebooks and the ADC distance table all ride
     // broadcasts; the probes |X| lists equi-join keys cluster_id (SMJ in
     // the static plan — AQE converts it when the probe side is small, and
@@ -207,6 +209,14 @@ class PlanSpec extends SparkSpec {
     // count aggregate (shortlistPct — a SinglePartition exchange of one
     // partial-count row per task, then broadcast into the filter).
     shuffles(p) should be <= 7
+    // r19 serving tier: under the fail-closed stats guard the registered
+    // cell runs route→ADC→re-rank as ONE task (Coalesce(1)+mapPartitions
+    // over the tagged union); the only shuffle left is assignQ's k-row
+    // centroid fold aggregate (q101's pinned constant) — a regression
+    // that re-distributes the guarded serve adds exchanges and trips.
+    val local = plan(Queries.q117IvfpqTopk)
+    local should include("Coalesce 1")
+    shuffles(local) should be <= 1
   }
 
   test("q101/q103: k-means assignment broadcasts the centroids and sqdist is codegen'd") {

@@ -229,6 +229,38 @@ class PqSpec extends SparkSpec {
     p.sparkSession.catalog.clearCache()
   }
 
+  test("q117's one-task tier (assignQ lists + shortlistPct) ≡ ivfPqTopK, " +
+    "incl. a pct-binding corpus") {
+    // The r19 serving tier for the LIVE composition: serveStoredLocal
+    // fed in-plan assignQ lists must equal ivfPqTopK row for row — at a
+    // pct where the density term BINDS (pct=100 ⇒ bound N=30 > k·over=6)
+    // so the kernel's new shortlist arm is exercised, and at pct=0 where
+    // the k·oversample floor binds.
+    val vs = (0L until 30L).map { i =>
+      i -> Seq.tabulate(8)(j => ((i * 2654435761L + j * 40503L) % 1000L) - 500L)
+    }
+    val p = pts(vs: _*)
+    val cents = Cluster.train(p, k = 3, iterations = 2)
+    val books = Pq.trainCodebooks(p, m = 2, k = 4, iterations = 2)
+    val codes = Pq.encode(p, books, m = 2)
+    val queries = p.filter(col("id") % 7 === 0).select(col("id"))
+    Seq(0, 100).foreach { pct =>
+      val local = Pq.serveStoredLocal(p, cents, books, codes,
+          Cluster.assignQ(p, cents), m = 2, queries = queries,
+          k = 3, nProbe = 2, oversample = 2, shortlistPct = pct)
+        .collect().map(_.toSeq).sortBy(_.toString)
+      val dist = Pq.ivfPqTopK(p, cents, books, codes, m = 2,
+          queries = queries, k = 3, nProbe = 2, oversample = 2,
+          shortlistPct = pct)
+        .collect().map(_.toSeq).sortBy(_.toString)
+      withClue(s"pct=$pct: ") {
+        local should not be empty
+        local shouldBe dist
+      }
+    }
+    p.sparkSession.catalog.clearCache()
+  }
+
   test("out-of-range codebook groups drop identically on both serving tiers") {
     // A stored artifact violating the g ∈ [0, m) contract (corruption):
     // the distributed tier's subvector inner join silently drops such
