@@ -656,7 +656,13 @@ object Bench {
           "q145_incremental_corpus"   -> 12.0,
           "q148_incremental_minhash"  -> 12.0,
           "q138_quality_ngram_perceptron" -> 6.0,
-          "q143_corpus_build"         -> 6.0,
+          // r19: the one-task build tier serves at BOTH scales (the
+          // guard admits the 10x documents table), so the cell moved
+          // from the amortizing regime to single-task LINEAR work that
+          // tracks data growth with no multi-core amortization — the
+          // same reclassification q145/q148 got in r15 when their tiers
+          // landed; only a superlinear shape should trip it
+          "q143_corpus_build"         -> 15.0,
           "q150_dup_cohesion"         -> 6.0,
           "q151_systematic_sample"    -> 6.0,
           // linear-in-incidence by the fan-guard theorem; pair count

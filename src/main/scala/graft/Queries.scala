@@ -3788,10 +3788,49 @@ object Queries {
     * behavior is pinned by its own operator gate (q18/q76 exact dedup,
     * q137 drop/rewrite, q141 scoring) and specs. */
   def q143CorpusBuild(s: SparkSession, dir: String): DataFrame =
-    corpusBuildCore(s, dir, t(s, dir, "documents"))
-      .select(col("doc_id"), col("pass_quality"), col("pass_exact"),
-        col("pass_decon"), col("pass_lm"), col("keep"), col("final_text"),
-        col("shard"))
+    q143CorpusBuild(s, dir, maxLocalBytes = 64L << 20)
+
+  /** q143's tiered body (r19 — the q145 serving-tier treatment applied
+    * to the FULL build, closing the VERDICT r18 ask-#1 floor): at
+    * build-serving scale the distributed chain is ~21 stages whose
+    * largest stage runs well under the scheduler latency it pays
+    * (ProfileQ: 2.1 s stage-wall sum spread over 21 stages for a
+    * ~1.1-1.6 s cell). Under the fail-closed Catalyst size-stats guard
+    * the whole quality→exact-canon→decon→LM→manifest chain runs as the
+    * ONE [[graft.ops.CorpusMaintain.manifestLocal]] task with EMPTY
+    * previous-build inputs — every document takes the kernel's
+    * recomputed path, which IS the full-build chain (the same kernel
+    * q145 serves through, whose cross-tier equality IncrementalBuildSpec
+    * pins; QueryTierSpec pins the q143 composition directly). The eval
+    * window keys and LM model ride the same stored artifacts both tiers
+    * read. `maxLocalBytes = 0` forces the distributed chain. */
+  private[graft] def q143CorpusBuild(s: SparkSession, dir: String,
+                                     maxLocalBytes: Long): DataFrame = {
+    val d = t(s, dir, "documents")
+    if (maxLocalBytes > 0 &&
+        d.queryExecution.optimizedPlan.stats.sizeInBytes <=
+          BigInt(maxLocalBytes) &&
+        d.schema("doc_id").dataType == org.apache.spark.sql.types.LongType) {
+      val noPrevHashes = d.select(col("doc_id"),
+        lit(null).cast("string").as("content_hash")).limit(0)
+      val noPrevBuild = d.select(col("doc_id"),
+        lit(null).cast("boolean").as("pass_quality"),
+        lit(null).cast("boolean").as("pass_exact"),
+        lit(null).cast("boolean").as("pass_decon"),
+        lit(null).cast("boolean").as("pass_lm"),
+        lit(null).cast("string").as("final_text"),
+        lit(null).cast("string").as("content_hash")).limit(0)
+      graft.ops.CorpusMaintain.manifestLocal(
+        d.filter(col("doc_id") % 20 =!= 0).select(col("doc_id"), col("text")),
+        noPrevHashes, noPrevBuild,
+        evalWindowKeys(s, dir), lmModel(s, dir),
+        spanLen = 8, dropPct = 20, wcLo = 25L, wcHi = 90L, shards = 16)
+    } else
+      corpusBuildCore(s, dir, d)
+        .select(col("doc_id"), col("pass_quality"), col("pass_exact"),
+          col("pass_decon"), col("pass_lm"), col("keep"), col("final_text"),
+          col("shard"))
+  }
 
   /** The q143 chain over an arbitrary corpus snapshot `d` — shared by
     * the full build (q143: d = the documents table) and the

@@ -45,6 +45,22 @@ class IncrementalBuildSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q143's one-task build tier ≡ the distributed full chain, row for row") {
+    // r19: the FULL build serves the same manifestLocal kernel with
+    // EMPTY previous-build inputs (every doc takes the recomputed path).
+    // maxLocalBytes = 0 forces the distributed corpusBuildCore chain on
+    // the same corpus; plan asserts keep the comparison non-vacuous.
+    val localF = Queries.q143CorpusBuild(spark, dir)
+    val distF = Queries.q143CorpusBuild(spark, dir, maxLocalBytes = 0L)
+    localF.queryExecution.executedPlan.toString should include("MapPartitions")
+    distF.queryExecution.executedPlan.toString should not include "MapPartitions"
+    val local = localF.collect().map(_.toSeq).sortBy(_.toString)
+    val dist = distF.collect().map(_.toSeq).sortBy(_.toString)
+    local should not be empty
+    local shouldBe dist
+    spark.catalog.clearCache()
+  }
+
   test("q148 incremental MinHash pair set ≡ full index rebuild over the new snapshot") {
     // The cell serves the ONE-TASK tier at this corpus size, so this
     // equality is simultaneously the batch≡incremental theorem AND the
