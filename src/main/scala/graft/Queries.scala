@@ -2578,11 +2578,36 @@ object Queries {
     * family's production axis: q103 trains the coarse quantizer
     * (inverted lists), this trains the fine one (compressed residual
     * scan); a full IVF-PQ deployment composes the two. */
-  def q116PqTopk(s: SparkSession, dir: String): DataFrame = {
+  def q116PqTopk(s: SparkSession, dir: String): DataFrame =
+    q116PqTopk(s, dir, maxLocalBytes = 64L << 20)
+
+  /** q116's tiered body (r19): PQ-only top-k is IVF-PQ with NO coarse
+    * route — every candidate is in scope — so the guarded one-task serve
+    * is [[graft.ops.Pq.serveStoredLocal]] over a SINGLETON list (every
+    * id in cluster 0, one empty-vector centroid, nProbe 1): the probe
+    * trivially selects the one list, candidates = all ids minus self,
+    * and the ADC matched-sum / (adc, cand_id) shortlist /
+    * (dist, cand_id) exact re-rank are the kernel's existing arms —
+    * step-for-step [[graft.ops.Pq.topKQ]] (PqSpec pins the equality;
+    * `maxLocalBytes = 0` forces the distributed chain). */
+  private[graft] def q116PqTopk(s: SparkSession, dir: String,
+                                maxLocalBytes: Long): DataFrame = {
     val pts = quantizedPoints(s, dir)
-    graft.ops.Pq.topKQ(pts, pqBooks(s, dir), pqCodes(s, dir), m = 4,
-      queries = pts.filter(col("id") % 50 === 0).select(col("id")),
-      k = 5, oversample = 4)
+    val codes = pqCodes(s, dir)
+    val panel = pts.filter(col("id") % 50 === 0).select(col("id"))
+    if (maxLocalBytes > 0 &&
+        Seq(pts, codes)
+          .map(_.queryExecution.optimizedPlan.stats.sizeInBytes)
+          .sum <= BigInt(maxLocalBytes))
+      graft.ops.Pq.serveStoredLocal(pts,
+        s.range(1).select(lit(0L).as("cluster_id"),
+          array().cast("array<bigint>").as("cv")),
+        pqBooks(s, dir), codes,
+        pts.select(col("id"), lit(0L).as("cluster_id")),
+        m = 4, queries = panel, k = 5, nProbe = 1, oversample = 4)
+    else
+      graft.ops.Pq.topKQ(pts, pqBooks(s, dir), codes, m = 4,
+        queries = panel, k = 5, oversample = 4)
   }
 
   /** Full IVF-PQ top-k ([[graft.ops.Pq.ivfPqTopK]]) — the production ANN

@@ -261,6 +261,33 @@ class PqSpec extends SparkSpec {
     p.sparkSession.catalog.clearCache()
   }
 
+  test("q116's singleton-list local serve ≡ topKQ (PQ-only, no route)") {
+    // The r19 q116 tier: one empty-vector centroid + every id in
+    // cluster 0 + nProbe 1 makes serveStoredLocal's candidate set "all
+    // ids minus self" — exactly topKQ's scope — and the ADC/shortlist/
+    // re-rank arms are shared, so the outputs must match row for row.
+    val vs = (0L until 30L).map { i =>
+      i -> Seq.tabulate(8)(j => ((i * 2654435761L + j * 40503L) % 1000L) - 500L)
+    }
+    val p = pts(vs: _*)
+    val books = Pq.trainCodebooks(p, m = 2, k = 4, iterations = 2)
+    val codes = Pq.encode(p, books, m = 2)
+    val queries = p.filter(col("id") % 7 === 0).select(col("id"))
+    val spark = p.sparkSession
+    val local = Pq.serveStoredLocal(p,
+        spark.range(1).select(lit(0L).as("cluster_id"),
+          array().cast("array<bigint>").as("cv")),
+        books, codes, p.select(col("id"), lit(0L).as("cluster_id")),
+        m = 2, queries = queries, k = 3, nProbe = 1, oversample = 4)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val dist = Pq.topKQ(p, books, codes, m = 2, queries = queries,
+        k = 3, oversample = 4)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    local should not be empty
+    local shouldBe dist
+    spark.catalog.clearCache()
+  }
+
   test("out-of-range codebook groups drop identically on both serving tiers") {
     // A stored artifact violating the g ∈ [0, m) contract (corruption):
     // the distributed tier's subvector inner join silently drops such
