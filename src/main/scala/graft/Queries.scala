@@ -2205,10 +2205,30 @@ object Queries {
     * distances AND ranks hash-match the unrolled oracle. Completes the
     * ANN family: brute force (q24), hyperplane LSH (q25), seed-centroid
     * IVF (q52), and now the trained quantizer the others approximate. */
-  def q103TrainedIvfTopk(s: SparkSession, dir: String): DataFrame = {
+  def q103TrainedIvfTopk(s: SparkSession, dir: String): DataFrame =
+    q103TrainedIvfTopk(s, dir, maxLocalBytes = 64L << 20)
+
+  /** q103's tiered body (r19 — the q117/q116 serving-tier treatment at
+    * the exact-IVF layer): under the fail-closed Catalyst size-stats
+    * guard the probe→list→exact-rank serve runs as the ONE
+    * [[graft.ops.Cluster.ivfServeLocal]] task, with the inverted lists
+    * derived by the zero-exchange [[graft.ops.Cluster.assignQ]] fold
+    * (bit-equal to ivfSearchQPts' rank-1 rows — the ClusterSpec-pinned
+    * equality). `maxLocalBytes = 0` forces the distributed chain. */
+  private[graft] def q103TrainedIvfTopk(s: SparkSession, dir: String,
+                                        maxLocalBytes: Long): DataFrame = {
     val pts = quantizedPoints(s, dir)
-    Cluster.ivfSearchQPts(pts, trainedCentroids(s, dir),
-      pts.filter(col("id") % 50 === 0).select(col("id")), topK = 5, nProbe = 2)
+    val panel = pts.filter(col("id") % 50 === 0).select(col("id"))
+    if (maxLocalBytes > 0 &&
+        pts.queryExecution.optimizedPlan.stats.sizeInBytes <=
+          BigInt(maxLocalBytes))
+      Cluster.ivfServeLocal(pts, trainedCentroids(s, dir),
+        Cluster.assignQ(pts, trainedCentroids(s, dir))
+          .select(col("id"), col("cluster_id")),
+        panel, topK = 5, nProbe = 2)
+    else
+      Cluster.ivfSearchQPts(pts, trainedCentroids(s, dir), panel,
+        topK = 5, nProbe = 2)
   }
 
   /** Sliding-window document chunking — the context-window slicing step

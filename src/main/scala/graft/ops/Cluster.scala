@@ -316,4 +316,75 @@ object Cluster {
       .filter(col("rank") <= topK)
       .select(col("query_id"), col("cand_id"), col("dist"), col("rank"))
   }
+
+  /** [[ivfSearchQPts]]/[[ivfSearchStoredLists]] as ONE guarded task —
+    * the [[graft.ops.Pq.serveStoredLocal]] treatment for the exact-IVF
+    * serve (no ADC stage): at serving scale the distributed chain is
+    * probe window + list join + candidate-vector join + rank window of
+    * pure scheduler latency. The four inputs ride a tagged union (no
+    * driver collect) into one `mapPartitions` task mirroring the
+    * distributed arithmetic step for step: [[graft.functions
+    * .LongSqDist]]'s exact fold, (d, cluster_id) probe tie-break,
+    * inner-join candidate-vector semantics (a list id with no pts row
+    * drops), (dist, cand_id) rank, query-panel dedup. Callers guard
+    * fail-CLOSED on Catalyst size stats; cross-tier equality is spec'd
+    * (ClusterSpec). `lists` must hold one row per id (the assignment
+    * contract). Output: (query_id, cand_id, dist, rank: int). */
+  def ivfServeLocal(pts: DataFrame, cents: DataFrame, lists: DataFrame,
+                    queryIds: DataFrame, topK: Int, nProbe: Int): DataFrame = {
+    require(nProbe >= 1 && topK >= 1,
+      s"topK and nProbe must be >= 1; got topK=$topK nProbe=$nProbe")
+    val spark = pts.sparkSession
+    import spark.implicits._
+    val nullL = lit(null).cast("long")
+    val nullA = lit(null).cast("array<bigint>")
+    val tagged = pts.select(lit("p").as("_t"), col("id").cast("long").as("_id"),
+        nullL.as("_c"), col("qv").as("_v"))
+      .unionByName(cents.select(lit("e").as("_t"),
+        col("cluster_id").cast("long").as("_id"), nullL.as("_c"),
+        col("cv").as("_v")))
+      .unionByName(lists.select(lit("l").as("_t"), col("id").cast("long").as("_id"),
+        col("cluster_id").cast("long").as("_c"), nullA.as("_v")))
+      .unionByName(queryIds.select(lit("q").as("_t"),
+        col("id").cast("long").as("_id"), nullL.as("_c"), nullA.as("_v")))
+    val kG = topK; val nProbeG = nProbe
+    tagged.coalesce(1).mapPartitions { it =>
+      import scala.collection.mutable
+      val vec = mutable.HashMap.empty[Long, Array[Long]]
+      val centRows = mutable.ArrayBuffer.empty[(Long, Array[Long])]
+      val members = mutable.HashMap.empty[Long, mutable.ArrayBuffer[Long]]
+      val qIds = mutable.LinkedHashSet.empty[Long]
+      def arr(row: org.apache.spark.sql.Row): Array[Long] =
+        row.getSeq[Long](3).toArray
+      it.foreach { row =>
+        row.getString(0) match {
+          case "p" => vec.update(row.getLong(1), arr(row))
+          case "e" => centRows += ((row.getLong(1), arr(row)))
+          case "l" => members.getOrElseUpdate(row.getLong(2),
+            mutable.ArrayBuffer.empty) += row.getLong(1)
+          case _ => qIds += row.getLong(1)
+        }
+      }
+      def sqdist(a: Array[Long], b: Array[Long]): Long = {
+        val n = math.min(a.length, b.length)
+        var acc = 0L; var i = 0
+        while (i < n) { val d = a(i) - b(i); acc += d * d; i += 1 }
+        acc
+      }
+      val cents0 = centRows.toArray
+      qIds.iterator.filter(vec.contains).flatMap { q =>
+        val qv = vec(q)
+        val probed = cents0.map { case (cid, cv) => (sqdist(qv, cv), cid) }
+          .sortBy(identity).take(nProbeG).map(_._2)
+        probed.iterator
+          .flatMap(cid => members.getOrElse(cid, Nil))
+          .filter(_ != q)
+          .flatMap(c => vec.get(c).map(cv => (sqdist(qv, cv), c))).toArray
+          .sortBy(identity).take(kG).zipWithIndex
+          .iterator.map { case ((d, c), i) => (q, c, d, i + 1) }
+      }
+    }.toDF("query_id", "cand_id", "dist", "rank")
+      .select(col("query_id"), col("cand_id"), col("dist"),
+        col("rank").cast("int").as("rank"))
+  }
 }

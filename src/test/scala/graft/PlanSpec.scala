@@ -220,7 +220,10 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q101/q103: k-means assignment broadcasts the centroids and sqdist is codegen'd") {
-    Seq(plan(Queries.q101KmeansCluster), plan(Queries.q103TrainedIvfTopk)).foreach { p =>
+    // q103's distributed chain (the 100 TB shape), forced past the r19
+    // one-task serving guard.
+    val q103dist = plan((s, d) => Queries.q103TrainedIvfTopk(s, d, maxLocalBytes = 0L))
+    Seq(plan(Queries.q101KmeansCluster), q103dist).foreach { p =>
       // every N-by-k pass must broadcast the k centroids, never shuffle N
       p should include("BroadcastNestedLoopJoin")
       // native expression resolved (not an interpreted zip_with fold)
@@ -236,7 +239,13 @@ class PlanSpec extends SparkSpec {
     // the bounded narrow ranking, plus the PANEL-sized query-dedup
     // aggregate (|Q| rows — robustness against duplicate panel ids,
     // not a corpus exchange).
-    shuffles(plan(Queries.q103TrainedIvfTopk)) should be <= 4
+    shuffles(q103dist) should be <= 4
+    // r19 serving tier: the registered cell under the stats guard is one
+    // task (Coalesce(1)+mapPartitions); the only shuffle is assignQ's
+    // k-row centroid fold.
+    val local = plan(Queries.q103TrainedIvfTopk)
+    local should include("Coalesce 1")
+    shuffles(local) should be <= 1
   }
 
   test("q104/q122/q123: chunk/frame/patch windows are a pure narrow map — no shuffle") {

@@ -180,6 +180,26 @@ class ClusterSpec extends SparkSpec {
     stored shouldBe live
   }
 
+  test("ivfServeLocal (one-task tier) ≡ ivfSearchQPts, row for row") {
+    // The r19 q103 serving tier: the tagged-union kernel fed assignQ
+    // lists must reproduce the recomputing distributed search exactly —
+    // probe tie-break, self-exclusion, (dist, cand_id) rank, panel
+    // dedup (the duplicated query id below).
+    val pts = blobPts
+    val cents = Cluster.train(pts, k = 4, iterations = 2)
+    val lists = Cluster.assignQ(pts, cents).select(col("id"), col("cluster_id"))
+    val queries = pts.filter(col("id") % 10 === 0).select(col("id"))
+      .unionByName(pts.filter(col("id") === 0L).select(col("id")))
+    val local = Cluster.ivfServeLocal(pts, cents, lists, queries,
+        topK = 3, nProbe = 2)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val live = Cluster.ivfSearchQPts(pts, cents, queries, topK = 3, nProbe = 2)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    local should not be empty
+    local shouldBe live
+    pts.sparkSession.catalog.clearCache()
+  }
+
   test("assignQ over an empty centroid frame is empty, never a sentinel row") {
     // The r18 fold assignment seeds its argmin with a
     // (Long.MaxValue, Long.MinValue) struct; an empty centroid array
