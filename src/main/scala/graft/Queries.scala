@@ -1697,21 +1697,34 @@ object Queries {
       countDistinct(col("o_orderkey")).as("ex_ord"),
       approx_count_distinct(col("o_orderkey")).as("ap_ord"),
       percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("ap_med"))
-    // rank check for the approximate median: one more pass counting how
-    // many rows fall at or below it (the 1-row agg broadcasts)
-    val medRank = o.crossJoin(wide.select(col("ap_med")))
-      .agg(coalesce(sum(when(col("o_totalprice") <= col("ap_med"), 1L)), lit(0L)).as("n_le"))
-    val hllCust = wide.select(lit("hll_custkey").as("metric"),
-      col("ex_cust").as("n_reference"),
-      (abs(col("ap_cust") - col("ex_cust")).cast("double") <= col("ex_cust") * 0.15).as("ok"))
-    val hllOrd = wide.select(lit("hll_orderkey").as("metric"),
-      col("ex_ord").as("n_reference"),
-      (abs(col("ap_ord") - col("ex_ord")).cast("double") <= col("ex_ord") * 0.15).as("ok"))
-    val med = wide.select(col("n_rows")).crossJoin(medRank)
+    // r19 (guide §2.3): the old three-branch union + rank-check crossJoin
+    // consumed `wide` FOUR times, and exchange reuse does not dedup the
+    // branches — the multi-distinct Expand aggregate ran once per
+    // consumer. Now the two HLL rows explode from ONE evaluation of
+    // `wide`, and the median rank check carries n_rows through its own
+    // (single) crossJoin of the 1-row aggregate — two corpus passes
+    // total, the second being the rank check's own scan. Same three
+    // output rows bit for bit.
+    val hllRows = wide.select(explode(array(
+      struct(lit("hll_custkey").as("metric"),
+        col("ex_cust").as("n_reference"),
+        (abs(col("ap_cust") - col("ex_cust")).cast("double") <=
+          col("ex_cust") * 0.15).as("ok")),
+      struct(lit("hll_orderkey").as("metric"),
+        col("ex_ord").as("n_reference"),
+        (abs(col("ap_ord") - col("ex_ord")).cast("double") <=
+          col("ex_ord") * 0.15).as("ok")))).as("r"))
+      .select(col("r.metric"), col("r.n_reference"), col("r.ok"))
+    val med = o.crossJoin(broadcast(wide.select(col("ap_med"), col("n_rows"))))
+      .agg(coalesce(sum(when(col("o_totalprice") <= col("ap_med"), 1L)), lit(0L))
+          .as("n_le"),
+        // coalesce: on an EMPTY table max() is null where the old shape
+        // read wide's 0 — keep the empty-input edge identical
+        coalesce(max(col("n_rows")), lit(0L)).as("n_rows"))
       .select(lit("median_rank").as("metric"), col("n_rows").as("n_reference"),
         (col("n_le").cast("double") / col("n_rows") >= 0.48 &&
          col("n_le").cast("double") / col("n_rows") <= 0.52).as("ok"))
-    hllCust.unionByName(hllOrd).unionByName(med)
+    hllRows.unionByName(med)
   }
 
   /** Gopher-style intra-document repetition profile: fraction of a doc's
