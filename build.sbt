@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run stdout passes through RAW instead of being re-logged with an
+// `[info] ` prefix: the bench's one-line JSON contract (round-19 verdict
+// ask #2) requires the driver to find an unprefixed parseable line in
+// stdout, and sbt's default LoggedOutput prefixed every line in both r18
+// and r19, leaving the driver's perf pipeline dark (BENCH_*.json
+// `parsed: null`). Measurement-reporting only; no timed code changes.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -210,11 +210,19 @@ object Bench {
     }
     // One measurement = canary, query, canary: a stall overlapping the query
     // almost always overlaps a bracket too. Returns (seconds, flagged, err).
+    // A bracket past the threshold is also NAMED on stderr (r19 verdict
+    // ask #2's canary chase): `canary_stalled` in the summary says a stall
+    // happened somewhere in 800+ canaries; this line says next to WHICH
+    // cell, so the starving job is findable without a re-run.
     def measure(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean, Boolean) = {
       val before = canary()
       val (dt, err) = timeOne(name, fn)
       val after = canary()
-      (dt, math.max(before, after) > stallThreshold, err)
+      val flagged = math.max(before, after) > stallThreshold
+      if (flagged) System.err.println(
+        f"[bench] canary stall adjacent to $name (before=$before%.3f s, " +
+          f"after=$after%.3f s, threshold=$stallThreshold%.3f s)")
+      (dt, flagged, err)
     }
     // Merge two samples of one cell: the min time of the SUCCESSFUL
     // samples (an errored run aborts in ~0 s — taking its min would
@@ -339,9 +347,25 @@ object Bench {
     // serialization happens after the sf1 block (see weakAllJson).
     val weak = ratios.filter { case (n, r) => r > 2.0 && results(n)._1 > 1.0 }
 
+    // Every JSON line is ALSO persisted to a core-count-stamped file
+    // (r19 verdict ask #2): the driver's stdout capture lost both rounds'
+    // per-query tables to the sbt `[info]` prefix, and its 32-core
+    // bench_cells.json was clobbered by the subsequent 8-core run. A
+    // `_c<cpus>` stamp makes runs at different core counts land in
+    // different files, so the main-config evidence survives the scaling
+    // run; within one config, a round's runs are separated by commits.
+    def persistLine(path: String, line: String): Unit =
+      try {
+        val pw = new java.io.PrintWriter(path, "UTF-8")
+        pw.println(line); pw.close()
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] persist $path: $e") }
+
     // The gate-relevant line prints BEFORE the sf1 block runs: a driver
     // timeout during the scale pass must never lose the headline number.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","canary":$canaryJson,"stalled":$stalled,"errors":$erroredJson,"ratio_vs_baseline":$ratioJson,"sf1":"see_sf1_line"}""")
+    val metricLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","canary":$canaryJson,"stalled":$stalled,"errors":$erroredJson,"ratio_vs_baseline":$ratioJson,"sf1":"see_sf1_line"}"""
+    println(metricLine)
+    persistLine(s"bench_metric_c$cpus.json", metricLine)
     System.out.flush()
 
     // Set by the sf1 block when a scale cell breaches its declared
@@ -924,6 +948,7 @@ object Bench {
     // that always fits. Key names deliberately differ from the main
     // line's so no parser mistakes either for the per-query record.
     println(s"""{"sf1":$sf1Json}""")
+    persistLine(s"bench_sf1_c$cpus.json", s"""{"sf1":$sf1Json}""")
     // `weak` rides the (short, tail-surviving) summary line: cells both
     // >1 s and >2x their DuckDB baseline cell, with the measured ratio.
     // TWO signals (r14 ask #1a): the main-pass best sample ("main") OR
@@ -1071,20 +1096,30 @@ object Bench {
     // driver commits it with the round) — stable key order, 3-decimal
     // ratios, so a git diff shows exactly which cells moved.
     val cellsPath = sys.env.getOrElse("SPARK_GRAFT_CELLS_OUT", "bench_cells.json")
-    try {
-      val pw = new java.io.PrintWriter(cellsPath, "UTF-8")
-      pw.println("[")
-      names.zipWithIndex.foreach { case (n, i) =>
-        val sep = if (i == names.size - 1) "" else ","
-        val ratio = baselines.get(n).filter(_ > 0)
-          .map(b => r3(results(n)._1 / b)).getOrElse("null")
-        pw.println(s"""{"q":"$n","sec":${r3(results(n)._1)},"ratio":$ratio}$sep""")
-      }
-      pw.println("]")
-      pw.close()
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] cells file: $e") }
-    println(s"""{"total_sec":$total,"n":${names.size},"stalled":$stalled,"errors":$erroredJson,"canary":$canaryJsonF,"canary_stalled":$canaryStalled,"cells":"$cellsPath","baseline_cells":${ratios.size},"weak":$weakAllJson}""")
+    // Stamped twin beside the driver-committed default (r19 verdict ask
+    // #2): the scaling run (different SPARK_GRAFT_CPUS) overwrote the
+    // main config's per-cell file in r19; `_c<cpus>` keeps both.
+    val cellsPaths =
+      if (sys.env.contains("SPARK_GRAFT_CELLS_OUT")) Seq(cellsPath)
+      else Seq(cellsPath, s"bench_cells_c$cpus.json")
+    cellsPaths.foreach { p =>
+      try {
+        val pw = new java.io.PrintWriter(p, "UTF-8")
+        pw.println("[")
+        names.zipWithIndex.foreach { case (n, i) =>
+          val sep = if (i == names.size - 1) "" else ","
+          val ratio = baselines.get(n).filter(_ > 0)
+            .map(b => r3(results(n)._1 / b)).getOrElse("null")
+          pw.println(s"""{"q":"$n","sec":${r3(results(n)._1)},"ratio":$ratio}$sep""")
+        }
+        pw.println("]")
+        pw.close()
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] cells file $p: $e") }
+    }
+    val summaryLine = s"""{"total_sec":$total,"n":${names.size},"stalled":$stalled,"errors":$erroredJson,"canary":$canaryJsonF,"canary_stalled":$canaryStalled,"cells":"$cellsPath","baseline_cells":${ratios.size},"weak":$weakAllJson}"""
+    persistLine(s"bench_summary_c$cpus.json", summaryLine)
+    println(summaryLine)
     spark.stop()
     if (growthViolations.nonEmpty) {
       System.err.println(
