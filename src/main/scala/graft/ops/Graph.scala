@@ -190,7 +190,12 @@ object Graph {
     // Distinct incidence feeds the degree aggregate and the guarded
     // collect — distinct's map-side partial aggregate dedups BEFORE the
     // shuffle (on heavy-dup incidence that shuffles far less than the
-    // raw rows).
+    // raw rows), and AQE's shuffle-stage reuse materializes the shared
+    // distinct exchange ONCE for both consumers (pinned by PlanSpec's
+    // q152 runtime assertion; an r20 A/B that dropped the distinct from
+    // the collect side so each branch had a private subtree measured
+    // 1.09 -> 1.65 s standalone — two scans, no reuse, and the heavy
+    // partial collect_set concentrated into scan-split tasks).
     val e = incidence.select(col(contextCol).as("l"), col(itemCol).as("r"))
       .distinct()
     val okKeys = e.groupBy(col("l")).agg(count(lit(1)).as("_d"))
@@ -205,13 +210,11 @@ object Graph {
     // The degree guard still runs FIRST, so no collected array exceeds
     // maxFan elements — a viral context never concentrates its payload
     // in one task (the reason the guard cannot ride the collect itself).
-    // localCheckpoint dropped with the self-join: `e` now has exactly
-    // two consumers whose shared distinct subtree Spark's exchange reuse
-    // dedups, and the checkpoint's eager materialization job + lineage
-    // scan (an ExistingRDD that blocked parquet column pruning) cost
-    // more than the reuse saves. Pair order: items sorted ascending and
-    // distinct, each element paired with its strict successors — exactly
-    // the self-join's (_ra < _rb).
+    // localCheckpoint dropped with the self-join (r19): the checkpoint's
+    // eager materialization job + lineage scan (an ExistingRDD that
+    // blocked parquet column pruning) cost more than it saved. Pair
+    // order: items sorted ascending and distinct, each element paired
+    // with its strict successors — exactly the self-join's (_ra < _rb).
     val grouped = kept.groupBy(col("l"))
       .agg(sort_array(collect_set(col("r"))).as("_items"))
     grouped

@@ -524,6 +524,26 @@ class PlanSpec extends SparkSpec {
     p.split("\n").count(_.contains("BroadcastNestedLoopJoin")) should be <= 2
   }
 
+  test("q152: AQE reuses the shared distinct-incidence exchange at runtime") {
+    // bipartiteProject deliberately lets its two consumers (degree guard
+    // + guarded collect) share ONE distinct subtree instead of
+    // localCheckpointing it (r19) — sound only while AQE's shuffle-stage
+    // reuse materializes the shared exchange once (ADVICE r19: a Spark
+    // upgrade losing the reuse would silently run the corpus distinct,
+    // and its scan, twice). Runtime assertion, not initial-plan: reuse
+    // is an AQE stage-materialization decision.
+    val q = Queries.q152CopurchaseProject(spark, dir)
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString
+    p should include("isFinalPlan=true")
+    val finalSection = p.split("== Initial Plan ==")(0)
+    finalSection should include("ReusedExchange")
+    // the executed stages scan the incidence table exactly once
+    withClue(finalSection) {
+      scans(finalSection, "lineitem") shouldBe 1
+    }
+  }
+
   test("no query plan contains a CollectLimit-to-driver loop or cartesian product") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = fn(spark, dir).queryExecution.executedPlan.toString
