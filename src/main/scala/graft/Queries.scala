@@ -2019,29 +2019,38 @@ object Queries {
     * output — they ARE pure boilerplate. */
   def q95BoilerplateScrub(s: SparkSession, dir: String): DataFrame = {
     val W = 3
+    // The chunk table feeds the drop-set aggregate AND the anti-join
+    // probe — unpersisted, the full per-doc tokenize+slice+join chain
+    // (the cell's dominant CPU: ProfileQ measured ~7.3 s CPU per pass at
+    // sf0.1) ran once per consumer. Persisted, it runs once (guide
+    // §2.4/§5; the q149 chunk-table precedent). The per-doc chunk count
+    // rides the frame as `_n_tot` (computed from the words array before
+    // the explode), which removes the third chunk pass + its groupBy +
+    // the re-attach join the old `tot` branch paid.
     val chunks = t(s, dir, "documents")
       .select(col("doc_id"), TextStats.words(lower(col("text"))).as("ws"))
       .filter(size(col("ws")) >= W)
       .select(col("doc_id"),
+        ((size(col("ws")) / W).cast("int")).as("_n_tot"),
         explode(sequence(lit(0), (size(col("ws")) / W).cast("int") - 1)).as("i"),
         col("ws"))
-      .select(col("doc_id"), col("i"),
+      .select(col("doc_id"), col("_n_tot"), col("i"),
         array_join(slice(col("ws"), col("i") * W + 1, lit(W)), " ").as("chunk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dropSet = chunks.groupBy(col("chunk"))
       .agg(countDistinct(col("doc_id")).as("_df"))
       .filter(col("_df") >= 2)
       .select(col("chunk"))
-    val tot = chunks.groupBy(col("doc_id")).agg(count(lit(1)).as("_n_tot"))
     chunks.join(dropSet, Seq("chunk"), "left_anti")
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_kept"),
+        first(col("_n_tot")).as("_n_tot"),
         array_join(
           transform(
             array_sort(collect_list(struct(col("i"), col("chunk")))),
             x => x.getField("chunk")),
           " ").as("scrubbed_text"))
-      .join(tot, Seq("doc_id"))
       .select(col("doc_id"), col("n_kept"),
         (col("_n_tot") - col("n_kept")).as("n_dropped"), col("scrubbed_text"))
   }
