@@ -767,8 +767,16 @@ object Queries {
     * keeps the assignment pass subquadratic as N grows (the sf1 bench
     * block measured the fixed-stride blow-up this replaced). */
   def q52AnnIvfTopk(s: SparkSession, dir: String): DataFrame =
+    q52AnnIvfTopk(s, dir, maxLocalBytes = 64L << 20)
+
+  /** `maxLocalBytes = 0` forces the distributed chain (PlanSpec pins
+    * both tiers; SimilaritySpec pins their equality on near-tie
+    * vectors). */
+  private[graft] def q52AnnIvfTopk(s: SparkSession, dir: String,
+                                   maxLocalBytes: Long): DataFrame =
     Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
-      col("vec_id") % 50 === 0, k = 5, centroidEvery = 0, nProbe = 3)
+      col("vec_id") % 50 === 0, k = 5, centroidEvery = 0, nProbe = 3,
+      maxLocalBytes)
 
   /** Hierarchical ROLLUP aggregation — subtotal rows per nation, per
     * (nation, year), and the grand total in ONE pass (Spark expands the

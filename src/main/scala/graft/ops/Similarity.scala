@@ -186,8 +186,18 @@ object Similarity {
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
               queryPred: Column, k: Int, centroidEvery: Int,
               nProbe: Int): DataFrame =
-    ivfTopKCore(emb, idCol, vecCol, queryPred, k, centroidEvery,
-      Left(nProbe))
+    ivfTopK(emb, idCol, vecCol, queryPred, k, centroidEvery, nProbe,
+      LocalServeBytes)
+
+  private[graft] def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
+                             queryPred: Column, k: Int, centroidEvery: Int,
+                             nProbe: Int, maxLocalBytes: Long): DataFrame =
+    if (localTierOk(emb, idCol, vecCol, maxLocalBytes))
+      ivfTopKLocal(emb, idCol, vecCol, queryPred, k, centroidEvery,
+        Left(nProbe))
+    else
+      ivfTopKCore(emb, idCol, vecCol, queryPred, k, centroidEvery,
+        Left(nProbe))
 
   /** [[ivfTopK]] probing a constant FRACTION of the inverted lists
     * (floored at `nProbeMin`) instead of a fixed count. With the √N
@@ -201,10 +211,159 @@ object Similarity {
     * driver action. */
   def ivfTopKFrac(emb: DataFrame, idCol: String, vecCol: String,
                   queryPred: Column, k: Int, centroidEvery: Int,
-                  probeFrac: Double, nProbeMin: Int = 3): DataFrame = {
+                  probeFrac: Double, nProbeMin: Int = 3): DataFrame =
+    ivfTopKFrac(emb, idCol, vecCol, queryPred, k, centroidEvery, probeFrac,
+      nProbeMin, LocalServeBytes)
+
+  private[graft] def ivfTopKFrac(emb: DataFrame, idCol: String, vecCol: String,
+                                 queryPred: Column, k: Int, centroidEvery: Int,
+                                 probeFrac: Double, nProbeMin: Int,
+                                 maxLocalBytes: Long): DataFrame = {
     require(probeFrac > 0 && probeFrac <= 1, s"probeFrac=$probeFrac out of (0,1]")
-    ivfTopKCore(emb, idCol, vecCol, queryPred, k, centroidEvery,
-      Right((probeFrac, nProbeMin)))
+    if (localTierOk(emb, idCol, vecCol, maxLocalBytes))
+      ivfTopKLocal(emb, idCol, vecCol, queryPred, k, centroidEvery,
+        Right((probeFrac, nProbeMin)))
+    else
+      ivfTopKCore(emb, idCol, vecCol, queryPred, k, centroidEvery,
+        Right((probeFrac, nProbeMin)))
+  }
+
+  /** One-task serving budget (Catalyst-estimated input bytes) for the
+    * live-IVF tier — the q179/q117/q148 guard value. Fail-CLOSED: missing
+    * stats default to Long.Max and take the distributed chain; 0 forces
+    * it (spec/plan pins). The id/vector type checks keep the kernel's
+    * row readers total — any other shape serves distributed. */
+  private val LocalServeBytes = 64L << 20
+
+  private def localTierOk(emb: DataFrame, idCol: String, vecCol: String,
+                          maxLocalBytes: Long): Boolean = {
+    import org.apache.spark.sql.types._
+    maxLocalBytes > 0 &&
+      emb.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(maxLocalBytes) &&
+      emb.schema(idCol).dataType == LongType &&
+      (emb.schema(vecCol).dataType match {
+        case ArrayType(FloatType, _) => true
+        case _ => false
+      })
+  }
+
+  /** ONE-TASK live-IVF tier (r20, VERDICT r19 ask #6 — the q103/q117
+    * pattern applied to the LIVE seed-centroid serve): the distributed
+    * chain is ~15 AQE stages of scheduler latency on a megabyte corpus.
+    * Under [[localTierOk]] the identical computation runs as one
+    * `coalesce(1).mapPartitions` task, mirroring the distributed
+    * arithmetic step for step so the DOUBLE cosines come out
+    * bit-identical (the r19 builder's named divergence risk, pinned by
+    * SimilaritySpec's adversarial near-tie equality tests):
+    *  - stride: same double ops as [[ivfAssignment]]'s AUTO rule
+    *    (`max(1, ceil(n / ceil(sqrt(n))))` — sqrt/ceil on double, long
+    *    division order preserved), or the explicit `centroidEvery`;
+    *  - cosines: [[graft.functions.FloatDot]]'s exact left fold
+    *    (acc += (double)x·(double)y), then dot/(n·cn) in the same
+    *    operand order;
+    *  - centroid ranking: ascending (negcos, centroid_id) compared via
+    *    java.lang.Double.compare ≡ the Catalyst struct ordering of the
+    *    distributed `array_sort` (NaN largest, -0.0 < 0.0), sliced at
+    *    the same maxR cap;
+    *  - frac probes: threshold max(nProbeMin, ceil(frac·C_nonempty))
+    *    with C_nonempty = distinct rank-1 assignments, exactly the
+    *    distributed countDistinct broadcast;
+    *  - final rank: (cosine DESC, cand_id ASC) row_number ≡ reversed
+    *    Double.compare with id tie-break.
+    * The query predicate is evaluated IN-PLAN (a boolean column computed
+    * before the coalesce), so arbitrary predicates keep their Catalyst
+    * semantics. */
+  private[graft] def ivfTopKLocal(emb: DataFrame, idCol: String, vecCol: String,
+                                  queryPred: Column, k: Int, centroidEvery: Int,
+                                  probe: Either[Int, (Double, Int)]): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val kG = k; val centroidEveryG = centroidEvery; val probeG = probe
+    emb.select(col(idCol).as("_id"), col(vecCol).as("_v"),
+        queryPred.as("_isq"))
+      .coalesce(1).mapPartitions { it =>
+        val rows = it.map { r =>
+          (r.getLong(0), r.getSeq[Float](1).toArray,
+            !r.isNullAt(2) && r.getBoolean(2))
+        }.toArray
+        def dotD(a: Array[Float], b: Array[Float]): Double = {
+          val n = math.min(a.length, b.length)
+          var acc = 0.0; var i = 0
+          while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+          acc
+        }
+        val stride =
+          if (centroidEveryG > 0) centroidEveryG.toLong
+          else {
+            val nD = rows.length.toDouble
+            val c1 = math.ceil(math.sqrt(nD)).toLong
+            math.max(1L, math.ceil(nD / c1).toLong)
+          }
+        val cents = rows.filter(_._1 % stride == 0).sortBy(_._1)
+          .map(c => (c._1, c._2, math.sqrt(dotD(c._2, c._2))))
+        val cC = cents.length
+        if (cC == 0) Iterator.empty
+        else {
+          // slice cap == greatest(1, maxRFor(C)) of the distributed path
+          val maxR = probeG match {
+            case Left(nProbe) => math.max(nProbe, 1)
+            case Right((frac, nProbeMin)) =>
+              math.max(1L, math.max(math.max(nProbeMin, 1).toLong,
+                math.ceil(frac * cC).toLong)).toInt
+          }
+          // ascending (negcos, centroid_id) — Catalyst's array_sort order
+          val ord = new Ordering[(Double, Long)] {
+            def compare(a: (Double, Long), b: (Double, Long)): Int = {
+              val c = java.lang.Double.compare(a._1, b._1)
+              if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+            }
+          }
+          def rankCents(v: Array[Float], n: Double): Array[(Double, Long)] =
+            cents.map { case (cid, cv, cn) =>
+              (-(dotD(v, cv) / (n * cn)), cid)
+            }.sorted(ord)
+          val norms = rows.map(r => math.sqrt(dotD(r._2, r._2)))
+          val byId = scala.collection.mutable.HashMap.empty[Long, Int]
+          val members =
+            scala.collection.mutable.HashMap.empty[Long,
+              scala.collection.mutable.ArrayBuffer[Int]]
+          rows.indices.foreach { i =>
+            byId.update(rows(i)._1, i)
+            val top = rankCents(rows(i)._2, norms(i)).head._2
+            members.getOrElseUpdate(top,
+              scala.collection.mutable.ArrayBuffer.empty) += i
+          }
+          // effective probe depth: Left = the _r <= nProbe filter;
+          // Right = max(nProbeMin, ceil(frac * nonEmptyLists)), never
+          // past the slice cap (C_nonempty <= C makes that a no-op, the
+          // same containment the distributed comment proves)
+          val probeN = probeG match {
+            case Left(nProbe) => math.min(maxR.toLong, nProbe.toLong)
+            case Right((frac, nProbeMin)) =>
+              math.min(maxR.toLong, math.max(nProbeMin.toLong,
+                math.ceil(frac * members.size).toLong))
+          }
+          val rankOrd = new Ordering[(Double, Long)] {
+            def compare(a: (Double, Long), b: (Double, Long)): Int = {
+              val c = java.lang.Double.compare(b._1, a._1) // cosine DESC
+              if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+            }
+          }
+          rows.indices.iterator.filter(rows(_)._3).flatMap { qi =>
+            val (qid, qv, _) = rows(qi)
+            val qn = norms(qi)
+            rankCents(qv, qn).take(math.max(probeN, 0L).toInt)
+              .iterator.flatMap { case (_, cid) =>
+                members.getOrElse(cid, Nil).iterator }
+              .filter(ci => rows(ci)._1 != qid)
+              .map { ci =>
+                val (cid2, cv, _) = rows(ci)
+                (dotD(qv, cv) / (qn * norms(ci)), cid2)
+              }.toArray.sorted(rankOrd).take(kG).zipWithIndex
+              .iterator.map { case ((cos, cid2), i) => (qid, cid2, cos, i + 1) }
+          }
+        }
+      }.toDF("query_id", "cand_id", "cosine", "rank")
   }
 
   /** `probe`: Left(nProbe) = fixed count — a plain `_r <= n` filter, no

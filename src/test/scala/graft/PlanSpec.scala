@@ -93,7 +93,9 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q52: IVF assignment broadcasts the centroids (never shuffles N against C)") {
-    val p = plan(Queries.q52AnnIvfTopk)
+    // The distributed chain (the 100 TB shape), forced past the r20
+    // one-task serving guard.
+    val p = plan((s, d) => Queries.q52AnnIvfTopk(s, d, maxLocalBytes = 0L))
     p should include("BroadcastNestedLoopJoin")
     // r18 narrow-assignment budget: the N×C ranking is an in-task
     // array sort (zero exchanges — the old window shape shuffled all
@@ -103,6 +105,13 @@ class PlanSpec extends SparkSpec {
     // pair-level distinct, or the emb join-backs adds exchanges and
     // must trip here.
     shuffles(p) should be <= 5
+    // r20 serving tier: the registered cell under the stats guard is
+    // ONE task over the raw embeddings — Coalesce(1)+mapPartitions,
+    // zero shuffles (SimilaritySpec pins tier equality on near-tie
+    // vectors).
+    val local = plan(Queries.q52AnnIvfTopk)
+    local should include("Coalesce 1")
+    shuffles(local) shouldBe 0
   }
 
   test("q53: ROLLUP expands grouping sets inside ONE aggregation, not three scans") {

@@ -97,6 +97,66 @@ class SimilaritySpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  /** Adversarial near-tie corpus for the r20 one-task live-IVF tier
+    * (VERDICT r19 ask #6): exact duplicates (cosine ties that must
+    * resolve by cand_id), scaled colinear vectors (equal cosines at
+    * different norms), 1-ulp component perturbations (cosines differing
+    * in the last bits — any fold-order or comparison divergence between
+    * the tiers flips their rank order), a query equidistant between two
+    * centroid directions (probe-selection tie), and an opposite-signed
+    * vector. Ids chosen so the auto-√N stride (10 rows → stride 4)
+    * yields centroids {0, 4, 8} spanning the tie clusters. */
+  private val nearTie = df("id BIGINT, v ARRAY<FLOAT>", Seq(
+    Row(0L, Seq(1.0f, 0.0f, 0.0f)),
+    Row(1L, Seq(1.0f, 0.0f, 0.0f)),              // exact duplicate of 0
+    Row(2L, Seq(2.0f, 0.0f, 0.0f)),              // colinear, scaled
+    Row(3L, Seq(math.nextUp(1.0f), 1.0f, 0.0f)), // 1 ulp off the diagonal
+    Row(4L, Seq(1.0f, 1.0f, 0.0f)),              // the diagonal centroid
+    Row(5L, Seq(1.0f, math.nextUp(1.0f), 0.0f)), // 1 ulp the other side
+    Row(6L, Seq(0.0f, 1.0f, 0.0f)),              // equidistant c0/c4 probe tie
+    Row(7L, Seq(1.0f, 1.0f, 1.0f)),
+    Row(8L, Seq(0.5f, 0.5f, 0.70710678f)),       // near-7 direction centroid
+    Row(9L, Seq(-1.0f, 0.0f, 0.0f))))            // opposite to 0
+
+  private def bits(d: org.apache.spark.sql.DataFrame) =
+    d.collect().map(r => (r.getLong(0), r.getLong(1),
+      java.lang.Double.doubleToLongBits(r.getDouble(2)), r.getInt(3)))
+      .sortBy(t => (t._1, t._4)).toSeq
+
+  test("ivfTopK one-task tier ≡ distributed chain, bit-exact, on near-tie vectors") {
+    for (nProbe <- Seq(1, 2, 3); kk <- Seq(3, 5)) {
+      val pred = col("id") % 2 === 0
+      val local = Similarity.ivfTopKLocal(nearTie, "id", "v", pred,
+        kk, 0, Left(nProbe))
+      val dist = Similarity.ivfTopK(nearTie, "id", "v", pred,
+        kk, 0, nProbe, maxLocalBytes = 0L)
+      withClue(s"nProbe=$nProbe k=$kk: ") { bits(local) shouldBe bits(dist) }
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("ivfTopK tier equality holds with an explicit centroid stride and dup centroids") {
+    // centroidEvery=1: every vector (incl. the exact-duplicate pair) is
+    // a centroid — centroid-rank ties must break by centroid_id in both
+    // tiers for the list assignment itself, not just the final rank.
+    val pred = col("id") >= 0 // every vector queries
+    val local = Similarity.ivfTopKLocal(nearTie, "id", "v", pred, 4, 1, Left(2))
+    val dist = Similarity.ivfTopK(nearTie, "id", "v", pred, 4, 1, 2,
+      maxLocalBytes = 0L)
+    bits(local) shouldBe bits(dist)
+    spark.catalog.clearCache()
+  }
+
+  test("ivfTopKFrac one-task tier ≡ distributed chain (frac probe threshold)") {
+    val pred = col("id") % 2 === 0
+    val local = Similarity.ivfTopKLocal(nearTie, "id", "v", pred,
+      5, 0, Right((0.34, 1)))
+    val dist = Similarity.ivfTopKFrac(nearTie, "id", "v", pred,
+      5, 0, probeFrac = 0.34, nProbeMin = 1, maxLocalBytes = 0L)
+    bits(local) shouldBe bits(dist)
+    spark.catalog.clearCache()
+  }
+
   test("ivfNearDupPairs finds co-bucketed near-dups with exact cosines, bounded candidates") {
     // vecs 0 and 1 are parallel (cosine 1.0) and share centroid 0's list;
     // 2 is orthogonal to both — not a near-dup even when co-bucketed
