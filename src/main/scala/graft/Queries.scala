@@ -2645,8 +2645,11 @@ object Queries {
     val pts = quantizedPoints(s, dir)
     val codes = pqCodes(s, dir)
     val panel = pts.filter(col("id") % 50 === 0).select(col("id"))
+    // Guarded sum includes the codebook artifact (ADVICE r19): books are
+    // m·k rows by construction, but the guard should enforce that, not
+    // assume it — an unexpectedly corpus-sized model must fail closed.
     if (maxLocalBytes > 0 &&
-        Seq(pts, codes)
+        Seq(pts, codes, pqBooks(s, dir))
           .map(_.queryExecution.optimizedPlan.stats.sizeInBytes)
           .sum <= BigInt(maxLocalBytes))
       graft.ops.Pq.serveStoredLocal(pts,
@@ -2716,8 +2719,11 @@ object Queries {
     val codes = pqCodes(s, dir)
     val panel = pts.filter(col("id") % 50 === 0 && col("id") < 10000000L)
       .select(col("id"))
+    // Guarded sum includes the model artifacts (ADVICE r19): centroids
+    // and codebooks are k-/m·k-row tables by construction, but the guard
+    // should enforce that, not assume it.
     if (maxLocalBytes > 0 &&
-        Seq(pts, codes)
+        Seq(pts, codes, pqBooks(s, dir), trainedCentroids(s, dir))
           .map(_.queryExecution.optimizedPlan.stats.sizeInBytes)
           .sum <= BigInt(maxLocalBytes))
       graft.ops.Pq.serveStoredLocal(pts, trainedCentroids(s, dir),
@@ -3882,9 +3888,14 @@ object Queries {
   private[graft] def q143CorpusBuild(s: SparkSession, dir: String,
                                      maxLocalBytes: Long): DataFrame = {
     val d = t(s, dir, "documents")
+    // Guarded sum includes the eval-key and LM-model artifacts (ADVICE
+    // r19): both are model-sized by construction, but the guard should
+    // enforce that, not assume it — an unexpectedly corpus-sized
+    // artifact must fail closed to the distributed chain.
     if (maxLocalBytes > 0 &&
-        d.queryExecution.optimizedPlan.stats.sizeInBytes <=
-          BigInt(maxLocalBytes) &&
+        Seq(d, evalWindowKeys(s, dir), lmModel(s, dir))
+          .map(_.queryExecution.optimizedPlan.stats.sizeInBytes)
+          .sum <= BigInt(maxLocalBytes) &&
         d.schema("doc_id").dataType == org.apache.spark.sql.types.LongType) {
       val noPrevHashes = d.select(col("doc_id"),
         lit(null).cast("string").as("content_hash")).limit(0)

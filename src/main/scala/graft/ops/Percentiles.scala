@@ -35,6 +35,7 @@ object Percentiles {
   /** One row per group: (partitionCols*, outCol). */
   def percentileDisc(df: DataFrame, valueCol: String, p: Double,
                      partitionCols: Seq[String], outCol: String): DataFrame = {
+    require(p >= 0 && p <= 1, s"p=$p out of [0, 1]") // match the siblings
     val grp = partitionCols.map(col)
 
     // ONE linear chain (r19, guide §2.3/§2.4): the old shape scanned the
