@@ -763,9 +763,21 @@ object Bench {
           val (t, tFlag, tErr) = minOf3(n, sf1Dir)
           (n, base, bFlag, t, tFlag, bErr || tErr)
         }
+        // ABSOLUTE sf1 wall-time caps backing the widest ratio bands
+        // (ADVICE r19): q143's band moved 6 -> 15 when its one-task tier
+        // reclassified the cell as single-task LINEAR work, so a 7-14x
+        // superlinear regression would now pass the ratio gate. The
+        // recorded 10x floor is 2.8 s (r19, reconfirmed by the r20
+        // forced-tier lane below); 8 s ≈ 3x that floor tolerates box
+        // noise (the confirm-before-red re-measure absorbs transients)
+        // while a genuinely superlinear build (>20 s at 10x) goes red.
+        val absoluteCaps: Map[String, Double] = Map(
+          "q143_corpus_build" -> 8.0)
         def breaches(n: String, base: Double, bFlag: Boolean,
                      t: Double, tFlag: Boolean): Boolean =
-          !bFlag && !tFlag && base >= minGateBase && t / base > boundFor(n)
+          !bFlag && !tFlag &&
+            ((base >= minGateBase && t / base > boundFor(n)) ||
+              absoluteCaps.get(n).exists(t > _))
         // UNMEASURED = RED: a cell whose samples all THREW on either side,
         // or whose sf1 time is below the clock floor while its base is
         // measurable (a real query on 10x data is never faster than the
@@ -932,9 +944,61 @@ object Bench {
                   s""""$n":null""" }
               }
           }
+        // ---- Forced-distributed timing lane (VERDICT r19 ask #7): the
+        // one-task tiers serve the registered cells at both measured
+        // scales, so the DISTRIBUTED chains — the actual 100 TB shapes —
+        // were exercised only by spec/plan pins at toy sizes; their
+        // floors were unmeasured. Time each `maxLocalBytes = 0` path
+        // once per run at both scale factors. Observational (no gate):
+        // at serving scale these chains are scheduler-latency-bound by
+        // design — that is why the tiers exist — so the value is the
+        // recorded floor table and its round-over-round drift, not a
+        // threshold. Skippable for drills via SPARK_GRAFT_DIST=0.
+        val distCells =
+          if (sys.env.getOrElse("SPARK_GRAFT_DIST", "1") == "0") Nil
+          else {
+            val tiered: Seq[(String,
+                (SparkSession, String) => org.apache.spark.sql.DataFrame)] = Seq(
+              "q52_ann_ivf_topk" -> ((sp: SparkSession, d: String) => Queries.q52AnnIvfTopk(sp, d, 0L)),
+              "q103_trained_ivf_topk" -> ((sp: SparkSession, d: String) => Queries.q103TrainedIvfTopk(sp, d, 0L)),
+              "q116_pq_topk" -> ((sp: SparkSession, d: String) => Queries.q116PqTopk(sp, d, 0L)),
+              "q117_ivfpq_topk" -> ((sp: SparkSession, d: String) => Queries.q117IvfpqTopk(sp, d, 0L)),
+              "q143_corpus_build" -> ((sp: SparkSession, d: String) => Queries.q143CorpusBuild(sp, d, 0L)),
+              "q145_incremental_corpus" ->
+                ((sp: SparkSession, d: String) => Queries.q145IncrementalCorpusBuild(sp, d, 0L)),
+              "q148_incremental_minhash" ->
+                ((sp: SparkSession, d: String) => Queries.q148IncrementalMinhash(sp, d, 0L)),
+              "q170_hybrid_rrf" -> ((sp: SparkSession, d: String) => Queries.q170HybridRrf(sp, d, 0L)),
+              "q171_incremental_bm25" ->
+                ((sp: SparkSession, d: String) => Queries.q171IncrementalBm25(sp, d, 0L)),
+              "q173_vocab_maintain" -> ((sp: SparkSession, d: String) => Queries.q173VocabMaintain(sp, d, 0L)),
+              "q174_incremental_semdedup" ->
+                ((sp: SparkSession, d: String) => Queries.q174IncrementalSemdedup(sp, d, 0L)),
+              "q175_stream_lm_chain" -> ((sp: SparkSession, d: String) => Queries.q175StreamLmChain(sp, d, 0L)),
+              "q176_incremental_span_dedup" ->
+                ((sp: SparkSession, d: String) => Queries.q176IncrementalSpanDedup(sp, d, 0L)),
+              "q179_incremental_ivfpq" ->
+                ((sp: SparkSession, d: String) => Queries.q179IncrementalIvfpq(sp, d, 0L)),
+              "q180_incremental_cms" -> ((sp: SparkSession, d: String) => Queries.q180IncrementalCms(sp, d, 0L)),
+              "q181_stream_cms_chain" -> ((sp: SparkSession, d: String) => Queries.q181StreamCmsChain(sp, d, 0L)),
+              "q182_stream_dsir_chain" ->
+                ((sp: SparkSession, d: String) => Queries.q182StreamDsirChain(sp, d, 0L)),
+              "q183_stream_bm25df_chain" ->
+                ((sp: SparkSession, d: String) => Queries.q183StreamBm25DfChain(sp, d, 0L)),
+              "q184_stream_bpe_units_chain" ->
+                ((sp: SparkSession, d: String) => Queries.q184StreamBpeUnitsChain(sp, d, 0L)))
+              .filter(p => scaleFilter(p._1))
+            tiered.map { case (n, fn) =>
+              val (b, bFlag, bErr) = measure(s"dist:$n", (sp, _) => fn(sp, sfDir))
+              val (t, tFlag, tErr) = measure(s"dist:$n", (sp, _) => fn(sp, sf1Dir))
+              s""""$n":{"sf01_sec":$b,"sec":$t,""" +
+                s""""stall_suspect":${bFlag || tFlag},"err":${bErr || tErr}}"""
+            }
+          }
         s"""{"copies":10,"dir":"$sf1Dir",""" +
           s""""growth_violations":${violations.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
           s""""io":${ioCells.mkString("{", ",", "}")},""" +
+          s""""dist":${distCells.mkString("{", ",", "}")},""" +
           s""""queries":${cells.mkString("{", ",", "}")}}"""
       } catch {
         case e: Throwable =>
