@@ -41,6 +41,39 @@ object Opportunity {
   def opportunityRank(orders: DataFrame, lineitem: DataFrame,
                       part: DataFrame, customer: DataFrame,
                       excludePattern: String = "%old%"): DataFrame = {
+    // Global rank via the distributed two-phase prefix count (r20, the
+    // window-audit item): this was the one partition-less window in the
+    // engine whose frame GROWS with the corpus (qualifying conditions ∝
+    // the part dimension ∝ SF — every other global window is bounded by
+    // a constant or a config knob), so the SinglePartition rank was the
+    // audit's lone scale-killer candidate. denseRankKey's range
+    // exchange + per-partition row_number + broadcast offsets produce
+    // the IDENTICAL dense 1..N rank over the same total order: ascending
+    // (-score, p_name) ≡ (score DESC, p_name ASC) — negation reverses
+    // the IEEE order for every non-NaN pair and scores are finite by
+    // construction (bounded weighted sum of finite ratios). denseRankKey
+    // localCheckpoints its input (its two-reader layout contract), so
+    // the scores subtree below is hidden behind an ExistingRDD in this
+    // frame's plan — PlanSpec pins the scan/shuffle shape on
+    // [[opportunityScores]] and the rank arithmetic is OpportunitySpec's.
+    SurrogateKeys.denseRankKey(
+        opportunityScores(orders, lineitem, part, customer, excludePattern)
+          .withColumn("_negscore", -col("opportunity_score")),
+        "opportunity_rank", Seq("_negscore", "p_name"))
+      .withColumn("opportunity_rank", col("opportunity_rank").cast("int"))
+      .select(
+        col("p_name"), col("total_trials"), col("late_phase_count"),
+        col("recent_trials"), col("older_trials"), col("industry_sponsors"),
+        col("opportunity_score"), col("opportunity_rank"))
+  }
+
+  /** The rank's input: per-condition metrics + weighted score, the
+    * whole single-pass dataflow minus the global rank itself. Public so
+    * the plan pins (scan-once, broadcast dims, exchange budget) assert
+    * on a frame whose plan is not truncated by the rank's checkpoint. */
+  def opportunityScores(orders: DataFrame, lineitem: DataFrame,
+                        part: DataFrame, customer: DataFrame,
+                        excludePattern: String = "%old%"): DataFrame = {
     // trial_priority + relevant_trials + the fan-out re-join
     // (aact_gold_layer.sql:264-305: A4 min-CASE best-of, J5 left join +
     // fallback filter, J6 M:N re-join) — fused into ONE co-partitioned
@@ -133,13 +166,6 @@ object Opportunity {
     val momentum = col("recent_trials").cast("double") / (col("older_trials").cast("double") + lit(1.0))
     val score = lit(0.4) * relevance + lit(0.3) * density + lit(0.2) * saturation + lit(0.1) * momentum
 
-    joined
-      .withColumn("opportunity_score", round(score, 6))
-      .withColumn("opportunity_rank",
-        row_number().over(Window.orderBy(col("opportunity_score").desc, col("p_name"))))
-      .select(
-        col("p_name"), col("total_trials"), col("late_phase_count"),
-        col("recent_trials"), col("older_trials"), col("industry_sponsors"),
-        col("opportunity_score"), col("opportunity_rank"))
+    joined.withColumn("opportunity_score", round(score, 6))
   }
 }

@@ -42,8 +42,13 @@ class PlanSpec extends SparkSpec {
     plan(Queries.q16TopK) should include("TakeOrderedAndProject")
   }
 
-  test("q17: single-pass — each base table scanned once, dims broadcast, 4 shuffles") {
-    val p = plan(Queries.q17OpportunityScore)
+  test("q17: single-pass — each base table scanned once, dims broadcast, 3 shuffles") {
+    // Pinned on the SCORES frame (everything minus the global rank):
+    // the r20 distributed rank localCheckpoints its input, which would
+    // hide this subtree behind an ExistingRDD in the full q17 plan.
+    val p = plan((s, d) => graft.ops.Opportunity.opportunityScores(
+      Tables.wide(s, d, "orders"), Tables.wide(s, d, "lineitem"),
+      Tables.wide(s, d, "part"), Tables.wide(s, d, "customer")))
     // The r18 window fusion reads each fact exactly once (the reference
     // CTE shape re-joined lineitem — 2 scans; the pre-r17 double
     // aggregation read it four times).
@@ -51,14 +56,20 @@ class PlanSpec extends SparkSpec {
     scans(p, "orders") shouldBe 1
     scans(p, "part") shouldBe 1
     p should include("BroadcastHashJoin")
-    // Exchange budget (VERDICT r17 ask #4): the whole dataflow is FOUR
+    // Exchange budget (VERDICT r17 ask #4): the scores dataflow is THREE
     // shuffles — union→per-order window, the countDistinct expand pair
-    // (p_name, c_custkey) + (p_name), and the SinglePartition rank over
-    // the small final frame. Re-introducing the fact⋈fact join pair (or
-    // un-fusing the two gold aggregations) adds shuffles and must trip
-    // here, not in a bench round.
-    shuffles(p) should be <= 4
+    // (p_name, c_custkey) + (p_name). Re-introducing the fact⋈fact join
+    // pair (or un-fusing the two gold aggregations) adds shuffles and
+    // must trip here, not in a bench round.
+    shuffles(p) should be <= 3
     p.split("\n").count(_.contains("BroadcastExchange")) shouldBe 2
+    // The full q17 (rank included) must carry NO partition-less window:
+    // the r20 audit's one SF-growing global frame now ranks via the
+    // distributed prefix count (per-partition windows only).
+    val full = plan(Queries.q17OpportunityScore)
+    full.split("\n").filter(_.contains("Window ")).foreach { l =>
+      withClue(l) { l should include("_pid") }
+    }
   }
 
   test("q28: all three dims broadcast into the fact build") {
