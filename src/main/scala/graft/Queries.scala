@@ -226,9 +226,16 @@ object Queries {
   /** Flagship: opportunity_rank structural clone (aact_gold_layer.sql:260-349,
     * SURVEY §7.3) — J5/J6, A3-A5, F1/F16, P7, W1. */
   def q17OpportunityScore(s: SparkSession, dir: String): DataFrame =
+    q17OpportunityScore(s, dir, maxGlobalRankBytes = 64L << 20)
+
+  /** `maxGlobalRankBytes = 0` forces the distributed rank tier (PlanSpec
+    * pins its window-free shape; OpportunitySpec pins tier equality). */
+  private[graft] def q17OpportunityScore(s: SparkSession, dir: String,
+                                         maxGlobalRankBytes: Long): DataFrame =
     Opportunity.opportunityRank(
       t(s, dir, "orders"), t(s, dir, "lineitem"),
-      t(s, dir, "part"), t(s, dir, "customer"))
+      t(s, dir, "part"), t(s, dir, "customer"),
+      maxGlobalRankBytes = maxGlobalRankBytes)
 
   // ====== LLM-data-pipeline extension (SURVEY §7.5; BASELINE north star) ====
 

@@ -40,31 +40,46 @@ object Opportunity {
     *                       '%Healthy%' and '%healthy%' behave identically. */
   def opportunityRank(orders: DataFrame, lineitem: DataFrame,
                       part: DataFrame, customer: DataFrame,
-                      excludePattern: String = "%old%"): DataFrame = {
-    // Global rank via the distributed two-phase prefix count (r20, the
-    // window-audit item): this was the one partition-less window in the
-    // engine whose frame GROWS with the corpus (qualifying conditions ∝
-    // the part dimension ∝ SF — every other global window is bounded by
-    // a constant or a config knob), so the SinglePartition rank was the
-    // audit's lone scale-killer candidate. denseRankKey's range
-    // exchange + per-partition row_number + broadcast offsets produce
-    // the IDENTICAL dense 1..N rank over the same total order: ascending
-    // (-score, p_name) ≡ (score DESC, p_name ASC) — negation reverses
-    // the IEEE order for every non-NaN pair and scores are finite by
-    // construction (bounded weighted sum of finite ratios). denseRankKey
-    // localCheckpoints its input (its two-reader layout contract), so
-    // the scores subtree below is hidden behind an ExistingRDD in this
-    // frame's plan — PlanSpec pins the scan/shuffle shape on
-    // [[opportunityScores]] and the rank arithmetic is OpportunitySpec's.
-    SurrogateKeys.denseRankKey(
-        opportunityScores(orders, lineitem, part, customer, excludePattern)
-          .withColumn("_negscore", -col("opportunity_score")),
-        "opportunity_rank", Seq("_negscore", "p_name"))
-      .withColumn("opportunity_rank", col("opportunity_rank").cast("int"))
-      .select(
-        col("p_name"), col("total_trials"), col("late_phase_count"),
-        col("recent_trials"), col("older_trials"), col("industry_sponsors"),
-        col("opportunity_score"), col("opportunity_rank"))
+                      excludePattern: String = "%old%",
+                      maxGlobalRankBytes: Long = 64L << 20): DataFrame = {
+    // TIERED global rank (r20, the window-audit item): the rank's input
+    // was the one partition-less window frame in the engine that GROWS
+    // with the corpus (qualifying conditions ∝ the part dimension ∝ SF
+    // — every other global frame is bounded by a constant or a config
+    // knob), so the unconditional SinglePartition rank was the audit's
+    // lone scale-killer candidate. The guard is the engine's standard
+    // fail-closed Catalyst size-stats tier: inputs estimated under
+    // `maxGlobalRankBytes` keep the reference-exact single-window rank
+    // (missing stats default to Long.Max → distributed); anything
+    // larger ranks via [[SurrogateKeys.denseRankKey]] over ascending
+    // (-score, p_name) — the range-exchange + per-partition row_number
+    // + broadcast-offsets two-phase — which yields the IDENTICAL dense
+    // 1..N rank (negation reverses the IEEE order for every non-NaN
+    // pair; scores are finite by construction). `maxGlobalRankBytes = 0`
+    // forces the distributed rank (OpportunitySpec pins tier equality;
+    // PlanSpec pins that the forced tier carries no partition-less
+    // window). The guard sums the RAW input stats — post-aggregation
+    // the frame only shrinks, so the estimate is an upper bound.
+    val scores = opportunityScores(orders, lineitem, part, customer,
+      excludePattern)
+    val small = maxGlobalRankBytes > 0 &&
+      Seq(orders, lineitem, part, customer)
+        .map(_.queryExecution.optimizedPlan.stats.sizeInBytes)
+        .sum <= BigInt(maxGlobalRankBytes)
+    val ranked =
+      if (small)
+        scores.withColumn("opportunity_rank",
+          row_number().over(
+            Window.orderBy(col("opportunity_score").desc, col("p_name"))))
+      else
+        SurrogateKeys.denseRankKey(
+            scores.withColumn("_negscore", -col("opportunity_score")),
+            "opportunity_rank", Seq("_negscore", "p_name"))
+          .withColumn("opportunity_rank", col("opportunity_rank").cast("int"))
+    ranked.select(
+      col("p_name"), col("total_trials"), col("late_phase_count"),
+      col("recent_trials"), col("older_trials"), col("industry_sponsors"),
+      col("opportunity_score"), col("opportunity_rank"))
   }
 
   /** The rank's input: per-condition metrics + weighted score, the

@@ -63,13 +63,19 @@ class PlanSpec extends SparkSpec {
     // must trip here, not in a bench round.
     shuffles(p) should be <= 3
     p.split("\n").count(_.contains("BroadcastExchange")) shouldBe 2
-    // The full q17 (rank included) must carry NO partition-less window:
-    // the r20 audit's one SF-growing global frame now ranks via the
-    // distributed prefix count (per-partition windows only).
-    val full = plan(Queries.q17OpportunityScore)
-    full.split("\n").filter(_.contains("Window ")).foreach { l =>
-      withClue(l) { l should include("_pid") }
+    // The FORCED distributed-rank tier (the 100 TB shape — the audit's
+    // one SF-growing global frame) must carry NO partition-less window:
+    // every Window node is per-partition (_pid-keyed or the per-order
+    // fusion window, which partitions by _ok).
+    val forced = plan((s, d) =>
+      Queries.q17OpportunityScore(s, d, maxGlobalRankBytes = 0L))
+    forced.split("\n").filter(_.contains("Window ")).foreach { l =>
+      withClue(l) { (l.contains("_pid") || l.contains("_ok")) shouldBe true }
     }
+    // The registered cell under the stats guard keeps the reference-
+    // exact single-window rank (the frame is report-sized at guarded
+    // input sizes; OpportunitySpec pins tier equality).
+    plan(Queries.q17OpportunityScore) should include("row_number()")
   }
 
   test("q28: all three dims broadcast into the fact build") {

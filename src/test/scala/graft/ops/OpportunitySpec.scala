@@ -117,4 +117,21 @@ class OpportunitySpec extends SparkSpec {
     got should not be empty // the 13-row group cleared the >10 floor
     got shouldBe expected
   }
+
+  test("rank tiers identical: guarded global window ≡ distributed prefix count") {
+    // These df() frames carry no Catalyst stats (LogicalRDD → Long.Max),
+    // so the default guard fails CLOSED to the distributed rank — the
+    // end-to-end test above therefore covers that tier. Here both tiers
+    // are forced explicitly and must agree row-for-row (the r20
+    // window-audit conversion: ascending (-score, p_name) prefix count ≡
+    // (score DESC, p_name) row_number).
+    val dist = Opportunity.opportunityRank(orders, lineitem, part, customer,
+        maxGlobalRankBytes = 0L)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val global = Opportunity.opportunityRank(orders, lineitem, part, customer,
+        maxGlobalRankBytes = Long.MaxValue)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    dist should not be empty
+    dist shouldBe global
+  }
 }
