@@ -2034,14 +2034,18 @@ object Queries {
     * output — they ARE pure boilerplate. */
   def q95BoilerplateScrub(s: SparkSession, dir: String): DataFrame = {
     val W = 3
-    // The chunk table feeds the drop-set aggregate AND the anti-join
-    // probe — unpersisted, the full per-doc tokenize+slice+join chain
-    // (the cell's dominant CPU: ProfileQ measured ~7.3 s CPU per pass at
-    // sf0.1) ran once per consumer. Persisted, it runs once (guide
-    // §2.4/§5; the q149 chunk-table precedent). The per-doc chunk count
-    // rides the frame as `_n_tot` (computed from the words array before
-    // the explode), which removes the third chunk pass + its groupBy +
-    // the re-attach join the old `tot` branch paid.
+    // The per-doc chunk count rides the frame as `_n_tot` (computed from
+    // the words array before the explode), which removes the old `tot`
+    // branch's third chunk pass, its groupBy, and the re-attach join
+    // (r20, guide §2.4 — ProfileQ measured each chunk pass at ~7.3 s CPU
+    // at sf0.1). The remaining two consumers (drop-set aggregate +
+    // anti-join probe) deliberately RECOMPUTE the chunk chain rather
+    // than share a persisted copy: an r20 A/B that persisted it
+    // (MEMORY_AND_DISK) cut total CPU 17.5 -> 5.2 s but was bimodal on
+    // wall clock across sessions (floors 0.88 s and 2.1-4.2 s on the
+    // same bits — the cached relation's materialized stats flip the
+    // downstream join planning), while the recompute shape floors at
+    // 0.86-1.03 s reproducibly.
     val chunks = t(s, dir, "documents")
       .select(col("doc_id"), TextStats.words(lower(col("text"))).as("ws"))
       .filter(size(col("ws")) >= W)
@@ -2051,7 +2055,6 @@ object Queries {
         col("ws"))
       .select(col("doc_id"), col("_n_tot"), col("i"),
         array_join(slice(col("ws"), col("i") * W + 1, lit(W)), " ").as("chunk"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dropSet = chunks.groupBy(col("chunk"))
       .agg(countDistinct(col("doc_id")).as("_df"))
       .filter(col("_df") >= 2)
